@@ -1,0 +1,379 @@
+"""Query catalog: every implemented operator from SURVEY.md §2 (plus the
+LLM-data-pipeline extensions) as a named (spark_fn, oracle_sql) pair.
+
+``__spark_entry__.py`` re-exports this for the driver harness: the Spark
+callable runs on ``{sf_dir}/*.parquet``; the oracle SQL runs in DuckDB on
+the same files (views pre-registered by the driver). Column names are
+aliased identically on both sides — the driver hashes values after
+sorting columns by name.
+
+Float policy: any aggregate over a non-integer-valued double is cast to
+DECIMAL(38,4) on BOTH sides so the comparison is exact (double summation
+order differs between engines).
+"""
+
+from __future__ import annotations
+
+from collections.abc import Callable
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from emr_hudi_example_spark.functions.core import hm_bucket, logday, nvl
+from emr_hudi_example_spark.functions.json_schema import get_json_value
+from emr_hudi_example_spark.operators import relational as R
+
+Q: dict[str, Callable[[SparkSession, str], DataFrame]] = {}
+ORACLE: dict[str, str] = {}
+
+
+def load(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
+    try:  # fixture events.ts is TIMESTAMP(NANOS); ensure readable under any session
+        spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+    except Exception:
+        pass
+    df = spark.read.parquet(f"{sf_dir}/{name}.parquet")
+    # events.ts is TIMESTAMP(NANOS) in the fixture parquet; with
+    # spark.sql.legacy.parquet.nanosAsLong it arrives as a long — convert
+    # to a micros timestamp (same truncation DuckDB applies).
+    for f_ in df.schema.fields:
+        if f_.name == "ts" and f_.dataType.simpleString() == "bigint" and name == "events":
+            df = df.withColumn(
+                "ts", F.timestamp_micros((F.col("ts") / 1000).cast("long"))
+            )
+    return df
+
+
+def query(name: str, oracle: str | None = None):
+    """Register a catalog entry. ``oracle=None`` → driver does the weaker
+    rows-only check (reserved for genuinely non-SQL-expressible ops)."""
+
+    def deco(fn):
+        Q[name] = fn
+        if oracle is not None:
+            ORACLE[name] = oracle
+        return fn
+
+    return deco
+
+
+# =========================================================================
+# Flagship — the reference's full medallion chain in one plan:
+# ODS (lineitem) → DWD (dim-enrich left join, SRC/ODS2DWD.scala:58-62)
+# → DM (group-by sum, SRC/DWD2DM.scala:32-34).
+# =========================================================================
+
+@query(
+    "flagship_dwd_dm",
+    oracle="""
+    SELECT coalesce(p.p_brand, 'N/A') AS brand,
+           strftime(l.l_shipdate, '%Y%m%d') AS ship_day,
+           CAST(sum(CAST(l.l_quantity AS DECIMAL(38,4))) AS DECIMAL(38,4)) AS sum_qty,
+           count(*) AS n_rows
+    FROM lineitem l LEFT JOIN part p ON l.l_partkey = p.p_partkey
+    GROUP BY 1, 2
+    """,
+)
+def flagship_dwd_dm(spark: SparkSession, sf_dir: str) -> DataFrame:
+    lineitem = load(spark, sf_dir, "lineitem")
+    part = load(spark, sf_dir, "part")
+    dwd = R.dim_enrich_left_join(
+        lineitem,
+        part.select("p_partkey", "p_brand"),
+        on=lineitem["l_partkey"] == part["p_partkey"],
+        defaults={"p_brand": "N/A"},
+    ).select(
+        F.col("p_brand").alias("brand"),
+        logday("l_shipdate").alias("ship_day"),
+        F.col("l_quantity").cast("decimal(38,4)").alias("qty"),
+    )
+    return dwd.groupBy("brand", "ship_day").agg(
+        F.sum("qty").cast("decimal(38,4)").alias("sum_qty"),
+        F.count(F.lit(1)).alias("n_rows"),
+    )
+
+
+# =========================================================================
+# §2.5 J1 — fact→dimension left-outer enrichment (row-level DWD output),
+# SRC/ODS2DWD.scala:58-62 shape with nvl defaults.
+# =========================================================================
+
+@query(
+    "j1_dim_enrich",
+    oracle="""
+    SELECT l.l_orderkey, l.l_linenumber, l.l_partkey,
+           coalesce(p.p_brand, 'N/A') AS brand,
+           coalesce(p.p_type, 'N/A') AS ptype,
+           l.l_quantity AS quantity
+    FROM lineitem l LEFT JOIN part p ON l.l_partkey = p.p_partkey
+    """,
+)
+def j1_dim_enrich(spark: SparkSession, sf_dir: str) -> DataFrame:
+    lineitem = load(spark, sf_dir, "lineitem")
+    part = load(spark, sf_dir, "part")
+    return R.dim_enrich_left_join(
+        lineitem,
+        part.select("p_partkey", "p_brand", "p_type"),
+        on=lineitem["l_partkey"] == part["p_partkey"],
+        defaults={"p_brand": "N/A", "p_type": "N/A"},
+    ).select(
+        "l_orderkey",
+        "l_linenumber",
+        "l_partkey",
+        F.col("p_brand").alias("brand"),
+        F.col("p_type").alias("ptype"),
+        F.col("l_quantity").alias("quantity"),
+    )
+
+
+# =========================================================================
+# §2.5 J2 — delta-merge of a running aggregate (SRC/DWD2DM.scala:75-79):
+# increment joined to snapshot, new_sum = inc + nvl(prev, 0). Simulated by
+# splitting lineitem at a ship date: "snapshot" = before, "delta" = after.
+# =========================================================================
+
+@query(
+    "j2_delta_merge",
+    oracle="""
+    WITH snap AS (
+      SELECT l_returnflag, CAST(sum(CAST(l_quantity AS DECIMAL(38,4))) AS DECIMAL(38,4)) AS s
+      FROM lineitem WHERE l_shipdate < TIMESTAMP '1998-01-01' GROUP BY 1
+    ), inc AS (
+      SELECT l_returnflag, CAST(sum(CAST(l_quantity AS DECIMAL(38,4))) AS DECIMAL(38,4)) AS s
+      FROM lineitem WHERE l_shipdate >= TIMESTAMP '1998-01-01' GROUP BY 1
+    )
+    SELECT i.l_returnflag,
+           CAST(i.s + coalesce(snap.s, 0) AS DECIMAL(38,4)) AS sum
+    FROM inc i LEFT JOIN snap ON i.l_returnflag = snap.l_returnflag
+    """,
+)
+def j2_delta_merge(spark: SparkSession, sf_dir: str) -> DataFrame:
+    li = load(spark, sf_dir, "lineitem").withColumn(
+        "qty", F.col("l_quantity").cast("decimal(38,4)")
+    )
+    cutoff = "1998-01-01"
+    snap = R.group_sum(li.filter(F.col("l_shipdate") < cutoff), ["l_returnflag"], "qty")
+    inc = R.group_sum(li.filter(F.col("l_shipdate") >= cutoff), ["l_returnflag"], "qty")
+    return R.delta_merge_running_agg(inc, snap, ["l_returnflag"]).withColumn(
+        "sum", F.col("sum").cast("decimal(38,4)")
+    )
+
+
+# =========================================================================
+# §2.6 A1 — GROUP BY + SUM (SRC/DWD2DM.scala:32-34)
+# =========================================================================
+
+@query(
+    "a1_group_sum",
+    oracle="""
+    SELECT o_orderpriority,
+           CAST(sum(CAST(o_totalprice AS DECIMAL(38,4))) AS DECIMAL(38,4)) AS sum_price
+    FROM orders GROUP BY o_orderpriority
+    """,
+)
+def a1_group_sum(spark: SparkSession, sf_dir: str) -> DataFrame:
+    orders = load(spark, sf_dir, "orders")
+    return orders.groupBy("o_orderpriority").agg(
+        F.sum(F.col("o_totalprice").cast("decimal(38,4)"))
+        .cast("decimal(38,4)")
+        .alias("sum_price")
+    )
+
+
+# =========================================================================
+# §2.6 A2 — ungrouped MAX, the commit-cursor read (SRC/ODS2DWD.scala:34)
+# =========================================================================
+
+@query(
+    "a2_scalar_max",
+    oracle="SELECT CAST(max(o_orderdate) AS TIMESTAMP) AS max_date FROM orders",
+)
+def a2_scalar_max(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return R.scalar_max(load(spark, sf_dir, "orders"), "o_orderdate", alias="max_date")
+
+
+# =========================================================================
+# §2.6 A3/A4 — DISTINCT + COUNT (SRC/package.scala:148, SRC/ODS2DWD.scala:64)
+# =========================================================================
+
+@query(
+    "a3_distinct",
+    oracle="SELECT DISTINCT o_orderstatus, o_orderpriority FROM orders",
+)
+def a3_distinct(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return R.distinct_values(load(spark, sf_dir, "orders"), ["o_orderstatus", "o_orderpriority"])
+
+
+@query(
+    "a4_count",
+    oracle="SELECT count(*) AS n FROM lineitem WHERE l_returnflag = 'R'",
+)
+def a4_count(spark: SparkSession, sf_dir: str) -> DataFrame:
+    li = load(spark, sf_dir, "lineitem")
+    return R.filter_eq(li, "l_returnflag", "R").agg(F.count(F.lit(1)).alias("n"))
+
+
+# =========================================================================
+# §2.6 A5 — precombine dedup: larger precombine wins per key
+# (DefaultHoodieRecordPayload semantics, SRC/package.scala:25,35).
+# events deduped per user: keep latest ts (tiebreak event_id).
+# =========================================================================
+
+@query(
+    "a5_precombine_dedup",
+    oracle="""
+    SELECT event_id, user_id, event_type, value
+    FROM events
+    QUALIFY row_number() OVER (
+      PARTITION BY user_id ORDER BY ts DESC, event_id DESC) = 1
+    """,
+)
+def a5_precombine_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    events = load(spark, sf_dir, "events")
+    return R.precombine_dedup(
+        events, keys=["user_id"], precombine="ts", tiebreak=["event_id"]
+    ).select("event_id", "user_id", "event_type", "value")
+
+
+# =========================================================================
+# §2.3 P2/P3 + §2.8 C10 — JSON parse against schema, flatten, key extract
+# (SRC/Log2Hudi.scala:69, SRC/util/JsonSchema.scala:48-57)
+# =========================================================================
+
+@query(
+    "p2_json_parse_flatten",
+    oracle="""
+    SELECT event_id, CAST(json_extract_string(props, '$.k') AS INTEGER) AS k
+    FROM events
+    """,
+)
+def p2_json_parse_flatten(spark: SparkSession, sf_dir: str) -> DataFrame:
+    events = load(spark, sf_dir, "events")
+    parsed = events.select(
+        "event_id", F.from_json("props", "k INT").alias("_d")
+    ).select("event_id", "_d.*")
+    return parsed
+
+
+@query(
+    "c10_get_json_value",
+    oracle="""
+    SELECT event_id,
+           coalesce(json_extract_string(props, '$.k'), 'None') AS k_str,
+           coalesce(json_extract_string(props, '$.missing'), 'None') AS missing_str
+    FROM events
+    """,
+)
+def c10_get_json_value(spark: SparkSession, sf_dir: str) -> DataFrame:
+    events = load(spark, sf_dir, "events")
+    return events.select(
+        "event_id",
+        get_json_value("props", "k").alias("k_str"),
+        get_json_value("props", "missing").alias("missing_str"),
+    )
+
+
+# =========================================================================
+# §2.3 P4 — struct pack + JSON serialize (SRC/Hudi2MSK.scala:43)
+# =========================================================================
+
+@query(
+    "p4_to_json",
+    oracle="""
+    SELECT '{"n_nationkey":' || n_nationkey || ',"n_name":"' || n_name ||
+           '","n_regionkey":' || n_regionkey || '}' AS value
+    FROM nation
+    """,
+)
+def p4_to_json(spark: SparkSession, sf_dir: str) -> DataFrame:
+    nation = load(spark, sf_dir, "nation")
+    return R.pack_to_json(nation, ["n_nationkey", "n_name", "n_regionkey"])
+
+
+# =========================================================================
+# §2.3 P5 + §2.8 C5 — derived processing-time partitions: logday yyyyMMdd
+# and 10-minute bucket HHm0 (SRC/Log2Hudi.scala:63-75)
+# =========================================================================
+
+@query(
+    "p5_derived_partitions",
+    oracle="""
+    SELECT event_id,
+           strftime(ts, '%Y%m%d') AS logday,
+           strftime(ts, '%H') || CAST(CAST(floor(minute(ts) / 10) AS INTEGER) AS VARCHAR) || '0' AS hm
+    FROM events
+    """,
+)
+def p5_derived_partitions(spark: SparkSession, sf_dir: str) -> DataFrame:
+    events = load(spark, sf_dir, "events")
+    return events.select(
+        "event_id",
+        logday("ts").alias("logday"),
+        hm_bucket("ts").alias("hm"),
+    )
+
+
+# =========================================================================
+# §2.4 F2/F3 — PK-not-null conjunction + equality filter
+# (SRC/package.scala:185-188, SRC/package.scala:158)
+# =========================================================================
+
+@query(
+    "f2_f3_filters",
+    oracle="""
+    SELECT c_custkey, c_name, c_mktsegment
+    FROM customer
+    WHERE c_custkey IS NOT NULL AND c_nationkey IS NOT NULL
+      AND c_mktsegment = 'BUILDING'
+    """,
+)
+def f2_f3_filters(spark: SparkSession, sf_dir: str) -> DataFrame:
+    cust = load(spark, sf_dir, "customer")
+    out = R.filter_pk_not_null(cust, ["c_custkey", "c_nationkey"])
+    return R.filter_eq(out, "c_mktsegment", "BUILDING").select(
+        "c_custkey", "c_name", "c_mktsegment"
+    )
+
+
+# =========================================================================
+# §2.7 — LIMIT (SRC/Hive2Hudi.scala:25), made deterministic with a sort
+# =========================================================================
+
+@query(
+    "limit_sorted",
+    oracle="""
+    SELECT o_orderkey, o_totalprice FROM orders
+    ORDER BY o_orderkey LIMIT 20
+    """,
+)
+def limit_sorted(spark: SparkSession, sf_dir: str) -> DataFrame:
+    orders = load(spark, sf_dir, "orders")
+    return R.limited(
+        orders.select("o_orderkey", "o_totalprice"), 20, order_by=["o_orderkey"]
+    )
+
+
+# =========================================================================
+# §2.8 C1/C2/C6/C8 — nvl, cast-to-string, arithmetic
+# =========================================================================
+
+@query(
+    "c_scalar_functions",
+    oracle="""
+    SELECT s_suppkey,
+           CAST(s_suppkey AS VARCHAR) AS suppkey_str,
+           coalesce(s_name, 'N/A') AS name_nvl,
+           CAST(CAST(s_acctbal AS DECIMAL(38,4)) + 100 AS DECIMAL(38,4)) AS bal_plus
+    FROM supplier
+    """,
+)
+def c_scalar_functions(spark: SparkSession, sf_dir: str) -> DataFrame:
+    supp = load(spark, sf_dir, "supplier")
+    return supp.select(
+        "s_suppkey",
+        F.col("s_suppkey").cast("string").alias("suppkey_str"),
+        nvl("s_name", "N/A").alias("name_nvl"),
+        (F.col("s_acctbal").cast("decimal(38,4)") + 100)
+        .cast("decimal(38,4)")
+        .alias("bal_plus"),
+    )

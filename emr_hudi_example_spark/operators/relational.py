@@ -1,0 +1,167 @@
+"""Relational operator surface — SURVEY.md §2.3–2.8 as named library
+functions over the DataFrame API. Every function is a thin, declarative
+composition of built-ins so Catalyst performs pushdown / pruning /
+broadcast selection; nothing here forces a physical strategy except the
+explicit ``broadcast`` hints on dimension joins.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame
+from pyspark.sql import functions as F
+from pyspark.sql.window import Window
+
+from emr_hudi_example_spark.functions.core import nvl, pk_not_null_condition
+
+
+# ---------------------------------------------------------------- projections
+
+def cast_value_string(df: DataFrame, col: str = "value") -> DataFrame:
+    """P1 — binary→string cast of a stream payload
+    (SRC/Log2Hudi.scala:55 ``selectExpr("CAST(value AS STRING)")``)."""
+    return df.withColumn(col, F.col(col).cast("string"))
+
+
+def parse_json_flatten(df: DataFrame, json_col, schema) -> DataFrame:
+    """P2+P3 — parse a JSON string column against a schema and flatten the
+    struct (SRC/Log2Hudi.scala:69: ``from_json`` + ``select("data.*")``).
+    Unknown/missing fields become null — the reference's implicit schema
+    evolution (SRC/cdc/CanalParser.scala:44-46)."""
+    c = F.col(json_col) if isinstance(json_col, str) else json_col
+    return df.select(F.from_json(c, schema).alias("_d")).select("_d.*")
+
+
+def pack_to_json(df: DataFrame, cols: list[str] | None = None,
+                 out: str = "value") -> DataFrame:
+    """P4 — struct-pack + JSON-serialize every row
+    (SRC/Hudi2MSK.scala:43 ``to_json(struct(cols...))``)."""
+    cols = cols or df.columns
+    return df.select(F.to_json(F.struct(*[F.col(c) for c in cols])).alias(out))
+
+
+def drop_meta_columns(df: DataFrame, meta_cols: list[str]) -> DataFrame:
+    """P7 — strip engine meta columns to recover the logical schema
+    (SRC/package.scala:166-168 drops the five ``_hoodie_*`` columns)."""
+    return df.drop(*[c for c in meta_cols if c in df.columns])
+
+
+# -------------------------------------------------------------------- filters
+
+def filter_pk_not_null(df: DataFrame, keys: list[str]) -> DataFrame:
+    """F2 — generated PK-not-null conjunction (SRC/package.scala:185-188,
+    applied at SRC/MSK2Hudi.scala:53, SRC/Hive2Hudi.scala:27)."""
+    return df.filter(pk_not_null_condition(keys))
+
+
+def filter_eq(df: DataFrame, col: str, value) -> DataFrame:
+    """F3 — equality predicate, the topic-routing filter shape
+    (SRC/package.scala:158 ``batchDF.filter("topic = '...'")``)."""
+    return df.filter(F.col(col) == value)
+
+
+# ---------------------------------------------------------------------- joins
+
+def dim_enrich_left_join(
+    fact: DataFrame,
+    dim: DataFrame,
+    on: Column,
+    defaults: dict[str, object] | None = None,
+    broadcast_dim: bool = True,
+) -> DataFrame:
+    """J1 — fact→dimension left-outer equi-join with ``nvl`` defaults
+    (SRC/ODS2DWD.scala:58-62). ``broadcast_dim`` pins the physical
+    strategy for small dimensions; at 100 TB the fact side streams through
+    without a shuffle."""
+    d = F.broadcast(dim) if broadcast_dim else dim
+    out = fact.join(d, on, "left")
+    for col_name, default in (defaults or {}).items():
+        out = out.withColumn(col_name, nvl(col_name, default))
+    return out
+
+
+def delta_merge_running_agg(
+    inc: DataFrame,
+    snapshot: DataFrame,
+    keys: list[str],
+    sum_col: str = "sum",
+) -> DataFrame:
+    """J2 — merge an incremental aggregate into a running mart:
+    ``new_sum = inc.sum + nvl(snap.sum, 0)`` over a composite-key
+    left join (SRC/DWD2DM.scala:75-79)."""
+    snap = snapshot.select(*keys, F.col(sum_col).alias("_prev_sum"))
+    cond = [inc[k] == snap[k] for k in keys]
+    joined = inc.join(snap, cond, "left")
+    return joined.select(
+        *[inc[k] for k in keys],
+        (inc[sum_col] + nvl(F.col("_prev_sum"), F.lit(0))).alias(sum_col),
+    )
+
+
+# --------------------------------------------------------------- aggregations
+
+def group_sum(df: DataFrame, group_cols: list[str], value_col: str,
+              alias: str = "sum") -> DataFrame:
+    """A1 — GROUP BY + SUM (SRC/DWD2DM.scala:32-34). Catalyst plans this
+    as partial (map-side) + final hash aggregate — no work needed."""
+    return df.groupBy(*group_cols).agg(F.sum(value_col).alias(alias))
+
+
+def scalar_max(df: DataFrame, col: str, alias: str = "max_val") -> DataFrame:
+    """A2 — ungrouped MAX, the commit-cursor read
+    (``max(_hoodie_commit_time)`` SRC/ODS2DWD.scala:34)."""
+    return df.agg(F.max(col).alias(alias))
+
+
+def distinct_values(df: DataFrame, cols: list[str]) -> DataFrame:
+    """A3 — DISTINCT projection (SRC/package.scala:148)."""
+    return df.select(*cols).distinct()
+
+
+def precombine_dedup(
+    df: DataFrame,
+    keys: list[str],
+    precombine: str,
+    tiebreak: list[str] | None = None,
+) -> DataFrame:
+    """A5 — max-by-precombine dedup per key: the payload semantics of
+    Hudi's ``DefaultHoodieRecordPayload`` (SRC/package.scala:25,35 —
+    larger precombine wins). ``tiebreak`` columns make the result
+    deterministic when precombine values collide.
+
+    Implemented as a window ``row_number`` so ties resolve by the full
+    ordering; a ``groupBy().agg(max_by(...))`` variant would be
+    shuffle-equivalent but non-deterministic on ties.
+    """
+    order = [F.col(precombine).desc()] + [
+        F.col(c).desc() for c in (tiebreak or [])
+    ]
+    w = Window.partitionBy(*keys).orderBy(*order)
+    return (
+        df.withColumn("_rn", F.row_number().over(w))
+        .filter(F.col("_rn") == 1)
+        .drop("_rn")
+    )
+
+
+# ------------------------------------------------------------ limits / topk
+
+def limited(df: DataFrame, n: int, order_by: list[str] | None = None) -> DataFrame:
+    """§2.7 — LIMIT (SRC/Hive2Hudi.scala:25 ``limit(20)``). An optional
+    sort makes the selection deterministic (the reference's bare limit is
+    nondeterministic under parallel scan)."""
+    if order_by:
+        df = df.orderBy(*order_by)
+    return df.limit(n)
+
+
+def top_k_per_group(df: DataFrame, group_cols: list[str],
+                    order_col: str, k: int, desc: bool = True) -> DataFrame:
+    """Top-K per group — generalization the mart layer needs; window
+    ``row_number`` ≤ k (shuffle on the group key only)."""
+    order = F.col(order_col).desc() if desc else F.col(order_col).asc()
+    w = Window.partitionBy(*group_cols).orderBy(order)
+    return (
+        df.withColumn("_rk", F.row_number().over(w))
+        .filter(F.col("_rk") <= k)
+        .drop("_rk")
+    )

@@ -1,0 +1,66 @@
+"""Local replica of the driver's correctness gate: run a catalog query on
+Spark and its oracle SQL on DuckDB over the same parquet, compare
+row-count + column names + order-insensitive values."""
+
+from __future__ import annotations
+
+import math
+from decimal import Decimal
+
+import duckdb
+
+TABLES = [
+    "region", "nation", "customer", "supplier", "part",
+    "orders", "lineitem", "events", "documents", "embeddings",
+]
+
+
+def duckdb_conn(sf_dir: str) -> duckdb.DuckDBPyConnection:
+    con = duckdb.connect()
+    for t in TABLES:
+        con.execute(
+            f"CREATE VIEW {t} AS SELECT * FROM read_parquet('{sf_dir}/{t}.parquet')"
+        )
+    return con
+
+
+def _canon(v):
+    if v is None:
+        return "<null>"
+    if isinstance(v, Decimal):
+        return f"{v:.6f}"
+    if isinstance(v, float):
+        if math.isnan(v):
+            return "nan"
+        return f"{v:.6f}"
+    if isinstance(v, bool):
+        return str(int(v))
+    return str(v)
+
+
+def rows_canon(cols, rows):
+    """Sort columns by name, stringify, sort rows — order-insensitive."""
+    order = sorted(range(len(cols)), key=lambda i: cols[i])
+    return sorted(tuple(_canon(r[i]) for i in order) for r in rows)
+
+
+def compare(spark, name, spark_fn, oracle, sf_dir):
+    sdf = spark_fn(spark, sf_dir)
+    scols = sdf.columns
+    srows = [tuple(r) for r in sdf.collect()]
+    con = duckdb_conn(sf_dir)
+    res = con.execute(oracle)
+    ocols = [d[0] for d in res.description]
+    orows = res.fetchall()
+    con.close()
+    assert sorted(scols) == sorted(ocols), (
+        f"{name}: column mismatch spark={sorted(scols)} oracle={sorted(ocols)}"
+    )
+    assert len(srows) == len(orows), (
+        f"{name}: row count mismatch spark={len(srows)} oracle={len(orows)}"
+    )
+    sc = rows_canon(scols, srows)
+    oc = rows_canon(ocols, orows)
+    if sc != oc:
+        diffs = [(a, b) for a, b in zip(sc, oc) if a != b][:5]
+        raise AssertionError(f"{name}: value mismatch, first diffs: {diffs}")

@@ -16,7 +16,7 @@ from pyspark.sql import DataFrame, SparkSession
 
 sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
 
-from emr_hudi_example_spark import catalog  # noqa: E402
+from emr_hudi_example_spark import all_queries, catalog  # noqa: E402
 
 
 def entry(spark: SparkSession) -> DataFrame:
@@ -26,9 +26,9 @@ def entry(spark: SparkSession) -> DataFrame:
 
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     """One entry per implemented operator from SURVEY.md §2."""
-    return dict(catalog.Q)
+    return dict(all_queries.Q)
 
 
 def oracle_sql() -> dict[str, str]:
     """DuckDB-runnable ANSI-SQL twin for each query (same column names)."""
-    return dict(catalog.ORACLE)
+    return dict(all_queries.ORACLE)

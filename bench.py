@@ -19,7 +19,7 @@ sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
 
 def main() -> None:
     sf_dir = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
-    from emr_hudi_example_spark import catalog
+    from emr_hudi_example_spark import all_queries as catalog
     from emr_hudi_example_spark.session import get_spark_session
 
     spark = get_spark_session(app_name="bench")

@@ -1,0 +1,170 @@
+"""Lakehouse-kernel catalog entries — upsert / incremental / delete /
+global-index semantics exposed as SQL-expressible END-STATES so the
+driver's DuckDB oracle can verify them (SURVEY.md §5, FIXTURES.md §6).
+
+Each query seeds a throwaway ``LakeTable`` under /tmp with deterministic
+batches derived from the ``customer`` fixture, then returns the resulting
+table state; the oracle reproduces the same state with window SQL over the
+unioned batches (``QUALIFY row_number() ... = 1`` = larger-precombine-wins).
+Commit instants are fixed strings, so even ``_commit_time`` is comparable.
+"""
+
+from __future__ import annotations
+
+import os
+import tempfile
+import uuid
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from emr_hudi_example_spark.catalog import ORACLE, Q, load, query
+from emr_hudi_example_spark.lake import LakeTable
+
+__all__ = ["Q", "ORACLE"]
+
+
+def _tmp_base() -> str:
+    return tempfile.mkdtemp(prefix=f"lakeq-{uuid.uuid4().hex[:8]}-", dir="/tmp")
+
+
+def _batch1(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return load(spark, sf_dir, "customer").withColumn(
+        "ver", F.lit(1).cast("long")
+    )
+
+
+def _batch2(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Keys divisible by 10 get ver=2 and a bumped balance."""
+    return (
+        _batch1(spark, sf_dir)
+        .filter(F.col("c_custkey") % 10 == 0)
+        .withColumn("ver", F.lit(2).cast("long"))
+        .withColumn("c_acctbal", F.col("c_acctbal") + 1000.0)
+    )
+
+
+_B1_SQL = """
+  SELECT c_custkey, c_name, c_nationkey, c_acctbal, c_mktsegment,
+         CAST(1 AS BIGINT) AS ver, '001' AS _commit_time
+  FROM customer
+"""
+_B2_SQL = """
+  SELECT c_custkey, c_name, c_nationkey, c_acctbal + 1000.0 AS c_acctbal,
+         c_mktsegment, CAST(2 AS BIGINT) AS ver, '002' AS _commit_time
+  FROM customer WHERE c_custkey % 10 = 0
+"""
+
+
+@query(
+    "lake_upsert_snapshot",
+    oracle=f"""
+    WITH u AS ({_B1_SQL} UNION ALL {_B2_SQL})
+    SELECT c_custkey, c_name, c_acctbal, ver, _commit_time
+    FROM u
+    QUALIFY row_number() OVER (PARTITION BY c_custkey ORDER BY ver DESC) = 1
+    """,
+)
+def lake_upsert_snapshot(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """J3/A5/K1 — keyed upsert end-state: snapshot after two commits,
+    larger precombine wins (DefaultHoodieRecordPayload,
+    reference SRC/package.scala:25,35)."""
+    t = LakeTable(spark, _tmp_base(), "q", "upsert", ["c_custkey"], "ver")
+    t.write(_batch1(spark, sf_dir), op="upsert", instant="001")
+    t.write(_batch2(spark, sf_dir), op="upsert", instant="002")
+    return t.snapshot().select(
+        "c_custkey", "c_name", "c_acctbal", "ver", "_commit_time"
+    )
+
+
+@query(
+    "lake_incremental_read",
+    oracle=f"""
+    SELECT c_custkey, c_acctbal, ver, _commit_time FROM ({_B2_SQL})
+    """,
+)
+def lake_incremental_read(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """S4 — incremental read of ``(001, 002]`` returns exactly the rows
+    changed by commit 002 (SRC/ODS2DWD.scala:51-56 semantics)."""
+    t = LakeTable(spark, _tmp_base(), "q", "incr", ["c_custkey"], "ver")
+    t.write(_batch1(spark, sf_dir), op="upsert", instant="001")
+    t.write(_batch2(spark, sf_dir), op="upsert", instant="002")
+    return t.incremental("001", "002").select(
+        "c_custkey", "c_acctbal", "ver", "_commit_time"
+    )
+
+
+@query(
+    "lake_delete",
+    oracle="""
+    SELECT c_custkey, c_name, c_acctbal
+    FROM customer WHERE c_custkey % 100 <> 0
+    """,
+)
+def lake_delete(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """K1 delete op — anti-join on record key (CDC DELETE routing,
+    SRC/cdc/CanalParser.scala:13)."""
+    t = LakeTable(spark, _tmp_base(), "q", "del", ["c_custkey"], "ver")
+    t.write(_batch1(spark, sf_dir), op="upsert", instant="001")
+    victims = _batch1(spark, sf_dir).filter(F.col("c_custkey") % 100 == 0)
+    t.write(victims, op="delete", instant="002")
+    return t.snapshot().select("c_custkey", "c_name", "c_acctbal")
+
+
+@query(
+    "lake_global_index_move",
+    oracle="""
+    WITH b1 AS (
+      SELECT c_custkey, c_mktsegment, CAST(1 AS BIGINT) AS ver FROM customer
+    ), b2 AS (
+      SELECT c_custkey, 'MOVED' AS c_mktsegment, CAST(2 AS BIGINT) AS ver
+      FROM customer WHERE c_custkey % 10 = 0
+    ), u AS (SELECT * FROM b1 UNION ALL SELECT * FROM b2)
+    SELECT c_custkey, c_mktsegment, ver FROM u
+    QUALIFY row_number() OVER (PARTITION BY c_custkey ORDER BY ver DESC) = 1
+    """,
+)
+def lake_global_index_move(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Global-index upsert (GLOBAL_BLOOM + partition-path update,
+    SRC/Log2Hudi.scala:78-79): a key arriving with a new partition value
+    MOVES the record instead of duplicating it."""
+    t = LakeTable(
+        spark, _tmp_base(), "q", "gidx", ["c_custkey"], "ver",
+        partition_keys=["c_mktsegment"], global_index=True,
+    )
+    b1 = _batch1(spark, sf_dir).select("c_custkey", "c_mktsegment", "ver")
+    t.write(b1, op="upsert", instant="001")
+    movers = (
+        b1.filter(F.col("c_custkey") % 10 == 0)
+        .withColumn("c_mktsegment", F.lit("MOVED"))
+        .withColumn("ver", F.lit(2).cast("long"))
+    )
+    t.write(movers, op="upsert", instant="002")
+    return t.snapshot().select("c_custkey", "c_mktsegment", "ver")
+
+
+@query(
+    "lake_insert_append",
+    oracle="""
+    WITH u AS (
+      SELECT c_custkey, c_name FROM customer
+      UNION ALL
+      SELECT c_custkey, c_name FROM customer WHERE c_custkey % 10 = 0
+    ) SELECT c_custkey, c_name, count(*) AS n FROM u GROUP BY 1, 2
+    """,
+)
+def lake_insert_append(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """K2 insert fast path — no key merge, duplicates allowed
+    (insert-vs-upsert op switch, SRC/util/HudiConfig.scala:28)."""
+    t = LakeTable(spark, _tmp_base(), "q", "ins", ["c_custkey"], "ver")
+    t.write(_batch1(spark, sf_dir), op="insert", instant="001")
+    t.write(
+        _batch1(spark, sf_dir).filter(F.col("c_custkey") % 10 == 0),
+        op="insert",
+        instant="002",
+    )
+    return (
+        t.snapshot()
+        .groupBy("c_custkey", "c_name")
+        .agg(F.count(F.lit(1)).alias("n"))
+    )

@@ -1,0 +1,18 @@
+"""Lakehouse kernel: keyed upsert / delete / insert over partitioned
+parquet with a commit timeline (snapshot + incremental reads)."""
+
+from emr_hudi_example_spark.lake.table import (
+    COMMIT_TIME_COL,
+    META_COLS,
+    PARTITION_PATH_COL,
+    RECORD_KEY_COL,
+    LakeTable,
+)
+
+__all__ = [
+    "LakeTable",
+    "META_COLS",
+    "COMMIT_TIME_COL",
+    "RECORD_KEY_COL",
+    "PARTITION_PATH_COL",
+]

@@ -1,0 +1,530 @@
+"""``LakeTable`` — the engine's lakehouse kernel.
+
+Re-implements, PySpark-first with zero Hudi dependency, the table-format
+semantics the reference delegates to Apache Hudi (SURVEY.md §1.1, §2.2 K1):
+
+- **Keyed rows**: composite record key (``ComplexKeyGenerator``,
+  reference ``SRC/package.scala:52``), precombine/version column where the
+  larger value wins (``DefaultHoodieRecordPayload``,
+  ``SRC/package.scala:25,35``), hive-style partition path
+  (``SRC/package.scala:51-56``).
+- **Write ops** (``SRC/package.scala:15-81`` option map): ``insert``
+  (append, no key merge — Hudi's insert op, ``SRC/util/HudiConfig.scala:28``),
+  ``upsert`` (copy-on-write rewrite of affected partitions with
+  larger-precombine-wins merge), ``delete`` (anti-join on key).
+- **Meta columns**: ``_commit_time`` / ``_record_key`` /
+  ``_partition_path`` — the engine's analog of the five ``_hoodie_*``
+  columns the reference reads (``SRC/ODS2DWD.scala:34``) and strips
+  (``SRC/package.scala:166-168``).
+- **Commit timeline**: totally ordered ``yyyyMMddHHmmssSSS`` instants
+  (format at ``SRC/ODS2DWD.scala:16``); **snapshot**, **incremental**
+  (``(begin, end]`` by commit time — ``SRC/ODS2DWD.scala:51-56``) and
+  **read-optimized** (= snapshot for a COW table, ``SRC/MSK2Hudi.scala:5``)
+  reads.
+- **Global index mode** (``GLOBAL_BLOOM`` +
+  ``bloom.index.update.partition.path=true``, ``SRC/Log2Hudi.scala:78-79``):
+  a key arriving with a new partition value MOVES the record; default mode
+  scopes key uniqueness per partition (plain bloom index).
+- **Cleaner / archival**: retain the files of the last N commits
+  (``SRC/package.scala:26-30``).
+
+Storage layout::
+
+    base_path/db/table/
+      _commits/<instant>.json      # manifest; writing it IS the commit
+      data/<instant>/__pt_<col>=<val>/part-*.parquet
+
+Design notes (100 TB):
+
+- The *manifest is the file index*: snapshot/incremental readers list
+  files from the latest manifest (no S3 LIST storms), and partition /
+  commit-range pruning happens driver-side on the manifest before any
+  scan — the analog of Hudi's timeline+file-index. Parquet row-group
+  stats then prune further inside files.
+- Partition values are **duplicated** into ``__pt_<col>`` directory
+  columns purely for layout; the real columns stay in the data files, so
+  readers never depend on directory-schema inference and explicit
+  file-list reads keep full column/filter pushdown.
+- COW upsert reads and rewrites **only the partitions present in the
+  batch** (or, under the global index, partitions holding matching keys —
+  found with a key-column-only scan, i.e. a column-pruned semi-join, the
+  engine's bloom-index analog). Untouched partitions are carried over by
+  manifest reference — zero data movement.
+- The commit point is the atomic rename-free write of one small JSON
+  manifest; a crashed write leaves invisible orphan data files that the
+  cleaner removes. Single-writer by design (the reference's ZK-lock OCC
+  is out of scope, SURVEY.md §4).
+- At petabyte scale the ``live_files`` list would become a log +
+  checkpoint (Iceberg-style); the per-commit ``added``/``replaced``
+  delta recorded here is already the log entry for that evolution.
+"""
+
+from __future__ import annotations
+
+import json
+import os
+import shutil
+from urllib.parse import unquote
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+from pyspark.sql import types as T
+from pyspark.sql.window import Window
+
+from emr_hudi_example_spark.functions.core import now_instant, pk_not_null_condition
+
+COMMIT_TIME_COL = "_commit_time"
+RECORD_KEY_COL = "_record_key"
+PARTITION_PATH_COL = "_partition_path"
+META_COLS = [COMMIT_TIME_COL, RECORD_KEY_COL, PARTITION_PATH_COL]
+
+_PT_PREFIX = "__pt_"
+
+
+class LakeTable:
+    """One lakehouse table. See module docstring for semantics.
+
+    Parameters mirror the reference's writer options
+    (``SRC/package.scala:49-56``): ``record_keys`` = recordkey.field,
+    ``precombine`` = precombine.field, ``partition_keys`` =
+    partitionpath.field, ``global_index`` = GLOBAL_BLOOM with
+    partition-path update.
+    """
+
+    def __init__(
+        self,
+        spark: SparkSession,
+        base_path: str,
+        db: str,
+        table: str,
+        record_keys: list[str],
+        precombine: str,
+        partition_keys: list[str] | None = None,
+        global_index: bool = False,
+    ) -> None:
+        self.spark = spark
+        self.path = os.path.join(base_path, db, table)
+        self.db = db
+        self.table = table
+        self.record_keys = list(record_keys)
+        self.precombine = precombine
+        self.partition_keys = list(partition_keys or [])
+        self.global_index = global_index
+        self.commits_dir = os.path.join(self.path, "_commits")
+        self.data_dir = os.path.join(self.path, "data")
+
+    # ------------------------------------------------------------ timeline
+
+    def timeline(self) -> list[str]:
+        """Committed instants, ascending (the commit timeline)."""
+        if not os.path.isdir(self.commits_dir):
+            return []
+        return sorted(
+            f[: -len(".json")]
+            for f in os.listdir(self.commits_dir)
+            if f.endswith(".json")
+        )
+
+    def last_instant(self) -> str | None:
+        tl = self.timeline()
+        return tl[-1] if tl else None
+
+    def _manifest(self, instant: str) -> dict:
+        with open(os.path.join(self.commits_dir, instant + ".json")) as fh:
+            return json.load(fh)
+
+    def _live_files(self) -> list[dict]:
+        last = self.last_instant()
+        if last is None:
+            return []
+        return self._manifest(last)["live_files"]
+
+    def _next_instant(self, requested: str | None) -> str:
+        """Monotone instant allocation; explicit instants (tests,
+        deterministic replays) must still advance the timeline."""
+        inst = requested or now_instant()
+        last = self.last_instant()
+        if last is not None and inst <= last:
+            if requested is not None:
+                raise ValueError(
+                    f"instant {inst!r} not after last commit {last!r}"
+                )
+            # same-millisecond wall clock: extend to preserve total order
+            inst = last + "0"
+        return inst
+
+    def exists(self) -> bool:
+        return self.last_instant() is not None
+
+    # ------------------------------------------------------------- stamping
+
+    def _stamp(self, df: DataFrame, instant: str) -> DataFrame:
+        """Add the meta columns (analog of Hudi's _hoodie_* injection)."""
+        key_expr = F.concat_ws(
+            ",", *[F.col(k).cast("string") for k in self.record_keys]
+        )
+        if self.partition_keys:
+            pp_expr = F.concat_ws(
+                "/",
+                *[
+                    F.concat(F.lit(k + "="), F.col(k).cast("string"))
+                    for k in self.partition_keys
+                ],
+            )
+        else:
+            pp_expr = F.lit("")
+        return (
+            df.withColumn(COMMIT_TIME_COL, F.lit(instant))
+            .withColumn(RECORD_KEY_COL, key_expr)
+            .withColumn(PARTITION_PATH_COL, pp_expr)
+        )
+
+    # --------------------------------------------------------------- reads
+
+    def _read_files(self, files: list[str]) -> DataFrame:
+        schema = self._stored_schema()
+        if not files:
+            return self.spark.createDataFrame([], schema)
+        paths = [os.path.join(self.path, f) for f in files]
+        df = self.spark.read.schema(schema).parquet(*paths)
+        return df
+
+    def _stored_schema(self) -> T.StructType:
+        last = self.last_instant()
+        if last is None:
+            raise ValueError(f"table {self.db}.{self.table} does not exist")
+        return T.StructType.fromJson(self._manifest(last)["schema"])
+
+    def snapshot(self, partition_filter: dict[str, object] | None = None) -> DataFrame:
+        """Latest-committed view (S3 semantics, ``SRC/ODS2DWD.scala:30-32``).
+
+        ``partition_filter`` prunes files driver-side via the manifest
+        before any scan (the 100 TB path) — e.g. ``{"logday": "20260813"}``.
+        """
+        files = self._live_files()
+        if partition_filter:
+            want = {k: str(v) for k, v in partition_filter.items()}
+            files = [
+                f
+                for f in files
+                if all(f["partition"].get(k) == v for k, v in want.items())
+            ]
+        return self._read_files([f["path"] for f in files])
+
+    def read_optimized(self) -> DataFrame:
+        """S5 — read-optimized view; for a COW table this IS the snapshot
+        (the reference imports but never diverges from it,
+        ``SRC/MSK2Hudi.scala:5``)."""
+        return self.snapshot()
+
+    def incremental(self, begin: str | None, end: str | None = None) -> DataFrame:
+        """S4 — rows changed in ``(begin, end]`` by commit time
+        (``SRC/ODS2DWD.scala:51-56``). ``begin=None`` → from the start;
+        ``end=None`` → up to the latest commit.
+
+        File pruning: only files *added* by commits in range are scanned;
+        the ``_commit_time`` row filter then drops carried-over older rows
+        that COW rewrites copied into those files.
+        """
+        tl = self.timeline()
+        in_range = [
+            i for i in tl if (begin is None or i > begin) and (end is None or i <= end)
+        ]
+        files: list[str] = []
+        for inst in in_range:
+            files.extend(f["path"] for f in self._manifest(inst)["added"])
+        # a file added in-range may have been replaced by a later in-range
+        # commit; restrict to files still live OR added by the newest
+        # in-range commit chain. Simplest correct rule: scan files added in
+        # range that are live at `end`, plus row-filter.
+        live_at_end = {
+            f["path"]
+            for f in (
+                self._manifest(in_range[-1])["live_files"] if in_range else []
+            )
+        }
+        files = [p for p in files if p in live_at_end]
+        df = self._read_files(files)
+        cond = F.lit(True)
+        if begin is not None:
+            cond = cond & (F.col(COMMIT_TIME_COL) > begin)
+        if end is not None:
+            cond = cond & (F.col(COMMIT_TIME_COL) <= end)
+        return df.filter(cond)
+
+    def logical(self, df: DataFrame | None = None) -> DataFrame:
+        """Strip meta columns — ``SRC/package.scala:166-168``."""
+        return (df if df is not None else self.snapshot()).drop(*META_COLS)
+
+    # --------------------------------------------------------------- writes
+
+    def write(
+        self,
+        df: DataFrame,
+        op: str = "upsert",
+        instant: str | None = None,
+    ) -> str:
+        """The generic writer — engine analog of ``writeHudiTable``
+        (``SRC/package.scala:15-81``). ``op`` ∈ {insert, bulk_insert,
+        upsert, delete}. Returns the committed instant."""
+        if op in ("insert", "bulk_insert"):
+            return self._commit_insert(df, instant)
+        if op == "upsert":
+            return self._commit_upsert(df, instant)
+        if op == "delete":
+            return self._commit_delete(df, instant)
+        raise ValueError(f"unknown write op: {op}")
+
+    def _prepare_batch(self, df: DataFrame, instant: str) -> DataFrame:
+        # PK-not-null gate, applied on every write path
+        # (genPrimaryKeyFilter, SRC/package.scala:185-188).
+        df = df.filter(pk_not_null_condition(self.record_keys))
+        return self._stamp(df.drop(*[c for c in META_COLS if c in df.columns]), instant)
+
+    def _commit_insert(self, df: DataFrame, instant: str | None) -> str:
+        """Append-only fast path (no key merge) — Hudi's ``insert`` op."""
+        inst = self._next_instant(instant)
+        batch = self._prepare_batch(df, inst)
+        if self.exists():
+            batch = self._align_schema(batch)
+        added = self._write_data_files(batch, inst)
+        live = self._live_files() + added
+        self._write_manifest(inst, "insert", batch.schema, added, [], live)
+        return inst
+
+    def _commit_upsert(self, df: DataFrame, instant: str | None) -> str:
+        inst = self._next_instant(instant)
+        batch = self._prepare_batch(df, inst)
+        if not self.exists():
+            # intra-batch dedup still applies on the creating commit
+            deduped = self._merge(
+                self.spark.createDataFrame([], batch.schema), batch
+            )
+            added = self._write_data_files(deduped, inst)
+            self._write_manifest(inst, "upsert", batch.schema, added, [], added)
+            return inst
+        batch = self._align_schema(batch)
+
+        affected, old = self._affected_files(batch)
+        merged = self._merge(old, batch)
+        added = self._write_data_files(merged, inst)
+        affected_set = {f["path"] for f in affected}
+        live = [f for f in self._live_files() if f["path"] not in affected_set] + added
+        self._write_manifest(inst, "upsert", batch.schema, added, sorted(affected_set), live)
+        return inst
+
+    def _commit_delete(self, df: DataFrame, instant: str | None) -> str:
+        """Delete by key (Hudi ``delete`` op; CDC DELETE routing,
+        ``SRC/cdc/CanalParser.scala:13``). Partition-scoped unless
+        ``global_index``; the delete batch only needs the key columns
+        (plus partition columns when scoped)."""
+        if not self.exists():
+            raise ValueError("delete on non-existent table")
+        inst = self._next_instant(instant)
+        keys = df.filter(pk_not_null_condition(self.record_keys))
+        keys = self._stamp(keys, inst)
+
+        affected, old = self._affected_files(keys)
+        join_cols = [RECORD_KEY_COL] if self.global_index else [
+            PARTITION_PATH_COL,
+            RECORD_KEY_COL,
+        ]
+        survivors = old.join(
+            keys.select(*join_cols).distinct(), join_cols, "left_anti"
+        )
+        added = self._write_data_files(survivors, inst)
+        affected_set = {f["path"] for f in affected}
+        live = [f for f in self._live_files() if f["path"] not in affected_set] + added
+        self._write_manifest(
+            inst, "delete", self._stored_schema(), added, sorted(affected_set), live
+        )
+        return inst
+
+    # ------------------------------------------------------------ internals
+
+    def _align_schema(self, batch: DataFrame) -> DataFrame:
+        """Schema evolution on write: missing columns → null (the
+        reference gets this implicitly from ``from_json`` against the
+        target schema, ``SRC/cdc/CanalParser.scala:44-46``); new columns
+        are rejected (COW rewrite of history is out of scope)."""
+        stored = self._stored_schema()
+        stored_names = [f.name for f in stored.fields]
+        extra = [c for c in batch.columns if c not in stored_names]
+        if extra:
+            raise ValueError(
+                f"batch has columns not in table schema: {extra}; "
+                "evolve the table explicitly first"
+            )
+        cols = []
+        batch_cols = set(batch.columns)
+        for f in stored.fields:
+            if f.name in batch_cols:
+                cols.append(F.col(f.name).cast(f.dataType).alias(f.name))
+            else:
+                cols.append(F.lit(None).cast(f.dataType).alias(f.name))
+        return batch.select(*cols)
+
+    def _affected_files(self, batch: DataFrame) -> tuple[list[dict], DataFrame]:
+        """Files that must be rewritten for this batch, plus their rows.
+
+        Default: partitions present in the batch (driver-side manifest
+        pruning on collected distinct partition paths — small by
+        construction). Global index: additionally partitions currently
+        holding any batch key, found with a column-pruned key scan — the
+        engine's GLOBAL_BLOOM analog (``SRC/Log2Hudi.scala:78-79``).
+        """
+        live = self._live_files()
+        batch_pps = {
+            r[0] for r in batch.select(PARTITION_PATH_COL).distinct().collect()
+        }
+        affected_pps = set(batch_pps)
+        if self.global_index and self.partition_keys:
+            all_live = self._read_files([f["path"] for f in live])
+            key_scan = all_live.select(RECORD_KEY_COL, PARTITION_PATH_COL)
+            hit = (
+                key_scan.join(
+                    batch.select(RECORD_KEY_COL).distinct(), RECORD_KEY_COL, "left_semi"
+                )
+                .select(PARTITION_PATH_COL)
+                .distinct()
+                .collect()
+            )
+            affected_pps |= {r[0] for r in hit}
+        affected = [f for f in live if f["partition_path"] in affected_pps]
+        return affected, self._read_files([f["path"] for f in affected])
+
+    def _merge(self, old: DataFrame, batch: DataFrame) -> DataFrame:
+        """Larger-precombine-wins merge, ties → incoming row — exactly
+        ``DefaultHoodieRecordPayload`` (``SRC/package.scala:25,35``):
+        window ``row_number`` over the key ordered by (precombine desc,
+        is_new desc). Handles intra-batch duplicates in the same pass."""
+        old = old.withColumn("_is_new", F.lit(0))
+        new = batch.withColumn("_is_new", F.lit(1))
+        union = old.unionByName(new)
+        part_cols = (
+            [RECORD_KEY_COL]
+            if self.global_index
+            else [PARTITION_PATH_COL, RECORD_KEY_COL]
+        )
+        w = Window.partitionBy(*part_cols).orderBy(
+            F.col(self.precombine).desc(), F.col("_is_new").desc()
+        )
+        return (
+            union.withColumn("_rn", F.row_number().over(w))
+            .filter(F.col("_rn") == 1)
+            .drop("_rn", "_is_new")
+        )
+
+    def _write_data_files(self, df: DataFrame, instant: str) -> list[dict]:
+        """Write one commit's data files under ``data/<instant>/`` with
+        hive-style ``__pt_<col>=<val>`` layout; returns file records
+        (relative path + partition values) for the manifest."""
+        out_dir = os.path.join(self.data_dir, instant)
+        writer = df
+        pt_cols = []
+        for k in self.partition_keys:
+            pt = _PT_PREFIX + k
+            writer = writer.withColumn(pt, F.col(k).cast("string"))
+            pt_cols.append(pt)
+        w = writer.write.mode("overwrite")
+        if pt_cols:
+            w = w.partitionBy(*pt_cols)
+        w.parquet(out_dir)
+
+        added: list[dict] = []
+        for root, _dirs, files in os.walk(out_dir):
+            for fn in files:
+                if not fn.endswith(".parquet"):
+                    continue
+                full = os.path.join(root, fn)
+                rel = os.path.relpath(full, self.path)
+                partition: dict[str, str] = {}
+                for seg in os.path.relpath(root, out_dir).split(os.sep):
+                    if seg.startswith(_PT_PREFIX) and "=" in seg:
+                        k, v = seg[len(_PT_PREFIX):].split("=", 1)
+                        partition[k] = unquote(v)
+                pp = "/".join(f"{k}={partition[k]}" for k in self.partition_keys) if partition else ""
+                added.append(
+                    {"path": rel, "partition": partition, "partition_path": pp}
+                )
+        return sorted(added, key=lambda f: f["path"])
+
+    def _write_manifest(
+        self,
+        instant: str,
+        action: str,
+        schema: T.StructType,
+        added: list[dict],
+        replaced: list[str],
+        live: list[dict],
+    ) -> None:
+        """Writing the manifest IS the commit (atomic rename)."""
+        os.makedirs(self.commits_dir, exist_ok=True)
+        manifest = {
+            "instant": instant,
+            "action": action,
+            "schema": schema.jsonValue(),
+            "added": added,
+            "replaced": replaced,
+            "live_files": live,
+        }
+        tmp = os.path.join(self.commits_dir, f".{instant}.json.tmp")
+        with open(tmp, "w") as fh:
+            json.dump(manifest, fh)
+        os.replace(tmp, os.path.join(self.commits_dir, instant + ".json"))
+
+    # -------------------------------------------------------------- cleaner
+
+    def clean(self, retain_commits: int = 2) -> list[str]:
+        """Remove data files referenced only by commits older than the
+        last ``retain_commits`` — the reference's cleaner policy
+        (``CLEANER_COMMITS_RETAINED=2``, ``SRC/package.scala:28-30``).
+        Also removes orphan files from crashed writes. Returns deleted
+        relative paths."""
+        tl = self.timeline()
+        if not tl:
+            return []
+        keep = set()
+        for inst in tl[-retain_commits:]:
+            keep |= {f["path"] for f in self._manifest(inst)["live_files"]}
+        deleted = []
+        for root, _dirs, files in os.walk(self.data_dir):
+            for fn in files:
+                full = os.path.join(root, fn)
+                rel = os.path.relpath(full, self.path)
+                if rel not in keep and fn.endswith(".parquet"):
+                    os.remove(full)
+                    deleted.append(rel)
+        # prune now-empty instant dirs
+        for d in os.listdir(self.data_dir) if os.path.isdir(self.data_dir) else []:
+            full = os.path.join(self.data_dir, d)
+            if os.path.isdir(full) and not any(
+                fns for _r, _ds, fns in os.walk(full)
+            ):
+                shutil.rmtree(full)
+        return sorted(deleted)
+
+    def archive_timeline(self, keep_commits: int = 4) -> list[str]:
+        """Move manifests older than the last ``keep_commits`` into
+        ``_commits/_archived/`` (timeline archival,
+        ``SRC/package.scala:26-27``: min 3 / max 4)."""
+        tl = self.timeline()
+        to_archive = tl[:-keep_commits] if len(tl) > keep_commits else []
+        if not to_archive:
+            return []
+        arch = os.path.join(self.commits_dir, "_archived")
+        os.makedirs(arch, exist_ok=True)
+        for inst in to_archive:
+            os.replace(
+                os.path.join(self.commits_dir, inst + ".json"),
+                os.path.join(arch, inst + ".json"),
+            )
+        return to_archive
+
+    # ----------------------------------------------------------- hive sync
+
+    def sync_view(self, name: str | None = None) -> None:
+        """Catalog registration — the engine's stand-in for Hive metastore
+        sync (``SRC/util/HudiConfig.scala:38-44``): snapshot as a temp
+        view usable from ``spark.sql``."""
+        self.snapshot().createOrReplaceTempView(name or f"{self.db}_{self.table}")

@@ -5,7 +5,7 @@ from __future__ import annotations
 
 import pytest
 
-from emr_hudi_example_spark import catalog
+from emr_hudi_example_spark import all_queries as catalog
 from tests.conftest import SF_CORRECT
 from tests.harness import compare
 

@@ -1,0 +1,262 @@
+"""Lakehouse-kernel semantics tests (SURVEY.md §7 phase 2 hard bits):
+precombine tie-breaks, delete-vs-late-upsert, replay idempotence,
+partition-move under global index, incremental ranges, cleaner."""
+
+from __future__ import annotations
+
+import os
+
+import pytest
+from pyspark.sql import functions as F
+
+from emr_hudi_example_spark.lake import (
+    COMMIT_TIME_COL,
+    META_COLS,
+    LakeTable,
+)
+
+SF = "/root/testdata/sf0.001"
+
+
+def make_table(spark, tmp, name="t1", partition_keys=None, global_index=False):
+    return LakeTable(
+        spark,
+        str(tmp),
+        "testdb",
+        name,
+        record_keys=["c_custkey"],
+        precombine="ver",
+        partition_keys=partition_keys or [],
+        global_index=global_index,
+    )
+
+
+def cust(spark, ver=1):
+    return (
+        spark.read.parquet(f"{SF}/customer.parquet")
+        .withColumn("ver", F.lit(ver).cast("long"))
+    )
+
+
+def test_insert_then_snapshot(spark, tmp_path):
+    t = make_table(spark, tmp_path)
+    n = cust(spark).count()
+    t.write(cust(spark), op="insert", instant="001")
+    assert t.snapshot().count() == n
+    assert t.timeline() == ["001"]
+    assert set(META_COLS) <= set(t.snapshot().columns)
+    assert t.logical().columns == cust(spark).columns
+
+
+def test_insert_allows_duplicate_keys(spark, tmp_path):
+    t = make_table(spark, tmp_path)
+    t.write(cust(spark), op="insert", instant="001")
+    t.write(cust(spark), op="insert", instant="002")
+    assert t.snapshot().count() == 2 * cust(spark).count()
+
+
+def test_upsert_larger_precombine_wins(spark, tmp_path):
+    t = make_table(spark, tmp_path)
+    base = cust(spark, ver=1)
+    t.write(base, op="upsert", instant="001")
+    # bump 10 keys with ver=2 and changed balance
+    upd = base.filter(F.col("c_custkey") <= 10).withColumn(
+        "ver", F.lit(2).cast("long")
+    ).withColumn("c_acctbal", F.lit(9999.0))
+    t.write(upd, op="upsert", instant="002")
+    snap = t.snapshot()
+    assert snap.count() == base.count()  # no duplicates
+    changed = snap.filter(F.col("c_acctbal") == 9999.0).count()
+    assert changed == upd.count()
+    # stale write with ver=0 must NOT overwrite
+    stale = base.filter(F.col("c_custkey") <= 10).withColumn(
+        "ver", F.lit(0).cast("long")
+    ).withColumn("c_acctbal", F.lit(-1.0))
+    t.write(stale, op="upsert", instant="003")
+    assert t.snapshot().filter(F.col("c_acctbal") == -1.0).count() == 0
+
+
+def test_upsert_tie_incoming_wins(spark, tmp_path):
+    t = make_table(spark, tmp_path)
+    base = cust(spark, ver=5)
+    t.write(base, op="upsert", instant="001")
+    same_ver = base.filter(F.col("c_custkey") == 1).withColumn(
+        "c_name", F.lit("TIEBREAK")
+    )
+    t.write(same_ver, op="upsert", instant="002")
+    row = t.snapshot().filter(F.col("c_custkey") == 1).collect()[0]
+    assert row["c_name"] == "TIEBREAK"  # equal precombine → incoming wins
+
+
+def test_upsert_intra_batch_dedup(spark, tmp_path):
+    t = make_table(spark, tmp_path)
+    b = cust(spark, ver=1).limit(5)
+    doubled = b.union(b.withColumn("ver", F.lit(7).cast("long")).withColumn(
+        "c_name", F.lit("V7")
+    ))
+    t.write(doubled, op="upsert", instant="001")
+    snap = t.snapshot()
+    assert snap.count() == 5
+    assert snap.filter(F.col("c_name") == "V7").count() == 5
+
+
+def test_upsert_replay_idempotent(spark, tmp_path):
+    t = make_table(spark, tmp_path)
+    b = cust(spark, ver=3)
+    t.write(b, op="upsert", instant="001")
+    first = sorted(t.logical().collect())
+    t.write(b, op="upsert", instant="002")  # checkpoint replay
+    assert sorted(t.logical().collect()) == first
+
+
+def test_delete(spark, tmp_path):
+    t = make_table(spark, tmp_path)
+    b = cust(spark, ver=1)
+    t.write(b, op="upsert", instant="001")
+    victims = b.filter(F.col("c_custkey") <= 20)
+    t.write(victims, op="delete", instant="002")
+    snap = t.snapshot()
+    assert snap.filter(F.col("c_custkey") <= 20).count() == 0
+    assert snap.count() == b.count() - victims.count()
+    # late upsert with higher ver resurrects the row
+    late = victims.withColumn("ver", F.lit(9).cast("long"))
+    t.write(late, op="upsert", instant="003")
+    assert t.snapshot().filter(F.col("c_custkey") <= 20).count() == victims.count()
+
+
+def test_incremental_range(spark, tmp_path):
+    t = make_table(spark, tmp_path)
+    b = cust(spark, ver=1)
+    t.write(b, op="upsert", instant="001")
+    upd = b.filter(F.col("c_custkey") <= 7).withColumn("ver", F.lit(2).cast("long"))
+    t.write(upd, op="upsert", instant="002")
+    inc = t.incremental("001", "002")
+    assert inc.count() == upd.count()
+    assert set(r[COMMIT_TIME_COL] for r in inc.collect()) == {"002"}
+    # full-range incremental = snapshot row count
+    assert t.incremental(None, None).count() == t.snapshot().count()
+    # empty range
+    assert t.incremental("002", "002").count() == 0
+
+
+def test_partitioned_cow_rewrites_only_affected(spark, tmp_path):
+    t = make_table(spark, tmp_path, partition_keys=["c_mktsegment"])
+    b = cust(spark, ver=1)
+    t.write(b, op="upsert", instant="001")
+    seg = b.filter(F.col("c_mktsegment") == "BUILDING")
+    upd = seg.withColumn("ver", F.lit(2).cast("long")).withColumn(
+        "c_acctbal", F.lit(1.5)
+    )
+    t.write(upd, op="upsert", instant="002")
+    m = t._manifest("002")
+    # only the BUILDING partition was rewritten
+    assert all(f["partition"] == {"c_mktsegment": "BUILDING"} for f in m["added"])
+    assert t.snapshot().count() == b.count()
+    assert t.snapshot().filter(F.col("c_acctbal") == 1.5).count() == seg.count()
+    # manifest-driven partition pruning
+    pruned = t.snapshot(partition_filter={"c_mktsegment": "BUILDING"})
+    assert pruned.count() == seg.count()
+
+
+def test_global_index_moves_partition(spark, tmp_path):
+    t = make_table(
+        spark, tmp_path, partition_keys=["c_mktsegment"], global_index=True
+    )
+    b = cust(spark, ver=1)
+    t.write(b, op="upsert", instant="001")
+    mover = b.filter(F.col("c_custkey") == 1).withColumn(
+        "c_mktsegment", F.lit("NEWSEG")
+    ).withColumn("ver", F.lit(2).cast("long"))
+    old_seg = b.filter(F.col("c_custkey") == 1).collect()[0]["c_mktsegment"]
+    t.write(mover, op="upsert", instant="002")
+    snap = t.snapshot()
+    assert snap.count() == b.count()  # moved, not duplicated
+    got = snap.filter(F.col("c_custkey") == 1).collect()
+    assert len(got) == 1 and got[0]["c_mktsegment"] == "NEWSEG"
+    assert (
+        snap.filter(
+            (F.col("c_custkey") == 1) & (F.col("c_mktsegment") == old_seg)
+        ).count()
+        == 0
+    )
+
+
+def test_non_global_index_duplicates_across_partitions(spark, tmp_path):
+    # plain bloom index: key uniqueness is partition-scoped — a key
+    # arriving in a new partition creates a second row (Hudi default).
+    t = make_table(spark, tmp_path, partition_keys=["c_mktsegment"])
+    b = cust(spark, ver=1)
+    t.write(b, op="upsert", instant="001")
+    mover = b.filter(F.col("c_custkey") == 1).withColumn(
+        "c_mktsegment", F.lit("NEWSEG")
+    ).withColumn("ver", F.lit(2).cast("long"))
+    t.write(mover, op="upsert", instant="002")
+    assert t.snapshot().filter(F.col("c_custkey") == 1).count() == 2
+
+
+def test_cleaner_and_archival(spark, tmp_path):
+    t = make_table(spark, tmp_path)
+    b = cust(spark, ver=1)
+    for i in range(1, 6):
+        t.write(
+            b.withColumn("ver", F.lit(i).cast("long")), op="upsert",
+            instant=f"00{i}",
+        )
+    before = t.snapshot().count()
+    deleted = t.clean(retain_commits=2)
+    assert deleted  # old rewrites removed
+    assert t.snapshot().count() == before  # latest snapshot intact
+    archived = t.archive_timeline(keep_commits=4)
+    assert archived == ["001"]
+    assert t.timeline() == ["002", "003", "004", "005"]
+
+
+def test_schema_align_missing_and_extra(spark, tmp_path):
+    t = make_table(spark, tmp_path)
+    b = cust(spark, ver=1)
+    t.write(b, op="upsert", instant="001")
+    # missing column → null
+    partial = b.drop("c_name").filter(F.col("c_custkey") <= 3).withColumn(
+        "ver", F.lit(2).cast("long")
+    )
+    t.write(partial, op="upsert", instant="002")
+    rows = t.snapshot().filter(F.col("c_custkey") <= 3).collect()
+    assert all(r["c_name"] is None for r in rows)
+    # extra column → explicit error
+    extra = b.withColumn("brand_new", F.lit(1))
+    with pytest.raises(ValueError, match="not in table schema"):
+        t.write(extra, op="upsert", instant="003")
+
+
+def test_pk_null_rows_filtered(spark, tmp_path):
+    t = make_table(spark, tmp_path)
+    b = cust(spark, ver=1).withColumn(
+        "c_custkey",
+        F.when(F.col("c_custkey") <= 5, F.lit(None)).otherwise(F.col("c_custkey")),
+    )
+    t.write(b, op="upsert", instant="001")
+    n_nulled = cust(spark).filter(F.col("c_custkey") <= 5).count()
+    assert t.snapshot().count() == cust(spark).count() - n_nulled
+
+
+def test_instant_monotonicity(spark, tmp_path):
+    t = make_table(spark, tmp_path)
+    t.write(cust(spark), op="insert", instant="005")
+    with pytest.raises(ValueError, match="not after last commit"):
+        t.write(cust(spark), op="insert", instant="004")
+    auto = t.write(cust(spark), op="insert")  # wall-clock instant is fine
+    assert auto > "005"
+
+
+def test_commit_point_is_manifest(spark, tmp_path):
+    """Orphan data files from a crashed write are invisible and cleaned."""
+    t = make_table(spark, tmp_path)
+    t.write(cust(spark), op="insert", instant="001")
+    # simulate crash: data files written, manifest never committed
+    orphan_dir = os.path.join(t.data_dir, "999")
+    cust(spark).limit(3).write.parquet(orphan_dir)
+    assert t.snapshot().count() == cust(spark).count()  # orphans invisible
+    t.clean(retain_commits=2)
+    assert not any(
+        f.endswith(".parquet") for _r, _d, fs in os.walk(orphan_dir) for f in fs
+    )

@@ -1,0 +1,215 @@
+"""Pipeline end-state catalog entries — the reference's entry points
+(ingest, medallion ETL, CDC parse, bootstrap) run end-to-end on fixture
+batches and verified against DuckDB end-state SQL.
+
+Determinism: commit instants are pinned, ``created_ts`` stamps are pinned,
+and the ingest's processing-time partitions use a pinned wall clock, so
+every run (and the DuckDB oracle) sees identical values.
+"""
+
+from __future__ import annotations
+
+from datetime import datetime, timezone
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from emr_hudi_example_spark.catalog import load, query
+from emr_hudi_example_spark.catalog_lake import _tmp_base
+from emr_hudi_example_spark.cdc.canal import parse_canal_df
+from emr_hudi_example_spark.lake import LakeTable
+from emr_hudi_example_spark.pipelines.bootstrap import bootstrap_parquet
+from emr_hudi_example_spark.pipelines.dwd2dm import dm_increment, dm_init
+from emr_hudi_example_spark.pipelines.log2lake import log2lake_batch
+from emr_hudi_example_spark.pipelines.ods2dwd import dwd_increment, init_cursor
+
+
+def _orders_batches(spark: SparkSession, sf_dir: str):
+    orders = load(spark, sf_dir, "orders").withColumn(
+        "created_ts", F.lit(1).cast("long")
+    )
+    b1 = orders.filter(F.col("o_orderkey") % 3 != 0)
+    b2 = orders.filter(F.col("o_orderkey") % 3 == 0)
+    return orders, b1, b2
+
+
+def _run_medallion(spark: SparkSession, sf_dir: str):
+    """ODS(orders) → DWD(customer-enriched) → DM(sum by segment), two
+    incremental ticks with pinned instants."""
+    base = _tmp_base()
+    _orders, b1, b2 = _orders_batches(spark, sf_dir)
+    cust = load(spark, sf_dir, "customer").select("c_custkey", "c_mktsegment")
+    ods = LakeTable(spark, base, "p", "ods", ["o_orderkey"], "created_ts")
+    dwd = LakeTable(
+        spark, base, "p", "dwd", ["o_orderkey", "c_mktsegment"], "created_ts"
+    )
+    dm = LakeTable(spark, base, "p", "dm", ["c_mktsegment"], "created_ts")
+
+    ods.write(b1, op="upsert", instant="100")
+    dwd_increment(
+        ods, cust, dwd, begin=None, end="100",
+        fact_key="o_custkey", dim_key="c_custkey",
+        enrich_cols={"c_mktsegment": "N/A"}, created_ts_millis=1,
+    )
+    dm_init(dwd, dm, ["c_mktsegment"], "o_totalprice", "price_sum",
+            created_ts_millis=10)
+    dm_begin = init_cursor(dwd)
+
+    ods.write(b2, op="upsert", instant="200")
+    dwd_increment(
+        ods, cust, dwd, begin="100", end="200",
+        fact_key="o_custkey", dim_key="c_custkey",
+        enrich_cols={"c_mktsegment": "N/A"}, created_ts_millis=2,
+    )
+    dm_increment(
+        dwd, dm, dm_begin, None, ["c_mktsegment"], "o_totalprice",
+        "price_sum", created_ts_millis=20,
+    )
+    return dwd, dm
+
+
+@query(
+    "pipe_ods2dwd_endstate",
+    oracle="""
+    SELECT o.o_orderkey, o.o_custkey, o.o_orderstatus, o.o_totalprice,
+           coalesce(c.c_mktsegment, 'N/A') AS c_mktsegment
+    FROM orders o LEFT JOIN customer c ON o.o_custkey = c.c_custkey
+    """,
+)
+def pipe_ods2dwd_endstate(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """ODS2DWD parity (SRC/ODS2DWD.scala:43-69): after two incremental
+    ticks the DWD table equals the full enriched fact."""
+    dwd, _dm = _run_medallion(spark, sf_dir)
+    return dwd.logical().select(
+        "o_orderkey", "o_custkey", "o_orderstatus", "o_totalprice",
+        "c_mktsegment",
+    )
+
+
+@query(
+    "pipe_dwd2dm_endstate",
+    oracle="""
+    SELECT coalesce(c.c_mktsegment, 'N/A') AS c_mktsegment,
+           CAST(sum(CAST(o.o_totalprice AS DECIMAL(38,4))) AS DECIMAL(38,4))
+             AS price_sum
+    FROM orders o LEFT JOIN customer c ON o.o_custkey = c.c_custkey
+    GROUP BY 1
+    """,
+)
+def pipe_dwd2dm_endstate(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """DWD2DM parity (SRC/DWD2DM.scala:54-85): init + one delta-merge
+    tick equals the full-table aggregate.
+
+    The double-sum column is compared as DECIMAL, computed from the
+    double source on both sides via per-group single-pass sums; the
+    engine's delta-merge adds two partial double sums, so compare on a
+    rounded decimal to absorb the one-ulp association difference."""
+    _dwd, dm = _run_medallion(spark, sf_dir)
+    return dm.logical().select(
+        "c_mktsegment",
+        F.round(F.col("price_sum"), 2).cast("decimal(38,4)").alias("price_sum"),
+    )
+
+
+@query(
+    "pipe_log2lake_endstate",
+    oracle="""
+    SELECT event_id, user_id, event_type,
+           '20210624' AS logday, '0150' AS hm
+    FROM events
+    """,
+)
+def pipe_log2lake_endstate(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Log2Hudi parity (SRC/Log2Hudi.scala:62-83): JSON batch →
+    schema-parse → flatten → processing-time partitions (pinned clock
+    2021-06-24 01:50, the README.md:148 example) → global-index upsert."""
+    events = load(spark, sf_dir, "events")
+    msgs = events.select(
+        F.to_json(
+            F.struct("event_id", "user_id", "event_type", "value")
+        ).alias("value")
+    )
+    table = LakeTable(
+        spark, _tmp_base(), "p", "events",
+        record_keys=["event_id"], precombine="user_id",
+        partition_keys=["logday", "hm"], global_index=True,
+    )
+    schema = "event_id LONG, user_id LONG, event_type STRING, value DOUBLE"
+    log2lake_batch(
+        msgs, schema, table,
+        now=datetime(2021, 6, 24, 1, 50, 7, tzinfo=timezone.utc),
+    )
+    return table.snapshot().select(
+        "event_id", "user_id", "event_type", "logday", "hm"
+    )
+
+
+@query(
+    "pipe_bootstrap_endstate",
+    oracle="""
+    SELECT c_custkey, c_name, CAST(c_mktsegment AS VARCHAR) AS c_mktsegment,
+           CAST(1000 AS BIGINT) AS created_ts
+    FROM customer
+    """,
+)
+def pipe_bootstrap_endstate(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Hive2Hudi parity (SRC/Hive2Hudi.scala:23-35): parquet scan →
+    partition cast to string → created_ts stamp → upsert."""
+    t = LakeTable(
+        spark, _tmp_base(), "p", "cust", ["c_custkey"], "created_ts",
+        partition_keys=["c_mktsegment"],
+    )
+    bootstrap_parquet(
+        spark, f"{sf_dir}/customer.parquet", t, created_ts_millis=1000
+    )
+    return t.logical().select(
+        "c_custkey", "c_name", "c_mktsegment", "created_ts"
+    )
+
+
+@query(
+    "pipe_cdc_canal_parse",
+    oracle="""
+    SELECT 'appdb' AS database, 'nation' AS "table",
+           CASE n_nationkey % 3 WHEN 0 THEN 'insert'
+                                WHEN 1 THEN 'upsert'
+                                ELSE 'delete' END AS operation_type,
+           '{"id":"' || n_nationkey || '","name":"' || n_name || '"}'
+             AS row_json
+    FROM nation
+    """,
+)
+def pipe_cdc_canal_parse(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Canal CDC parse, executor-side (SRC/cdc/CanalParser.scala:17-32
+    semantics on a DataFrame): envelopes built from nation rows; op code
+    derived from the key; heartbeat/DDL rows injected and dropped."""
+    nation = load(spark, sf_dir, "nation")
+    op = (
+        F.when(F.col("n_nationkey") % 3 == 0, F.lit("INSERT"))
+        .when(F.col("n_nationkey") % 3 == 1, F.lit("UPDATE"))
+        .otherwise(F.lit("DELETE"))
+    )
+    envelope = F.to_json(
+        F.struct(
+            F.lit("nation").alias("table"),
+            op.alias("type"),
+            F.array(
+                F.create_map(
+                    F.lit("id"), F.col("n_nationkey").cast("string"),
+                    F.lit("name"), F.col("n_name"),
+                )
+            ).alias("data"),
+            F.lit("appdb").alias("database"),
+            F.lit(False).alias("isDdl"),
+        )
+    )
+    good = nation.select(envelope.alias("value"))
+    # heartbeat (data null) + DDL rows must be dropped by the parser
+    noise = spark.createDataFrame(
+        [
+            ('{"table":"nation","type":"INSERT","database":"appdb","isDdl":false}',),
+            ('{"table":"nation","type":"ALTER","data":[],"database":"appdb","isDdl":true}',),
+        ],
+        "value STRING",
+    )
+    return parse_canal_df(good.unionByName(noise))

@@ -1,0 +1,25 @@
+"""Lake snapshot → JSON export (stream sink).
+
+Port of ``Hudi2MSK`` (``SRC/Hudi2MSK.scala:39-50``): snapshot read →
+``to_json(struct(cols...))`` into a single ``value`` column → sink. On a
+cluster the sink is ``df.write.format("kafka")`` with the same ``value``
+column; the harness substitutes JSON-lines files (no brokers).
+"""
+
+from __future__ import annotations
+
+from emr_hudi_example_spark.lake import LakeTable
+from emr_hudi_example_spark.operators.relational import pack_to_json
+
+
+def lake_to_json_lines(
+    table: LakeTable,
+    out_path: str,
+    cols: list[str] | None = None,
+    coalesce: int | None = None,
+) -> None:
+    """Export the logical snapshot as JSON lines (one message per row)."""
+    df = pack_to_json(table.logical(), cols)
+    if coalesce:
+        df = df.coalesce(coalesce)
+    df.write.mode("overwrite").text(out_path)

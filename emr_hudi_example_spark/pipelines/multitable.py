@@ -1,0 +1,108 @@
+"""Multi-table CDC fan-out: one (topic, value) stream → N lake tables.
+
+Port of ``writeMultiTable2HudiFromDF`` (``SRC/package.scala:145-183``):
+distinct topics in the batch → per table: key/partition metadata lookup →
+topic filter → JSON parse against the TARGET table schema → PK-not-null
+filter → upsert with ``created_ts`` precombine. The reference resolves
+keys via an Impala JDBC ``SHOW CREATE TABLE`` + DDL-string surgery
+(``SRC/package.scala:85-141``); our engine replaces that metadata channel
+with an explicit ``TableRegistry`` (the catalog the DDL parse was
+reconstructing).
+"""
+
+from __future__ import annotations
+
+from dataclasses import dataclass, field
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+from emr_hudi_example_spark.functions.core import created_ts_expr
+from emr_hudi_example_spark.lake import LakeTable
+
+
+@dataclass
+class TableSpec:
+    """Key metadata the reference parses out of Kudu DDL
+    (PRIMARY KEY (...) / RANGE (...) — SRC/package.scala:85-115);
+    partition keys are removed from the record key exactly as there."""
+
+    record_keys: list[str]
+    partition_keys: list[str] = field(default_factory=list)
+
+    @property
+    def effective_record_keys(self) -> list[str]:
+        return [k for k in self.record_keys if k not in self.partition_keys]
+
+
+class TableRegistry:
+    """topic/table name → TableSpec + LakeTable factory."""
+
+    def __init__(self, spark, base_path: str, db: str) -> None:
+        self.spark = spark
+        self.base_path = base_path
+        self.db = db
+        self._specs: dict[str, TableSpec] = {}
+
+    def register(self, table: str, spec: TableSpec) -> None:
+        self._specs[table] = spec
+
+    def spec(self, table: str) -> TableSpec:
+        return self._specs[table]
+
+    def lake_table(self, table: str) -> LakeTable:
+        spec = self._specs[table]
+        return LakeTable(
+            self.spark,
+            self.base_path,
+            self.db,
+            table,
+            record_keys=spec.effective_record_keys,
+            precombine="created_ts",
+            partition_keys=spec.partition_keys,
+        )
+
+
+def topic_to_table(topic: str) -> str:
+    """``kudu.call_center`` → ``call_center`` (SRC/package.scala:151)."""
+    return topic.split(".")[-1]
+
+
+def fanout_batch(
+    batch_df: DataFrame,
+    registry: TableRegistry,
+    created_ts_millis: int | None = None,
+) -> list[str]:
+    """One micro-batch of (topic, value) rows → per-table upserts.
+    Returns the list of tables written (M4, SRC/package.scala:145-183).
+
+    Scale note: the per-table loop is over the *handful of distinct
+    topics in the batch* (driver-side, matches the reference); each
+    table's parse+write is fully distributed. At very high table counts
+    the loop parallelizes trivially over a thread pool since tables are
+    independent single-writer targets.
+    """
+    topics = [
+        r[0] for r in batch_df.select("topic").distinct().collect()
+    ]  # A3+M3, SRC/package.scala:148
+    written: list[str] = []
+    for topic in sorted(topics):
+        table_name = topic_to_table(topic)
+        target = registry.lake_table(table_name)
+        one = (
+            batch_df.filter(F.col("topic") == topic)  # F3 routing
+            .select(F.col("value").cast("string").alias("json"))
+        )
+        # schema-on-target: logical schema minus the write-time stamp
+        schema = target.logical().schema
+        schema = type(schema)(
+            [f for f in schema.fields if f.name != "created_ts"]
+        )
+        rows = (
+            one.select(F.from_json("json", schema).alias("data"))
+            .select("data.*")
+            .withColumn("created_ts", created_ts_expr(created_ts_millis))
+        )
+        target.write(rows, op="upsert")  # PK filter inside write
+        written.append(table_name)
+    return written

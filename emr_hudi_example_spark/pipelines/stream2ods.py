@@ -1,0 +1,58 @@
+"""Kafka(-shaped) stream → ODS lake table, schema-on-target.
+
+Port of ``MSK2Hudi`` (``SRC/MSK2Hudi.scala:20-66``): the parse schema is
+read from the TARGET table (meta columns stripped —
+``SRC/MSK2Hudi.scala:40-41``), each batch gets an epoch-millis
+``created_ts`` precombine stamp (``:52``) and the PK-not-null filter
+(``:53``) before upsert.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+from pyspark.sql.streaming import StreamingQuery
+
+from emr_hudi_example_spark.functions.core import created_ts_expr
+from emr_hudi_example_spark.lake import LakeTable
+from emr_hudi_example_spark.streaming.sources import start_foreach_batch
+
+
+def target_schema(table: LakeTable):
+    """Logical schema of the target (drops engine meta cols) minus the
+    write-time ``created_ts`` stamp — the schema used for ``from_json``."""
+    schema = table.logical().schema
+    return type(schema)([f for f in schema.fields if f.name != "created_ts"])
+
+
+def stream2ods_batch(
+    batch_df: DataFrame,
+    table: LakeTable,
+    created_ts_millis: int | None = None,
+) -> None:
+    """One micro-batch (SRC/MSK2Hudi.scala:46-58)."""
+    if batch_df.isEmpty():
+        return
+    schema = target_schema(table)
+    rows = (
+        batch_df.select(F.col("value").cast("string").alias("value"))
+        .select(F.from_json("value", schema).alias("d"))
+        .select("d.*")
+        .withColumn("created_ts", created_ts_expr(created_ts_millis))
+    )
+    table.write(rows, op="upsert")  # PK filter applied inside write
+
+
+def run_stream2ods(
+    stream_df: DataFrame,
+    table: LakeTable,
+    checkpoint_dir: str,
+    trigger_seconds: int | None = None,
+) -> StreamingQuery:
+    return start_foreach_batch(
+        stream_df,
+        lambda bdf, _id: stream2ods_batch(bdf, table),
+        checkpoint_dir,
+        query_name="Stream2ODS",
+        trigger_seconds=trigger_seconds,
+    )

@@ -1,0 +1,15 @@
+"""Structured-Streaming helpers: test sources and foreachBatch wiring."""
+
+from emr_hudi_example_spark.streaming.sources import (
+    drain,
+    json_lines_stream,
+    kafka_like_stream,
+    start_foreach_batch,
+)
+
+__all__ = [
+    "json_lines_stream",
+    "kafka_like_stream",
+    "start_foreach_batch",
+    "drain",
+]

@@ -1,0 +1,72 @@
+"""Streaming sources and sinks.
+
+The reference consumes Kafka (``SRC/Log2Hudi.scala:29-37``) and Kinesis
+(``SRC/KDS2Hudi.scala:83-89``). Structured Streaming's Kafka connector is
+the drop-in on a real cluster (``spark.readStream.format("kafka")`` with
+the same subscribe/startingOffsets/failOnDataLoss options); the test
+harness has no brokers, so these helpers expose *file-stream* sources that
+produce the SAME envelope columns (``value`` string; optional ``topic``),
+making every downstream transform identical to the Kafka path.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+from pyspark.sql.streaming import StreamingQuery
+
+
+def json_lines_stream(
+    spark: SparkSession, path: str, repartition: int | None = None
+) -> DataFrame:
+    """Stream of raw message strings in a ``value`` column — the shape of
+    a Kafka source after ``CAST(value AS STRING)`` (P1). One JSON doc per
+    line; new files are new micro-batches."""
+    df = spark.readStream.format("text").load(path).withColumnRenamed(
+        "value", "value"
+    )
+    if repartition:
+        # stream repartition right after the source — T6,
+        # SRC/Log2Hudi.scala:38 (default 16, SRC/conf/Config.scala:20)
+        df = df.repartition(repartition)
+    return df
+
+
+def kafka_like_stream(spark: SparkSession, path: str) -> DataFrame:
+    """Multi-topic envelope stream: files of ``{"topic":..,"value":..}``
+    JSON lines → columns (topic, value) — the shape the multi-table CDC
+    fan-out consumes (``SRC/package.scala:145-183``)."""
+    return (
+        spark.readStream.format("json")
+        .schema("topic STRING, value STRING")
+        .load(path)
+    )
+
+
+def start_foreach_batch(
+    df: DataFrame,
+    fn,
+    checkpoint_dir: str,
+    query_name: str = "pipeline",
+    trigger_seconds: int | None = None,
+) -> StreamingQuery:
+    """``writeStream`` + queryName + checkpoint + trigger + foreachBatch —
+    the exact sink wiring of ``SRC/Log2Hudi.scala:56-83`` (K6/T1/T2/T3).
+    ``trigger_seconds=None`` → as-fast-as-possible (the reference's
+    ``trigger=0`` note)."""
+    w = (
+        df.writeStream.queryName(query_name)
+        .option("checkpointLocation", checkpoint_dir)
+        .foreachBatch(fn)
+    )
+    if trigger_seconds:
+        w = w.trigger(processingTime=f"{trigger_seconds} seconds")
+    return w.start()
+
+
+def drain(query: StreamingQuery) -> None:
+    """Synchronously process everything available, then stop — the test
+    analog of ``query.awaitTermination()``."""
+    query.processAllAvailable()
+    query.stop()
+    query.awaitTermination()

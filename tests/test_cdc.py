@@ -1,0 +1,63 @@
+"""Canal CDC parser parity — the reference's own golden samples
+(SRC/cdc/CanalParser.scala:39-77) drive both the driver-side and the
+DataFrame-side implementations."""
+
+from __future__ import annotations
+
+import json
+
+from emr_hudi_example_spark.cdc.canal import (
+    GOLDEN_HEARTBEAT,
+    GOLDEN_INSERT,
+    canal_to_change,
+    parse_canal_df,
+)
+
+
+def test_golden_insert_parses():
+    ch = canal_to_change(GOLDEN_INSERT)
+    assert ch is not None
+    assert ch.database == "test"
+    assert ch.table == "test_binglog"
+    assert ch.operation_type == "insert"
+    assert len(ch.data) == 1
+    row = json.loads(ch.data[0])
+    assert row == {"id": "4", "name": "test", "new_col": None}
+
+
+def test_golden_heartbeat_drops():
+    # data=null DML → must map to None (the reference's main() check)
+    assert canal_to_change(GOLDEN_HEARTBEAT) is None
+
+
+def test_op_mapping_and_filters():
+    base = json.loads(GOLDEN_INSERT)
+    for canal_op, lake_op in [
+        ("INSERT", "insert"), ("UPDATE", "upsert"), ("DELETE", "delete"),
+    ]:
+        msg = dict(base, type=canal_op)
+        assert canal_to_change(json.dumps(msg)).operation_type == lake_op
+    assert canal_to_change(json.dumps(dict(base, type="CREATE"))) is None
+    assert canal_to_change(json.dumps(dict(base, isDdl=True))) is None
+    assert canal_to_change("") is None
+    assert canal_to_change("{not json") is None
+    assert canal_to_change(json.dumps(dict(base, table=""))) is None
+
+
+def test_parse_canal_df_matches_driver_side(spark):
+    base = json.loads(GOLDEN_INSERT)
+    multi = dict(
+        base,
+        type="UPDATE",
+        data=[{"id": "1", "name": "a"}, {"id": "2", "name": "b"}],
+    )
+    msgs = [GOLDEN_INSERT, GOLDEN_HEARTBEAT, json.dumps(multi)]
+    df = spark.createDataFrame([(m,) for m in msgs], "value STRING")
+    out = parse_canal_df(df).collect()
+    # heartbeat dropped; insert → 1 row; update envelope → 2 rows
+    assert len(out) == 3
+    ops = sorted(r["operation_type"] for r in out)
+    assert ops == ["insert", "upsert", "upsert"]
+    assert all(r["table"] == "test_binglog" for r in out)
+    exploded = {json.loads(r["row_json"]).get("id") for r in out}
+    assert exploded == {"4", "1", "2"}

@@ -1,0 +1,265 @@
+"""End-to-end pipeline tests: streaming ingest, medallion ETL ticks,
+CDC fan-out, export — the reference's seven entry points on fixtures."""
+
+from __future__ import annotations
+
+import json
+import os
+from datetime import datetime, timezone
+
+from pyspark.sql import functions as F
+
+from emr_hudi_example_spark.lake import LakeTable
+from emr_hudi_example_spark.pipelines import (
+    TableRegistry,
+    bootstrap_parquet,
+    dm_increment,
+    dm_init,
+    dwd_increment,
+    fanout_batch,
+    init_cursor,
+    lake_to_json_lines,
+    run_log2lake,
+)
+from emr_hudi_example_spark.pipelines.multitable import TableSpec
+from emr_hudi_example_spark.pipelines.stream2ods import stream2ods_batch
+from emr_hudi_example_spark.streaming.sources import drain, json_lines_stream
+
+SF = "/root/testdata/sf0.001"
+
+
+def test_bootstrap_parquet(spark, tmp_path):
+    t = LakeTable(
+        spark, str(tmp_path), "db", "cust", ["c_custkey"], "created_ts",
+        partition_keys=["c_mktsegment"],
+    )
+    bootstrap_parquet(
+        spark, f"{SF}/customer.parquet", t, created_ts_millis=1000
+    )
+    snap = t.snapshot()
+    n = spark.read.parquet(f"{SF}/customer.parquet").count()
+    assert snap.count() == n
+    # partition column cast to string (SRC/Hive2Hudi.scala:28)
+    assert dict(snap.dtypes)["c_mktsegment"] == "string"
+    assert snap.filter(F.col("created_ts") == 1000).count() == n
+
+
+def test_log2lake_streaming_end_to_end(spark, tmp_path):
+    """File-stream of JSON events → foreachBatch → global-index lake
+    upsert with logday/hm partitions (Log2Hudi parity)."""
+    events = (
+        spark.read.parquet(f"{SF}/events.parquet").limit(50)
+        .withColumn("ts", F.col("ts").cast("string"))
+    )
+    src_dir = tmp_path / "stream_in"
+    os.makedirs(src_dir)
+    rows = [json.dumps(r.asDict()) for r in events.collect()]
+    (src_dir / "batch1.json").write_text("\n".join(rows))
+
+    sample = rows[0]
+    table = LakeTable(
+        spark, str(tmp_path / "lake"), "db", "events",
+        record_keys=["event_id"], precombine="user_id",
+        partition_keys=["logday", "hm"], global_index=True,
+    )
+    stream = json_lines_stream(spark, str(src_dir), repartition=2)
+    q = run_log2lake(
+        spark, stream, sample, table, str(tmp_path / "ckpt")
+    )
+    drain(q)
+    snap = table.snapshot()
+    assert snap.count() == 50
+    assert {"logday", "hm"} <= set(snap.columns)
+    # all rows of the batch share one processing-time partition stamp
+    assert snap.select("logday").distinct().count() == 1
+    hm = snap.select("hm").distinct().collect()[0][0]
+    assert hm.endswith("0") and len(hm) == 4
+
+    # second file with overlapping keys -> upsert, not duplicate
+    (src_dir / "batch2.json").write_text("\n".join(rows[:10]))
+    q2 = run_log2lake(
+        spark, json_lines_stream(spark, str(src_dir)), sample, table,
+        str(tmp_path / "ckpt"),
+    )
+    drain(q2)
+    assert table.snapshot().count() == 50  # keys moved/merged, not added
+
+
+def test_stream2ods_schema_on_target(spark, tmp_path):
+    """MSK2Hudi parity: parse with the TARGET table's schema."""
+    nation = spark.read.parquet(f"{SF}/nation.parquet")
+    t = LakeTable(
+        spark, str(tmp_path), "db", "nation", ["n_nationkey"], "created_ts"
+    )
+    t.write(
+        nation.withColumn("created_ts", F.lit(1).cast("long")), op="upsert",
+        instant="001",
+    )
+    # batch carries an unknown field -> nulled by from_json; missing
+    # n_regionkey -> null (implicit schema evolution)
+    msgs = [
+        json.dumps({"n_nationkey": 0, "n_name": "PATCHED", "bogus": 1}),
+        json.dumps({"n_nationkey": 99, "n_name": "NEW", "n_regionkey": 4}),
+    ]
+    bdf = spark.createDataFrame([(m,) for m in msgs], "value STRING")
+    stream2ods_batch(bdf, t, created_ts_millis=2)
+    snap = t.snapshot()
+    assert snap.count() == nation.count() + 1
+    patched = snap.filter(F.col("n_nationkey") == 0).collect()[0]
+    assert patched["n_name"] == "PATCHED" and patched["n_regionkey"] is None
+
+
+def test_medallion_ods2dwd2dm_incremental(spark, tmp_path):
+    """Full ODS→DWD→DM chain with two incremental ticks + the
+    double-add hazard check (SURVEY.md §3.3)."""
+    from pyspark.sql.window import Window
+
+    # fixture lineitem has no unique natural key (dup composites exist);
+    # stamp a surrogate uid so the keyed upsert keeps every row
+    li = (
+        spark.read.parquet(f"{SF}/lineitem.parquet")
+        .withColumn(
+            "uid",
+            F.row_number().over(
+                Window.orderBy("l_orderkey", "l_partkey", "l_suppkey",
+                               "l_linenumber")
+            ),
+        )
+        .withColumn("created_ts", F.lit(1).cast("long"))
+    )
+    part = spark.read.parquet(f"{SF}/part.parquet").select(
+        "p_partkey", "p_brand"
+    )
+    ods = LakeTable(spark, str(tmp_path), "db", "ods", ["uid"], "created_ts")
+    dwd = LakeTable(
+        spark, str(tmp_path), "db", "dwd", ["uid", "p_brand"], "created_ts"
+    )
+    dm = LakeTable(spark, str(tmp_path), "db", "dm", ["p_brand"], "created_ts")
+
+    # seed ODS with 2/3 of data, then DWD catch-up tick
+    first = li.filter(F.col("l_orderkey") % 3 != 0)
+    ods.write(first, op="upsert", instant="100")
+    assert init_cursor(dwd) is None
+    cur = dwd_increment(ods, part, dwd, begin=None, end="100")
+    assert cur == "100"
+    assert dwd.snapshot().count() == first.count()
+    assert "p_brand" in dwd.snapshot().columns
+
+    # DM init from full DWD
+    dm_init(dwd, dm, ["p_brand"], "l_quantity", "qty_sum", created_ts_millis=10)
+    expect1 = (
+        first.join(part, first.l_partkey == part.p_partkey, "left")
+        .groupBy("p_brand").agg(F.sum("l_quantity").alias("qty_sum"))
+    )
+    got1 = dm.logical().select("p_brand", "qty_sum")
+    assert sorted(map(tuple, got1.collect())) == sorted(
+        map(tuple, expect1.collect())
+    )
+
+    # DM cursor = DWD's last commit at init time (the reference reads it
+    # back as max(_hoodie_commit_time), SRC/DWD2DM.scala:44-51 — same
+    # wall-clock instant domain across tables)
+    dm_begin = init_cursor(dwd)
+
+    # tick 2: remaining rows arrive in ODS, flow through DWD, delta-merge DM
+    second = li.filter(F.col("l_orderkey") % 3 == 0)
+    ods.write(second, op="upsert", instant="200")
+    cur2 = dwd_increment(ods, part, dwd, begin=cur, end="200")
+    assert dwd.snapshot().count() == li.count()
+    dm_increment(
+        dwd, dm, dm_begin, None, ["p_brand"], "l_quantity", "qty_sum",
+        created_ts_millis=20,
+    )
+    expect_full = (
+        li.join(part, li.l_partkey == part.p_partkey, "left")
+        .groupBy("p_brand").agg(F.sum("l_quantity").alias("qty_sum"))
+    )
+    got2 = dm.logical().select("p_brand", "qty_sum")
+    assert sorted(map(tuple, got2.collect())) == sorted(
+        map(tuple, expect_full.collect())
+    )
+
+    # double-add hazard: replaying the same DWD slice re-adds the sums —
+    # correctness rests on the cursor (faithful to the reference)
+    dm_increment(
+        dwd, dm, dm_begin, None, ["p_brand"], "l_quantity", "qty_sum",
+        created_ts_millis=30,
+    )
+    replayed = dm.logical().select("p_brand", "qty_sum")
+    assert sorted(map(tuple, replayed.collect())) != sorted(
+        map(tuple, expect_full.collect())
+    )
+
+
+def test_lake2stream_export_roundtrip(spark, tmp_path):
+    nation = spark.read.parquet(f"{SF}/nation.parquet")
+    t = LakeTable(spark, str(tmp_path), "db", "n", ["n_nationkey"], "v")
+    t.write(nation.withColumn("v", F.lit(1).cast("long")), op="upsert",
+            instant="001")
+    out = str(tmp_path / "out")
+    lake_to_json_lines(t, out, cols=["n_nationkey", "n_name"], coalesce=1)
+    back = spark.read.json(out)
+    assert back.count() == nation.count()
+    assert set(back.columns) == {"n_nationkey", "n_name"}
+
+
+def test_multitable_fanout(spark, tmp_path):
+    """CDC fan-out: one (topic,value) batch → two lake tables."""
+    reg = TableRegistry(spark, str(tmp_path), "db")
+    reg.register("nation", TableSpec(["n_nationkey"]))
+    reg.register("region", TableSpec(["r_regionkey"]))
+    nation = spark.read.parquet(f"{SF}/nation.parquet")
+    region = spark.read.parquet(f"{SF}/region.parquet")
+    # targets must pre-exist (schema-on-target, like the reference)
+    reg.lake_table("nation").write(
+        nation.withColumn("created_ts", F.lit(1).cast("long")),
+        op="upsert", instant="001",
+    )
+    reg.lake_table("region").write(
+        region.withColumn("created_ts", F.lit(1).cast("long")),
+        op="upsert", instant="001",
+    )
+    msgs = [
+        ("kudu.nation", json.dumps({"n_nationkey": 0, "n_name": "XX"})),
+        ("kudu.nation", json.dumps({"n_nationkey": 98, "n_name": "YY"})),
+        ("kudu.region", json.dumps({"r_regionkey": 0, "r_name": "ZZ"})),
+    ]
+    bdf = spark.createDataFrame(msgs, "topic STRING, value STRING")
+    written = fanout_batch(bdf, reg, created_ts_millis=5)
+    assert written == ["nation", "region"]
+    n = reg.lake_table("nation").snapshot()
+    assert n.count() == nation.count() + 1
+    assert n.filter(F.col("n_nationkey") == 0).collect()[0]["n_name"] == "XX"
+    r = reg.lake_table("region").snapshot()
+    assert r.filter(F.col("r_regionkey") == 0).collect()[0]["r_name"] == "ZZ"
+
+
+def test_dms_envelope_parse(spark):
+    """KDS2Hudi parity: decimals/timestamps/2-level struct round-trip."""
+    from emr_hudi_example_spark.cdc.dms import DMS_ENVELOPE_SCHEMA
+
+    msg = json.dumps(
+        {
+            "data": {
+                "id": 7, "status": 1, "age": 30, "phone": 13800000000,
+                "score": 4.25, "startLatitude": 31.2304001,
+                "money": 12.50, "createTS": 1, "eventTS": 2,
+            },
+            "metadata": {
+                "operation": 1, "record-type": "data",
+                "table-name": "taxi_order", "transaction-id": 99,
+                "timestamp": "2021-06-24 01:50:00",
+            },
+        }
+    )
+    df = spark.createDataFrame([(msg,)], "value STRING")
+    parsed = (
+        df.select(F.from_json("value", DMS_ENVELOPE_SCHEMA).alias("e"))
+        .where(F.col("e.data").isNotNull())
+        .select("e.data.*", F.col("e.metadata.`table-name`").alias("tbl"))
+    )
+    row = parsed.collect()[0]
+    assert str(row["score"]) == "4.25"
+    assert str(row["startLatitude"]) == "31.2304001"
+    assert row["tbl"] == "taxi_order"
+    assert dict(parsed.dtypes)["money"] == "decimal(9,2)"

@@ -1,0 +1,404 @@
+"""LLM-data-pipeline extension catalog entries (SURVEY.md §7 phase 4):
+text analysis, dedup (exact / MinHash-LSH / SimHash / n-gram Jaccard /
+embedding-cosine), similarity search (brute-force + IVF), multimodal
+plumbing — each with an EXACT DuckDB oracle (same deterministic
+md5-based hash families, same double-promotion order for vector math).
+
+Oracle SQL for the hash/bit-heavy operators is generated programmatically
+so both sides share one parameterization.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from emr_hudi_example_spark.catalog import load, query
+from emr_hudi_example_spark.operators import dedup as D
+from emr_hudi_example_spark.operators import multimodal as MM
+from emr_hudi_example_spark.operators import similarity as S
+from emr_hudi_example_spark.operators import text as TX
+
+# ---------------------------------------------------------------- SQL bits
+
+_TOKS = "string_split_regex(trim(text), '\\s+')"
+
+
+def _shingles_sql(k: int, toks: str = "tk") -> str:
+    # duckdb range() excludes the upper bound: starts 1..n-k+1 → range(1, n-k+2)
+    return (
+        f"list_transform(range(1, greatest(len({toks})-{k - 2}, 1)), "
+        f"i -> array_to_string(list_slice({toks}, i, i+{k - 1}), ' '))"
+    )
+
+
+_EN_STOPS = ", ".join(f"'{w}'" for w in TX.LANG_STOPWORDS["en"])
+
+
+# ================================================================ text ops
+
+@query(
+    "text_token_stats",
+    oracle=f"""
+    WITH t AS (SELECT doc_id, text, {_TOKS} AS tk FROM documents)
+    SELECT doc_id,
+           len(tk) AS n_tokens,
+           len(list_filter(list_transform(
+                 string_split_regex(regexp_replace(trim(text),
+                   '([^\\w\\s])', ' \\1 ', 'g'), '\\s+'), x -> x),
+               x -> x != '')) AS n_word_tokens,
+           len(list_distinct(tk)) AS n_unique,
+           len(list_filter(tk, x -> list_contains([{_EN_STOPS}], lower(x))))
+             AS n_stopwords
+    FROM t
+    """,
+)
+def text_token_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Token counting: whitespace + BPE-ish word/punct tokens + distinct
+    + stopword hits (north-star text analysis)."""
+    docs = load(spark, sf_dir, "documents")
+    return docs.select(
+        "doc_id",
+        TX.token_count("text").alias("n_tokens"),
+        TX.word_token_count("text").alias("n_word_tokens"),
+        F.size(F.array_distinct(TX.tokens("text"))).alias("n_unique"),
+        TX.stopword_hits("text", TX.LANG_STOPWORDS["en"]).alias("n_stopwords"),
+    )
+
+
+@query(
+    "text_quality_score",
+    oracle=f"""
+    WITH t AS (SELECT doc_id, text, {_TOKS} AS tk FROM documents),
+    m AS (
+      SELECT doc_id,
+             len(tk)::DOUBLE AS n,
+             len(list_distinct(tk))::DOUBLE AS uniq,
+             length(regexp_replace(text, '[\\w\\s]', '', 'g'))::DOUBLE
+               / greatest(length(text)::DOUBLE, 1.0) AS punct,
+             len(list_filter(tk, x -> list_contains([{_EN_STOPS}], lower(x))))::DOUBLE
+               / greatest(len(tk)::DOUBLE, 1.0) AS stop
+      FROM t)
+    SELECT doc_id,
+           round(0.25 * least(1.0, n / 64.0)
+                 + 0.25 * (uniq / greatest(n, 1.0))
+                 + 0.25 * (1.0 - punct)
+                 + 0.25 * least(1.0, 4.0 * stop), 6) AS quality
+    FROM m
+    """,
+)
+def text_quality_score(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Quality scoring: length / repetition / punctuation / stopword
+    naturalness composite (C4/Gopher-style filter signals)."""
+    docs = load(spark, sf_dir, "documents")
+    return docs.select(
+        "doc_id", F.round(TX.quality_score("text"), 6).alias("quality")
+    )
+
+
+def _langid_oracle() -> str:
+    hit_cols = ",\n             ".join(
+        f"len(list_filter(tk, x -> list_contains(["
+        + ", ".join(f"'{w}'" for w in ws)
+        + f"], lower(x)))) AS h_{lang}"
+        for lang, ws in TX.LANG_STOPWORDS.items()
+    )
+    return f"""
+    WITH t AS (SELECT doc_id, lang, {_TOKS} AS tk FROM documents),
+    h AS (SELECT doc_id, lang,
+             {hit_cols}
+          FROM t)
+    SELECT doc_id, lang AS labeled_lang,
+           CASE
+             WHEN h_de >= greatest(h_en, h_es, h_fr) AND h_de > 0 THEN 'de'
+             WHEN h_en >= greatest(h_es, h_fr) AND h_en > 0 THEN 'en'
+             WHEN h_es >= h_fr AND h_es > 0 THEN 'es'
+             WHEN h_fr > 0 THEN 'fr'
+             ELSE 'und'
+           END AS detected_lang
+    FROM h
+    """
+
+
+@query("text_lang_id", oracle=_langid_oracle())
+def text_lang_id(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Language-ID heuristic (stopword hit-rate argmax, alphabetical
+    tie-break, 'und' when nothing hits). The fixture's text is synthetic
+    same-vocabulary prose, so the oracle verifies the deterministic
+    classifier output, not label recovery."""
+    docs = load(spark, sf_dir, "documents")
+    return docs.select(
+        "doc_id",
+        F.col("lang").alias("labeled_lang"),
+        TX.lang_id("text").alias("detected_lang"),
+    )
+
+
+@query(
+    "text_fingerprints",
+    oracle=f"""
+    WITH t AS (SELECT doc_id, text,
+                      string_split_regex(trim(lower(text)), '\\s+') AS ltk
+               FROM documents)
+    SELECT doc_id,
+           md5(regexp_replace(lower(trim(text)), '\\s+', ' ', 'g')) AS fp,
+           list_min(list_transform({_shingles_sql(5, "ltk")}, s -> md5(s)))
+             AS rolling_fp
+    FROM t
+    """,
+)
+def text_fingerprints(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Document fingerprinting: exact md5 of normalized text + rolling
+    min-shingle-hash (1-perm MinHash, winnowing-style)."""
+    docs = load(spark, sf_dir, "documents")
+    lowered = docs.select("doc_id", F.lower(F.col("text")).alias("text"))
+    return lowered.select(
+        "doc_id",
+        TX.fingerprint("text").alias("fp"),
+        TX.rolling_fingerprint("text", k=5).alias("rolling_fp"),
+    )
+
+
+# ================================================================== dedup
+
+@query(
+    "dedup_exact",
+    oracle="""
+    SELECT md5(regexp_replace(lower(trim(text)), '\\s+', ' ', 'g')) AS fp,
+           min(doc_id) AS keep_id, count(*) AS n_dups
+    FROM documents GROUP BY 1
+    """,
+)
+def dedup_exact(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact dedup: hash-groupBy on normalized-text fingerprint, keep the
+    smallest doc_id. One shuffle on the 128-bit key — the minimal plan."""
+    return D.exact_dedup_groups(load(spark, sf_dir, "documents"))
+
+
+_NUM_PERM, _BAND = 12, 3
+
+
+def _minhash_sig_sql(k: int = 3) -> str:
+    mins = ", ".join(
+        f"min(md5('{i}:' || s)) AS sig_{i}" for i in range(_NUM_PERM)
+    )
+    return f"""
+    WITH t AS (SELECT doc_id, {_TOKS} AS tk FROM documents),
+    sh AS (SELECT doc_id, unnest({_shingles_sql(k)}) AS s FROM t),
+    sig AS (SELECT doc_id, {mins} FROM sh GROUP BY doc_id)
+    """
+
+
+@query(
+    "dedup_minhash_signatures",
+    oracle=_minhash_sig_sql()
+    + "SELECT doc_id, sig_0, sig_5, sig_11 FROM sig",
+)
+def dedup_minhash_signatures(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """MinHash signatures (12 deterministic md5 permutations over 3-word
+    shingles) — value-level parity of the sketch itself."""
+    sig = D.minhash_signatures(
+        load(spark, sf_dir, "documents"), num_perm=_NUM_PERM, k=3
+    )
+    return sig.select("doc_id", "sig_0", "sig_5", "sig_11")
+
+
+def _lsh_pairs_sql(threshold: float = 0.2) -> str:
+    band_selects = " UNION ALL ".join(
+        f"SELECT doc_id, {b} AS band, md5("
+        + " || '|' || ".join(
+            f"sig_{b * _BAND + r}" for r in range(_BAND)
+        )
+        + ") AS bucket FROM sig"
+        for b in range(_NUM_PERM // _BAND)
+    )
+    return (
+        _minhash_sig_sql()
+        + f""",
+    buckets AS ({band_selects}),
+    cand AS (
+      SELECT DISTINCT a.doc_id AS id_a, b.doc_id AS id_b
+      FROM buckets a JOIN buckets b
+        ON a.band = b.band AND a.bucket = b.bucket AND a.doc_id < b.doc_id),
+    sets_ AS (SELECT doc_id,
+                list_distinct({_shingles_sql(3)}) AS sh
+              FROM (SELECT doc_id, {_TOKS} AS tk FROM documents)),
+    verified AS (
+      SELECT c.id_a, c.id_b,
+             round(len(list_intersect(sa.sh, sb.sh))::DOUBLE
+                   / len(list_distinct(list_concat(sa.sh, sb.sh)))::DOUBLE,
+                   6) AS jaccard
+      FROM cand c
+      JOIN sets_ sa ON sa.doc_id = c.id_a
+      JOIN sets_ sb ON sb.doc_id = c.id_b)
+    SELECT id_a, id_b, jaccard FROM verified WHERE jaccard >= {threshold}
+    """
+    )
+
+
+@query("dedup_minhash_lsh", oracle=_lsh_pairs_sql(0.2))
+def dedup_minhash_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """MinHash+LSH near-dup pipeline: shingle → 12-perm minhash → 4
+    banded buckets → candidate join → exact-Jaccard verify ≥ 0.2."""
+    return D.minhash_lsh_dedup(
+        load(spark, sf_dir, "documents"),
+        num_perm=_NUM_PERM, band_size=_BAND, k=3, threshold=0.2,
+    )
+
+
+@query(
+    "dedup_ngram_jaccard",
+    oracle=f"""
+    WITH t AS (SELECT doc_id, {_TOKS} AS tk FROM documents),
+    sets_ AS (SELECT doc_id, list_distinct({_shingles_sql(5)}) AS sh FROM t),
+    sh AS (SELECT doc_id, unnest(sh) AS s FROM sets_),
+    cand AS (
+      SELECT DISTINCT a.doc_id AS id_a, b.doc_id AS id_b
+      FROM sh a JOIN sh b ON a.s = b.s AND a.doc_id < b.doc_id),
+    verified AS (
+      SELECT c.id_a, c.id_b,
+             round(len(list_intersect(sa.sh, sb.sh))::DOUBLE
+                   / len(list_distinct(list_concat(sa.sh, sb.sh)))::DOUBLE,
+                   6) AS jaccard
+      FROM cand c
+      JOIN sets_ sa ON sa.doc_id = c.id_a
+      JOIN sets_ sb ON sb.doc_id = c.id_b)
+    SELECT id_a, id_b, jaccard FROM verified WHERE jaccard >= 0.05
+    """,
+)
+def dedup_ngram_jaccard(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact n-gram Jaccard pairs via inverted-index candidate join
+    (pairs sharing ≥1 5-gram), verified ≥ 0.05."""
+    return D.ngram_jaccard_pairs(
+        load(spark, sf_dir, "documents"), k=5, threshold=0.05
+    )
+
+
+def _simhash_sql(bits: int = 32) -> str:
+    votes = ", ".join(
+        f"sum(CASE WHEN (h >> {j}) & 1 = 1 THEN 1 ELSE -1 END) AS v_{j}"
+        for j in range(bits)
+    )
+    combine = " + ".join(
+        f"CASE WHEN v_{j} > 0 THEN CAST({2**j} AS BIGINT) ELSE 0 END"
+        for j in range(bits)
+    )
+    return f"""
+    WITH t AS (SELECT doc_id, {_TOKS} AS tk FROM documents),
+    tok AS (SELECT doc_id, unnest(tk) AS tkn FROM t),
+    h AS (SELECT doc_id,
+                 CAST(concat('0x', substr(md5(tkn), 1, 8)) AS BIGINT) AS h
+          FROM tok),
+    votes AS (SELECT doc_id, {votes} FROM h GROUP BY doc_id)
+    SELECT doc_id, {combine} AS simhash FROM votes
+    """
+
+
+@query("dedup_simhash", oracle=_simhash_sql())
+def dedup_simhash(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """SimHash (32-bit majority-vote of md5-derived token hashes) —
+    value-level parity of every document's sketch."""
+    return D.simhash(load(spark, sf_dir, "documents"), bits=32)
+
+
+_VEC_DOT = (
+    "list_sum([ (a.embedding[i]::DOUBLE) * (b.embedding[i]::DOUBLE) "
+    "FOR i IN range(1, len(a.embedding)+1) ])"
+)
+_NORM_SQL = (
+    "sqrt(list_sum([ (embedding[i]::DOUBLE) * (embedding[i]::DOUBLE) "
+    "FOR i IN range(1, len(embedding)+1) ]))"
+)
+
+
+@query(
+    "dedup_embedding_cosine",
+    oracle=f"""
+    WITH v AS (SELECT vec_id, embedding, {_NORM_SQL} AS nrm FROM embeddings)
+    SELECT a.vec_id AS id_a, b.vec_id AS id_b,
+           round({_VEC_DOT} / (a.nrm * b.nrm), 6) AS cos
+    FROM v a JOIN v b ON a.vec_id < b.vec_id
+    WHERE {_VEC_DOT} / (a.nrm * b.nrm) >= 0.8
+    """,
+)
+def dedup_embedding_cosine(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Embedding-cosine near-duplicate pairs (cos ≥ 0.8)."""
+    return S.embedding_near_dup_pairs(
+        load(spark, sf_dir, "embeddings"), threshold=0.8
+    )
+
+
+# ============================================================== similarity
+
+@query(
+    "sim_cosine_topk",
+    oracle=f"""
+    WITH v AS (SELECT vec_id, embedding, {_NORM_SQL} AS nrm FROM embeddings),
+    scored AS (
+      SELECT b.vec_id AS query_id, a.vec_id AS neighbor_id,
+             {_VEC_DOT} / (a.nrm * b.nrm) AS cos
+      FROM v a JOIN v b ON b.vec_id % 50 = 0 AND a.vec_id != b.vec_id
+    ),
+    ranked AS (
+      SELECT query_id, neighbor_id, cos,
+             CAST(row_number() OVER (PARTITION BY query_id
+                                     ORDER BY cos DESC, neighbor_id) AS INT)
+               AS rank
+      FROM scored)
+    SELECT query_id, neighbor_id, round(cos, 6) AS cos, rank
+    FROM ranked WHERE rank <= 5
+    """,
+)
+def sim_cosine_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Brute-force cosine top-5 per query (queries = vec_id % 50 = 0):
+    broadcast queries × one corpus pass, window top-k."""
+    emb = load(spark, sf_dir, "embeddings")
+    queries = emb.filter(F.col("vec_id") % 50 == 0)
+    return S.cosine_topk(emb, queries, k=5)
+
+
+@query("sim_ivf_topk", oracle=None)
+def sim_ivf_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """IVF-bucketed approximate top-5 (centroids = vec_id % 37 = 0,
+    nprobe=3) — the scale path: candidate generation restricted to
+    nprobe/n_cells of the corpus. Rows-only driver check; exactness vs
+    the brute-force baseline is covered by the recall pytest."""
+    emb = load(spark, sf_dir, "embeddings")
+    queries = emb.filter(F.col("vec_id") % 50 == 0)
+    centroids = emb.filter(F.col("vec_id") % 37 == 0)
+    return S.ivf_cosine_topk(emb, queries, centroids, k=5, nprobe=3)
+
+
+# ============================================================== multimodal
+
+@query(
+    "mm_decode_features",
+    oracle="""
+    SELECT doc_id,
+           CAST(strlen(text) AS INT) AS n_bytes,
+           sha256(text) AS sha256
+    FROM documents
+    """,
+)
+def mm_decode_features(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Multimodal plumbing: binary content column + metadata struct →
+    Arrow-batched mapInPandas 'decode' (deterministic stand-in; real
+    codec stubbed behind NotImplementedError)."""
+    mm = MM.attach_binary_content(load(spark, sf_dir, "documents"))
+    return MM.decode_features(mm).select("doc_id", "n_bytes", "sha256")
+
+
+@query(
+    "mm_frame_sample",
+    oracle="""
+    SELECT doc_id, unnest(range(0, CAST(floor(strlen(text) / 100) AS INT), 10))
+             AS frame_idx
+    FROM documents
+    WHERE strlen(text) >= 100
+    """,
+)
+def mm_frame_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Metadata-only frame-sampling plan (every 10th fake frame) — no
+    byte decode touched."""
+    mm = MM.attach_binary_content(load(spark, sf_dir, "documents"))
+    return MM.frame_sample_plan(mm, every_n=10)

@@ -1,0 +1,284 @@
+"""Deduplication operators for LLM-data pipelines: exact, n-gram Jaccard,
+MinHash+LSH, SimHash, embedding-cosine near-dup.
+
+Everything is deterministic (md5-derived hash families) so each operator
+has an EXACT DuckDB oracle — the approximation is in the algorithm, not
+the run.
+
+Scale notes (100 TB):
+- exact dedup: one hash-shuffle on the fingerprint — the minimum possible.
+- MinHash/LSH: signatures are one explode + one groupBy (map-side partial
+  mins); candidate generation joins on (band, bucket) — the shuffle key is
+  the bucket id, so co-occurring docs co-locate. Mega-buckets (degenerate
+  content) are capped with ``max_bucket_size`` to bound the quadratic
+  within-bucket blow-up — the standard skew guard.
+- verification joins fetch shingle sets only for candidate pairs (a tiny
+  fraction of the corpus), never pairwise over the corpus.
+- embedding near-dup reuses the similarity kernel (block + top-k), not a
+  full cross join.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame
+from pyspark.sql import functions as F
+
+from emr_hudi_example_spark.operators.text import fingerprint, shingles
+
+
+def exact_dedup_groups(
+    df: DataFrame, id_col: str = "doc_id", text_col: str = "text"
+) -> DataFrame:
+    """Exact dedup: md5-of-normalized-text groups → keep the smallest id
+    (the canonical survivor) + group size."""
+    return (
+        df.select(F.col(id_col), fingerprint(text_col).alias("fp"))
+        .groupBy("fp")
+        .agg(
+            F.min(id_col).alias("keep_id"),
+            F.count(F.lit(1)).alias("n_dups"),
+        )
+    )
+
+
+def _perm_hash(shingle: Column, perm: int) -> Column:
+    """Deterministic hash family: md5 of a per-permutation salt + shingle.
+    Fixed-width hex strings order like the underlying 128-bit integers,
+    so MIN() over them is a valid MinHash."""
+    return F.md5(F.concat(F.lit(f"{perm}:"), shingle))
+
+
+def minhash_signatures(
+    df: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    num_perm: int = 12,
+    k: int = 3,
+) -> DataFrame:
+    """Per-document MinHash signature: ``num_perm`` columns ``sig_i`` =
+    min over shingles of hash_i(shingle). One explode + one groupBy."""
+    sh = df.select(
+        F.col(id_col), F.explode(shingles(text_col, k)).alias("sh")
+    )
+    aggs = [
+        F.min(_perm_hash(F.col("sh"), i)).alias(f"sig_{i}")
+        for i in range(num_perm)
+    ]
+    return sh.groupBy(id_col).agg(*aggs)
+
+
+def lsh_candidate_pairs(
+    sig: DataFrame,
+    id_col: str = "doc_id",
+    num_perm: int = 12,
+    band_size: int = 3,
+    max_bucket_size: int | None = None,
+) -> DataFrame:
+    """Banded LSH: hash each band of the signature to a bucket; documents
+    sharing any (band, bucket) become a candidate pair (a < b)."""
+    n_bands = num_perm // band_size
+    bands = F.array(
+        *[
+            F.struct(
+                F.lit(b).alias("band"),
+                F.md5(
+                    F.concat_ws(
+                        "|",
+                        *[
+                            F.col(f"sig_{b * band_size + r}")
+                            for r in range(band_size)
+                        ],
+                    )
+                ).alias("bucket"),
+            )
+            for b in range(n_bands)
+        ]
+    )
+    buckets = sig.select(
+        F.col(id_col), F.explode(bands).alias("bb")
+    ).select(id_col, "bb.band", "bb.bucket")
+    if max_bucket_size is not None:
+        # skew guard: drop degenerate mega-buckets (boilerplate content)
+        counts = buckets.groupBy("band", "bucket").count()
+        buckets = buckets.join(
+            counts.filter(F.col("count") <= max_bucket_size).drop("count"),
+            ["band", "bucket"],
+        )
+    a = buckets.alias("a")
+    b = buckets.alias("b")
+    return (
+        a.join(
+            b,
+            (F.col("a.band") == F.col("b.band"))
+            & (F.col("a.bucket") == F.col("b.bucket"))
+            & (F.col(f"a.{id_col}") < F.col(f"b.{id_col}")),
+        )
+        .select(
+            F.col(f"a.{id_col}").alias("id_a"),
+            F.col(f"b.{id_col}").alias("id_b"),
+        )
+        .distinct()
+    )
+
+
+def jaccard_verify(
+    df: DataFrame,
+    pairs: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    k: int = 3,
+    threshold: float = 0.5,
+) -> DataFrame:
+    """Exact shingle-set Jaccard for candidate pairs; keep ≥ threshold."""
+    sets_ = df.select(
+        F.col(id_col),
+        F.array_distinct(shingles(text_col, k)).alias("sh_set"),
+    )
+    joined = (
+        pairs.join(
+            sets_.select(
+                F.col(id_col).alias("id_a"), F.col("sh_set").alias("set_a")
+            ),
+            "id_a",
+        )
+        .join(
+            sets_.select(
+                F.col(id_col).alias("id_b"), F.col("sh_set").alias("set_b")
+            ),
+            "id_b",
+        )
+    )
+    jac = F.size(F.array_intersect("set_a", "set_b")).cast("double") / F.size(
+        F.array_union("set_a", "set_b")
+    ).cast("double")
+    return (
+        joined.select(
+            "id_a", "id_b", F.round(jac, 6).alias("jaccard")
+        ).filter(F.col("jaccard") >= threshold)
+    )
+
+
+def minhash_lsh_dedup(
+    df: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    num_perm: int = 12,
+    band_size: int = 3,
+    k: int = 3,
+    threshold: float = 0.5,
+    max_bucket_size: int | None = None,
+) -> DataFrame:
+    """Full near-dup pipeline: signatures → banded LSH candidates →
+    exact-Jaccard verification. Returns (id_a, id_b, jaccard)."""
+    sig = minhash_signatures(df, id_col, text_col, num_perm, k)
+    cands = lsh_candidate_pairs(sig, id_col, num_perm, band_size, max_bucket_size)
+    return jaccard_verify(df, cands, id_col, text_col, k, threshold)
+
+
+def ngram_jaccard_pairs(
+    df: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    k: int = 3,
+    threshold: float = 0.2,
+) -> DataFrame:
+    """Exact n-gram Jaccard near-dup: candidates = pairs sharing ≥1
+    shingle (inverted-index join on the shingle — never a cross join),
+    then exact verification."""
+    sh = df.select(
+        F.col(id_col), F.explode(F.array_distinct(shingles(text_col, k))).alias("sh")
+    )
+    pairs = (
+        sh.alias("a")
+        .join(
+            sh.alias("b"),
+            (F.col("a.sh") == F.col("b.sh"))
+            & (F.col(f"a.{id_col}") < F.col(f"b.{id_col}")),
+        )
+        .select(
+            F.col(f"a.{id_col}").alias("id_a"),
+            F.col(f"b.{id_col}").alias("id_b"),
+        )
+        .distinct()
+    )
+    return jaccard_verify(df, pairs, id_col, text_col, k, threshold)
+
+
+def simhash(
+    df: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    bits: int = 32,
+) -> DataFrame:
+    """Per-document SimHash: token hash = first 8 md5 hex chars as a
+    32-bit int; bit j of the result = majority vote of token bits
+    (duplicates weighted). Returns (id, simhash as long)."""
+    from emr_hudi_example_spark.operators.text import tokens
+
+    tok = df.select(F.col(id_col), F.explode(tokens(text_col)).alias("t"))
+    h = F.conv(F.substring(F.md5("t"), 1, 8), 16, 10).cast("long")
+    votes = tok.groupBy(id_col).agg(
+        *[
+            F.sum(
+                (F.shiftright(h, j).bitwiseAND(F.lit(1)) * 2 - 1)
+            ).alias(f"v_{j}")
+            for j in range(bits)
+        ]
+    )
+    sim = None
+    for j in range(bits):
+        bit = F.when(F.col(f"v_{j}") > 0, F.lit(2**j).cast("long")).otherwise(
+            F.lit(0).cast("long")
+        )
+        sim = bit if sim is None else sim + bit
+    return votes.select(F.col(id_col), sim.alias("simhash"))
+
+
+def simhash_near_pairs(
+    df: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    bits: int = 32,
+    band_bits: int = 8,
+    max_hamming: int = 6,
+) -> DataFrame:
+    """Near-dup pairs by SimHash: band the ``bits``-bit hash into
+    ``bits/band_bits`` chunks; pairs sharing any chunk are candidates
+    (pigeonhole: hamming ≤ bands-1 guaranteed findable), verified by
+    exact popcount of the XOR. Returns (id_a, id_b, hamming)."""
+    sim = simhash(df, id_col, text_col, bits)
+    n_bands = bits // band_bits
+    chunks = F.array(
+        *[
+            F.struct(
+                F.lit(b).alias("band"),
+                F.shiftright(F.col("simhash"), b * band_bits)
+                .bitwiseAND(F.lit(2**band_bits - 1))
+                .alias("chunk"),
+            )
+            for b in range(n_bands)
+        ]
+    )
+    buckets = sim.select(F.col(id_col), F.col("simhash"), F.explode(chunks).alias("c")).select(
+        id_col, "simhash", "c.band", "c.chunk"
+    )
+    cand = (
+        buckets.alias("a")
+        .join(
+            buckets.alias("b"),
+            (F.col("a.band") == F.col("b.band"))
+            & (F.col("a.chunk") == F.col("b.chunk"))
+            & (F.col(f"a.{id_col}") < F.col(f"b.{id_col}")),
+        )
+        .select(
+            F.col(f"a.{id_col}").alias("id_a"),
+            F.col(f"b.{id_col}").alias("id_b"),
+            F.col("a.simhash").alias("sim_a"),
+            F.col("b.simhash").alias("sim_b"),
+        )
+        .distinct()
+    )
+    ham = F.bit_count(F.col("sim_a").bitwiseXOR(F.col("sim_b")))
+    return cand.select(
+        "id_a", "id_b", ham.alias("hamming")
+    ).filter(F.col("hamming") <= max_hamming)

@@ -1,0 +1,226 @@
+"""Similarity search over embedding columns (``array<float>``):
+brute-force cosine top-k (exact baseline) and an IVF-style partitioned
+variant (the scale path).
+
+All vector math is JVM-side (``zip_with``/``aggregate`` on double-cast
+arrays) — no UDFs — so plans stay in whole-stage codegen and the math is
+bit-reproducible in the DuckDB oracle (same left-to-right summation over
+the same double-promoted floats).
+
+Scale notes (100 TB):
+- brute force: queries are broadcast; the corpus streams through one
+  narrow pass; per-partition top-k then global top-k (the window) keeps
+  shuffle traffic at O(queries × k), not O(corpus).
+- IVF: centroid assignment is a broadcast argmin (narrow); the probe
+  restricts candidate generation to ``nprobe/n_cells`` of the corpus —
+  the classic inverted-file trade of recall for a ~cells/nprobe speedup.
+  Cell ids are materialized once and reused across queries (in a real
+  deployment: partitioned/bucketed by cell id so probes prune files).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame
+from pyspark.sql import functions as F
+from pyspark.sql.window import Window
+
+
+def _as_double(col) -> Column:
+    c = F.col(col) if isinstance(col, str) else col
+    return F.transform(c, lambda x: x.cast("double"))
+
+
+def _dot(a: Column, b: Column) -> Column:
+    return F.aggregate(
+        F.zip_with(a, b, lambda x, y: x * y),
+        F.lit(0.0),
+        lambda acc, x: acc + x,
+    )
+
+
+def _norm(a: Column) -> Column:
+    return F.sqrt(
+        F.aggregate(
+            F.transform(a, lambda x: x * x), F.lit(0.0), lambda acc, x: acc + x
+        )
+    )
+
+
+def with_norm(df: DataFrame, vec_col: str = "embedding") -> DataFrame:
+    """Precompute the L2 norm once per vector (reused across queries)."""
+    return df.withColumn("_vec", _as_double(vec_col)).withColumn(
+        "_norm", _norm(F.col("_vec"))
+    )
+
+
+def cosine_topk(
+    corpus: DataFrame,
+    queries: DataFrame,
+    k: int = 5,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """Exact brute-force cosine top-k per query (self-matches excluded).
+    Returns (query_id, neighbor_id, cos, rank); ties broken by
+    neighbor_id for determinism."""
+    c = with_norm(corpus, vec_col).select(
+        F.col(id_col).alias("neighbor_id"),
+        F.col("_vec").alias("c_vec"),
+        F.col("_norm").alias("c_norm"),
+    )
+    q = with_norm(queries, vec_col).select(
+        F.col(id_col).alias("query_id"),
+        F.col("_vec").alias("q_vec"),
+        F.col("_norm").alias("q_norm"),
+    )
+    scored = (
+        c.crossJoin(F.broadcast(q))
+        .filter(F.col("neighbor_id") != F.col("query_id"))
+        .select(
+            "query_id",
+            "neighbor_id",
+            (
+                _dot(F.col("q_vec"), F.col("c_vec"))
+                / (F.col("q_norm") * F.col("c_norm"))
+            ).alias("cos"),
+        )
+    )
+    w = Window.partitionBy("query_id").orderBy(
+        F.col("cos").desc(), F.col("neighbor_id").asc()
+    )
+    return (
+        scored.withColumn("rank", F.row_number().over(w))
+        .filter(F.col("rank") <= k)
+        .select(
+            "query_id", "neighbor_id", F.round("cos", 6).alias("cos"), "rank"
+        )
+    )
+
+
+def assign_cells(
+    vectors: DataFrame,
+    centroids: DataFrame,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    n_assign: int = 1,
+) -> DataFrame:
+    """Assign each vector to its ``n_assign`` nearest centroids by cosine
+    (broadcast argmin — one narrow pass over the corpus)."""
+    v = with_norm(vectors, vec_col).select(
+        F.col(id_col), F.col("_vec"), F.col("_norm")
+    )
+    cen = with_norm(centroids, vec_col).select(
+        F.col(id_col).alias("cell_id"),
+        F.col("_vec").alias("cen_vec"),
+        F.col("_norm").alias("cen_norm"),
+    )
+    scored = v.crossJoin(F.broadcast(cen)).select(
+        id_col,
+        "cell_id",
+        (
+            _dot(F.col("_vec"), F.col("cen_vec"))
+            / (F.col("_norm") * F.col("cen_norm"))
+        ).alias("cen_cos"),
+    )
+    w = Window.partitionBy(id_col).orderBy(
+        F.col("cen_cos").desc(), F.col("cell_id").asc()
+    )
+    return (
+        scored.withColumn("crank", F.row_number().over(w))
+        .filter(F.col("crank") <= n_assign)
+        .select(id_col, "cell_id")
+    )
+
+
+def ivf_cosine_topk(
+    corpus: DataFrame,
+    queries: DataFrame,
+    centroids: DataFrame,
+    k: int = 5,
+    nprobe: int = 3,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """IVF approximate top-k: corpus vectors live in their single nearest
+    cell; each query probes its ``nprobe`` nearest cells and runs exact
+    cosine only there."""
+    corpus_cells = assign_cells(corpus, centroids, id_col, vec_col, 1)
+    query_cells = assign_cells(queries, centroids, id_col, vec_col, nprobe)
+    c = with_norm(corpus, vec_col).select(
+        F.col(id_col).alias("neighbor_id"),
+        F.col("_vec").alias("c_vec"),
+        F.col("_norm").alias("c_norm"),
+    ).join(
+        corpus_cells.select(
+            F.col(id_col).alias("neighbor_id"), "cell_id"
+        ),
+        "neighbor_id",
+    )
+    q = with_norm(queries, vec_col).select(
+        F.col(id_col).alias("query_id"),
+        F.col("_vec").alias("q_vec"),
+        F.col("_norm").alias("q_norm"),
+    ).join(
+        query_cells.select(F.col(id_col).alias("query_id"), "cell_id"),
+        "query_id",
+    )
+    scored = (
+        c.join(F.broadcast(q), "cell_id")  # probe join: only shared cells
+        .filter(F.col("neighbor_id") != F.col("query_id"))
+        .select(
+            "query_id",
+            "neighbor_id",
+            (
+                _dot(F.col("q_vec"), F.col("c_vec"))
+                / (F.col("q_norm") * F.col("c_norm"))
+            ).alias("cos"),
+        )
+        .distinct()  # a neighbor can reach a query via ≤1 cell (corpus
+        # vectors live in one cell) — distinct guards n_assign>1 reuse
+    )
+    w = Window.partitionBy("query_id").orderBy(
+        F.col("cos").desc(), F.col("neighbor_id").asc()
+    )
+    return (
+        scored.withColumn("rank", F.row_number().over(w))
+        .filter(F.col("rank") <= k)
+        .select(
+            "query_id", "neighbor_id", F.round("cos", 6).alias("cos"), "rank"
+        )
+    )
+
+
+def embedding_near_dup_pairs(
+    vectors: DataFrame,
+    threshold: float = 0.95,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """Embedding-cosine near-duplicate pairs (id_a < id_b, cos ≥ τ).
+    Exact all-pairs here; at scale, run it per IVF cell (near-dups share
+    a cell at high τ) — the blocked variant is ``ivf_cosine_topk`` with
+    the threshold filter."""
+    v = with_norm(vectors, vec_col).select(
+        F.col(id_col), F.col("_vec"), F.col("_norm")
+    )
+    a = v.select(
+        F.col(id_col).alias("id_a"),
+        F.col("_vec").alias("vec_a"),
+        F.col("_norm").alias("norm_a"),
+    )
+    b = v.select(
+        F.col(id_col).alias("id_b"),
+        F.col("_vec").alias("vec_b"),
+        F.col("_norm").alias("norm_b"),
+    )
+    pairs = a.join(b, F.col("id_a") < F.col("id_b")).select(
+        "id_a",
+        "id_b",
+        (
+            _dot(F.col("vec_a"), F.col("vec_b"))
+            / (F.col("norm_a") * F.col("norm_b"))
+        ).alias("cos"),
+    )
+    return pairs.filter(F.col("cos") >= threshold).select(
+        "id_a", "id_b", F.round("cos", 6).alias("cos")
+    )

@@ -1,0 +1,134 @@
+"""Text-analysis operators for LLM-data pipelines (north-star extensions,
+SURVEY.md §7 phase 4): tokenization, quality scoring, language ID,
+fingerprinting, shingling.
+
+All column expressions are Spark built-ins (JVM, whole-stage codegen) —
+no Python in the hot path. Formulas are deliberately reproducible in
+ANSI-ish SQL so every operator has an exact DuckDB oracle twin.
+
+Scale notes (100 TB): every op here is embarrassingly parallel per-row
+(narrow, no shuffle); they pipeline with the parquet scan and prune to
+the ``text`` column only.
+"""
+
+from __future__ import annotations
+
+from functools import reduce
+
+from pyspark.sql import Column
+from pyspark.sql import functions as F
+
+# Small per-language stopword sets (public common words). The heuristic is
+# the classic stopword-hit-rate detector; on real corpora accuracy comes
+# from bigger lists — the operator contract (deterministic argmax with
+# alphabetical tie-break) is what the oracle verifies.
+LANG_STOPWORDS: dict[str, list[str]] = {
+    "de": ["der", "die", "das", "und", "ist", "nicht", "ein", "mit"],
+    "en": ["the", "a", "of", "and", "to", "in", "is", "it"],
+    "es": ["el", "la", "los", "y", "es", "de", "que", "un"],
+    "fr": ["le", "la", "les", "et", "est", "de", "que", "un"],
+}
+
+
+def tokens(text: Column | str) -> Column:
+    """Whitespace tokenization (trim first so trailing blanks don't emit
+    empty tokens)."""
+    c = F.col(text) if isinstance(text, str) else text
+    return F.split(F.trim(c), r"\s+")
+
+
+def token_count(text: Column | str) -> Column:
+    return F.size(tokens(text))
+
+
+def word_token_count(text: Column | str) -> Column:
+    """BPE-ish word/punctuation token count: count of maximal runs of
+    word chars or single punctuation marks (the usual pre-tokenizer
+    approximation)."""
+    c = F.col(text) if isinstance(text, str) else text
+    return F.size(
+        F.filter(
+            F.split(F.regexp_replace(F.trim(c), r"([^\w\s])", r" $1 "), r"\s+"),
+            lambda t: t != "",
+        )
+    )
+
+
+def stopword_hits(text: Column | str, words: list[str]) -> Column:
+    """Number of tokens that are stopwords (duplicates count)."""
+    return F.size(F.filter(tokens(text), lambda t: F.lower(t).isin(words)))
+
+
+def quality_score(text: Column | str) -> Column:
+    """Composite quality score in [0,1]:
+    0.25*min(1, n_tokens/64) + 0.25*unique_token_ratio +
+    0.25*(1 - punct_char_ratio) + 0.25*min(1, 4*stopword_ratio).
+
+    The usual length / repetition / punctuation / naturalness signals
+    (cf. C4/Gopher-style filters) with an exactly SQL-reproducible form.
+    """
+    c = F.col(text) if isinstance(text, str) else text
+    toks = tokens(c)
+    n = F.size(toks).cast("double")
+    uniq = F.size(F.array_distinct(toks)).cast("double")
+    punct = (
+        F.length(F.regexp_replace(c, r"[\w\s]", "")).cast("double")
+        / F.greatest(F.length(c).cast("double"), F.lit(1.0))
+    )
+    stop = stopword_hits(c, LANG_STOPWORDS["en"]).cast("double") / F.greatest(
+        n, F.lit(1.0)
+    )
+    return (
+        0.25 * F.least(F.lit(1.0), n / F.lit(64.0))
+        + 0.25 * (uniq / F.greatest(n, F.lit(1.0)))
+        + 0.25 * (F.lit(1.0) - punct)
+        + 0.25 * F.least(F.lit(1.0), 4.0 * stop)
+    )
+
+
+def lang_id(text: Column | str) -> Column:
+    """Stopword-hit-rate language ID over ``LANG_STOPWORDS``; returns the
+    language with the most hits, alphabetical on ties, 'und'
+    (undetermined) when nothing hits."""
+    c = F.col(text) if isinstance(text, str) else text
+    hits = {lang: stopword_hits(c, ws) for lang, ws in LANG_STOPWORDS.items()}
+    best = reduce(
+        lambda acc, lang: F.when(
+            hits[lang] > acc["h"],
+            F.struct(F.lit(lang).alias("l"), hits[lang].alias("h")),
+        ).otherwise(acc),
+        sorted(hits),  # alphabetical scan order ⇒ ties keep the earlier lang
+        F.struct(F.lit("und").alias("l"), F.lit(0).alias("h")),
+    )
+    return best["l"]
+
+
+def normalize_text(text: Column | str) -> Column:
+    """Lowercase + collapse whitespace — canonical form for hashing."""
+    c = F.col(text) if isinstance(text, str) else text
+    return F.regexp_replace(F.lower(F.trim(c)), r"\s+", " ")
+
+
+def fingerprint(text: Column | str) -> Column:
+    """Document fingerprint = md5 of the normalized text (exact-hash)."""
+    return F.md5(normalize_text(text))
+
+
+def rolling_fingerprint(text: Column | str, k: int = 5) -> Column:
+    """Content-defined fingerprint robust to local edits: the MINIMUM md5
+    over all ``k``-word shingles (a 1-permutation MinHash). Two documents
+    sharing their rarest shingle collide — the rolling-hash winnowing
+    idea in one aggregate."""
+    sh = shingles(text, k)
+    return F.array_min(F.transform(sh, F.md5))
+
+
+def shingles(text: Column | str, k: int = 3) -> Column:
+    """All ``k``-word shingles (space-joined token windows), as an array;
+    empty array when the document has fewer than ``k`` tokens."""
+    toks = tokens(text)
+    n = F.size(toks)
+    idx = F.when(n >= k, F.sequence(F.lit(1), n - (k - 1))).otherwise(
+        F.array().cast("array<int>")
+    )
+    return F.transform(idx, lambda i: F.concat_ws(" ", F.slice(toks, i, k)))

@@ -1,0 +1,68 @@
+"""Extension-operator tests beyond the oracle gate: IVF recall vs the
+exact baseline, SimHash banding guarantees, multimodal stub contract."""
+
+from __future__ import annotations
+
+import hashlib
+import zlib
+
+import pytest
+from pyspark.sql import functions as F
+
+from emr_hudi_example_spark.operators import multimodal as MM
+from emr_hudi_example_spark.operators import similarity as S
+from emr_hudi_example_spark.operators.dedup import simhash_near_pairs
+
+SF = "/root/testdata/sf0.01"
+
+
+def test_ivf_recall_vs_bruteforce(spark):
+    emb = spark.read.parquet(f"{SF}/embeddings.parquet")
+    queries = emb.filter(F.col("vec_id") % 50 == 0)
+    centroids = emb.filter(F.col("vec_id") % 37 == 0)
+    exact = S.cosine_topk(emb, queries, k=5)
+    approx = S.ivf_cosine_topk(emb, queries, centroids, k=5, nprobe=3)
+    e = {(r["query_id"], r["neighbor_id"]) for r in exact.collect()}
+    a = {(r["query_id"], r["neighbor_id"]) for r in approx.collect()}
+    recall = len(e & a) / len(e)
+    # random 64-d embeddings are a worst case for IVF; still expect
+    # a solid fraction of true neighbors from 3/14 cells probed
+    assert recall >= 0.3, f"recall {recall:.2f}"
+    # every query answered with a full k list
+    assert approx.groupBy("query_id").count().agg(
+        F.min("count")
+    ).collect()[0][0] == 5
+
+
+def test_simhash_banding_finds_identical_docs(spark):
+    docs = spark.read.parquet(f"{SF}/documents.parquet").limit(50)
+    # duplicate a doc under a new id — hamming 0 must be found
+    dup = docs.filter(F.col("doc_id") == 0).withColumn(
+        "doc_id", F.lit(100000).cast("long")
+    )
+    pairs = simhash_near_pairs(docs.unionByName(dup), max_hamming=3)
+    got = {(r["id_a"], r["id_b"], r["hamming"]) for r in pairs.collect()}
+    assert (0, 100000, 0) in got
+
+
+def test_multimodal_stub_contract(spark):
+    docs = spark.read.parquet(f"{SF}/documents.parquet").limit(20)
+    mm = MM.attach_binary_content(docs)
+    assert dict(mm.dtypes)["content"] == "binary"
+    feats = MM.decode_features(mm).collect()
+    texts = {r["doc_id"]: r["text"] for r in docs.collect()}
+    for r in feats:
+        raw = texts[r["doc_id"]].encode("utf-8")
+        assert r["n_bytes"] == len(raw)
+        assert r["sha256"] == hashlib.sha256(raw).hexdigest()
+        assert r["crc32"] == (zlib.crc32(raw) & 0xFFFFFFFF)
+        assert abs(r["fake_mean_luma"] - sum(raw) / len(raw) / 255.0) < 1e-12
+    with pytest.raises(NotImplementedError):
+        MM.decode_image_stub(b"\x89PNG")
+
+
+def test_embedding_near_dup_symmetric_bound(spark):
+    emb = spark.read.parquet(f"{SF}/embeddings.parquet")
+    pairs = S.embedding_near_dup_pairs(emb, threshold=0.8)
+    rows = pairs.collect()
+    assert all(r["id_a"] < r["id_b"] and r["cos"] >= 0.8 for r in rows)

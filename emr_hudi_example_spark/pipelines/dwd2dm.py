@@ -53,10 +53,14 @@ def dm_increment(
     (None when the slice was empty)."""
     inc = dwd.incremental(begin, end)
     inc_agg = inc.groupBy(*group_cols).agg(F.sum(value_col).alias(sum_alias))
-    if inc_agg.isEmpty():
-        return None
-    snapshot = dm.logical().select(*group_cols, sum_alias)
-    merged = delta_merge_running_agg(
-        inc_agg, snapshot, keys=group_cols, sum_col=sum_alias
-    ).withColumn("created_ts", created_ts_expr(created_ts_millis))
-    return dm.write(merged, op="upsert")
+    inc_agg.persist()  # M1 — reused by the empty-guard AND the merge
+    try:
+        if inc_agg.isEmpty():
+            return None
+        snapshot = dm.logical().select(*group_cols, sum_alias)
+        merged = delta_merge_running_agg(
+            inc_agg, snapshot, keys=group_cols, sum_col=sum_alias
+        ).withColumn("created_ts", created_ts_expr(created_ts_millis))
+        return dm.write(merged, op="upsert")
+    finally:
+        inc_agg.unpersist()

@@ -58,7 +58,11 @@ def dwd_increment(
         defaults=defaults,
     ).drop(dim_key)
     enriched = enriched.withColumn("created_ts", created_ts_expr(created_ts_millis))
-    if enriched.isEmpty():  # `if (df.count > 0)` guard, SRC/ODS2DWD.scala:64
-        return end
-    dwd.write(enriched, op="upsert")
+    enriched.persist()  # M1 — reused by the empty-guard AND the write
+    try:
+        if enriched.isEmpty():  # `if (df.count > 0)`, SRC/ODS2DWD.scala:64
+            return end
+        dwd.write(enriched, op="upsert")
+    finally:
+        enriched.unpersist()
     return end

@@ -17,10 +17,17 @@ from pyspark.sql import functions as F
 from emr_hudi_example_spark.catalog import load, query
 from emr_hudi_example_spark.catalog_lake import _tmp_base
 from emr_hudi_example_spark.cdc.canal import parse_canal_df
+from emr_hudi_example_spark.cdc.dms import DMS_ENVELOPE_SCHEMA
 from emr_hudi_example_spark.lake import LakeTable
+from emr_hudi_example_spark.operators.relational import pack_to_json
 from emr_hudi_example_spark.pipelines.bootstrap import bootstrap_parquet
 from emr_hudi_example_spark.pipelines.dwd2dm import dm_increment, dm_init
 from emr_hudi_example_spark.pipelines.log2lake import log2lake_batch
+from emr_hudi_example_spark.pipelines.multitable import (
+    TableRegistry,
+    TableSpec,
+    fanout_batch,
+)
 from emr_hudi_example_spark.pipelines.ods2dwd import dwd_increment, init_cursor
 
 
@@ -33,9 +40,21 @@ def _orders_batches(spark: SparkSession, sf_dir: str):
     return orders, b1, b2
 
 
+_MEDALLION_CACHE: dict[tuple[int, str], tuple] = {}
+
+
 def _run_medallion(spark: SparkSession, sf_dir: str):
     """ODS(orders) → DWD(customer-enriched) → DM(sum by segment), two
-    incremental ticks with pinned instants."""
+    incremental ticks with pinned instants.
+
+    Memoized per (session, sf_dir): the ods2dwd and dwd2dm end-state
+    queries both verify this one pipeline run, and the committed tables
+    are immutable once written — rerunning would only repeat identical
+    COW commits into a fresh tmp dir.
+    """
+    cache_key = (id(spark), sf_dir)
+    if cache_key in _MEDALLION_CACHE:
+        return _MEDALLION_CACHE[cache_key]
     base = _tmp_base()
     _orders, b1, b2 = _orders_batches(spark, sf_dir)
     cust = load(spark, sf_dir, "customer").select("c_custkey", "c_mktsegment")
@@ -65,6 +84,7 @@ def _run_medallion(spark: SparkSession, sf_dir: str):
         dwd, dm, dm_begin, None, ["c_mktsegment"], "o_totalprice",
         "price_sum", created_ts_millis=20,
     )
+    _MEDALLION_CACHE[cache_key] = (dwd, dm)
     return dwd, dm
 
 
@@ -164,6 +184,139 @@ def pipe_bootstrap_endstate(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     return t.logical().select(
         "c_custkey", "c_name", "c_mktsegment", "created_ts"
+    )
+
+
+@query(
+    "pipe_lake2stream_export",
+    oracle="""
+    SELECT '{"n_nationkey":' || n_nationkey || ',"n_name":"' || n_name ||
+           '","n_regionkey":' || n_regionkey || '}' AS value
+    FROM nation
+    """,
+)
+def pipe_lake2stream_export(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Hudi2MSK parity (K4/P4, SRC/Hudi2MSK.scala:39-50): lake snapshot →
+    meta-column strip → ``to_json(struct(cols...))`` single ``value``
+    column, the exact message shape written to the Kafka sink."""
+    nation = load(spark, sf_dir, "nation").withColumn(
+        "ver", F.lit(1).cast("long")
+    )
+    t = LakeTable(spark, _tmp_base(), "p", "nation", ["n_nationkey"], "ver")
+    t.write(nation, op="upsert", instant="001")
+    return pack_to_json(
+        t.logical().drop("ver"), ["n_nationkey", "n_name", "n_regionkey"]
+    )
+
+
+@query(
+    "pipe_multitable_fanout",
+    oracle="""
+    SELECT 'nation' AS tbl, n_nationkey AS k,
+           CASE WHEN n_nationkey % 5 = 0 THEN 'UPD' ELSE n_name END AS name
+    FROM nation
+    UNION ALL
+    SELECT 'region' AS tbl, r_regionkey AS k,
+           CASE WHEN r_regionkey = 0 THEN 'RUPD' ELSE r_name END AS name
+    FROM region
+    """,
+)
+def pipe_multitable_fanout(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Multi-table CDC fan-out (M4, SRC/package.scala:145-183): one
+    (topic, value) batch routed by topic into two pre-existing lake
+    tables, parsed schema-on-target, upserted with a larger precombine —
+    end-state returned as the union of both table snapshots."""
+    base = _tmp_base()
+    reg = TableRegistry(spark, base, "p")
+    reg.register("nation", TableSpec(["n_nationkey"]))
+    reg.register("region", TableSpec(["r_regionkey"]))
+    nation = load(spark, sf_dir, "nation")
+    region = load(spark, sf_dir, "region")
+    stamp = F.lit(1).cast("long")
+    reg.lake_table("nation").write(
+        nation.withColumn("created_ts", stamp), op="upsert", instant="001"
+    )
+    reg.lake_table("region").write(
+        region.withColumn("created_ts", stamp), op="upsert", instant="001"
+    )
+    upd_n = nation.filter(F.col("n_nationkey") % 5 == 0).select(
+        F.lit("kudu.nation").alias("topic"),
+        F.to_json(
+            F.struct(F.col("n_nationkey"), F.lit("UPD").alias("n_name"))
+        ).alias("value"),
+    )
+    upd_r = region.filter(F.col("r_regionkey") == 0).select(
+        F.lit("kudu.region").alias("topic"),
+        F.to_json(
+            F.struct(F.col("r_regionkey"), F.lit("RUPD").alias("r_name"))
+        ).alias("value"),
+    )
+    fanout_batch(upd_n.unionByName(upd_r), reg, created_ts_millis=5)
+    n_end = reg.lake_table("nation").snapshot().select(
+        F.lit("nation").alias("tbl"),
+        F.col("n_nationkey").alias("k"),
+        F.col("n_name").alias("name"),
+    )
+    r_end = reg.lake_table("region").snapshot().select(
+        F.lit("region").alias("tbl"),
+        F.col("r_regionkey").alias("k"),
+        F.col("r_name").alias("name"),
+    )
+    return n_end.unionByName(r_end)
+
+
+@query(
+    "pipe_cdc_dms_parse",
+    oracle="""
+    SELECT s_suppkey AS id, s_name AS user_name,
+           CAST((s_suppkey % 80) + 0.25 AS DECIMAL(4,2)) AS score,
+           CAST(s_suppkey + 0.75 AS DECIMAL(9,2)) AS money
+    FROM supplier
+    """,
+)
+def pipe_cdc_dms_parse(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """KDS2Hudi DMS-envelope parity (SRC/KDS2Hudi.scala:104-107):
+    ``from_json`` against the hand-declared 2-level struct schema
+    (decimals exercised), flatten ``data.*``, ``where data is not null``
+    drops control records."""
+    supp = load(spark, sf_dir, "supplier")
+    envelope = F.to_json(
+        F.struct(
+            F.struct(
+                F.col("s_suppkey").alias("id"),
+                F.col("s_name").alias("userName"),
+                ((F.col("s_suppkey") % 80) + 0.25)
+                .cast("decimal(4,2)")
+                .alias("score"),
+                (F.col("s_suppkey") + 0.75)
+                .cast("decimal(9,2)")
+                .alias("money"),
+            ).alias("data"),
+            F.struct(
+                F.lit(1).alias("operation"),
+                F.lit("data").alias("record-type"),
+                F.lit("taxi_order").alias("table-name"),
+            ).alias("metadata"),
+        )
+    )
+    good = supp.select(envelope.alias("jsonData"))
+    # DMS control records carry no data block — must be dropped by F4
+    control = spark.createDataFrame(
+        [('{"metadata":{"operation":0,"record-type":"control"}}',)],
+        "jsonData STRING",
+    )
+    parsed = good.unionByName(control).select(
+        F.from_json("jsonData", DMS_ENVELOPE_SCHEMA).alias("taxi_order_cdc")
+    )
+    return (
+        parsed.where(F.col("taxi_order_cdc.data").isNotNull())
+        .select("taxi_order_cdc.data.*")
+        .select(
+            "id",
+            F.col("userName").alias("user_name"),
+            "score",
+            "money",
+        )
     )
 
 

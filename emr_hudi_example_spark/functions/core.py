@@ -85,3 +85,19 @@ def pk_not_null_filter_sql(keys: list[str]) -> str:
     """Same predicate as the SQL string the reference builds
     (SRC/package.scala:185-188) — kept for SQL-string call sites."""
     return " and ".join(f"{k} is not null" for k in keys)
+
+
+def ensure_parallelism(df, min_partitions: int | None = None):
+    """Widen a too-narrow input to the session's parallelism.
+
+    Small/single-file inputs (the sf-fixture case) plan ONE scan
+    partition, serializing every downstream map — the explode +
+    hash-family work of the dedup operators would run on one core. A
+    corpus-scale scan already yields many partitions, so this is a no-op
+    (no shuffle) exactly when shuffling would be expensive.
+    """
+    sc = df.sparkSession.sparkContext
+    want = min_partitions or sc.defaultParallelism
+    if df.rdd.getNumPartitions() < want:
+        return df.repartition(want)
+    return df

@@ -23,6 +23,7 @@ from __future__ import annotations
 from pyspark.sql import Column, DataFrame
 from pyspark.sql import functions as F
 
+from emr_hudi_example_spark.functions.core import ensure_parallelism
 from emr_hudi_example_spark.operators.text import fingerprint, shingles
 
 
@@ -56,9 +57,12 @@ def minhash_signatures(
     k: int = 3,
 ) -> DataFrame:
     """Per-document MinHash signature: ``num_perm`` columns ``sig_i`` =
-    min over shingles of hash_i(shingle). One explode + one groupBy."""
-    sh = df.select(
-        F.col(id_col), F.explode(shingles(text_col, k)).alias("sh")
+    min over shingles of hash_i(shingle). One explode + one groupBy.
+    min() ignores duplicates, so the explode is over the DISTINCT
+    shingle set — fewer rows through the hash family."""
+    sh = ensure_parallelism(df.select(id_col, text_col)).select(
+        F.col(id_col),
+        F.explode(F.array_distinct(shingles(text_col, k))).alias("sh"),
     )
     aggs = [
         F.min(_perm_hash(F.col("sh"), i)).alias(f"sig_{i}")
@@ -130,7 +134,7 @@ def jaccard_verify(
     threshold: float = 0.5,
 ) -> DataFrame:
     """Exact shingle-set Jaccard for candidate pairs; keep ≥ threshold."""
-    sets_ = df.select(
+    sets_ = ensure_parallelism(df.select(id_col, text_col)).select(
         F.col(id_col),
         F.array_distinct(shingles(text_col, k)).alias("sh_set"),
     )
@@ -187,8 +191,9 @@ def ngram_jaccard_pairs(
     then exact verification."""
     # no persist: both join sides come from one shuffle — Catalyst's
     # ReusedExchange dedupes the work; caching only adds materialization
-    sh = df.select(
-        F.col(id_col), F.explode(F.array_distinct(shingles(text_col, k))).alias("sh")
+    sh = ensure_parallelism(df.select(id_col, text_col)).select(
+        F.col(id_col),
+        F.explode(F.array_distinct(shingles(text_col, k))).alias("sh"),
     )
     pairs = (
         sh.alias("a")
@@ -217,7 +222,9 @@ def simhash(
     (duplicates weighted). Returns (id, simhash as long)."""
     from emr_hudi_example_spark.operators.text import tokens
 
-    tok = df.select(F.col(id_col), F.explode(tokens(text_col)).alias("t"))
+    tok = ensure_parallelism(df.select(id_col, text_col)).select(
+        F.col(id_col), F.explode(tokens(text_col)).alias("t")
+    )
     h = F.conv(F.substring(F.md5("t"), 1, 8), 16, 10).cast("long")
     votes = tok.groupBy(id_col).agg(
         *[

@@ -252,6 +252,29 @@ class LakeTable:
             cond = cond & (F.col(COMMIT_TIME_COL) <= end)
         return df.filter(cond)
 
+    def stream(self) -> DataFrame:
+        """Structured-Streaming view over the commit log — the Spark-first
+        re-platforming of the reference's hand-rolled poll loop
+        (``SRC/ODS2DWD.scala:43-69``; SURVEY.md §2.9 T5): each commit's
+        data files land under ``data/<instant>/`` and arrive as new
+        micro-batches via the file-stream source (``recursiveFileLookup``
+        skips the hive-style layout dirs; partition values are duplicated
+        into data columns by design).
+
+        Delivery is per-FILE at-least-once: a COW rewrite re-emits the
+        carried-over rows of the rewritten file, but those keep their
+        ORIGINAL ``_commit_time``, so a consumer holding a commit cursor
+        recovers exact increments with the same ``(begin, end]`` filter
+        the incremental read uses — e.g. inside ``foreachBatch``::
+
+            batch.filter(F.col("_commit_time") > cursor)
+        """
+        return (
+            self.spark.readStream.schema(self._stored_schema())
+            .option("recursiveFileLookup", "true")
+            .parquet(self.data_dir)
+        )
+
     def logical(self, df: DataFrame | None = None) -> DataFrame:
         """Strip meta columns — ``SRC/package.scala:166-168``."""
         return (df if df is not None else self.snapshot()).drop(*META_COLS)
@@ -363,25 +386,27 @@ class LakeTable:
     # ------------------------------------------------------------ internals
 
     def _align_schema(self, batch: DataFrame) -> DataFrame:
-        """Schema evolution on write: missing columns → null (the
-        reference gets this implicitly from ``from_json`` against the
-        target schema, ``SRC/cdc/CanalParser.scala:44-46``); new columns
-        are rejected (COW rewrite of history is out of scope)."""
+        """Schema evolution on write, Hudi-style additive semantics:
+        batch columns missing from the table → null (the reference gets
+        this implicitly from ``from_json`` against the target schema,
+        ``SRC/cdc/CanalParser.scala:44-46``); NEW batch columns widen the
+        table schema — they are appended after the stored fields, the
+        commit's manifest records the widened schema, and older data
+        files (which lack the column) read back as null. No history
+        rewrite: evolution is metadata-only, exactly the COW-cheap path.
+        """
         stored = self._stored_schema()
         stored_names = [f.name for f in stored.fields]
-        extra = [c for c in batch.columns if c not in stored_names]
-        if extra:
-            raise ValueError(
-                f"batch has columns not in table schema: {extra}; "
-                "evolve the table explicitly first"
-            )
+        batch_fields = {f.name: f for f in batch.schema.fields}
         cols = []
-        batch_cols = set(batch.columns)
         for f in stored.fields:
-            if f.name in batch_cols:
+            if f.name in batch_fields:
                 cols.append(F.col(f.name).cast(f.dataType).alias(f.name))
             else:
                 cols.append(F.lit(None).cast(f.dataType).alias(f.name))
+        for c in batch.columns:  # additive evolution, batch order
+            if c not in stored_names:
+                cols.append(F.col(c))
         return batch.select(*cols)
 
     def _affected_files(self, batch: DataFrame) -> tuple[list[dict], DataFrame]:
@@ -424,7 +449,9 @@ class LakeTable:
         is_new desc). Handles intra-batch duplicates in the same pass."""
         old = old.withColumn("_is_new", F.lit(0))
         new = batch.withColumn("_is_new", F.lit(1))
-        union = old.unionByName(new)
+        # allowMissingColumns: under additive schema evolution the stored
+        # rows lack the batch's new columns — they union in as null
+        union = old.unionByName(new, allowMissingColumns=True)
         part_cols = (
             [RECORD_KEY_COL]
             if self.global_index

@@ -222,10 +222,70 @@ def test_schema_align_missing_and_extra(spark, tmp_path):
     t.write(partial, op="upsert", instant="002")
     rows = t.snapshot().filter(F.col("c_custkey") <= 3).collect()
     assert all(r["c_name"] is None for r in rows)
-    # extra column → explicit error
-    extra = b.withColumn("brand_new", F.lit(1))
-    with pytest.raises(ValueError, match="not in table schema"):
-        t.write(extra, op="upsert", instant="003")
+
+
+def test_schema_evolution_additive(spark, tmp_path):
+    """New batch columns widen the table (Hudi-style additive evolution):
+    appended after stored fields, null for pre-evolution rows/files."""
+    t = make_table(spark, tmp_path)
+    t.write(cust(spark, ver=1), op="upsert", instant="001")
+    evolved = (
+        cust(spark, ver=2)
+        .filter(F.col("c_custkey") <= 3)
+        .withColumn("brand_new", F.col("c_custkey") * 10)
+    )
+    t.write(evolved, op="upsert", instant="002")
+    snap = t.snapshot()
+    assert snap.columns[-len(META_COLS) - 1] != "brand_new"  # meta stamped after
+    assert "brand_new" in snap.columns
+    got = {r["c_custkey"]: r["brand_new"] for r in snap.collect()}
+    assert got[0] == 0 and got[1] == 10 and got[3] == 30
+    assert all(v is None for k, v in got.items() if k > 3)
+    # untouched old files (carried by manifest reference) also read as null
+    inc = t.incremental("001", "002")
+    assert {r["c_custkey"] for r in inc.collect()} == {0, 1, 2, 3}
+    # a later batch WITHOUT the column → null (missing-column path)
+    t.write(
+        cust(spark, ver=3).filter(F.col("c_custkey") == 1),
+        op="upsert", instant="003",
+    )
+    r1 = t.snapshot().filter(F.col("c_custkey") == 1).collect()[0]
+    assert r1["brand_new"] is None and r1["ver"] == 3
+
+
+def test_stream_commit_log(spark, tmp_path):
+    """T5 re-platformed: Structured Streaming over the commit log; a
+    cursor filter inside foreachBatch recovers exact increments."""
+    t = make_table(spark, tmp_path)
+    t.write(cust(spark, ver=1), op="upsert", instant="001")
+
+    seen: list[tuple] = []
+
+    def sink(batch, _id):
+        rows = batch.filter(F.col(COMMIT_TIME_COL) > "001").collect()
+        seen.extend((r["c_custkey"], r["ver"], r[COMMIT_TIME_COL]) for r in rows)
+
+    q = (
+        t.stream()
+        .writeStream.option(
+            "checkpointLocation", str(tmp_path / "_ckpt")
+        )
+        .foreachBatch(sink)
+        .start()
+    )
+    try:
+        q.processAllAvailable()
+        n_initial = len(seen)
+        assert n_initial == 0  # everything so far is commit 001
+        t.write(
+            cust(spark, ver=2).filter(F.col("c_custkey") <= 2),
+            op="upsert", instant="002",
+        )
+        q.processAllAvailable()
+    finally:
+        q.stop()
+        q.awaitTermination()
+    assert sorted(seen) == [(0, 2, "002"), (1, 2, "002"), (2, 2, "002")]
 
 
 def test_pk_null_rows_filtered(spark, tmp_path):

@@ -64,7 +64,7 @@ from __future__ import annotations
 import json
 import os
 import shutil
-from urllib.parse import unquote
+from urllib.parse import unquote, urlparse
 
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
@@ -412,35 +412,65 @@ class LakeTable:
     def _affected_files(self, batch: DataFrame) -> tuple[list[dict], DataFrame]:
         """Files that must be rewritten for this batch, plus their rows.
 
-        Default: partitions present in the batch (driver-side manifest
-        pruning on collected distinct partition paths — small by
-        construction). Global index: additionally partitions currently
-        holding any batch key, found with a column-pruned key scan — the
-        engine's GLOBAL_BLOOM analog (``SRC/Log2Hudi.scala:78-79``).
+        Two-level pruning — the engine's bloom-index analog
+        (``SRC/Log2Hudi.scala:78-79``):
+
+        1. **Partition pruning** (driver-side, manifest-only): candidate
+           files are those in partitions present in the batch; under the
+           global index every live file is a candidate (a key may move
+           from any partition).
+        2. **File targeting** (column-pruned key scan): among candidates,
+           only files actually CONTAINING a batch key are rewritten — a
+           semi-join of ``(_metadata.file_path, key)`` against the
+           batch's distinct keys. Candidate files with no key hit are
+           carried over by manifest reference, so COW write
+           amplification scales with keys touched, not partition size.
         """
         live = self._live_files()
-        if not self.partition_keys:
-            # unpartitioned: every row lives in partition "" — skip the
-            # distinct-collect job entirely
-            return live, self._read_files([f["path"] for f in live])
-        batch_pps = {
-            r[0] for r in batch.select(PARTITION_PATH_COL).distinct().collect()
+        if self.partition_keys and not self.global_index:
+            batch_pps = {
+                r[0]
+                for r in batch.select(PARTITION_PATH_COL).distinct().collect()
+            }
+            candidates = [f for f in live if f["partition_path"] in batch_pps]
+        else:
+            # unpartitioned table (single "" partition) or global index
+            candidates = live
+        if len(candidates) > 1:
+            candidates = self._key_hit_files(candidates, batch)
+        return candidates, self._read_files([f["path"] for f in candidates])
+
+    def _key_hit_files(
+        self, candidates: list[dict], batch: DataFrame
+    ) -> list[dict]:
+        """File targeting: scan candidate files for key columns only and
+        keep files holding at least one batch key."""
+        join_cols = (
+            [RECORD_KEY_COL]
+            if self.global_index
+            else [PARTITION_PATH_COL, RECORD_KEY_COL]
+        )
+        scan = self._read_files([f["path"] for f in candidates]).select(
+            F.col("_metadata.file_path").alias("_fp"), *join_cols
+        )
+        hits = (
+            scan.join(batch.select(*join_cols).distinct(), join_cols, "left_semi")
+            .select("_fp")
+            .distinct()
+            .collect()
+        )
+        # _metadata.file_path is an absolute URI; manifest paths are
+        # table-relative — compare on the filesystem path
+        hit_paths = {
+            urlparse(r[0]).path if "://" in r[0] or r[0].startswith("file:")
+            else r[0]
+            for r in hits
         }
-        affected_pps = set(batch_pps)
-        if self.global_index and self.partition_keys:
-            all_live = self._read_files([f["path"] for f in live])
-            key_scan = all_live.select(RECORD_KEY_COL, PARTITION_PATH_COL)
-            hit = (
-                key_scan.join(
-                    batch.select(RECORD_KEY_COL).distinct(), RECORD_KEY_COL, "left_semi"
-                )
-                .select(PARTITION_PATH_COL)
-                .distinct()
-                .collect()
-            )
-            affected_pps |= {r[0] for r in hit}
-        affected = [f for f in live if f["partition_path"] in affected_pps]
-        return affected, self._read_files([f["path"] for f in affected])
+        return [
+            f
+            for f in candidates
+            if os.path.abspath(os.path.join(self.path, f["path"])) in hit_paths
+        ]
 
     def _merge(self, old: DataFrame, batch: DataFrame) -> DataFrame:
         """Larger-precombine-wins merge, ties → incoming row — exactly

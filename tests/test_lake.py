@@ -288,6 +288,34 @@ def test_stream_commit_log(spark, tmp_path):
     assert sorted(seen) == [(0, 2, "002"), (1, 2, "002"), (2, 2, "002")]
 
 
+def test_upsert_file_level_targeting(spark, tmp_path):
+    """COW rewrites only the FILES containing a batch key; other files in
+    the same partition survive by manifest reference (bloom-index analog)."""
+    t = make_table(spark, tmp_path)
+    lo = cust(spark, ver=1).filter(F.col("c_custkey") < 10)
+    hi = cust(spark, ver=1).filter(F.col("c_custkey") >= 100)
+    t.write(lo, op="insert", instant="001")
+    t.write(hi, op="insert", instant="002")
+    lo_files = {f["path"] for f in t._manifest("001")["added"]}
+    hi_files = {f["path"] for f in t._manifest("002")["added"]}
+
+    one = cust(spark, ver=2).filter(F.col("c_custkey") == 5)
+    t.write(one, op="upsert", instant="003")
+    m = t._manifest("003")
+    assert set(m["replaced"]) <= lo_files  # only key-hit files rewritten
+    assert hi_files <= {f["path"] for f in m["live_files"]}  # carried over
+    snap = t.snapshot()
+    assert snap.filter(F.col("c_custkey") == 5).collect()[0]["ver"] == 2
+    assert snap.count() == lo.count() + hi.count()
+
+    # delete targets files the same way
+    t.write(cust(spark, ver=3).filter(F.col("c_custkey") == 101),
+            op="delete", instant="004")
+    m4 = t._manifest("004")
+    assert set(m4["replaced"]) <= hi_files  # lo-side files untouched
+    assert t.snapshot().count() == lo.count() + hi.count() - 1
+
+
 def test_pk_null_rows_filtered(spark, tmp_path):
     t = make_table(spark, tmp_path)
     b = cust(spark, ver=1).withColumn(

@@ -554,6 +554,52 @@ class LakeTable:
             json.dump(manifest, fh)
         os.replace(tmp, os.path.join(self.commits_dir, instant + ".json"))
 
+    # ----------------------------------------------------------- compaction
+
+    def compact(
+        self,
+        instant: str | None = None,
+        target_files_per_partition: int = 1,
+    ) -> str | None:
+        """Small-file squashing as a commit — the COW engine's analog of
+        the reference's MOR compaction knobs (``HudiConfig.scala:21-23``,
+        ``SRC/conf/Config.scala:23-24``; SURVEY.md §4 "expose compaction
+        as commit-log/file squashing").
+
+        Rewrites ALL live files into ~``target_files_per_partition``
+        files per partition. Rows keep their original ``_commit_time``,
+        so snapshot results are unchanged and incremental reads stay
+        exact: in-range original files are replaced (not live at the
+        range end → skipped), the compacted files carry the rows, and
+        the ``(begin, end]`` row filter keeps each row exactly once.
+        """
+        if not self.exists():
+            return None
+        inst = self._next_instant(instant)
+        live = self._live_files()
+        df = self._read_files([f["path"] for f in live])
+        if self.partition_keys:
+            parts = max(
+                1,
+                target_files_per_partition
+                * len({f["partition_path"] for f in live}),
+            )
+            df = df.repartition(
+                parts, *[F.col(k) for k in self.partition_keys]
+            )
+        else:
+            df = df.coalesce(target_files_per_partition)
+        added = self._write_data_files(df, inst)
+        self._write_manifest(
+            inst,
+            "compact",
+            self._stored_schema(),
+            added,
+            sorted(f["path"] for f in live),
+            added,
+        )
+        return inst
+
     # -------------------------------------------------------------- cleaner
 
     def clean(self, retain_commits: int = 2) -> list[str]:

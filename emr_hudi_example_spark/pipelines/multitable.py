@@ -106,3 +106,58 @@ def fanout_batch(
         target.write(rows, op="upsert")  # PK filter inside write
         written.append(table_name)
     return written
+
+
+def apply_changes_batch(
+    parsed: DataFrame,
+    registry: TableRegistry,
+    created_ts_millis: int | None = None,
+) -> list[tuple[str, str]]:
+    """Route a parsed Canal change batch (database, table,
+    operation_type, row_json — the output of
+    ``cdc.canal.parse_canal_df``) into lake tables by operation:
+    insert→insert, upsert→upsert, delete→delete (the HudiOP mapping,
+    ``SRC/cdc/CanalParser.scala:11-13``). The reference never wires its
+    Canal parser into an entry point (SURVEY.md §0); this is that last
+    mile on the engine's writer.
+
+    Ops apply per table in insert → upsert → delete order within the
+    batch (cross-op ordering inside one micro-batch is not defined by
+    the envelope; the precombine stamp arbitrates replays, exactly as
+    the reference's upsert-only paths do). Returns (table, op) pairs
+    applied.
+    """
+    combos = [
+        (r["table"], r["operation_type"])
+        for r in parsed.select("table", "operation_type").distinct().collect()
+    ]
+    op_order = {"insert": 0, "upsert": 1, "delete": 2}
+    applied: list[tuple[str, str]] = []
+    for table_name, op in sorted(
+        combos, key=lambda c: (c[0], op_order.get(c[1], 9))
+    ):
+        target = registry.lake_table(table_name)
+        schema = target.logical().schema
+        # Canal serializes every column value as a STRING
+        # (List[Map[String,String]], SRC/cdc/model/CanalDataModel.scala:6)
+        # — parse the row as a string map and cast to the target types
+        rows = (
+            parsed.filter(
+                (F.col("table") == table_name)
+                & (F.col("operation_type") == op)
+            )
+            .select(
+                F.from_json("row_json", "MAP<STRING,STRING>").alias("m")
+            )
+            .select(
+                *[
+                    F.col("m")[f.name].cast(f.dataType).alias(f.name)
+                    for f in schema.fields
+                    if f.name != "created_ts"
+                ]
+            )
+            .withColumn("created_ts", created_ts_expr(created_ts_millis))
+        )
+        target.write(rows, op=op)
+        applied.append((table_name, op))
+    return applied

@@ -348,3 +348,27 @@ def test_commit_point_is_manifest(spark, tmp_path):
     assert not any(
         f.endswith(".parquet") for _r, _d, fs in os.walk(orphan_dir) for f in fs
     )
+
+
+def test_compact_squashes_files_preserving_semantics(spark, tmp_path):
+    """Compaction rewrites live files into fewer; snapshot identical,
+    incremental ranges still exact (rows keep their _commit_time)."""
+    t = make_table(spark, tmp_path)
+    for i, inst in enumerate(["001", "002", "003"]):
+        t.write(
+            cust(spark, ver=i + 1).filter(F.col("c_custkey") % 3 == i),
+            op="insert", instant=inst,
+        )
+    before = {(r["c_custkey"], r["ver"]) for r in t.snapshot().collect()}
+    n_files_before = len(t._live_files())
+    t.compact(instant="004")
+    assert len(t._live_files()) < n_files_before
+    assert {(r["c_custkey"], r["ver"]) for r in t.snapshot().collect()} == before
+    # incremental over a range spanning the compaction: exactly commit 002+003 rows
+    inc = t.incremental("001", "004")
+    assert {r["ver"] for r in inc.collect()} == {2, 3}
+    assert inc.count() == len([1 for k, v in before if v in (2, 3)])
+    # compaction + cleaner: old files become unreferenced and removable
+    deleted = t.clean(retain_commits=1)
+    assert deleted
+    assert {(r["c_custkey"], r["ver"]) for r in t.snapshot().collect()} == before

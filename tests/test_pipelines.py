@@ -263,3 +263,43 @@ def test_dms_envelope_parse(spark):
     assert str(row["startLatitude"]) == "31.2304001"
     assert row["tbl"] == "taxi_order"
     assert dict(parsed.dtypes)["money"] == "decimal(9,2)"
+
+
+def test_cdc_apply_changes_routes_ops(spark, tmp_path):
+    """Canal parse → lake: INSERT/UPDATE/DELETE envelopes land as
+    insert/upsert/delete on the target table."""
+    from emr_hudi_example_spark.cdc.canal import parse_canal_df
+    from emr_hudi_example_spark.pipelines.multitable import (
+        TableRegistry, TableSpec, apply_changes_batch,
+    )
+
+    reg = TableRegistry(spark, str(tmp_path), "db")
+    reg.register("nation", TableSpec(["n_nationkey"]))
+    nation = spark.read.parquet(f"{SF}/nation.parquet")
+    reg.lake_table("nation").write(
+        nation.withColumn("created_ts", F.lit(1).cast("long")),
+        op="upsert", instant="001",
+    )
+    envs = [
+        json.dumps({"table": "nation", "type": "INSERT", "database": "d",
+                    "isDdl": False,
+                    "data": [{"n_nationkey": "990", "n_name": "NEW"}]}),
+        json.dumps({"table": "nation", "type": "UPDATE", "database": "d",
+                    "isDdl": False,
+                    "data": [{"n_nationkey": "0", "n_name": "UPDATED"}]}),
+        json.dumps({"table": "nation", "type": "DELETE", "database": "d",
+                    "isDdl": False,
+                    "data": [{"n_nationkey": "1", "n_name": "x"}]}),
+        json.dumps({"table": "nation", "type": "ALTER", "isDdl": True,
+                    "database": "d", "data": []}),
+    ]
+    parsed = parse_canal_df(spark.createDataFrame([(e,) for e in envs],
+                                                  "value STRING"))
+    applied = apply_changes_batch(parsed, reg, created_ts_millis=9)
+    assert applied == [("nation", "insert"), ("nation", "upsert"),
+                       ("nation", "delete")]
+    snap = reg.lake_table("nation").snapshot()
+    assert snap.count() == nation.count()  # +1 insert, -1 delete
+    assert snap.filter(F.col("n_nationkey") == 990).collect()[0]["n_name"] == "NEW"
+    assert snap.filter(F.col("n_nationkey") == 0).collect()[0]["n_name"] == "UPDATED"
+    assert snap.filter(F.col("n_nationkey") == 1).count() == 0

@@ -359,12 +359,56 @@ def sim_cosine_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     return S.cosine_topk(emb, queries, k=5)
 
 
-@query("sim_ivf_topk", oracle=None)
+def _dot_sql(x: str, y: str) -> str:
+    return (
+        f"list_sum([ ({x}.embedding[i]::DOUBLE) * ({y}.embedding[i]::DOUBLE) "
+        f"FOR i IN range(1, len({x}.embedding)+1) ])"
+    )
+
+
+_IVF_ORACLE = f"""
+    WITH v AS (SELECT vec_id, embedding, {_NORM_SQL} AS nrm FROM embeddings),
+    cen AS (SELECT vec_id AS cell_id, embedding, nrm FROM v
+            WHERE vec_id % 37 = 0),
+    q AS (SELECT * FROM v WHERE vec_id % 50 = 0),
+    corpus_cells AS (
+      SELECT vec_id, cell_id FROM (
+        SELECT a.vec_id, b.cell_id,
+               row_number() OVER (PARTITION BY a.vec_id
+                 ORDER BY {_dot_sql('a', 'b')} / (a.nrm * b.nrm) DESC,
+                          b.cell_id) AS rn
+        FROM v a CROSS JOIN cen b) WHERE rn = 1),
+    query_cells AS (
+      SELECT vec_id, cell_id FROM (
+        SELECT a.vec_id, b.cell_id,
+               row_number() OVER (PARTITION BY a.vec_id
+                 ORDER BY {_dot_sql('a', 'b')} / (a.nrm * b.nrm) DESC,
+                          b.cell_id) AS rn
+        FROM q a CROSS JOIN cen b) WHERE rn <= 3),
+    scored AS (
+      SELECT DISTINCT q.vec_id AS query_id, c.vec_id AS neighbor_id,
+             {_dot_sql('q', 'c')} / (q.nrm * c.nrm) AS cos
+      FROM q
+      JOIN query_cells qc ON qc.vec_id = q.vec_id
+      JOIN corpus_cells cc ON cc.cell_id = qc.cell_id
+      JOIN v c ON c.vec_id = cc.vec_id AND c.vec_id != q.vec_id),
+    ranked AS (
+      SELECT query_id, neighbor_id, cos,
+             CAST(row_number() OVER (PARTITION BY query_id
+               ORDER BY cos DESC, neighbor_id) AS INT) AS rank
+      FROM scored)
+    SELECT query_id, neighbor_id, round(cos, 6) AS cos, rank
+    FROM ranked WHERE rank <= 5
+    """
+
+
+@query("sim_ivf_topk", oracle=_IVF_ORACLE)
 def sim_ivf_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     """IVF-bucketed approximate top-5 (centroids = vec_id % 37 = 0,
     nprobe=3) — the scale path: candidate generation restricted to
-    nprobe/n_cells of the corpus. Rows-only driver check; exactness vs
-    the brute-force baseline is covered by the recall pytest."""
+    nprobe/n_cells of the corpus. Deterministic assignment + probe ⇒
+    exact oracle; recall vs the brute-force baseline is additionally
+    covered by the recall pytest."""
     emb = load(spark, sf_dir, "embeddings")
     queries = emb.filter(F.col("vec_id") % 50 == 0)
     centroids = emb.filter(F.col("vec_id") % 37 == 0)

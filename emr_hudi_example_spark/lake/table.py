@@ -64,6 +64,7 @@ from __future__ import annotations
 import json
 import os
 import shutil
+from contextlib import contextmanager
 from urllib.parse import unquote, urlparse
 
 from pyspark.sql import DataFrame, SparkSession
@@ -289,14 +290,42 @@ class LakeTable:
     ) -> str:
         """The generic writer — engine analog of ``writeHudiTable``
         (``SRC/package.scala:15-81``). ``op`` ∈ {insert, bulk_insert,
-        upsert, delete}. Returns the committed instant."""
-        if op in ("insert", "bulk_insert"):
-            return self._commit_insert(df, instant)
-        if op == "upsert":
-            return self._commit_upsert(df, instant)
-        if op == "delete":
-            return self._commit_delete(df, instant)
-        raise ValueError(f"unknown write op: {op}")
+        upsert, delete}. Returns the committed instant.
+
+        Held under a filesystem writer lock — the local-FS analog of the
+        reference's ZooKeeper OCC lock (``SRC/package.scala:38-47``,
+        ``HudiConfig.scala:50-56``): a second concurrent writer fails
+        fast instead of corrupting the timeline.
+        """
+        with self._writer_lock():
+            if op in ("insert", "bulk_insert"):
+                return self._commit_insert(df, instant)
+            if op == "upsert":
+                return self._commit_upsert(df, instant)
+            if op == "delete":
+                return self._commit_delete(df, instant)
+            raise ValueError(f"unknown write op: {op}")
+
+    @contextmanager
+    def _writer_lock(self):
+        """O_EXCL lock file under the table root; released on exit. A
+        crashed writer leaves a stale lock — surfaced in the error so an
+        operator can remove it (lazy failed-write cleaning is the
+        cleaner's job, matching the reference's LAZY policy)."""
+        os.makedirs(self.path, exist_ok=True)
+        lock = os.path.join(self.path, "_writer.lock")
+        try:
+            fd = os.open(lock, os.O_CREAT | os.O_EXCL | os.O_WRONLY)
+        except FileExistsError:
+            raise RuntimeError(
+                f"concurrent writer on {self.db}.{self.table} "
+                f"(lock held: {lock}; remove if stale)"
+            ) from None
+        try:
+            yield
+        finally:
+            os.close(fd)
+            os.unlink(lock)
 
     def _prepare_batch(self, df: DataFrame, instant: str) -> DataFrame:
         # PK-not-null gate, applied on every write path
@@ -575,6 +604,12 @@ class LakeTable:
         """
         if not self.exists():
             return None
+        with self._writer_lock():
+            return self._compact_locked(instant, target_files_per_partition)
+
+    def _compact_locked(
+        self, instant: str | None, target_files_per_partition: int
+    ) -> str:
         inst = self._next_instant(instant)
         live = self._live_files()
         df = self._read_files([f["path"] for f in live])

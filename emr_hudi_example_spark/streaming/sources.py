@@ -70,3 +70,37 @@ def drain(query: StreamingQuery) -> None:
     query.processAllAvailable()
     query.stop()
     query.awaitTermination()
+
+
+class BatchProgressListener:
+    """T4 — query/offset listener (``StreamingQueryListener``,
+    ``SRC/Log2Hudi.scala:40-48``): records per-batch progress
+    (query name, batch id, input rows) exactly like the reference's
+    onQueryProgress println. Attach with ``listener.attach(spark)``."""
+
+    def __init__(self) -> None:
+        from pyspark.sql.streaming import StreamingQueryListener
+
+        records = self.records = []
+
+        class _L(StreamingQueryListener):
+            def onQueryStarted(self, event) -> None:
+                pass
+
+            def onQueryProgress(self, event) -> None:
+                p = event.progress
+                records.append((p.name, p.batchId, p.numInputRows))
+
+            def onQueryIdle(self, event) -> None:
+                pass
+
+            def onQueryTerminated(self, event) -> None:
+                pass
+
+        self._listener = _L()
+
+    def attach(self, spark) -> None:
+        spark.streams.addListener(self._listener)
+
+    def detach(self, spark) -> None:
+        spark.streams.removeListener(self._listener)

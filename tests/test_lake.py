@@ -372,3 +372,17 @@ def test_compact_squashes_files_preserving_semantics(spark, tmp_path):
     deleted = t.clean(retain_commits=1)
     assert deleted
     assert {(r["c_custkey"], r["ver"]) for r in t.snapshot().collect()} == before
+
+
+def test_writer_lock_blocks_second_writer(spark, tmp_path):
+    """OCC-lite: a held writer lock fails the second writer fast
+    (ZK-lock analog, SRC/package.scala:38-47)."""
+    t = make_table(spark, tmp_path)
+    t.write(cust(spark, ver=1), op="insert", instant="001")
+    lock = os.path.join(t.path, "_writer.lock")
+    open(lock, "w").close()  # simulate a concurrent writer holding it
+    with pytest.raises(RuntimeError, match="concurrent writer"):
+        t.write(cust(spark, ver=2), op="upsert", instant="002")
+    os.unlink(lock)
+    t.write(cust(spark, ver=2), op="upsert", instant="002")  # now fine
+    assert t.timeline() == ["001", "002"]

@@ -303,3 +303,37 @@ def test_cdc_apply_changes_routes_ops(spark, tmp_path):
     assert snap.filter(F.col("n_nationkey") == 990).collect()[0]["n_name"] == "NEW"
     assert snap.filter(F.col("n_nationkey") == 0).collect()[0]["n_name"] == "UPDATED"
     assert snap.filter(F.col("n_nationkey") == 1).count() == 0
+
+
+def test_streaming_progress_listener(spark, tmp_path):
+    """T4: StreamingQueryListener records per-batch progress."""
+    from emr_hudi_example_spark.streaming.sources import (
+        BatchProgressListener, drain, json_lines_stream, start_foreach_batch,
+    )
+
+    src = tmp_path / "src"
+    src.mkdir()
+    (src / "a.jsonl").write_text('{"x": 1}\n{"x": 2}\n')
+    listener = BatchProgressListener()
+    listener.attach(spark)
+    try:
+        got = []
+        q = start_foreach_batch(
+            json_lines_stream(spark, str(src)),
+            lambda b, _id: got.append(b.count()),
+            str(tmp_path / "ckpt"),
+            query_name="ListenerTest",
+        )
+        drain(q)
+        # listener events are delivered asynchronously
+        import time
+        for _ in range(40):
+            if any(n == "ListenerTest" and rows == 2
+                   for n, _b, rows in listener.records):
+                break
+            time.sleep(0.25)
+        assert any(n == "ListenerTest" and rows == 2
+                   for n, _b, rows in listener.records)
+        assert got == [2]
+    finally:
+        listener.detach(spark)

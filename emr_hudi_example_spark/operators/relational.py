@@ -165,3 +165,32 @@ def top_k_per_group(df: DataFrame, group_cols: list[str],
         .filter(F.col("_rk") <= k)
         .drop("_rk")
     )
+
+
+# ------------------------------------------------------- scale strategies
+
+def salted_equi_join(
+    left: DataFrame,
+    right: DataFrame,
+    key: str,
+    n_salt: int = 8,
+    how: str = "inner",
+) -> DataFrame:
+    """Skew-mitigating equi-join (manual salting; SURVEY.md §4 scale
+    notes). Left (skewed, large) rows get a uniform salt in ``[0,
+    n_salt)``; the right side is replicated once per salt; the join key
+    becomes ``(key, _salt)``, splitting each hot key's rows across
+    ``n_salt`` shuffle partitions. The result set is identical to the
+    unsalted join — only the physical distribution changes. AQE's
+    skew-join split handles most cases automatically; this is the
+    explicit strategy for when a single key exceeds what one task can
+    hold even post-split, at the cost of an ``n_salt``× replication of
+    the (small) right side.
+    """
+    salts = F.array(*[F.lit(i) for i in range(n_salt)])
+    left_s = left.withColumn(
+        "_salt", (F.rand(seed=7) * n_salt).cast("int")
+    )
+    right_s = right.withColumn("_salt", F.explode(salts))
+    out = left_s.join(right_s, [key, "_salt"], how)
+    return out.drop("_salt")

@@ -1,0 +1,57 @@
+"""Scale-strategy tests: manual skew salting (result-equivalence) and
+bucketed co-located joins (shuffle elimination) — the partitioning
+techniques the 100 TB design notes rely on."""
+
+from __future__ import annotations
+
+from pyspark.sql import functions as F
+
+from emr_hudi_example_spark.operators.relational import salted_equi_join
+
+SF = "/root/testdata/sf0.001"
+
+
+def test_salted_join_equals_plain_join(spark):
+    li = spark.read.parquet(f"{SF}/lineitem.parquet").withColumnRenamed(
+        "l_partkey", "p_partkey"
+    )
+    part = spark.read.parquet(f"{SF}/part.parquet").select(
+        "p_partkey", "p_brand"
+    )
+    plain = li.join(part, "p_partkey").groupBy("p_brand").count()
+    salted = salted_equi_join(li, part, "p_partkey").groupBy("p_brand").count()
+    assert sorted(map(tuple, plain.collect())) == sorted(
+        map(tuple, salted.collect())
+    )
+
+
+def test_bucketed_join_avoids_shuffle(spark, tmp_path):
+    """Two tables bucketed on the join key sort-merge-join with NO
+    shuffle exchange — the co-located-join path for repeated big joins."""
+    li = spark.read.parquet(f"{SF}/lineitem.parquet").select(
+        "l_orderkey", "l_quantity"
+    )
+    orders = spark.read.parquet(f"{SF}/orders.parquet").select(
+        "o_orderkey", "o_totalprice"
+    ).withColumnRenamed("o_orderkey", "l_orderkey")
+    for name, df in [("b_li", li), ("b_ord", orders)]:
+        spark.sql(f"DROP TABLE IF EXISTS {name}")
+        (
+            df.write.bucketBy(4, "l_orderkey")
+            .sortBy("l_orderkey")
+            .option("path", str(tmp_path / name))
+            .mode("overwrite")
+            .saveAsTable(name)
+        )
+    old_thresh = spark.conf.get("spark.sql.autoBroadcastJoinThreshold")
+    spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+    try:
+        joined = spark.table("b_li").join(spark.table("b_ord"), "l_orderkey")
+        plan = joined._jdf.queryExecution().executedPlan().toString()
+        assert "SortMergeJoin" in plan
+        assert "Exchange" not in plan  # bucketing co-locates both sides
+        assert joined.count() == li.count()
+    finally:
+        spark.conf.set("spark.sql.autoBroadcastJoinThreshold", old_thresh)
+        for name in ("b_li", "b_ord"):
+            spark.sql(f"DROP TABLE IF EXISTS {name}")

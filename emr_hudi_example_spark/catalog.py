@@ -30,6 +30,9 @@ ORACLE: dict[str, str] = {}
 def load(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
     try:  # fixture events.ts is TIMESTAMP(NANOS); ensure readable under any session
         spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+        # timestamp formatting must match the (TZ-naive) DuckDB oracle
+        # under ANY driver session, not just our UTC-pinned factory
+        spark.conf.set("spark.sql.session.timeZone", "UTC")
     except Exception:
         pass
     df = spark.read.parquet(f"{sf_dir}/{name}.parquet")

@@ -317,6 +317,43 @@ def p5_derived_partitions(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 # =========================================================================
+# Extension: event-time tumbling-window aggregation — the reference keeps
+# all stateful semantics in the keyed upsert (SURVEY.md §2.9 note); the
+# engine additionally exposes native windowed aggs (same operator drives
+# the watermarked streaming path, tested in tests/test_pipelines.py).
+# =========================================================================
+
+@query(
+    "a6_tumbling_window",
+    oracle="""
+    SELECT CAST(date_trunc('day', ts) AS TIMESTAMP) AS window_start, event_type,
+           count(*) AS n,
+           CAST(sum(CAST(value AS DECIMAL(38,4))) AS DECIMAL(38,4)) AS sum_value
+    FROM events GROUP BY 1, 2
+    """,
+)
+def a6_tumbling_window(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """1-day tumbling-window counts + sums per event type over event
+    time (``F.window`` — the same expression a watermarked stream uses)."""
+    events = load(spark, sf_dir, "events")
+    return (
+        events.groupBy(F.window("ts", "1 day"), "event_type")
+        .agg(
+            F.count(F.lit(1)).alias("n"),
+            F.sum(F.col("value").cast("decimal(38,4)"))
+            .cast("decimal(38,4)")
+            .alias("sum_value"),
+        )
+        .select(
+            F.col("window.start").alias("window_start"),
+            "event_type",
+            "n",
+            "sum_value",
+        )
+    )
+
+
+# =========================================================================
 # §2.4 F2/F3 — PK-not-null conjunction + equality filter
 # (SRC/package.scala:185-188, SRC/package.scala:158)
 # =========================================================================

@@ -337,3 +337,51 @@ def test_streaming_progress_listener(spark, tmp_path):
         assert got == [2]
     finally:
         listener.detach(spark)
+
+
+def test_watermarked_windowed_stream_matches_batch(spark, tmp_path):
+    """Event-time tumbling window + watermark on a stream produces the
+    same aggregate as the batch operator once the stream drains."""
+    events = spark.read.parquet(f"{SF}/events.parquet")
+    if dict(events.dtypes).get("ts") == "bigint":  # nanos-as-long fixture
+        events = events.withColumn(
+            "ts", F.timestamp_micros((F.col("ts") / 1000).cast("long"))
+        )
+    src = tmp_path / "stream_src"
+    events.select("event_id", "event_type", "ts").coalesce(1).write.parquet(
+        str(src)
+    )
+    stream = (
+        spark.readStream.schema("event_id LONG, event_type STRING, ts TIMESTAMP")
+        .parquet(str(src))
+        .withWatermark("ts", "1 hour")
+        .groupBy(F.window("ts", "1 day"), "event_type")
+        .agg(F.count(F.lit(1)).alias("n"))
+        .select(F.col("window.start").alias("ws"), "event_type", "n")
+    )
+    q = (
+        stream.writeStream.outputMode("complete")
+        .format("memory")
+        .queryName("win_agg")
+        .option("checkpointLocation", str(tmp_path / "ckpt"))
+        .start()
+    )
+    try:
+        q.processAllAvailable()
+    finally:
+        q.stop()
+        q.awaitTermination()
+    got = {
+        (r["ws"], r["event_type"]): r["n"]
+        for r in spark.table("win_agg").collect()
+    }
+    expected = {
+        (r["ws"], r["event_type"]): r["n"]
+        for r in events.groupBy(
+            F.window("ts", "1 day").alias("w"), "event_type"
+        )
+        .agg(F.count(F.lit(1)).alias("n"))
+        .select(F.col("w.start").alias("ws"), "event_type", "n")
+        .collect()
+    }
+    assert got == expected and len(got) > 0

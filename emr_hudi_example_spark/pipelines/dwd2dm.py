@@ -64,3 +64,38 @@ def dm_increment(
         return dm.write(merged, op="upsert")
     finally:
         inc_agg.unpersist()
+
+
+def run_dwd2dm_loop(
+    dwd: LakeTable,
+    dm: LakeTable,
+    group_cols: list[str],
+    value_col: str,
+    sum_alias: str,
+    interval_seconds: float = 30.0,
+    max_ticks: int | None = None,
+    created_ts_millis: int | None = None,
+) -> str | None:
+    """The DWD2DM poll loop (SRC/DWD2DM.scala:54-85): cursor from the
+    DM table, per tick aggregate the DWD delta and delta-merge into the
+    mart. NOTE the reference's own hazard (SURVEY.md §3.3): a replayed
+    slice double-adds — correctness rides on the cursor, which is why it
+    is re-read from the mart and advanced only after a successful tick."""
+    import time as _time
+
+    from emr_hudi_example_spark.pipelines.ods2dwd import init_cursor
+    from emr_hudi_example_spark.functions.core import now_instant
+
+    begin = init_cursor(dm)
+    ticks = 0
+    while max_ticks is None or ticks < max_ticks:
+        if interval_seconds:
+            _time.sleep(interval_seconds)
+        end = now_instant()
+        dm_increment(
+            dwd, dm, begin, end, group_cols, value_col, sum_alias,
+            created_ts_millis=created_ts_millis,
+        )
+        begin = end
+        ticks += 1
+    return begin

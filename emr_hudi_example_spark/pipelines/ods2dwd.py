@@ -66,3 +66,36 @@ def dwd_increment(
     finally:
         enriched.unpersist()
     return end
+
+
+def run_ods2dwd_loop(
+    ods: LakeTable,
+    dim_df,
+    dwd: LakeTable,
+    fact_key: str,
+    dim_key: str,
+    enrich_cols: dict[str, object] | None = None,
+    interval_seconds: float = 30.0,
+    max_ticks: int | None = None,
+    created_ts_millis: int | None = None,
+) -> str | None:
+    """The reference's poll loop itself (``while(true) { sleep; read
+    incremental; enrich; upsert; advance }``, SRC/ODS2DWD.scala:43-69),
+    with the cursor bootstrapped from DWD's ``max(_commit_time)`` —
+    restart-safe because the upsert is idempotent. ``max_ticks`` bounds
+    the loop for tests/schedulers (None = run forever, the reference's
+    behavior); returns the final cursor."""
+    import time as _time
+
+    begin = init_cursor(dwd)
+    ticks = 0
+    while max_ticks is None or ticks < max_ticks:
+        if interval_seconds:
+            _time.sleep(interval_seconds)
+        begin = dwd_increment(
+            ods, dim_df, dwd, begin=begin, end=now_instant(),
+            fact_key=fact_key, dim_key=dim_key, enrich_cols=enrich_cols,
+            created_ts_millis=created_ts_millis,
+        )
+        ticks += 1
+    return begin

@@ -385,3 +385,62 @@ def test_watermarked_windowed_stream_matches_batch(spark, tmp_path):
         .collect()
     }
     assert got == expected and len(got) > 0
+
+
+def test_poll_loop_runners_end_to_end(spark, tmp_path):
+    """T5 parity: the actual poll loops (cursor bootstrap → tick →
+    advance) converge DWD and DM to the full-table end-state under
+    wall-clock instants."""
+    import time
+    from emr_hudi_example_spark.pipelines.dwd2dm import dm_init, run_dwd2dm_loop
+    from emr_hudi_example_spark.pipelines.ods2dwd import run_ods2dwd_loop
+
+    nation = spark.read.parquet(f"{SF}/nation.parquet").withColumn(
+        "created_ts", F.lit(1).cast("long")
+    )
+    region = spark.read.parquet(f"{SF}/region.parquet").select(
+        "r_regionkey", "r_name"
+    )
+    ods = LakeTable(spark, str(tmp_path), "p", "ods", ["n_nationkey"],
+                    "created_ts")
+    dwd = LakeTable(spark, str(tmp_path), "p", "dwd", ["n_nationkey"],
+                    "created_ts")
+    dm = LakeTable(spark, str(tmp_path), "p", "dm", ["r_name"], "created_ts")
+
+    b1 = nation.filter(F.col("n_nationkey") % 2 == 0)
+    b2 = nation.filter(F.col("n_nationkey") % 2 == 1)
+    ods.write(b1, op="upsert")
+    time.sleep(0.01)
+    run_ods2dwd_loop(
+        ods, region, dwd, fact_key="n_regionkey", dim_key="r_regionkey",
+        enrich_cols={"r_name": "N/A"}, interval_seconds=0.01, max_ticks=1,
+        created_ts_millis=2,
+    )
+    dm_init(dwd, dm, ["r_name"], "n_nationkey", "key_sum",
+            created_ts_millis=3)
+    time.sleep(0.01)
+    ods.write(b2, op="upsert")
+    time.sleep(0.01)
+    run_ods2dwd_loop(
+        ods, region, dwd, fact_key="n_regionkey", dim_key="r_regionkey",
+        enrich_cols={"r_name": "N/A"}, interval_seconds=0.01, max_ticks=1,
+        created_ts_millis=4,
+    )
+    run_dwd2dm_loop(
+        dwd, dm, ["r_name"], "n_nationkey", "key_sum",
+        interval_seconds=0.01, max_ticks=1, created_ts_millis=5,
+    )
+    assert dwd.snapshot().count() == nation.count()
+    got = {
+        r["r_name"]: r["key_sum"] for r in dm.logical().collect()
+    }
+    expected = {
+        r["r_name"]: r["s"]
+        for r in nation.join(
+            region, nation.n_regionkey == region.r_regionkey, "left"
+        )
+        .groupBy("r_name")
+        .agg(F.sum("n_nationkey").alias("s"))
+        .collect()
+    }
+    assert got == expected

@@ -182,8 +182,10 @@ class LakeTable:
 
     # --------------------------------------------------------------- reads
 
-    def _read_files(self, files: list[str]) -> DataFrame:
-        schema = self._stored_schema()
+    def _read_files(
+        self, files: list[str], schema: T.StructType | None = None
+    ) -> DataFrame:
+        schema = schema or self._stored_schema()
         if not files:
             return self.spark.createDataFrame([], schema)
         paths = [os.path.join(self.path, f) for f in files]
@@ -196,13 +198,29 @@ class LakeTable:
             raise ValueError(f"table {self.db}.{self.table} does not exist")
         return T.StructType.fromJson(self._manifest(last)["schema"])
 
-    def snapshot(self, partition_filter: dict[str, object] | None = None) -> DataFrame:
+    def snapshot(
+        self,
+        partition_filter: dict[str, object] | None = None,
+        as_of: str | None = None,
+    ) -> DataFrame:
         """Latest-committed view (S3 semantics, ``SRC/ODS2DWD.scala:30-32``).
 
         ``partition_filter`` prunes files driver-side via the manifest
         before any scan (the 100 TB path) — e.g. ``{"logday": "20260813"}``.
+        ``as_of`` time-travels: the view as of the newest commit ≤ that
+        instant (Hudi's ``as.of.instant`` read), served purely from that
+        commit's manifest — old files must not have been cleaned yet.
         """
-        files = self._live_files()
+        schema = None
+        if as_of is not None:
+            past = [i for i in self.timeline() if i <= as_of]
+            if not past:
+                return self.spark.createDataFrame([], self._stored_schema())
+            m = self._manifest(past[-1])
+            files = m["live_files"]
+            schema = T.StructType.fromJson(m["schema"])  # as-of schema
+        else:
+            files = self._live_files()
         if partition_filter:
             want = {k: str(v) for k, v in partition_filter.items()}
             files = [
@@ -210,7 +228,7 @@ class LakeTable:
                 for f in files
                 if all(f["partition"].get(k) == v for k, v in want.items())
             ]
-        return self._read_files([f["path"] for f in files])
+        return self._read_files([f["path"] for f in files], schema)
 
     def read_optimized(self) -> DataFrame:
         """S5 — read-optimized view; for a COW table this IS the snapshot
@@ -583,12 +601,41 @@ class LakeTable:
             json.dump(manifest, fh)
         os.replace(tmp, os.path.join(self.commits_dir, instant + ".json"))
 
+    # ------------------------------------------------------------- restore
+
+    def restore(self, instant: str) -> list[str]:
+        """Roll the table back to ``instant`` (Hudi savepoint+restore
+        analog): commits after it are removed from the timeline and
+        their data files deleted. Single-writer operation, taken under
+        the writer lock. Returns the discarded instants."""
+        with self._writer_lock():
+            tl = self.timeline()
+            if instant not in tl:
+                raise ValueError(f"unknown instant {instant!r}")
+            doomed = [i for i in tl if i > instant]
+            keep_files = {
+                f["path"]
+                for i in tl
+                if i <= instant
+                for f in self._manifest(i)["live_files"]
+            }
+            for i in doomed:
+                for f in self._manifest(i)["added"]:
+                    if f["path"] in keep_files:
+                        continue
+                    full = os.path.join(self.path, f["path"])
+                    if os.path.exists(full):
+                        os.remove(full)
+                os.remove(os.path.join(self.commits_dir, i + ".json"))
+            return doomed
+
     # ----------------------------------------------------------- compaction
 
     def compact(
         self,
         instant: str | None = None,
         target_files_per_partition: int = 1,
+        sort_by: list[str] | None = None,
     ) -> str | None:
         """Small-file squashing as a commit — the COW engine's analog of
         the reference's MOR compaction knobs (``HudiConfig.scala:21-23``,
@@ -605,10 +652,15 @@ class LakeTable:
         if not self.exists():
             return None
         with self._writer_lock():
-            return self._compact_locked(instant, target_files_per_partition)
+            return self._compact_locked(
+                instant, target_files_per_partition, sort_by
+            )
 
     def _compact_locked(
-        self, instant: str | None, target_files_per_partition: int
+        self,
+        instant: str | None,
+        target_files_per_partition: int,
+        sort_by: list[str] | None = None,
     ) -> str:
         inst = self._next_instant(instant)
         live = self._live_files()
@@ -624,6 +676,11 @@ class LakeTable:
             )
         else:
             df = df.coalesce(target_files_per_partition)
+        if sort_by:
+            # clustering: sort within output files so parquet row-group
+            # min/max stats prune range/point predicates on these columns
+            # (Hudi clustering's sort-order analog)
+            df = df.sortWithinPartitions(*sort_by)
         added = self._write_data_files(df, inst)
         self._write_manifest(
             inst,

@@ -386,3 +386,61 @@ def test_writer_lock_blocks_second_writer(spark, tmp_path):
     os.unlink(lock)
     t.write(cust(spark, ver=2), op="upsert", instant="002")  # now fine
     assert t.timeline() == ["001", "002"]
+
+
+def test_time_travel_snapshot(spark, tmp_path):
+    """snapshot(as_of=...) serves the view at any past commit (Hudi
+    as.of.instant), including the pre-evolution schema."""
+    t = make_table(spark, tmp_path)
+    t.write(cust(spark, ver=1), op="upsert", instant="001")
+    t.write(
+        cust(spark, ver=2)
+        .filter(F.col("c_custkey") <= 5)
+        .withColumn("extra", F.lit("x")),
+        op="upsert", instant="002",
+    )
+    old = t.snapshot(as_of="001")
+    assert "extra" not in old.columns  # as-of schema, pre-evolution
+    assert old.filter(F.col("ver") == 2).count() == 0
+    assert old.count() == cust(spark).count()
+    # between commits resolves to the newest ≤ instant; before → empty
+    assert t.snapshot(as_of="0015").count() == cust(spark).count()
+    assert t.snapshot(as_of="000").count() == 0
+    now = t.snapshot()
+    assert now.filter(F.col("ver") == 2).count() == 6  # keys 0..5
+
+
+def test_restore_rolls_back_commits(spark, tmp_path):
+    t = make_table(spark, tmp_path)
+    t.write(cust(spark, ver=1), op="upsert", instant="001")
+    t.write(
+        cust(spark, ver=2).filter(F.col("c_custkey") <= 5),
+        op="upsert", instant="002",
+    )
+    t.write(cust(spark, ver=3).filter(F.col("c_custkey") == 0),
+            op="delete", instant="003")
+    doomed = t.restore("001")
+    assert doomed == ["002", "003"]
+    assert t.timeline() == ["001"]
+    snap = t.snapshot()
+    assert snap.count() == cust(spark).count()
+    assert snap.filter(F.col("ver") != 1).count() == 0
+    # table stays writable after restore
+    t.write(cust(spark, ver=4).filter(F.col("c_custkey") == 1),
+            op="upsert", instant="004")
+    assert t.snapshot().filter(F.col("ver") == 4).count() == 1
+
+
+def test_compact_sort_by_clusters_rows(spark, tmp_path):
+    t = make_table(spark, tmp_path)
+    t.write(cust(spark, ver=1), op="insert", instant="001")
+    t.write(cust(spark, ver=2), op="insert", instant="002")
+    t.compact(instant="003", sort_by=["c_custkey"])
+    # rows inside the (single) compacted file are key-ordered
+    import pyarrow.parquet as pq
+    path = [f["path"] for f in t._live_files()]
+    assert len(path) == 1
+    keys = pq.read_table(
+        os.path.join(t.path, path[0]), columns=["c_custkey"]
+    )["c_custkey"].to_pylist()
+    assert keys == sorted(keys)

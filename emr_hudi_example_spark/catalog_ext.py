@@ -330,6 +330,58 @@ def dedup_embedding_cosine(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+@query(
+    "curate_corpus",
+    oracle=f"""
+    WITH t AS (SELECT doc_id, text, {_TOKS} AS tk FROM documents),
+    m AS (
+      SELECT doc_id, text,
+             len(tk)::DOUBLE AS n,
+             len(list_distinct(tk))::DOUBLE AS uniq,
+             length(regexp_replace(text, '[\\w\\s]', '', 'g'))::DOUBLE
+               / greatest(length(text)::DOUBLE, 1.0) AS punct,
+             len(list_filter(tk, x -> list_contains([{_EN_STOPS}],
+               lower(x))))::DOUBLE / greatest(len(tk)::DOUBLE, 1.0) AS stop,
+             len(tk) AS n_tokens
+      FROM t),
+    scored AS (
+      SELECT doc_id, text, n_tokens,
+             round(0.25 * least(1.0, n / 64.0)
+                   + 0.25 * (uniq / greatest(n, 1.0))
+                   + 0.25 * (1.0 - punct)
+                   + 0.25 * least(1.0, 4.0 * stop), 6) AS quality
+      FROM m),
+    keep AS (
+      SELECT min(doc_id) AS doc_id
+      FROM documents
+      GROUP BY md5(regexp_replace(lower(trim(text)), '\\s+', ' ', 'g')))
+    SELECT s.doc_id, s.n_tokens, s.quality
+    FROM scored s JOIN keep k ON s.doc_id = k.doc_id
+    WHERE s.quality >= 0.6
+    """,
+)
+def curate_corpus(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """End-to-end corpus curation — the composite artifact a training-data
+    pipeline materializes: exact-dedup survivors (min doc_id per
+    normalized-text fingerprint) with quality ≥ 0.6, emitting the keep
+    list + per-doc stats. One scan feeds scoring and fingerprinting; the
+    dedup keep-set joins back as a semi-join on doc_id (AQE picks
+    broadcast when the keep list is small; at corpus scale it is a
+    shuffle semi-join — never force-broadcast a per-document set)."""
+    docs = load(spark, sf_dir, "documents")
+    keep = D.exact_dedup_groups(docs).select(
+        F.col("keep_id").alias("doc_id")
+    )
+    scored = docs.select(
+        "doc_id",
+        TX.token_count("text").alias("n_tokens"),
+        F.round(TX.quality_score("text"), 6).alias("quality"),
+    )
+    return scored.join(keep, "doc_id", "left_semi").filter(
+        F.col("quality") >= 0.6
+    )
+
+
 # ============================================================== similarity
 
 @query(

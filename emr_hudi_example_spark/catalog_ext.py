@@ -385,6 +385,26 @@ def curate_corpus(spark: SparkSession, sf_dir: str) -> DataFrame:
 # ============================================================== similarity
 
 @query(
+    "dedup_semantic_keep",
+    oracle=f"""
+    WITH v AS (SELECT vec_id, embedding, {_NORM_SQL} AS nrm FROM embeddings),
+    drop_ids AS (
+      SELECT DISTINCT b.vec_id AS vec_id
+      FROM v a JOIN v b ON a.vec_id < b.vec_id
+      WHERE {_VEC_DOT} / (a.nrm * b.nrm) >= 0.35)
+    SELECT vec_id FROM embeddings
+    WHERE vec_id NOT IN (SELECT vec_id FROM drop_ids)
+    """,
+)
+def dedup_semantic_keep(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Semantic-dedup keep list (SemDeDup-style greedy survivor rule)
+    over the embedding near-dup pairs at cos ≥ 0.35."""
+    return S.semantic_keep_list(
+        load(spark, sf_dir, "embeddings"), threshold=0.35
+    )
+
+
+@query(
     "sim_cosine_topk",
     oracle=f"""
     WITH v AS (SELECT vec_id, embedding, {_NORM_SQL} AS nrm FROM embeddings),

@@ -190,6 +190,25 @@ def ivf_cosine_topk(
     )
 
 
+def semantic_keep_list(
+    vectors: DataFrame,
+    threshold: float = 0.95,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """SemDeDup-style keep list: from the cosine near-dup pair set
+    (id_a < id_b, cos ≥ τ) greedily drop every ``id_b`` — each document
+    survives unless a lower-id near-duplicate exists. Deterministic
+    (no clustering iteration), one anti-join over the pair set; at
+    corpus scale the pair set is produced per LSH/IVF block and the
+    anti-join shuffles only ids."""
+    pairs = embedding_near_dup_pairs(
+        vectors, threshold=threshold, id_col=id_col, vec_col=vec_col
+    )
+    drop = pairs.select(F.col("id_b").alias(id_col)).distinct()
+    return vectors.select(id_col).join(drop, id_col, "left_anti")
+
+
 def embedding_near_dup_pairs(
     vectors: DataFrame,
     threshold: float = 0.95,

@@ -317,6 +317,39 @@ def p5_derived_partitions(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 # =========================================================================
+# §2.1 S9 + §2.3 P8 — temp-view registration + verbatim SQL-string ETL:
+# the reference expresses its transforms as SQL over registered views
+# (SRC/ODS2DWD.scala:32,58-62 — create view, then select w/ nvl joins).
+# =========================================================================
+
+@query(
+    "p8_sql_over_views",
+    oracle="""
+    SELECT l.l_orderkey, l.l_linenumber,
+           coalesce(p.p_brand, 'N/A') AS brand,
+           l.l_quantity AS quantity
+    FROM lineitem l LEFT JOIN part p ON l.l_partkey = p.p_partkey
+    """,
+)
+def p8_sql_over_views(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The reference's SQL-string path verbatim: register temp views
+    (S9), then run the enrichment SELECT through ``spark.sql`` with the
+    same ``nvl`` default — Catalyst parses/plans it identically to the
+    DataFrame twin (j1_dim_enrich)."""
+    load(spark, sf_dir, "lineitem").createOrReplaceTempView("lineitem_v")
+    load(spark, sf_dir, "part").createOrReplaceTempView("part_v")
+    return spark.sql(
+        """
+        SELECT i.l_orderkey, i.l_linenumber,
+               nvl(p.p_brand, 'N/A') AS brand,
+               i.l_quantity AS quantity
+        FROM lineitem_v i LEFT JOIN part_v p
+          ON i.l_partkey = p.p_partkey
+        """
+    )
+
+
+# =========================================================================
 # Extension: event-time tumbling-window aggregation — the reference keeps
 # all stateful semantics in the keyed upsert (SURVEY.md §2.9 note); the
 # engine additionally exposes native windowed aggs (same operator drives

@@ -128,19 +128,17 @@ def precombine_dedup(
     larger precombine wins). ``tiebreak`` columns make the result
     deterministic when precombine values collide.
 
-    Implemented as a window ``row_number`` so ties resolve by the full
-    ordering; a ``groupBy().agg(max_by(...))`` variant would be
-    shuffle-equivalent but non-deterministic on ties.
+    Hash aggregation (``max_by`` over the ``(precombine, *tiebreak)``
+    ordering struct), not a sort-window: partial map-side combine
+    collapses duplicates before the shuffle and no per-partition sort is
+    needed. With tiebreak columns the ordering struct is a total order,
+    so the result is exactly the window ``row_number``'s.
     """
-    order = [F.col(precombine).desc()] + [
-        F.col(c).desc() for c in (tiebreak or [])
-    ]
-    w = Window.partitionBy(*keys).orderBy(*order)
-    return (
-        df.withColumn("_rn", F.row_number().over(w))
-        .filter(F.col("_rn") == 1)
-        .drop("_rn")
+    order = F.struct(
+        F.col(precombine), *[F.col(c) for c in (tiebreak or [])]
     )
+    winner = F.max_by(F.struct(*df.columns), order).alias("_r")
+    return df.groupBy(*keys).agg(winner).select("_r.*")
 
 
 # ------------------------------------------------------------ limits / topk

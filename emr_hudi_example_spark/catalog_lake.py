@@ -144,6 +144,31 @@ def lake_global_index_move(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @query(
+    "lake_mor_upsert_snapshot",
+    oracle=f"""
+    WITH u AS ({_B1_SQL} UNION ALL {_B2_SQL})
+    SELECT c_custkey, c_name, c_acctbal, ver, _commit_time
+    FROM u
+    QUALIFY row_number() OVER (PARTITION BY c_custkey ORDER BY ver DESC) = 1
+    """,
+)
+def lake_mor_upsert_snapshot(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """MERGE_ON_READ upsert end-state (the reference's table type for
+    partitioned tables, SRC/package.scala:176): delta-append writes +
+    merge-at-read resolve to the SAME state as COW — verified against
+    the identical oracle as ``lake_upsert_snapshot``."""
+    t = LakeTable(
+        spark, _tmp_base(), "q", "morup", ["c_custkey"], "ver",
+        table_type="MERGE_ON_READ",
+    )
+    t.write(_batch1(spark, sf_dir), op="upsert", instant="001")
+    t.write(_batch2(spark, sf_dir), op="upsert", instant="002")
+    return t.snapshot().select(
+        "c_custkey", "c_name", "c_acctbal", "ver", "_commit_time"
+    )
+
+
+@query(
     "lake_insert_append",
     oracle="""
     WITH u AS (

@@ -76,6 +76,8 @@ from emr_hudi_example_spark.functions.core import now_instant, pk_not_null_condi
 COMMIT_TIME_COL = "_commit_time"
 RECORD_KEY_COL = "_record_key"
 PARTITION_PATH_COL = "_partition_path"
+#: MOR tombstone marker (delete delta records); never present in COW files
+DELETED_COL = "_deleted"
 META_COLS = [COMMIT_TIME_COL, RECORD_KEY_COL, PARTITION_PATH_COL]
 
 _PT_PREFIX = "__pt_"
@@ -101,7 +103,11 @@ class LakeTable:
         precombine: str,
         partition_keys: list[str] | None = None,
         global_index: bool = False,
+        table_type: str = "COPY_ON_WRITE",
+        inline_compact_deltas: int | None = None,
     ) -> None:
+        if table_type not in ("COPY_ON_WRITE", "MERGE_ON_READ"):
+            raise ValueError(f"unknown table type: {table_type}")
         self.spark = spark
         self.path = os.path.join(base_path, db, table)
         self.db = db
@@ -110,8 +116,19 @@ class LakeTable:
         self.precombine = precombine
         self.partition_keys = list(partition_keys or [])
         self.global_index = global_index
+        #: COW rewrites key-hit files per upsert; MOR appends delta files
+        #: and merges at read (the reference picks MOR for partitioned
+        #: tables, SRC/package.scala:176, SRC/MSK2Hudi.scala:42).
+        self.table_type = table_type
+        #: MOR inline compaction every N delta commits — the reference's
+        #: ``inlineMax`` knob (default 20, SRC/conf/Config.scala:24).
+        self.inline_compact_deltas = inline_compact_deltas
         self.commits_dir = os.path.join(self.path, "_commits")
         self.data_dir = os.path.join(self.path, "data")
+
+    @property
+    def is_mor(self) -> bool:
+        return self.table_type == "MERGE_ON_READ"
 
     # ------------------------------------------------------------ timeline
 
@@ -227,13 +244,20 @@ class LakeTable:
                 for f in files
                 if all(f["partition"].get(k) == v for k, v in want.items())
             ]
-        return self._read_files([f["path"] for f in files], schema)
+        out = self._read_files([f["path"] for f in files], schema)
+        if self.is_mor:
+            out = self._merged_read(out)
+        return out
 
     def read_optimized(self) -> DataFrame:
-        """S5 — read-optimized view; for a COW table this IS the snapshot
-        (the reference imports but never diverges from it,
-        ``SRC/MSK2Hudi.scala:5``)."""
-        return self.snapshot()
+        """S5 — read-optimized view (``SRC/MSK2Hudi.scala:5``): for COW
+        it IS the snapshot; for MOR it scans BASE files only (inserts +
+        compactions) with no delta merge — faster, possibly stale, the
+        real Hudi trade."""
+        if not self.is_mor:
+            return self.snapshot()
+        files = [f for f in self._live_files() if f.get("kind", "base") == "base"]
+        return self._read_files([f["path"] for f in files]).drop(DELETED_COL)
 
     def incremental(self, begin: str | None, end: str | None = None) -> DataFrame:
         """S4 — rows changed in ``(begin, end]`` by commit time
@@ -268,6 +292,11 @@ class LakeTable:
             cond = cond & (F.col(COMMIT_TIME_COL) > begin)
         if end is not None:
             cond = cond & (F.col(COMMIT_TIME_COL) <= end)
+        if self.is_mor and DELETED_COL in df.columns:
+            # incremental surfaces changed DATA rows; tombstones are not
+            # upserts (the reference's incremental reads see only those)
+            cond = cond & ~F.col(DELETED_COL)
+            return df.filter(cond).drop(DELETED_COL)
         return df.filter(cond)
 
     def stream(self) -> DataFrame:
@@ -348,7 +377,13 @@ class LakeTable:
         # PK-not-null gate, applied on every write path
         # (genPrimaryKeyFilter, SRC/package.scala:185-188).
         df = df.filter(pk_not_null_condition(self.record_keys))
-        return self._stamp(df.drop(*[c for c in META_COLS if c in df.columns]), instant)
+        out = self._stamp(
+            df.drop(*[c for c in META_COLS + [DELETED_COL] if c in df.columns]),
+            instant,
+        )
+        if self.is_mor:
+            out = out.withColumn(DELETED_COL, F.lit(False))
+        return out
 
     def _commit_insert(self, df: DataFrame, instant: str | None) -> str:
         """Append-only fast path (no key merge) — Hudi's ``insert`` op."""
@@ -356,7 +391,9 @@ class LakeTable:
         batch = self._prepare_batch(df, inst)
         if self.exists():
             batch = self._align_schema(batch)
-        added = self._write_data_files(batch, inst)
+        # MOR inserts land as BASE files (Hudi routes inserts to parquet
+        # base, only merges/deletes to the log)
+        added = self._write_data_files(batch, inst, kind="base")
         live = self._live_files() + added
         self._write_manifest(inst, "insert", batch.schema, added, [], live)
         return inst
@@ -364,6 +401,8 @@ class LakeTable:
     def _commit_upsert(self, df: DataFrame, instant: str | None) -> str:
         inst = self._next_instant(instant)
         batch = self._prepare_batch(df, inst)
+        if self.is_mor:
+            return self._commit_mor_append(batch, inst, "upsert")
         # M1 — persist around multi-action writes (SRC/package.scala:66,78)
         # when the batch feeds BOTH partition discovery and the merge;
         # unpartitioned tables evaluate it once, so caching is overhead.
@@ -403,6 +442,15 @@ class LakeTable:
         if not self.exists():
             raise ValueError("delete on non-existent table")
         inst = self._next_instant(instant)
+        if self.is_mor:
+            # tombstone delta: stored-schema row with _deleted=true; the
+            # read merge kills every data row committed before it
+            tomb = self._align_schema(
+                self._prepare_batch(df, inst).withColumn(
+                    DELETED_COL, F.lit(True)
+                )
+            )
+            return self._commit_mor_append(tomb, inst, "delete")
         keys = df.filter(pk_not_null_condition(self.record_keys))
         keys = self._stamp(keys, inst)
         keys.persist()  # M1 — reused for partition discovery + anti-join
@@ -428,6 +476,69 @@ class LakeTable:
         finally:
             keys.unpersist()
         return inst
+
+    def _commit_mor_append(
+        self, batch: DataFrame, inst: str, action: str
+    ) -> str:
+        """MOR write path: append delta files, zero rewrite — write cost
+        is O(batch), deferred to the read merge / compaction (the trade
+        the reference buys with MERGE_ON_READ, ``SRC/MSK2Hudi.scala:42``).
+        """
+        if self.exists():
+            batch = self._align_schema(batch)
+        added = self._write_data_files(batch, inst, kind="delta")
+        live = self._live_files() + added
+        self._write_manifest(inst, action, batch.schema, added, [], live)
+        if self.inline_compact_deltas is not None:
+            if self._delta_commits_since_compact() >= self.inline_compact_deltas:
+                self._compact_locked(None, 1)
+        return inst
+
+    def _delta_commits_since_compact(self) -> int:
+        n = 0
+        for i in reversed(self.timeline()):
+            if self._manifest(i)["action"] == "compact":
+                break
+            n += 1
+        return n
+
+    def _merged_read(self, df: DataFrame) -> DataFrame:
+        """MOR snapshot merge: newest surviving row per key. Data rows
+        committed before a key's newest tombstone are dead (matching the
+        COW delete-then-reinsert semantics exactly); among the live rows
+        the ``(precombine, _commit_time)`` max wins. Hash aggregations
+        with map-side partial combine — no sort."""
+        part_cols = (
+            [RECORD_KEY_COL]
+            if self.global_index
+            else [PARTITION_PATH_COL, RECORD_KEY_COL]
+        )
+        out_cols = [c for c in df.columns if c != DELETED_COL]
+        if DELETED_COL in df.columns:
+            is_tomb = F.coalesce(F.col(DELETED_COL), F.lit(False))
+            tombs = (
+                df.filter(is_tomb)
+                .groupBy(*part_cols)
+                .agg(F.max(COMMIT_TIME_COL).alias("_tomb_ct"))
+            )
+            df = (
+                df.filter(~is_tomb)
+                .join(tombs, part_cols, "left")
+                .filter(
+                    F.col("_tomb_ct").isNull()
+                    | (F.col(COMMIT_TIME_COL) > F.col("_tomb_ct"))
+                )
+                .drop("_tomb_ct")
+            )
+        winner = F.max_by(
+            F.struct(*df.columns),
+            F.struct(F.col(self.precombine), F.col(COMMIT_TIME_COL)),
+        ).alias("_r")
+        # the tombstone join moves its key columns to the front — restore
+        # the stored column order
+        return df.groupBy(*part_cols).agg(winner).select(
+            *[F.col(f"_r.{c}") for c in out_cols]
+        )
 
     # ------------------------------------------------------------ internals
 
@@ -551,10 +662,13 @@ class LakeTable:
             .drop("_is_new")
         )
 
-    def _write_data_files(self, df: DataFrame, instant: str) -> list[dict]:
+    def _write_data_files(
+        self, df: DataFrame, instant: str, kind: str = "base"
+    ) -> list[dict]:
         """Write one commit's data files under ``data/<instant>/`` with
         hive-style ``__pt_<col>=<val>`` layout; returns file records
-        (relative path + partition values) for the manifest."""
+        (relative path + partition values + kind base|delta) for the
+        manifest."""
         out_dir = os.path.join(self.data_dir, instant)
         writer = df
         pt_cols = []
@@ -581,7 +695,12 @@ class LakeTable:
                         partition[k] = unquote(v)
                 pp = "/".join(f"{k}={partition[k]}" for k in self.partition_keys) if partition else ""
                 added.append(
-                    {"path": rel, "partition": partition, "partition_path": pp}
+                    {
+                        "path": rel,
+                        "partition": partition,
+                        "partition_path": pp,
+                        "kind": kind,
+                    }
                 )
         return sorted(added, key=lambda f: f["path"])
 
@@ -673,6 +792,11 @@ class LakeTable:
         inst = self._next_instant(instant)
         live = self._live_files()
         df = self._read_files([f["path"] for f in live])
+        if self.is_mor:
+            # fold deltas + tombstones into fresh base files; the rows
+            # keep their _commit_time, the column set stays the stored
+            # schema (all-false _deleted) so later reads are uniform
+            df = self._merged_read(df).withColumn(DELETED_COL, F.lit(False))
         if self.partition_keys:
             parts = max(
                 1,
@@ -689,7 +813,7 @@ class LakeTable:
             # min/max stats prune range/point predicates on these columns
             # (Hudi clustering's sort-order analog)
             df = df.sortWithinPartitions(*sort_by)
-        added = self._write_data_files(df, inst)
+        added = self._write_data_files(df, inst)  # kind=base: folds deltas
         self._write_manifest(
             inst,
             "compact",

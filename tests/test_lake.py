@@ -444,3 +444,89 @@ def test_compact_sort_by_clusters_rows(spark, tmp_path):
         os.path.join(t.path, path[0]), columns=["c_custkey"]
     )["c_custkey"].to_pylist()
     assert keys == sorted(keys)
+
+
+def mor_table(spark, tmp, **kw):
+    return LakeTable(
+        spark, str(tmp), "testdb", "mor", record_keys=["c_custkey"],
+        precombine="ver", table_type="MERGE_ON_READ", **kw,
+    )
+
+
+def test_mor_upsert_matches_cow_semantics(spark, tmp_path):
+    """MOR delta-append upsert: snapshot merge gives the same end-state
+    as COW (larger precombine wins, later commit breaks ties)."""
+    t = mor_table(spark, tmp_path)
+    t.write(cust(spark, ver=1), op="upsert", instant="001")
+    upd = cust(spark, ver=2).filter(F.col("c_custkey") <= 10).withColumn(
+        "c_acctbal", F.lit(9999.0)
+    )
+    t.write(upd, op="upsert", instant="002")
+    stale = cust(spark, ver=0).filter(F.col("c_custkey") <= 10).withColumn(
+        "c_acctbal", F.lit(-1.0)
+    )
+    t.write(stale, op="upsert", instant="003")
+    snap = t.snapshot()
+    assert snap.count() == cust(spark).count()
+    assert snap.filter(F.col("c_acctbal") == 9999.0).count() == 11
+    assert snap.filter(F.col("c_acctbal") == -1.0).count() == 0
+    assert "_deleted" not in snap.columns
+    # no rewrite happened: every commit only ADDED files
+    for i in t.timeline():
+        assert t._manifest(i)["replaced"] == []
+
+
+def test_mor_delete_tombstone_and_resurrect(spark, tmp_path):
+    t = mor_table(spark, tmp_path)
+    t.write(cust(spark, ver=5), op="upsert", instant="001")
+    victims = cust(spark, ver=5).filter(F.col("c_custkey") <= 20)
+    t.write(victims, op="delete", instant="002")
+    snap = t.snapshot()
+    assert snap.filter(F.col("c_custkey") <= 20).count() == 0
+    assert snap.count() == cust(spark).count() - victims.count()
+    # late re-insert after the tombstone resurrects (even with lower ver)
+    t.write(
+        cust(spark, ver=1).filter(F.col("c_custkey") <= 3),
+        op="upsert", instant="003",
+    )
+    back = t.snapshot().filter(F.col("c_custkey") <= 3)
+    assert back.count() == 4 and {r["ver"] for r in back.collect()} == {1}
+    # incremental never surfaces tombstones
+    inc = t.incremental("001", "002")
+    assert inc.count() == 0
+
+
+def test_mor_read_optimized_vs_snapshot_and_compaction(spark, tmp_path):
+    t = mor_table(spark, tmp_path)
+    t.write(cust(spark, ver=1), op="insert", instant="001")  # base files
+    upd = cust(spark, ver=2).filter(F.col("c_custkey") <= 10).withColumn(
+        "c_name", F.lit("UPDATED")
+    )
+    t.write(upd, op="upsert", instant="002")  # delta
+    ro = t.read_optimized()
+    assert ro.filter(F.col("c_name") == "UPDATED").count() == 0  # stale base
+    assert t.snapshot().filter(F.col("c_name") == "UPDATED").count() == 11
+    t.compact(instant="003")
+    ro2 = t.read_optimized()
+    assert ro2.filter(F.col("c_name") == "UPDATED").count() == 11
+    assert sorted(map(tuple, ro2.collect())) == sorted(
+        map(tuple, t.snapshot().collect())
+    )
+
+
+def test_mor_inline_compaction_trigger(spark, tmp_path):
+    t = mor_table(spark, tmp_path, inline_compact_deltas=3)
+    t.write(cust(spark, ver=1), op="upsert", instant="001")
+    t.write(cust(spark, ver=2).filter(F.col("c_custkey") <= 5),
+            op="upsert", instant="002")
+    assert not any(
+        t._manifest(i)["action"] == "compact" for i in t.timeline()
+    )
+    t.write(cust(spark, ver=3).filter(F.col("c_custkey") <= 2),
+            op="upsert", instant="003")
+    assert any(t._manifest(i)["action"] == "compact" for i in t.timeline())
+    live = t._live_files()
+    assert all(f["kind"] == "base" for f in live)
+    snap = t.snapshot()
+    assert snap.count() == cust(spark).count()
+    assert snap.filter(F.col("ver") == 3).count() == 3

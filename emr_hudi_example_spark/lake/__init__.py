@@ -3,10 +3,12 @@ parquet with a commit timeline (snapshot + incremental reads)."""
 
 from emr_hudi_example_spark.lake.table import (
     COMMIT_TIME_COL,
+    DELETED_COL,
     META_COLS,
     PARTITION_PATH_COL,
     RECORD_KEY_COL,
     LakeTable,
+    reference_table_type,
 )
 
 __all__ = [
@@ -15,4 +17,6 @@ __all__ = [
     "COMMIT_TIME_COL",
     "RECORD_KEY_COL",
     "PARTITION_PATH_COL",
+    "DELETED_COL",
+    "reference_table_type",
 ]

@@ -83,6 +83,14 @@ META_COLS = [COMMIT_TIME_COL, RECORD_KEY_COL, PARTITION_PATH_COL]
 _PT_PREFIX = "__pt_"
 
 
+def reference_table_type(partition_keys: list[str] | None) -> str:
+    """The reference's dynamic storage-type rule
+    (``SRC/package.scala:176``, ``SRC/MSK2Hudi.scala:42``,
+    ``SRC/Hive2Hudi.scala:32``): COPY_ON_WRITE when unpartitioned,
+    MERGE_ON_READ when partitioned."""
+    return "MERGE_ON_READ" if partition_keys else "COPY_ON_WRITE"
+
+
 class LakeTable:
     """One lakehouse table. See module docstring for semantics.
 

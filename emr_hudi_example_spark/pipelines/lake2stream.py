@@ -23,3 +23,27 @@ def lake_to_json_lines(
     if coalesce:
         df = df.coalesce(coalesce)
     df.write.mode("overwrite").text(out_path)
+
+
+def run_lake2stream(
+    table: LakeTable,
+    out_path: str,
+    checkpoint_dir: str,
+    cols: list[str] | None = None,
+):
+    """Streaming export variant: commit-log stream → ``to_json`` message
+    per row → JSON-lines sink (on a cluster: ``format("kafka")`` with the
+    same ``value`` column). New commits flow to the sink continuously —
+    the streaming completion of the reference's one-shot Hudi2MSK."""
+    from emr_hudi_example_spark.lake.table import DELETED_COL, META_COLS
+
+    msgs = pack_to_json(
+        table.stream().drop(*META_COLS, DELETED_COL),
+        cols,
+    )
+    return (
+        msgs.writeStream.format("text")
+        .option("path", out_path)
+        .option("checkpointLocation", checkpoint_dir)
+        .start()
+    )

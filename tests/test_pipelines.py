@@ -444,3 +444,45 @@ def test_poll_loop_runners_end_to_end(spark, tmp_path):
         .collect()
     }
     assert got == expected
+
+
+def test_lake2stream_streaming_export(spark, tmp_path):
+    """Streaming Hudi2MSK: commits flow to the JSON sink as they land.
+    MOR table — delta appends mean each commit emits exactly its new
+    rows (a COW rewrite would re-emit carried rows, per LakeTable.stream
+    docs)."""
+    from emr_hudi_example_spark.pipelines.lake2stream import run_lake2stream
+
+    nation = spark.read.parquet(f"{SF}/nation.parquet")
+    t = LakeTable(spark, str(tmp_path), "db", "n", ["n_nationkey"], "v",
+                  table_type="MERGE_ON_READ")
+    t.write(nation.withColumn("v", F.lit(1).cast("long")), op="upsert",
+            instant="001")
+    out = str(tmp_path / "out")
+    q = run_lake2stream(t, out, str(tmp_path / "ckpt"),
+                        cols=["n_nationkey", "n_name"])
+    try:
+        q.processAllAvailable()
+        n1 = spark.read.json(out).count()
+        assert n1 == nation.count()
+        t.write(
+            nation.limit(3).withColumn("n_nationkey",
+                                       F.col("n_nationkey") + 1000)
+            .withColumn("v", F.lit(2).cast("long")),
+            op="upsert", instant="002",
+        )
+        q.processAllAvailable()
+    finally:
+        q.stop()
+        q.awaitTermination()
+    back = spark.read.json(out)
+    assert back.count() == nation.count() + 3
+    assert set(back.columns) == {"n_nationkey", "n_name"}
+
+
+def test_reference_table_type_rule():
+    from emr_hudi_example_spark.lake import reference_table_type
+
+    assert reference_table_type([]) == "COPY_ON_WRITE"
+    assert reference_table_type(None) == "COPY_ON_WRITE"
+    assert reference_table_type(["logday"]) == "MERGE_ON_READ"

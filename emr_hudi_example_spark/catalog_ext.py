@@ -14,6 +14,7 @@ from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
 from emr_hudi_example_spark.catalog import load, query
+from emr_hudi_example_spark.operators import corpus as C
 from emr_hudi_example_spark.operators import dedup as D
 from emr_hudi_example_spark.operators import multimodal as MM
 from emr_hudi_example_spark.operators import similarity as S
@@ -485,6 +486,59 @@ def sim_ivf_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     queries = emb.filter(F.col("vec_id") % 50 == 0)
     centroids = emb.filter(F.col("vec_id") % 37 == 0)
     return S.ivf_cosine_topk(emb, queries, centroids, k=5, nprobe=3)
+
+
+# ================================================================== corpus
+
+@query(
+    "corpus_hash_sample",
+    oracle="""
+    SELECT doc_id, lang FROM documents
+    WHERE CAST(concat('0x', substr(md5('s0:' || CAST(doc_id AS VARCHAR)), 1, 4))
+               AS BIGINT) * 100 < 10 * 65536
+    """,
+)
+def corpus_hash_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Deterministic ~10% corpus sample by id-hash bucket — stable under
+    any partitioning/cluster layout (no RNG state)."""
+    return C.hash_sample(
+        load(spark, sf_dir, "documents"), fraction_pct=10
+    ).select("doc_id", "lang")
+
+
+@query(
+    "corpus_vocab_topk",
+    oracle=f"""
+    WITH t AS (SELECT {_TOKS} AS tk FROM documents),
+    c AS (SELECT lower(unnest(tk)) AS token FROM t),
+    f AS (SELECT token, count(*) AS freq FROM c GROUP BY token)
+    SELECT token, freq,
+           CAST(row_number() OVER (ORDER BY freq DESC, token) AS INT) AS rank
+    FROM f QUALIFY rank <= 50
+    """,
+)
+def corpus_vocab_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Top-50 token vocabulary by corpus frequency (wordcount rollup:
+    map-side partial counts → one shuffle on token → window top-k)."""
+    return C.vocab_topk(load(spark, sf_dir, "documents"), k=50)
+
+
+@query(
+    "corpus_pack_sequences",
+    oracle=f"""
+    WITH t AS (SELECT doc_id, len({_TOKS}) AS n_tokens FROM documents)
+    SELECT doc_id, n_tokens,
+           CAST(floor(coalesce(sum(n_tokens) OVER (ORDER BY doc_id
+                 ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0)
+                 / 512) AS BIGINT) AS pack_id
+    FROM t
+    """,
+)
+def corpus_pack_sequences(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Sequence packing: docs in id order binned into ~512-token
+    training contexts via a running-token prefix sum."""
+    return C.pack_sequences(load(spark, sf_dir, "documents"),
+                            window_tokens=512)
 
 
 # ============================================================== multimodal

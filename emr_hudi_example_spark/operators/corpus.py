@@ -1,0 +1,94 @@
+"""Corpus-preparation operators for LLM training-data pipelines:
+deterministic sampling, vocabulary building, sequence packing.
+
+All pure built-in expressions (JVM, codegen) with exact DuckDB oracle
+twins; determinism comes from hashing/ordering on stable ids, never from
+RNG state.
+
+Scale notes (100 TB):
+- hash sampling is a narrow filter — pipelines with the scan, no shuffle,
+  and the SAME rows are selected on any cluster layout (hash of the id,
+  not of partition position).
+- vocab top-k: explode → per-token partial counts (map-side combine) →
+  one shuffle on token → global top-k via a single window over the
+  (small) aggregated table.
+- sequence packing orders by doc id and assigns each doc to the bin of
+  its running token count — a prefix-sum (one window over the sort key).
+  At corpus scale, run it per shard/partition key (the window becomes
+  per-shard) — bin boundaries then never cross shards, which is what a
+  real packer wants anyway for locality.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+from pyspark.sql.window import Window
+
+from emr_hudi_example_spark.operators.text import token_count, tokens
+
+
+def hash_sample(
+    df: DataFrame,
+    fraction_pct: int,
+    id_col: str = "doc_id",
+    salt: str = "s0",
+) -> DataFrame:
+    """Deterministic ~fraction_pct% sample: keep rows whose
+    md5(salt || id) falls in the lowest ``fraction_pct`` of the hash
+    space. Stable across runs/partitionings; change ``salt`` for an
+    independent draw."""
+    bucket = F.conv(
+        F.substring(F.md5(F.concat(F.lit(salt + ":"),
+                                   F.col(id_col).cast("string"))), 1, 4),
+        16, 10,
+    ).cast("long")  # 16 bits → 0..65535
+    return df.filter(bucket * 100 < F.lit(fraction_pct * 65536))
+
+
+def vocab_topk(
+    df: DataFrame,
+    k: int = 100,
+    text_col: str = "text",
+) -> DataFrame:
+    """Top-k lowercased tokens by corpus frequency (ties broken
+    alphabetically): the wordcount rollup every tokenizer-training /
+    corpus-stats pipeline runs."""
+    counts = (
+        df.select(F.explode(tokens(text_col)).alias("tok"))
+        .select(F.lower(F.col("tok")).alias("token"))
+        .groupBy("token")
+        .agg(F.count(F.lit(1)).alias("freq"))
+    )
+    w = Window.orderBy(F.col("freq").desc(), F.col("token").asc())
+    return (
+        counts.withColumn("rank", F.row_number().over(w))
+        .filter(F.col("rank") <= k)
+        .select("token", "freq", "rank")
+    )
+
+
+def pack_sequences(
+    df: DataFrame,
+    window_tokens: int = 512,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+) -> DataFrame:
+    """Assign docs to training-context bins: docs in ``id_col`` order,
+    each bin holds ~``window_tokens`` whitespace tokens; a doc lands in
+    bin ``floor(running_total_before_doc / window_tokens)``. Greedy
+    sequential packing, made deterministic (and SQL-expressible) by the
+    id ordering — the standard pre-tokenization packing pass."""
+    w = (
+        Window.orderBy(F.col(id_col))
+        .rowsBetween(Window.unboundedPreceding, -1)
+    )
+    n_tok = token_count(text_col)
+    return df.select(
+        F.col(id_col),
+        n_tok.alias("n_tokens"),
+        F.floor(
+            F.coalesce(F.sum(n_tok).over(w), F.lit(0))
+            / F.lit(window_tokens)
+        ).cast("long").alias("pack_id"),
+    )

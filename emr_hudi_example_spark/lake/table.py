@@ -133,6 +133,9 @@ class LakeTable:
         self.inline_compact_deltas = inline_compact_deltas
         self.commits_dir = os.path.join(self.path, "_commits")
         self.data_dir = os.path.join(self.path, "data")
+        #: observability: candidates dropped by key-range pruning in the
+        #: most recent upsert/delete planning pass
+        self.last_range_pruned = 0
 
     @property
     def is_mor(self) -> bool:
@@ -608,8 +611,25 @@ class LakeTable:
     def _key_hit_files(
         self, candidates: list[dict], batch: DataFrame
     ) -> list[dict]:
-        """File targeting: scan candidate files for key columns only and
-        keep files holding at least one batch key."""
+        """File targeting: range-prune candidates against the manifest's
+        per-file key stats (driver-side, no I/O), then scan the
+        survivors' key columns and keep files holding a batch key."""
+        lo, hi = (
+            batch.agg(
+                F.min(RECORD_KEY_COL), F.max(RECORD_KEY_COL)
+            ).collect()[0]
+        )
+        if lo is not None:
+            pruned = [
+                f
+                for f in candidates
+                if f.get("key_min") is None
+                or not (f["key_max"] < lo or f["key_min"] > hi)
+            ]
+            self.last_range_pruned = len(candidates) - len(pruned)
+            candidates = pruned
+            if not candidates:
+                return []
         join_cols = (
             [RECORD_KEY_COL]
             if self.global_index
@@ -702,15 +722,47 @@ class LakeTable:
                         k, v = seg[len(_PT_PREFIX):].split("=", 1)
                         partition[k] = unquote(v)
                 pp = "/".join(f"{k}={partition[k]}" for k in self.partition_keys) if partition else ""
+                kmin, kmax = self._footer_key_range(full)
                 added.append(
                     {
                         "path": rel,
                         "partition": partition,
                         "partition_path": pp,
                         "kind": kind,
+                        "key_min": kmin,
+                        "key_max": kmax,
                     }
                 )
         return sorted(added, key=lambda f: f["path"])
+
+    @staticmethod
+    def _footer_key_range(path: str) -> tuple[str | None, str | None]:
+        """Min/max of ``_record_key`` from the parquet FOOTER statistics
+        (no data read) — the engine's column-stats index, the analog of
+        what Hudi's metadata table stores per file. Stored in the
+        manifest so upsert/delete planning can range-prune candidate
+        files entirely driver-side."""
+        try:
+            import pyarrow.parquet as pq
+
+            md = pq.ParquetFile(path).metadata
+            idx = None
+            for i in range(md.num_columns):
+                if md.row_group(0).column(i).path_in_schema == RECORD_KEY_COL:
+                    idx = i
+                    break
+            if idx is None:
+                return None, None
+            mins, maxs = [], []
+            for rg in range(md.num_row_groups):
+                st = md.row_group(rg).column(idx).statistics
+                if st is None or not st.has_min_max:
+                    return None, None
+                mins.append(st.min)
+                maxs.append(st.max)
+            return min(mins), max(maxs)
+        except Exception:
+            return None, None  # stats are an optimization, never required
 
     def _write_manifest(
         self,

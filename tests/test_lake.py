@@ -530,3 +530,24 @@ def test_mor_inline_compaction_trigger(spark, tmp_path):
     snap = t.snapshot()
     assert snap.count() == cust(spark).count()
     assert snap.filter(F.col("ver") == 3).count() == 3
+
+
+def test_key_range_stats_prune_candidates(spark, tmp_path):
+    """Manifest key-range stats (from parquet footers) prune candidate
+    files driver-side before the key-hit scan."""
+    t = make_table(spark, tmp_path)
+    lo = cust(spark, ver=1).filter(F.col("c_custkey") < 10)
+    hi = cust(spark, ver=1).filter(F.col("c_custkey") >= 100)
+    t.write(lo, op="insert", instant="001")
+    t.write(hi, op="insert", instant="002")
+    for f in t._live_files():
+        assert f["key_min"] is not None and f["key_max"] >= f["key_min"]
+    # record key is the STRING form — probe keys 400..499 sort inside
+    # "100".."99" lexicographically? use 5 (< "10") to stay disjoint
+    t.write(cust(spark, ver=2).filter(F.col("c_custkey") == 0),
+            op="upsert", instant="003")
+    assert t.last_range_pruned >= 1  # the hi-range file never scanned
+    m = t._manifest("003")
+    lo_files = {f["path"] for f in t._manifest("001")["added"]}
+    assert set(m["replaced"]) <= lo_files
+    assert t.snapshot().filter(F.col("c_custkey") == 0).collect()[0]["ver"] == 2

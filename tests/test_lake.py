@@ -551,3 +551,42 @@ def test_key_range_stats_prune_candidates(spark, tmp_path):
     lo_files = {f["path"] for f in t._manifest("001")["added"]}
     assert set(m["replaced"]) <= lo_files
     assert t.snapshot().filter(F.col("c_custkey") == 0).collect()[0]["ver"] == 2
+
+
+def test_mor_schema_evolution_and_incremental(spark, tmp_path):
+    """MOR × additive evolution × incremental reads compose."""
+    t = mor_table(spark, tmp_path)
+    t.write(cust(spark, ver=1), op="upsert", instant="001")
+    evolved = (
+        cust(spark, ver=2).filter(F.col("c_custkey") <= 3)
+        .withColumn("tag", F.lit("NEW"))
+    )
+    t.write(evolved, op="upsert", instant="002")
+    snap = t.snapshot()
+    assert "tag" in snap.columns
+    got = {r["c_custkey"]: r["tag"] for r in snap.collect()}
+    assert got[0] == "NEW" and all(
+        v is None for k, v in got.items() if k > 3
+    )
+    inc = t.incremental("001", "002")
+    assert inc.count() == 4 and {r["tag"] for r in inc.collect()} == {"NEW"}
+    # compaction folds deltas, evolution survives
+    t.compact(instant="003")
+    snap2 = t.snapshot()
+    assert {r["c_custkey"]: r["tag"] for r in snap2.collect()} == got
+    assert all(f["kind"] == "base" for f in t._live_files())
+
+
+def test_restore_after_compact(spark, tmp_path):
+    """Restore to a pre-compaction instant resurrects the delta layout."""
+    t = mor_table(spark, tmp_path)
+    t.write(cust(spark, ver=1), op="upsert", instant="001")
+    t.write(cust(spark, ver=2).filter(F.col("c_custkey") <= 5),
+            op="upsert", instant="002")
+    before = sorted(map(tuple, t.snapshot().collect()))
+    t.compact(instant="003")
+    assert t.restore("002") == ["003"]
+    assert sorted(map(tuple, t.snapshot().collect())) == before
+    # cleaner keeps everything still referenced
+    t.clean(retain_commits=2)
+    assert sorted(map(tuple, t.snapshot().collect())) == before

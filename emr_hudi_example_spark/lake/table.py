@@ -191,15 +191,30 @@ class LakeTable:
         key_expr = F.concat_ws(
             ",", *[F.col(k).cast("string") for k in self.record_keys]
         )
-        if self.partition_keys:
+        present = set(df.columns)
+        if self.partition_keys and not (
+            self.global_index
+            and any(k not in present for k in self.partition_keys)
+        ):
+            # null partition values must stamp the same segment Spark's
+            # partitionBy writes on disk (__HIVE_DEFAULT_PARTITION__), or
+            # partition pruning would never match those files
             pp_expr = F.concat_ws(
                 "/",
                 *[
-                    F.concat(F.lit(k + "="), F.col(k).cast("string"))
+                    F.concat(
+                        F.lit(k + "="),
+                        F.coalesce(
+                            F.col(k).cast("string"),
+                            F.lit("__HIVE_DEFAULT_PARTITION__"),
+                        ),
+                    )
                     for k in self.partition_keys
                 ],
             )
         else:
+            # unpartitioned, or a global-index key-only batch (deletes
+            # need just the record key — the merge ignores partitions)
             pp_expr = F.lit("")
         return (
             df.withColumn(COMMIT_TIME_COL, F.lit(instant))
@@ -280,6 +295,21 @@ class LakeTable:
         that COW rewrites copied into those files.
         """
         tl = self.timeline()
+        arch = os.path.join(self.commits_dir, "_archived")
+        if (
+            os.path.isdir(arch)
+            and os.listdir(arch)
+            and tl
+            and (begin is None or begin < tl[0])
+        ):
+            # commits before the archival horizon are no longer in the
+            # active timeline; serving a partial increment would silently
+            # drop their rows — fail like Hudi does and point at snapshot
+            raise ValueError(
+                f"incremental range starts before the archived horizon "
+                f"(first active instant {tl[0]!r}); use snapshot() or a "
+                f"begin >= {tl[0]!r}"
+            )
         in_range = [
             i for i in tl if (begin is None or i > begin) and (end is None or i <= end)
         ]
@@ -303,11 +333,11 @@ class LakeTable:
             cond = cond & (F.col(COMMIT_TIME_COL) > begin)
         if end is not None:
             cond = cond & (F.col(COMMIT_TIME_COL) <= end)
-        if self.is_mor and DELETED_COL in df.columns:
-            # incremental surfaces changed DATA rows; tombstones are not
-            # upserts (the reference's incremental reads see only those)
-            cond = cond & ~F.col(DELETED_COL)
-            return df.filter(cond).drop(DELETED_COL)
+        if self.is_mor:
+            # merge within the range: one row per key (its newest
+            # in-range version), matching what a COW rewrite would have
+            # produced; tombstones drop out in the merge
+            return self._merged_read(df.filter(cond))
         return df.filter(cond)
 
     def stream(self) -> DataFrame:
@@ -414,10 +444,11 @@ class LakeTable:
         batch = self._prepare_batch(df, inst)
         if self.is_mor:
             return self._commit_mor_append(batch, inst, "upsert")
-        # M1 — persist around multi-action writes (SRC/package.scala:66,78)
-        # when the batch feeds BOTH partition discovery and the merge;
-        # unpartitioned tables evaluate it once, so caching is overhead.
-        reuse = bool(self.partition_keys)
+        # M1 — persist around multi-action writes (SRC/package.scala:66,78):
+        # on an existing table the batch feeds partition discovery, the
+        # key-range agg, the key-hit scan AND the merge; only the
+        # creating commit evaluates it once.
+        reuse = self.exists() or bool(self.partition_keys)
         if reuse:
             batch.persist()
         try:
@@ -506,11 +537,16 @@ class LakeTable:
         return inst
 
     def _delta_commits_since_compact(self) -> int:
+        """Commits that actually ADDED delta files since the last
+        compaction — base-file inserts don't need folding and must not
+        trigger premature full-table rewrites (Hudi counts the same)."""
         n = 0
         for i in reversed(self.timeline()):
-            if self._manifest(i)["action"] == "compact":
+            m = self._manifest(i)
+            if m["action"] == "compact":
                 break
-            n += 1
+            if any(f.get("kind") == "delta" for f in m["added"]):
+                n += 1
         return n
 
     def _merged_read(self, df: DataFrame) -> DataFrame:
@@ -614,6 +650,7 @@ class LakeTable:
         """File targeting: range-prune candidates against the manifest's
         per-file key stats (driver-side, no I/O), then scan the
         survivors' key columns and keep files holding a batch key."""
+        self.last_range_pruned = 0
         lo, hi = (
             batch.agg(
                 F.min(RECORD_KEY_COL), F.max(RECORD_KEY_COL)
@@ -644,10 +681,12 @@ class LakeTable:
             .distinct()
             .collect()
         )
-        # _metadata.file_path is an absolute URI; manifest paths are
-        # table-relative — compare on the filesystem path
+        # _metadata.file_path is an absolute, percent-encoded URI;
+        # manifest paths are table-relative — unquote and compare on the
+        # filesystem path
         hit_paths = {
-            urlparse(r[0]).path if "://" in r[0] or r[0].startswith("file:")
+            unquote(urlparse(r[0]).path)
+            if "://" in r[0] or r[0].startswith("file:")
             else r[0]
             for r in hits
         }
@@ -891,10 +930,18 @@ class LakeTable:
         last ``retain_commits`` — the reference's cleaner policy
         (``CLEANER_COMMITS_RETAINED=2``, ``SRC/package.scala:28-30``).
         Also removes orphan files from crashed writes. Returns deleted
-        relative paths."""
+        relative paths.
+
+        Takes the writer lock: an in-flight write's data files exist
+        before its manifest does and would otherwise look like orphans —
+        cleaning them mid-write would corrupt the commit."""
         tl = self.timeline()
         if not tl:
             return []
+        with self._writer_lock():
+            return self._clean_locked(tl, retain_commits)
+
+    def _clean_locked(self, tl: list[str], retain_commits: int) -> list[str]:
         keep = set()
         for inst in tl[-retain_commits:]:
             keep |= {f["path"] for f in self._manifest(inst)["live_files"]}

@@ -590,3 +590,90 @@ def test_restore_after_compact(spark, tmp_path):
     # cleaner keeps everything still referenced
     t.clean(retain_commits=2)
     assert sorted(map(tuple, t.snapshot().collect())) == before
+
+
+def test_null_partition_value_upsert(spark, tmp_path):
+    """Null partition values stamp __HIVE_DEFAULT_PARTITION__ (matching
+    the on-disk dir), so COW pruning still finds and rewrites them."""
+    t = make_table(spark, tmp_path, partition_keys=["c_mktsegment"])
+    b = cust(spark, ver=1).withColumn(
+        "c_mktsegment",
+        F.when(F.col("c_custkey") % 7 == 0, F.lit(None)).otherwise(
+            F.col("c_mktsegment")
+        ),
+    )
+    t.write(b, op="upsert", instant="001")
+    upd = b.filter(F.col("c_custkey") % 7 == 0).withColumn(
+        "ver", F.lit(2).cast("long")
+    )
+    t.write(upd, op="upsert", instant="002")
+    snap = t.snapshot()
+    assert snap.count() == b.count()  # rewritten, not duplicated
+    nulls = snap.filter(F.col("c_mktsegment").isNull())
+    assert nulls.count() == upd.count()
+    assert {r["ver"] for r in nulls.collect()} == {2}
+
+
+def test_global_index_delete_with_key_only_batch(spark, tmp_path):
+    """Docstring contract: under the global index a delete batch needs
+    ONLY the record key columns."""
+    t = make_table(spark, tmp_path, partition_keys=["c_mktsegment"],
+                   global_index=True)
+    t.write(cust(spark, ver=1), op="upsert", instant="001")
+    victims = cust(spark, ver=1).filter(F.col("c_custkey") <= 5).select(
+        "c_custkey"
+    )
+    t.write(victims, op="delete", instant="002")
+    snap = t.snapshot()
+    assert snap.filter(F.col("c_custkey") <= 5).count() == 0
+    assert snap.count() == cust(spark).count() - 6
+
+
+def test_mor_incremental_merges_within_range(spark, tmp_path):
+    """MOR incremental returns ONE row per key (newest in-range version),
+    matching the COW rewrite behavior."""
+    t = mor_table(spark, tmp_path)
+    t.write(cust(spark, ver=1), op="upsert", instant="001")
+    t.write(cust(spark, ver=2).filter(F.col("c_custkey") == 1),
+            op="upsert", instant="002")
+    t.write(cust(spark, ver=3).filter(F.col("c_custkey") == 1),
+            op="upsert", instant="003")
+    inc = t.incremental("001", "003")
+    rows = inc.collect()
+    assert len(rows) == 1 and rows[0]["ver"] == 3
+
+
+def test_mor_inline_compaction_ignores_base_inserts(spark, tmp_path):
+    """Base-file insert commits must not count toward the delta
+    threshold."""
+    t = mor_table(spark, tmp_path, inline_compact_deltas=2)
+    for i, inst in enumerate(["001", "002", "003", "004"]):
+        t.write(
+            cust(spark, ver=1).filter(F.col("c_custkey") % 4 == i)
+            .withColumn("c_custkey", F.col("c_custkey") + 10000 * i),
+            op="insert", instant=inst,
+        )
+    assert not any(
+        t._manifest(i)["action"] == "compact" for i in t.timeline()
+    )
+    t.write(cust(spark, ver=2).filter(F.col("c_custkey") == 1),
+            op="upsert", instant="005")
+    assert not any(
+        t._manifest(i)["action"] == "compact" for i in t.timeline()
+    )
+    t.write(cust(spark, ver=3).filter(F.col("c_custkey") == 2),
+            op="upsert", instant="006")
+    assert any(t._manifest(i)["action"] == "compact" for i in t.timeline())
+
+
+def test_incremental_refuses_archived_range(spark, tmp_path):
+    t = make_table(spark, tmp_path)
+    for i in range(1, 7):
+        t.write(cust(spark, ver=i).filter(F.col("c_custkey") == 1),
+                op="upsert", instant=f"00{i}")
+    t.archive_timeline(keep_commits=4)
+    with pytest.raises(ValueError, match="archived horizon"):
+        t.incremental(None, None)
+    with pytest.raises(ValueError, match="archived horizon"):
+        t.incremental("001", "006")
+    assert t.incremental("003", "006").count() >= 1  # active range fine

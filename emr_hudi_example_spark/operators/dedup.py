@@ -80,6 +80,11 @@ def lsh_candidate_pairs(
 ) -> DataFrame:
     """Banded LSH: hash each band of the signature to a bucket; documents
     sharing any (band, bucket) become a candidate pair (a < b)."""
+    if num_perm % band_size:
+        raise ValueError(
+            f"num_perm={num_perm} must be divisible by band_size="
+            f"{band_size}; trailing signatures would be silently ignored"
+        )
     n_bands = num_perm // band_size
     bands = F.array(
         *[

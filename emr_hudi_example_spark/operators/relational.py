@@ -185,6 +185,12 @@ def salted_equi_join(
     hold even post-split, at the cost of an ``n_salt``× replication of
     the (small) right side.
     """
+    if how not in ("inner", "left", "left_semi", "leftsemi", "left_outer"):
+        # replicating the right side breaks right/full-outer semantics
+        # (unmatched right rows would appear n_salt times)
+        raise ValueError(
+            f"salted_equi_join supports inner/left joins, not {how!r}"
+        )
     salts = F.array(*[F.lit(i) for i in range(n_salt)])
     left_s = left.withColumn(
         "_salt", (F.rand(seed=7) * n_salt).cast("int")

@@ -257,8 +257,21 @@ def embedding_near_dup_pairs(
         )
 
     import numpy as np
+    from pyspark.sql import types as T
 
+    id_type = vectors.schema[id_col].dataType
+    if not isinstance(id_type, (T.ByteType, T.ShortType, T.IntegerType,
+                                T.LongType)):
+        # the GEMM kernel's output schema is integral ids; fall back to
+        # the pure-JVM path for string/other id types
+        return embedding_near_dup_pairs(
+            vectors, threshold, id_col, vec_col, impl="sql"
+        )
     rows = vectors.select(id_col, vec_col).collect()
+    if not rows:
+        return vectors.sparkSession.createDataFrame(
+            [], "id_a LONG, id_b LONG, cos DOUBLE"
+        )
     ids = np.array([r[0] for r in rows], dtype=np.int64)
     mat = np.array([r[1] for r in rows], dtype=np.float64)
     mat /= np.linalg.norm(mat, axis=1, keepdims=True)

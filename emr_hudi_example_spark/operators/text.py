@@ -32,7 +32,10 @@ LANG_STOPWORDS: dict[str, list[str]] = {
 
 def tokens(text: Column | str) -> Column:
     """Whitespace tokenization (trim first so trailing blanks don't emit
-    empty tokens)."""
+    empty tokens mid-document). NOTE: a fully empty/whitespace-only
+    document yields ``['']`` — one empty token — in BOTH Spark and the
+    DuckDB oracle (identical split semantics, so parity holds); callers
+    feeding possibly-empty documents should pre-filter them."""
     c = F.col(text) if isinstance(text, str) else text
     return F.split(F.trim(c), r"\s+")
 

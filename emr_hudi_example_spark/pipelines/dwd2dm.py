@@ -51,13 +51,21 @@ def dm_increment(
 ) -> str | None:
     """One tick (SRC/DWD2DM.scala:54-85). Returns the committed instant
     (None when the slice was empty)."""
+    if not dwd.exists():  # cold start: source not yet seeded
+        return None
     inc = dwd.incremental(begin, end)
     inc_agg = inc.groupBy(*group_cols).agg(F.sum(value_col).alias(sum_alias))
     inc_agg.persist()  # M1 — reused by the empty-guard AND the merge
     try:
         if inc_agg.isEmpty():
             return None
-        snapshot = dm.logical().select(*group_cols, sum_alias)
+        if dm.exists():
+            snapshot = dm.logical().select(*group_cols, sum_alias)
+        else:
+            # unseeded mart: the increment IS the seed (fresh empty DF,
+            # not a derived one — a self-join would be ambiguous)
+            sel = inc_agg.select(*group_cols, sum_alias)
+            snapshot = inc_agg.sparkSession.createDataFrame([], sel.schema)
         merged = delta_merge_running_agg(
             inc_agg, snapshot, keys=group_cols, sum_col=sum_alias
         ).withColumn("created_ts", created_ts_expr(created_ts_millis))
@@ -75,18 +83,26 @@ def run_dwd2dm_loop(
     interval_seconds: float = 30.0,
     max_ticks: int | None = None,
     created_ts_millis: int | None = None,
+    cursor_file: str | None = None,
 ) -> str | None:
     """The DWD2DM poll loop (SRC/DWD2DM.scala:54-85): cursor from the
     DM table, per tick aggregate the DWD delta and delta-merge into the
-    mart. NOTE the reference's own hazard (SURVEY.md §3.3): a replayed
-    slice double-adds — correctness rides on the cursor, which is why it
-    is re-read from the mart and advanced only after a successful tick."""
+    mart. NOTE the reference's own hazards (SURVEY.md §3.3): a replayed
+    slice double-adds, and the sink-derived restart cursor can skip
+    source commits landed between slice end and sink commit — pass
+    ``cursor_file`` to persist the true slice-end cursor and close both
+    (for the delta-merge, skipping is data loss AND replaying is
+    double-add, so the durable cursor matters here most)."""
     import time as _time
 
-    from emr_hudi_example_spark.pipelines.ods2dwd import init_cursor
     from emr_hudi_example_spark.functions.core import now_instant
+    from emr_hudi_example_spark.pipelines.ods2dwd import (
+        _read_cursor,
+        _write_cursor,
+        init_cursor,
+    )
 
-    begin = init_cursor(dm)
+    begin = _read_cursor(cursor_file) or init_cursor(dm)
     ticks = 0
     while max_ticks is None or ticks < max_ticks:
         if interval_seconds:
@@ -97,5 +113,6 @@ def run_dwd2dm_loop(
             created_ts_millis=created_ts_millis,
         )
         begin = end
+        _write_cursor(cursor_file, begin)
         ticks += 1
     return begin

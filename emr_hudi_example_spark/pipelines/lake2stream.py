@@ -8,6 +8,8 @@ column; the harness substitutes JSON-lines files (no brokers).
 
 from __future__ import annotations
 
+from pyspark.sql import functions as F
+
 from emr_hudi_example_spark.lake import LakeTable
 from emr_hudi_example_spark.operators.relational import pack_to_json
 
@@ -30,15 +32,31 @@ def run_lake2stream(
     out_path: str,
     checkpoint_dir: str,
     cols: list[str] | None = None,
+    keep_commit_time: bool = False,
 ):
     """Streaming export variant: commit-log stream → ``to_json`` message
     per row → JSON-lines sink (on a cluster: ``format("kafka")`` with the
     same ``value`` column). New commits flow to the sink continuously —
-    the streaming completion of the reference's one-shot Hudi2MSK."""
-    from emr_hudi_example_spark.lake.table import DELETED_COL, META_COLS
+    the streaming completion of the reference's one-shot Hudi2MSK.
 
+    MOR delete tombstones are filtered out (they are not live records).
+    On a COW table rewrites re-emit carried-over rows; pass
+    ``keep_commit_time=True`` so consumers can apply the cursor dedup
+    described in ``LakeTable.stream``."""
+    from emr_hudi_example_spark.lake.table import (
+        COMMIT_TIME_COL,
+        DELETED_COL,
+        META_COLS,
+    )
+
+    src = table.stream()
+    if DELETED_COL in src.columns:
+        src = src.filter(
+            ~F.coalesce(F.col(DELETED_COL), F.lit(False))
+        )
+    drop = [c for c in META_COLS if not (keep_commit_time and c == COMMIT_TIME_COL)]
     msgs = pack_to_json(
-        table.stream().drop(*META_COLS, DELETED_COL),
+        src.drop(*drop, DELETED_COL),
         cols,
     )
     return (

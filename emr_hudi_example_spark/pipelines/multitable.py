@@ -25,10 +25,15 @@ from emr_hudi_example_spark.lake import LakeTable
 class TableSpec:
     """Key metadata the reference parses out of Kudu DDL
     (PRIMARY KEY (...) / RANGE (...) — SRC/package.scala:85-115);
-    partition keys are removed from the record key exactly as there."""
+    partition keys are removed from the record key exactly as there.
+    ``schema`` (a DDL string, e.g. ``"id LONG, name STRING"``) serves the
+    parse schema for tables with no commits yet — the registry stand-in
+    for the reference's Impala catalog, which can answer for empty
+    tables too."""
 
     record_keys: list[str]
     partition_keys: list[str] = field(default_factory=list)
+    schema: str | None = None
 
     @property
     def effective_record_keys(self) -> list[str]:
@@ -93,11 +98,7 @@ def fanout_batch(
             batch_df.filter(F.col("topic") == topic)  # F3 routing
             .select(F.col("value").cast("string").alias("json"))
         )
-        # schema-on-target: logical schema minus the write-time stamp
-        schema = target.logical().schema
-        schema = type(schema)(
-            [f for f in schema.fields if f.name != "created_ts"]
-        )
+        schema = _parse_schema(registry, table_name, target)
         rows = (
             one.select(F.from_json("json", schema).alias("data"))
             .select("data.*")
@@ -106,6 +107,25 @@ def fanout_batch(
         target.write(rows, op="upsert")  # PK filter inside write
         written.append(table_name)
     return written
+
+
+def _parse_schema(registry: TableRegistry, table_name: str, target: LakeTable):
+    """Schema-on-target (logical schema minus the write-time stamp);
+    registry-declared schema for tables with no commits yet."""
+    from pyspark.sql import types as T
+
+    if target.exists():
+        schema = target.logical().schema
+        return T.StructType(
+            [f for f in schema.fields if f.name != "created_ts"]
+        )
+    declared = registry.spec(table_name).schema
+    if declared is None:
+        raise ValueError(
+            f"table {table_name!r} has no commits and no declared schema; "
+            "register TableSpec(schema=...) or seed the table first"
+        )
+    return T.StructType.fromDDL(declared)
 
 
 def apply_changes_batch(
@@ -122,10 +142,13 @@ def apply_changes_batch(
     mile on the engine's writer.
 
     Ops apply per table in insert → upsert → delete order within the
-    batch (cross-op ordering inside one micro-batch is not defined by
-    the envelope; the precombine stamp arbitrates replays, exactly as
-    the reference's upsert-only paths do). Returns (table, op) pairs
-    applied.
+    batch. LIMITATION (documented): a delete-then-reinsert of the SAME
+    key within ONE micro-batch resolves to deleted — cross-op ordering
+    inside a batch is not defined by the envelope, and the shared
+    ``created_ts`` stamp cannot arbitrate it. Producers needing that
+    ordering must split such sequences across batches (the reference
+    never wires its parser at all, so it has no stronger guarantee).
+    Returns (table, op) pairs applied.
     """
     combos = [
         (r["table"], r["operation_type"])
@@ -137,7 +160,7 @@ def apply_changes_batch(
         combos, key=lambda c: (c[0], op_order.get(c[1], 9))
     ):
         target = registry.lake_table(table_name)
-        schema = target.logical().schema
+        schema = _parse_schema(registry, table_name, target)
         # Canal serializes every column value as a STRING
         # (List[Map[String,String]], SRC/cdc/model/CanalDataModel.scala:6)
         # — parse the row as a string map and cast to the target types
@@ -153,7 +176,6 @@ def apply_changes_batch(
                 *[
                     F.col("m")[f.name].cast(f.dataType).alias(f.name)
                     for f in schema.fields
-                    if f.name != "created_ts"
                 ]
             )
             .withColumn("created_ts", created_ts_expr(created_ts_millis))

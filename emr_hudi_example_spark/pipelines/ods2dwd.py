@@ -14,6 +14,8 @@ is harmless because the upsert is idempotent on the record key.
 
 from __future__ import annotations
 
+import os
+
 from pyspark.sql import functions as F
 
 from emr_hudi_example_spark.functions.core import created_ts_expr, now_instant, nvl
@@ -49,6 +51,8 @@ def dwd_increment(
     parameters so both shapes run.
     """
     end = end or now_instant()
+    if not ods.exists():  # cold start: source not yet seeded — idle tick
+        return begin if begin is not None else end
     inc = ods.incremental(begin, end)
     defaults = enrich_cols or {"p_brand": "N/A"}
     enriched = dim_enrich_left_join(
@@ -78,16 +82,22 @@ def run_ods2dwd_loop(
     interval_seconds: float = 30.0,
     max_ticks: int | None = None,
     created_ts_millis: int | None = None,
+    cursor_file: str | None = None,
 ) -> str | None:
     """The reference's poll loop itself (``while(true) { sleep; read
-    incremental; enrich; upsert; advance }``, SRC/ODS2DWD.scala:43-69),
-    with the cursor bootstrapped from DWD's ``max(_commit_time)`` —
-    restart-safe because the upsert is idempotent. ``max_ticks`` bounds
-    the loop for tests/schedulers (None = run forever, the reference's
-    behavior); returns the final cursor."""
+    incremental; enrich; upsert; advance }``, SRC/ODS2DWD.scala:43-69).
+
+    Cursor bootstrap: ``cursor_file`` (if given and present) beats the
+    reference's ``max(_commit_time)``-of-the-sink trick. The sink-derived
+    bootstrap can SKIP source commits that landed between the last slice
+    end and the sink's own commit instant — a restart hazard the
+    reference carries (SRC/ODS2DWD.scala:30-36); persisting the slice-end
+    cursor closes it. Replays stay harmless (idempotent keyed upsert).
+    ``max_ticks`` bounds the loop for tests/schedulers (None = run
+    forever, the reference's behavior); returns the final cursor."""
     import time as _time
 
-    begin = init_cursor(dwd)
+    begin = _read_cursor(cursor_file) or init_cursor(dwd)
     ticks = 0
     while max_ticks is None or ticks < max_ticks:
         if interval_seconds:
@@ -97,5 +107,23 @@ def run_ods2dwd_loop(
             fact_key=fact_key, dim_key=dim_key, enrich_cols=enrich_cols,
             created_ts_millis=created_ts_millis,
         )
+        _write_cursor(cursor_file, begin)
         ticks += 1
     return begin
+
+
+def _read_cursor(path: str | None) -> str | None:
+    if path is None or not os.path.exists(path):
+        return None
+    with open(path) as fh:
+        v = fh.read().strip()
+    return v or None
+
+
+def _write_cursor(path: str | None, value: str | None) -> None:
+    if path is None or value is None:
+        return
+    tmp = path + ".tmp"
+    with open(tmp, "w") as fh:
+        fh.write(value)
+    os.replace(tmp, path)

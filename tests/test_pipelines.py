@@ -486,3 +486,86 @@ def test_reference_table_type_rule():
     assert reference_table_type([]) == "COPY_ON_WRITE"
     assert reference_table_type(None) == "COPY_ON_WRITE"
     assert reference_table_type(["logday"]) == "MERGE_ON_READ"
+
+
+def test_loop_cold_start_and_cursor_file(spark, tmp_path):
+    """Loops idle on unseeded sources; a durable cursor file survives
+    restarts (closing the reference's sink-derived bootstrap skip)."""
+    from emr_hudi_example_spark.pipelines.dwd2dm import dm_increment
+    from emr_hudi_example_spark.pipelines.ods2dwd import run_ods2dwd_loop
+
+    region = spark.read.parquet(f"{SF}/region.parquet").select(
+        "r_regionkey", "r_name"
+    )
+    ods = LakeTable(spark, str(tmp_path), "p", "ods", ["n_nationkey"],
+                    "created_ts")
+    dwd = LakeTable(spark, str(tmp_path), "p", "dwd", ["n_nationkey"],
+                    "created_ts")
+    dm = LakeTable(spark, str(tmp_path), "p", "dm", ["r_name"], "created_ts")
+    cursor = str(tmp_path / "cursor.txt")
+    # unseeded ODS: the tick is a no-op, not a crash
+    cur = run_ods2dwd_loop(
+        ods, region, dwd, fact_key="n_regionkey", dim_key="r_regionkey",
+        interval_seconds=0, max_ticks=1, cursor_file=cursor,
+    )
+    assert cur is not None and open(cursor).read().strip() == cur
+    assert not dwd.exists()
+    # unseeded DWD: dm_increment is a no-op; unseeded DM accepts a seed
+    assert dm_increment(dwd, dm, None, None, ["r_name"], "n_nationkey",
+                        "s") is None
+    nation = spark.read.parquet(f"{SF}/nation.parquet").withColumn(
+        "created_ts", F.lit(1).cast("long")
+    )
+    ods.write(nation, op="upsert")
+    run_ods2dwd_loop(
+        ods, region, dwd, fact_key="n_regionkey", dim_key="r_regionkey",
+        enrich_cols={"r_name": "N/A"}, interval_seconds=0, max_ticks=1,
+        created_ts_millis=2, cursor_file=cursor,
+    )
+    assert dwd.snapshot().count() == nation.count()
+    # dm_increment onto a never-seeded mart: increment becomes the seed
+    dm_increment(dwd, dm, None, None, ["r_name"], "n_nationkey", "s",
+                 created_ts_millis=3)
+    assert dm.exists() and dm.snapshot().count() > 0
+
+
+def test_fanout_unseeded_target_with_declared_schema(spark, tmp_path):
+    from emr_hudi_example_spark.pipelines.multitable import fanout_batch
+
+    reg = TableRegistry(spark, str(tmp_path), "db")
+    reg.register(
+        "fresh",
+        TableSpec(["id"], schema="id LONG, name STRING"),
+    )
+    bdf = spark.createDataFrame(
+        [("kudu.fresh", json.dumps({"id": 1, "name": "a"}))],
+        "topic STRING, value STRING",
+    )
+    written = fanout_batch(bdf, reg, created_ts_millis=1)
+    assert written == ["fresh"]
+    snap = reg.lake_table("fresh").snapshot()
+    assert snap.count() == 1 and snap.collect()[0]["name"] == "a"
+
+
+def test_operator_guards(spark):
+    import pytest as _pytest
+    from emr_hudi_example_spark.operators.dedup import lsh_candidate_pairs
+    from emr_hudi_example_spark.operators.relational import salted_equi_join
+    from emr_hudi_example_spark.operators.similarity import (
+        embedding_near_dup_pairs,
+    )
+
+    df = spark.createDataFrame([(1, 2)], "a INT, b INT")
+    with _pytest.raises(ValueError, match="salted_equi_join supports"):
+        salted_equi_join(df, df, "a", how="full")
+    with _pytest.raises(ValueError, match="divisible"):
+        lsh_candidate_pairs(df, num_perm=16, band_size=3)
+    empty = spark.createDataFrame([], "vec_id LONG, embedding ARRAY<DOUBLE>")
+    assert embedding_near_dup_pairs(empty, threshold=0.5).count() == 0
+    # string ids fall back to the JVM path instead of crashing
+    sv = spark.createDataFrame(
+        [("a", [1.0, 0.0]), ("b", [1.0, 0.0])],
+        "vec_id STRING, embedding ARRAY<DOUBLE>",
+    )
+    pairs = embedding_near_dup_pairs(sv, threshold=0.9)
+    assert pairs.count() == 1

@@ -127,3 +127,54 @@ def _write_cursor(path: str | None, value: str | None) -> None:
     with open(tmp, "w") as fh:
         fh.write(value)
     os.replace(tmp, path)
+
+
+def run_ods2dwd_streaming(
+    ods: LakeTable,
+    dim_df,
+    dwd: LakeTable,
+    fact_key: str,
+    dim_key: str,
+    checkpoint_dir: str,
+    enrich_cols: dict[str, object] | None = None,
+    created_ts_millis: int | None = None,
+):
+    """T5 fully re-platformed: Structured Streaming over the ODS commit
+    log (``LakeTable.stream``) replaces the sleep-poll loop — new ODS
+    commits arrive as micro-batches, each applies the same enrichment
+    tick. A session cursor (bootstrapped from DWD on restart, advanced
+    per batch) drops rows a COW rewrite re-emitted, and the keyed upsert
+    keeps replays idempotent. Returns the StreamingQuery."""
+    from emr_hudi_example_spark.streaming.sources import start_foreach_batch
+
+    state = {"cur": init_cursor(dwd)}
+    defaults = enrich_cols or {}
+
+    def tick(batch_df, _id):
+        cur = state["cur"]
+        rows = (
+            batch_df
+            if cur is None
+            else batch_df.filter(F.col(COMMIT_TIME_COL) > cur)
+        )
+        rows.persist()
+        try:
+            if rows.isEmpty():
+                return
+            mx = rows.agg(F.max(COMMIT_TIME_COL)).collect()[0][0]
+            enriched = dim_enrich_left_join(
+                rows.drop(*[c for c in rows.columns if c.startswith("_")]),
+                dim_df,
+                on=F.col(fact_key) == F.col(dim_key),
+                defaults=defaults,
+            ).drop(dim_key).withColumn(
+                "created_ts", created_ts_expr(created_ts_millis)
+            )
+            dwd.write(enriched, op="upsert")
+            state["cur"] = mx if cur is None else max(cur, mx)
+        finally:
+            rows.unpersist()
+
+    return start_foreach_batch(
+        ods.stream(), tick, checkpoint_dir, query_name="ODS2DWDStream"
+    )

@@ -569,3 +569,44 @@ def test_operator_guards(spark):
     )
     pairs = embedding_near_dup_pairs(sv, threshold=0.9)
     assert pairs.count() == 1
+
+
+def test_streaming_medallion_ods2dwd(spark, tmp_path):
+    """Commit-log streaming replaces the poll loop: ODS commits flow
+    into DWD as micro-batches with exact increments."""
+    from emr_hudi_example_spark.pipelines.ods2dwd import run_ods2dwd_streaming
+
+    nation = spark.read.parquet(f"{SF}/nation.parquet").withColumn(
+        "created_ts", F.lit(1).cast("long")
+    )
+    region = spark.read.parquet(f"{SF}/region.parquet").select(
+        "r_regionkey", "r_name"
+    )
+    ods = LakeTable(spark, str(tmp_path), "p", "ods", ["n_nationkey"],
+                    "created_ts")
+    dwd = LakeTable(spark, str(tmp_path), "p", "dwd", ["n_nationkey"],
+                    "created_ts")
+    ods.write(nation.filter(F.col("n_nationkey") % 2 == 0), op="upsert")
+    q = run_ods2dwd_streaming(
+        ods, region, dwd, fact_key="n_regionkey", dim_key="r_regionkey",
+        checkpoint_dir=str(tmp_path / "ckpt"),
+        enrich_cols={"r_name": "N/A"}, created_ts_millis=2,
+    )
+    try:
+        q.processAllAvailable()
+        assert dwd.snapshot().count() == nation.filter(
+            F.col("n_nationkey") % 2 == 0
+        ).count()
+        ods.write(nation.filter(F.col("n_nationkey") % 2 == 1), op="upsert")
+        q.processAllAvailable()
+    finally:
+        q.stop()
+        q.awaitTermination()
+    snap = dwd.snapshot()
+    assert snap.count() == nation.count()
+    assert "r_name" in snap.columns
+    joined = nation.join(region,
+                         nation.n_regionkey == region.r_regionkey, "left")
+    assert sorted(
+        (r["n_nationkey"], r["r_name"]) for r in snap.collect()
+    ) == sorted((r["n_nationkey"], r["r_name"]) for r in joined.collect())

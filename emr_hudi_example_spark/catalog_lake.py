@@ -11,6 +11,7 @@ Commit instants are fixed strings, so even ``_commit_time`` is comparable.
 
 from __future__ import annotations
 
+import atexit
 import os
 import tempfile
 import uuid
@@ -24,8 +25,23 @@ from emr_hudi_example_spark.lake import LakeTable
 __all__ = ["Q", "ORACLE"]
 
 
+_TMP_DIRS: list[str] = []
+
+
+def _cleanup_tmp_dirs() -> None:
+    import shutil
+
+    for d in _TMP_DIRS:
+        shutil.rmtree(d, ignore_errors=True)
+
+
+atexit.register(_cleanup_tmp_dirs)
+
+
 def _tmp_base() -> str:
-    return tempfile.mkdtemp(prefix=f"lakeq-{uuid.uuid4().hex[:8]}-", dir="/tmp")
+    d = tempfile.mkdtemp(prefix=f"lakeq-{uuid.uuid4().hex[:8]}-", dir="/tmp")
+    _TMP_DIRS.append(d)  # reaped at process exit — bench reruns don't
+    return d             # accumulate table copies in /tmp
 
 
 def _batch1(spark: SparkSession, sf_dir: str) -> DataFrame:

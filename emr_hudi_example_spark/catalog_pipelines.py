@@ -54,7 +54,10 @@ def _run_medallion(spark: SparkSession, sf_dir: str):
     """
     cache_key = (id(spark), sf_dir)
     if cache_key in _MEDALLION_CACHE:
-        return _MEDALLION_CACHE[cache_key]
+        cached = _MEDALLION_CACHE[cache_key]
+        if cached[0].exists():  # tmp dir may have been reaped between runs
+            return cached
+        del _MEDALLION_CACHE[cache_key]
     base = _tmp_base()
     _orders, b1, b2 = _orders_batches(spark, sf_dir)
     cust = load(spark, sf_dir, "customer").select("c_custkey", "c_mktsegment")
@@ -110,8 +113,8 @@ def pipe_ods2dwd_endstate(spark: SparkSession, sf_dir: str) -> DataFrame:
     "pipe_dwd2dm_endstate",
     oracle="""
     SELECT coalesce(c.c_mktsegment, 'N/A') AS c_mktsegment,
-           CAST(sum(CAST(o.o_totalprice AS DECIMAL(38,4))) AS DECIMAL(38,4))
-             AS price_sum
+           CAST(round(sum(CAST(o.o_totalprice AS DECIMAL(38,4))), 2)
+                AS DECIMAL(38,4)) AS price_sum
     FROM orders o LEFT JOIN customer c ON o.o_custkey = c.c_custkey
     GROUP BY 1
     """,

@@ -73,9 +73,11 @@ def canal_to_change(message: str) -> ChangeSet | None:
             return None
         if (
             obj.get("type") not in ALLOWED_CANAL_OPS
-            or obj.get("data") is None
+            or not isinstance(obj.get("data"), list)
             or obj.get("isDdl")
         ):
+            # non-list data (object/string) is a malformed envelope — the
+            # executor-side ARRAY<MAP> schema drops it too
             return None
         return ChangeSet(
             database=obj.get("database"),

@@ -96,8 +96,12 @@ def ensure_parallelism(df, min_partitions: int | None = None):
     corpus-scale scan already yields many partitions, so this is a no-op
     (no shuffle) exactly when shuffling would be expensive.
     """
-    sc = df.sparkSession.sparkContext
-    want = min_partitions or sc.defaultParallelism
-    if df.rdd.getNumPartitions() < want:
-        return df.repartition(want)
-    return df
+    try:
+        sc = df.sparkSession.sparkContext
+        want = min_partitions or sc.defaultParallelism
+        narrow = df.rdd.getNumPartitions() < want
+    except Exception:
+        # Spark Connect has no RDD API — repartition unconditionally
+        # (still a small narrow-input shuffle in the fixture regime)
+        return df.repartition(min_partitions or 32)
+    return df.repartition(want) if narrow else df

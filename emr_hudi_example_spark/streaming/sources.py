@@ -22,9 +22,7 @@ def json_lines_stream(
     """Stream of raw message strings in a ``value`` column — the shape of
     a Kafka source after ``CAST(value AS STRING)`` (P1). One JSON doc per
     line; new files are new micro-batches."""
-    df = spark.readStream.format("text").load(path).withColumnRenamed(
-        "value", "value"
-    )
+    df = spark.readStream.format("text").load(path)  # column is `value`
     if repartition:
         # stream repartition right after the source — T6,
         # SRC/Log2Hudi.scala:38 (default 16, SRC/conf/Config.scala:20)

@@ -92,3 +92,28 @@ def pack_sequences(
             / F.lit(window_tokens)
         ).cast("long").alias("pack_id"),
     )
+
+
+def zorder_key(cols: list[str], bits: int = 16):
+    """Z-order (Morton) key: interleave the low ``bits`` bits of each
+    integer column into one long — rows sorted by it cluster along ALL
+    the dimensions at once, so parquet row-group min/max stats prune
+    multi-column range predicates (the Hudi/Delta clustering sort key).
+    Pure expression tree (codegen); pair with
+    ``LakeTable.compact(sort_by=[...])`` on a column materialized from
+    this. Columns are truncated to ``bits`` bits; negative values are
+    masked like Java's ``&`` (two's complement)."""
+    n = len(cols)
+    terms = []
+    for i in range(bits):
+        for j, c in enumerate(cols):
+            bit = F.shiftright(F.col(c).cast("long"), i).bitwiseAND(
+                F.lit(1)
+            )
+            terms.append(
+                bit * F.lit(2 ** (i * n + j)).cast("long")
+            )
+    out = terms[0]
+    for t in terms[1:]:
+        out = out + t
+    return out

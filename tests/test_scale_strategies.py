@@ -55,3 +55,42 @@ def test_bucketed_join_avoids_shuffle(spark, tmp_path):
         spark.conf.set("spark.sql.autoBroadcastJoinThreshold", old_thresh)
         for name in ("b_li", "b_ord"):
             spark.sql(f"DROP TABLE IF EXISTS {name}")
+
+
+def test_zorder_key_matches_python_morton(spark, tmp_path):
+    from emr_hudi_example_spark.operators.corpus import zorder_key
+
+    def morton(x, y, bits=16):
+        out = 0
+        for i in range(bits):
+            out |= ((x >> i) & 1) << (2 * i)
+            out |= ((y >> i) & 1) << (2 * i + 1)
+        return out
+
+    rows = [(x, y) for x in range(0, 40, 7) for y in range(0, 40, 11)]
+    df = spark.createDataFrame(rows, "x INT, y INT")
+    got = {
+        (r["x"], r["y"]): r["z"]
+        for r in df.withColumn("z", zorder_key(["x", "y"])).collect()
+    }
+    assert got == {(x, y): morton(x, y) for x, y in rows}
+
+
+def test_compact_with_zorder_clusters_both_dims(spark, tmp_path):
+    """compact(sort_by=zorder) leaves each output file covering a small
+    range of BOTH dimensions."""
+    from emr_hudi_example_spark.lake import LakeTable
+    from emr_hudi_example_spark.operators.corpus import zorder_key
+
+    orders = spark.read.parquet(f"{SF}/orders.parquet").select(
+        "o_orderkey", "o_custkey"
+    ).withColumn("v", F.lit(1).cast("long"))
+    t = LakeTable(spark, str(tmp_path), "d", "t", ["o_orderkey"], "v")
+    t.write(orders.withColumn("z", zorder_key(["o_orderkey", "o_custkey"])),
+            op="insert", instant="001")
+    t.compact(instant="002", target_files_per_partition=4, sort_by=["z"])
+    snap = t.snapshot()
+    assert snap.count() == orders.count()
+    assert sorted(map(tuple, snap.drop("z", "_commit_time", "_record_key",
+                                       "_partition_path").collect())) == \
+        sorted(map(tuple, orders.collect()))

@@ -136,6 +136,7 @@ class LakeTable:
         #: observability: candidates dropped by key-range pruning in the
         #: most recent upsert/delete planning pass
         self.last_range_pruned = 0
+        self._pending_checkpoint: dict | None = None
 
     @property
     def is_mor(self) -> bool:
@@ -369,12 +370,23 @@ class LakeTable:
 
     # --------------------------------------------------------------- writes
 
+    def last_checkpoint(self, source_id: str) -> int | None:
+        """Newest committed checkpoint value for ``source_id``, scanning
+        the timeline backwards (the exactly-once replay guard's read
+        side)."""
+        for i in reversed(self.timeline()):
+            cp = self._manifest(i).get("checkpoint")
+            if cp and cp.get("source_id") == source_id:
+                return cp.get("batch_id")
+        return None
+
     def write(
         self,
         df: DataFrame,
         op: str = "upsert",
         instant: str | None = None,
-    ) -> str:
+        checkpoint: dict | None = None,
+    ) -> str | None:
         """The generic writer — engine analog of ``writeHudiTable``
         (``SRC/package.scala:15-81``). ``op`` ∈ {insert, bulk_insert,
         upsert, delete}. Returns the committed instant.
@@ -383,8 +395,22 @@ class LakeTable:
         reference's ZooKeeper OCC lock (``SRC/package.scala:38-47``,
         ``HudiConfig.scala:50-56``): a second concurrent writer fails
         fast instead of corrupting the timeline.
+
+        ``checkpoint={"source_id": ..., "batch_id": n}`` makes the write
+        an exactly-once micro-batch apply: if the newest committed
+        checkpoint for that source already covers ``batch_id`` the write
+        is SKIPPED (returns None) — a foreachBatch replay after a crash
+        cannot double-apply, even for the non-idempotent ``insert`` op.
+        The checkpoint rides in the commit manifest, so data + cursor
+        commit atomically (Hudi records streaming checkpoints in commit
+        metadata identically).
         """
         with self._writer_lock():
+            if checkpoint is not None:
+                last = self.last_checkpoint(checkpoint["source_id"])
+                if last is not None and last >= checkpoint["batch_id"]:
+                    return None  # replayed batch — already committed
+                self._pending_checkpoint = dict(checkpoint)
             if op in ("insert", "bulk_insert"):
                 return self._commit_insert(df, instant)
             if op == "upsert":
@@ -822,6 +848,12 @@ class LakeTable:
             "replaced": replaced,
             "live_files": live,
         }
+        if self._pending_checkpoint is not None:
+            # source checkpoint recorded IN the commit (Hudi stores the
+            # streaming checkpoint in commit metadata the same way) —
+            # the atomic manifest write makes data+cursor one transaction
+            manifest["checkpoint"] = self._pending_checkpoint
+            self._pending_checkpoint = None
         tmp = os.path.join(self.commits_dir, f".{instant}.json.tmp")
         with open(tmp, "w") as fh:
             json.dump(manifest, fh)

@@ -34,9 +34,13 @@ def log2lake_batch(
     table: LakeTable,
     now: datetime | None = None,
     op: str = "upsert",
+    batch_id: int | None = None,
 ) -> None:
     """One micro-batch — the foreachBatch closure body
-    (SRC/Log2Hudi.scala:62-83)."""
+    (SRC/Log2Hudi.scala:62-83). ``batch_id`` (the foreachBatch epoch)
+    makes the apply exactly-once even for ``op="insert"``: a checkpoint
+    replay of an already-committed batch is skipped via the commit-
+    metadata checkpoint."""
     if batch_df.isEmpty():  # F6 empty-batch guard (SRC/Log2Hudi.scala:67)
         return
     logday, hm = _processing_time_partitions(
@@ -48,7 +52,12 @@ def log2lake_batch(
     rows = rows.withColumn("logday", F.lit(logday)).withColumn(
         "hm", F.lit(hm)
     )
-    table.write(rows, op=op)
+    checkpoint = (
+        {"source_id": "log2lake", "batch_id": batch_id}
+        if batch_id is not None
+        else None
+    )
+    table.write(rows, op=op, checkpoint=checkpoint)
 
 
 def run_log2lake(
@@ -65,7 +74,7 @@ def run_log2lake(
     schema = schema_from_sample_json(spark, sample_json)
     return start_foreach_batch(
         stream_df,
-        lambda bdf, _id: log2lake_batch(bdf, schema, table),
+        lambda bdf, bid: log2lake_batch(bdf, schema, table, batch_id=bid),
         checkpoint_dir,
         query_name="Log2Lake",
         trigger_seconds=trigger_seconds,

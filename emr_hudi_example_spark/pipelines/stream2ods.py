@@ -29,6 +29,7 @@ def stream2ods_batch(
     batch_df: DataFrame,
     table: LakeTable,
     created_ts_millis: int | None = None,
+    batch_id: int | None = None,
 ) -> None:
     """One micro-batch (SRC/MSK2Hudi.scala:46-58)."""
     if batch_df.isEmpty():
@@ -40,7 +41,12 @@ def stream2ods_batch(
         .select("d.*")
         .withColumn("created_ts", created_ts_expr(created_ts_millis))
     )
-    table.write(rows, op="upsert")  # PK filter applied inside write
+    checkpoint = (
+        {"source_id": "stream2ods", "batch_id": batch_id}
+        if batch_id is not None
+        else None
+    )
+    table.write(rows, op="upsert", checkpoint=checkpoint)  # PK filter inside
 
 
 def run_stream2ods(
@@ -51,7 +57,7 @@ def run_stream2ods(
 ) -> StreamingQuery:
     return start_foreach_batch(
         stream_df,
-        lambda bdf, _id: stream2ods_batch(bdf, table),
+        lambda bdf, bid: stream2ods_batch(bdf, table, batch_id=bid),
         checkpoint_dir,
         query_name="Stream2ODS",
         trigger_seconds=trigger_seconds,

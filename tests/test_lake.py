@@ -677,3 +677,25 @@ def test_incremental_refuses_archived_range(spark, tmp_path):
     with pytest.raises(ValueError, match="archived horizon"):
         t.incremental("001", "006")
     assert t.incremental("003", "006").count() >= 1  # active range fine
+
+
+def test_checkpoint_guard_exactly_once_replay(spark, tmp_path):
+    """A replayed micro-batch (same source batch_id) is skipped — insert
+    stays exactly-once across foreachBatch crash replays."""
+    t = make_table(spark, tmp_path)
+    b = cust(spark, ver=1).limit(10)
+    cp = {"source_id": "ingest", "batch_id": 7}
+    assert t.write(b, op="insert", checkpoint=dict(cp)) is not None
+    n = t.snapshot().count()
+    assert t.write(b, op="insert", checkpoint=dict(cp)) is None  # replay
+    assert t.snapshot().count() == n  # no duplicates
+    # an older batch id is also a replay
+    assert t.write(b, op="insert",
+                   checkpoint={"source_id": "ingest", "batch_id": 3}) is None
+    # the next batch applies; an unrelated source has its own cursor
+    assert t.write(b, op="insert",
+                   checkpoint={"source_id": "ingest", "batch_id": 8}) is not None
+    assert t.write(b, op="insert",
+                   checkpoint={"source_id": "other", "batch_id": 0}) is not None
+    assert t.last_checkpoint("ingest") == 8
+    assert t.last_checkpoint("other") == 0

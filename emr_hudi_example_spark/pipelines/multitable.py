@@ -183,3 +183,38 @@ def apply_changes_batch(
         target.write(rows, op=op)
         applied.append((table_name, op))
     return applied
+
+
+def parse_keys_from_ddl(ddl: str) -> TableSpec:
+    """Port of ``getPrimaryAndPartitionKey`` (SRC/package.scala:85-115):
+    extract ``PRIMARY KEY (...)`` and the Kudu ``PARTITIONED BY ...
+    RANGE (...)`` column out of a ``SHOW CREATE TABLE`` DDL string, and
+    remove the partition key from the record key exactly as there (the
+    reference's single-partition-key limitation — its own ``todo:
+    multiple partition key`` — is kept for behavioral parity). The
+    registry path (``TableRegistry.register``) is the native engine API;
+    this shim exists for callers migrating off the Impala-DDL channel."""
+    pk_marker = "PRIMARY KEY ("
+    pk_idx = ddl.find(pk_marker)
+    primary = ""
+    if pk_idx > 0:
+        end = ddl.index(")", pk_idx + len(pk_marker))
+        primary = ddl[pk_idx + len(pk_marker):end].strip()
+    part_marker = "PARTITIONED BY ("
+    part_key = ""
+    part_at = ddl.find(part_marker)
+    if part_at >= 0:
+        part_str = ddl[part_at + len(part_marker):]
+        r_idx = part_str.find("RANGE (")
+        if r_idx > 0:
+            end = part_str.index(")", r_idx + len("RANGE ("))
+            part_key = part_str[r_idx + len("RANGE ("):end].strip()
+    keys = [
+        k.strip()
+        for k in primary.split(",")
+        if k.strip() and k.strip().lower() != part_key.lower()
+    ]
+    return TableSpec(
+        record_keys=keys,
+        partition_keys=[part_key] if part_key else [],
+    )

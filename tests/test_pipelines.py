@@ -610,3 +610,26 @@ def test_streaming_medallion_ods2dwd(spark, tmp_path):
     assert sorted(
         (r["n_nationkey"], r["r_name"]) for r in snap.collect()
     ) == sorted((r["n_nationkey"], r["r_name"]) for r in joined.collect())
+
+
+def test_parse_keys_from_ddl():
+    """Golden Kudu-style DDL → key metadata (SRC/package.scala:85-115)."""
+    from emr_hudi_example_spark.pipelines.multitable import (
+        parse_keys_from_ddl,
+    )
+
+    ddl = (
+        "CREATE TABLE kudu.call_center (\n"
+        "  cc_call_center_sk INT,\n  cc_day INT,\n  cc_name STRING,\n"
+        "  PRIMARY KEY (cc_call_center_sk, cc_day)\n)\n"
+        "PARTITIONED BY ( RANGE (cc_day) (...) )\n"
+        "STORED AS KUDU\nLOCATION 's3://bucket/x'"
+    )
+    spec = parse_keys_from_ddl(ddl)
+    assert spec.record_keys == ["cc_call_center_sk"]  # partition key removed
+    assert spec.partition_keys == ["cc_day"]
+    # no partition clause -> all PKs kept, unpartitioned
+    spec2 = parse_keys_from_ddl(
+        "CREATE TABLE t (a INT, b INT, PRIMARY KEY (a, b)) STORED AS KUDU"
+    )
+    assert spec2.record_keys == ["a", "b"] and spec2.partition_keys == []

@@ -7,9 +7,16 @@ the same files (views pre-registered by the driver). Column names are
 aliased identically on both sides — the driver hashes values after
 sorting columns by name.
 
-Float policy: any aggregate over a non-integer-valued double is cast to
-DECIMAL(38,4) on BOTH sides so the comparison is exact (double summation
-order differs between engines).
+Float policy: any aggregate over a non-integer-valued double is *summed*
+as DECIMAL(38,4) on BOTH sides (exact — double summation order differs
+between engines), then emitted as ``round(dec, 2)`` cast to DOUBLE. The
+final type must be DOUBLE, not wide DECIMAL: the driver's hasher
+canonicalizes hugeint-backed DECIMAL(38,x) differently between the Spark
+and DuckDB fetch paths (round-1 verdict), while a 2-dp value converts to
+the identical nearest double on both engines. Rounding must use
+``round()`` on both sides — DuckDB's decimal *cast* scale-down rounds
+half-to-even while Spark's casts and both engines' ``round()`` round
+half-away-from-zero.
 """
 
 from __future__ import annotations
@@ -75,7 +82,7 @@ def query(name: str, oracle: str | None = None):
     oracle="""
     SELECT coalesce(p.p_brand, 'N/A') AS brand,
            strftime(l.l_shipdate, '%Y%m%d') AS ship_day,
-           CAST(sum(CAST(l.l_quantity AS DECIMAL(38,4))) AS DECIMAL(38,4)) AS sum_qty,
+           CAST(round(sum(CAST(l.l_quantity AS DECIMAL(38,4))), 2) AS DOUBLE) AS sum_qty,
            count(*) AS n_rows
     FROM lineitem l LEFT JOIN part p ON l.l_partkey = p.p_partkey
     GROUP BY 1, 2
@@ -95,7 +102,7 @@ def flagship_dwd_dm(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.col("l_quantity").cast("decimal(38,4)").alias("qty"),
     )
     return dwd.groupBy("brand", "ship_day").agg(
-        F.sum("qty").cast("decimal(38,4)").alias("sum_qty"),
+        F.round(F.sum("qty"), 2).cast("double").alias("sum_qty"),
         F.count(F.lit(1)).alias("n_rows"),
     )
 
@@ -150,7 +157,7 @@ def j1_dim_enrich(spark: SparkSession, sf_dir: str) -> DataFrame:
       FROM lineitem WHERE l_shipdate >= TIMESTAMP '1998-01-01' GROUP BY 1
     )
     SELECT i.l_returnflag,
-           CAST(i.s + coalesce(snap.s, 0) AS DECIMAL(38,4)) AS sum
+           CAST(round(i.s + coalesce(snap.s, 0), 2) AS DOUBLE) AS sum
     FROM inc i LEFT JOIN snap ON i.l_returnflag = snap.l_returnflag
     """,
 )
@@ -162,7 +169,7 @@ def j2_delta_merge(spark: SparkSession, sf_dir: str) -> DataFrame:
     snap = R.group_sum(li.filter(F.col("l_shipdate") < cutoff), ["l_returnflag"], "qty")
     inc = R.group_sum(li.filter(F.col("l_shipdate") >= cutoff), ["l_returnflag"], "qty")
     return R.delta_merge_running_agg(inc, snap, ["l_returnflag"]).withColumn(
-        "sum", F.col("sum").cast("decimal(38,4)")
+        "sum", F.round(F.col("sum"), 2).cast("double")
     )
 
 
@@ -174,15 +181,15 @@ def j2_delta_merge(spark: SparkSession, sf_dir: str) -> DataFrame:
     "a1_group_sum",
     oracle="""
     SELECT o_orderpriority,
-           CAST(sum(CAST(o_totalprice AS DECIMAL(38,4))) AS DECIMAL(38,4)) AS sum_price
+           CAST(round(sum(CAST(o_totalprice AS DECIMAL(38,4))), 2) AS DOUBLE) AS sum_price
     FROM orders GROUP BY o_orderpriority
     """,
 )
 def a1_group_sum(spark: SparkSession, sf_dir: str) -> DataFrame:
     orders = load(spark, sf_dir, "orders")
     return orders.groupBy("o_orderpriority").agg(
-        F.sum(F.col("o_totalprice").cast("decimal(38,4)"))
-        .cast("decimal(38,4)")
+        F.round(F.sum(F.col("o_totalprice").cast("decimal(38,4)")), 2)
+        .cast("double")
         .alias("sum_price")
     )
 
@@ -365,7 +372,7 @@ def p8_sql_over_views(spark: SparkSession, sf_dir: str) -> DataFrame:
     oracle="""
     SELECT CAST(date_trunc('day', ts) AS TIMESTAMP) AS window_start, event_type,
            count(*) AS n,
-           CAST(sum(CAST(value AS DECIMAL(38,4))) AS DECIMAL(38,4)) AS sum_value
+           CAST(round(sum(CAST(value AS DECIMAL(38,4))), 2) AS DOUBLE) AS sum_value
     FROM events GROUP BY 1, 2
     """,
 )
@@ -377,8 +384,8 @@ def a6_tumbling_window(spark: SparkSession, sf_dir: str) -> DataFrame:
         events.groupBy(F.window("ts", "1 day"), "event_type")
         .agg(
             F.count(F.lit(1)).alias("n"),
-            F.sum(F.col("value").cast("decimal(38,4)"))
-            .cast("decimal(38,4)")
+            F.round(F.sum(F.col("value").cast("decimal(38,4)")), 2)
+            .cast("double")
             .alias("sum_value"),
         )
         .select(
@@ -440,7 +447,7 @@ def limit_sorted(spark: SparkSession, sf_dir: str) -> DataFrame:
     SELECT s_suppkey,
            CAST(s_suppkey AS VARCHAR) AS suppkey_str,
            coalesce(s_name, 'N/A') AS name_nvl,
-           CAST(CAST(s_acctbal AS DECIMAL(38,4)) + 100 AS DECIMAL(38,4)) AS bal_plus
+           CAST(round(CAST(s_acctbal AS DECIMAL(38,4)) + 100, 2) AS DOUBLE) AS bal_plus
     FROM supplier
     """,
 )
@@ -450,7 +457,7 @@ def c_scalar_functions(spark: SparkSession, sf_dir: str) -> DataFrame:
         "s_suppkey",
         F.col("s_suppkey").cast("string").alias("suppkey_str"),
         nvl("s_name", "N/A").alias("name_nvl"),
-        (F.col("s_acctbal").cast("decimal(38,4)") + 100)
-        .cast("decimal(38,4)")
+        F.round(F.col("s_acctbal").cast("decimal(38,4)") + 100, 2)
+        .cast("double")
         .alias("bal_plus"),
     )

@@ -114,7 +114,7 @@ def pipe_ods2dwd_endstate(spark: SparkSession, sf_dir: str) -> DataFrame:
     oracle="""
     SELECT coalesce(c.c_mktsegment, 'N/A') AS c_mktsegment,
            CAST(round(sum(CAST(o.o_totalprice AS DECIMAL(38,4))), 2)
-                AS DECIMAL(38,4)) AS price_sum
+                AS DOUBLE) AS price_sum
     FROM orders o LEFT JOIN customer c ON o.o_custkey = c.c_custkey
     GROUP BY 1
     """,
@@ -123,14 +123,15 @@ def pipe_dwd2dm_endstate(spark: SparkSession, sf_dir: str) -> DataFrame:
     """DWD2DM parity (SRC/DWD2DM.scala:54-85): init + one delta-merge
     tick equals the full-table aggregate.
 
-    The double-sum column is compared as DECIMAL, computed from the
-    double source on both sides via per-group single-pass sums; the
-    engine's delta-merge adds two partial double sums, so compare on a
-    rounded decimal to absorb the one-ulp association difference."""
+    The double-sum column is emitted as round(x, 2) DOUBLE on both
+    sides: the engine's delta-merge adds two partial double sums, so the
+    2-dp round absorbs the one-ulp association difference, and the final
+    DOUBLE type is representation-stable through the driver's hasher
+    (wide DECIMAL is not — round-1 verdict)."""
     _dwd, dm = _run_medallion(spark, sf_dir)
     return dm.logical().select(
         "c_mktsegment",
-        F.round(F.col("price_sum"), 2).cast("decimal(38,4)").alias("price_sum"),
+        F.round(F.col("price_sum"), 2).cast("double").alias("price_sum"),
     )
 
 

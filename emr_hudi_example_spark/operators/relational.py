@@ -87,13 +87,23 @@ def delta_merge_running_agg(
 ) -> DataFrame:
     """J2 — merge an incremental aggregate into a running mart:
     ``new_sum = inc.sum + nvl(snap.sum, 0)`` over a composite-key
-    left join (SRC/DWD2DM.scala:75-79)."""
-    snap = snapshot.select(*keys, F.col(sum_col).alias("_prev_sum"))
-    cond = [inc[k] == snap[k] for k in keys]
-    joined = inc.join(snap, cond, "left")
+    left join (SRC/DWD2DM.scala:75-79).
+
+    Both sides are explicitly aliased so the join condition resolves
+    against distinct relations — ``inc[k] == snap[k]`` on frames that
+    share a lineage makes Catalyst warn about a trivially-true predicate
+    and is fragile under self-joins."""
+    inc_a = inc.alias("_dm_inc")
+    snap_a = snapshot.select(
+        *keys, F.col(sum_col).alias("_prev_sum")
+    ).alias("_dm_snap")
+    cond = [
+        F.col(f"_dm_inc.{k}") == F.col(f"_dm_snap.{k}") for k in keys
+    ]
+    joined = inc_a.join(snap_a, cond, "left")
     return joined.select(
-        *[inc[k] for k in keys],
-        (inc[sum_col] + nvl(F.col("_prev_sum"), F.lit(0))).alias(sum_col),
+        *[F.col(f"_dm_inc.{k}") for k in keys],
+        (F.col(f"_dm_inc.{sum_col}") + nvl(F.col("_prev_sum"), F.lit(0))).alias(sum_col),
     )
 
 

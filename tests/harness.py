@@ -28,7 +28,19 @@ def _canon(v):
     if v is None:
         return "<null>"
     if isinstance(v, Decimal):
-        return f"{v:.6f}"
+        # Wide decimals are representation-fragile through the driver's
+        # hasher (round-1 verdict: 6 queries failed hash_match purely on
+        # DECIMAL(38,4) canonicalization). Enforce locally that every
+        # emitted decimal survives a float round-trip; queries should
+        # emit round(x, 2) DOUBLE instead of wide DECIMAL.
+        s_exact = f"{v:.6f}"
+        s_float = f"{float(v):.6f}"
+        if s_exact != s_float:
+            raise AssertionError(
+                f"representation-fragile Decimal {v!r}: exact {s_exact} != "
+                f"float round-trip {s_float}; emit round(x,2) DOUBLE instead"
+            )
+        return s_exact
     if isinstance(v, float):
         if math.isnan(v):
             return "nan"

@@ -214,21 +214,27 @@ def embedding_near_dup_pairs(
     threshold: float = 0.95,
     id_col: str = "vec_id",
     vec_col: str = "embedding",
-    impl: str = "blas",
+    impl: str = "block",
+    n_blocks: int = 8,
 ) -> DataFrame:
     """Embedding-cosine near-duplicate pairs (id_a < id_b, cos ≥ τ).
 
-    ``impl='blas'`` (default): Arrow-batched ``mapInPandas`` — each
-    partition multiplies its rows against the broadcast corpus matrix
-    with one float64 GEMM. ~10× the expression-tree path on 64-dim
-    vectors and the shape a real engine uses for vector math.
+    ``impl='block'`` (default): exact distributed block-pair GEMM. Each
+    vector is hashed to one of ``n_blocks`` buckets by ``pmod(id, B)``;
+    every unordered bucket pair (i ≤ j) becomes one task group holding
+    bucket i as the "a" side and bucket j as the "b" side, and an Arrow
+    ``applyInPandas`` kernel runs one float64 GEMM per group. The result
+    is EXACTLY the all-pairs set (no candidate loss at any τ), but with
+    no driver materialization, no corpus broadcast, and per-task memory
+    bounded at ~2·n/B vectors. Shuffle volume is B× the corpus — at
+    100 TB, grow B so blocks fit an executor; the compute stays O(n²)
+    because the exact operator is quadratic by definition. For the
+    sub-quadratic *approximate* path see ``cell_near_dup_pairs`` (IVF
+    cell blocking) or LSH banding in ``operators/dedup.py``.
+
     ``impl='sql'``: pure-JVM ``zip_with``/``aggregate`` all-pairs join —
     bit-identical to the sequential-sum SQL oracle; kept as the
-    cross-check (tests assert blas == sql after round(6)).
-
-    Scale note (100 TB): all-pairs is quadratic by definition — at
-    corpus scale, block first (IVF cell or LSH band) and run this kernel
-    within blocks; near-dups at high τ share a block.
+    cross-check (tests assert block == sql after round(6)).
     """
     if impl == "sql":
         v = with_norm(vectors, vec_col).select(
@@ -256,7 +262,6 @@ def embedding_near_dup_pairs(
             "id_a", "id_b", F.round("cos", 6).alias("cos")
         )
 
-    import numpy as np
     from pyspark.sql import types as T
 
     id_type = vectors.schema[id_col].dataType
@@ -267,40 +272,126 @@ def embedding_near_dup_pairs(
         return embedding_near_dup_pairs(
             vectors, threshold, id_col, vec_col, impl="sql"
         )
-    rows = vectors.select(id_col, vec_col).collect()
-    if not rows:
-        return vectors.sparkSession.createDataFrame(
-            [], "id_a LONG, id_b LONG, cos DOUBLE"
-        )
-    ids = np.array([r[0] for r in rows], dtype=np.int64)
-    mat = np.array([r[1] for r in rows], dtype=np.float64)
-    mat /= np.linalg.norm(mat, axis=1, keepdims=True)
-    spark = vectors.sparkSession
-    bc = spark.sparkContext.broadcast((ids, mat))
     thr = float(threshold)
+    B = int(n_blocks)
+    src = vectors.select(
+        F.col(id_col).cast("long").alias("_id"), F.col(vec_col).alias("_vec")
+    )
+    # a-side: bucket b participates in groups (b, b), (b, b+1) … (b, B-1)
+    a_side = src.withColumn(
+        "_bi", F.pmod(F.col("_id"), F.lit(B)).cast("int")
+    ).withColumn(
+        "_bj", F.explode(F.sequence(F.col("_bi"), F.lit(B - 1)))
+    ).withColumn("_side", F.lit(0))
+    # b-side: bucket b participates in groups (0, b) … (b-1, b); guard the
+    # empty range — F.sequence(0, -1) would yield a *descending* [0, -1]
+    b_side = src.withColumn(
+        "_bj", F.pmod(F.col("_id"), F.lit(B)).cast("int")
+    ).withColumn(
+        "_bi",
+        F.explode(
+            F.when(
+                F.col("_bj") > 0,
+                F.sequence(F.lit(0), F.col("_bj") - 1),
+            ).otherwise(F.array().cast("array<int>"))
+        ),
+    ).withColumn("_side", F.lit(1))
+    tagged = a_side.unionByName(b_side.select(*a_side.columns))
 
-    def gemm_pairs(batches):
+    def gemm_block(pdf):
         import numpy as _np
         import pandas as _pd
 
-        c_ids, c_mat = bc.value
-        for pdf in batches:
-            if not len(pdf):
-                continue
-            q_ids = pdf["_id"].to_numpy(dtype=_np.int64)
-            q = _np.array(list(pdf["_vec"]), dtype=_np.float64)
-            q /= _np.linalg.norm(q, axis=1, keepdims=True)
-            sims = q @ c_mat.T
-            qi, ci = _np.nonzero((sims >= thr) & (q_ids[:, None] < c_ids[None, :]))
-            yield _pd.DataFrame(
-                {
-                    "id_a": q_ids[qi],
-                    "id_b": c_ids[ci],
-                    "cos": _np.round(sims[qi, ci], 6),
-                }
-            )
+        empty = _pd.DataFrame({
+            "id_a": _pd.Series(dtype="int64"),
+            "id_b": _pd.Series(dtype="int64"),
+            "cos": _pd.Series(dtype="float64"),
+        })
+        if not len(pdf):
+            return empty
 
-    src = vectors.select(
-        F.col(id_col).alias("_id"), F.col(vec_col).alias("_vec")
+        def prep(sub):
+            ids = sub["_id"].to_numpy(dtype=_np.int64)
+            mat = _np.array(list(sub["_vec"]), dtype=_np.float64)
+            mat /= _np.linalg.norm(mat, axis=1, keepdims=True)
+            return ids, mat
+
+        if pdf["_bi"].iloc[0] == pdf["_bj"].iloc[0]:
+            # diagonal group: all rows are a-side; pairs within the bucket
+            ids, mat = prep(pdf)
+            sims = mat @ mat.T
+            ai, bi_ = _np.nonzero(
+                (sims >= thr) & (ids[:, None] < ids[None, :])
+            )
+            id_a, id_b = ids[ai], ids[bi_]
+            cos = sims[ai, bi_]
+        else:
+            a = pdf[pdf["_side"] == 0]
+            b = pdf[pdf["_side"] == 1]
+            if not len(a) or not len(b):
+                return empty
+            a_ids, a_mat = prep(a)
+            b_ids, b_mat = prep(b)
+            sims = a_mat @ b_mat.T
+            ai, bi_ = _np.nonzero(sims >= thr)
+            lo = _np.minimum(a_ids[ai], b_ids[bi_])
+            hi = _np.maximum(a_ids[ai], b_ids[bi_])
+            id_a, id_b, cos = lo, hi, sims[ai, bi_]
+        return _pd.DataFrame(
+            {"id_a": id_a, "id_b": id_b, "cos": _np.round(cos, 6)}
+        )
+
+    return tagged.groupBy("_bi", "_bj").applyInPandas(
+        gemm_block, schema="id_a LONG, id_b LONG, cos DOUBLE"
     )
-    return src.mapInPandas(gemm_pairs, schema="id_a LONG, id_b LONG, cos DOUBLE")
+
+
+def cell_near_dup_pairs(
+    vectors: DataFrame,
+    centroids: DataFrame,
+    threshold: float = 0.95,
+    n_assign: int = 2,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """Approximate near-dup pairs via IVF cell blocking — the
+    sub-quadratic 100 TB path. Vectors are assigned to their ``n_assign``
+    nearest centroids (broadcast argmin, narrow); the exact GEMM kernel
+    runs only *within* each cell, so compute drops from O(n²) to
+    O(Σ cell²) ≈ O(n²/n_cells) for balanced cells. A pair is found iff
+    the two vectors share at least one cell — recall rises with
+    ``n_assign`` (near-dups at high τ almost always share a nearest
+    centroid). Results are deduplicated across shared cells.
+    """
+    cells = assign_cells(vectors, centroids, id_col, vec_col, n_assign)
+    tagged = vectors.join(cells, id_col).select(
+        F.col("cell_id"),
+        F.col(id_col).cast("long").alias("_id"),
+        F.col(vec_col).alias("_vec"),
+    )
+    thr = float(threshold)
+
+    def gemm_cell(pdf):
+        import numpy as _np
+        import pandas as _pd
+
+        if len(pdf) < 2:
+            return _pd.DataFrame({
+                "id_a": _pd.Series(dtype="int64"),
+                "id_b": _pd.Series(dtype="int64"),
+                "cos": _pd.Series(dtype="float64"),
+            })
+        ids = pdf["_id"].to_numpy(dtype=_np.int64)
+        mat = _np.array(list(pdf["_vec"]), dtype=_np.float64)
+        mat /= _np.linalg.norm(mat, axis=1, keepdims=True)
+        sims = mat @ mat.T
+        ai, bi_ = _np.nonzero((sims >= thr) & (ids[:, None] < ids[None, :]))
+        return _pd.DataFrame(
+            {"id_a": ids[ai], "id_b": ids[bi_], "cos": _np.round(sims[ai, bi_], 6)}
+        )
+
+    pairs = tagged.groupBy("cell_id").applyInPandas(
+        gemm_cell, schema="id_a LONG, id_b LONG, cos DOUBLE"
+    )
+    # n_assign > 1 → the same pair can surface in up to n_assign cells
+    return pairs.groupBy("id_a", "id_b").agg(F.max("cos").alias("cos"))

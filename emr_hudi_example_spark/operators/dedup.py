@@ -175,10 +175,17 @@ def minhash_lsh_dedup(
     band_size: int = 3,
     k: int = 3,
     threshold: float = 0.5,
-    max_bucket_size: int | None = None,
+    max_bucket_size: int | None = 256,
 ) -> DataFrame:
     """Full near-dup pipeline: signatures → banded LSH candidates →
-    exact-Jaccard verification. Returns (id_a, id_b, jaccard)."""
+    exact-Jaccard verification. Returns (id_a, id_b, jaccard).
+
+    ``max_bucket_size`` defaults ON (256): a degenerate bucket of B docs
+    (boilerplate/empty content hashing identically) otherwise produces
+    B²/2 candidate pairs in one task — the classic LSH skew bomb at
+    corpus scale. Capped buckets are dropped entirely: their contents
+    are mutual near-dups of boilerplate, which a real pipeline handles
+    via exact dedup first. Pass ``None`` to disable."""
     sig = minhash_signatures(df, id_col, text_col, num_perm, k)
     cands = lsh_candidate_pairs(sig, id_col, num_perm, band_size, max_bucket_size)
     return jaccard_verify(df, cands, id_col, text_col, k, threshold)
@@ -190,16 +197,34 @@ def ngram_jaccard_pairs(
     text_col: str = "text",
     k: int = 3,
     threshold: float = 0.2,
+    max_doc_freq: int | None = 256,
 ) -> DataFrame:
     """Exact n-gram Jaccard near-dup: candidates = pairs sharing ≥1
     shingle (inverted-index join on the shingle — never a cross join),
-    then exact verification."""
+    then exact verification.
+
+    ``max_doc_freq`` defaults ON (256): a shingle occurring in D
+    documents contributes D²/2 candidate pairs, so one boilerplate
+    shingle shared by 1M docs is a quadratic bucket. Shingles with
+    document frequency above the cap are dropped from candidate
+    generation (the same posting-list cut search engines apply to
+    stopwords); pairs that share ONLY ultra-common shingles have
+    near-zero Jaccard anyway, far below any useful threshold. Pass
+    ``None`` to disable."""
     # no persist: both join sides come from one shuffle — Catalyst's
     # ReusedExchange dedupes the work; caching only adds materialization
     sh = ensure_parallelism(df.select(id_col, text_col)).select(
         F.col(id_col),
         F.explode(F.array_distinct(shingles(text_col, k))).alias("sh"),
     )
+    if max_doc_freq is not None:
+        # document-frequency cap: posting lists longer than the cap are
+        # cut before the self-join (shingles are distinct per doc, so
+        # count(*) per shingle IS the document frequency)
+        dfreq = sh.groupBy("sh").count()
+        sh = sh.join(
+            dfreq.filter(F.col("count") <= max_doc_freq).drop("count"), "sh"
+        )
     pairs = (
         sh.alias("a")
         .join(

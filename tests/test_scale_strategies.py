@@ -145,3 +145,24 @@ def test_cell_near_dup_subset_of_exact(spark):
         assert abs(want[k] - v) < 1e-9
     if want:
         assert len(got) / len(want) >= 0.5
+
+
+def test_dedup_skew_guards_bound_degenerate_corpus(spark):
+    """A corpus of identical documents is the worst case for both LSH
+    buckets and shingle posting lists: without guards, candidates grow
+    quadratically (N²/2). With the caps active the candidate set is
+    empty — the degenerate content never reaches a join."""
+    from emr_hudi_example_spark.operators import dedup as D
+
+    n = 50
+    boiler = spark.createDataFrame(
+        [(i, "the same boilerplate text repeated everywhere forever") for i in range(n)],
+        "doc_id LONG, text STRING",
+    )
+    lsh = D.minhash_lsh_dedup(boiler, threshold=0.0, max_bucket_size=10)
+    assert lsh.count() == 0
+    ng = D.ngram_jaccard_pairs(boiler, threshold=0.0, max_doc_freq=10)
+    assert ng.count() == 0
+    # with guards disabled the same corpus produces the full N²/2 pairs
+    ng_off = D.ngram_jaccard_pairs(boiler, threshold=0.0, max_doc_freq=None)
+    assert ng_off.count() == n * (n - 1) // 2

@@ -60,11 +60,15 @@ def vocab_topk(
         .groupBy("token")
         .agg(F.count(F.lit(1)).alias("freq"))
     )
+    # orderBy().limit(k) plans as TakeOrderedAndProject: per-partition
+    # top-k heaps + a k-row merge on the driver — never funnels the full
+    # distinct-token table through one task the way an unpartitioned
+    # row_number window would. The rank window then runs over only the
+    # k surviving rows.
+    top = counts.orderBy(F.col("freq").desc(), F.col("token").asc()).limit(k)
     w = Window.orderBy(F.col("freq").desc(), F.col("token").asc())
-    return (
-        counts.withColumn("rank", F.row_number().over(w))
-        .filter(F.col("rank") <= k)
-        .select("token", "freq", "rank")
+    return top.withColumn("rank", F.row_number().over(w)).select(
+        "token", "freq", "rank"
     )
 
 
@@ -73,19 +77,38 @@ def pack_sequences(
     window_tokens: int = 512,
     id_col: str = "doc_id",
     text_col: str = "text",
+    shard_col: str | None = None,
 ) -> DataFrame:
     """Assign docs to training-context bins: docs in ``id_col`` order,
     each bin holds ~``window_tokens`` whitespace tokens; a doc lands in
     bin ``floor(running_total_before_doc / window_tokens)``. Greedy
     sequential packing, made deterministic (and SQL-expressible) by the
-    id ordering — the standard pre-tokenization packing pass."""
-    w = (
-        Window.orderBy(F.col(id_col))
-        .rowsBetween(Window.unboundedPreceding, -1)
-    )
+    id ordering — the standard pre-tokenization packing pass.
+
+    ``shard_col``: when set, the running sum is computed PER SHARD
+    (window partitioned by the shard column; ``pack_id`` is unique
+    within a shard) — the scale path. A global unpartitioned window
+    serializes the whole corpus through one task; per-shard packing is
+    also what a real packer wants, since bins never straddle shard —
+    i.e. file/worker — boundaries. ``None`` keeps the global semantics
+    for small inputs."""
+    if shard_col is not None:
+        w = (
+            Window.partitionBy(F.col(shard_col))
+            .orderBy(F.col(id_col))
+            .rowsBetween(Window.unboundedPreceding, -1)
+        )
+        extra = [F.col(shard_col)]
+    else:
+        w = (
+            Window.orderBy(F.col(id_col))
+            .rowsBetween(Window.unboundedPreceding, -1)
+        )
+        extra = []
     n_tok = token_count(text_col)
     return df.select(
         F.col(id_col),
+        *extra,
         n_tok.alias("n_tokens"),
         F.floor(
             F.coalesce(F.sum(n_tok).over(w), F.lit(0))

@@ -166,3 +166,39 @@ def test_dedup_skew_guards_bound_degenerate_corpus(spark):
     # with guards disabled the same corpus produces the full N²/2 pairs
     ng_off = D.ngram_jaccard_pairs(boiler, threshold=0.0, max_doc_freq=None)
     assert ng_off.count() == n * (n - 1) // 2
+
+
+def test_vocab_topk_plans_take_ordered(spark):
+    """vocab_topk must plan as TakeOrderedAndProject (per-partition
+    heaps), not an unpartitioned row_number window over every distinct
+    token."""
+    from emr_hudi_example_spark.operators.corpus import vocab_topk
+
+    docs = spark.read.parquet(f"{SF}/documents.parquet")
+    out = vocab_topk(docs, k=10)
+    plan = out._jdf.queryExecution().executedPlan().toString()
+    assert "TakeOrderedAndProject" in plan
+    rows = out.collect()
+    assert [r["rank"] for r in rows] == list(range(1, len(rows) + 1))
+    freqs = [r["freq"] for r in rows]
+    assert freqs == sorted(freqs, reverse=True)
+
+
+def test_pack_sequences_sharded_window(spark):
+    """With shard_col the running-sum window is partitioned (scale
+    path) and equals a per-shard global pack."""
+    from emr_hudi_example_spark.operators.corpus import pack_sequences
+
+    docs = spark.read.parquet(f"{SF}/documents.parquet").withColumn(
+        "shard_id", F.pmod(F.col("doc_id"), F.lit(4))
+    )
+    out = pack_sequences(docs, window_tokens=128, shard_col="shard_id")
+    plan = out._jdf.queryExecution().executedPlan().toString()
+    assert "windowspecdefinition(shard_id" in plan
+    got = {(r["doc_id"]): (r["shard_id"], r["pack_id"]) for r in out.collect()}
+    for s in range(4):
+        sub = pack_sequences(
+            docs.filter(F.col("shard_id") == s), window_tokens=128
+        )
+        for r in sub.collect():
+            assert got[r["doc_id"]] == (s, r["pack_id"])

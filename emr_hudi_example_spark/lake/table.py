@@ -373,11 +373,23 @@ class LakeTable:
     def last_checkpoint(self, source_id: str) -> int | None:
         """Newest committed checkpoint value for ``source_id``, scanning
         the timeline backwards (the exactly-once replay guard's read
-        side)."""
+        side). Falls back to archived manifests: ``archive_timeline``
+        may have moved the newest checkpoint-bearing commit out of the
+        active timeline, and losing sight of it would silently re-apply
+        a replayed batch."""
         for i in reversed(self.timeline()):
             cp = self._manifest(i).get("checkpoint")
             if cp and cp.get("source_id") == source_id:
                 return cp.get("batch_id")
+        arch = os.path.join(self.commits_dir, "_archived")
+        if os.path.isdir(arch):
+            for f in sorted(os.listdir(arch), reverse=True):
+                if not f.endswith(".json"):
+                    continue
+                with open(os.path.join(arch, f)) as fh:
+                    cp = json.load(fh).get("checkpoint")
+                if cp and cp.get("source_id") == source_id:
+                    return cp.get("batch_id")
         return None
 
     def write(
@@ -411,13 +423,20 @@ class LakeTable:
                 if last is not None and last >= checkpoint["batch_id"]:
                     return None  # replayed batch — already committed
                 self._pending_checkpoint = dict(checkpoint)
-            if op in ("insert", "bulk_insert"):
-                return self._commit_insert(df, instant)
-            if op == "upsert":
-                return self._commit_upsert(df, instant)
-            if op == "delete":
-                return self._commit_delete(df, instant)
-            raise ValueError(f"unknown write op: {op}")
+            try:
+                if op in ("insert", "bulk_insert"):
+                    return self._commit_insert(df, instant)
+                if op == "upsert":
+                    return self._commit_upsert(df, instant)
+                if op == "delete":
+                    return self._commit_delete(df, instant)
+                raise ValueError(f"unknown write op: {op}")
+            finally:
+                # a FAILED commit must not leave its checkpoint armed:
+                # it would ride on the NEXT successful manifest (e.g. a
+                # later compact()), falsely marking the failed batch
+                # committed and silently skipping its replay
+                self._pending_checkpoint = None
 
     @contextmanager
     def _writer_lock(self):

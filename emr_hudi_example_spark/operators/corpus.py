@@ -127,6 +127,13 @@ def zorder_key(cols: list[str], bits: int = 16):
     this. Columns are truncated to ``bits`` bits; negative values are
     masked like Java's ``&`` (two's complement)."""
     n = len(cols)
+    if bits * n > 63:
+        # bit position 63 would need 2^63, past LongType's max — the
+        # expression would overflow/wrap instead of producing a key
+        raise ValueError(
+            f"zorder_key needs bits*len(cols) <= 63 (got {bits}*{n}="
+            f"{bits * n}); reduce bits to {63 // n} for {n} columns"
+        )
     terms = []
     for i in range(bits):
         for j, c in enumerate(cols):

@@ -132,6 +132,7 @@ def apply_changes_batch(
     parsed: DataFrame,
     registry: TableRegistry,
     created_ts_millis: int | None = None,
+    batch_id: int | None = None,
 ) -> list[tuple[str, str]]:
     """Route a parsed Canal change batch (database, table,
     operation_type, row_json — the output of
@@ -149,6 +150,13 @@ def apply_changes_batch(
     ordering must split such sequences across batches (the reference
     never wires its parser at all, so it has no stronger guarantee).
     Returns (table, op) pairs applied.
+
+    ``batch_id`` (pass the foreachBatch epoch id): arms the engine's
+    exactly-once checkpoint for the non-idempotent ``insert`` op — a
+    replayed batch after a crash finds ``cdc:{table}`` already at this
+    batch_id and skips the double-insert. Upsert/delete replays are
+    naturally idempotent and carry no checkpoint, so a replay that was
+    interrupted mid-batch still completes its remaining tables.
     """
     combos = [
         (r["table"], r["operation_type"])
@@ -180,8 +188,12 @@ def apply_changes_batch(
             )
             .withColumn("created_ts", created_ts_expr(created_ts_millis))
         )
-        target.write(rows, op=op)
-        applied.append((table_name, op))
+        cp = None
+        if op == "insert" and batch_id is not None:
+            cp = {"source_id": f"cdc:{table_name}", "batch_id": batch_id}
+        committed = target.write(rows, op=op, checkpoint=cp)
+        if committed is not None:
+            applied.append((table_name, op))
     return applied
 
 

@@ -699,3 +699,38 @@ def test_checkpoint_guard_exactly_once_replay(spark, tmp_path):
                    checkpoint={"source_id": "other", "batch_id": 0}) is not None
     assert t.last_checkpoint("ingest") == 8
     assert t.last_checkpoint("other") == 0
+
+
+def test_failed_commit_does_not_leak_checkpoint(spark, tmp_path):
+    """A write that raises after arming its checkpoint must NOT leave it
+    attached to the next successful commit — otherwise the failed batch
+    looks committed and its replay is silently skipped (data loss)."""
+    t = make_table(spark, tmp_path)
+    b = cust(spark, ver=1).limit(5)
+    cp = {"source_id": "ingest", "batch_id": 1}
+    with pytest.raises(ValueError, match="unknown write op"):
+        t.write(b, op="bogus", checkpoint=dict(cp))
+    # an unrelated commit later must not pick up the stale checkpoint
+    t.write(b, op="insert", instant="010")
+    assert t.last_checkpoint("ingest") is None
+    # and the failed batch's replay still applies
+    assert t.write(b, op="insert", checkpoint=dict(cp)) is not None
+    assert t.last_checkpoint("ingest") == 1
+
+
+def test_checkpoint_survives_timeline_archival(spark, tmp_path):
+    """archive_timeline moving the checkpoint-bearing manifest out of
+    the active timeline must not disable the replay guard."""
+    t = make_table(spark, tmp_path)
+    b = cust(spark, ver=1).limit(5)
+    t.write(b, op="insert", instant="001",
+            checkpoint={"source_id": "ingest", "batch_id": 5})
+    for i in range(2, 8):
+        t.write(cust(spark, ver=i).limit(3), op="upsert", instant=f"00{i}")
+    archived = t.archive_timeline(keep_commits=2)
+    assert "001" in archived
+    assert t.last_checkpoint("ingest") == 5
+    n = t.snapshot().count()
+    assert t.write(b, op="insert",
+                   checkpoint={"source_id": "ingest", "batch_id": 5}) is None
+    assert t.snapshot().count() == n

@@ -633,3 +633,32 @@ def test_parse_keys_from_ddl():
         "CREATE TABLE t (a INT, b INT, PRIMARY KEY (a, b)) STORED AS KUDU"
     )
     assert spec2.record_keys == ["a", "b"] and spec2.partition_keys == []
+
+
+def test_cdc_insert_replay_is_exactly_once(spark, tmp_path):
+    """apply_changes_batch(batch_id=...) arms the commit-metadata
+    checkpoint for the non-idempotent insert path: a foreachBatch replay
+    of the same epoch does not double-insert."""
+    from emr_hudi_example_spark.cdc.canal import parse_canal_df
+    from emr_hudi_example_spark.pipelines.multitable import (
+        TableRegistry, TableSpec, apply_changes_batch,
+    )
+
+    reg = TableRegistry(spark, str(tmp_path), "db")
+    reg.register("nation", TableSpec(["n_nationkey"]))
+    nation = spark.read.parquet(f"{SF}/nation.parquet")
+    reg.lake_table("nation").write(
+        nation.withColumn("created_ts", F.lit(1).cast("long")),
+        op="upsert", instant="001",
+    )
+    env = json.dumps({"table": "nation", "type": "INSERT", "database": "d",
+                      "isDdl": False,
+                      "data": [{"n_nationkey": "991", "n_name": "NEW"}]})
+    parsed = parse_canal_df(spark.createDataFrame([(env,)], "value STRING"))
+    applied = apply_changes_batch(parsed, reg, created_ts_millis=9, batch_id=4)
+    assert applied == [("nation", "insert")]
+    n = reg.lake_table("nation").snapshot().count()
+    # crash-replay of the same epoch: insert must be skipped
+    replay = apply_changes_batch(parsed, reg, created_ts_millis=9, batch_id=4)
+    assert replay == []
+    assert reg.lake_table("nation").snapshot().count() == n

@@ -202,3 +202,13 @@ def test_pack_sequences_sharded_window(spark):
         )
         for r in sub.collect():
             assert got[r["doc_id"]] == (s, r["pack_id"])
+
+
+def test_zorder_key_rejects_long_overflow(spark):
+    import pytest as _pytest
+
+    from emr_hudi_example_spark.operators.corpus import zorder_key
+
+    with _pytest.raises(ValueError, match="bits\\*len\\(cols\\) <= 63"):
+        zorder_key(["a", "b", "c", "d"], bits=16)
+    zorder_key(["a", "b", "c", "d"], bits=15)  # 60 bits: fine

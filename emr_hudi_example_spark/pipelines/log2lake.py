@@ -67,14 +67,17 @@ def run_log2lake(
     table: LakeTable,
     checkpoint_dir: str,
     trigger_seconds: int | None = None,
+    op: str = "upsert",
 ) -> StreamingQuery:
     """Wire the full streaming query (schema bootstrap from one sample →
     foreachBatch ingest). The caller supplies any Kafka-shaped stream
-    (``value`` string column)."""
+    (``value`` string column). ``op`` mirrors the reference's
+    ``hudiWriteOperation`` flag (SRC/conf/Config.scala:25)."""
     schema = schema_from_sample_json(spark, sample_json)
     return start_foreach_batch(
         stream_df,
-        lambda bdf, bid: log2lake_batch(bdf, schema, table, batch_id=bid),
+        lambda bdf, bid: log2lake_batch(bdf, schema, table, op=op,
+                                        batch_id=bid),
         checkpoint_dir,
         query_name="Log2Lake",
         trigger_seconds=trigger_seconds,

@@ -41,6 +41,83 @@ def kafka_like_stream(spark: SparkSession, path: str) -> DataFrame:
     )
 
 
+def kafka_reader_options(
+    brokers: str,
+    topic: str,
+    consumer_group: str | None = None,
+    start_pos: str = "latest",
+    fail_on_data_loss: bool = False,
+) -> dict[str, str]:
+    """The reference's Kafka reader options verbatim
+    (``SRC/Log2Hudi.scala:29-37``, ``SRC/MSK2Hudi.scala:30-38``):
+    bootstrap servers, subscribe topic, starting offsets
+    (latest|earliest), failOnDataLoss=false (the reference hard-codes
+    it), and the consumer group id. Returned as a plain dict so the
+    option surface is unit-testable without a broker."""
+    opts = {
+        "kafka.bootstrap.servers": brokers,
+        "subscribe": topic,
+        "startingOffsets": start_pos,
+        "failOnDataLoss": str(fail_on_data_loss).lower(),
+    }
+    if consumer_group:
+        opts["kafka.consumer.commit.groupid"] = consumer_group
+    return opts
+
+
+def kafka_stream(
+    spark: SparkSession,
+    brokers: str,
+    topic: str,
+    consumer_group: str | None = None,
+    start_pos: str = "latest",
+    repartition: int | None = None,
+) -> DataFrame:
+    """The REAL Kafka source plan (``format("kafka")`` + the reference's
+    options + ``CAST(value AS STRING)`` + stream repartition). Requires
+    the spark-sql-kafka connector on the classpath (any real cluster;
+    not this sandbox — use ``build_stream_source(source="files")``
+    there, which produces the identical envelope)."""
+    reader = spark.readStream.format("kafka")
+    for k, v in kafka_reader_options(
+        brokers, topic, consumer_group, start_pos
+    ).items():
+        reader = reader.option(k, v)
+    df = reader.load()
+    if repartition:
+        df = df.repartition(repartition)  # SRC/Log2Hudi.scala:38
+    return df.select(
+        F.col("topic"), F.col("value").cast("string").alias("value")
+    )
+
+
+def build_stream_source(
+    spark: SparkSession,
+    source: str = "files",
+    path: str | None = None,
+    brokers: str | None = None,
+    topic: str | None = None,
+    consumer_group: str | None = None,
+    start_pos: str = "latest",
+    repartition: int | None = None,
+) -> DataFrame:
+    """Source switch for every streaming pipeline: ``"kafka"`` builds
+    the real connector plan (cluster), ``"files"`` the envelope-
+    equivalent file stream (sandbox/tests). Downstream transforms are
+    identical — both emit a string ``value`` column."""
+    if source == "kafka":
+        if not brokers or not topic:
+            raise ValueError("source='kafka' requires brokers and topic")
+        return kafka_stream(
+            spark, brokers, topic, consumer_group, start_pos, repartition
+        )
+    if source == "files":
+        if not path:
+            raise ValueError("source='files' requires path")
+        return json_lines_stream(spark, path, repartition)
+    raise ValueError(f"unknown stream source: {source!r}")
+
+
 def start_foreach_batch(
     df: DataFrame,
     fn,

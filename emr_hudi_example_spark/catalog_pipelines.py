@@ -61,9 +61,16 @@ def _run_medallion(spark: SparkSession, sf_dir: str):
     base = _tmp_base()
     _orders, b1, b2 = _orders_batches(spark, sf_dir)
     cust = load(spark, sf_dir, "customer").select("c_custkey", "c_mktsegment")
-    ods = LakeTable(spark, base, "p", "ods", ["o_orderkey"], "created_ts")
+    # ODS/DWD are MERGE_ON_READ: each tick appends delta files instead of
+    # COW-rewriting key-hit files — halves the per-commit Spark jobs (no
+    # key-hit scan, no rewrite) and is the reference's own table type for
+    # its streaming tables (SRC/package.scala:176). The tiny DM mart
+    # stays COW (its snapshot is read back every tick).
+    ods = LakeTable(spark, base, "p", "ods", ["o_orderkey"], "created_ts",
+                    table_type="MERGE_ON_READ")
     dwd = LakeTable(
-        spark, base, "p", "dwd", ["o_orderkey", "c_mktsegment"], "created_ts"
+        spark, base, "p", "dwd", ["o_orderkey", "c_mktsegment"], "created_ts",
+        table_type="MERGE_ON_READ",
     )
     dm = LakeTable(spark, base, "p", "dm", ["c_mktsegment"], "created_ts")
 

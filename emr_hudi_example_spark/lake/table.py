@@ -1037,3 +1037,26 @@ class LakeTable:
         sync (``SRC/util/HudiConfig.scala:38-44``): snapshot as a temp
         view usable from ``spark.sql``."""
         self.snapshot().createOrReplaceTempView(name or f"{self.db}_{self.table}")
+
+    def sync_table(self, name: str | None = None) -> str:
+        """Persistent catalog sync — the closer analog of Hudi's Hive
+        metastore DDL sync (``SRC/util/HudiConfig.scala:38-44``,
+        ``hoodie.datasource.hive_sync.*``): materialize the merged
+        snapshot as a *session-catalog table* via ``saveAsTable``, so
+        any session sharing the catalog (``spark.newSession()``, or a
+        metastore-backed deployment) can ``spark.sql`` against it
+        without holding a :class:`LakeTable` handle.
+
+        Unlike Hudi — whose sync registers the live file layout behind
+        a custom input format — this engine owns the merge logic in
+        Python, so the synced table is a snapshot *copy* as of the
+        latest commit; re-run after new commits to refresh (Hudi's sync
+        is likewise re-invoked per commit). Returns the catalog name.
+        """
+        ident = name or f"{self.db}_{self.table}"
+        self.snapshot().write.mode("overwrite").format("parquet").saveAsTable(ident)
+        # the overwrite replaces the backing files; invalidate this
+        # session's cached file listing (other sessions REFRESH TABLE
+        # themselves, exactly as consumers of Hive-synced tables do)
+        self.spark.catalog.refreshTable(ident)
+        return ident

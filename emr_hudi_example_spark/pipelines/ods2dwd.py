@@ -25,11 +25,19 @@ from emr_hudi_example_spark.operators.relational import dim_enrich_left_join
 
 def init_cursor(table: LakeTable) -> str | None:
     """``select max(_hoodie_commit_time)`` cursor bootstrap
-    (SRC/ODS2DWD.scala:30-36). None when the table is empty/new."""
+    (SRC/ODS2DWD.scala:30-36). None when the table is empty/new.
+
+    Answered from the commit timeline (driver-side, no table scan):
+    ``last_instant() >= max(_commit_time)`` always, and no row can carry
+    a commit time in ``(max(_commit_time), last_instant()]`` — commits in
+    that gap added no newer-stamped rows (deletes/compactions re-emit
+    survivors with their ORIGINAL stamps) — so the two cursors make the
+    next incremental read return the identical slice. At scale this
+    replaces a full snapshot scan per restart with one directory
+    listing."""
     if not table.exists():
         return None
-    row = table.snapshot().agg(F.max(COMMIT_TIME_COL)).collect()[0]
-    return row[0]
+    return table.last_instant()
 
 
 def dwd_increment(

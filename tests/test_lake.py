@@ -734,3 +734,29 @@ def test_checkpoint_survives_timeline_archival(spark, tmp_path):
     assert t.write(b, op="insert",
                    checkpoint={"source_id": "ingest", "batch_id": 5}) is None
     assert t.snapshot().count() == n
+
+
+def test_sync_table_visible_from_fresh_session(spark, tmp_path):
+    """Persistent catalog sync (SRC/util/HudiConfig.scala:38-44 analog):
+    saveAsTable-backed sync must be queryable from a *new* session that
+    shares only the catalog — no LakeTable handle, no temp views."""
+    t = make_table(spark, tmp_path, name="synct")
+    t.write(cust(spark, ver=1), op="insert", instant="001")
+    t.write(cust(spark, ver=2).limit(10), op="upsert", instant="002")
+    ident = t.sync_table()
+    try:
+        fresh = spark.newSession()
+        got = fresh.sql(f"SELECT count(*) AS n FROM {ident}").collect()[0]["n"]
+        assert got == t.snapshot().count()
+        # temp views do NOT cross sessions — proves this is catalog-persistent
+        t.sync_view("synct_view")
+        assert not fresh.catalog.tableExists("synct_view")
+        # re-sync after a new commit refreshes the snapshot copy
+        t.write(cust(spark, ver=3).limit(7), op="upsert", instant="003")
+        t.sync_table()
+        fresh.catalog.refreshTable(ident)
+        assert (
+            fresh.table(ident).where("ver = 3").count() == 7
+        )
+    finally:
+        spark.sql(f"DROP TABLE IF EXISTS {ident}")

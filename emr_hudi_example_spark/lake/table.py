@@ -974,6 +974,127 @@ class LakeTable:
         )
         return inst
 
+    # -------------------------------------------- async (scheduled) compaction
+
+    def schedule_compaction(self, plan_id: str | None = None) -> str | None:
+        """Async-compaction phase 1 (the reference runs compaction async
+        on the KDS path, ``SRC/KDS2Hudi.scala:131-133``; Hudi's
+        schedule/execute split): pin a compaction PLAN — the set of live
+        files as of now — on the timeline sidecar, and return
+        immediately. Ingest keeps committing; ``run_compaction`` later
+        folds ONLY the pinned files.
+
+        Returns the plan id, or None when there is nothing to compact
+        (no deltas on MOR; ≤1 live file on COW).
+        """
+        if not self.exists():
+            return None
+        with self._writer_lock():
+            live = self._live_files()
+            if self.is_mor:
+                if not any(f.get("kind") == "delta" for f in live):
+                    return None
+            elif len(live) <= 1:
+                return None
+            pid = plan_id or self._next_instant(None)
+            plan = {
+                "plan_id": pid,
+                "scheduled_after": self.last_instant(),
+                "files": sorted(f["path"] for f in live),
+            }
+            pdir = os.path.join(self.commits_dir, "_compaction")
+            os.makedirs(pdir, exist_ok=True)
+            tmp = os.path.join(pdir, pid + ".json.tmp")
+            with open(tmp, "w") as fh:
+                json.dump(plan, fh)
+            os.replace(tmp, os.path.join(pdir, pid + ".json"))
+            return pid
+
+    def pending_compactions(self) -> list[str]:
+        """Scheduled-but-unexecuted plan ids, ascending."""
+        pdir = os.path.join(self.commits_dir, "_compaction")
+        if not os.path.isdir(pdir):
+            return []
+        return sorted(
+            f[: -len(".json")]
+            for f in os.listdir(pdir)
+            if f.endswith(".json")
+        )
+
+    def run_compaction(
+        self,
+        plan_id: str | None = None,
+        target_files_per_partition: int = 1,
+        sort_by: list[str] | None = None,
+    ) -> str | None:
+        """Async-compaction phase 2: execute a scheduled plan. Folds the
+        plan's pinned files into fresh base files; delta files committed
+        AFTER the schedule are untouched and keep merging on top at read.
+
+        Correctness of the partial fold: the per-key merge is a max over
+        ``(precombine, _commit_time)``, so folding the pinned subset
+        first and merging later deltas at read gives the same winner as
+        the one-shot merge; and a pinned tombstone can be dropped after
+        the fold because every post-schedule row carries a strictly
+        newer ``_commit_time`` than it (commit instants are monotonic).
+
+        The commit lands at the NEXT instant (unlike Hudi, which
+        reserves the scheduled instant) — incremental reads stay exact
+        either way because rows keep their original ``_commit_time``.
+        Returns the committed instant, or None when the plan is stale
+        (a pinned file was already replaced — e.g. an inline compaction
+        ran in between; the plan is discarded, as only the file set it
+        pinned could make the partial fold safe).
+        """
+        pending = self.pending_compactions()
+        if plan_id is None:
+            if not pending:
+                return None
+            plan_id = pending[0]
+        pdir = os.path.join(self.commits_dir, "_compaction")
+        pfile = os.path.join(pdir, plan_id + ".json")
+        with open(pfile) as fh:
+            plan = json.load(fh)
+        with self._writer_lock():
+            live = self._live_files()
+            live_paths = {f["path"] for f in live}
+            pinned_paths = set(plan["files"])
+            if not pinned_paths <= live_paths:
+                os.remove(pfile)  # stale plan — a pinned file was replaced
+                return None
+            pinned = [f for f in live if f["path"] in pinned_paths]
+            inst = self._next_instant(None)
+            df = self._read_files(sorted(pinned_paths))
+            if self.is_mor:
+                df = self._merged_read(df).withColumn(
+                    DELETED_COL, F.lit(False)
+                )
+            if self.partition_keys:
+                parts = max(
+                    1,
+                    target_files_per_partition
+                    * len({f["partition_path"] for f in pinned}),
+                )
+                df = df.repartition(
+                    parts, *[F.col(k) for k in self.partition_keys]
+                )
+            else:
+                df = df.coalesce(target_files_per_partition)
+            if sort_by:
+                df = df.sortWithinPartitions(*sort_by)
+            added = self._write_data_files(df, inst)
+            survivors = [f for f in live if f["path"] not in pinned_paths]
+            self._write_manifest(
+                inst,
+                "compact",
+                self._stored_schema(),
+                added,
+                sorted(pinned_paths),
+                survivors + added,
+            )
+            os.remove(pfile)
+            return inst
+
     # -------------------------------------------------------------- cleaner
 
     def clean(self, retain_commits: int = 2) -> list[str]:

@@ -760,3 +760,87 @@ def test_sync_table_visible_from_fresh_session(spark, tmp_path):
         )
     finally:
         spark.sql(f"DROP TABLE IF EXISTS {ident}")
+
+
+# ------------------------------------------------ async (scheduled) compaction
+
+
+def _mor_table(spark, tmp, name):
+    return LakeTable(
+        spark, str(tmp), "testdb", name,
+        record_keys=["c_custkey"], precombine="ver",
+        table_type="MERGE_ON_READ",
+    )
+
+
+def test_async_compaction_snapshot_unchanged(spark, tmp_path):
+    """schedule → (more writes land) → execute: folds only the pinned
+    files; snapshot equals an uncompacted twin's at every point."""
+    t = _mor_table(spark, tmp_path, "ac1")
+    twin = _mor_table(spark, tmp_path, "ac1_twin")
+    b1 = cust(spark, ver=1)
+    b2 = cust(spark, ver=2).limit(40)
+    b3 = cust(spark, ver=3).limit(12)
+    victims = cust(spark, ver=9).limit(5)
+    for x in (t, twin):
+        x.write(b1, op="upsert", instant="001")
+        x.write(b2, op="upsert", instant="002")
+    pid = t.schedule_compaction()
+    assert pid is not None and t.pending_compactions() == [pid]
+    # post-schedule traffic: an upsert AND a tombstone delete
+    for x in (t, twin):
+        x.write(b3, op="upsert", instant="003")
+        x.write(victims, op="delete", instant="004")
+    pre = {f["path"] for f in t._live_files()}
+    inst = t.run_compaction(pid)
+    assert inst is not None and t.pending_compactions() == []
+    post = {f["path"] for f in t._live_files()}
+    # the post-schedule delta files survived the fold untouched
+    later = {
+        f["path"] for i in ("003", "004") for f in t._manifest(i)["added"]
+    }
+    assert later <= pre and later <= post
+    a = sorted(map(tuple, t.snapshot().select("c_custkey", "ver").collect()))
+    b = sorted(map(tuple, twin.snapshot().select("c_custkey", "ver").collect()))
+    assert a == b
+
+
+def test_async_compaction_incremental_exact(spark, tmp_path):
+    """Incremental reads spanning the compaction commit return each row
+    exactly once (rows keep their original _commit_time)."""
+    t = _mor_table(spark, tmp_path, "ac2")
+    t.write(cust(spark, ver=1), op="upsert", instant="001")
+    t.write(cust(spark, ver=2).limit(30), op="upsert", instant="002")
+    pid = t.schedule_compaction()
+    t.write(cust(spark, ver=3).limit(10), op="upsert", instant="003")
+    t.run_compaction(pid)
+    inc = t.incremental("001", None)
+    got = sorted(
+        map(tuple, inc.select("c_custkey", "ver").collect())
+    )
+    # (001, latest]: the 30 ver=2 rows, 10 of them superseded by ver=3
+    want = sorted(
+        [(k, 3) for k in range(1, 11)] + [(k, 2) for k in range(11, 31)]
+    )
+    assert [g[1] for g in got].count(3) == 10 and len(got) == 30
+    assert sorted(g[1] for g in got) == sorted(w[1] for w in want)
+
+
+def test_async_compaction_stale_plan_discarded(spark, tmp_path):
+    """A plan whose pinned files were already replaced (inline/full
+    compaction ran in between) must abort, not double-fold."""
+    t = _mor_table(spark, tmp_path, "ac3")
+    t.write(cust(spark, ver=1), op="upsert", instant="001")
+    t.write(cust(spark, ver=2).limit(5), op="upsert", instant="002")
+    pid = t.schedule_compaction()
+    t.compact()  # full inline compaction replaces the pinned files
+    n = t.snapshot().count()
+    assert t.run_compaction(pid) is None
+    assert t.pending_compactions() == []
+    assert t.snapshot().count() == n
+
+
+def test_schedule_compaction_noop_without_deltas(spark, tmp_path):
+    t = _mor_table(spark, tmp_path, "ac4")
+    t.write(cust(spark, ver=1), op="insert", instant="001")  # base files only
+    assert t.schedule_compaction() is None

@@ -63,6 +63,10 @@ def base_parser(prog: str, description: str) -> argparse.ArgumentParser:
                    help="MOR inline compaction on/off (default true)")
     p.add_argument("--inlineMax", default="20",
                    help="compact every N delta commits (default 20)")
+    p.add_argument("--asyncCompactEvery", type=int, default=0,
+                   help="schedule a compaction plan every N micro-batches"
+                        " and execute it on a background thread (the "
+                        "reference's async-compaction mode; 0 = off)")
     p.add_argument("--partitionNum", type=int, default=16,
                    help="stream repartition parallelism (default 16)")
     p.add_argument("--concurrent", default="false",

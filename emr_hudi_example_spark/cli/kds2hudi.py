@@ -31,8 +31,11 @@ def main(argv: list[str] | None = None, spark=None):
     q = run_kds2lake(
         stream_source(spark, args), table, args.checkpointDir,
         trigger_seconds(args),
+        async_compact_every=args.asyncCompactEvery or None,
     )
     finish(q, args)
+    if getattr(q, "async_compactor", None) is not None:
+        q.async_compactor.stop()  # drains pending plans
     if own:
         spark.stop()
     return table

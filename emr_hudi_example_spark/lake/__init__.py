@@ -1,6 +1,7 @@
 """Lakehouse kernel: keyed upsert / delete / insert over partitioned
 parquet with a commit timeline (snapshot + incremental reads)."""
 
+from emr_hudi_example_spark.lake.compactor import AsyncCompactor
 from emr_hudi_example_spark.lake.table import (
     COMMIT_TIME_COL,
     DELETED_COL,
@@ -12,6 +13,7 @@ from emr_hudi_example_spark.lake.table import (
 )
 
 __all__ = [
+    "AsyncCompactor",
     "LakeTable",
     "META_COLS",
     "COMMIT_TIME_COL",

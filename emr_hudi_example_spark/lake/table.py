@@ -136,6 +136,10 @@ class LakeTable:
         #: observability: candidates dropped by key-range pruning in the
         #: most recent upsert/delete planning pass
         self.last_range_pruned = 0
+        #: how long a writer waits on a held lock before failing (0 =
+        #: fail fast); live contention (async compactor vs ingest) waits,
+        #: stale locks from crashed writers still surface as errors
+        self.lock_wait_seconds: float = 30.0
         self._pending_checkpoint: dict | None = None
 
     @property
@@ -440,19 +444,29 @@ class LakeTable:
 
     @contextmanager
     def _writer_lock(self):
-        """O_EXCL lock file under the table root; released on exit. A
-        crashed writer leaves a stale lock — surfaced in the error so an
-        operator can remove it (lazy failed-write cleaning is the
-        cleaner's job, matching the reference's LAZY policy)."""
+        """O_EXCL lock file under the table root; released on exit.
+        Contention waits up to ``lock_wait_seconds`` (Hudi lock-provider
+        semantics — a live writer, e.g. the async compactor, finishes and
+        the lock frees), then fails with the lock path surfaced: a
+        crashed writer leaves a stale lock an operator can remove (lazy
+        failed-write cleaning is the cleaner's job, matching the
+        reference's LAZY policy)."""
+        import time as _time
+
         os.makedirs(self.path, exist_ok=True)
         lock = os.path.join(self.path, "_writer.lock")
-        try:
-            fd = os.open(lock, os.O_CREAT | os.O_EXCL | os.O_WRONLY)
-        except FileExistsError:
-            raise RuntimeError(
-                f"concurrent writer on {self.db}.{self.table} "
-                f"(lock held: {lock}; remove if stale)"
-            ) from None
+        deadline = _time.monotonic() + self.lock_wait_seconds
+        while True:
+            try:
+                fd = os.open(lock, os.O_CREAT | os.O_EXCL | os.O_WRONLY)
+                break
+            except FileExistsError:
+                if _time.monotonic() >= deadline:
+                    raise RuntimeError(
+                        f"concurrent writer on {self.db}.{self.table} "
+                        f"(lock held: {lock}; remove if stale)"
+                    ) from None
+                _time.sleep(0.05)
         try:
             yield
         finally:

@@ -9,9 +9,14 @@ string ``value`` column (``build_stream_source`` supplies Kafka or the
 sandbox file stream — the Kinesis connector is a third reader producing
 the same envelope).
 
-The reference runs ASYNC compaction here (``SRC/KDS2Hudi.scala:131-133``);
-the engine's MOR tables compact inline every ``inline_compact_deltas``
-commits — the single-host analog (VERDICT round 1 accepted this trade).
+The reference runs ASYNC compaction here (``SRC/KDS2Hudi.scala:131-133``):
+pass ``async_compact_every=N`` to ``run_kds2lake`` and the micro-batch
+tick *schedules* a compaction plan every N batches while an
+:class:`~emr_hudi_example_spark.lake.AsyncCompactor` daemon thread
+*executes* pending plans off the ingest critical path (retrying on
+writer-lock contention, the role Hudi's lock provider plays). MOR
+tables can still compact inline via ``inline_compact_deltas`` — the
+synchronous alternative.
 """
 
 from __future__ import annotations
@@ -58,11 +63,35 @@ def run_kds2lake(
     table: LakeTable,
     checkpoint_dir: str,
     trigger_seconds: int | None = None,
+    async_compact_every: int | None = None,
 ) -> StreamingQuery:
-    return start_foreach_batch(
+    """Start the ingest query. With ``async_compact_every=N``, every Nth
+    micro-batch schedules a compaction plan and a daemon
+    :class:`AsyncCompactor` executes it concurrently with later batches;
+    the compactor is attached to the returned query as
+    ``q.async_compactor`` — call ``.stop()`` after ``q.stop()`` to drain.
+    """
+    compactor = None
+    if async_compact_every:
+        from emr_hudi_example_spark.lake import AsyncCompactor
+
+        compactor = AsyncCompactor(table).start()
+
+    def tick(bdf, bid):
+        dms2lake_batch(bdf, table, batch_id=bid)
+        if (
+            async_compact_every
+            and bid > 0
+            and bid % async_compact_every == 0
+        ):
+            table.schedule_compaction()
+
+    q = start_foreach_batch(
         stream_df,
-        lambda bdf, bid: dms2lake_batch(bdf, table, batch_id=bid),
+        tick,
         checkpoint_dir,
         query_name="KDS2Lake",
         trigger_seconds=trigger_seconds,
     )
+    q.async_compactor = compactor
+    return q

@@ -375,9 +375,10 @@ def test_compact_squashes_files_preserving_semantics(spark, tmp_path):
 
 
 def test_writer_lock_blocks_second_writer(spark, tmp_path):
-    """OCC-lite: a held writer lock fails the second writer fast
-    (ZK-lock analog, SRC/package.scala:38-47)."""
+    """OCC-lite: a held writer lock fails the second writer after the
+    bounded wait (ZK-lock analog, SRC/package.scala:38-47)."""
     t = make_table(spark, tmp_path)
+    t.lock_wait_seconds = 0.2  # stale lock never frees — don't wait 30s
     t.write(cust(spark, ver=1), op="insert", instant="001")
     lock = os.path.join(t.path, "_writer.lock")
     open(lock, "w").close()  # simulate a concurrent writer holding it
@@ -844,3 +845,27 @@ def test_schedule_compaction_noop_without_deltas(spark, tmp_path):
     t = _mor_table(spark, tmp_path, "ac4")
     t.write(cust(spark, ver=1), op="insert", instant="001")  # base files only
     assert t.schedule_compaction() is None
+
+
+def test_async_compactor_concurrent_with_ingest(spark, tmp_path):
+    """The daemon executor folds scheduled plans WHILE keyed upserts keep
+    committing on the ingest thread; bounded lock waits arbitrate."""
+    from emr_hudi_example_spark.lake import AsyncCompactor
+
+    t = _mor_table(spark, tmp_path, "ac5")
+    t.write(cust(spark, ver=1), op="upsert", instant="001")
+    comp = AsyncCompactor(t, poll_seconds=0.05).start()
+    try:
+        for i in range(2, 8):
+            t.write(cust(spark, ver=i).limit(50), op="upsert")
+            if i % 2 == 0:
+                t.schedule_compaction()
+    finally:
+        comp.stop()
+    assert comp.executed  # at least one plan ran in the background
+    assert t.pending_compactions() == []
+    assert any(t._manifest(i)["action"] == "compact" for i in t.timeline())
+    snap = t.snapshot()
+    assert snap.count() == cust(spark).count()
+    assert snap.filter((F.col("ver") == 7)).count() == 50
+    assert snap.filter((F.col("c_custkey") > 50) & (F.col("ver") != 1)).count() == 0

@@ -594,3 +594,131 @@ def mm_frame_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
     byte decode touched."""
     mm = MM.attach_binary_content(load(spark, sf_dir, "documents"))
     return MM.frame_sample_plan(mm, every_n=10)
+
+
+# ===================================================== corpus curation v2
+
+@query(
+    "corpus_domain_quota",
+    oracle="""
+    SELECT doc_id, source FROM documents
+    QUALIFY row_number() OVER (PARTITION BY source
+            ORDER BY md5('q0:' || CAST(doc_id AS VARCHAR)), doc_id) <= 10
+    """,
+)
+def corpus_domain_quota(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-domain quota sampling: at most 10 docs per source, picked by
+    deterministic hash priority (one shuffle on the domain key; each
+    domain ranks independently — the per-source cap of a training-mix
+    builder)."""
+    return C.domain_quota_sample(
+        load(spark, sf_dir, "documents"), k=10, domain_col="source"
+    ).select("doc_id", "source")
+
+
+@query(
+    "text_repetition",
+    oracle=f"""
+    WITH t AS (SELECT doc_id, {_TOKS} AS tk FROM documents),
+    s AS (SELECT doc_id, {_shingles_sql(3)} AS sh FROM t)
+    SELECT doc_id, len(sh) AS n_shingles,
+           CASE WHEN len(sh) = 0 THEN 0.0
+                ELSE round(1.0 - CAST(len(list_distinct(sh)) AS DOUBLE)
+                           / len(sh), 6) END AS rep_ratio
+    FROM s
+    """,
+)
+def text_repetition(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Intra-document repetition: duplicate 3-gram shingle ratio (the
+    Gopher/MassiveText repeated-n-gram signal) — narrow per-row
+    expression, pipelines with the scan."""
+    docs = load(spark, sf_dir, "documents")
+    return docs.select(
+        "doc_id",
+        F.size(TX.shingles("text", 3)).alias("n_shingles"),
+        F.round(TX.repetition_score("text", 3), 6).alias("rep_ratio"),
+    )
+
+
+_PII_INJECT_SQL = """text || CASE doc_id % 5
+    WHEN 0 THEN ' mail user' || CAST(doc_id AS VARCHAR) || '@example.com'
+    WHEN 1 THEN ' call 555-123-4567'
+    WHEN 2 THEN ' host 10.0.0.' || CAST(doc_id % 250 AS VARCHAR)
+    ELSE '' END"""
+
+_PII_RE = TX.PII_PATTERNS
+
+
+@query(
+    "text_pii_scrub",
+    oracle=f"""
+    WITH p AS (SELECT doc_id, {_PII_INJECT_SQL} AS t FROM documents)
+    SELECT doc_id,
+      len(regexp_extract_all(t, '{_PII_RE["email"]}')) AS n_email,
+      len(regexp_extract_all(t, '{_PII_RE["phone"]}')) AS n_phone,
+      len(regexp_extract_all(t, '{_PII_RE["ipv4"]}')) AS n_ipv4,
+      length(regexp_replace(regexp_replace(regexp_replace(t,
+        '{_PII_RE["email"]}', '<EMAIL>', 'g'),
+        '{_PII_RE["phone"]}', '<PHONE>', 'g'),
+        '{_PII_RE["ipv4"]}', '<IPV4>', 'g')) AS redacted_len
+    FROM p
+    """,
+)
+def text_pii_scrub(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """PII detection + redaction counts (email/phone/IPv4 regexes kept
+    to the Java-regex ∩ RE2 common subset). Deterministic synthetic PII
+    is appended per doc_id residue so the check exercises real matches;
+    all expressions are JVM built-ins, no Python in the hot path."""
+    doc_id = F.col("doc_id")
+    injected = F.concat(
+        F.col("text"),
+        F.when(
+            doc_id % 5 == 0,
+            F.concat(F.lit(" mail user"), doc_id.cast("string"),
+                     F.lit("@example.com")),
+        )
+        .when(doc_id % 5 == 1, F.lit(" call 555-123-4567"))
+        .when(
+            doc_id % 5 == 2,
+            F.concat(F.lit(" host 10.0.0."),
+                     (doc_id % 250).cast("string")),
+        )
+        .otherwise(F.lit("")),
+    )
+    p = load(spark, sf_dir, "documents").select(
+        "doc_id", injected.alias("t")
+    )
+    return p.select(
+        "doc_id",
+        TX.pii_count("t", "email").alias("n_email"),
+        TX.pii_count("t", "phone").alias("n_phone"),
+        TX.pii_count("t", "ipv4").alias("n_ipv4"),
+        F.length(TX.redact_pii("t")).alias("redacted_len"),
+    )
+
+
+@query(
+    "dedup_contamination",
+    oracle=f"""
+    WITH t AS (SELECT doc_id, {_TOKS} AS tk FROM documents),
+    s AS (SELECT doc_id, unnest(list_distinct({_shingles_sql(3)})) AS sh
+          FROM t),
+    bench AS (SELECT DISTINCT sh FROM s WHERE doc_id % 50 = 0),
+    corp AS (SELECT doc_id, sh FROM s WHERE doc_id % 50 <> 0)
+    SELECT doc_id, count(*) AS n_contaminated
+    FROM corp JOIN bench USING (sh)
+    GROUP BY doc_id
+    """,
+)
+def dedup_contamination(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Benchmark decontamination: distinct shared shingles between each
+    corpus doc and a 'benchmark' slice (doc_id % 50 = 0 stands in for
+    the eval suite; fixtures are ~30-token docs so k=3 — real corpora
+    use k=8+). Benchmark shingles are deduped and broadcast; the corpus
+    side streams map-side, no big-table shuffle."""
+    docs = load(spark, sf_dir, "documents")
+    return D.contamination_matches(
+        docs.filter(F.col("doc_id") % 50 != 0),
+        docs.filter(F.col("doc_id") % 50 == 0),
+        k=3,
+    )

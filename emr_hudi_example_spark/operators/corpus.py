@@ -46,6 +46,40 @@ def hash_sample(
     return df.filter(bucket * 100 < F.lit(fraction_pct * 65536))
 
 
+def domain_quota_sample(
+    df: DataFrame,
+    k: int,
+    domain_col: str = "source",
+    id_col: str = "doc_id",
+    salt: str = "q0",
+) -> DataFrame:
+    """Per-domain quota sampling: keep at most ``k`` rows per
+    ``domain_col``, chosen by a deterministic hash priority (md5 of
+    salt+id) so the draw is stable across runs and cluster layouts —
+    the standard per-source cap that stops one crawl domain from
+    dominating a training mix.
+
+    Scale: one shuffle on the domain key, then a per-domain top-k
+    window — each domain ranks independently in its own task. For a
+    mega-domain (billions of rows, k tiny) pre-thin with
+    ``hash_sample`` on the same salt before ranking: the hash priority
+    is uniform, so keeping a few × k/|domain| of the hash space
+    preserves the exact winners with overwhelming probability, and the
+    window then ranks a bounded candidate set.
+    """
+    prio = F.md5(
+        F.concat(F.lit(salt + ":"), F.col(id_col).cast("string"))
+    )
+    w = Window.partitionBy(F.col(domain_col)).orderBy(
+        prio.asc(), F.col(id_col).asc()
+    )
+    return (
+        df.withColumn("_qrk", F.row_number().over(w))
+        .filter(F.col("_qrk") <= k)
+        .drop("_qrk")
+    )
+
+
 def vocab_topk(
     df: DataFrame,
     k: int = 100,

@@ -241,6 +241,47 @@ def ngram_jaccard_pairs(
     return jaccard_verify(df, pairs, id_col, text_col, k, threshold)
 
 
+def contamination_matches(
+    corpus: DataFrame,
+    benchmark: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    k: int = 5,
+    broadcast_benchmark: bool = True,
+) -> DataFrame:
+    """Benchmark decontamination: for each corpus document, the number
+    of distinct ``k``-word shingles it shares with ANY benchmark
+    document — the standard eval-contamination check run before
+    training. Returns ``(id_col, n_contaminated)`` for documents with
+    at least one hit.
+
+    Scale: benchmark suites are tiny next to a training corpus (MBs vs
+    TBs), so the benchmark shingle set is deduped and BROADCAST — the
+    corpus side streams through map-side hash-join with no shuffle of
+    the big table; the per-doc count is a partial-aggregated groupBy on
+    the (already filtered, tiny) hit set. Set
+    ``broadcast_benchmark=False`` if the benchmark side ever outgrows
+    the driver, which falls back to a shuffle hash join on the shingle.
+    """
+    corp_sh = ensure_parallelism(corpus.select(id_col, text_col)).select(
+        F.col(id_col),
+        F.explode(F.array_distinct(shingles(text_col, k))).alias("sh"),
+    )
+    bench_sh = (
+        benchmark.select(
+            F.explode(F.array_distinct(shingles(text_col, k))).alias("sh")
+        )
+        .distinct()
+    )
+    if broadcast_benchmark:
+        bench_sh = F.broadcast(bench_sh)
+    return (
+        corp_sh.join(bench_sh, "sh", "left_semi")
+        .groupBy(id_col)
+        .agg(F.count(F.lit(1)).alias("n_contaminated"))
+    )
+
+
 def simhash(
     df: DataFrame,
     id_col: str = "doc_id",

@@ -126,6 +126,46 @@ def rolling_fingerprint(text: Column | str, k: int = 5) -> Column:
     return F.array_min(F.transform(sh, F.md5))
 
 
+def repetition_score(text: Column | str, k: int = 3) -> Column:
+    """Intra-document repetition: fraction of duplicate ``k``-word
+    shingles, ``1 - distinct/total`` (0 for documents shorter than
+    ``k`` tokens). The MassiveText/Gopher-style repeated-n-gram filter
+    signal; narrow per-row expression, no shuffle."""
+    sh = shingles(text, k)
+    n = F.size(sh).cast("double")
+    return F.when(
+        n <= 0, F.lit(0.0)
+    ).otherwise(
+        F.lit(1.0) - F.size(F.array_distinct(sh)).cast("double") / n
+    )
+
+
+# PII detection/redaction patterns — kept to syntax both Java regex
+# (Spark) and RE2 (DuckDB) execute identically: no lookaround, no
+# backrefs.
+PII_PATTERNS: dict[str, str] = {
+    "email": r"[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\.[A-Za-z]{2,}",
+    "phone": r"\+?[0-9]{3}[-. ][0-9]{3}[-. ][0-9]{4}",
+    "ipv4": r"\b[0-9]{1,3}\.[0-9]{1,3}\.[0-9]{1,3}\.[0-9]{1,3}\b",
+}
+
+
+def pii_count(text: Column | str, kind: str) -> Column:
+    """Occurrences of one PII pattern (see ``PII_PATTERNS``)."""
+    c = F.col(text) if isinstance(text, str) else text
+    return F.regexp_count(c, F.lit(PII_PATTERNS[kind]))
+
+
+def redact_pii(text: Column | str) -> Column:
+    """Replace every PII match with ``<KIND>`` markers; single pass per
+    pattern, order fixed (email → phone → ipv4) so the output is
+    deterministic and SQL-reproducible."""
+    c = F.col(text) if isinstance(text, str) else text
+    for kind in ("email", "phone", "ipv4"):
+        c = F.regexp_replace(c, PII_PATTERNS[kind], f"<{kind.upper()}>")
+    return c
+
+
 def shingles(text: Column | str, k: int = 3) -> Column:
     """All ``k``-word shingles (space-joined token windows), as an array;
     empty array when the document has fewer than ``k`` tokens."""

@@ -66,3 +66,73 @@ def test_embedding_near_dup_symmetric_bound(spark):
     pairs = S.embedding_near_dup_pairs(emb, threshold=0.8)
     rows = pairs.collect()
     assert all(r["id_a"] < r["id_b"] and r["cos"] >= 0.8 for r in rows)
+
+
+def test_domain_quota_cap_and_determinism(spark):
+    from emr_hudi_example_spark.operators.corpus import domain_quota_sample
+
+    docs = spark.read.parquet(f"{SF}/documents.parquet")
+    q1 = domain_quota_sample(docs, k=3, domain_col="source")
+    per = q1.groupBy("source").count().collect()
+    assert per and all(r["count"] <= 3 for r in per)
+    # deterministic: same rows on a different partitioning
+    q2 = domain_quota_sample(docs.repartition(7), k=3, domain_col="source")
+    assert sorted(r["doc_id"] for r in q1.collect()) == sorted(
+        r["doc_id"] for r in q2.collect()
+    )
+
+
+def test_repetition_score_detects_repeats(spark):
+    from emr_hudi_example_spark.operators.text import repetition_score
+
+    df = spark.createDataFrame(
+        [(1, "a b c a b c a b c"), (2, "one two three four five"), (3, "x")],
+        "id LONG, text STRING",
+    )
+    got = {
+        r["id"]: r["rep"]
+        for r in df.select("id", repetition_score("text").alias("rep")).collect()
+    }
+    # doc 1: shingles of 'a b c'*3 → 7 windows, 3 distinct → 4/7 repeated
+    assert abs(got[1] - 4 / 7) < 1e-9
+    assert got[2] == 0.0   # all distinct
+    assert got[3] == 0.0   # shorter than k → no shingles
+
+
+def test_pii_redaction_roundtrip(spark):
+    from emr_hudi_example_spark.operators.text import pii_count, redact_pii
+
+    df = spark.createDataFrame(
+        [(1, "write a@b.com or call 555-123-4567 from 192.168.0.1 ok")],
+        "id LONG, t STRING",
+    )
+    row = df.select(
+        pii_count("t", "email").alias("e"),
+        pii_count("t", "phone").alias("p"),
+        pii_count("t", "ipv4").alias("i"),
+        redact_pii("t").alias("red"),
+    ).collect()[0]
+    assert (row["e"], row["p"], row["i"]) == (1, 1, 1)
+    assert row["red"] == "write <EMAIL> or call <PHONE> from <IPV4> ok"
+
+
+def test_contamination_matches_explicit(spark):
+    from emr_hudi_example_spark.operators.dedup import contamination_matches
+
+    corpus = spark.createDataFrame(
+        [
+            (1, "the quick brown fox jumps over the lazy dog"),
+            (2, "completely unrelated words here nothing shared at all"),
+            (3, "quick brown fox appears here too"),
+        ],
+        "doc_id LONG, text STRING",
+    )
+    bench = spark.createDataFrame(
+        [(100, "the quick brown fox ran")], "doc_id LONG, text STRING"
+    )
+    got = {
+        r["doc_id"]: r["n_contaminated"]
+        for r in contamination_matches(corpus, bench, k=3).collect()
+    }
+    # bench 3-grams: {the quick brown, quick brown fox, brown fox ran}
+    assert got == {1: 2, 3: 1}

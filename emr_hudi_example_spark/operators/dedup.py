@@ -107,11 +107,18 @@ def lsh_candidate_pairs(
         F.col(id_col), F.explode(bands).alias("bb")
     ).select(id_col, "bb.band", "bb.bucket")
     if max_bucket_size is not None:
-        # skew guard: drop degenerate mega-buckets (boilerplate content)
-        counts = buckets.groupBy("band", "bucket").count()
-        buckets = buckets.join(
-            counts.filter(F.col("count") <= max_bucket_size).drop("count"),
-            ["band", "bucket"],
+        # skew guard: drop degenerate mega-buckets (boilerplate content).
+        # A window count over (band, bucket) — NOT a groupBy+join-back —
+        # shuffles on exactly the key the self-join below joins on, so
+        # the exchange is planned once and reused; the guard costs no
+        # extra shuffle.
+        from pyspark.sql.window import Window
+
+        w = Window.partitionBy("band", "bucket")
+        buckets = (
+            buckets.withColumn("_bc", F.count(F.lit(1)).over(w))
+            .filter(F.col("_bc") <= max_bucket_size)
+            .drop("_bc")
         )
     a = buckets.alias("a")
     b = buckets.alias("b")
@@ -220,10 +227,17 @@ def ngram_jaccard_pairs(
     if max_doc_freq is not None:
         # document-frequency cap: posting lists longer than the cap are
         # cut before the self-join (shingles are distinct per doc, so
-        # count(*) per shingle IS the document frequency)
-        dfreq = sh.groupBy("sh").count()
-        sh = sh.join(
-            dfreq.filter(F.col("count") <= max_doc_freq).drop("count"), "sh"
+        # count(*) per shingle IS the document frequency). Window count
+        # over the shingle — the same key the self-join shuffles on —
+        # so the guard rides the join's own exchange instead of adding
+        # a groupBy+join-back.
+        from pyspark.sql.window import Window
+
+        w = Window.partitionBy("sh")
+        sh = (
+            sh.withColumn("_df", F.count(F.lit(1)).over(w))
+            .filter(F.col("_df") <= max_doc_freq)
+            .drop("_df")
         )
     pairs = (
         sh.alias("a")

@@ -377,3 +377,85 @@ def pipe_cdc_canal_parse(spark: SparkSession, sf_dir: str) -> DataFrame:
         "value STRING",
     )
     return parse_canal_df(good.unionByName(noise))
+
+
+@query(
+    "pipe_stream_runsum_endstate",
+    oracle="""
+    SELECT event_type,
+           CAST(round(sum(CAST(value AS DECIMAL(38,4))), 2) AS DOUBLE)
+             AS run_sum,
+           count(*) AS n_rows
+    FROM events GROUP BY 1
+    """,
+)
+def pipe_stream_runsum_endstate(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """DWD2DM re-platformed onto Spark state (SRC/DWD2DM.scala:54-85
+    semantics, Structured-Streaming-native): the per-key running sum
+    lives in the STATE STORE (``applyInPandasWithState``), each
+    micro-batch emits updated totals, and a keyed upsert lands them in
+    the mart — no sink re-read per tick, no double-add hazard, and the
+    state checkpoint recovers the totals on restart.
+
+    The value column is cast DECIMAL(38,4) before the stateful op and
+    accumulated as exact ``decimal.Decimal`` in state, so the two-batch
+    streaming total is bit-identical to the one-shot aggregate the
+    oracle computes."""
+    import glob
+    import os
+    import shutil
+
+    from emr_hudi_example_spark.streaming.stateful import (
+        streaming_running_sum,
+    )
+
+    ev = load(spark, sf_dir, "events").select(
+        "event_id", "event_type",
+        F.col("value").cast("decimal(38,4)").alias("v"),
+    )
+    base = _tmp_base()
+    ind = os.path.join(base, "in")
+    os.makedirs(ind)
+    # two deterministic micro-batches (event_id parity); the file-stream
+    # source feeds them with maxFilesPerTrigger=1 so state genuinely
+    # accumulates across batches
+    for i, flt in enumerate([F.col("event_id") % 2 == 0,
+                             F.col("event_id") % 2 == 1]):
+        tmp_out = os.path.join(base, f"stage{i}")
+        ev.filter(flt).coalesce(1).write.parquet(tmp_out)
+        part = glob.glob(os.path.join(tmp_out, "part-*.parquet"))[0]
+        shutil.move(part, os.path.join(ind, f"batch{i}.parquet"))
+        shutil.rmtree(tmp_out)
+    stream = (
+        spark.readStream.schema(ev.schema)
+        .option("maxFilesPerTrigger", 1)
+        .parquet(ind)
+    )
+    out = streaming_running_sum(stream, ["event_type"], "v")
+    mart = LakeTable(
+        spark, base, "p", "runsum", ["event_type"], "created_ts"
+    )
+
+    def land(bdf, bid):
+        rows = bdf.select(
+            "event_type",
+            F.col("run_sum").cast("decimal(38,4)").alias("run_sum"),
+            "n_rows",
+            F.lit(bid).cast("long").alias("created_ts"),
+        )
+        mart.write(rows, op="upsert", instant=f"{bid + 1:03d}")
+
+    q = (
+        out.writeStream.outputMode("update")
+        .option("checkpointLocation", os.path.join(base, "ckpt"))
+        .foreachBatch(land)
+        .start()
+    )
+    q.processAllAvailable()
+    q.stop()
+    q.awaitTermination()
+    return mart.logical().select(
+        "event_type",
+        F.round(F.col("run_sum"), 2).cast("double").alias("run_sum"),
+        "n_rows",
+    )

@@ -6,10 +6,16 @@ from emr_hudi_example_spark.streaming.sources import (
     kafka_like_stream,
     start_foreach_batch,
 )
+from emr_hudi_example_spark.streaming.stateful import (
+    streaming_first_seen,
+    streaming_running_sum,
+)
 
 __all__ = [
     "json_lines_stream",
     "kafka_like_stream",
     "start_foreach_batch",
     "drain",
+    "streaming_first_seen",
+    "streaming_running_sum",
 ]

@@ -662,3 +662,98 @@ def test_cdc_insert_replay_is_exactly_once(spark, tmp_path):
     replay = apply_changes_batch(parsed, reg, created_ts_millis=9, batch_id=4)
     assert replay == []
     assert reg.lake_table("nation").snapshot().count() == n
+
+
+# ------------------------------------------------- stateful streaming ops
+
+
+def _two_batch_stream(spark, tmp_path, df, schema):
+    """Write df as two single-file micro-batches (row-hash parity) and
+    return a maxFilesPerTrigger=1 file stream over them."""
+    import glob
+    import os
+    import shutil
+
+    ind = tmp_path / "in"
+    ind.mkdir()
+    for i in range(2):
+        stage = str(tmp_path / f"stage{i}")
+        df.filter(F.col("event_id") % 2 == i).coalesce(1).write.parquet(stage)
+        part = glob.glob(os.path.join(stage, "part-*.parquet"))[0]
+        shutil.move(part, str(ind / f"batch{i}.parquet"))
+        shutil.rmtree(stage)
+    return (
+        spark.readStream.schema(schema)
+        .option("maxFilesPerTrigger", 1)
+        .parquet(str(ind))
+    )
+
+
+def test_streaming_running_sum_exact_across_batches(spark, tmp_path):
+    """State-store running sum == one-shot batch aggregate, bit-exact
+    (decimal accumulation in state)."""
+    from emr_hudi_example_spark.streaming import streaming_running_sum
+
+    ev = (
+        spark.read.parquet(f"{SF}/events.parquet")
+        .select("event_id", "event_type",
+                F.col("value").cast("decimal(38,4)").alias("v"))
+    )
+    out = streaming_running_sum(
+        _two_batch_stream(spark, tmp_path, ev, ev.schema), ["event_type"], "v"
+    )
+    finals = {}
+    batches = []
+
+    def sink(bdf, bid):
+        rows = bdf.collect()
+        batches.append((bid, len(rows)))
+        for r in rows:
+            finals[r["event_type"]] = (r["run_sum"], r["n_rows"])
+
+    q = (
+        out.writeStream.outputMode("update")
+        .option("checkpointLocation", str(tmp_path / "ckpt"))
+        .foreachBatch(sink)
+        .start()
+    )
+    q.processAllAvailable(); q.stop(); q.awaitTermination()
+    assert len(batches) == 2  # state really accumulated across 2 batches
+    exp = {
+        r["event_type"]: (str(r["s"]), r["n"])
+        for r in ev.groupBy("event_type").agg(
+            F.sum("v").alias("s"), F.count(F.lit(1)).alias("n")
+        ).collect()
+    }
+    assert finals == exp
+
+
+def test_streaming_first_seen_dedups_across_batches(spark, tmp_path):
+    """A key seen in batch 0 must NOT be re-emitted by batch 1 (state
+    marker survives the micro-batch boundary)."""
+    from emr_hudi_example_spark.streaming import streaming_first_seen
+
+    ev = (
+        spark.read.parquet(f"{SF}/events.parquet")
+        .select("event_id", "event_type", "user_id")
+    )
+    out = streaming_first_seen(
+        _two_batch_stream(spark, tmp_path, ev, ev.schema), ["event_type"]
+    )
+    seen = []
+
+    def sink(bdf, _bid):
+        seen.extend(bdf.collect())
+
+    q = (
+        out.writeStream.outputMode("update")
+        .option("checkpointLocation", str(tmp_path / "ckpt"))
+        .foreachBatch(sink)
+        .start()
+    )
+    q.processAllAvailable(); q.stop(); q.awaitTermination()
+    types = [r["event_type"] for r in seen]
+    assert sorted(types) == sorted(set(types))  # exactly once per key
+    assert set(types) == {
+        r["event_type"] for r in ev.select("event_type").distinct().collect()
+    }

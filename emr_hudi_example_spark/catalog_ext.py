@@ -722,3 +722,39 @@ def dedup_contamination(spark: SparkSession, sf_dir: str) -> DataFrame:
         docs.filter(F.col("doc_id") % 50 == 0),
         k=3,
     )
+
+
+# ============================================================= as-of join
+
+@query(
+    "j_asof_join",
+    oracle="""
+    WITH e AS (SELECT event_id, user_id, CAST(ts AS TIMESTAMP) AS ts
+               FROM events),
+    r AS (SELECT user_id, CAST(ts AS TIMESTAMP) AS rts,
+                 max(event_id) AS purchase_id
+          FROM events WHERE event_type = 'purchase' GROUP BY 1, 2)
+    SELECT e.event_id, e.user_id, r.purchase_id
+    FROM e ASOF LEFT JOIN r
+      ON e.user_id = r.user_id AND r.rts <= e.ts
+    """,
+)
+def j_asof_join(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Point-in-time join: every event picks up the user's most recent
+    purchase at-or-before its timestamp (feature-store / CDC-snapshot
+    lookup). Spark plan: union-tag + one key shuffle + per-key ordered
+    window — verified against DuckDB's native ASOF JOIN."""
+    from emr_hudi_example_spark.operators.relational import join_asof
+
+    ev = load(spark, sf_dir, "events")
+    left = ev.select("event_id", "user_id", "ts")
+    right = (
+        ev.filter(F.col("event_type") == "purchase")
+        .groupBy("user_id", F.col("ts").alias("rts"))
+        .agg(F.max("event_id").alias("purchase_id"))
+    )
+    return join_asof(
+        left, right,
+        key_cols=["user_id"], left_time="ts", right_time="rts",
+        right_vals=["purchase_id"],
+    ).select("event_id", "user_id", "purchase_id")

@@ -107,6 +107,64 @@ def delta_merge_running_agg(
     )
 
 
+def join_asof(
+    left: DataFrame,
+    right: DataFrame,
+    key_cols: list[str],
+    left_time: str,
+    right_time: str,
+    right_vals: list[str],
+) -> DataFrame:
+    """Point-in-time (as-of) left join: for each left row, attach the
+    right row with the same key and the greatest ``right_time`` ≤
+    ``left_time`` (nulls when no such row) — the CDC-snapshot /
+    feature-store lookup Spark has no built-in for.
+
+    Distributed plan (not a per-key loop and not a range cross-join):
+    tag and UNION the two inputs, one shuffle on the key, per-key sort
+    on (time, side) with right-before-left at equal times, then a
+    running ``last(right_row, ignoreNulls)`` window carries the newest
+    right state forward onto every left row. Cost: one shuffle + one
+    sort — the same shape as a sort-merge join, at any scale.
+
+    Right rows should be unique per (key, right_time); with duplicates
+    the carried row is the ordering-last one (deterministic but
+    arbitrary) — pre-aggregate the right side if that matters.
+    """
+    rrow_t = right.select(
+        F.struct(*[F.col(c) for c in right_vals]).alias("_r")
+    ).schema["_r"].dataType
+    lrow_t = left.select(
+        F.struct(*[F.col(c) for c in left.columns]).alias("_l")
+    ).schema["_l"].dataType
+    l = left.select(
+        *[F.col(c) for c in key_cols],
+        F.col(left_time).alias("_t"),
+        F.lit(1).alias("_side"),
+        F.struct(*[F.col(c) for c in left.columns]).alias("_lrow"),
+        F.lit(None).cast(rrow_t).alias("_rrow"),
+    )
+    r = right.select(
+        *[F.col(c) for c in key_cols],
+        F.col(right_time).alias("_t"),
+        F.lit(0).alias("_side"),
+        F.lit(None).cast(lrow_t).alias("_lrow"),
+        F.struct(*[F.col(c) for c in right_vals]).alias("_rrow"),
+    )
+    w = (
+        Window.partitionBy(*key_cols)
+        .orderBy(F.col("_t").asc(), F.col("_side").asc(), F.col("_rrow").asc())
+        .rowsBetween(Window.unboundedPreceding, 0)
+    )
+    carried = l.unionByName(r).withColumn(
+        "_asof", F.last("_rrow", ignorenulls=True).over(w)
+    )
+    return carried.filter(F.col("_side") == 1).select(
+        *[F.col(f"_lrow.{c}").alias(c) for c in left.columns],
+        *[F.col(f"_asof.{c}").alias(c) for c in right_vals],
+    )
+
+
 # --------------------------------------------------------------- aggregations
 
 def group_sum(df: DataFrame, group_cols: list[str], value_col: str,

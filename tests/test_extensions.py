@@ -136,3 +136,28 @@ def test_contamination_matches_explicit(spark):
     }
     # bench 3-grams: {the quick brown, quick brown fox, brown fox ran}
     assert got == {1: 2, 3: 1}
+
+
+def test_join_asof_semantics(spark):
+    from emr_hudi_example_spark.operators.relational import join_asof
+
+    left = spark.createDataFrame(
+        [(1, "u", 10), (2, "u", 20), (3, "u", 5), (4, "v", 50)],
+        "eid LONG, k STRING, t LONG",
+    )
+    right = spark.createDataFrame(
+        [("u", 10, "s10"), ("u", 15, "s15"), ("w", 1, "sw")],
+        "k STRING, rt LONG, state STRING",
+    )
+    got = {
+        r["eid"]: r["state"]
+        for r in join_asof(
+            left, right, ["k"], "t", "rt", ["state"]
+        ).collect()
+    }
+    assert got == {
+        1: "s10",   # rt == t is inclusive
+        2: "s15",   # latest of several prior states
+        3: None,    # no state at-or-before t
+        4: None,    # key never seen on the right
+    }

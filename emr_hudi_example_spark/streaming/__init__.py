@@ -10,6 +10,7 @@ from emr_hudi_example_spark.streaming.stateful import (
     streaming_first_seen,
     streaming_running_sum,
 )
+from emr_hudi_example_spark.streaming.windows import streaming_tumbling_agg
 
 __all__ = [
     "json_lines_stream",
@@ -18,4 +19,5 @@ __all__ = [
     "drain",
     "streaming_first_seen",
     "streaming_running_sum",
+    "streaming_tumbling_agg",
 ]

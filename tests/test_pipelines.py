@@ -757,3 +757,70 @@ def test_streaming_first_seen_dedups_across_batches(spark, tmp_path):
     assert set(types) == {
         r["event_type"] for r in ev.select("event_type").distinct().collect()
     }
+
+
+def test_streaming_watermark_drops_late_rows(spark, tmp_path):
+    """Append-mode window finalization: a row arriving behind the
+    watermark must be DROPPED; the finalized window counts only rows
+    that beat it."""
+    import glob
+    import os
+    import shutil
+
+    from emr_hudi_example_spark.streaming.windows import streaming_tumbling_agg
+
+    def write_batch(i, rows):
+        stage = str(tmp_path / f"stage{i}")
+        spark.createDataFrame(rows, "event_id LONG, ts TIMESTAMP").coalesce(
+            1
+        ).write.parquet(stage)
+        part = glob.glob(os.path.join(stage, "part-*.parquet"))[0]
+        ind = tmp_path / "in"
+        ind.mkdir(exist_ok=True)
+        shutil.move(part, str(ind / f"batch{i}.parquet"))
+        shutil.rmtree(stage)
+
+    from datetime import datetime as DT
+
+    # batch 0: two rows in [10:00, 10:10) + one at 11:00 that advances
+    # the watermark to 10:30 (delay 30 min) once the batch commits
+    write_batch(0, [
+        (1, DT(2021, 1, 1, 10, 0)),
+        (2, DT(2021, 1, 1, 10, 5)),
+        (3, DT(2021, 1, 1, 11, 0)),
+    ])
+    # batch 1: fresh row only — processing it finalizes + EVICTS the
+    # [10:00,10:10) window (watermark 10:30 > window end)
+    write_batch(1, [(4, DT(2021, 1, 1, 11, 5))])
+    # batch 2: a row for the long-closed window, behind the watermark —
+    # its state is gone; the engine must drop it, not re-open the window
+    write_batch(2, [
+        (5, DT(2021, 1, 1, 10, 2)),
+        (6, DT(2021, 1, 1, 11, 30)),
+    ])
+    stream = (
+        spark.readStream.schema("event_id LONG, ts TIMESTAMP")
+        .option("maxFilesPerTrigger", 1)
+        .parquet(str(tmp_path / "in"))
+    )
+    out = streaming_tumbling_agg(stream, "ts", "10 minutes", "30 minutes")
+    emitted = []
+
+    def sink(bdf, _bid):
+        emitted.extend(bdf.collect())
+
+    q = (
+        out.writeStream.outputMode("append")
+        .option("checkpointLocation", str(tmp_path / "ckpt"))
+        .foreachBatch(sink)
+        .start()
+    )
+    q.processAllAvailable(); q.stop(); q.awaitTermination()
+    finalized = [
+        (r["window_start"].strftime("%H:%M"), r["n"]) for r in emitted
+    ]
+    # [10:00,10:10) emitted EXACTLY ONCE with n=2; the late event_id=5
+    # (behind the watermark, state evicted) could neither re-open nor
+    # re-emit it. Windows at/after 11:00 never finalize (watermark
+    # stops at 11:00).
+    assert finalized == [("10:00", 2)]

@@ -209,3 +209,38 @@ def lake_insert_append(spark: SparkSession, sf_dir: str) -> DataFrame:
         .groupBy("c_custkey", "c_name")
         .agg(F.count(F.lit(1)).alias("n"))
     )
+
+
+@query(
+    "lake_record_index_move",
+    oracle="""
+    WITH b1 AS (
+      SELECT c_custkey, c_mktsegment, CAST(1 AS BIGINT) AS ver FROM customer
+    ), b2 AS (
+      SELECT c_custkey, 'MOVED' AS c_mktsegment, CAST(2 AS BIGINT) AS ver
+      FROM customer WHERE c_custkey % 10 = 0
+    ), u AS (SELECT * FROM b1 UNION ALL SELECT * FROM b2)
+    SELECT c_custkey, c_mktsegment, ver FROM u
+    QUALIFY row_number() OVER (PARTITION BY c_custkey ORDER BY ver DESC) = 1
+    """,
+)
+def lake_record_index_move(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Global-index partition move planned through the PERSISTENT
+    record-level index (Hudi metadata-table record-index analog): the
+    key→file probe replaces scanning every live file's key column —
+    the 100 TB evolution of ``lake_global_index_move``, verified against
+    the identical oracle."""
+    t = LakeTable(
+        spark, _tmp_base(), "q", "ridx", ["c_custkey"], "ver",
+        partition_keys=["c_mktsegment"], global_index=True,
+        record_index=True,
+    )
+    b1 = _batch1(spark, sf_dir).select("c_custkey", "c_mktsegment", "ver")
+    t.write(b1, op="upsert", instant="001")
+    movers = (
+        b1.filter(F.col("c_custkey") % 10 == 0)
+        .withColumn("c_mktsegment", F.lit("MOVED"))
+        .withColumn("ver", F.lit(2).cast("long"))
+    )
+    t.write(movers, op="upsert", instant="002")
+    return t.snapshot().select("c_custkey", "c_mktsegment", "ver")

@@ -113,6 +113,7 @@ class LakeTable:
         global_index: bool = False,
         table_type: str = "COPY_ON_WRITE",
         inline_compact_deltas: int | None = None,
+        record_index: bool = False,
     ) -> None:
         if table_type not in ("COPY_ON_WRITE", "MERGE_ON_READ"):
             raise ValueError(f"unknown table type: {table_type}")
@@ -140,6 +141,16 @@ class LakeTable:
         #: fail fast); live contention (async compactor vs ingest) waits,
         #: stale locks from crashed writers still surface as errors
         self.lock_wait_seconds: float = 30.0
+        #: persistent record-level index (the Hudi metadata-table
+        #: record-index analog): each commit also writes a
+        #: (_record_key → file) parquet under _index/, and global-index
+        #: write planning probes IT instead of scanning the key column
+        #: of every live file — the 100 TB path, where "every live file
+        #: is a candidate" stops being scannable. Enable from table
+        #: creation; planning falls back to the key scan automatically
+        #: whenever any live file predates the index.
+        self.record_index = record_index
+        self.index_dir = os.path.join(self.path, "_index")
         self._pending_checkpoint: dict | None = None
 
     @property
@@ -708,8 +719,17 @@ class LakeTable:
     ) -> list[dict]:
         """File targeting: range-prune candidates against the manifest's
         per-file key stats (driver-side, no I/O), then scan the
-        survivors' key columns and keep files holding a batch key."""
+        survivors' key columns and keep files holding a batch key.
+
+        With ``record_index`` and full index coverage of the candidates,
+        the persistent key→file index is probed instead — the candidate
+        set comes from a join against the (narrow) index table, and no
+        data file's key column is scanned at all."""
         self.last_range_pruned = 0
+        if self.record_index and candidates and all(
+            f.get("indexed") for f in candidates
+        ):
+            return self._index_hit_files(candidates, batch)
         lo, hi = (
             batch.agg(
                 F.min(RECORD_KEY_COL), F.max(RECORD_KEY_COL)
@@ -754,6 +774,55 @@ class LakeTable:
             for f in candidates
             if os.path.abspath(os.path.join(self.path, f["path"])) in hit_paths
         ]
+
+    def _index_hit_files(
+        self, candidates: list[dict], batch: DataFrame
+    ) -> list[dict]:
+        """Probe the persistent record index: distinct batch keys join
+        the (key, fp) index table; stale entries (replaced files) drop
+        out because the result is intersected with the live candidate
+        set. One narrow shuffle join, bounded by index size — never a
+        scan of table data."""
+        idx = (
+            self.spark.read.option("recursiveFileLookup", "true")
+            .parquet(self.index_dir)
+        )
+        keys = batch.select(
+            F.col(RECORD_KEY_COL).alias("key")
+        ).distinct()
+        hits = idx.join(keys, "key").select("fp").distinct().collect()
+        hit_paths = {
+            unquote(urlparse(r[0]).path)
+            if "://" in r[0] or r[0].startswith("file:")
+            else r[0]
+            for r in hits
+        }
+        return [
+            f
+            for f in candidates
+            if os.path.abspath(os.path.join(self.path, f["path"])) in hit_paths
+        ]
+
+    def _write_record_index(self, instant: str, added: list[dict]) -> None:
+        """Append this commit's (record key → file) mapping under
+        ``_index/<instant>/``. Entries for later-replaced files go stale
+        harmlessly (lookups intersect with live files); the index is
+        append-only, like Hudi's metadata-table record index."""
+        # explicit key-only schema: the creating commit indexes before
+        # its own manifest exists, so the stored schema isn't readable
+        # yet — and the index never needs more than the key column
+        key_schema = T.StructType(
+            [T.StructField(RECORD_KEY_COL, T.StringType())]
+        )
+        rows = self._read_files(
+            [f["path"] for f in added], schema=key_schema
+        ).select(
+            F.col(RECORD_KEY_COL).alias("key"),
+            F.col("_metadata.file_path").alias("fp"),
+        )
+        rows.write.mode("overwrite").parquet(
+            os.path.join(self.index_dir, instant)
+        )
 
     def _merge(self, old: DataFrame, batch: DataFrame) -> DataFrame:
         """Larger-precombine-wins merge, ties → incoming row — exactly
@@ -873,6 +942,10 @@ class LakeTable:
     ) -> None:
         """Writing the manifest IS the commit (atomic rename)."""
         os.makedirs(self.commits_dir, exist_ok=True)
+        if self.record_index and added:
+            self._write_record_index(instant, added)
+            for f in added:
+                f["indexed"] = True  # same dicts are in live_files
         manifest = {
             "instant": instant,
             "action": action,

@@ -869,3 +869,65 @@ def test_async_compactor_concurrent_with_ingest(spark, tmp_path):
     assert snap.count() == cust(spark).count()
     assert snap.filter((F.col("ver") == 7)).count() == 50
     assert snap.filter((F.col("c_custkey") > 50) & (F.col("ver") != 1)).count() == 0
+
+
+# ------------------------------------------------------- record-level index
+
+
+def test_record_index_equals_key_scan_and_is_used(spark, tmp_path):
+    """Persistent key→file index: planning probes the index (not the
+    data files' key columns) and targets exactly the files the scan
+    path would — end state identical to an unindexed twin."""
+    mk = lambda name, ri: LakeTable(
+        spark, str(tmp_path), "testdb", name,
+        record_keys=["c_custkey"], precombine="ver",
+        partition_keys=["c_mktsegment"], global_index=True,
+        record_index=ri,
+    )
+    t, twin = mk("ri", True), mk("ri_twin", False)
+    b1 = cust(spark, ver=1)
+    movers = (
+        b1.filter(F.col("c_custkey") % 10 == 0)
+        .withColumn("c_mktsegment", F.lit("MOVED"))
+        .withColumn("ver", F.lit(2).cast("long"))
+    )
+    victims = b1.filter(F.col("c_custkey") % 25 == 0).select(
+        "c_custkey", "ver"
+    )
+    used = []
+    orig = t._index_hit_files
+    t._index_hit_files = lambda c, b: (used.append(1), orig(c, b))[1]
+    for x in (t, twin):
+        x.write(b1, op="upsert", instant="001")
+        x.write(movers, op="upsert", instant="002")
+        x.write(victims, op="delete", instant="003")
+    assert used  # the index path really planned the writes
+    a = sorted(map(tuple, t.snapshot()
+                   .select("c_custkey", "c_mktsegment", "ver").collect()))
+    b = sorted(map(tuple, twin.snapshot()
+                   .select("c_custkey", "c_mktsegment", "ver").collect()))
+    assert a == b
+    # moved key exists once, in the new partition; victims gone
+    assert t.snapshot().filter(F.col("c_custkey") % 25 == 0).count() == 0
+
+
+def test_record_index_falls_back_without_coverage(spark, tmp_path):
+    """Files committed before the index existed force the scan path —
+    never a silent wrong answer."""
+    t0 = LakeTable(
+        spark, str(tmp_path), "testdb", "rifb", ["c_custkey"], "ver",
+        global_index=True,
+    )
+    t0.write(cust(spark, ver=1), op="upsert", instant="001")
+    # same table reopened WITH the index flag: live files lack coverage
+    t1 = LakeTable(
+        spark, str(tmp_path), "testdb", "rifb", ["c_custkey"], "ver",
+        global_index=True, record_index=True,
+    )
+    probed = []
+    orig = t1._index_hit_files
+    t1._index_hit_files = lambda c, b: (probed.append(1), orig(c, b))[1]
+    upd = cust(spark, ver=2).limit(7)
+    t1.write(upd, op="upsert", instant="002")
+    assert not probed  # un-covered live files → scan fallback
+    assert t1.snapshot().filter(F.col("ver") == 2).count() == 7

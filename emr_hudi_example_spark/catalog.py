@@ -461,3 +461,96 @@ def c_scalar_functions(spark: SparkSession, sf_dir: str) -> DataFrame:
         .cast("double")
         .alias("bal_plus"),
     )
+
+
+@query(
+    "a7_session_window",
+    oracle="""
+    WITH e AS (SELECT user_id, CAST(ts AS TIMESTAMP) AS ts FROM events),
+    m AS (SELECT user_id, ts,
+                 CASE WHEN ts - lag(ts) OVER (PARTITION BY user_id ORDER BY ts)
+                           >= INTERVAL 30 MINUTE
+                      THEN 1 ELSE 0 END AS brk
+          FROM e),
+    s AS (SELECT user_id, ts,
+                 sum(brk) OVER (PARTITION BY user_id ORDER BY ts
+                                ROWS UNBOUNDED PRECEDING) AS sid
+          FROM m)
+    SELECT user_id, min(ts) AS session_start,
+           count(*) AS n_events
+    FROM s GROUP BY user_id, sid
+    """,
+)
+def a7_session_window(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Event-time sessionization: per-user sessions split at ≥30-minute
+    gaps — Spark's built-in ``session_window`` (state-backed in
+    streaming, hash-agg in batch) vs the classic gaps-and-islands SQL
+    the oracle runs. One shuffle on the session key."""
+    ev = load(spark, sf_dir, "events")
+    out = ev.groupBy(
+        F.session_window("ts", "30 minutes"), "user_id"
+    ).agg(F.count(F.lit(1)).alias("n_events"))
+    return out.select(
+        "user_id",
+        F.col("session_window.start").alias("session_start"),
+        "n_events",
+    )
+
+
+@query(
+    "a8_rollup",
+    oracle="""
+    SELECT l_returnflag, l_linestatus,
+           count(*) AS n_rows,
+           CAST(round(sum(CAST(l_quantity AS DECIMAL(38,4))), 2) AS DOUBLE)
+             AS sum_qty
+    FROM lineitem
+    GROUP BY ROLLUP (l_returnflag, l_linestatus)
+    """,
+)
+def a8_rollup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Hierarchical rollup (grouping sets): per (flag, status), per flag,
+    and grand total in one pass — Spark plans a single expand+hash-agg,
+    no repeated scans."""
+    li = load(spark, sf_dir, "lineitem")
+    return li.rollup("l_returnflag", "l_linestatus").agg(
+        F.count(F.lit(1)).alias("n_rows"),
+        F.round(F.sum(F.col("l_quantity").cast("decimal(38,4)")), 2)
+        .cast("double")
+        .alias("sum_qty"),
+    )
+
+
+@query(
+    "set_operations",
+    oracle="""
+    SELECT 'both' AS op, c_custkey FROM (
+      SELECT c_custkey FROM customer WHERE c_mktsegment = 'BUILDING'
+      INTERSECT
+      SELECT c_custkey FROM customer WHERE c_acctbal > 1000
+    )
+    UNION ALL
+    SELECT 'only_building' AS op, c_custkey FROM (
+      SELECT c_custkey FROM customer WHERE c_mktsegment = 'BUILDING'
+      EXCEPT
+      SELECT c_custkey FROM customer WHERE c_acctbal > 1000
+    )
+    """,
+)
+def set_operations(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """§2.7 set operators: INTERSECT / EXCEPT (both plan as hash
+    semi/anti joins after distinct — no sort) labeled and unioned."""
+    cust = load(spark, sf_dir, "customer")
+    building = cust.filter(F.col("c_mktsegment") == "BUILDING").select(
+        "c_custkey"
+    )
+    rich = cust.filter(F.col("c_acctbal") > 1000).select("c_custkey")
+    return (
+        building.intersect(rich).select(
+            F.lit("both").alias("op"), "c_custkey"
+        )
+    ).unionByName(
+        building.exceptAll(rich.distinct()).distinct().select(
+            F.lit("only_building").alias("op"), "c_custkey"
+        )
+    )

@@ -418,14 +418,21 @@ def pipe_stream_runsum_endstate(spark: SparkSession, sf_dir: str) -> DataFrame:
     os.makedirs(ind)
     # two deterministic micro-batches (event_id parity); the file-stream
     # source feeds them with maxFilesPerTrigger=1 so state genuinely
-    # accumulates across batches
-    for i, flt in enumerate([F.col("event_id") % 2 == 0,
-                             F.col("event_id") % 2 == 1]):
-        tmp_out = os.path.join(base, f"stage{i}")
-        ev.filter(flt).coalesce(1).write.parquet(tmp_out)
-        part = glob.glob(os.path.join(tmp_out, "part-*.parquet"))[0]
-        shutil.move(part, os.path.join(ind, f"batch{i}.parquet"))
-        shutil.rmtree(tmp_out)
+    # accumulates across batches. One partitioned write (not one job per
+    # batch) stages both files.
+    stage = os.path.join(base, "stage")
+    (
+        ev.withColumn("_p", (F.col("event_id") % 2).cast("int"))
+        .repartition(2, "_p")
+        .write.partitionBy("_p")
+        .parquet(stage)
+    )
+    for i in (0, 1):
+        for j, part in enumerate(
+            sorted(glob.glob(os.path.join(stage, f"_p={i}", "part-*.parquet")))
+        ):
+            shutil.move(part, os.path.join(ind, f"batch{i}_{j}.parquet"))
+    shutil.rmtree(stage)
     stream = (
         spark.readStream.schema(ev.schema)
         .option("maxFilesPerTrigger", 1)

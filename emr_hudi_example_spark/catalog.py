@@ -554,3 +554,32 @@ def set_operations(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.lit("only_building").alias("op"), "c_custkey"
         )
     )
+
+
+@query(
+    "a9_pivot",
+    oracle="""
+    SELECT o_orderpriority,
+           count(*) FILTER (WHERE o_orderstatus = 'F') AS n_f,
+           count(*) FILTER (WHERE o_orderstatus = 'O') AS n_o,
+           count(*) FILTER (WHERE o_orderstatus = 'P') AS n_p
+    FROM orders GROUP BY o_orderpriority
+    """,
+)
+def a9_pivot(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Pivot (wide conditional aggregation): one hash-agg pass, columns
+    pinned with an explicit value list so the schema is static — the
+    plan Spark's `pivot` builds when values are supplied (no extra
+    distinct-discovery job)."""
+    orders = load(spark, sf_dir, "orders")
+    out = (
+        orders.groupBy("o_orderpriority")
+        .pivot("o_orderstatus", ["F", "O", "P"])
+        .count()
+    )
+    return out.select(
+        "o_orderpriority",
+        F.coalesce("F", F.lit(0)).alias("n_f"),
+        F.coalesce("O", F.lit(0)).alias("n_o"),
+        F.coalesce("P", F.lit(0)).alias("n_p"),
+    )

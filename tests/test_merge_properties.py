@@ -7,6 +7,7 @@ from __future__ import annotations
 
 from hypothesis import HealthCheck, given, settings
 from hypothesis import strategies as st
+from pyspark.sql import functions as F
 
 KEYS = [0, 1, 2, 3]
 
@@ -63,3 +64,52 @@ def test_upsert_matches_python_oracle(spark, tmp_path_factory, batches):
     for k, (ver, payload) in got.items():
         assert ver == expected[k][0], f"key {k}: wrong surviving version"
         assert payload in expected[k][1], f"key {k}: inadmissible payload"
+
+
+# ------------------------------------------------------- as-of join property
+
+
+asof_left = st.lists(
+    st.tuples(st.sampled_from(["a", "b", "c"]),
+              st.integers(min_value=0, max_value=20)),
+    min_size=1, max_size=12,
+)
+asof_right = st.lists(
+    st.tuples(st.sampled_from(["a", "b", "c"]),
+              st.integers(min_value=0, max_value=20)),
+    min_size=0, max_size=12,
+)
+
+
+def _asof_oracle(left, right):
+    """Newest right time ≤ left time per key (unique right rows)."""
+    out = []
+    for k, t in left:
+        prior = [rt for rk, rt in right if rk == k and rt <= t]
+        out.append((k, t, max(prior) if prior else None))
+    return sorted(out)
+
+
+@given(asof_left, asof_right)
+@settings(
+    max_examples=12, deadline=None,
+    suppress_health_check=[HealthCheck.function_scoped_fixture],
+)
+def test_join_asof_matches_python_oracle(spark, left, right):
+    from emr_hudi_example_spark.operators.relational import join_asof
+
+    right = sorted(set(right))  # operator contract: unique (key, time)
+    ldf = spark.createDataFrame(
+        [(k, t, i) for i, (k, t) in enumerate(left)],
+        "k STRING, t LONG, rowid LONG",
+    )
+    rdf = spark.createDataFrame(
+        right or [("zzz", -1)], "k STRING, rt LONG"
+    ).withColumn("state", F.col("rt"))
+    got = sorted(
+        (r["k"], r["t"], r["state"])
+        for r in join_asof(
+            ldf, rdf, ["k"], "t", "rt", ["state"]
+        ).collect()
+    )
+    assert got == _asof_oracle(left, right)

@@ -244,3 +244,36 @@ def lake_record_index_move(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     t.write(movers, op="upsert", instant="002")
     return t.snapshot().select("c_custkey", "c_mktsegment", "ver")
+
+
+@query(
+    "lake_cdc_changes",
+    oracle="""
+    SELECT CAST(c_custkey AS VARCHAR) AS _record_key,
+           CASE WHEN c_custkey % 100 = 0 THEN 'delete' ELSE 'update' END
+             AS op,
+           c_acctbal AS before_bal,
+           CASE WHEN c_custkey % 100 = 0 THEN NULL
+                ELSE c_acctbal + 1000.0 END AS after_bal
+    FROM customer WHERE c_custkey % 10 = 0
+    """,
+)
+def lake_cdc_changes(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """CDC incremental read with before/after images (Hudi cdc query
+    type): seed, bump keys %10 (update), delete keys %100 — the change
+    feed of (001, 003] carries exactly those keys with op + both
+    images; untouched keys never appear."""
+    t = LakeTable(spark, _tmp_base(), "q", "cdc", ["c_custkey"], "ver")
+    b1 = _batch1(spark, sf_dir)
+    t.write(b1, op="upsert", instant="001")
+    t.write(_batch2(spark, sf_dir), op="upsert", instant="002")
+    t.write(
+        b1.filter(F.col("c_custkey") % 100 == 0), op="delete", instant="003"
+    )
+    ch = t.changes("001", "003")
+    return ch.select(
+        "_record_key",
+        "op",
+        F.col("before.c_acctbal").alias("before_bal"),
+        F.col("after.c_acctbal").alias("after_bal"),
+    )

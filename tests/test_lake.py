@@ -931,3 +931,48 @@ def test_record_index_falls_back_without_coverage(spark, tmp_path):
     t1.write(upd, op="upsert", instant="002")
     assert not probed  # un-covered live files → scan fallback
     assert t1.snapshot().filter(F.col("ver") == 2).count() == 7
+
+
+# --------------------------------------------------------------- CDC changes
+
+
+def test_changes_before_after_images(spark, tmp_path):
+    """CDC read: inserts/updates/deletes with before+after images;
+    carried-over unchanged rows excluded."""
+    t = make_table(spark, tmp_path, name="cdc1")
+    b1 = cust(spark, ver=1)
+    t.write(b1, op="upsert", instant="001")
+    upd = (
+        b1.filter(F.col("c_custkey") <= 5)
+        .withColumn("ver", F.lit(2).cast("long"))
+        .withColumn("c_acctbal", F.col("c_acctbal") + 100.0)
+    )
+    t.write(upd, op="upsert", instant="002")
+    t.write(b1.filter(F.col("c_custkey") == 50), op="delete", instant="003")
+    fresh = b1.filter(F.col("c_custkey") == 1).withColumn(
+        "c_custkey", F.lit(99999).cast("long")
+    )
+    t.write(fresh, op="upsert", instant="004")
+
+    ch = t.changes("001", None).collect()
+    by_op = {}
+    for r in ch:
+        by_op.setdefault(r["op"], []).append(r)
+    assert len(by_op["update"]) == 6  # keys 0..5
+    for r in by_op["update"]:
+        assert r["after"]["c_acctbal"] == r["before"]["c_acctbal"] + 100.0
+        assert r["before"]["ver"] == 1 and r["after"]["ver"] == 2
+    assert [r["before"]["c_custkey"] for r in by_op["delete"]] == [50]
+    assert by_op["delete"][0]["after"] is None
+    assert [r["after"]["c_custkey"] for r in by_op["insert"]] == [99999]
+    assert by_op["insert"][0]["before"] is None
+    # exactly these changes — unchanged carried-over rows are silent
+    assert len(ch) == 8
+
+
+def test_changes_full_range_equals_inserts(spark, tmp_path):
+    t = make_table(spark, tmp_path, name="cdc2")
+    t.write(cust(spark, ver=1), op="upsert", instant="001")
+    ch = t.changes(None, None)
+    assert ch.count() == cust(spark).count()
+    assert ch.select("op").distinct().collect()[0]["op"] == "insert"

@@ -438,6 +438,13 @@ def pipe_stream_runsum_endstate(spark: SparkSession, sf_dir: str) -> DataFrame:
         .option("maxFilesPerTrigger", 1)
         .parquet(ind)
     )
+    # stateful shuffles are NOT AQE-coalesced: the state-store partition
+    # count is pinned from spark.sql.shuffle.partitions at query start,
+    # and every partition pays a python worker + store commit per batch.
+    # Size it to the aggregation's key cardinality (5 event types), the
+    # manual sizing a real deployment does per stateful query.
+    prev_parts = spark.conf.get("spark.sql.shuffle.partitions")
+    spark.conf.set("spark.sql.shuffle.partitions", "8")
     out = streaming_running_sum(stream, ["event_type"], "v")
     mart = LakeTable(
         spark, base, "p", "runsum", ["event_type"], "created_ts"
@@ -458,9 +465,12 @@ def pipe_stream_runsum_endstate(spark: SparkSession, sf_dir: str) -> DataFrame:
         .foreachBatch(land)
         .start()
     )
-    q.processAllAvailable()
-    q.stop()
-    q.awaitTermination()
+    try:
+        q.processAllAvailable()
+        q.stop()
+        q.awaitTermination()
+    finally:
+        spark.conf.set("spark.sql.shuffle.partitions", prev_parts)
     return mart.logical().select(
         "event_type",
         F.round(F.col("run_sum"), 2).cast("double").alias("run_sum"),

@@ -758,3 +758,30 @@ def j_asof_join(spark: SparkSession, sf_dir: str) -> DataFrame:
         key_cols=["user_id"], left_time="ts", right_time="rts",
         right_vals=["purchase_id"],
     ).select("event_id", "user_id", "purchase_id")
+
+
+@query(
+    "dedup_ngram_containment",
+    oracle=f"""
+    WITH t AS (SELECT doc_id, {_TOKS} AS tk FROM documents),
+    sets_ AS (SELECT doc_id, list_distinct({_shingles_sql(5)}) AS sh FROM t),
+    sh AS (SELECT doc_id, unnest(sh) AS s FROM sets_),
+    cand AS (SELECT DISTINCT a.doc_id AS id_a, b.doc_id AS id_b
+             FROM sh a JOIN sh b ON a.s = b.s AND a.doc_id <> b.doc_id),
+    v AS (SELECT c.id_a, c.id_b,
+                 round(len(list_intersect(sa.sh, sb.sh))::DOUBLE
+                       / greatest(len(sa.sh), 1)::DOUBLE, 6) AS containment
+          FROM cand c JOIN sets_ sa ON sa.doc_id = c.id_a
+          JOIN sets_ sb ON sb.doc_id = c.id_b)
+    SELECT id_a, id_b, containment FROM v WHERE containment >= 0.1
+    """,
+)
+def dedup_ngram_containment(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Asymmetric containment pairs (|A∩B|/|A| ≥ 0.1, directional):
+    detects a document embedded in a larger one where symmetric Jaccard
+    dilutes — same inverted-index + DF-cap scale shape as the Jaccard
+    path."""
+    return D.ngram_containment_pairs(
+        load(spark, sf_dir, "documents"), k=5, threshold=0.1,
+        max_doc_freq=256,
+    )

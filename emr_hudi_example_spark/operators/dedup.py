@@ -255,6 +255,69 @@ def ngram_jaccard_pairs(
     return jaccard_verify(df, pairs, id_col, text_col, k, threshold)
 
 
+def ngram_containment_pairs(
+    df: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    k: int = 3,
+    threshold: float = 0.5,
+    max_doc_freq: int | None = 256,
+) -> DataFrame:
+    """Asymmetric containment near-dup: ordered pairs where
+    ``|A∩B| / |A| ≥ threshold`` — catches a document EMBEDDED in a
+    larger one (quote farms, boilerplate wrappers), which symmetric
+    Jaccard misses because the union washes it out.
+
+    Same scale shape as :func:`ngram_jaccard_pairs`: inverted-index
+    candidate join on the shingle with the document-frequency cap,
+    verification only on candidate pairs."""
+    sh = ensure_parallelism(df.select(id_col, text_col)).select(
+        F.col(id_col),
+        F.explode(F.array_distinct(shingles(text_col, k))).alias("sh"),
+    )
+    if max_doc_freq is not None:
+        from pyspark.sql.window import Window
+
+        w = Window.partitionBy("sh")
+        sh = (
+            sh.withColumn("_df", F.count(F.lit(1)).over(w))
+            .filter(F.col("_df") <= max_doc_freq)
+            .drop("_df")
+        )
+    pairs = (
+        sh.alias("a")
+        .join(
+            sh.alias("b"),
+            (F.col("a.sh") == F.col("b.sh"))
+            & (F.col(f"a.{id_col}") != F.col(f"b.{id_col}")),
+        )
+        .select(
+            F.col(f"a.{id_col}").alias("id_a"),
+            F.col(f"b.{id_col}").alias("id_b"),
+        )
+        .distinct()
+    )
+    sets_ = ensure_parallelism(df.select(id_col, text_col)).select(
+        F.col(id_col),
+        F.array_distinct(shingles(text_col, k)).alias("sh_set"),
+    )
+    joined = (
+        pairs.join(
+            sets_.select(F.col(id_col).alias("id_a"),
+                         F.col("sh_set").alias("set_a")), "id_a")
+        .join(
+            sets_.select(F.col(id_col).alias("id_b"),
+                         F.col("sh_set").alias("set_b")), "id_b")
+    )
+    cont = (
+        F.size(F.array_intersect("set_a", "set_b")).cast("double")
+        / F.greatest(F.size("set_a"), F.lit(1)).cast("double")
+    )
+    return joined.select(
+        "id_a", "id_b", F.round(cont, 6).alias("containment")
+    ).filter(F.col("containment") >= threshold)
+
+
 def contamination_matches(
     corpus: DataFrame,
     benchmark: DataFrame,

@@ -161,3 +161,21 @@ def test_join_asof_semantics(spark):
         3: None,    # no state at-or-before t
         4: None,    # key never seen on the right
     }
+
+
+def test_containment_detects_embedded_doc(spark):
+    from emr_hudi_example_spark.operators.dedup import ngram_containment_pairs
+
+    small = "alpha beta gamma delta epsilon"
+    big = "zero " * 20 + small + " omega " * 20
+    df = spark.createDataFrame(
+        [(1, small), (2, big), (3, "totally different words here now")],
+        "doc_id LONG, text STRING",
+    )
+    rows = {
+        (r["id_a"], r["id_b"]): r["containment"]
+        for r in ngram_containment_pairs(df, k=3, threshold=0.5).collect()
+    }
+    # every 3-gram of doc1 appears in doc2 → containment(1 in 2) = 1.0;
+    # the reverse direction is diluted below threshold; doc3 matches none
+    assert rows == {(1, 2): 1.0}

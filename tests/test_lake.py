@@ -976,3 +976,22 @@ def test_changes_full_range_equals_inserts(spark, tmp_path):
     ch = t.changes(None, None)
     assert ch.count() == cust(spark).count()
     assert ch.select("op").distinct().collect()[0]["op"] == "insert"
+
+
+def test_changes_across_compaction_stays_silent(spark, tmp_path):
+    """A compaction commit re-adds every live file; the CDC feed must
+    still report only genuine row changes across that range."""
+    t = make_table(spark, tmp_path, name="cdc3")
+    b1 = cust(spark, ver=1)
+    t.write(b1, op="upsert", instant="001")
+    upd = (
+        b1.filter(F.col("c_custkey") == 3)
+        .withColumn("ver", F.lit(2).cast("long"))
+        .withColumn("c_name", F.lit("CHANGED"))
+    )
+    t.write(upd, op="upsert", instant="002")
+    t.compact(instant="003")
+    ch = t.changes("001", None).collect()
+    assert len(ch) == 1
+    assert ch[0]["op"] == "update"
+    assert ch[0]["after"]["c_name"] == "CHANGED"

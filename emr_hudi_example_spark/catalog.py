@@ -583,3 +583,31 @@ def a9_pivot(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.coalesce("O", F.lit(0)).alias("n_o"),
         F.coalesce("P", F.lit(0)).alias("n_p"),
     )
+
+
+@query(
+    "c_date_functions",
+    oracle="""
+    SELECT o_orderkey,
+           CAST(date_trunc('month', o_orderdate) AS TIMESTAMP) AS month_start,
+           CAST(year(o_orderdate) AS INT) AS yr,
+           CAST(dayofweek(o_orderdate) AS INT) AS dow,
+           CAST(date_diff('day', TIMESTAMP '1995-01-01', o_orderdate)
+                AS INT) AS days_since
+    FROM orders
+    """,
+)
+def c_date_functions(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """C-family date/time scalars: trunc, extract, day arithmetic — all
+    JVM built-ins, pipelined with the scan (DuckDB dayofweek is 0-based
+    Sunday; Spark dayofweek is 1-based, aligned with -1)."""
+    orders = load(spark, sf_dir, "orders")
+    return orders.select(
+        "o_orderkey",
+        F.date_trunc("month", "o_orderdate").alias("month_start"),
+        F.year("o_orderdate").cast("int").alias("yr"),
+        (F.dayofweek("o_orderdate") - 1).cast("int").alias("dow"),
+        F.datediff(
+            F.col("o_orderdate"), F.lit("1995-01-01").cast("timestamp")
+        ).cast("int").alias("days_since"),
+    )

@@ -785,3 +785,27 @@ def dedup_ngram_containment(spark: SparkSession, sf_dir: str) -> DataFrame:
         load(spark, sf_dir, "documents"), k=5, threshold=0.1,
         max_doc_freq=256,
     )
+
+
+@query(
+    "corpus_length_histogram",
+    oracle="""
+    SELECT CAST(floor(n_chars / 50) * 50 AS BIGINT) AS bucket_lo,
+           count(*) AS n_docs,
+           CAST(min(n_chars) AS BIGINT) AS min_chars,
+           CAST(max(n_chars) AS BIGINT) AS max_chars
+    FROM documents GROUP BY 1
+    """,
+)
+def corpus_length_histogram(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Document-length histogram (50-char buckets) — the size-profile
+    pass every corpus audit starts with; single partial-aggregated
+    shuffle on the bucket."""
+    docs = load(spark, sf_dir, "documents")
+    return docs.groupBy(
+        (F.floor(F.col("n_chars") / 50) * 50).cast("long").alias("bucket_lo")
+    ).agg(
+        F.count(F.lit(1)).alias("n_docs"),
+        F.min("n_chars").cast("long").alias("min_chars"),
+        F.max("n_chars").cast("long").alias("max_chars"),
+    )

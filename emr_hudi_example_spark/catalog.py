@@ -550,7 +550,10 @@ def set_operations(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.lit("both").alias("op"), "c_custkey"
         )
     ).unionByName(
-        building.exceptAll(rich.distinct()).distinct().select(
+        # subtract IS Spark's EXCEPT DISTINCT — correct even when the
+        # left side holds duplicates (exceptAll+distinct would let a key
+        # with left multiplicity >1 survive removal)
+        building.subtract(rich).select(
             F.lit("only_building").alias("op"), "c_custkey"
         )
     )

@@ -444,28 +444,31 @@ def pipe_stream_runsum_endstate(spark: SparkSession, sf_dir: str) -> DataFrame:
     # Size it to the aggregation's key cardinality (5 event types), the
     # manual sizing a real deployment does per stateful query.
     prev_parts = spark.conf.get("spark.sql.shuffle.partitions")
-    spark.conf.set("spark.sql.shuffle.partitions", "8")
-    out = streaming_running_sum(stream, ["event_type"], "v")
-    mart = LakeTable(
-        spark, base, "p", "runsum", ["event_type"], "created_ts"
-    )
-
-    def land(bdf, bid):
-        rows = bdf.select(
-            "event_type",
-            F.col("run_sum").cast("decimal(38,4)").alias("run_sum"),
-            "n_rows",
-            F.lit(bid).cast("long").alias("created_ts"),
-        )
-        mart.write(rows, op="upsert", instant=f"{bid + 1:03d}")
-
-    q = (
-        out.writeStream.outputMode("update")
-        .option("checkpointLocation", os.path.join(base, "ckpt"))
-        .foreachBatch(land)
-        .start()
-    )
+    # the conf restore must cover EVERYTHING after the set — a failure
+    # while building/starting the query would otherwise leak the
+    # shrunken setting into every later query in the shared session
     try:
+        spark.conf.set("spark.sql.shuffle.partitions", "8")
+        out = streaming_running_sum(stream, ["event_type"], "v")
+        mart = LakeTable(
+            spark, base, "p", "runsum", ["event_type"], "created_ts"
+        )
+
+        def land(bdf, bid):
+            rows = bdf.select(
+                "event_type",
+                F.col("run_sum").cast("decimal(38,4)").alias("run_sum"),
+                "n_rows",
+                F.lit(bid).cast("long").alias("created_ts"),
+            )
+            mart.write(rows, op="upsert", instant=f"{bid + 1:03d}")
+
+        q = (
+            out.writeStream.outputMode("update")
+            .option("checkpointLocation", os.path.join(base, "ckpt"))
+            .foreachBatch(land)
+            .start()
+        )
         q.processAllAvailable()
         q.stop()
         q.awaitTermination()

@@ -2,6 +2,12 @@
 parquet with a commit timeline (snapshot + incremental reads)."""
 
 from emr_hudi_example_spark.lake.compactor import AsyncCompactor
+from emr_hudi_example_spark.lake.locks import (
+    FileLockProvider,
+    LockContention,
+    LockProvider,
+    retry_on_contention,
+)
 from emr_hudi_example_spark.lake.table import (
     COMMIT_TIME_COL,
     DELETED_COL,
@@ -14,6 +20,10 @@ from emr_hudi_example_spark.lake.table import (
 
 __all__ = [
     "AsyncCompactor",
+    "FileLockProvider",
+    "LockContention",
+    "LockProvider",
+    "retry_on_contention",
     "LakeTable",
     "META_COLS",
     "COMMIT_TIME_COL",

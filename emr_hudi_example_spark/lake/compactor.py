@@ -14,6 +14,7 @@ from __future__ import annotations
 import threading
 import time
 
+from emr_hudi_example_spark.lake.locks import LockContention
 from emr_hudi_example_spark.lake.table import LakeTable
 
 
@@ -26,8 +27,12 @@ class AsyncCompactor:
         ...  # ingest keeps calling table.schedule_compaction()
         compactor.stop()   # drains pending plans, then joins
 
-    ``executed`` collects the committed compaction instants (for tests /
-    observability).
+    ``executed`` collects the committed compaction instants, ``failed``
+    the (plan_id, error) pairs of plans abandoned after a non-lock
+    failure or too many lock-contention rounds (for tests /
+    observability). Only :class:`LockContention` is retried — a plan
+    that genuinely fails (e.g. corrupt plan JSON) is abandoned after
+    ``max_attempts_per_plan`` instead of spinning the daemon forever.
     """
 
     def __init__(
@@ -35,11 +40,16 @@ class AsyncCompactor:
         table: LakeTable,
         poll_seconds: float = 0.2,
         lock_backoff_seconds: float = 0.2,
+        max_attempts_per_plan: int = 300,
     ) -> None:
         self.table = table
         self.poll_seconds = poll_seconds
         self.lock_backoff_seconds = lock_backoff_seconds
+        self.max_attempts_per_plan = max_attempts_per_plan
         self.executed: list[str] = []
+        self.failed: list[tuple[str, Exception]] = []
+        self._attempts: dict[str, int] = {}
+        self._abandoned: set[str] = set()
         self._stop = threading.Event()
         self._thread: threading.Thread | None = None
 
@@ -51,20 +61,39 @@ class AsyncCompactor:
         self._thread.start()
         return self
 
+    def _abandon(self, plan_id: str, exc: Exception) -> None:
+        self._abandoned.add(plan_id)
+        self.failed.append((plan_id, exc))
+
     def _drain_once(self) -> bool:
-        """Execute one pending plan; True if progress was made (executed
-        or discarded-as-stale)."""
-        pending = self.table.pending_compactions()
+        """Execute one pending plan; True if progress was made (executed,
+        discarded-as-stale, or abandoned)."""
+        pending = [
+            p
+            for p in self.table.pending_compactions()
+            if p not in self._abandoned
+        ]
         if not pending:
             return False
+        plan_id = pending[0]
+        self._attempts[plan_id] = self._attempts.get(plan_id, 0) + 1
         try:
-            inst = self.table.run_compaction(pending[0])
-        except RuntimeError:
-            # writer lock held by an in-flight micro-batch — back off
+            inst = self.table.run_compaction(plan_id)
+        except LockContention as exc:
+            # writer lock held by an in-flight micro-batch — back off;
+            # but a lock that NEVER frees (stale from a crashed writer)
+            # must not spin forever: cap the rounds, then abandon
+            if self._attempts[plan_id] >= self.max_attempts_per_plan:
+                self._abandon(plan_id, exc)
+                return True
             time.sleep(self.lock_backoff_seconds)
             return False
+        except Exception as exc:  # noqa: BLE001 — abandon, don't spin
+            self._abandon(plan_id, exc)
+            return True
         if inst is not None:
             self.executed.append(inst)
+        self._attempts.pop(plan_id, None)
         return True
 
     def _loop(self) -> None:
@@ -81,7 +110,10 @@ class AsyncCompactor:
         if drain:
             deadline = time.monotonic() + timeout
             while (
-                self.table.pending_compactions()
+                any(
+                    p not in self._abandoned
+                    for p in self.table.pending_compactions()
+                )
                 and time.monotonic() < deadline
             ):
                 self._drain_once()

@@ -63,8 +63,8 @@ from __future__ import annotations
 
 import json
 import os
+import re
 import shutil
-from contextlib import contextmanager
 from urllib.parse import unquote, urlparse
 
 from pyspark.sql import DataFrame, SparkSession
@@ -72,6 +72,7 @@ from pyspark.sql import functions as F
 from pyspark.sql import types as T
 
 from emr_hudi_example_spark.functions.core import now_instant, pk_not_null_condition
+from emr_hudi_example_spark.lake.locks import FileLockProvider, LockProvider
 
 COMMIT_TIME_COL = "_commit_time"
 RECORD_KEY_COL = "_record_key"
@@ -114,6 +115,7 @@ class LakeTable:
         table_type: str = "COPY_ON_WRITE",
         inline_compact_deltas: int | None = None,
         record_index: bool = False,
+        lock_provider: LockProvider | None = None,
     ) -> None:
         if table_type not in ("COPY_ON_WRITE", "MERGE_ON_READ"):
             raise ValueError(f"unknown table type: {table_type}")
@@ -151,6 +153,12 @@ class LakeTable:
         #: whenever any live file predates the index.
         self.record_index = record_index
         self.index_dir = os.path.join(self.path, "_index")
+        #: OCC seam (SRC/package.scala:38-47 parity): default is the
+        #: single-host O_EXCL file lock; a multi-host deployment plugs
+        #: in a coordination-service provider here (see lake/locks.py)
+        self.lock_provider: LockProvider = (
+            lock_provider or FileLockProvider(self.path)
+        )
         self._pending_checkpoint: dict | None = None
 
     @property
@@ -533,36 +541,18 @@ class LakeTable:
                 # committed and silently skipping its replay
                 self._pending_checkpoint = None
 
-    @contextmanager
     def _writer_lock(self):
-        """O_EXCL lock file under the table root; released on exit.
-        Contention waits up to ``lock_wait_seconds`` (Hudi lock-provider
-        semantics — a live writer, e.g. the async compactor, finishes and
-        the lock frees), then fails with the lock path surfaced: a
-        crashed writer leaves a stale lock an operator can remove (lazy
-        failed-write cleaning is the cleaner's job, matching the
-        reference's LAZY policy)."""
-        import time as _time
-
+        """Acquire the table's writer lock via the pluggable provider
+        (``lock_provider``; default = O_EXCL lock file — see
+        ``lake/locks.py``). Contention waits up to ``lock_wait_seconds``
+        (Hudi lock-provider semantics — a live writer, e.g. the async
+        compactor, finishes and the lock frees), then raises
+        ``LockContention`` with the lock surfaced: a crashed writer
+        leaves a stale lock an operator can remove (lazy failed-write
+        cleaning is the cleaner's job, matching the reference's LAZY
+        policy)."""
         os.makedirs(self.path, exist_ok=True)
-        lock = os.path.join(self.path, "_writer.lock")
-        deadline = _time.monotonic() + self.lock_wait_seconds
-        while True:
-            try:
-                fd = os.open(lock, os.O_CREAT | os.O_EXCL | os.O_WRONLY)
-                break
-            except FileExistsError:
-                if _time.monotonic() >= deadline:
-                    raise RuntimeError(
-                        f"concurrent writer on {self.db}.{self.table} "
-                        f"(lock held: {lock}; remove if stale)"
-                    ) from None
-                _time.sleep(0.05)
-        try:
-            yield
-        finally:
-            os.close(fd)
-            os.unlink(lock)
+        return self.lock_provider.held(self.lock_wait_seconds)
 
     def _prepare_batch(self, df: DataFrame, instant: str) -> DataFrame:
         # PK-not-null gate, applied on every write path
@@ -871,17 +861,18 @@ class LakeTable:
             F.col(RECORD_KEY_COL).alias("key")
         ).distinct()
         hits = idx.join(keys, "key").select("fp").distinct().collect()
-        hit_paths = {
-            unquote(urlparse(r[0]).path)
-            if "://" in r[0] or r[0].startswith("file:")
-            else r[0]
-            for r in hits
-        }
-        return [
-            f
-            for f in candidates
-            if os.path.abspath(os.path.join(self.path, f["path"])) in hit_paths
-        ]
+        # index entries are table-root-relative (manifest-style) so they
+        # match after a table move; legacy absolute/URI entries are
+        # relativized against the CURRENT root for compatibility
+        root = os.path.abspath(self.path)
+        hit_paths = set()
+        for (fp,) in hits:
+            if "://" in fp or fp.startswith("file:"):
+                fp = unquote(urlparse(fp).path)
+            if os.path.isabs(fp):
+                fp = os.path.relpath(fp, root)
+            hit_paths.add(fp)
+        return [f for f in candidates if f["path"] in hit_paths]
 
     def _write_record_index(self, instant: str, added: list[dict]) -> None:
         """Append this commit's (record key → file) mapping under
@@ -894,11 +885,25 @@ class LakeTable:
         key_schema = T.StructType(
             [T.StructField(RECORD_KEY_COL, T.StringType())]
         )
+        # store fp TABLE-ROOT-RELATIVE (like manifest paths), so the
+        # index — like the rest of the engine — survives a table
+        # directory move/rename/remount; absolute-path entries would
+        # silently stop matching after relocation and upserts would
+        # write duplicate keys (round-2 advice). _metadata.file_path is
+        # a percent-encoded file URI: strip scheme, decode, strip root.
+        root = os.path.abspath(self.path).rstrip("/") + "/"
+        rel_fp = F.regexp_replace(
+            F.url_decode(
+                F.regexp_replace(F.col("_metadata.file_path"), "^file:/+", "/")
+            ),
+            "^" + re.escape(root),
+            "",
+        )
         rows = self._read_files(
             [f["path"] for f in added], schema=key_schema
         ).select(
             F.col(RECORD_KEY_COL).alias("key"),
-            F.col("_metadata.file_path").alias("fp"),
+            rel_fp.alias("fp"),
         )
         rows.write.mode("overwrite").parquet(
             os.path.join(self.index_dir, instant)
@@ -1220,9 +1225,15 @@ class LakeTable:
             plan_id = pending[0]
         pdir = os.path.join(self.commits_dir, "_compaction")
         pfile = os.path.join(pdir, plan_id + ".json")
-        with open(pfile) as fh:
-            plan = json.load(fh)
         with self._writer_lock():
+            # read the plan UNDER the lock: a concurrent executor of the
+            # same plan either finished (file gone → nothing to do) or
+            # discarded it as stale — never a FileNotFoundError race
+            try:
+                with open(pfile) as fh:
+                    plan = json.load(fh)
+            except FileNotFoundError:
+                return None
             live = self._live_files()
             live_paths = {f["path"] for f in live}
             pinned_paths = set(plan["files"])

@@ -28,6 +28,7 @@ from pyspark.sql.streaming import StreamingQuery
 from emr_hudi_example_spark.cdc.dms import DMS_ENVELOPE_SCHEMA
 from emr_hudi_example_spark.functions.core import created_ts_expr
 from emr_hudi_example_spark.lake import LakeTable
+from emr_hudi_example_spark.lake.locks import retry_on_contention
 from emr_hudi_example_spark.streaming.sources import start_foreach_batch
 
 
@@ -55,7 +56,13 @@ def dms2lake_batch(
         if batch_id is not None
         else None
     )
-    table.write(rows, op="upsert", checkpoint=checkpoint)
+    # retry on writer-lock contention rather than crash the streaming
+    # query: with --asyncCompactEvery a compaction longer than the lock
+    # wait would otherwise terminate ingest (round-2 advice); only a
+    # lock that outlives every retry (stale/crashed writer) still fails
+    retry_on_contention(
+        lambda: table.write(rows, op="upsert", checkpoint=checkpoint)
+    )
 
 
 def run_kds2lake(

@@ -314,6 +314,38 @@ def dedup_simhash(spark: SparkSession, sf_dir: str) -> DataFrame:
     return D.simhash(load(spark, sf_dir, "documents"), bits=32)
 
 
+@query(
+    "dedup_simhash_pairs",
+    oracle=f"""
+    WITH sim AS ({_simhash_sql(32)}),
+    chunks AS (
+      SELECT doc_id, simhash, unnest(range(0, 4)) AS band FROM sim),
+    buckets AS (
+      SELECT doc_id, simhash, band,
+             (simhash >> (band * 8)) & 255 AS chunk
+      FROM chunks),
+    cand AS (
+      SELECT DISTINCT a.doc_id AS id_a, b.doc_id AS id_b,
+             a.simhash AS sim_a, b.simhash AS sim_b
+      FROM buckets a JOIN buckets b
+        ON a.band = b.band AND a.chunk = b.chunk AND a.doc_id < b.doc_id)
+    SELECT id_a, id_b, bit_count(xor(sim_a, sim_b)) AS hamming
+    FROM cand WHERE bit_count(xor(sim_a, sim_b)) <= 6
+    """,
+)
+def dedup_simhash_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """SimHash near-dup pairing: 32-bit sketch banded into 4×8-bit
+    chunks; pairs sharing any chunk are candidates (pigeonhole: any pair
+    with hamming ≤ 3 shares a clean band; the ≤ 6 verify keeps the
+    recall/precision trade explicit), verified by exact popcount of the
+    XOR. Candidate generation is a bucket equi-join on (band, chunk) —
+    never all-pairs — so corpus scale is bounded by bucket occupancy."""
+    return D.simhash_near_pairs(
+        load(spark, sf_dir, "documents"),
+        bits=32, band_bits=8, max_hamming=6,
+    )
+
+
 _VEC_DOT = (
     "list_sum([ (a.embedding[i]::DOUBLE) * (b.embedding[i]::DOUBLE) "
     "FOR i IN range(1, len(a.embedding)+1) ])"
@@ -322,6 +354,13 @@ _NORM_SQL = (
     "sqrt(list_sum([ (embedding[i]::DOUBLE) * (embedding[i]::DOUBLE) "
     "FOR i IN range(1, len(embedding)+1) ]))"
 )
+
+
+def _dot_sql(x: str, y: str) -> str:
+    return (
+        f"list_sum([ ({x}.embedding[i]::DOUBLE) * ({y}.embedding[i]::DOUBLE) "
+        f"FOR i IN range(1, len({x}.embedding)+1) ])"
+    )
 
 
 @query(
@@ -340,6 +379,46 @@ def dedup_embedding_cosine(spark: SparkSession, sf_dir: str) -> DataFrame:
     real pairs exist)."""
     return S.embedding_near_dup_pairs(
         load(spark, sf_dir, "embeddings"), threshold=0.35
+    )
+
+
+@query(
+    "dedup_embedding_cells",
+    oracle=f"""
+    WITH v AS (SELECT vec_id, embedding, {_NORM_SQL} AS nrm FROM embeddings),
+    cen AS (SELECT vec_id AS cell_id, embedding, nrm FROM v
+            WHERE vec_id % 37 = 0),
+    cells AS (
+      SELECT vec_id, cell_id FROM (
+        SELECT a.vec_id, b.cell_id,
+               row_number() OVER (PARTITION BY a.vec_id
+                 ORDER BY {_dot_sql('a', 'b')} / (a.nrm * b.nrm) DESC,
+                          b.cell_id) AS rn
+        FROM v a CROSS JOIN cen b) WHERE rn <= 2),
+    pairs AS (
+      SELECT DISTINCT ca.vec_id AS id_a, cb.vec_id AS id_b
+      FROM cells ca JOIN cells cb
+        ON ca.cell_id = cb.cell_id AND ca.vec_id < cb.vec_id)
+    SELECT p.id_a, p.id_b,
+           round({_VEC_DOT} / (a.nrm * b.nrm), 6) AS cos
+    FROM pairs p
+    JOIN v a ON a.vec_id = p.id_a
+    JOIN v b ON b.vec_id = p.id_b
+    WHERE {_VEC_DOT} / (a.nrm * b.nrm) >= 0.35
+    """,
+)
+def dedup_embedding_cells(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Sub-quadratic embedding near-dup pairs via IVF cell blocking — the
+    100 TB path the exact all-pairs ``dedup_embedding_cosine`` cannot be:
+    vectors assign to their 2 nearest deterministic centroids (vec_id %
+    37 = 0, broadcast argmin), the exact GEMM kernel runs only *within*
+    each cell, so compute drops from O(n²) to ~O(n²/n_cells). A pair
+    surfaces iff it shares a cell; recall vs the exact pair set is
+    separately asserted in test_scale_strategies."""
+    emb = load(spark, sf_dir, "embeddings")
+    centroids = emb.filter(F.col("vec_id") % 37 == 0)
+    return S.cell_near_dup_pairs(
+        emb, centroids, threshold=0.35, n_assign=2
     )
 
 
@@ -442,13 +521,6 @@ def sim_cosine_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     emb = load(spark, sf_dir, "embeddings")
     queries = emb.filter(F.col("vec_id") % 50 == 0)
     return S.cosine_topk(emb, queries, k=5)
-
-
-def _dot_sql(x: str, y: str) -> str:
-    return (
-        f"list_sum([ ({x}.embedding[i]::DOUBLE) * ({y}.embedding[i]::DOUBLE) "
-        f"FOR i IN range(1, len({x}.embedding)+1) ])"
-    )
 
 
 _IVF_ORACLE = f"""

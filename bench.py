@@ -5,6 +5,13 @@ local[$SPARK_GRAFT_CPUS] and print ONE JSON line:
 
 Each query is executed with a count-collapsing action so timing covers the
 full scan→shuffle→agg plan without driver-side row transfer dominating.
+
+Noise protocol (round-2 verdict #8): every query runs
+$SPARK_GRAFT_BENCH_RUNS times (default 3, run-major order so ambient
+co-tenant load decorrelates across repeats) and the per-query MIN is
+reported — the min is the least-noise estimator of the plan's true cost
+on an otherwise-idle machine. Memoized pipeline state is reset between
+runs so repeats re-execute the real work, not a cache read.
 """
 
 from __future__ import annotations
@@ -55,14 +62,23 @@ def main() -> None:
     # timings measure the steady-state plans, not one-time JIT cost
     _warm_lake(spark, sf_dir)
 
+    runs = max(1, int(os.environ.get("SPARK_GRAFT_BENCH_RUNS", "3")))
     timings: dict[str, float] = {}
-    for name in names:
-        fn = catalog.Q[name]
-        t0 = time.perf_counter()
-        df = fn(spark, sf_dir)
-        n = df.count()
-        timings[name] = round(time.perf_counter() - t0, 4)
-        assert n >= 0
+    for _run in range(runs):
+        # forget memoized pipeline end-states so every repeat re-runs the
+        # actual medallion commits instead of reading a cached tmp table
+        from emr_hudi_example_spark import catalog_pipelines as _cp
+
+        _cp._MEDALLION_CACHE.clear()
+        for name in names:
+            fn = catalog.Q[name]
+            t0 = time.perf_counter()
+            df = fn(spark, sf_dir)
+            n = df.count()
+            elapsed = round(time.perf_counter() - t0, 4)
+            assert n >= 0
+            prev = timings.get(name)
+            timings[name] = elapsed if prev is None else min(prev, elapsed)
     total = round(sum(timings.values()), 4)
 
     sf = sf_dir.rstrip("/").rsplit("sf", 1)[-1]
@@ -73,6 +89,7 @@ def main() -> None:
                 "value": total,
                 "unit": "sec",
                 "queries": timings,
+                "runs": runs,
                 "sf": float(sf) if sf.replace(".", "").isdigit() else sf,
             }
         )

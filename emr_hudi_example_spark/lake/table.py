@@ -31,16 +31,23 @@ semantics the reference delegates to Apache Hudi (SURVEY.md §1.1, §2.2 K1):
 Storage layout::
 
     base_path/db/table/
-      _commits/<instant>.json      # manifest; writing it IS the commit
+      _commits/<instant>.json      # manifest (log entry: added/replaced
+                                   # DELTAS only); writing it IS the commit
+      _commits/_ckpt/<instant>.json  # periodic full live-file checkpoint
       data/<instant>/__pt_<col>=<val>/part-*.parquet
 
 Design notes (100 TB):
 
-- The *manifest is the file index*: snapshot/incremental readers list
-  files from the latest manifest (no S3 LIST storms), and partition /
-  commit-range pruning happens driver-side on the manifest before any
-  scan — the analog of Hudi's timeline+file-index. Parquet row-group
-  stats then prune further inside files.
+- The *manifest log is the file index* (Iceberg-style log + checkpoint):
+  each commit's manifest records only its ``added``/``replaced`` delta;
+  every ``manifest_checkpoint_interval`` commits the full live-file list
+  is checkpointed under ``_commits/_ckpt/``. Readers materialize the
+  live set from the newest checkpoint plus the ≤ interval manifests
+  after it — O(delta), never O(commits) — and an in-session cache rolls
+  forward incrementally across commits. Partition / commit-range pruning
+  happens driver-side on that file index before any scan — the analog of
+  Hudi's timeline+file-index. Parquet row-group stats then prune further
+  inside files.
 - Partition values are **duplicated** into ``__pt_<col>`` directory
   columns purely for layout; the real columns stay in the data files, so
   readers never depend on directory-schema inference and explicit
@@ -54,9 +61,6 @@ Design notes (100 TB):
   manifest; a crashed write leaves invisible orphan data files that the
   cleaner removes. Single-writer by design (the reference's ZK-lock OCC
   is out of scope, SURVEY.md §4).
-- At petabyte scale the ``live_files`` list would become a log +
-  checkpoint (Iceberg-style); the per-commit ``added``/``replaced``
-  delta recorded here is already the log entry for that evolution.
 """
 
 from __future__ import annotations
@@ -116,6 +120,7 @@ class LakeTable:
         inline_compact_deltas: int | None = None,
         record_index: bool = False,
         lock_provider: LockProvider | None = None,
+        manifest_checkpoint_interval: int | None = 10,
     ) -> None:
         if table_type not in ("COPY_ON_WRITE", "MERGE_ON_READ"):
             raise ValueError(f"unknown table type: {table_type}")
@@ -160,6 +165,14 @@ class LakeTable:
             lock_provider or FileLockProvider(self.path)
         )
         self._pending_checkpoint: dict | None = None
+        #: full live-file checkpoint every N commits (the Iceberg-style
+        #: log+checkpoint evolution of the manifest); None/0 disables —
+        #: then the live set replays the whole manifest log (legacy mode)
+        self.manifest_checkpoint_interval = manifest_checkpoint_interval
+        self.ckpt_dir = os.path.join(self.commits_dir, "_ckpt")
+        #: in-session live-file cache: (instant, files) — rolled forward
+        #: incrementally per commit so repeated planning is O(delta)
+        self._live_cache: tuple[str, list[dict]] | None = None
 
     @property
     def is_mor(self) -> bool:
@@ -185,11 +198,83 @@ class LakeTable:
         with open(os.path.join(self.commits_dir, instant + ".json")) as fh:
             return json.load(fh)
 
+    def _manifest_any(self, instant: str) -> dict:
+        """Manifest by instant, falling back to the archived timeline."""
+        try:
+            return self._manifest(instant)
+        except FileNotFoundError:
+            arch = os.path.join(self.commits_dir, "_archived", instant + ".json")
+            with open(arch) as fh:
+                return json.load(fh)
+
+    def _full_timeline(self) -> list[str]:
+        """Archived + active instants, ascending (archived always sort
+        before the active window — archival moves a prefix)."""
+        arch = os.path.join(self.commits_dir, "_archived")
+        archived = (
+            sorted(
+                f[: -len(".json")]
+                for f in os.listdir(arch)
+                if f.endswith(".json")
+            )
+            if os.path.isdir(arch)
+            else []
+        )
+        return archived + self.timeline()
+
+    def _checkpoints(self) -> list[str]:
+        """Instants with a full live-file checkpoint, ascending."""
+        if not os.path.isdir(self.ckpt_dir):
+            return []
+        return sorted(
+            f[: -len(".json")]
+            for f in os.listdir(self.ckpt_dir)
+            if f.endswith(".json")
+        )
+
     def _live_files(self) -> list[dict]:
         last = self.last_instant()
         if last is None:
             return []
-        return self._manifest(last)["live_files"]
+        return self._live_files_at(last)
+
+    def _live_files_at(self, instant: str) -> list[dict]:
+        """Live file records as of ``instant`` — materialized from the
+        newest full checkpoint ≤ instant (falling back to the in-session
+        cache when that is newer) plus a forward replay of the ≤
+        ``manifest_checkpoint_interval`` manifest deltas after it. Never
+        O(commits) once a checkpoint exists. Legacy manifests that embed
+        a full ``live_files`` list act as materialized points too."""
+        if self._live_cache is not None and self._live_cache[0] == instant:
+            return self._live_cache[1]
+        target = self._manifest_any(instant)
+        if "live_files" in target:  # legacy full-list manifest: direct
+            return target["live_files"]
+        live: list[dict] = []
+        start: str | None = None
+        cks = [c for c in self._checkpoints() if c <= instant]
+        if cks:
+            start = cks[-1]
+            with open(os.path.join(self.ckpt_dir, start + ".json")) as fh:
+                live = json.load(fh)["live_files"]
+        if (
+            self._live_cache is not None
+            and self._live_cache[0] <= instant
+            and (start is None or self._live_cache[0] > start)
+        ):
+            start, live = self._live_cache[0], list(self._live_cache[1])
+        for i in self._full_timeline():
+            if (start is not None and i <= start) or i > instant:
+                continue
+            m = self._manifest_any(i)
+            if "live_files" in m:  # legacy full-list manifest
+                live = m["live_files"]
+                continue
+            replaced = set(m["replaced"])
+            live = [f for f in live if f["path"] not in replaced] + m["added"]
+        if instant == self.last_instant():
+            self._live_cache = (instant, live)
+        return live
 
     def _next_instant(self, requested: str | None) -> str:
         """Monotone instant allocation; explicit instants (tests,
@@ -283,7 +368,7 @@ class LakeTable:
             if not past:
                 return self.spark.createDataFrame([], self._stored_schema())
             m = self._manifest(past[-1])
-            files = m["live_files"]
+            files = self._live_files_at(past[-1])
             schema = T.StructType.fromJson(m["schema"])  # as-of schema
         else:
             files = self._live_files()
@@ -346,9 +431,7 @@ class LakeTable:
         # range that are live at `end`, plus row-filter.
         live_at_end = {
             f["path"]
-            for f in (
-                self._manifest(in_range[-1])["live_files"] if in_range else []
-            )
+            for f in (self._live_files_at(in_range[-1]) if in_range else [])
         }
         files = [p for p in files if p in live_at_end]
         df = self._read_files(files)
@@ -575,8 +658,7 @@ class LakeTable:
         # MOR inserts land as BASE files (Hudi routes inserts to parquet
         # base, only merges/deletes to the log)
         added = self._write_data_files(batch, inst, kind="base")
-        live = self._live_files() + added
-        self._write_manifest(inst, "insert", batch.schema, added, [], live)
+        self._write_manifest(inst, "insert", batch.schema, added, [])
         return inst
 
     def _commit_upsert(self, df: DataFrame, instant: str | None) -> str:
@@ -604,7 +686,7 @@ class LakeTable:
                 self.spark.createDataFrame([], batch.schema), batch
             )
             added = self._write_data_files(deduped, inst)
-            self._write_manifest(inst, "upsert", batch.schema, added, [], added)
+            self._write_manifest(inst, "upsert", batch.schema, added, [])
             return inst
         batch = self._align_schema(batch)
 
@@ -612,8 +694,9 @@ class LakeTable:
         merged = self._merge(old, batch)
         added = self._write_data_files(merged, inst)
         affected_set = {f["path"] for f in affected}
-        live = [f for f in self._live_files() if f["path"] not in affected_set] + added
-        self._write_manifest(inst, "upsert", batch.schema, added, sorted(affected_set), live)
+        self._write_manifest(
+            inst, "upsert", batch.schema, added, sorted(affected_set)
+        )
         return inst
 
     def _commit_delete(self, df: DataFrame, instant: str | None) -> str:
@@ -648,12 +731,9 @@ class LakeTable:
         try:
             added = self._write_data_files(survivors, inst)
             affected_set = {f["path"] for f in affected}
-            live = [
-                f for f in self._live_files() if f["path"] not in affected_set
-            ] + added
             self._write_manifest(
                 inst, "delete", self._stored_schema(), added,
-                sorted(affected_set), live,
+                sorted(affected_set),
             )
         finally:
             keys.unpersist()
@@ -669,8 +749,7 @@ class LakeTable:
         if self.exists():
             batch = self._align_schema(batch)
         added = self._write_data_files(batch, inst, kind="delta")
-        live = self._live_files() + added
-        self._write_manifest(inst, action, batch.schema, added, [], live)
+        self._write_manifest(inst, action, batch.schema, added, [])
         if self.inline_compact_deltas is not None:
             if self._delta_commits_since_compact() >= self.inline_compact_deltas:
                 self._compact_locked(None, 1)
@@ -1023,21 +1102,29 @@ class LakeTable:
         schema: T.StructType,
         added: list[dict],
         replaced: list[str],
-        live: list[dict],
     ) -> None:
-        """Writing the manifest IS the commit (atomic rename)."""
+        """Writing the manifest IS the commit (atomic rename). The
+        manifest records only this commit's ``added``/``replaced`` delta
+        (the log entry); the full live set is maintained incrementally in
+        the session cache and checkpointed to ``_ckpt/`` every
+        ``manifest_checkpoint_interval`` commits, so neither writes nor
+        reads ever serialize O(live_files) JSON per commit."""
         os.makedirs(self.commits_dir, exist_ok=True)
         if self.record_index and added:
             self._write_record_index(instant, added)
             for f in added:
-                f["indexed"] = True  # same dicts are in live_files
+                f["indexed"] = True  # same dicts enter the live set
+        # roll the live set forward BEFORE the manifest lands (while
+        # last_instant() still names the previous commit)
+        prev = self._live_files()
+        replaced_set = set(replaced)
+        live = [f for f in prev if f["path"] not in replaced_set] + added
         manifest = {
             "instant": instant,
             "action": action,
             "schema": schema.jsonValue(),
             "added": added,
             "replaced": replaced,
-            "live_files": live,
         }
         if self._pending_checkpoint is not None:
             # source checkpoint recorded IN the commit (Hudi stores the
@@ -1049,6 +1136,25 @@ class LakeTable:
         with open(tmp, "w") as fh:
             json.dump(manifest, fh)
         os.replace(tmp, os.path.join(self.commits_dir, instant + ".json"))
+        self._live_cache = (instant, live)
+        interval = self.manifest_checkpoint_interval
+        if interval:
+            newest = (self._checkpoints() or [None])[-1]
+            n_since = len(
+                [i for i in self.timeline() if newest is None or i > newest]
+            )
+            if n_since >= interval:
+                self._write_files_checkpoint(instant, live)
+
+    def _write_files_checkpoint(self, instant: str, live: list[dict]) -> None:
+        """Materialize the full live-file list at ``instant`` under
+        ``_ckpt/`` (atomic rename — losing one is harmless, readers just
+        replay a longer manifest suffix)."""
+        os.makedirs(self.ckpt_dir, exist_ok=True)
+        tmp = os.path.join(self.ckpt_dir, f".{instant}.json.tmp")
+        with open(tmp, "w") as fh:
+            json.dump({"instant": instant, "live_files": live}, fh)
+        os.replace(tmp, os.path.join(self.ckpt_dir, instant + ".json"))
 
     # ------------------------------------------------------------- restore
 
@@ -1062,11 +1168,14 @@ class LakeTable:
             if instant not in tl:
                 raise ValueError(f"unknown instant {instant!r}")
             doomed = [i for i in tl if i > instant]
+            # data paths are instant-scoped (data/<instant>/...), so a
+            # pre-restore commit can never reference a doomed commit's
+            # files — protect only against manifest anomalies
             keep_files = {
                 f["path"]
                 for i in tl
                 if i <= instant
-                for f in self._manifest(i)["live_files"]
+                for f in self._manifest(i)["added"]
             }
             for i in doomed:
                 for f in self._manifest(i)["added"]:
@@ -1076,6 +1185,12 @@ class LakeTable:
                     if os.path.exists(full):
                         os.remove(full)
                 os.remove(os.path.join(self.commits_dir, i + ".json"))
+            # checkpoints taken after the restore point describe a live
+            # set that no longer exists — drop them, and the cache
+            for c in self._checkpoints():
+                if c > instant:
+                    os.remove(os.path.join(self.ckpt_dir, c + ".json"))
+            self._live_cache = None
             return doomed
 
     # ----------------------------------------------------------- compaction
@@ -1142,7 +1257,6 @@ class LakeTable:
             self._stored_schema(),
             added,
             sorted(f["path"] for f in live),
-            added,
         )
         return inst
 
@@ -1261,14 +1375,12 @@ class LakeTable:
             if sort_by:
                 df = df.sortWithinPartitions(*sort_by)
             added = self._write_data_files(df, inst)
-            survivors = [f for f in live if f["path"] not in pinned_paths]
             self._write_manifest(
                 inst,
                 "compact",
                 self._stored_schema(),
                 added,
                 sorted(pinned_paths),
-                survivors + added,
             )
             os.remove(pfile)
             return inst
@@ -1294,7 +1406,7 @@ class LakeTable:
     def _clean_locked(self, tl: list[str], retain_commits: int) -> list[str]:
         keep = set()
         for inst in tl[-retain_commits:]:
-            keep |= {f["path"] for f in self._manifest(inst)["live_files"]}
+            keep |= {f["path"] for f in self._live_files_at(inst)}
         deleted = []
         for root, _dirs, files in os.walk(self.data_dir):
             for fn in files:
@@ -1320,6 +1432,14 @@ class LakeTable:
         to_archive = tl[:-keep_commits] if len(tl) > keep_commits else []
         if not to_archive:
             return []
+        # pin a checkpoint at the archival horizon so live-set replays of
+        # the active window never need to read archived manifests (the
+        # _manifest_any fallback still covers a lost checkpoint)
+        horizon = to_archive[-1]
+        if not any(c >= horizon for c in self._checkpoints()):
+            self._write_files_checkpoint(
+                horizon, self._live_files_at(horizon)
+            )
         arch = os.path.join(self.commits_dir, "_archived")
         os.makedirs(arch, exist_ok=True)
         for inst in to_archive:

@@ -303,7 +303,7 @@ def test_upsert_file_level_targeting(spark, tmp_path):
     t.write(one, op="upsert", instant="003")
     m = t._manifest("003")
     assert set(m["replaced"]) <= lo_files  # only key-hit files rewritten
-    assert hi_files <= {f["path"] for f in m["live_files"]}  # carried over
+    assert hi_files <= {f["path"] for f in t._live_files_at("003")}  # carried over
     snap = t.snapshot()
     assert snap.filter(F.col("c_custkey") == 5).collect()[0]["ver"] == 2
     assert snap.count() == lo.count() + hi.count()
@@ -1139,3 +1139,102 @@ def test_record_index_survives_table_move(spark, tmp_path):
     snap = t2.snapshot()
     assert snap.count() == b1.count()  # NO duplicate keys
     assert snap.filter(F.col("ver") == 2).count() == upd.count()
+
+
+# -------------------------------------------- manifest log + checkpoint
+
+
+def test_manifest_checkpoint_bounds_replay(spark, tmp_path):
+    """A 200-commit table materializes its live set from the newest
+    checkpoint + <= interval manifest deltas — never by reading 200
+    manifests (round-2 verdict #4). Commits are fabricated through the
+    real _write_manifest path (no Spark jobs needed: the manifest layer
+    is pure metadata)."""
+    from pyspark.sql import types as T
+
+    t = make_table(spark, tmp_path, name="many")
+    schema = T.StructType([T.StructField("c_custkey", T.LongType())])
+    for n in range(1, 201):
+        inst = f"{n:03d}"
+        added = [{
+            "path": f"data/{inst}/part-0.parquet", "partition": {},
+            "partition_path": "", "kind": "base",
+            "key_min": None, "key_max": None,
+        }]
+        # every 4th commit also replaces the previous commit's file, so
+        # the replay must apply real deltas, not just concatenate
+        replaced = (
+            [f"data/{n - 1:03d}/part-0.parquet"] if n % 4 == 0 and n > 1 else []
+        )
+        t._write_manifest(inst, "insert", schema, added, replaced)
+    assert t._checkpoints(), "periodic checkpoints were never written"
+
+    # fresh handle = cold cache, like a new session opening the table
+    t2 = make_table(spark, tmp_path, name="many")
+    reads = []
+    orig = LakeTable._manifest_any
+    t2._manifest_any = lambda inst: (reads.append(inst), orig(t2, inst))[1]
+    live = {f["path"] for f in t2._live_files()}
+    interval = t2.manifest_checkpoint_interval
+    assert len(reads) <= interval + 1, (
+        f"cold live-set read parsed {len(reads)} manifests; "
+        f"expected <= interval ({interval}) + the target probe"
+    )
+    expect = {
+        f"data/{n:03d}/part-0.parquet"
+        for n in range(1, 201)
+        if not (n < 200 and (n + 1) % 4 == 0)
+    }
+    assert live == expect
+
+    # historical materialization (time travel) is also checkpoint-bounded
+    reads.clear()
+    live_150 = {f["path"] for f in t2._live_files_at("150")}
+    assert len(reads) <= interval + 1
+    assert f"data/150/part-0.parquet" in live_150
+
+
+def test_checkpoint_snapshot_correct_after_many_commits(spark, tmp_path):
+    """Real writes: once past the checkpoint interval, snapshot,
+    incremental and time-travel reads all serve from checkpoint+delta
+    and stay exact."""
+    t = make_table(spark, tmp_path, name="ck")
+    base = cust(spark, ver=1)
+    t.write(base, op="upsert", instant="001")
+    for n in range(2, 14):  # 13 commits total, interval is 10
+        upd = base.filter(F.col("c_custkey") % 13 == n % 13).withColumn(
+            "ver", F.lit(n).cast("long")
+        )
+        t.write(upd, op="upsert", instant=f"{n:03d}")
+    assert t._checkpoints()
+    t2 = make_table(spark, tmp_path, name="ck")  # cold cache
+    snap = t2.snapshot()
+    assert snap.count() == base.count()
+    assert snap.groupBy().max("ver").collect()[0][0] == 13
+    # time-travel to a pre-checkpoint instant still reconstructs
+    assert t2.snapshot(as_of="003").filter(F.col("ver") == 3).count() > 0
+    inc = t2.incremental("011", "013")
+    assert inc.select(F.min(COMMIT_TIME_COL)).collect()[0][0] > "011"
+
+
+def test_archival_pins_checkpoint_at_horizon(spark, tmp_path):
+    """archive_timeline leaves a checkpoint at the archival horizon so
+    active-window replays never read archived manifests."""
+    t = make_table(spark, tmp_path, name="arch", partition_keys=None)
+    t.manifest_checkpoint_interval = 0  # force: no periodic checkpoints
+    base = cust(spark, ver=1)
+    t.write(base, op="insert", instant="001")
+    for n in range(2, 8):
+        t.write(
+            base.limit(3).withColumn("ver", F.lit(n).cast("long")),
+            op="upsert", instant=f"{n:03d}",
+        )
+    archived = t.archive_timeline(keep_commits=4)
+    assert archived == ["001", "002", "003"]
+    assert any(c >= "003" for c in t._checkpoints())
+    t2 = make_table(spark, tmp_path, name="arch")
+    reads = []
+    orig = LakeTable._manifest_any
+    t2._manifest_any = lambda inst: (reads.append(inst), orig(t2, inst))[1]
+    assert t2.snapshot().count() == base.count()
+    assert all(i > "003" for i in reads), "replay touched archived manifests"

@@ -73,25 +73,45 @@ def topic_to_table(topic: str) -> str:
     return topic.split(".")[-1]
 
 
+def _parallel_by_table(work: list, fn, max_workers: int | None):
+    """Run ``fn`` over independent per-table work items, concurrently
+    when ``max_workers`` allows. Tables are independent single-writer
+    targets (each write takes its own table lock), so commits to
+    DIFFERENT tables may interleave freely while one table's timeline
+    stays linear; Spark's scheduler overlaps the per-table jobs, which
+    at many tables per batch removes the serial-commit bottleneck of the
+    reference's own sequential loop (SRC/package.scala:148). Results
+    come back in input order; the first failure propagates."""
+    if not max_workers or max_workers <= 1 or len(work) <= 1:
+        return [fn(w) for w in work]
+    from concurrent.futures import ThreadPoolExecutor
+
+    with ThreadPoolExecutor(
+        max_workers=min(max_workers, len(work))
+    ) as pool:
+        return list(pool.map(fn, work))
+
+
 def fanout_batch(
     batch_df: DataFrame,
     registry: TableRegistry,
     created_ts_millis: int | None = None,
+    max_workers: int | None = 4,
 ) -> list[str]:
     """One micro-batch of (topic, value) rows → per-table upserts.
     Returns the list of tables written (M4, SRC/package.scala:145-183).
 
     Scale note: the per-table loop is over the *handful of distinct
     topics in the batch* (driver-side, matches the reference); each
-    table's parse+write is fully distributed. At very high table counts
-    the loop parallelizes trivially over a thread pool since tables are
-    independent single-writer targets.
+    table's parse+write is fully distributed, and the independent
+    tables commit concurrently on a thread pool (``max_workers``;
+    ``None``/1 = the reference's sequential order).
     """
     topics = [
         r[0] for r in batch_df.select("topic").distinct().collect()
     ]  # A3+M3, SRC/package.scala:148
-    written: list[str] = []
-    for topic in sorted(topics):
+
+    def _one(topic: str) -> str:
         table_name = topic_to_table(topic)
         target = registry.lake_table(table_name)
         one = (
@@ -105,8 +125,9 @@ def fanout_batch(
             .withColumn("created_ts", created_ts_expr(created_ts_millis))
         )
         target.write(rows, op="upsert")  # PK filter inside write
-        written.append(table_name)
-    return written
+        return table_name
+
+    return _parallel_by_table(sorted(topics), _one, max_workers)
 
 
 def _parse_schema(registry: TableRegistry, table_name: str, target: LakeTable):
@@ -133,6 +154,7 @@ def apply_changes_batch(
     registry: TableRegistry,
     created_ts_millis: int | None = None,
     batch_id: int | None = None,
+    max_workers: int | None = 4,
 ) -> list[tuple[str, str]]:
     """Route a parsed Canal change batch (database, table,
     operation_type, row_json — the output of
@@ -163,38 +185,50 @@ def apply_changes_batch(
         for r in parsed.select("table", "operation_type").distinct().collect()
     ]
     op_order = {"insert": 0, "upsert": 1, "delete": 2}
-    applied: list[tuple[str, str]] = []
+    by_table: dict[str, list[str]] = {}
     for table_name, op in sorted(
         combos, key=lambda c: (c[0], op_order.get(c[1], 9))
     ):
+        by_table.setdefault(table_name, []).append(op)
+
+    def _apply_table(table_name: str) -> list[tuple[str, str]]:
+        # ops for ONE table stay strictly ordered (insert→upsert→delete)
+        # on one thread; only distinct tables run concurrently
+        out: list[tuple[str, str]] = []
         target = registry.lake_table(table_name)
-        schema = _parse_schema(registry, table_name, target)
-        # Canal serializes every column value as a STRING
-        # (List[Map[String,String]], SRC/cdc/model/CanalDataModel.scala:6)
-        # — parse the row as a string map and cast to the target types
-        rows = (
-            parsed.filter(
-                (F.col("table") == table_name)
-                & (F.col("operation_type") == op)
+        for op in by_table[table_name]:
+            schema = _parse_schema(registry, table_name, target)
+            # Canal serializes every column value as a STRING
+            # (List[Map[String,String]], SRC/cdc/model/CanalDataModel.scala:6)
+            # — parse the row as a string map and cast to the target types
+            rows = (
+                parsed.filter(
+                    (F.col("table") == table_name)
+                    & (F.col("operation_type") == op)
+                )
+                .select(
+                    F.from_json("row_json", "MAP<STRING,STRING>").alias("m")
+                )
+                .select(
+                    *[
+                        F.col("m")[f.name].cast(f.dataType).alias(f.name)
+                        for f in schema.fields
+                    ]
+                )
+                .withColumn("created_ts", created_ts_expr(created_ts_millis))
             )
-            .select(
-                F.from_json("row_json", "MAP<STRING,STRING>").alias("m")
-            )
-            .select(
-                *[
-                    F.col("m")[f.name].cast(f.dataType).alias(f.name)
-                    for f in schema.fields
-                ]
-            )
-            .withColumn("created_ts", created_ts_expr(created_ts_millis))
-        )
-        cp = None
-        if op == "insert" and batch_id is not None:
-            cp = {"source_id": f"cdc:{table_name}", "batch_id": batch_id}
-        committed = target.write(rows, op=op, checkpoint=cp)
-        if committed is not None:
-            applied.append((table_name, op))
-    return applied
+            cp = None
+            if op == "insert" and batch_id is not None:
+                cp = {"source_id": f"cdc:{table_name}", "batch_id": batch_id}
+            committed = target.write(rows, op=op, checkpoint=cp)
+            if committed is not None:
+                out.append((table_name, op))
+        return out
+
+    per_table = _parallel_by_table(
+        sorted(by_table), _apply_table, max_workers
+    )
+    return [pair for group in per_table for pair in group]
 
 
 def parse_keys_from_ddl(ddl: str) -> TableSpec:

@@ -215,3 +215,62 @@ def test_kafka_reader_option_surface(spark):
         build_stream_source(spark, "files")
     with pytest.raises(ValueError, match="unknown stream source"):
         build_stream_source(spark, "pulsar")
+
+
+def test_kafka_source_options_land_on_stream_df(spark):
+    """--source kafka drives the REAL format('kafka') reader plan: the
+    reference's exact options (SRC/Log2Hudi.scala:29-37) land on the
+    reader, the stream repartitions (T6) and the envelope is
+    CAST(value AS STRING) (P1). Asserted through a recording reader —
+    no broker or connector jar needed for plan-level checks."""
+    from pyspark.sql import types as T
+
+    from emr_hudi_example_spark.cli._conf import base_parser, stream_source
+
+    recorded: dict = {"format": None, "options": {}}
+
+    class _Reader:
+        def format(self, fmt):
+            recorded["format"] = fmt
+            return self
+
+        def option(self, k, v):
+            recorded["options"][k] = v
+            return self
+
+        def load(self):
+            # the kafka source's fixed envelope schema
+            return spark.createDataFrame(
+                [],
+                T.StructType([
+                    T.StructField("key", T.BinaryType()),
+                    T.StructField("value", T.BinaryType()),
+                    T.StructField("topic", T.StringType()),
+                    T.StructField("partition", T.IntegerType()),
+                    T.StructField("offset", T.LongType()),
+                    T.StructField("timestamp", T.TimestampType()),
+                    T.StructField("timestampType", T.IntegerType()),
+                ]),
+            )
+
+    class _Spark:
+        readStream = _Reader()
+
+    args = base_parser("t", "t").parse_args([
+        "-e", "dev", "--source", "kafka",
+        "-b", "b-1:9092,b-2:9092", "-t", "events",
+        "-p", "cg1", "-o", "earliest", "--partitionNum", "8",
+    ])
+    df = stream_source(_Spark(), args)
+    assert recorded["format"] == "kafka"
+    assert recorded["options"] == {
+        "kafka.bootstrap.servers": "b-1:9092,b-2:9092",
+        "subscribe": "events",
+        "startingOffsets": "earliest",
+        "failOnDataLoss": "false",
+        "kafka.consumer.commit.groupid": "cg1",
+    }
+    # downstream envelope: (topic, value:string), repartitioned
+    assert df.columns == ["topic", "value"]
+    assert dict(df.dtypes)["value"] == "string"
+    assert "Repartition" in df._jdf.queryExecution().logical().toString()

@@ -824,3 +824,40 @@ def test_streaming_watermark_drops_late_rows(spark, tmp_path):
     # re-emit it. Windows at/after 11:00 never finalize (watermark
     # stops at 11:00).
     assert finalized == [("10:00", 2)]
+
+
+def test_fanout_parallel_many_tables(spark, tmp_path):
+    """Concurrent per-table fan-out commits: 6 tables commit on a
+    thread pool; each table's own timeline stays linear and complete
+    (round-2 verdict #7 — the serial-commit bottleneck removed without
+    interleaving any single table's commits)."""
+    reg = TableRegistry(spark, str(tmp_path), "db")
+    names = [f"t{i}" for i in range(6)]
+    for i, name in enumerate(names):
+        reg.register(name, TableSpec(["id"], schema="id LONG, v STRING"))
+    msgs = [
+        (f"kudu.{name}", json.dumps({"id": j, "v": f"{name}-{j}"}))
+        for name in names
+        for j in range(3)
+    ]
+    bdf = spark.createDataFrame(msgs, "topic STRING, value STRING")
+    written = fanout_batch(bdf, reg, created_ts_millis=5, max_workers=6)
+    assert sorted(written) == names
+    for name in names:
+        t = reg.lake_table(name)
+        tl = t.timeline()
+        assert len(tl) == 1  # one batch → exactly one commit per table
+        assert t.snapshot().count() == 3
+    # second batch: every table advances by exactly one instant, all
+    # timelines strictly increasing (no interleaved/duplicate instants)
+    bdf2 = spark.createDataFrame(
+        [(f"kudu.{n}", json.dumps({"id": 0, "v": "upd"})) for n in names],
+        "topic STRING, value STRING",
+    )
+    fanout_batch(bdf2, reg, created_ts_millis=6, max_workers=6)
+    for name in names:
+        tl = reg.lake_table(name).timeline()
+        assert len(tl) == 2 and tl == sorted(set(tl))
+        snap = reg.lake_table(name).snapshot()
+        assert snap.count() == 3
+        assert snap.filter(F.col("id") == 0).collect()[0]["v"] == "upd"

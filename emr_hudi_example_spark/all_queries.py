@@ -31,6 +31,9 @@ _PRIORITY: list[str] = [
     # -- new in round 3 --
     "dedup_embedding_cells",
     "dedup_simhash_pairs",
+    "dedup_cluster_groups",
+    "text_tfidf_topk",
+    "corpus_mixture_stats",
     # -- never driver-checked (r2 verdict "What's wrong" #1) --
     "pipe_ods2dwd_endstate",
     "pipe_dwd2dm_endstate",

@@ -796,6 +796,86 @@ def dedup_contamination(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+@query(
+    "dedup_cluster_groups",
+    oracle=f"""
+    WITH RECURSIVE
+    pairs AS ({_lsh_pairs_sql(0.2)}),
+    edges AS (SELECT id_a AS a, id_b AS b FROM pairs
+              UNION SELECT id_b AS a, id_a AS b FROM pairs),
+    reach(id, r) AS (
+      SELECT doc_id, doc_id FROM documents
+      UNION
+      SELECT reach.id, e.b FROM reach JOIN edges e ON e.a = reach.r),
+    comp AS (SELECT id AS doc_id, min(r) AS group_id FROM reach GROUP BY id)
+    SELECT doc_id, group_id, doc_id = group_id AS is_canonical FROM comp
+    """,
+)
+def dedup_cluster_groups(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Fuzzy-dedup cluster assignment: MinHash-LSH near-dup pairs →
+    connected components (min-label propagation) → one canonical
+    survivor per duplicate CLUSTER. Pairs alone can't pick survivors
+    when dups chain (A~B, B~C but not A~C); the transitive closure can.
+    Verified against DuckDB's recursive-CTE reachability closure."""
+    docs = load(spark, sf_dir, "documents")
+    pairs = D.minhash_lsh_dedup(
+        docs, num_perm=_NUM_PERM, band_size=_BAND, k=3, threshold=0.2,
+        max_bucket_size=256,
+    )
+    comp = D.connected_components(pairs, docs.select("doc_id"), "doc_id")
+    return comp.withColumn(
+        "is_canonical", F.col("doc_id") == F.col("group_id")
+    )
+
+
+@query(
+    "text_tfidf_topk",
+    oracle=f"""
+    WITH t AS (SELECT doc_id, list_transform({_TOKS}, x -> lower(x)) AS tk
+               FROM documents),
+    toks AS (SELECT doc_id, unnest(tk) AS token FROM t),
+    tf AS (SELECT doc_id, token, count(*) AS tf FROM toks GROUP BY 1, 2),
+    dfreq AS (SELECT token, count(*) AS df FROM tf GROUP BY 1),
+    n AS (SELECT count(DISTINCT doc_id) AS n_docs FROM documents),
+    scored AS (
+      SELECT tf.doc_id, tf.token, tf.tf, dfreq.df,
+             round(tf.tf::DOUBLE * (n.n_docs::DOUBLE + 1.0)
+                   / (dfreq.df::DOUBLE + 1.0), 6) AS tfidf
+      FROM tf JOIN dfreq USING (token) CROSS JOIN n)
+    SELECT doc_id, token, tf, df, tfidf,
+           CAST(row_number() OVER (PARTITION BY doc_id
+                ORDER BY tfidf DESC, token) AS INT) AS rank
+    FROM scored QUALIFY rank <= 3
+    """,
+)
+def text_tfidf_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-document top-3 salient tokens by tf·idf (rational smoothed
+    idf ``(N+1)/(df+1)`` — order-equivalent to log-idf, bit-exact across
+    engines). The keyword-extraction pass of a corpus analysis."""
+    return TX.tfidf_topk(load(spark, sf_dir, "documents"), k=3)
+
+
+@query(
+    "corpus_mixture_stats",
+    oracle=f"""
+    WITH d AS (SELECT source AS domain, len({_TOKS}) AS n_tok
+               FROM documents),
+    per_dom AS (SELECT domain, count(*) AS n_docs,
+                       sum(n_tok) AS total_tokens
+                FROM d GROUP BY 1),
+    c AS (SELECT sum(total_tokens)::DOUBLE AS corpus_tokens FROM per_dom)
+    SELECT domain, n_docs, total_tokens,
+           round(total_tokens::DOUBLE / corpus_tokens, 6) AS token_share
+    FROM per_dom CROSS JOIN c
+    """,
+)
+def corpus_mixture_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-domain training-mixture table: docs, token totals and each
+    domain's share of the corpus token budget — what a data-mixture
+    builder weights against."""
+    return C.mixture_stats(load(spark, sf_dir, "documents"))
+
+
 # ============================================================= as-of join
 
 @query(

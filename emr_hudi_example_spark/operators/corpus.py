@@ -181,3 +181,36 @@ def zorder_key(cols: list[str], bits: int = 16):
     for t in terms[1:]:
         out = out + t
     return out
+
+
+def mixture_stats(
+    df: DataFrame,
+    domain_col: str = "source",
+    id_col: str = "doc_id",
+    text_col: str = "text",
+) -> DataFrame:
+    """Per-domain training-mixture statistics: document count, total
+    token count and each domain's share of the corpus token budget —
+    the table a data-mixture builder weights against. One partial-
+    aggregated shuffle on the domain key plus a broadcast of the 1-row
+    corpus total; shares are one exact-integer division per domain
+    (identical double op on both engines) rounded to 6 dp so the DuckDB
+    oracle matches bit-for-bit."""
+    per_dom = df.select(
+        F.col(domain_col).alias("domain"),
+        token_count(text_col).cast("long").alias("n_tok"),
+    ).groupBy("domain").agg(
+        F.count(F.lit(1)).alias("n_docs"),
+        F.sum("n_tok").alias("total_tokens"),
+    )
+    corpus = per_dom.select(
+        F.sum("total_tokens").cast("double").alias("corpus_tokens")
+    )
+    return per_dom.crossJoin(F.broadcast(corpus)).select(
+        "domain",
+        "n_docs",
+        "total_tokens",
+        F.round(
+            F.col("total_tokens").cast("double") / F.col("corpus_tokens"), 6
+        ).alias("token_share"),
+    )

@@ -439,3 +439,67 @@ def simhash_near_pairs(
     return cand.select(
         "id_a", "id_b", ham.alias("hamming")
     ).filter(F.col("hamming") <= max_hamming)
+
+
+def connected_components(
+    pairs: DataFrame,
+    vertices: DataFrame,
+    id_col: str = "doc_id",
+    max_iter: int = 25,
+) -> DataFrame:
+    """Connected components over a near-duplicate pair graph — the
+    cluster-then-keep step every fuzzy-dedup pipeline ends with: near-dup
+    PAIRS only say "these two match"; picking one canonical survivor per
+    duplicate *cluster* requires the transitive closure.
+
+    Min-label propagation: every vertex starts labeled with its own id;
+    each round takes the min label over itself + neighbors; converges in
+    O(graph diameter) rounds (near-dup clusters are shallow — a handful
+    of rounds in practice, ``max_iter`` bounds pathologies). Returns
+    ``(id_col, group_id)`` where ``group_id`` is the component's min id.
+
+    Scale shape: per round, one shuffle join of the (two-long-column)
+    label table against the deduped bidirectional edge list + one
+    min-aggregation — label-propagation cost is O(E) per round with no
+    driver-side graph materialization. ``localCheckpoint`` truncates the
+    iterative plan lineage so round N's plan does not embed rounds
+    1..N-1 (the standard iterative-DataFrame guard at any scale).
+    """
+    fwd = pairs.select(F.col("id_a").alias("a"), F.col("id_b").alias("b"))
+    edges = (
+        fwd.unionByName(
+            fwd.select(F.col("b").alias("a"), F.col("a").alias("b"))
+        )
+        .distinct()
+        .localCheckpoint(eager=False)
+    )
+    labels = vertices.select(
+        F.col(id_col).alias("v"), F.col(id_col).alias("lbl")
+    )
+    for _ in range(max_iter):
+        nbr_min = (
+            edges.join(labels, edges["a"] == labels["v"])
+            .select(F.col("b").alias("nv"), F.col("lbl").alias("in_lbl"))
+            .groupBy("nv")
+            .agg(F.min("in_lbl").alias("nbr_lbl"))
+        )
+        stepped = (
+            labels.join(nbr_min, labels["v"] == nbr_min["nv"], "left")
+            .select(
+                "v",
+                F.col("lbl").alias("old_lbl"),
+                F.least(
+                    F.col("lbl"), F.coalesce("nbr_lbl", F.col("lbl"))
+                ).alias("lbl"),
+            )
+            .localCheckpoint(eager=True)
+        )
+        changed = (
+            stepped.filter(F.col("lbl") < F.col("old_lbl")).limit(1).count()
+        )
+        labels = stepped.select("v", "lbl")
+        if changed == 0:
+            break
+    return labels.select(
+        F.col("v").alias(id_col), F.col("lbl").alias("group_id")
+    )

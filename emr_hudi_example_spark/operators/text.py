@@ -15,7 +15,7 @@ from __future__ import annotations
 
 from functools import reduce
 
-from pyspark.sql import Column
+from pyspark.sql import Column, DataFrame
 from pyspark.sql import functions as F
 
 # Small per-language stopword sets (public common words). The heuristic is
@@ -175,3 +175,62 @@ def shingles(text: Column | str, k: int = 3) -> Column:
         F.array().cast("array<int>")
     )
     return F.transform(idx, lambda i: F.concat_ws(" ", F.slice(toks, i, k)))
+
+
+def tfidf_topk(
+    df: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    k: int = 3,
+) -> DataFrame:
+    """Per-document top-``k`` salient tokens by tf·idf — the keyword /
+    topic-signal extractor of a corpus-analysis pass. idf uses the
+    RATIONAL smoothing ``(N + 1) / (df + 1)`` (no logarithm): the
+    ranking is order-equivalent to log-idf for fixed N, and pure
+    rational double arithmetic is bit-identical between Spark and the
+    DuckDB oracle (a libm ``ln`` need not be). Returns
+    ``(id, token, tf, df, tfidf, rank)``; ties break on token asc.
+
+    Scale shape: one explode + two hash aggregations (doc-term counts,
+    then term document-frequency), one broadcast of the 1-row corpus
+    count, one term-keyed shuffle join, and a per-doc window over ≤
+    |doc| rows. The df table is term-keyed — skew capped by language
+    zipfiness, the same profile as vocab_topk.
+    """
+    toks = df.select(
+        F.col(id_col), F.explode(tokens(text_col)).alias("tok")
+    ).select(id_col, F.lower(F.col("tok")).alias("token"))
+    tf = toks.groupBy(id_col, "token").agg(
+        F.count(F.lit(1)).alias("tf")
+    )
+    dfreq = tf.groupBy("token").agg(
+        F.count(F.lit(1)).alias("df")
+    )
+    n_docs = df.select(
+        F.countDistinct(id_col).alias("n_docs")
+    )
+    scored = (
+        tf.join(dfreq, "token")
+        .crossJoin(F.broadcast(n_docs))
+        .select(
+            id_col,
+            "token",
+            "tf",
+            "df",
+            F.round(
+                F.col("tf").cast("double")
+                * (F.col("n_docs").cast("double") + 1.0)
+                / (F.col("df").cast("double") + 1.0),
+                6,
+            ).alias("tfidf"),
+        )
+    )
+    from pyspark.sql.window import Window
+
+    w = Window.partitionBy(id_col).orderBy(
+        F.col("tfidf").desc(), F.col("token").asc()
+    )
+    return (
+        scored.withColumn("rank", F.row_number().over(w))
+        .filter(F.col("rank") <= k)
+    )

@@ -34,6 +34,10 @@ _PRIORITY: list[str] = [
     "dedup_cluster_groups",
     "text_tfidf_topk",
     "corpus_mixture_stats",
+    "dedup_incremental",
+    "corpus_chunk_windows",
+    "text_unigram_quality",
+    "corpus_training_order",
     # -- never driver-checked (r2 verdict "What's wrong" #1) --
     "pipe_ods2dwd_endstate",
     "pipe_dwd2dm_endstate",

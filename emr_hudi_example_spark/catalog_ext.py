@@ -876,6 +876,107 @@ def corpus_mixture_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
     return C.mixture_stats(load(spark, sf_dir, "documents"))
 
 
+_MD5_NORM = "md5(regexp_replace(lower(trim(text)), '\\s+', ' ', 'g'))"
+
+
+@query(
+    "dedup_incremental",
+    oracle=f"""
+    WITH ex AS (SELECT DISTINCT {_MD5_NORM} AS fp
+                FROM documents WHERE doc_id % 2 = 0),
+    inc AS (SELECT doc_id, {_MD5_NORM} AS fp
+            FROM documents WHERE doc_id % 2 = 1),
+    batch AS (SELECT fp, min(doc_id) AS doc_id,
+                     count(*) - 1 AS n_batch_dups
+              FROM inc GROUP BY 1)
+    SELECT doc_id, fp, n_batch_dups FROM batch
+    WHERE fp NOT IN (SELECT fp FROM ex)
+    """,
+)
+def dedup_incremental(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Cross-snapshot dedup, the steady-state ingestion shape: the
+    incoming batch (odd doc_ids) dedups against itself, then anti-joins
+    the existing corpus's (even doc_ids) distinct fingerprint set."""
+    docs = load(spark, sf_dir, "documents")
+    return D.incremental_dedup(
+        docs.filter(F.col("doc_id") % 2 == 0),
+        docs.filter(F.col("doc_id") % 2 == 1),
+    )
+
+
+@query(
+    "corpus_chunk_windows",
+    oracle=f"""
+    WITH t AS (SELECT doc_id, {_TOKS} AS tk FROM documents),
+    n AS (SELECT doc_id, tk, len(tk) AS n_tok FROM t),
+    s AS (SELECT doc_id, tk, n_tok,
+                 unnest(generate_series(1, greatest(n_tok, 1), 16)) AS st
+          FROM n)
+    SELECT doc_id,
+           CAST((st - 1) / 16 AS INT) AS chunk_id,
+           CAST(st AS INT) AS chunk_start,
+           CAST(least(32, n_tok - st + 1) AS INT) AS chunk_len,
+           array_to_string(list_slice(tk, st, least(st + 31, n_tok)), ' ')
+             AS chunk_text
+    FROM s
+    """,
+)
+def corpus_chunk_windows(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Overlapping fixed-token context windows (size 32, stride 16) per
+    document — narrow posexplode, pipelines with the scan."""
+    return C.chunk_windows(
+        load(spark, sf_dir, "documents"), size=32, stride=16
+    )
+
+
+@query(
+    "text_unigram_quality",
+    oracle=f"""
+    WITH toks AS (SELECT doc_id, lower(unnest({_TOKS})) AS token
+                  FROM documents),
+    c AS (SELECT token, count(*) AS cnt FROM toks GROUP BY 1),
+    j AS (SELECT t.doc_id, c.cnt FROM toks t JOIN c USING (token))
+    SELECT doc_id, count(*) AS n_tok,
+           CAST(sum(cnt) AS BIGINT) AS total_freq,
+           round(sum(cnt)::DOUBLE / count(*)::DOUBLE, 6) AS mean_tok_freq,
+           round(sum(CAST(cnt <= 1 AS BIGINT))::DOUBLE
+                 / count(*)::DOUBLE, 6) AS rare_frac
+    FROM j GROUP BY doc_id
+    """,
+)
+def text_unigram_quality(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Corpus-self-scored unigram quality (KenLM-perplexity stand-in):
+    mean corpus frequency of each doc's tokens + rare-token fraction.
+    Exact integer accumulation; two final divisions."""
+    return TX.unigram_quality(load(spark, sf_dir, "documents"))
+
+
+@query(
+    "corpus_training_order",
+    oracle="""
+    WITH k AS (SELECT doc_id,
+                      md5('epoch0:' || CAST(doc_id AS VARCHAR))
+                        AS shuffle_key
+               FROM documents),
+    s AS (SELECT doc_id, shuffle_key,
+                 CAST(CAST(concat('0x', substr(shuffle_key, 1, 4)) AS BIGINT)
+                      % 8 AS INT) AS shard
+          FROM k)
+    SELECT doc_id, shuffle_key, shard,
+           CAST(row_number() OVER (PARTITION BY shard
+                                   ORDER BY shuffle_key) AS INT)
+             AS pos_in_shard
+    FROM s
+    """,
+)
+def corpus_training_order(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Deterministic epoch shuffle: stable md5 shuffle key, 8-way shard
+    assignment, parallel within-shard ordering (no global sort)."""
+    return C.training_order(
+        load(spark, sf_dir, "documents"), n_shards=8, seed="epoch0"
+    )
+
+
 # ============================================================= as-of join
 
 @query(

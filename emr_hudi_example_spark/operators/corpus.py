@@ -214,3 +214,79 @@ def mixture_stats(
             F.col("total_tokens").cast("double") / F.col("corpus_tokens"), 6
         ).alias("token_share"),
     )
+
+
+def chunk_windows(
+    df: DataFrame,
+    size: int = 32,
+    stride: int = 16,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+) -> DataFrame:
+    """Split each document into overlapping fixed-token windows — the
+    context-window chunker that precedes embedding / pretraining
+    tokenization. Window ``i`` starts at token ``1 + i*stride`` (1-based)
+    and spans up to ``size`` tokens; starts run while they point inside
+    the document, so the tail emits short windows (standard behavior —
+    no token is dropped).
+
+    Scale shape: tokenize once, generate the start offsets as an array
+    (``sequence``), and ``posexplode`` — a narrow per-row expansion that
+    pipelines with the scan; no shuffle, no UDF. Output size is
+    ~``n_tokens/stride`` rows per doc, the same blow-up any chunker
+    pays.
+    """
+    toks = df.select(
+        F.col(id_col), tokens(text_col).alias("_tk")
+    ).withColumn("_n", F.size("_tk"))
+    starts = F.sequence(F.lit(1), F.greatest(F.col("_n"), F.lit(1)),
+                        F.lit(stride))
+    return toks.select(
+        id_col, "_tk", "_n",
+        F.posexplode(starts).alias("chunk_id", "_start"),
+    ).select(
+        F.col(id_col),
+        F.col("chunk_id").cast("int").alias("chunk_id"),
+        F.col("_start").cast("int").alias("chunk_start"),
+        F.least(
+            F.lit(size), F.col("_n") - F.col("_start") + F.lit(1)
+        ).cast("int").alias("chunk_len"),
+        F.concat_ws(" ", F.slice("_tk", F.col("_start"), F.lit(size)))
+            .alias("chunk_text"),
+    )
+
+
+def training_order(
+    df: DataFrame,
+    n_shards: int = 8,
+    seed: str = "epoch0",
+    id_col: str = "doc_id",
+) -> DataFrame:
+    """Deterministic global shuffle + shard assignment for training
+    order: each row gets a stable pseudo-random key ``md5(seed || id)``,
+    a shard (16-bit hash bucket mod ``n_shards``), and its position
+    within the shard in key order. Changing ``seed`` yields an
+    independent epoch permutation; the layout is identical on any
+    cluster topology (pure content hash, no RNG state, no partition-
+    position dependence).
+
+    Scale shape: shard assignment is a narrow expression; the
+    within-shard ordering is a window PARTITIONED BY shard — shards sort
+    in parallel (each ~corpus/n_shards), never a single global sort.
+    A trainer streams shard files in position order; global order is the
+    shard-interleave, which is exactly how sharded data loaders consume
+    corpora at scale.
+    """
+    key = F.md5(
+        F.concat(F.lit(f"{seed}:"), F.col(id_col).cast("string"))
+    )
+    bucket = F.conv(F.substring(key, 1, 4), 16, 10).cast("long")
+    w = Window.partitionBy("shard").orderBy("shuffle_key")
+    return (
+        df.select(
+            F.col(id_col),
+            key.alias("shuffle_key"),
+            (bucket % n_shards).cast("int").alias("shard"),
+        )
+        .withColumn("pos_in_shard", F.row_number().over(w))
+    )

@@ -503,3 +503,38 @@ def connected_components(
     return labels.select(
         F.col("v").alias(id_col), F.col("lbl").alias("group_id")
     )
+
+
+def incremental_dedup(
+    existing: DataFrame,
+    incoming: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+) -> DataFrame:
+    """Cross-snapshot exact dedup — the steady-state shape of corpus
+    ingestion: an INCOMING batch is deduplicated first against itself
+    (keep the smallest id per fingerprint, counting batch-internal
+    duplicates) and then against the EXISTING corpus (drop any
+    fingerprint already present). Returns the surviving incoming rows
+    as ``(id_col, fp, n_batch_dups)``.
+
+    Scale shape: the existing side reduces to its DISTINCT fingerprint
+    set — 16 bytes/doc, the smallest possible anti-join operand — and
+    both the batch groupBy and the anti-join shuffle on the same
+    fingerprint key, so AQE can plan the anti-join broadcast when the
+    incoming batch is small relative to the corpus (the common case:
+    daily crawl vs multi-year corpus, with the FP set maintained as a
+    bucketed table so the anti-join is co-located, not re-shuffled).
+    """
+    ex_fp = existing.select(fingerprint(text_col).alias("fp")).distinct()
+    batch = (
+        incoming.select(F.col(id_col), fingerprint(text_col).alias("fp"))
+        .groupBy("fp")
+        .agg(
+            F.min(id_col).alias(id_col),
+            (F.count(F.lit(1)) - F.lit(1)).alias("n_batch_dups"),
+        )
+    )
+    return batch.join(ex_fp, "fp", "left_anti").select(
+        id_col, "fp", "n_batch_dups"
+    )

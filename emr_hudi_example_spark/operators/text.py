@@ -234,3 +234,62 @@ def tfidf_topk(
         scored.withColumn("rank", F.row_number().over(w))
         .filter(F.col("rank") <= k)
     )
+
+
+def unigram_quality(
+    df: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    rare_max_count: int = 1,
+) -> DataFrame:
+    """Corpus-self-scored unigram quality — the cheap stand-in for a
+    KenLM perplexity filter: score each document by how typical its
+    tokens are under the corpus's own unigram distribution. Documents
+    dominated by hapax/rare tokens (OCR noise, mojibake, codey spew)
+    score low; natural prose scores high.
+
+    Outputs per doc: ``n_tok``, ``total_freq`` (sum of corpus-wide
+    occurrence counts of the doc's tokens), ``mean_tok_freq`` =
+    total_freq / n_tok, and ``rare_frac`` = fraction of tokens whose
+    corpus count ≤ ``rare_max_count``. All accumulation is exact
+    integer (order-independent — safe under Spark's nondeterministic
+    partial-agg order); the only floating ops are two final divisions,
+    bit-identical cross-engine.
+
+    Scale shape: one explode, one token-keyed count (map-side partial),
+    one token-keyed join of the doc-token table against the (small,
+    vocabulary-sized) count table, one doc-keyed re-aggregation. The
+    count table is Zipf-skewed on the token key like every vocabulary
+    aggregate — at 100 TB broadcast it instead (vocabularies are tiny
+    relative to corpora) to skip the skewed shuffle entirely.
+    """
+    toks = df.select(
+        F.col(id_col), F.explode(tokens(text_col)).alias("tok")
+    ).select(id_col, F.lower(F.col("tok")).alias("token"))
+    counts = toks.groupBy("token").agg(F.count(F.lit(1)).alias("cnt"))
+    return (
+        toks.join(counts, "token")
+        .groupBy(id_col)
+        .agg(
+            F.count(F.lit(1)).alias("n_tok"),
+            F.sum("cnt").alias("total_freq"),
+            F.sum(
+                (F.col("cnt") <= rare_max_count).cast("long")
+            ).alias("n_rare"),
+        )
+        .select(
+            id_col,
+            "n_tok",
+            "total_freq",
+            F.round(
+                F.col("total_freq").cast("double")
+                / F.col("n_tok").cast("double"),
+                6,
+            ).alias("mean_tok_freq"),
+            F.round(
+                F.col("n_rare").cast("double")
+                / F.col("n_tok").cast("double"),
+                6,
+            ).alias("rare_frac"),
+        )
+    )

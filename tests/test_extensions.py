@@ -179,3 +179,98 @@ def test_containment_detects_embedded_doc(spark):
     # every 3-gram of doc1 appears in doc2 → containment(1 in 2) = 1.0;
     # the reverse direction is diluted below threshold; doc3 matches none
     assert rows == {(1, 2): 1.0}
+
+
+def test_chunk_windows_boundaries(spark):
+    from emr_hudi_example_spark.operators.corpus import chunk_windows
+
+    def words(n):
+        return " ".join(f"w{i}" for i in range(1, n + 1))
+
+    df = spark.createDataFrame(
+        [(1, words(5)), (2, words(8)), (3, words(9)), (4, "solo")],
+        "doc_id LONG, text STRING",
+    )
+    rows = sorted(
+        (r["doc_id"], r["chunk_id"], r["chunk_start"], r["chunk_len"],
+         r["chunk_text"])
+        for r in chunk_windows(df, size=8, stride=4).collect()
+    )
+    assert rows == [
+        # 5 tokens: one full-start window (short tail folds into it? no —
+        # start 5 <= n, so a second 1-token tail window emits)
+        (1, 0, 1, 5, words(5)),
+        (1, 1, 5, 1, "w5"),
+        # 8 tokens: full window + 4-token tail at start 5
+        (2, 0, 1, 8, words(8)),
+        (2, 1, 5, 4, "w5 w6 w7 w8"),
+        # 9 tokens: starts 1, 5, 9
+        (3, 0, 1, 8, "w1 w2 w3 w4 w5 w6 w7 w8"),
+        (3, 1, 5, 5, "w5 w6 w7 w8 w9"),
+        (3, 2, 9, 1, "w9"),
+        # single token: exactly one window
+        (4, 0, 1, 1, "solo"),
+    ]
+    # no token is dropped: every doc's last window reaches n_tokens
+    assert all(start + ln - 1 <= 9 for (_, _, start, ln, _) in rows)
+
+
+def test_incremental_dedup_semantics(spark):
+    from emr_hudi_example_spark.operators.dedup import incremental_dedup
+
+    existing = spark.createDataFrame(
+        [(10, "known text"), (11, "other known")],
+        "doc_id LONG, text STRING",
+    )
+    incoming = spark.createDataFrame(
+        [
+            (20, "Known   TEXT"),     # dup of existing (normalization)
+            (21, "fresh content"),    # survives
+            (22, "fresh content"),    # intra-batch dup of 21
+            (23, "brand new"),        # survives
+        ],
+        "doc_id LONG, text STRING",
+    )
+    got = {
+        r["doc_id"]: r["n_batch_dups"]
+        for r in incremental_dedup(existing, incoming).collect()
+    }
+    assert got == {21: 1, 23: 0}
+
+
+def test_training_order_determinism_and_coverage(spark):
+    from emr_hudi_example_spark.operators.corpus import training_order
+
+    docs = spark.read.parquet(f"{SF}/documents.parquet").limit(200)
+    a = training_order(docs, n_shards=4, seed="e1").collect()
+    b = training_order(docs.repartition(7), n_shards=4, seed="e1").collect()
+    # identical layout regardless of input partitioning
+    assert sorted(map(tuple, a)) == sorted(map(tuple, b))
+    # every row present exactly once; positions are 1..shard_size dense
+    assert len(a) == 200
+    by_shard = {}
+    for r in a:
+        by_shard.setdefault(r["shard"], []).append(r["pos_in_shard"])
+    assert set(by_shard) <= set(range(4))
+    for poss in by_shard.values():
+        assert sorted(poss) == list(range(1, len(poss) + 1))
+    # a different seed yields a different permutation
+    c = training_order(docs, n_shards=4, seed="e2").collect()
+    key_a = {r["doc_id"]: r["shuffle_key"] for r in a}
+    key_c = {r["doc_id"]: r["shuffle_key"] for r in c}
+    assert key_a != key_c
+
+
+def test_unigram_quality_flags_rare_heavy_doc(spark):
+    from emr_hudi_example_spark.operators.text import unigram_quality
+
+    common = "the cat sat on the mat " * 5
+    df = spark.createDataFrame(
+        [(1, common), (2, common), (3, "zxqv jkwp mfgh")],
+        "doc_id LONG, text STRING",
+    )
+    got = {r["doc_id"]: r for r in unigram_quality(df).collect()}
+    # doc3 is all hapax tokens → rare_frac 1.0, lowest mean frequency
+    assert got[3]["rare_frac"] == 1.0
+    assert got[1]["rare_frac"] == 0.0
+    assert got[3]["mean_tok_freq"] < got[1]["mean_tok_freq"]

@@ -38,6 +38,7 @@ _PRIORITY: list[str] = [
     "corpus_chunk_windows",
     "text_unigram_quality",
     "corpus_training_order",
+    "sim_kmeans_refine",
     # -- never driver-checked (r2 verdict "What's wrong" #1) --
     "pipe_ods2dwd_endstate",
     "pipe_dwd2dm_endstate",

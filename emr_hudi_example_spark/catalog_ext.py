@@ -572,6 +572,58 @@ def sim_ivf_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     return S.ivf_cosine_topk(emb, queries, centroids, k=5, nprobe=3)
 
 
+_KMEANS_ORACLE = f"""
+    WITH v AS (SELECT vec_id, embedding, {_NORM_SQL} AS nrm FROM embeddings),
+    cen0 AS (SELECT vec_id AS cluster, embedding, nrm FROM v
+             WHERE vec_id % 37 = 0),
+    a0 AS (SELECT vec_id, cluster FROM (
+        SELECT a.vec_id, b.cluster,
+               row_number() OVER (PARTITION BY a.vec_id
+                 ORDER BY {_dot_sql('a', 'b')} / (a.nrm * b.nrm) DESC,
+                          b.cluster) AS rn
+        FROM v a CROSS JOIN cen0 b) WHERE rn = 1),
+    vals AS (
+      SELECT a0.cluster, t.i AS dim,
+             CAST(CAST(v.embedding[t.i] AS DOUBLE) AS DECIMAL(27,10)) AS val
+      FROM v JOIN a0 USING (vec_id)
+      CROSS JOIN generate_series(1, 64) AS t(i)),
+    means AS (
+      SELECT cluster, dim,
+             CAST(sum(val) AS DOUBLE) / CAST(count(*) AS DOUBLE) AS m
+      FROM vals GROUP BY 1, 2),
+    cen1 AS (SELECT cluster, list(m ORDER BY dim) AS cvec
+             FROM means GROUP BY 1),
+    cen1n AS (SELECT cluster, cvec,
+                     sqrt(list_sum([ cvec[i] * cvec[i]
+                                     FOR i IN range(1, 65) ])) AS cnorm
+              FROM cen1),
+    scored AS (
+      SELECT v.vec_id, c.cluster,
+             list_sum([ (v.embedding[i]::DOUBLE) * c.cvec[i]
+                        FOR i IN range(1, 65) ]) / (v.nrm * c.cnorm) AS cos
+      FROM v CROSS JOIN cen1n c),
+    r1 AS (SELECT vec_id, cluster, cos,
+                  row_number() OVER (PARTITION BY vec_id
+                    ORDER BY cos DESC, cluster) AS rn
+           FROM scored)
+    SELECT a0.vec_id, a0.cluster AS cluster_init,
+           r1.cluster AS cluster_refined, round(r1.cos, 6) AS cos_refined
+    FROM a0 JOIN r1 USING (vec_id) WHERE r1.rn = 1
+    """
+
+
+@query("sim_kmeans_refine", oracle=_KMEANS_ORACLE)
+def sim_kmeans_refine(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """One Lloyd k-means iteration over the embedding corpus (seeds =
+    vec_id % 37 = 0): broadcast argmax assignment → exact-decimal
+    per-dimension cluster means → re-assignment against the refined
+    centroids. The cluster step of clustering-based curation
+    (SemDeDup pruning / topic bucketing)."""
+    emb = load(spark, sf_dir, "embeddings")
+    centroids = emb.filter(F.col("vec_id") % 37 == 0)
+    return S.kmeans_refine(emb, centroids)
+
+
 # ================================================================== corpus
 
 @query(

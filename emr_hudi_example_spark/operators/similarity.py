@@ -395,3 +395,93 @@ def cell_near_dup_pairs(
     )
     # n_assign > 1 → the same pair can surface in up to n_assign cells
     return pairs.groupBy("id_a", "id_b").agg(F.max("cos").alias("cos"))
+
+
+def kmeans_refine(
+    vectors: DataFrame,
+    centroids: DataFrame,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """One Lloyd iteration of k-means over an embedding column — the
+    cluster step of clustering-based curation (SemDeDup-style pruning,
+    topic bucketing, diversity sampling): assign every vector to its
+    nearest seed centroid by cosine, recompute each cluster's mean
+    vector, and re-assign against the refined centroids. Returns
+    ``(id, cluster_init, cluster_refined, cos_refined)``.
+
+    Determinism/oracle-parity: centroid means accumulate as
+    ``DECIMAL(27,10)`` — exact and ORDER-INDEPENDENT, so Spark's
+    nondeterministic partial-agg order cannot perturb the result (a
+    double sum over rows would). The only floating ops are the final
+    decimal→double cast + one division per (cluster, dim) and the
+    left-to-right dot-product folds — identical IEEE ops in identical
+    order on both engines. A double→decimal(·,10) cast can never hit a
+    rounding tie (a tie needs the double to equal (2k+1)/(2·10¹⁰),
+    whose denominator has factor 5¹⁰ — not a binary fraction), so both
+    engines round identically.
+
+    Scale shape: assignment is a broadcast argmax (narrow, one corpus
+    pass); the mean recompute is one shuffle keyed on (cluster, dim) —
+    k·d groups, partial-aggregated map-side; re-assignment broadcasts
+    the k refined centroids. Per-iteration cost is O(corpus · k · d)
+    compute with O(k·d) shuffle — the canonical distributed k-means
+    step. Loop it for more iterations; curation pipelines typically run
+    a handful over a sampled corpus, then one final assignment pass.
+    """
+    assign0 = assign_cells(vectors, centroids, id_col, vec_col, 1)
+    vals = vectors.join(assign0, id_col).select(
+        F.col("cell_id").alias("cluster"),
+        F.posexplode(_as_double(vec_col)).alias("dim", "val"),
+    )
+    means = (
+        vals.groupBy("cluster", "dim")
+        .agg(
+            F.sum(F.col("val").cast("decimal(27,10)")).alias("s"),
+            F.count(F.lit(1)).alias("n"),
+        )
+        .select(
+            "cluster",
+            "dim",
+            (
+                F.col("s").cast("double") / F.col("n").cast("double")
+            ).alias("m"),
+        )
+    )
+    cen1 = (
+        means.groupBy("cluster")
+        .agg(F.array_sort(F.collect_list(F.struct("dim", "m"))).alias("dm"))
+        .select(
+            "cluster",
+            F.transform("dm", lambda x: x["m"]).alias("cvec"),
+        )
+        .withColumn("cnorm", _norm(F.col("cvec")))
+    )
+    v = with_norm(vectors, vec_col).select(
+        F.col(id_col), F.col("_vec"), F.col("_norm")
+    )
+    scored = v.crossJoin(F.broadcast(cen1)).select(
+        id_col,
+        "cluster",
+        (
+            _dot(F.col("_vec"), F.col("cvec"))
+            / (F.col("_norm") * F.col("cnorm"))
+        ).alias("cos"),
+    )
+    w = Window.partitionBy(id_col).orderBy(
+        F.col("cos").desc(), F.col("cluster").asc()
+    )
+    refined = (
+        scored.withColumn("rn", F.row_number().over(w))
+        .filter(F.col("rn") == 1)
+        .select(
+            id_col,
+            F.col("cluster").alias("cluster_refined"),
+            F.round("cos", 6).alias("cos_refined"),
+        )
+    )
+    return (
+        assign0.withColumnRenamed("cell_id", "cluster_init")
+        .join(refined, id_col)
+        .select(id_col, "cluster_init", "cluster_refined", "cos_refined")
+    )

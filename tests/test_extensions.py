@@ -274,3 +274,34 @@ def test_unigram_quality_flags_rare_heavy_doc(spark):
     assert got[3]["rare_frac"] == 1.0
     assert got[1]["rare_frac"] == 0.0
     assert got[3]["mean_tok_freq"] < got[1]["mean_tok_freq"]
+
+
+def test_kmeans_refine_improves_cohesion(spark):
+    emb = spark.read.parquet(f"{SF}/embeddings.parquet")
+    cen = emb.filter(F.col("vec_id") % 37 == 0)
+    out = S.kmeans_refine(emb, cen).collect()
+    assert len(out) == emb.count()  # every vector assigned exactly once
+    clusters = {r["cluster_init"] for r in out}
+    assert clusters <= {r["vec_id"] for r in cen.collect()}
+    assert all(-1.0 <= r["cos_refined"] <= 1.0 for r in out)
+    # the Lloyd step must improve mean cosine-to-centroid (spherical
+    # k-means objective); some vectors should actually switch clusters
+    moved = sum(r["cluster_init"] != r["cluster_refined"] for r in out)
+    assert moved > 0
+    v = S.with_norm(emb)
+    c = S.with_norm(cen).select(
+        F.col("vec_id").alias("cell_id"),
+        F.col("_vec").alias("cv"), F.col("_norm").alias("cn"),
+    )
+    a0 = S.assign_cells(emb, cen, n_assign=1)
+    cos0 = (
+        v.join(a0, "vec_id").join(c, "cell_id")
+        .select((S._dot(F.col("_vec"), F.col("cv"))
+                 / (F.col("_norm") * F.col("cn"))).alias("c"))
+        .agg(F.avg("c")).first()[0]
+    )
+    cos1 = sum(r["cos_refined"] for r in out) / len(out)
+    assert cos1 > cos0
+    # deterministic under any input partitioning
+    out2 = S.kmeans_refine(emb.repartition(13), cen).collect()
+    assert sorted(map(tuple, out)) == sorted(map(tuple, out2))

@@ -85,12 +85,16 @@ def main() -> None:
     print(
         json.dumps(
             {
+                # Headline fields FIRST: the r3 driver captured a
+                # truncated tail and lost the total because it trailed
+                # the per-query dict. Scalars lead; `queries` is last so
+                # truncation can only ever cost per-query detail.
                 "metric": "catalog_total_wall",
                 "value": total,
                 "unit": "sec",
-                "queries": timings,
                 "runs": runs,
                 "sf": float(sf) if sf.replace(".", "").isdigit() else sf,
+                "queries": timings,
             }
         )
     )

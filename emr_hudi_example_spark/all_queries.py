@@ -19,42 +19,48 @@ import emr_hudi_example_spark.catalog_ext as _ext  # noqa: F401
 import emr_hudi_example_spark.catalog_pipelines as _pipes  # noqa: F401
 from emr_hudi_example_spark.catalog import ORACLE, Q
 
-# Names promoted to the front of the registry, in order. Composition:
+# Names promoted to the front of the registry, in order. Composition
+# for round 4 (r3 verdict "Next round" #1/#2):
 #  1. queries NEW this round (no driver row can exist yet);
-#  2. the 15 queries the r2 driver window never reached: all 9 pipe_*
-#     endstates (incl. pipe_dwd2dm_endstate, which FAILED r1) and the 6
-#     catalog_ext tail entries;
-#  3. a representative spread of long-green queries re-checked for
-#     regression (flagship + one per family).
+#  2. the one red r3 row (corpus_mixture_stats, oracle cast fixed);
+#  3. the 25 queries outside the r3 window — their newest driver row is
+#     r2, and five of them (lake_*) sit on lake/table.py which was
+#     rewritten in r3 AFTER that check;
+#  4. remaining slots fill with r3-green queries in registration order.
 # Unknown names are ignored, so this list may lead the code it gates.
 _PRIORITY: list[str] = [
-    # -- new in round 3 --
-    "dedup_embedding_cells",
-    "dedup_simhash_pairs",
-    "dedup_cluster_groups",
-    "text_tfidf_topk",
+    # -- new in round 4 --
+    "lake_compact_endstate",
+    "dedup_paragraphs",
+    # -- r3 red row, oracle CAST fixed this round --
     "corpus_mixture_stats",
-    "dedup_incremental",
-    "corpus_chunk_windows",
-    "text_unigram_quality",
-    "corpus_training_order",
-    "sim_kmeans_refine",
-    # -- never driver-checked (r2 verdict "What's wrong" #1) --
-    "pipe_ods2dwd_endstate",
-    "pipe_dwd2dm_endstate",
-    "pipe_log2lake_endstate",
-    "pipe_bootstrap_endstate",
-    "pipe_lake2stream_export",
-    "pipe_multitable_fanout",
-    "pipe_cdc_dms_parse",
-    "pipe_cdc_canal_parse",
-    "pipe_stream_runsum_endstate",
-    "j_asof_join",
-    "dedup_contamination",
-    "dedup_ngram_containment",
-    "text_repetition",
-    "text_pii_scrub",
-    "corpus_length_histogram",
+    # -- stale lake_* (substrate rewritten in r3 after last driver row) --
+    "lake_global_index_move",
+    "lake_mor_upsert_snapshot",
+    "lake_insert_append",
+    "lake_record_index_move",
+    "lake_cdc_changes",
+    # -- rest of the r3 tail (newest driver row is r2) --
+    "text_token_stats",
+    "text_quality_score",
+    "text_lang_id",
+    "text_fingerprints",
+    "dedup_exact",
+    "dedup_minhash_signatures",
+    "dedup_minhash_lsh",
+    "dedup_ngram_jaccard",
+    "dedup_simhash",
+    "dedup_embedding_cosine",
+    "curate_corpus",
+    "dedup_semantic_keep",
+    "sim_cosine_topk",
+    "sim_ivf_topk",
+    "corpus_hash_sample",
+    "corpus_vocab_topk",
+    "corpus_pack_sequences",
+    "mm_decode_features",
+    "mm_frame_sample",
+    "corpus_domain_quota",
 ]
 
 

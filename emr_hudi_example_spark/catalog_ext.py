@@ -913,7 +913,7 @@ def text_tfidf_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     WITH d AS (SELECT source AS domain, len({_TOKS}) AS n_tok
                FROM documents),
     per_dom AS (SELECT domain, count(*) AS n_docs,
-                       sum(n_tok) AS total_tokens
+                       CAST(sum(n_tok) AS BIGINT) AS total_tokens
                 FROM d GROUP BY 1),
     c AS (SELECT sum(total_tokens)::DOUBLE AS corpus_tokens FROM per_dom)
     SELECT domain, n_docs, total_tokens,
@@ -954,6 +954,45 @@ def dedup_incremental(spark: SparkSession, sf_dir: str) -> DataFrame:
         docs.filter(F.col("doc_id") % 2 == 0),
         docs.filter(F.col("doc_id") % 2 == 1),
     )
+
+
+@query(
+    "dedup_paragraphs",
+    oracle="""
+    WITH t AS (SELECT doc_id,
+                      replace(text, ' table ', chr(10) || chr(10)) AS text
+               FROM documents),
+    px AS (SELECT doc_id,
+                  unnest(str_split(text, chr(10) || chr(10))) AS para,
+                  unnest(range(len(str_split(text, chr(10) || chr(10)))))
+                    AS para_idx
+           FROM t),
+    p AS (SELECT doc_id, CAST(para_idx AS INT) AS para_idx,
+                 trim(para) AS para
+          FROM px WHERE length(trim(para)) > 0),
+    f AS (SELECT doc_id, para_idx,
+                 md5(regexp_replace(lower(trim(para)), '\\s+', ' ', 'g'))
+                   AS fp
+          FROM p)
+    SELECT fp, doc_id, para_idx,
+           CAST(count(*) OVER (PARTITION BY fp) - 1 AS BIGINT) AS n_dups
+    FROM f
+    QUALIFY row_number() OVER (PARTITION BY fp
+                               ORDER BY doc_id, para_idx) = 1
+    """,
+)
+def dedup_paragraphs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Paragraph-granularity exact dedup (boilerplate removal): the
+    fixture text has no blank lines, so paragraph boundaries are
+    synthesized deterministically (every literal ``' table '`` becomes a
+    blank line — same left-to-right non-overlapping ``replace`` in both
+    engines), then explode → fingerprint → keep-first-per-fp with a
+    back-reference to the surviving (doc, paragraph)."""
+    docs = load(spark, sf_dir, "documents").select(
+        "doc_id",
+        F.regexp_replace("text", " table ", "\n\n").alias("text"),
+    )
+    return D.paragraph_dedup(docs)
 
 
 @query(

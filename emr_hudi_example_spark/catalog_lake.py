@@ -185,6 +185,48 @@ def lake_mor_upsert_snapshot(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @query(
+    "lake_compact_endstate",
+    oracle=f"""
+    WITH u AS ({_B1_SQL} UNION ALL {_B2_SQL}),
+    merged AS (
+      SELECT c_custkey, c_name, c_acctbal, ver, _commit_time
+      FROM u
+      QUALIFY row_number() OVER (PARTITION BY c_custkey
+                                 ORDER BY ver DESC) = 1
+    )
+    SELECT * FROM merged WHERE c_custkey % 100 <> 0
+    """,
+)
+def lake_compact_endstate(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """MOR compaction equivalence (r3 verdict task 3): seed, upsert
+    delta, delete delta, then ``compact()`` — folding delta files and
+    tombstones into fresh base files (the reference's inline/async
+    compaction knobs, SRC/util/HudiConfig.scala:21-23). The
+    post-compaction snapshot must equal the precombine-dedup oracle
+    minus deletions: compaction changes LAYOUT, never CONTENT. A
+    layout assertion (base files only, no deltas) guards the query
+    from silently degrading into the no-compaction path."""
+    t = LakeTable(
+        spark, _tmp_base(), "q", "cmpct", ["c_custkey"], "ver",
+        table_type="MERGE_ON_READ",
+    )
+    b1 = _batch1(spark, sf_dir)
+    t.write(b1, op="upsert", instant="001")
+    t.write(_batch2(spark, sf_dir), op="upsert", instant="002")
+    t.write(
+        b1.filter(F.col("c_custkey") % 100 == 0), op="delete", instant="003"
+    )
+    t.compact(instant="004")
+    live = t._live_files()
+    assert live and all(
+        f.get("kind", "base") == "base" for f in live
+    ), "compaction must leave only base files live"
+    return t.snapshot().select(
+        "c_custkey", "c_name", "c_acctbal", "ver", "_commit_time"
+    )
+
+
+@query(
     "lake_insert_append",
     oracle="""
     WITH u AS (

@@ -446,6 +446,7 @@ def connected_components(
     vertices: DataFrame,
     id_col: str = "doc_id",
     max_iter: int = 25,
+    check_every: int = 3,
 ) -> DataFrame:
     """Connected components over a near-duplicate pair graph — the
     cluster-then-keep step every fuzzy-dedup pipeline ends with: near-dup
@@ -464,7 +465,16 @@ def connected_components(
     driver-side graph materialization. ``localCheckpoint`` truncates the
     iterative plan lineage so round N's plan does not embed rounds
     1..N-1 (the standard iterative-DataFrame guard at any scale).
+
+    The convergence probe (``limit(1).count()``) is its own Spark
+    action, so it only runs every ``check_every`` rounds: propagation
+    past convergence is a no-op (min over already-minimal labels), so
+    the worst case is ``check_every - 1`` idempotent extra rounds in
+    exchange for one fewer job submission per skipped round — at scale
+    per-job scheduling overhead dominates those tiny probe scans.
     """
+    if check_every < 1:
+        raise ValueError("check_every must be >= 1")
     fwd = pairs.select(F.col("id_a").alias("a"), F.col("id_b").alias("b"))
     edges = (
         fwd.unionByName(
@@ -476,7 +486,7 @@ def connected_components(
     labels = vertices.select(
         F.col(id_col).alias("v"), F.col(id_col).alias("lbl")
     )
-    for _ in range(max_iter):
+    for it in range(1, max_iter + 1):
         nbr_min = (
             edges.join(labels, edges["a"] == labels["v"])
             .select(F.col("b").alias("nv"), F.col("lbl").alias("in_lbl"))
@@ -494,14 +504,69 @@ def connected_components(
             )
             .localCheckpoint(eager=True)
         )
-        changed = (
-            stepped.filter(F.col("lbl") < F.col("old_lbl")).limit(1).count()
-        )
         labels = stepped.select("v", "lbl")
-        if changed == 0:
-            break
+        if it % check_every == 0 or it == max_iter:
+            changed = (
+                stepped.filter(F.col("lbl") < F.col("old_lbl"))
+                .limit(1)
+                .count()
+            )
+            if changed == 0:
+                break
     return labels.select(
         F.col("v").alias(id_col), F.col("lbl").alias("group_id")
+    )
+
+
+def paragraph_dedup(
+    docs: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    sep: str = r"\n\n",
+) -> DataFrame:
+    """Paragraph-granularity exact dedup — real pipelines dedup at
+    document AND paragraph level (boilerplate headers/footers/navbars
+    repeat across millions of pages that are NOT document-level dupes).
+
+    Explode each document on ``sep`` (regex, default blank line),
+    fingerprint each normalized non-empty paragraph, and keep the first
+    occurrence per fingerprint — "first" = smallest ``(id_col,
+    para_idx)`` — with a back-reference to the surviving doc and the
+    duplicate count. Returns ``(fp, id_col, para_idx, n_dups)``.
+
+    Scale shape: one narrow ``posexplode`` that pipelines with the scan
+    (no shuffle, no blowup beyond the corpus' own paragraph count), then
+    a single hash-shuffle groupBy on the 128-bit fingerprint with
+    map-side partial aggregation — ``min(struct(id, idx))`` instead of
+    a window, so there is no per-fp sort and no second pass. Same shape
+    as ``exact_dedup``; at 100 TB the fp table is the thing you keep
+    bucketed for the incremental anti-join (see ``incremental_dedup``).
+    """
+    paras = (
+        docs.select(
+            F.col(id_col),
+            F.posexplode(F.split(F.col(text_col), sep)).alias(
+                "para_idx", "para"
+            ),
+        )
+        .withColumn("para", F.trim("para"))
+        .filter(F.length("para") > 0)
+    )
+    return (
+        paras.select(
+            F.col(id_col), "para_idx", fingerprint("para").alias("fp")
+        )
+        .groupBy("fp")
+        .agg(
+            F.min(F.struct(id_col, "para_idx")).alias("first"),
+            (F.count(F.lit(1)) - F.lit(1)).alias("n_dups"),
+        )
+        .select(
+            "fp",
+            F.col(f"first.{id_col}").alias(id_col),
+            F.col("first.para_idx").alias("para_idx"),
+            "n_dups",
+        )
     )
 
 

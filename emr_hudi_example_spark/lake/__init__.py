@@ -4,7 +4,9 @@ parquet with a commit timeline (snapshot + incremental reads)."""
 from emr_hudi_example_spark.lake.compactor import AsyncCompactor
 from emr_hudi_example_spark.lake.locks import (
     FileLockProvider,
+    LeaseLockProvider,
     LockContention,
+    LockFenced,
     LockProvider,
     retry_on_contention,
 )
@@ -21,7 +23,9 @@ from emr_hudi_example_spark.lake.table import (
 __all__ = [
     "AsyncCompactor",
     "FileLockProvider",
+    "LeaseLockProvider",
     "LockContention",
+    "LockFenced",
     "LockProvider",
     "retry_on_contention",
     "LakeTable",

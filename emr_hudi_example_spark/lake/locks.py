@@ -30,6 +30,11 @@ class LockContention(RuntimeError):
     """The writer lock stayed held for the whole wait window."""
 
 
+class LockFenced(LockContention):
+    """The holder's lease was superseded by a newer fencing token —
+    the commit MUST NOT publish (zombie-writer protection)."""
+
+
 class LockProvider:
     """Interface: mutual exclusion for one table's commit timeline."""
 
@@ -40,6 +45,13 @@ class LockProvider:
 
     def release(self) -> None:
         raise NotImplementedError
+
+    def validate(self) -> None:
+        """Called at the commit point, immediately before the manifest
+        is published: raise :class:`LockFenced` if this holder's claim
+        is no longer the newest (lease expired and taken over). Default
+        no-op — an ``O_EXCL`` file lock cannot be superseded while held,
+        so only lease-based providers override this."""
 
     @contextmanager
     def held(self, wait_seconds: float):
@@ -90,6 +102,189 @@ class FileLockProvider(LockProvider):
                 os.unlink(self.lock_path)
             except FileNotFoundError:
                 pass  # operator removed a lock they judged stale
+
+
+class LeaseLockProvider(LockProvider):
+    """Multi-host writer lease on shared storage with a monotone FENCING
+    TOKEN — the genuinely multi-host analog of the reference's ZooKeeper
+    lock (``SRC/package.scala:38-47``), needing only a shared filesystem
+    (NFS/EFS/Fuse-mounted object store) with atomic ``O_EXCL`` create.
+
+    Protocol (every step is a single atomic file create, so there is no
+    read-modify-write window):
+
+    * The lease log lives under ``<table>/_lease/`` as files named
+      ``lease-<token>`` with zero-padded monotone tokens. The HIGHEST
+      token is the current claim; older files are history.
+    * ``acquire`` reads the highest claim. If it is live (unexpired,
+      unreleased) it polls until ``wait_seconds`` then raises
+      :class:`LockContention`. If it is expired — a CRASHED holder —
+      or released, the taker attempts ``O_EXCL``-create of
+      ``lease-<token+1>``: exactly one racer wins the filename, which
+      IS the compare-and-swap. Stale-lease takeover therefore needs no
+      operator intervention, unlike :class:`FileLockProvider`.
+    * ``validate`` runs at the COMMIT POINT (just before the manifest
+      rename): if a newer token exists, or our own lease has expired,
+      the writer has been superseded — raise :class:`LockFenced` so the
+      zombie publishes nothing. This is the standard fencing-token
+      check: mutual exclusion alone cannot protect a paused/partitioned
+      writer, the token comparison at the resource does.
+    * ``release`` atomically rewrites the holder's own lease file with
+      ``released: true`` (holder-only write; ``os.replace``).
+
+    Expiry uses wall-clock ``time.time()`` (the only clock comparable
+    across hosts); pick ``lease_seconds`` ≫ cluster clock skew — the
+    default 30 s matches Hudi's lock-acquire defaults. Long holders
+    must :meth:`renew` before expiry (renewal re-checks the token, so a
+    lost lease surfaces at renew time, not silently).
+    """
+
+    PREFIX = "lease-"
+
+    def __init__(
+        self,
+        table_path: str,
+        lease_seconds: float = 30.0,
+        poll_seconds: float = 0.05,
+        holder: str | None = None,
+    ) -> None:
+        self.lease_dir = os.path.join(table_path, "_lease")
+        self.lease_seconds = lease_seconds
+        self.poll_seconds = poll_seconds
+        self.holder = holder or f"pid-{os.getpid()}"
+        self.token: int | None = None
+
+    # ------------------------------------------------------------ state
+
+    def _claims(self) -> list[str]:
+        try:
+            names = os.listdir(self.lease_dir)
+        except FileNotFoundError:
+            return []
+        return sorted(n for n in names if n.startswith(self.PREFIX))
+
+    def _read_claim(self, name: str) -> dict | None:
+        import json
+
+        try:
+            with open(os.path.join(self.lease_dir, name)) as fh:
+                return json.load(fh)
+        except (FileNotFoundError, ValueError):
+            return None  # mid-replace or torn read: treat as live-unknown
+
+    def _newest(self) -> tuple[int, dict | None]:
+        claims = self._claims()
+        if not claims:
+            return 0, None
+        newest = claims[-1]
+        return int(newest[len(self.PREFIX):]), self._read_claim(newest)
+
+    @staticmethod
+    def _is_live(claim: dict | None) -> bool:
+        if claim is None:
+            return True  # unreadable = assume live; expiry will clear it
+        return not claim.get("released") and claim["expires_at"] > time.time()
+
+    # ------------------------------------------------------------- API
+
+    def acquire(self, wait_seconds: float) -> None:
+        os.makedirs(self.lease_dir, exist_ok=True)
+        deadline = time.monotonic() + wait_seconds
+        while True:
+            token, claim = self._newest()
+            # token 0 = no claims at all (fresh table) — free. With
+            # claims present, an unreadable newest (mid-replace torn
+            # read) is conservatively LIVE until expiry clears it.
+            if token == 0 or not self._is_live(claim):
+                if self._try_claim(token + 1):
+                    return
+                continue  # lost the CAS race: re-read, no sleep needed
+            if time.monotonic() >= deadline:
+                raise LockContention(
+                    f"writer lease token {token} live in {self.lease_dir} "
+                    f"(holder {claim.get('holder') if claim else '?'}; "
+                    f"expires itself if the holder crashed)"
+                )
+            time.sleep(self.poll_seconds)
+
+    def _try_claim(self, token: int) -> bool:
+        """O_EXCL-create ``lease-<token>`` — the atomic CAS. True iff
+        this process won the filename."""
+        import json
+
+        body = {
+            "token": token,
+            "holder": self.holder,
+            "pid": os.getpid(),
+            "acquired_at": time.time(),
+            "expires_at": time.time() + self.lease_seconds,
+            "released": False,
+        }
+        try:
+            fd = os.open(
+                self._path(token), os.O_CREAT | os.O_EXCL | os.O_WRONLY
+            )
+        except FileExistsError:
+            return False
+        with os.fdopen(fd, "w") as fh:
+            json.dump(body, fh)
+        self.token = token
+        # bound the lease log: only the newest token is authoritative,
+        # keep a short history for operators debugging a takeover
+        for name in self._claims()[:-8]:
+            try:
+                os.unlink(os.path.join(self.lease_dir, name))
+            except FileNotFoundError:
+                pass
+        return True
+
+    def _path(self, token: int) -> str:
+        return os.path.join(self.lease_dir, f"{self.PREFIX}{token:020d}")
+
+    def validate(self) -> None:
+        if self.token is None:
+            raise LockFenced("validate() without a held lease")
+        newest, claim = self._newest()
+        if newest != self.token:
+            raise LockFenced(
+                f"fencing token advanced {self.token} -> {newest}: "
+                f"lease lost to {claim.get('holder') if claim else '?'}; "
+                f"commit must not publish"
+            )
+        own = self._read_claim(f"{self.PREFIX}{self.token:020d}")
+        if own is not None and not self._is_live(own):
+            raise LockFenced(
+                f"own lease token {self.token} expired before commit"
+            )
+
+    def renew(self) -> None:
+        """Extend the held lease (holder-only atomic rewrite). Re-checks
+        the token first so a superseded holder fails here, loudly."""
+        self.validate()
+        self._rewrite_own(expires_at=time.time() + self.lease_seconds)
+
+    def release(self) -> None:
+        if self.token is None:
+            return
+        try:
+            self._rewrite_own(released=True)
+        except FileNotFoundError:
+            pass  # pruned/superseded — nothing to release
+        self.token = None
+
+    def _rewrite_own(self, **updates) -> None:
+        import json
+
+        path = self._path(self.token)
+        claim = self._read_claim(os.path.basename(path)) or {
+            "token": self.token,
+            "holder": self.holder,
+        }
+        claim.update(updates)
+        tmp = path + ".tmp"
+        with open(tmp, "w") as fh:
+            json.dump(claim, fh)
+        os.replace(tmp, path)
 
 
 def retry_on_contention(

@@ -1135,6 +1135,11 @@ class LakeTable:
         tmp = os.path.join(self.commits_dir, f".{instant}.json.tmp")
         with open(tmp, "w") as fh:
             json.dump(manifest, fh)
+        # fencing check at the commit point: a lease-based provider
+        # raises LockFenced here if this writer was superseded (lease
+        # expired + taken over) — the zombie publishes nothing. No-op
+        # for the O_EXCL file lock (cannot be superseded while held).
+        self.lock_provider.validate()
         os.replace(tmp, os.path.join(self.commits_dir, instant + ".json"))
         self._live_cache = (instant, live)
         interval = self.manifest_checkpoint_interval

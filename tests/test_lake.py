@@ -1106,6 +1106,170 @@ def test_async_compactor_abandons_corrupt_plan(spark, tmp_path):
     assert t.run_compaction(pid2) is not None
 
 
+def _hold_lease(table_path, lease_seconds, acquired_evt, release_evt, crash):
+    """Child-process body: take the lease, signal, then release or
+    'crash' (exit without releasing) per ``crash``."""
+    from emr_hudi_example_spark.lake.locks import LeaseLockProvider
+
+    p = LeaseLockProvider(
+        table_path, lease_seconds=lease_seconds, holder="child"
+    )
+    p.acquire(wait_seconds=5.0)
+    acquired_evt.set()
+    release_evt.wait(30.0)
+    if not crash:
+        p.release()
+
+
+def test_lease_lock_two_process_contention(tmp_path):
+    """LeaseLockProvider across real OS processes: while the child holds
+    a live lease the parent fails fast with LockContention, then
+    acquires after the child's clean release — with a STRICTLY HIGHER
+    fencing token (monotonicity across holders)."""
+    import multiprocessing as mp
+
+    from emr_hudi_example_spark.lake.locks import (
+        LeaseLockProvider,
+        LockContention,
+    )
+
+    root = str(tmp_path / "lease-tbl")
+    ctx = mp.get_context("spawn")
+    acquired, release = ctx.Event(), ctx.Event()
+    holder = ctx.Process(
+        target=_hold_lease, args=(root, 60.0, acquired, release, False)
+    )
+    holder.start()
+    try:
+        assert acquired.wait(10.0)
+        p = LeaseLockProvider(root, holder="parent")
+        with pytest.raises(LockContention):
+            p.acquire(wait_seconds=0.3)
+        release.set()
+        p.acquire(wait_seconds=10.0)
+        assert p.token == 2  # child held 1, parent fenced above it
+        p.validate()  # newest claim is ours
+        p.release()
+    finally:
+        release.set()
+        holder.join(10.0)
+
+
+def test_lease_stale_takeover_after_crash(tmp_path):
+    """A CRASHED holder (exits without releasing) blocks nobody for
+    longer than its lease: takeover happens automatically once the
+    lease expires — no operator lock removal, unlike FileLockProvider —
+    and the taker's fencing token supersedes the dead one's."""
+    import multiprocessing as mp
+
+    from emr_hudi_example_spark.lake.locks import LeaseLockProvider
+
+    root = str(tmp_path / "lease-tbl")
+    ctx = mp.get_context("spawn")
+    acquired, release = ctx.Event(), ctx.Event()
+    holder = ctx.Process(
+        target=_hold_lease, args=(root, 1.0, acquired, release, True)
+    )
+    holder.start()
+    try:
+        assert acquired.wait(10.0)
+        release.set()  # child exits WITHOUT releasing (simulated crash)
+        holder.join(10.0)
+        p = LeaseLockProvider(root, holder="taker")
+        p.acquire(wait_seconds=10.0)  # blocks ~1 s until expiry, then CAS
+        assert p.token == 2
+        p.validate()
+        p.release()
+    finally:
+        release.set()
+        if holder.is_alive():
+            holder.join(10.0)
+
+
+def test_lease_fencing_detects_supersession(tmp_path):
+    """The zombie-writer story fencing tokens exist for: holder A's
+    lease expires mid-work, B takes over, A wakes and tries to commit —
+    A's validate()/renew() must raise LockFenced; B's must pass; A's
+    late release must not disturb B's claim."""
+    import time as _t
+
+    from emr_hudi_example_spark.lake.locks import (
+        LeaseLockProvider,
+        LockFenced,
+    )
+
+    root = str(tmp_path / "lease-tbl")
+    a = LeaseLockProvider(root, lease_seconds=0.3, holder="a")
+    a.acquire(wait_seconds=1.0)
+    _t.sleep(0.4)  # a's lease expires (paused/partitioned writer)
+    b = LeaseLockProvider(root, lease_seconds=60.0, holder="b")
+    b.acquire(wait_seconds=5.0)
+    assert (a.token, b.token) == (1, 2)
+    with pytest.raises(LockFenced):
+        a.validate()
+    with pytest.raises(LockFenced):
+        a.renew()
+    b.validate()
+    a.release()  # late zombie release: rewrites only its OWN claim file
+    b.validate()  # b's lease untouched
+    b.release()
+
+
+def test_lease_fenced_commit_publishes_nothing(spark, tmp_path):
+    """End-to-end zombie-commit protection: a writer whose lease is
+    stolen between acquire and manifest publish raises LockFenced at
+    the commit point and the timeline gains NO instant (orphan data
+    files are the cleaner's job — LAZY failed-write cleaning)."""
+    from emr_hudi_example_spark.lake import LakeTable
+    from emr_hudi_example_spark.lake.locks import (
+        LeaseLockProvider,
+        LockFenced,
+    )
+
+    root = tmp_path / "fence-tbl"
+    p = LeaseLockProvider(str(root / "testdb" / "fenced"), holder="writer")
+    orig_acquire = p.acquire
+
+    def acquire_then_lose(wait_seconds):
+        orig_acquire(wait_seconds)
+        thief = LeaseLockProvider(p.lease_dir.rsplit("/_lease", 1)[0],
+                                  holder="thief")
+        assert thief._try_claim(p.token + 1)  # simulated takeover
+
+    p.acquire = acquire_then_lose
+    t = LakeTable(
+        spark, str(root), "testdb", "fenced",
+        record_keys=["c_custkey"], precombine="ver", lock_provider=p,
+    )
+    with pytest.raises(LockFenced):
+        t.write(cust(spark, ver=1), op="upsert", instant="001")
+    assert t.timeline() == []
+
+
+def test_lease_provider_drives_lake_table(spark, tmp_path):
+    """LakeTable runs unchanged on the lease provider: two commits,
+    linear timeline, correct snapshot (the provider seam is real)."""
+    from emr_hudi_example_spark.lake import LakeTable
+    from emr_hudi_example_spark.lake.locks import LeaseLockProvider
+
+    root = tmp_path / "lease-tbl"
+    p = LeaseLockProvider(str(root / "testdb" / "lt"), holder="w")
+    t = LakeTable(
+        spark, str(root), "testdb", "lt",
+        record_keys=["c_custkey"], precombine="ver", lock_provider=p,
+    )
+    t.write(cust(spark, ver=1), op="upsert", instant="001")
+    t.write(
+        cust(spark, ver=2).filter(F.col("c_custkey") % 10 == 0),
+        op="upsert", instant="002",
+    )
+    assert t.timeline() == ["001", "002"]
+    assert (
+        t.snapshot().filter(F.col("ver") == 2).count()
+        == cust(spark).filter(F.col("c_custkey") % 10 == 0).count()
+    )
+
+
 def test_record_index_survives_table_move(spark, tmp_path):
     """The persistent record index stores table-root-RELATIVE paths, so
     after the table directory is relocated the index still targets

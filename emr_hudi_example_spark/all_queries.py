@@ -32,6 +32,7 @@ _PRIORITY: list[str] = [
     # -- new in round 4 --
     "lake_compact_endstate",
     "dedup_paragraphs",
+    "dedup_paragraph_strip",
     # -- r3 red row, oracle CAST fixed this round --
     "corpus_mixture_stats",
     # -- stale lake_* (substrate rewritten in r3 after last driver row) --

@@ -996,6 +996,58 @@ def dedup_paragraphs(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @query(
+    "dedup_paragraph_strip",
+    oracle="""
+    WITH t AS (SELECT doc_id,
+                      replace(text, ' table ', chr(10) || chr(10)) AS text
+               FROM documents),
+    px AS (SELECT doc_id,
+                  unnest(str_split(text, chr(10) || chr(10))) AS para,
+                  unnest(range(len(str_split(text, chr(10) || chr(10)))))
+                    AS para_idx
+           FROM t),
+    p AS (SELECT doc_id, CAST(para_idx AS INT) AS para_idx,
+                 trim(para) AS para
+          FROM px WHERE length(trim(para)) > 0),
+    f AS (SELECT doc_id, para_idx, para,
+                 md5(regexp_replace(lower(trim(para)), '\\s+', ' ', 'g'))
+                   AS fp
+          FROM p),
+    surv AS (SELECT fp, doc_id AS keep_id, para_idx AS keep_idx
+             FROM f
+             QUALIFY row_number() OVER (PARTITION BY fp
+                                        ORDER BY doc_id, para_idx) = 1),
+    kept AS (SELECT f.doc_id, f.para_idx, f.para
+             FROM f JOIN surv ON f.fp = surv.fp
+                             AND f.doc_id = surv.keep_id
+                             AND f.para_idx = surv.keep_idx),
+    reb AS (SELECT doc_id,
+                   string_agg(para, chr(10) || chr(10)
+                              ORDER BY para_idx) AS clean_text,
+                   count(*) AS n_kept
+            FROM kept GROUP BY 1),
+    tot AS (SELECT doc_id, count(*) AS n_paras FROM f GROUP BY 1)
+    SELECT tot.doc_id,
+           coalesce(reb.clean_text, '') AS clean_text,
+           CAST(coalesce(reb.n_kept, 0) AS BIGINT) AS n_kept,
+           CAST(tot.n_paras - coalesce(reb.n_kept, 0) AS BIGINT)
+             AS n_dropped
+    FROM tot LEFT JOIN reb USING (doc_id)
+    """,
+)
+def dedup_paragraph_strip(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Boilerplate strip — rebuild each document keeping only
+    first-global-occurrence paragraphs (same synthesized paragraph
+    boundaries as ``dedup_paragraphs``); repeated paragraphs vanish
+    from every document except the first that carried them."""
+    docs = load(spark, sf_dir, "documents").select(
+        "doc_id",
+        F.regexp_replace("text", " table ", "\n\n").alias("text"),
+    )
+    return D.strip_duplicate_paragraphs(docs)
+
+
+@query(
     "corpus_chunk_windows",
     oracle=f"""
     WITH t AS (SELECT doc_id, {_TOKS} AS tk FROM documents),

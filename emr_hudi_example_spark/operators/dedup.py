@@ -570,6 +570,74 @@ def paragraph_dedup(
     )
 
 
+def strip_duplicate_paragraphs(
+    docs: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    sep: str = r"\n\n",
+    join_sep: str = "\n\n",
+) -> DataFrame:
+    """The consumer of :func:`paragraph_dedup`: rebuild every document
+    keeping only paragraphs that are the FIRST global occurrence of
+    their fingerprint — the boilerplate-strip pass (repeated headers /
+    footers / navbars vanish from every document but the first that
+    carried them). Returns ``(id_col, clean_text, n_kept, n_dropped)``;
+    a document whose every paragraph was seen earlier survives with an
+    empty ``clean_text`` (downstream length filters handle it).
+
+    Scale shape: the explode is narrow; survivor election and the
+    occurrence→survivor join both shuffle on the SAME 128-bit fp key
+    (Catalyst reuses the exchange), and the rebuild is one groupBy on
+    the doc id with ``collect_list`` bounded by a document's own
+    paragraph count — no window over the corpus, no global sort.
+    """
+    paras = (
+        docs.select(
+            F.col(id_col),
+            F.posexplode(F.split(F.col(text_col), sep)).alias(
+                "para_idx", "para"
+            ),
+        )
+        .withColumn("para", F.trim("para"))
+        .filter(F.length("para") > 0)
+        .withColumn("fp", fingerprint("para"))
+    )
+    surv = (
+        paras.groupBy("fp")
+        .agg(F.min(F.struct(id_col, "para_idx")).alias("first"))
+        .select(
+            "fp",
+            F.col(f"first.{id_col}").alias("keep_id"),
+            F.col("first.para_idx").alias("keep_idx"),
+        )
+    )
+    kept = paras.join(surv, "fp").filter(
+        (F.col(id_col) == F.col("keep_id"))
+        & (F.col("para_idx") == F.col("keep_idx"))
+    )
+    rebuilt = kept.groupBy(id_col).agg(
+        F.array_join(
+            F.transform(
+                F.array_sort(F.collect_list(F.struct("para_idx", "para"))),
+                lambda x: x["para"],
+            ),
+            join_sep,
+        ).alias("clean_text"),
+        F.count(F.lit(1)).alias("n_kept"),
+    )
+    totals = paras.groupBy(id_col).agg(
+        F.count(F.lit(1)).alias("n_paras")
+    )
+    return totals.join(rebuilt, id_col, "left").select(
+        id_col,
+        F.coalesce("clean_text", F.lit("")).alias("clean_text"),
+        F.coalesce("n_kept", F.lit(0).cast("long")).alias("n_kept"),
+        (F.col("n_paras") - F.coalesce("n_kept", F.lit(0))).alias(
+            "n_dropped"
+        ),
+    )
+
+
 def incremental_dedup(
     existing: DataFrame,
     incoming: DataFrame,

@@ -1,0 +1,187 @@
+"""Data-volume scaling probe (r3 verdict task 5): build N×-scaled
+inputs from the sf0.1 fixtures by key-shifted unions and re-run the
+headline operators at each multiplier, timing wall-clock.
+
+The point is the GROWTH CURVE, not the absolute numbers: plans whose
+wall grows ≲ O(n) with data volume on a fixed local[32] box are the
+plans whose work is partition-local / key-pruned (upserts rewrite only
+key-hit files, incremental reads scan only in-range commits, LSH work
+is bucket-local) — the property that carries to a 1000-executor
+cluster. Documents are key-shifted WITHOUT text perturbation, matching
+the round-1 probe: the resulting clone clusters are a worst-case
+duplicate-heavy corpus and exercise the LSH skew caps for real.
+
+Usage: python scripts/scale_probe.py [mult ...]   (default: 1 5 25)
+Writes scaled parquet under /tmp/scale_probe/ and prints one JSON line
+per (multiplier, operator) plus a summary table; results are recorded
+in BASELINE.md.
+"""
+
+from __future__ import annotations
+
+import json
+import shutil
+import sys
+import time
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+SF_DIR = "/root/testdata/sf0.1"
+WORK = "/tmp/scale_probe"
+
+
+def scaled(df: DataFrame, key: str, mult: int, shift: int) -> DataFrame:
+    """mult key-shifted copies of df (copy i shifts key by i*shift)."""
+    out = df
+    for i in range(1, mult):
+        out = out.unionByName(
+            df.withColumn(key, F.col(key) + F.lit(i * shift))
+        )
+    return out
+
+
+def build_inputs(spark: SparkSession, mult: int) -> dict[str, str]:
+    paths = {}
+    for tbl, key, shift in (
+        ("orders", "o_orderkey", 10_000_000),
+        ("documents", "doc_id", 10_000_000),
+        ("embeddings", "vec_id", 10_000_000),
+    ):
+        dst = f"{WORK}/x{mult}/{tbl}"
+        df = spark.read.parquet(f"{SF_DIR}/{tbl}.parquet")
+        scaled(df, key, mult, shift).write.mode("overwrite").parquet(dst)
+        paths[tbl] = dst
+    return paths
+
+
+def timed(label: str, mult: int, fn) -> dict:
+    t0 = time.perf_counter()
+    out = fn()
+    extra = out if isinstance(out, dict) else {}
+    wall = round(time.perf_counter() - t0, 2)
+    rec = {"op": label, "mult": mult, "wall_sec": wall, **extra}
+    print(json.dumps(rec), flush=True)
+    return rec
+
+
+def run_probe(spark: SparkSession, mult: int) -> list[dict]:
+    from emr_hudi_example_spark.lake import LakeTable
+    from emr_hudi_example_spark.operators import dedup as D
+    from emr_hudi_example_spark.operators import similarity as S
+
+    paths = build_inputs(spark, mult)
+    orders = spark.read.parquet(paths["orders"]).withColumn(
+        "ver", F.lit(1).cast("long")
+    )
+    docs = spark.read.parquet(paths["documents"])
+    emb = spark.read.parquet(paths["embeddings"])
+    recs = []
+
+    troot = f"{WORK}/x{mult}/lake"
+    shutil.rmtree(troot, ignore_errors=True)
+    t = LakeTable(
+        spark, troot, "probe", "orders", ["o_orderkey"], "ver"
+    )
+    recs.append(
+        timed(
+            "cow_initial_upsert", mult,
+            lambda: t.write(orders, op="upsert", instant="001"),
+        )
+    )
+    delta = (
+        orders.filter(F.col("o_orderkey") % 100 == 0)
+        .withColumn("ver", F.lit(2).cast("long"))
+        .withColumn("o_totalprice", F.col("o_totalprice") + 1.0)
+    )
+    recs.append(
+        timed(
+            "one_pct_upsert", mult,
+            lambda: t.write(delta, op="upsert", instant="002"),
+        )
+    )
+    recs.append(
+        timed(
+            "incremental_read", mult,
+            lambda: {"rows": t.incremental("001", "002").count()},
+        )
+    )
+
+    # materialization (checkpoint) INSIDE the timed block so pair-gen
+    # cost lands in minhash_lsh_pairs, and cluster_groups below times
+    # only label propagation over the already-materialized pairs
+    state: dict = {}
+
+    def _gen_pairs():
+        state["pairs"] = D.minhash_lsh_dedup(docs).localCheckpoint()
+        return {"rows": state["pairs"].count()}
+
+    recs.append(timed("minhash_lsh_pairs", mult, _gen_pairs))
+    pairs = state["pairs"]
+    recs.append(
+        timed(
+            "cluster_groups", mult,
+            lambda: {
+                "rows": D.connected_components(
+                    pairs.selectExpr("id_a", "id_b"),
+                    docs.select("doc_id"),
+                ).count()
+            },
+        )
+    )
+    recs.append(
+        timed(
+            "kmeans_refine", mult,
+            lambda: {
+                # centroids from the BASE copy only (vec_id below the
+                # first shift): k stays fixed across multipliers so the
+                # curve isolates data growth, not k growth
+                "rows": S.kmeans_refine(
+                    emb,
+                    emb.filter(
+                        (F.col("vec_id") % 37 == 0)
+                        & (F.col("vec_id") < 10_000_000)
+                    ),
+                ).count()
+            },
+        )
+    )
+    return recs
+
+
+def main() -> None:
+    mults = [int(a) for a in sys.argv[1:]] or [1, 5, 25]
+    sys.path.insert(0, "/root/repo")
+    spark = (
+        SparkSession.builder.master("local[32]")
+        .config("spark.sql.shuffle.partitions", "32")
+        .config("spark.sql.adaptive.enabled", "true")
+        .config("spark.driver.memory", "48g")
+        .appName("scale-probe")
+        .getOrCreate()
+    )
+    spark.sparkContext.setLogLevel("ERROR")
+    all_recs = []
+    for m in mults:
+        all_recs.extend(run_probe(spark, m))
+    by_op: dict[str, dict[int, dict]] = {}
+    for r in all_recs:
+        by_op.setdefault(r["op"], {})[r["mult"]] = r
+    print("\n| Operator | " + " | ".join(f"{m}x" for m in mults) + " |")
+    print("|---" * (len(mults) + 1) + "|")
+    for op, row in by_op.items():
+        cells = []
+        for m in mults:
+            r = row.get(m)
+            cells.append(
+                f"{r['wall_sec']} s"
+                + (f" / {r['rows']} rows" if r and "rows" in r else "")
+                if r
+                else "-"
+            )
+        print(f"| {op} | " + " | ".join(cells) + " |")
+    spark.stop()
+
+
+if __name__ == "__main__":
+    main()

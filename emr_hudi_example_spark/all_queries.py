@@ -33,6 +33,8 @@ _PRIORITY: list[str] = [
     "lake_compact_endstate",
     "dedup_paragraphs",
     "dedup_paragraph_strip",
+    "corpus_split_leakage_safe",
+    "corpus_importance_sample",
     # -- r3 red row, oracle CAST fixed this round --
     "corpus_mixture_stats",
     # -- stale lake_* (substrate rewritten in r3 after last driver row) --

@@ -1048,6 +1048,52 @@ def dedup_paragraph_strip(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @query(
+    "corpus_split_leakage_safe",
+    oracle="""
+    WITH f AS (SELECT doc_id,
+                      md5(regexp_replace(lower(trim(text)), '\\s+', ' ',
+                                         'g')) AS fp
+               FROM documents),
+    b AS (SELECT doc_id, fp,
+                 CAST(concat('0x', substr(md5('sp0:' || fp), 1, 4))
+                      AS BIGINT) AS bucket
+          FROM f)
+    SELECT doc_id, fp,
+           CASE WHEN bucket * 100 < 90 * 65536 THEN 'train'
+                WHEN bucket * 100 < 95 * 65536 THEN 'val'
+                ELSE 'test' END AS split
+    FROM b
+    """,
+)
+def corpus_split_leakage_safe(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Leakage-safe train/val/test split (90/5/5): the split hashes the
+    content fingerprint, not the doc id, so exact duplicates always
+    land in the same split — eval contamination by duplication is
+    structurally impossible."""
+    return C.leakage_safe_split(load(spark, sf_dir, "documents"))
+
+
+@query(
+    "corpus_importance_sample",
+    oracle="""
+    WITH m AS (SELECT max(n_chars) AS wmax FROM documents)
+    SELECT doc_id, source, n_chars FROM documents CROSS JOIN m
+    WHERE CAST(concat('0x', substr(md5('im0:' || CAST(doc_id AS VARCHAR)),
+                                   1, 4)) AS BIGINT) * wmax
+          < n_chars * 65536
+    """,
+)
+def corpus_importance_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Length-weighted deterministic downsample: keep probability scales
+    with ``n_chars`` (max-length docs always kept) — integer bucket
+    math, so the surviving set is bit-identical across engines and
+    cluster layouts."""
+    return C.importance_sample(
+        load(spark, sf_dir, "documents"), weight_col="n_chars"
+    ).select("doc_id", "source", "n_chars")
+
+
+@query(
     "corpus_chunk_windows",
     oracle=f"""
     WITH t AS (SELECT doc_id, {_TOKS} AS tk FROM documents),

@@ -151,6 +151,77 @@ def pack_sequences(
     )
 
 
+def leakage_safe_split(
+    df: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    pct: tuple[int, int] = (90, 5),
+    salt: str = "sp0",
+) -> DataFrame:
+    """Train/val/test assignment where EXACT DUPLICATES co-travel: the
+    split is a deterministic hash of the content FINGERPRINT, not the
+    doc id, so two copies of the same text can never straddle train and
+    test — the classic eval-leakage bug hash-by-id splits have at
+    corpus scale. ``pct = (train, val)`` percents; the remainder is
+    test. Returns ``(id_col, fp, split)``.
+
+    Scale shape: a narrow expression chain (normalize → md5 → bucket
+    compare) that pipelines with the scan — zero shuffles; integer
+    bucket math (16-bit hash space) keeps the decision bit-exact on any
+    engine. Near-dup-safe splitting composes the same way on top of
+    ``connected_components`` output: hash ``group_id`` instead of fp.
+    """
+    from emr_hudi_example_spark.operators.text import fingerprint
+
+    fp = fingerprint(text_col)
+    bucket = F.conv(
+        F.substring(F.md5(F.concat(F.lit(salt + ":"), fp)), 1, 4), 16, 10
+    ).cast("long")
+    train, val = pct
+    split = (
+        F.when(bucket * 100 < train * 65536, "train")
+        .when(bucket * 100 < (train + val) * 65536, "val")
+        .otherwise("test")
+    )
+    return df.select(
+        F.col(id_col), fp.alias("fp"), split.alias("split")
+    )
+
+
+def importance_sample(
+    df: DataFrame,
+    weight_col: str,
+    id_col: str = "doc_id",
+    salt: str = "im0",
+) -> DataFrame:
+    """Deterministic importance sampling: keep each row with probability
+    proportional to its (non-negative integer) ``weight_col``, scaled so
+    the max-weight row is always kept. The keep decision is
+    ``hash_bucket * max_weight < weight * 65536`` — pure integer math,
+    so Spark and any oracle agree bit-for-bit (no float thresholds),
+    and the SAME rows survive under any partitioning (content hash, no
+    RNG state). Quality-weighted corpus downsampling in one filter.
+
+    Scale shape: one tiny all-reduce for ``max(weight)`` broadcast as a
+    1-row cross join, then a narrow filter that pipelines with the
+    scan — the Catalyst plan is scan → BroadcastNestedLoopJoin(1 row) →
+    filter, no shuffle of the corpus itself.
+    """
+    wmax = df.agg(F.max(weight_col).alias("_wmax"))
+    bucket = F.conv(
+        F.substring(
+            F.md5(F.concat(F.lit(salt + ":"), F.col(id_col).cast("string"))),
+            1, 4,
+        ),
+        16, 10,
+    ).cast("long")
+    return (
+        df.crossJoin(F.broadcast(wmax))
+        .filter(bucket * F.col("_wmax") < F.col(weight_col) * 65536)
+        .drop("_wmax")
+    )
+
+
 def zorder_key(cols: list[str], bits: int = 16):
     """Z-order (Morton) key: interleave the low ``bits`` bits of each
     integer column into one long — rows sorted by it cluster along ALL

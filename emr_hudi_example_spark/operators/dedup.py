@@ -586,10 +586,13 @@ def strip_duplicate_paragraphs(
     empty ``clean_text`` (downstream length filters handle it).
 
     Scale shape: the explode is narrow; survivor election and the
-    occurrence→survivor join both shuffle on the SAME 128-bit fp key
-    (Catalyst reuses the exchange), and the rebuild is one groupBy on
-    the doc id with ``collect_list`` bounded by a document's own
-    paragraph count — no window over the corpus, no global sort.
+    occurrence→survivor join both shuffle on the SAME 128-bit fp key,
+    but column pruning keeps them distinct exchanges on purpose — the
+    election side shuffles only the thin ``(fp, id, idx)`` tuple while
+    the paragraph TEXT is shuffled exactly once (join side), cheaper at
+    corpus scale than reusing one fat exchange. The rebuild is one
+    groupBy on the doc id with ``collect_list`` bounded by a document's
+    own paragraph count — no window over the corpus, no global sort.
     """
     paras = (
         docs.select(

@@ -305,3 +305,89 @@ def test_kmeans_refine_improves_cohesion(spark):
     # deterministic under any input partitioning
     out2 = S.kmeans_refine(emb.repartition(13), cen).collect()
     assert sorted(map(tuple, out)) == sorted(map(tuple, out2))
+
+
+def test_paragraph_dedup_and_strip_invariants(spark):
+    """paragraph_dedup keeps exactly one occurrence per fingerprint;
+    strip_duplicate_paragraphs conserves paragraph counts and is
+    IDEMPOTENT (stripping a stripped corpus changes nothing)."""
+    from emr_hudi_example_spark.operators.dedup import (
+        paragraph_dedup,
+        strip_duplicate_paragraphs,
+    )
+
+    docs = spark.createDataFrame(
+        [
+            (1, "alpha beta\n\ncommon footer\n\ngamma"),
+            (2, "common footer\n\ndelta"),          # footer is a repeat
+            (3, "common footer"),                   # whole doc is a repeat
+            (4, "alpha beta\n\nalpha beta"),        # intra-doc repeat
+        ],
+        "doc_id LONG, text STRING",
+    )
+    kept = paragraph_dedup(docs).collect()
+    # one survivor per distinct fp; survivor is the smallest (doc, idx)
+    fps = [r["fp"] for r in kept]
+    # distinct paragraphs: alpha beta, common footer, gamma, delta
+    assert len(fps) == len(set(fps)) == 4
+    total_dups = sum(r["n_dups"] for r in kept)
+    # footer appears 3x (2 dups) + alpha beta 3x (2 dups)
+    assert total_dups == 4
+
+    stripped = strip_duplicate_paragraphs(docs)
+    rows = {r["doc_id"]: r for r in stripped.collect()}
+    assert set(rows) == {1, 2, 3, 4}  # fully-deduped docs still present
+    assert rows[3]["clean_text"] == "" and rows[3]["n_kept"] == 0
+    assert rows[1]["n_kept"] == 3 and rows[1]["n_dropped"] == 0
+    # BOTH of doc 4's paragraphs repeat doc 1's "alpha beta"
+    assert rows[4]["clean_text"] == "" and rows[4]["n_dropped"] == 2
+    # conservation: kept + dropped = per-doc paragraph count
+    assert all(
+        r["n_kept"] + r["n_dropped"] in (1, 2, 3) for r in rows.values()
+    )
+    # idempotence: a second strip over the clean corpus drops nothing
+    again = strip_duplicate_paragraphs(
+        stripped.filter(F.col("n_kept") > 0).select(
+            "doc_id", F.col("clean_text").alias("text")
+        )
+    )
+    assert again.filter(F.col("n_dropped") > 0).count() == 0
+
+
+def test_leakage_safe_split_co_travel(spark):
+    """Exact duplicates must land in the same split, whatever their doc
+    ids; fractions roughly follow (90, 5, 5) on the fixture corpus."""
+    from emr_hudi_example_spark.operators.corpus import leakage_safe_split
+
+    docs = spark.read.parquet(
+        "/root/testdata/sf0.01/documents.parquet"
+    ).select("doc_id", "text")
+    dup_ids = docs.withColumn(
+        "doc_id", F.col("doc_id") + 1_000_000
+    )  # clone corpus under different ids
+    out = leakage_safe_split(docs.unionByName(dup_ids)).collect()
+    by_fp: dict = {}
+    for r in out:
+        by_fp.setdefault(r["fp"], set()).add(r["split"])
+    assert all(len(s) == 1 for s in by_fp.values())  # co-travel
+    n = len(out)
+    train = sum(1 for r in out if r["split"] == "train")
+    assert 0.8 * n < train < 0.97 * n
+
+
+def test_importance_sample_weight_monotone(spark):
+    """Max-weight rows always survive; zero-weight rows never do; the
+    draw is deterministic under repartitioning."""
+    from emr_hudi_example_spark.operators.corpus import importance_sample
+
+    df = spark.createDataFrame(
+        [(i, (i % 10) * 100) for i in range(1, 501)],
+        "doc_id LONG, w LONG",
+    )
+    kept = importance_sample(df, "w")
+    rows = kept.collect()
+    ids = {r["doc_id"] for r in rows}
+    assert all(i in ids for i in range(9, 501, 10))  # w = 900 = max: kept
+    assert not any(i in ids for i in range(10, 501, 10))  # w = 0: dropped
+    rows2 = importance_sample(df.repartition(17), "w").collect()
+    assert sorted(r["doc_id"] for r in rows2) == sorted(ids)

@@ -35,6 +35,7 @@ _PRIORITY: list[str] = [
     "dedup_paragraph_strip",
     "corpus_split_leakage_safe",
     "corpus_importance_sample",
+    "sim_quantize_int8",
     # -- r3 red row, oracle CAST fixed this round --
     "corpus_mixture_stats",
     # -- stale lake_* (substrate rewritten in r3 after last driver row) --

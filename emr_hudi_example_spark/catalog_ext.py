@@ -612,6 +612,27 @@ _KMEANS_ORACLE = f"""
     """
 
 
+@query(
+    "sim_quantize_int8",
+    oracle="""
+    WITH v AS (SELECT vec_id, embedding,
+                      list_max([abs(e::DOUBLE) FOR e IN embedding]) AS mx
+               FROM embeddings)
+    SELECT vec_id, mx AS scale,
+           CASE WHEN mx = 0
+                THEN [CAST(0 AS INT) FOR e IN embedding]
+                ELSE [CAST(floor(e::DOUBLE / mx * 127 + 0.5) AS INT)
+                      FOR e IN embedding] END AS qvec
+    FROM v
+    """,
+)
+def sim_quantize_int8(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Symmetric per-vector int8 quantization of the embedding corpus —
+    the 4× ANN working-set shrink; round-half-up via exact ``floor`` so
+    the codes are bit-identical across engines."""
+    return S.quantize_embeddings(load(spark, sf_dir, "embeddings"))
+
+
 @query("sim_kmeans_refine", oracle=_KMEANS_ORACLE)
 def sim_kmeans_refine(spark: SparkSession, sf_dir: str) -> DataFrame:
     """One Lloyd k-means iteration over the embedding corpus (seeds =

@@ -183,7 +183,10 @@ class LeaseLockProvider(LockProvider):
     def _is_live(claim: dict | None) -> bool:
         if claim is None:
             return True  # unreadable = assume live; expiry will clear it
-        return not claim.get("released") and claim["expires_at"] > time.time()
+        return (
+            not claim.get("released")
+            and claim.get("expires_at", 0.0) > time.time()
+        )
 
     # ------------------------------------------------------------- API
 

@@ -53,6 +53,37 @@ def with_norm(df: DataFrame, vec_col: str = "embedding") -> DataFrame:
     )
 
 
+def quantize_embeddings(
+    df: DataFrame,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """Symmetric per-vector int8 quantization: ``scale = max(|x_i|)``,
+    ``q_i = floor(x_i / scale * 127 + 0.5)`` (round-half-up via floor,
+    so every engine agrees bit-for-bit — IEEE double divide/multiply
+    plus an exact ``floor``, no platform-dependent ``round``). Returns
+    ``(id_col, scale, qvec)``; a zero vector quantizes to scale 0 and
+    all-zero codes. Dequantize as ``q_i * scale / 127``.
+
+    Scale shape: a narrow expression over the array column — pipelines
+    with the scan, zero shuffles. At corpus scale this is the 4×
+    working-set shrink that lets an ANN index (IVF cells, LSH buckets)
+    hold 4× more vectors per executor-GB; cosine on int8 codes needs
+    only the two scales alongside the integer dot product.
+    """
+    dv = _as_double(vec_col)
+    mx = F.array_max(F.transform(dv, lambda x: F.abs(x)))
+    q = F.when(mx == 0.0, F.transform(dv, lambda x: F.lit(0))).otherwise(
+        F.transform(
+            dv,
+            lambda x: F.floor(x / mx * 127.0 + 0.5).cast("int"),
+        )
+    )
+    return df.select(
+        F.col(id_col), mx.alias("scale"), q.alias("qvec")
+    )
+
+
 def cosine_topk(
     corpus: DataFrame,
     queries: DataFrame,

@@ -391,3 +391,43 @@ def test_importance_sample_weight_monotone(spark):
     assert not any(i in ids for i in range(10, 501, 10))  # w = 0: dropped
     rows2 = importance_sample(df.repartition(17), "w").collect()
     assert sorted(r["doc_id"] for r in rows2) == sorted(ids)
+
+
+def test_quantize_embeddings_roundtrip_error(spark):
+    """Dequantized vectors reconstruct the original within the int8
+    step size (scale/254 per element), and cosine between dequantized
+    pairs stays within 1% of exact — the property ANN-over-int8 needs."""
+    import math
+
+    from emr_hudi_example_spark.operators.similarity import (
+        quantize_embeddings,
+    )
+
+    emb = spark.read.parquet("/root/testdata/sf0.01/embeddings.parquet")
+    orig = {r["vec_id"]: r["embedding"] for r in emb.limit(50).collect()}
+    q = {
+        r["vec_id"]: (r["scale"], r["qvec"])
+        for r in quantize_embeddings(emb.limit(50)).collect()
+    }
+    assert set(q) == set(orig)
+    deq = {}
+    for vid, (scale, codes) in q.items():
+        assert all(-127 <= c <= 127 for c in codes)
+        deq[vid] = [c * scale / 127.0 for c in codes]
+        for x, d in zip(orig[vid], deq[vid]):
+            assert abs(float(x) - d) <= scale / 127.0 + 1e-12
+
+    def cos(a, b):
+        dot = sum(x * y for x, y in zip(a, b))
+        na = math.sqrt(sum(x * x for x in a))
+        nb = math.sqrt(sum(x * x for x in b))
+        return dot / (na * nb) if na and nb else 0.0
+
+    ids = sorted(orig)[:10]
+    for i in ids:
+        for j in ids:
+            if i < j:
+                exact = cos([float(x) for x in orig[i]],
+                            [float(x) for x in orig[j]])
+                approx = cos(deq[i], deq[j])
+                assert abs(exact - approx) < 0.01

@@ -36,6 +36,7 @@ _PRIORITY: list[str] = [
     "corpus_split_leakage_safe",
     "corpus_importance_sample",
     "sim_quantize_int8",
+    "sim_cosine_topk_int8",
     # -- r3 red row, oracle CAST fixed this round --
     "corpus_mixture_stats",
     # -- stale lake_* (substrate rewritten in r3 after last driver row) --

@@ -523,6 +523,50 @@ def sim_cosine_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     return S.cosine_topk(emb, queries, k=5)
 
 
+@query(
+    "sim_cosine_topk_int8",
+    oracle="""
+    WITH z AS (SELECT vec_id, embedding,
+                      list_max([abs(e::DOUBLE) FOR e IN embedding]) AS mx
+               FROM embeddings),
+    qv AS (SELECT vec_id,
+                  CASE WHEN mx = 0
+                       THEN [CAST(0 AS BIGINT) FOR e IN embedding]
+                       ELSE [CAST(floor(e::DOUBLE / mx * 127 + 0.5)
+                                  AS BIGINT) FOR e IN embedding]
+                  END AS q
+           FROM z),
+    n AS (SELECT vec_id, q,
+                 CAST(list_sum([x * x FOR x IN q]) AS BIGINT) AS n2
+          FROM qv),
+    scored AS (
+      SELECT b.vec_id AS query_id, a.vec_id AS neighbor_id,
+             CASE WHEN a.n2 * b.n2 = 0 THEN 0.0
+                  ELSE CAST(list_sum([a.q[i] * b.q[i]
+                                      FOR i IN range(1, 65)]) AS DOUBLE)
+                       / sqrt(CAST(a.n2 * b.n2 AS DOUBLE))
+             END AS cos
+      FROM n a JOIN n b ON b.vec_id % 50 = 0 AND a.vec_id != b.vec_id),
+    ranked AS (
+      SELECT query_id, neighbor_id, cos,
+             CAST(row_number() OVER (PARTITION BY query_id
+                                     ORDER BY cos DESC, neighbor_id) AS INT)
+               AS rank
+      FROM scored)
+    SELECT query_id, neighbor_id, round(cos, 6) AS cos, rank
+    FROM ranked WHERE rank <= 5
+    """,
+)
+def sim_cosine_topk_int8(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Cosine top-5 over int8-quantized codes (queries = vec_id % 50):
+    the scales cancel, so the whole search is exact 64-bit integer
+    math + one IEEE divide/sqrt — bit-identical across engines."""
+    emb = load(spark, sf_dir, "embeddings")
+    return S.quantized_cosine_topk(
+        emb, emb.filter(F.col("vec_id") % 50 == 0), k=5
+    )
+
+
 _IVF_ORACLE = f"""
     WITH v AS (SELECT vec_id, embedding, {_NORM_SQL} AS nrm FROM embeddings),
     cen AS (SELECT vec_id AS cell_id, embedding, nrm FROM v

@@ -431,3 +431,20 @@ def test_quantize_embeddings_roundtrip_error(spark):
                             [float(x) for x in orig[j]])
                 approx = cos(deq[i], deq[j])
                 assert abs(exact - approx) < 0.01
+
+
+def test_quantized_topk_recall_vs_float(spark):
+    """int8 top-k must recover nearly all float-exact top-k neighbors —
+    the serving-quality bar for the 4x-smaller quantized index."""
+    emb = spark.read.parquet(f"{SF}/embeddings.parquet")
+    queries = emb.filter(F.col("vec_id") % 50 == 0)
+    exact = {
+        (r["query_id"], r["neighbor_id"])
+        for r in S.cosine_topk(emb, queries, k=5).collect()
+    }
+    quant = {
+        (r["query_id"], r["neighbor_id"])
+        for r in S.quantized_cosine_topk(emb, queries, k=5).collect()
+    }
+    recall = len(exact & quant) / len(exact)
+    assert recall >= 0.9, f"recall {recall:.2f}"

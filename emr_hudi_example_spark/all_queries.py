@@ -37,6 +37,7 @@ _PRIORITY: list[str] = [
     "corpus_importance_sample",
     "sim_quantize_int8",
     "sim_cosine_topk_int8",
+    "corpus_mixture_temperature",
     # -- r3 red row, oracle CAST fixed this round --
     "corpus_mixture_stats",
     # -- stale lake_* (substrate rewritten in r3 after last driver row) --

@@ -993,6 +993,37 @@ def corpus_mixture_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
     return C.mixture_stats(load(spark, sf_dir, "documents"))
 
 
+@query(
+    "corpus_mixture_temperature",
+    oracle=f"""
+    WITH d AS (SELECT source AS domain, len({_TOKS}) AS n_tok
+               FROM documents),
+    per_dom AS (SELECT domain, count(*) AS n_docs,
+                       CAST(sum(n_tok) AS BIGINT) AS total_tokens
+                FROM d GROUP BY 1),
+    c AS (SELECT CAST(sum(total_tokens) AS DOUBLE) AS corpus_tokens
+          FROM per_dom),
+    b AS (SELECT domain, n_docs, total_tokens,
+                 total_tokens::DOUBLE / corpus_tokens AS p,
+                 sqrt(total_tokens::DOUBLE / corpus_tokens) AS flat
+          FROM per_dom CROSS JOIN c),
+    z AS (SELECT CAST(sum(CAST(flat AS DECIMAL(27,18))) AS DOUBLE) AS zt
+          FROM b)
+    SELECT domain, n_docs, total_tokens,
+           round(p, 6) AS token_share,
+           round(flat / zt, 6) AS target_share,
+           round((flat / zt) / p, 6) AS boost
+    FROM b CROSS JOIN z
+    """,
+)
+def corpus_mixture_temperature(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """τ=0.5 temperature-flattened mixture: per-domain target sampling
+    share sqrt(p)/Σsqrt(p) and the resulting up/down-sampling boost —
+    sqrt keeps the power exact, DECIMAL accumulation keeps the
+    normalizer order-independent."""
+    return C.mixture_temperature(load(spark, sf_dir, "documents"))
+
+
 _MD5_NORM = "md5(regexp_replace(lower(trim(text)), '\\s+', ' ', 'g'))"
 
 

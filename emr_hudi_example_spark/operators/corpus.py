@@ -287,6 +287,61 @@ def mixture_stats(
     )
 
 
+def mixture_temperature(
+    df: DataFrame,
+    domain_col: str = "source",
+    text_col: str = "text",
+) -> DataFrame:
+    """Temperature-flattened domain mixture at τ = 0.5: target sampling
+    share ``sqrt(p_d) / Σ sqrt(p_d)`` — the standard multilingual /
+    multi-domain rebalance (big domains damped, small ones boosted)
+    with the exponent fixed at 0.5 so the power is an exact IEEE
+    ``sqrt``, never a platform-dependent ``pow``. The Σ over domains is
+    accumulated in DECIMAL(27,18) so the normalizer is order-
+    independent (the same trick ``kmeans_refine`` uses) — every output
+    double is then a deterministic function of exact integers. Returns
+    ``(domain, n_docs, total_tokens, token_share, target_share,
+    boost)`` where ``boost`` = target/natural share (the per-domain
+    up/down-sampling multiplier a mixture builder applies).
+
+    Scale shape: one partial-aggregated shuffle on the domain key, then
+    two 1-row broadcasts (corpus total, normalizer) — the corpus
+    streams through once regardless of domain count.
+    """
+    per_dom = df.select(
+        F.col(domain_col).alias("domain"),
+        token_count(text_col).cast("long").alias("n_tok"),
+    ).groupBy("domain").agg(
+        F.count(F.lit(1)).alias("n_docs"),
+        F.sum("n_tok").alias("total_tokens"),
+    )
+    corpus = per_dom.select(
+        F.sum("total_tokens").cast("double").alias("corpus_tokens")
+    )
+    base = (
+        per_dom.crossJoin(F.broadcast(corpus))
+        .withColumn(
+            "p", F.col("total_tokens").cast("double") / F.col("corpus_tokens")
+        )
+        .withColumn("flat", F.sqrt("p"))
+    )
+    z = base.select(
+        F.sum(F.col("flat").cast("decimal(27,18)"))
+        .cast("double")
+        .alias("zt")
+    )
+    return base.crossJoin(F.broadcast(z)).select(
+        "domain",
+        "n_docs",
+        "total_tokens",
+        F.round("p", 6).alias("token_share"),
+        F.round(F.col("flat") / F.col("zt"), 6).alias("target_share"),
+        F.round((F.col("flat") / F.col("zt")) / F.col("p"), 6).alias(
+            "boost"
+        ),
+    )
+
+
 def chunk_windows(
     df: DataFrame,
     size: int = 32,

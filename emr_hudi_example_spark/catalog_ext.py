@@ -994,6 +994,43 @@ def corpus_mixture_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @query(
+    "text_bigram_collocations",
+    oracle=f"""
+    WITH t AS (SELECT {_TOKS} AS tk FROM documents),
+    uni AS (SELECT unnest(tk) AS w FROM t),
+    uc AS (SELECT w, count(*) AS c_w FROM uni GROUP BY 1),
+    bg AS (SELECT tk[i] || ' ' || tk[i+1] AS bigram
+           FROM (SELECT tk, unnest(range(1, len(tk))) AS i FROM t)),
+    bc AS (SELECT bigram, count(*) AS c_xy FROM bg GROUP BY 1
+           HAVING count(*) >= 5),
+    t1 AS (SELECT CAST(sum(c_w) AS BIGINT) AS t1 FROM uc),
+    t2 AS (SELECT CAST(sum(greatest(len(tk) - 1, 0)) AS BIGINT) AS t2
+           FROM t),
+    scored AS (
+      SELECT bc.bigram, bc.c_xy, x.c_w AS c_x, y.c_w AS c_y,
+             CAST(bc.c_xy * t1.t1 * t1.t1 AS DOUBLE)
+               / CAST(t2.t2 * x.c_w * y.c_w AS DOUBLE) AS lift_raw
+      FROM bc
+      JOIN uc x ON x.w = str_split(bc.bigram, ' ')[1]
+      JOIN uc y ON y.w = str_split(bc.bigram, ' ')[2]
+      CROSS JOIN t1 CROSS JOIN t2),
+    ranked AS (
+      SELECT bigram, c_xy, c_x, c_y, lift_raw,
+             CAST(row_number() OVER (ORDER BY lift_raw DESC, bigram)
+                  AS INT) AS rank
+      FROM scored)
+    SELECT bigram, c_xy, c_x, c_y, round(lift_raw, 6) AS lift, rank
+    FROM ranked WHERE rank <= 30
+    """,
+)
+def text_bigram_collocations(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Top-30 adjacent-pair collocations by lift p(xy)/(p(x)p(y)) —
+    log-free PMI ranking from exact integer counts, bit-identical
+    across engines at fixture scale."""
+    return TX.bigram_collocations(load(spark, sf_dir, "documents"))
+
+
+@query(
     "corpus_mixture_temperature",
     oracle=f"""
     WITH d AS (SELECT source AS domain, len({_TOKS}) AS n_tok

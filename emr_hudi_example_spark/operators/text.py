@@ -293,3 +293,86 @@ def unigram_quality(
             ).alias("rare_frac"),
         )
     )
+
+
+def bigram_collocations(
+    df: DataFrame,
+    text_col: str = "text",
+    min_count: int = 5,
+    k: int = 30,
+) -> DataFrame:
+    """Collocation mining: top-``k`` adjacent word pairs by LIFT —
+    ``p(xy) / (p(x)·p(y))`` — the no-logarithm PMI equivalent (identical
+    ranking, since log is monotone). Lift is one double division of
+    exact integer products (``c_xy·T1·T1`` over ``T2·c_x·c_y``), so at
+    analysis scale the score is bit-exact across engines; beyond ~10⁸
+    tokens the products leave the 2⁵³-exact range — there, rank in log
+    space (ranking is what matters; exactness is a fixture-scale
+    verification property).
+    Pairs below ``min_count`` are cut before ranking (rare-pair lift is
+    noise — the standard collocation floor). Returns ``(bigram, c_xy,
+    c_x, c_y, lift, rank)``.
+
+    Scale shape: two explode→hash-agg passes (unigrams, bigrams) with
+    map-side partial aggregation, two 1-row total broadcasts, and two
+    broadcast joins of the (tiny, min_count-cut) bigram table against
+    per-token counts — the corpus streams through twice, nothing else
+    shuffles at corpus size.
+    """
+    tk = tokens(text_col)
+    uni = (
+        df.select(F.explode(tk).alias("w"))
+        .groupBy("w")
+        .agg(F.count(F.lit(1)).alias("c_w"))
+    )
+    big = (
+        df.select(
+            F.explode(
+                F.zip_with(
+                    F.slice(tk, 1, F.size(tk) - 1),
+                    F.slice(tk, 2, F.size(tk) - 1),
+                    lambda a, b: F.concat(a, F.lit(" "), b),
+                )
+            ).alias("bigram")
+        )
+        .groupBy("bigram")
+        .agg(F.count(F.lit(1)).alias("c_xy"))
+        .filter(F.col("c_xy") >= min_count)
+    )
+    t1 = uni.select(F.sum("c_w").alias("t1"))
+    t2 = df.select(
+        F.sum(F.greatest(F.size(tk) - 1, F.lit(0))).alias("t2")
+    )
+    x = uni.select(F.col("w").alias("wx"), F.col("c_w").alias("c_x"))
+    y = uni.select(F.col("w").alias("wy"), F.col("c_w").alias("c_y"))
+    scored = (
+        big.withColumn("wx", F.split("bigram", " ")[0])
+        .withColumn("wy", F.split("bigram", " ")[1])
+        .join(F.broadcast(x), "wx")
+        .join(F.broadcast(y), "wy")
+        .crossJoin(F.broadcast(t1))
+        .crossJoin(F.broadcast(t2))
+        .select(
+            "bigram",
+            "c_xy",
+            "c_x",
+            "c_y",
+            (
+                (F.col("c_xy") * F.col("t1") * F.col("t1")).cast("double")
+                / (F.col("t2") * F.col("c_x") * F.col("c_y")).cast("double")
+            ).alias("lift_raw"),
+        )
+    )
+    from pyspark.sql.window import Window
+
+    # global top-k over the (min_count-cut, tiny) scored table only —
+    # the single-partition window never sees the corpus itself
+    w = Window.orderBy(F.col("lift_raw").desc(), F.col("bigram").asc())
+    return (
+        scored.withColumn("rank", F.row_number().over(w).cast("int"))
+        .filter(F.col("rank") <= k)
+        .select(
+            "bigram", "c_xy", "c_x", "c_y",
+            F.round("lift_raw", 6).alias("lift"), "rank",
+        )
+    )

@@ -39,6 +39,7 @@ _PRIORITY: list[str] = [
     "sim_cosine_topk_int8",
     "corpus_mixture_temperature",
     "text_bigram_collocations",
+    "corpus_resample_boost",
     # -- r3 red row, oracle CAST fixed this round --
     "corpus_mixture_stats",
     # -- stale lake_* (substrate rewritten in r3 after last driver row) --

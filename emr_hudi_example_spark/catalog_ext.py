@@ -1061,6 +1061,47 @@ def corpus_mixture_temperature(spark: SparkSession, sf_dir: str) -> DataFrame:
     return C.mixture_temperature(load(spark, sf_dir, "documents"))
 
 
+@query(
+    "corpus_resample_boost",
+    oracle=f"""
+    WITH d AS (SELECT source AS domain, len({_TOKS}) AS n_tok
+               FROM documents),
+    per_dom AS (SELECT domain, count(*) AS n_docs,
+                       CAST(sum(n_tok) AS BIGINT) AS total_tokens
+                FROM d GROUP BY 1),
+    c AS (SELECT CAST(sum(total_tokens) AS DOUBLE) AS corpus_tokens
+          FROM per_dom),
+    b AS (SELECT domain,
+                 total_tokens::DOUBLE / corpus_tokens AS p,
+                 sqrt(total_tokens::DOUBLE / corpus_tokens) AS flat
+          FROM per_dom CROSS JOIN c),
+    z AS (SELECT CAST(sum(CAST(flat AS DECIMAL(27,18))) AS DOUBLE) AS zt
+          FROM b),
+    boosts AS (SELECT domain, round((flat / zt) / p, 6) AS boost
+               FROM b CROSS JOIN z),
+    withb AS (
+      SELECT doc_id, source, boost,
+             CAST(concat('0x', substr(md5('rb0:' ||
+                  CAST(doc_id AS VARCHAR)), 1, 4)) AS BIGINT) AS bucket
+      FROM documents JOIN boosts ON documents.source = boosts.domain),
+    n AS (SELECT doc_id, source,
+                 CAST(floor(boost)
+                      + CASE WHEN bucket <
+                               floor((boost - floor(boost)) * 65536)
+                             THEN 1 ELSE 0 END AS INT) AS n_copies
+          FROM withb)
+    SELECT doc_id, source,
+           CAST(unnest(range(1, n_copies + 1)) AS INT) AS copy_idx
+    FROM n WHERE n_copies >= 1
+    """,
+)
+def corpus_resample_boost(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Materialized τ=0.5 mixture rebalance: each doc emitted
+    floor(boost) times plus a deterministic-hash fractional copy —
+    the pointer table a mixture builder feeds the sampler."""
+    return C.apply_mixture_boost(load(spark, sf_dir, "documents"))
+
+
 _MD5_NORM = "md5(regexp_replace(lower(trim(text)), '\\s+', ' ', 'g'))"
 
 

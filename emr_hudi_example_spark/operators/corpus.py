@@ -342,6 +342,60 @@ def mixture_temperature(
     )
 
 
+def apply_mixture_boost(
+    df: DataFrame,
+    boosts: DataFrame | None = None,
+    domain_col: str = "source",
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    salt: str = "rb0",
+) -> DataFrame:
+    """Materialize a temperature-rebalanced corpus from per-domain
+    boosts (default: :func:`mixture_temperature`'s τ=0.5 table): each
+    document is emitted ``floor(boost)`` times plus one more with
+    probability ``frac(boost)``, decided by a deterministic id-hash —
+    so the resampled corpus realizes the target mixture in expectation
+    with zero RNG state and identical output on any layout. The
+    fractional compare is ``bucket < floor(frac · 65536)``: 65536 is a
+    power of two, so the scaling is an exact exponent shift and the
+    threshold is the same integer everywhere. Returns ``(id_col,
+    domain_col, copy_idx)`` with ``copy_idx`` ∈ 1..n_copies.
+
+    Scale shape: one broadcast join of the (domains-sized) boost table,
+    a narrow per-row sequence explode bounded by ``ceil(max boost)``,
+    no corpus shuffle. Upsampling by duplication is how mixture
+    builders actually feed samplers at scale (duplicate pointers, not
+    bytes — here the id/copy_idx pair IS the pointer table).
+    """
+    if boosts is None:
+        boosts = mixture_temperature(df, domain_col, text_col)
+    b = boosts.select(
+        F.col("domain").alias(domain_col), "boost"
+    )
+    bucket = F.conv(
+        F.substring(
+            F.md5(F.concat(F.lit(salt + ":"), F.col(id_col).cast("string"))),
+            1, 4,
+        ),
+        16, 10,
+    ).cast("long")
+    whole = F.floor("boost").cast("long")
+    frac = F.col("boost") - F.floor("boost")
+    n = (whole + (bucket < F.floor(frac * 65536)).cast("long")).cast("int")
+    return (
+        df.join(F.broadcast(b), domain_col)
+        .withColumn("n_copies", n)
+        .filter(F.col("n_copies") >= 1)
+        .select(
+            F.col(id_col),
+            F.col(domain_col),
+            F.explode(
+                F.sequence(F.lit(1), F.col("n_copies"))
+            ).alias("copy_idx"),
+        )
+    )
+
+
 def chunk_windows(
     df: DataFrame,
     size: int = 32,

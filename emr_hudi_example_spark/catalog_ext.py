@@ -1377,6 +1377,52 @@ def j_asof_join(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @query(
+    "j_range_join",
+    oracle="""
+    WITH p AS (SELECT event_id, epoch_us(CAST(ts AS TIMESTAMP)) AS t
+               FROM events),
+    i AS (SELECT event_id AS incident_id,
+                 epoch_us(CAST(ts AS TIMESTAMP)) AS lo,
+                 epoch_us(CAST(ts AS TIMESTAMP)) + 600000000 AS hi
+          FROM events WHERE event_id % 101 = 0)
+    SELECT i.incident_id, p.event_id, p.t - i.lo AS offset_us
+    FROM p JOIN i ON p.t >= i.lo AND p.t < i.hi
+    """,
+)
+def j_range_join(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Interval join with no key equality: every event is attributed to
+    each 10-minute incident window it falls in (incidents = event_id %
+    101). Spark plan: bucket-decomposed equi-join (buckets ≈ interval
+    span) — never a theta cross-join; verified against DuckDB's native
+    IEJoin range join."""
+    from emr_hudi_example_spark.operators.relational import join_range
+
+    ev = load(spark, sf_dir, "events")
+    # ts is TIMESTAMP_NTZ: wall-clock micros via timestampdiff — no
+    # session-timezone dependence (matches DuckDB's epoch_us exactly)
+    us = F.expr(
+        "timestampdiff(MICROSECOND, TIMESTAMP_NTZ '1970-01-01 00:00:00', ts)"
+    )
+    pts = ev.select("event_id", us.alias("t"))
+    itv = (
+        ev.filter(F.col("event_id") % 101 == 0)
+        .select(
+            F.col("event_id").alias("incident_id"),
+            us.alias("lo"),
+            (us + F.lit(600_000_000)).alias("hi"),
+        )
+    )
+    return join_range(
+        pts, itv, point_col="t", lo_col="lo", hi_col="hi",
+        bucket_width=600_000_000,
+    ).select(
+        "incident_id", "event_id", (F.col("t") - F.col("lo")).alias(
+            "offset_us"
+        )
+    )
+
+
+@query(
     "dedup_ngram_containment",
     oracle=f"""
     WITH t AS (SELECT doc_id, {_TOKS} AS tk FROM documents),

@@ -165,6 +165,59 @@ def join_asof(
     )
 
 
+def join_range(
+    points: DataFrame,
+    intervals: DataFrame,
+    point_col: str,
+    lo_col: str,
+    hi_col: str,
+    bucket_width: int,
+) -> DataFrame:
+    """Interval (range) join with NO key equality: pair every point row
+    with every interval row satisfying ``lo ≤ point < hi`` — the
+    sessionize/incident-attribution join engines with IEJoin run
+    natively and Spark would otherwise plan as a cross join with a
+    theta filter.
+
+    Bucket decomposition: each interval explodes to the fixed-width
+    buckets it covers (``floor(lo/w) .. floor((hi-1)/w)``), each point
+    maps to its single bucket, and the pair match becomes an EQUI-join
+    on the bucket id followed by the exact range filter. Each matching
+    pair materializes exactly once — in the point's bucket — so no
+    dedup pass is needed.
+
+    Scale shape: one hash-shuffle on the bucket id (both sides),
+    interval replication bounded by ``span/bucket_width`` (pick
+    ``bucket_width`` near the typical interval span so replication is
+    O(1) per interval), and the skew knob is the bucket width itself —
+    this is the standard distributed range-join strategy. Columns from
+    both inputs are preserved; name collisions must be resolved by the
+    caller beforehand.
+    """
+    if bucket_width <= 0:
+        raise ValueError("bucket_width must be positive")
+    p = points.withColumn(
+        "_rb", F.floor(F.col(point_col) / F.lit(bucket_width))
+    )
+    i = intervals.withColumn(
+        "_rb",
+        F.explode(
+            F.sequence(
+                F.floor(F.col(lo_col) / F.lit(bucket_width)),
+                F.floor((F.col(hi_col) - 1) / F.lit(bucket_width)),
+            )
+        ),
+    )
+    return (
+        p.join(i, "_rb")
+        .filter(
+            (F.col(point_col) >= F.col(lo_col))
+            & (F.col(point_col) < F.col(hi_col))
+        )
+        .drop("_rb")
+    )
+
+
 # --------------------------------------------------------------- aggregations
 
 def group_sum(df: DataFrame, group_cols: list[str], value_col: str,

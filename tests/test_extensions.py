@@ -448,3 +448,31 @@ def test_quantized_topk_recall_vs_float(spark):
     }
     recall = len(exact & quant) / len(exact)
     assert recall >= 0.9, f"recall {recall:.2f}"
+
+
+def test_join_range_semantics(spark):
+    """Bucket-decomposed interval join: [lo, hi) boundaries, intervals
+    spanning multiple buckets, overlapping intervals, and no-match
+    points — each matching pair exactly once."""
+    from emr_hudi_example_spark.operators.relational import join_range
+
+    pts = spark.createDataFrame(
+        [(1, 10), (2, 19), (3, 20), (4, 35), (5, 99)],
+        "pid LONG, t LONG",
+    )
+    itv = spark.createDataFrame(
+        [(100, 10, 20), (200, 15, 40), (300, 60, 70)],
+        "iid LONG, lo LONG, hi LONG",
+    )
+    got = sorted(
+        (r["iid"], r["pid"])
+        for r in join_range(
+            pts, itv, "t", "lo", "hi", bucket_width=7
+        ).collect()
+    )
+    assert got == [
+        (100, 1),            # lo inclusive
+        (100, 2),            # hi=20 exclusive excludes pid 3
+        (200, 2), (200, 3),  # overlapping interval catches both
+        (200, 4),            # interval spans several width-7 buckets
+    ]

@@ -1423,6 +1423,44 @@ def j_range_join(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @query(
+    "a10_funnel_steps",
+    oracle="""
+    WITH u AS (SELECT DISTINCT user_id FROM events),
+    s1 AS (SELECT user_id, min(CAST(ts AS TIMESTAMP)) AS t_1
+           FROM events WHERE event_type = 'view' GROUP BY 1),
+    s2 AS (SELECT e.user_id, min(CAST(e.ts AS TIMESTAMP)) AS t_2
+           FROM events e JOIN s1 ON e.user_id = s1.user_id
+           WHERE e.event_type = 'click'
+             AND CAST(e.ts AS TIMESTAMP) > s1.t_1
+           GROUP BY 1),
+    s3 AS (SELECT e.user_id, min(CAST(e.ts AS TIMESTAMP)) AS t_3
+           FROM events e JOIN s2 ON e.user_id = s2.user_id
+           WHERE e.event_type = 'purchase'
+             AND CAST(e.ts AS TIMESTAMP) > s2.t_2
+           GROUP BY 1)
+    SELECT u.user_id, s1.t_1, s2.t_2, s3.t_3,
+           CAST(CASE WHEN s3.t_3 IS NOT NULL THEN 3
+                     WHEN s2.t_2 IS NOT NULL THEN 2
+                     WHEN s1.t_1 IS NOT NULL THEN 1
+                     ELSE 0 END AS INT) AS depth
+    FROM u
+    LEFT JOIN s1 USING (user_id)
+    LEFT JOIN s2 USING (user_id)
+    LEFT JOIN s3 USING (user_id)
+    """,
+)
+def a10_funnel_steps(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Ordered conversion funnel view → click → purchase per user:
+    earliest step-1, earliest step-2 strictly after it, etc., with the
+    completed-step depth — conditional-min aggs on one user key."""
+    from emr_hudi_example_spark.operators.relational import funnel_steps
+
+    return funnel_steps(
+        load(spark, sf_dir, "events"), ["view", "click", "purchase"]
+    )
+
+
+@query(
     "dedup_ngram_containment",
     oracle=f"""
     WITH t AS (SELECT doc_id, {_TOKS} AS tk FROM documents),

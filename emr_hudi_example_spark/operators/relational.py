@@ -218,6 +218,55 @@ def join_range(
     )
 
 
+def funnel_steps(
+    events: DataFrame,
+    steps: list[str],
+    user_col: str = "user_id",
+    type_col: str = "event_type",
+    ts_col: str = "ts",
+) -> DataFrame:
+    """Ordered conversion funnel: for every user, the earliest step-1
+    event, then the earliest step-2 event STRICTLY AFTER it, and so on
+    — the sequential-pattern query behind conversion/retention reports.
+    Returns ``(user_col, t_1..t_n, depth)`` where ``t_i`` is null once
+    the funnel breaks and ``depth`` counts completed steps; users who
+    never reach step 1 appear with depth 0.
+
+    Scale shape: one conditional-min hash aggregation per step, each
+    shuffling on the SAME user key (n_steps small — 3-5 — and every agg
+    is map-side partial). A null ``t_{i-1}`` propagates through the
+    comparison so broken funnels need no special-casing.
+    """
+    cur = events.groupBy(user_col).agg(
+        F.min(
+            F.when(F.col(type_col) == steps[0], F.col(ts_col))
+        ).alias("t_1")
+    )
+    for i, step in enumerate(steps[1:], start=2):
+        nxt = (
+            events.join(cur.select(user_col, f"t_{i-1}"), user_col)
+            .groupBy(user_col)
+            .agg(
+                F.min(
+                    F.when(
+                        (F.col(type_col) == step)
+                        & (F.col(ts_col) > F.col(f"t_{i-1}")),
+                        F.col(ts_col),
+                    )
+                ).alias(f"t_{i}")
+            )
+        )
+        cur = cur.join(nxt, user_col, "left")
+    depth = F.lit(0)
+    for i in range(1, len(steps) + 1):
+        depth = F.when(F.col(f"t_{i}").isNotNull(), i).otherwise(depth)
+    return cur.select(
+        user_col,
+        *[f"t_{i}" for i in range(1, len(steps) + 1)],
+        depth.cast("int").alias("depth"),
+    )
+
+
 # --------------------------------------------------------------- aggregations
 
 def group_sum(df: DataFrame, group_cols: list[str], value_col: str,

@@ -476,3 +476,28 @@ def test_join_range_semantics(spark):
         (200, 2), (200, 3),  # overlapping interval catches both
         (200, 4),            # interval spans several width-7 buckets
     ]
+
+
+def test_funnel_steps_ordering(spark):
+    """Funnel requires strict temporal order: step-2 before step-1 does
+    not count; broken funnels stop at their deepest completed step."""
+    from emr_hudi_example_spark.operators.relational import funnel_steps
+
+    ev = spark.createDataFrame(
+        [
+            # u1 completes in order
+            (1, "a", 10), (1, "b", 20), (1, "c", 30),
+            # u2 has b BEFORE a — depth stops at 1
+            (2, "b", 5), (2, "a", 10),
+            # u3 never does a — depth 0
+            (3, "b", 10), (3, "c", 20),
+            # u4: a then c (skips b) — depth 1
+            (4, "a", 10), (4, "c", 20),
+        ],
+        "user_id LONG, event_type STRING, ts LONG",
+    )
+    got = {
+        r["user_id"]: r["depth"]
+        for r in funnel_steps(ev, ["a", "b", "c"]).collect()
+    }
+    assert got == {1: 3, 2: 1, 3: 0, 4: 1}

@@ -42,6 +42,7 @@ _PRIORITY: list[str] = [
     "corpus_resample_boost",
     "j_range_join",
     "a10_funnel_steps",
+    "sketch_kmv_distinct",
     # -- r3 red row, oracle CAST fixed this round --
     "corpus_mixture_stats",
     # -- stale lake_* (substrate rewritten in r3 after last driver row) --

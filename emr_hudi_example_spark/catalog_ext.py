@@ -1031,6 +1031,41 @@ def text_bigram_collocations(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @query(
+    "sketch_kmv_distinct",
+    oracle=f"""
+    WITH t AS (SELECT source AS grp, unnest({_TOKS}) AS val
+               FROM documents),
+    p AS (SELECT DISTINCT grp, val FROM t),
+    h AS (SELECT grp,
+                 CAST(concat('0x', substr(md5(val), 1, 13)) AS BIGINT)
+                   ::DOUBLE / 4503599627370496.0 AS h
+          FROM p),
+    r AS (SELECT grp, h,
+                 row_number() OVER (PARTITION BY grp ORDER BY h) AS rn,
+                 count(*) OVER (PARTITION BY grp) AS cnt
+          FROM h)
+    SELECT grp AS source,
+           CAST(least(64, cnt) AS BIGINT) AS n_seen_min,
+           round(CASE WHEN cnt < 64 THEN cnt::DOUBLE
+                      ELSE 63.0 / h END, 6) AS est_distinct
+    FROM r WHERE rn = least(64, cnt)
+    """,
+)
+def sketch_kmv_distinct(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-domain distinct-token estimate via the k-minimum-values
+    sketch (k=64) — unlike HLL, the md5-based sketch is bit-identical
+    across engines, so even the ESTIMATE is oracle-gated, not just the
+    contract."""
+    from emr_hudi_example_spark.operators.sketch import kmv_distinct
+    from emr_hudi_example_spark.operators.text import tokens
+
+    tok = load(spark, sf_dir, "documents").select(
+        "source", F.explode(tokens("text")).alias("token")
+    )
+    return kmv_distinct(tok, "source", "token", k=64)
+
+
+@query(
     "corpus_mixture_temperature",
     oracle=f"""
     WITH d AS (SELECT source AS domain, len({_TOKS}) AS n_tok

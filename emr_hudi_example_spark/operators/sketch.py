@@ -1,0 +1,81 @@
+"""Deterministic cardinality sketches.
+
+Spark's built-in ``approx_count_distinct`` is HyperLogLog++ and DuckDB's
+``approx_count_distinct`` is its own HLL — their estimates can never be
+compared value-for-value. The KMV (k-minimum-values) sketch here is
+built from md5, which both engines compute identically, so the WHOLE
+sketch — not just its contract — is reproducible and oracle-gated: the
+same k smallest hashes, the same estimate, on any engine and any
+partitioning. That is the point: a sketch you can ship through a
+correctness gate, then scale.
+
+Scale notes (100 TB): the candidate set is deduped FIRST (one shuffle
+on the group+value key with map-side combine); the per-group k-smallest
+selection is then a window sort over the distinct set. At extreme
+per-group cardinality (≫10⁷ distinct values), prepend a static hash
+cutoff (``h < c·k / lower_bound_distinct``) so the window only sees the
+plausible k-min survivors, and keep the exact-count branch fed by a
+separate cheap ``count`` agg — the sketch itself merges associatively
+(union hash sets, re-take k smallest), the same property HLL is used
+for in per-shard/rollup pipelines.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+from pyspark.sql.window import Window
+
+# 13 hex chars = 52 bits: fits a double EXACTLY (no rounding on the
+# cast), uniform in [0, 2^52)
+_HASH_BITS = 52
+_HASH_SPAN = float(1 << _HASH_BITS)
+
+
+def kmv_distinct(
+    df: DataFrame,
+    group_col: str,
+    value_col: str,
+    k: int = 64,
+) -> DataFrame:
+    """Per-group distinct-count estimate via the k-minimum-values
+    sketch: hash every distinct value to uniform [0,1), keep the k
+    smallest per group, estimate ``(k-1) / h_k`` where ``h_k`` is the
+    k-th smallest normalized hash. Groups with fewer than k distinct
+    values return the EXACT count (the standard KMV small-set rule).
+    Returns ``(group_col, n_seen_min, est_distinct)`` where
+    ``n_seen_min`` is the number of sketch slots used (= min(k, exact)).
+
+    Estimation error is the textbook ~``1/sqrt(k-2)`` relative RMSE
+    (k=64 → ~13%, k=1024 → ~3%).
+    """
+    if k < 2:
+        raise ValueError("k must be >= 2")
+    pairs = df.select(
+        F.col(group_col).alias("grp"), F.col(value_col).alias("val")
+    ).distinct()
+    h = (
+        F.conv(F.substring(F.md5(F.col("val")), 1, 13), 16, 10)
+        .cast("long")
+        .cast("double")
+        / F.lit(_HASH_SPAN)
+    )
+    w = Window.partitionBy("grp").orderBy("h")
+    ranked = (
+        pairs.withColumn("h", h)
+        .withColumn("rn", F.row_number().over(w))
+        .withColumn("cnt", F.count(F.lit(1)).over(Window.partitionBy("grp")))
+    )
+    kth = ranked.filter(
+        F.col("rn") == F.least(F.lit(k), F.col("cnt"))
+    )
+    return kth.select(
+        F.col("grp").alias(group_col),
+        F.least(F.lit(k), F.col("cnt")).cast("long").alias("n_seen_min"),
+        F.round(
+            F.when(
+                F.col("cnt") < k, F.col("cnt").cast("double")
+            ).otherwise(F.lit(float(k - 1)) / F.col("h")),
+            6,
+        ).alias("est_distinct"),
+    )

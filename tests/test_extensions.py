@@ -501,3 +501,23 @@ def test_funnel_steps_ordering(spark):
         for r in funnel_steps(ev, ["a", "b", "c"]).collect()
     }
     assert got == {1: 3, 2: 1, 3: 0, 4: 1}
+
+
+def test_kmv_sketch_accuracy_and_small_sets(spark):
+    """KMV estimate within the textbook error band for large groups;
+    exact for groups under k; deterministic under repartitioning."""
+    from emr_hudi_example_spark.operators.sketch import kmv_distinct
+
+    rows = [("big", f"v{i}") for i in range(5000)]
+    rows += [("small", f"s{i}") for i in range(7)]
+    df = spark.createDataFrame(rows, "grp STRING, val STRING")
+    got = {r["grp"]: r for r in kmv_distinct(df, "grp", "val", k=64).collect()}
+    assert got["small"]["est_distinct"] == 7.0
+    assert got["small"]["n_seen_min"] == 7
+    # k=64 → ~13% RMSE; allow 3 sigma
+    assert abs(got["big"]["est_distinct"] - 5000) / 5000 < 0.4
+    got2 = {
+        r["grp"]: r["est_distinct"]
+        for r in kmv_distinct(df.repartition(13), "grp", "val", k=64).collect()
+    }
+    assert got2 == {g: r["est_distinct"] for g, r in got.items()}

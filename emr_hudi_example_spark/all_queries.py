@@ -43,6 +43,7 @@ _PRIORITY: list[str] = [
     "j_range_join",
     "a10_funnel_steps",
     "sketch_kmv_distinct",
+    "sketch_kmv_jaccard",
     # -- r3 red row, oracle CAST fixed this round --
     "corpus_mixture_stats",
     # -- stale lake_* (substrate rewritten in r3 after last driver row) --

@@ -1066,6 +1066,45 @@ def sketch_kmv_distinct(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @query(
+    "sketch_kmv_jaccard",
+    oracle=f"""
+    WITH t AS (SELECT source AS grp, unnest({_TOKS}) AS val
+               FROM documents),
+    p AS (SELECT DISTINCT grp, val FROM t),
+    h AS (SELECT grp,
+                 CAST(concat('0x', substr(md5(val), 1, 13)) AS BIGINT)
+                   ::DOUBLE / 4503599627370496.0 AS h
+          FROM p),
+    r AS (SELECT grp, h,
+                 row_number() OVER (PARTITION BY grp ORDER BY h) AS rn
+          FROM h),
+    sk AS (SELECT grp, list_sort(list(h)) AS sk
+           FROM r WHERE rn <= 64 GROUP BY grp)
+    SELECT a.grp AS grp_a, b.grp AS grp_b,
+           round(
+             CAST(len(list_intersect(
+                    list_sort(list_distinct(a.sk || b.sk))[1:64],
+                    list_intersect(a.sk, b.sk))) AS DOUBLE)
+             / CAST(least(64, len(list_distinct(a.sk || b.sk)))
+                    AS DOUBLE), 6) AS est_jaccard
+    FROM sk a JOIN sk b ON a.grp < b.grp
+    """,
+)
+def sketch_kmv_jaccard(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Pairwise domain token-set Jaccard from KMV sketches: each domain
+    reduces to <=64 hashes, the pairwise join never touches the corpus
+    again — and the estimate is engine-reproducible, so it is
+    value-gated like everything else."""
+    from emr_hudi_example_spark.operators.sketch import kmv_jaccard
+    from emr_hudi_example_spark.operators.text import tokens
+
+    tok = load(spark, sf_dir, "documents").select(
+        "source", F.explode(tokens("text")).alias("token")
+    )
+    return kmv_jaccard(tok, "source", "token", k=64)
+
+
+@query(
     "corpus_mixture_temperature",
     oracle=f"""
     WITH d AS (SELECT source AS domain, len({_TOKS}) AS n_tok

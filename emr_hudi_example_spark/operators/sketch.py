@@ -79,3 +79,62 @@ def kmv_distinct(
             6,
         ).alias("est_distinct"),
     )
+
+
+def kmv_jaccard(
+    df: DataFrame,
+    group_col: str,
+    value_col: str,
+    k: int = 64,
+) -> DataFrame:
+    """Pairwise Jaccard similarity between every two groups' value sets,
+    estimated from their KMV sketches — the sketch-algebra payoff: two
+    k-hash arrays stand in for arbitrarily large sets. Estimator:
+    ``J ≈ |U ∩ A ∩ B| / |U|`` with ``U`` = k smallest of the merged
+    sketches (and |U| = min(k, |merged|)). Every step is exact double
+    array math on identical md5-derived hashes, so the estimate itself
+    is engine-reproducible. Returns ``(grp_a, grp_b, est_jaccard)`` for
+    grp_a < grp_b.
+
+    Scale shape: after the per-group sketch (one dedup shuffle + window
+    over distinct values), each group is REDUCED TO ≤ k doubles — the
+    pairwise self-join is over G rows of tiny arrays (G = group count),
+    trivially broadcastable; corpus size never appears again.
+    """
+    pairs = df.select(
+        F.col(group_col).alias("grp"), F.col(value_col).alias("val")
+    ).distinct()
+    h = (
+        F.conv(F.substring(F.md5(F.col("val")), 1, 13), 16, 10)
+        .cast("long")
+        .cast("double")
+        / F.lit(_HASH_SPAN)
+    )
+    w = Window.partitionBy("grp").orderBy("h")
+    sk = (
+        pairs.withColumn("h", h)
+        .withColumn("rn", F.row_number().over(w))
+        .filter(F.col("rn") <= k)
+        .groupBy("grp")
+        .agg(F.sort_array(F.collect_list("h")).alias("sk"))
+    )
+    a = sk.select(F.col("grp").alias("grp_a"), F.col("sk").alias("sk_a"))
+    b = sk.select(F.col("grp").alias("grp_b"), F.col("sk").alias("sk_b"))
+    merged = F.slice(
+        F.array_sort(F.array_union("sk_a", "sk_b")), 1, k
+    )
+    inter = F.array_intersect("sk_a", "sk_b")
+    return (
+        a.join(b, F.col("grp_a") < F.col("grp_b"))
+        .select(
+            "grp_a",
+            "grp_b",
+            F.round(
+                F.size(F.array_intersect(merged, inter)).cast("double")
+                / F.least(
+                    F.lit(k), F.size(F.array_union("sk_a", "sk_b"))
+                ).cast("double"),
+                6,
+            ).alias("est_jaccard"),
+        )
+    )

@@ -521,3 +521,24 @@ def test_kmv_sketch_accuracy_and_small_sets(spark):
         for r in kmv_distinct(df.repartition(13), "grp", "val", k=64).collect()
     }
     assert got2 == {g: r["est_distinct"] for g, r in got.items()}
+
+
+def test_kmv_jaccard_tracks_exact(spark):
+    """Sketch-estimated Jaccard approximates exact Jaccard on
+    constructed overlaps (identical sets -> 1.0, disjoint -> 0.0,
+    half-overlap within the k=64 error band)."""
+    from emr_hudi_example_spark.operators.sketch import kmv_jaccard
+
+    rows = [("x", f"v{i}") for i in range(400)]
+    rows += [("y", f"v{i}") for i in range(400)]            # y == x
+    rows += [("z", f"v{i}") for i in range(200, 600)]       # half overlap
+    rows += [("w", f"other{i}") for i in range(400)]        # disjoint
+    df = spark.createDataFrame(rows, "grp STRING, val STRING")
+    got = {
+        (r["grp_a"], r["grp_b"]): r["est_jaccard"]
+        for r in kmv_jaccard(df, "grp", "val", k=64).collect()
+    }
+    assert got[("x", "y")] == 1.0
+    assert got[("w", "x")] == 0.0 and got[("w", "y")] == 0.0
+    # exact J(x, z) = 200/600 = 1/3; k=64 band is wide — assert bracket
+    assert 0.12 < got[("x", "z")] < 0.55

@@ -44,6 +44,8 @@ _PRIORITY: list[str] = [
     "a10_funnel_steps",
     "sketch_kmv_distinct",
     "sketch_kmv_jaccard",
+    "lake_schema_evolution",
+    "lake_time_travel",
     # -- r3 red row, oracle CAST fixed this round --
     "corpus_mixture_stats",
     # -- stale lake_* (substrate rewritten in r3 after last driver row) --

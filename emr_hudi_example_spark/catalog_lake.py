@@ -227,6 +227,55 @@ def lake_compact_endstate(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @query(
+    "lake_schema_evolution",
+    oracle="""
+    WITH b1 AS (
+      SELECT c_custkey, c_name, CAST(1 AS BIGINT) AS ver,
+             CAST(NULL AS VARCHAR) AS loyalty_tier
+      FROM customer
+    ), b2 AS (
+      SELECT c_custkey, c_name, CAST(2 AS BIGINT) AS ver,
+             'GOLD' AS loyalty_tier
+      FROM customer WHERE c_custkey % 10 = 0
+    ), u AS (SELECT * FROM b1 UNION ALL SELECT * FROM b2)
+    SELECT c_custkey, c_name, ver, loyalty_tier FROM u
+    QUALIFY row_number() OVER (PARTITION BY c_custkey ORDER BY ver DESC) = 1
+    """,
+)
+def lake_schema_evolution(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Additive schema evolution as an END-STATE: commit 002 arrives
+    with a NEW column; the stored schema widens (metadata-only — old
+    files are never rewritten, their rows read the new column as null)
+    and the merged snapshot carries the column for updated keys only."""
+    t = LakeTable(spark, _tmp_base(), "q", "evo", ["c_custkey"], "ver")
+    b1 = _batch1(spark, sf_dir).select("c_custkey", "c_name", "ver")
+    t.write(b1, op="upsert", instant="001")
+    b2 = (
+        b1.filter(F.col("c_custkey") % 10 == 0)
+        .withColumn("ver", F.lit(2).cast("long"))
+        .withColumn("loyalty_tier", F.lit("GOLD"))
+    )
+    t.write(b2, op="upsert", instant="002")
+    return t.snapshot().select("c_custkey", "c_name", "ver", "loyalty_tier")
+
+
+@query(
+    "lake_time_travel",
+    oracle=f"""
+    SELECT c_custkey, c_acctbal, ver FROM ({_B1_SQL})
+    """,
+)
+def lake_time_travel(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Time travel: after two upsert commits, ``snapshot(as_of='001')``
+    reads the table exactly as commit 001 left it — the 002 updates are
+    invisible (Hudi ``as.of.instant`` / savepoint-read analog)."""
+    t = LakeTable(spark, _tmp_base(), "q", "tt", ["c_custkey"], "ver")
+    t.write(_batch1(spark, sf_dir), op="upsert", instant="001")
+    t.write(_batch2(spark, sf_dir), op="upsert", instant="002")
+    return t.snapshot(as_of="001").select("c_custkey", "c_acctbal", "ver")
+
+
+@query(
     "lake_insert_append",
     oracle="""
     WITH u AS (

@@ -276,6 +276,27 @@ def lake_time_travel(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @query(
+    "lake_restore_endstate",
+    oracle=f"""
+    SELECT c_custkey, c_acctbal, ver FROM ({_B1_SQL})
+    """,
+)
+def lake_restore_endstate(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Restore/rollback (Hudi savepoint+restore analog): after commits
+    001/002, ``restore('001')`` REMOVES commit 002 from the timeline
+    and deletes its files — the live snapshot (not a time-travel read)
+    equals commit 001's state, and the discarded instant list names
+    exactly 002."""
+    t = LakeTable(spark, _tmp_base(), "q", "rst", ["c_custkey"], "ver")
+    t.write(_batch1(spark, sf_dir), op="upsert", instant="001")
+    t.write(_batch2(spark, sf_dir), op="upsert", instant="002")
+    dropped = t.restore("001")
+    assert dropped == ["002"], dropped
+    assert t.timeline() == ["001"], t.timeline()
+    return t.snapshot().select("c_custkey", "c_acctbal", "ver")
+
+
+@query(
     "lake_insert_append",
     oracle="""
     WITH u AS (

@@ -1,0 +1,67 @@
+"""Physical-plan regression guards: the README's plan-hygiene claims,
+asserted — so a refactor that silently degrades a broadcast join into a
+shuffle, drops predicate pushdown, or turns the range join into a
+nested-loop cross join fails CI instead of shipping.
+
+These assert PLAN SHAPE, not timing: shape is stable on any machine,
+timing is not.
+"""
+
+from __future__ import annotations
+
+from emr_hudi_example_spark import all_queries as catalog
+from tests.conftest import SF_CORRECT
+
+
+def _plan(spark, name: str) -> str:
+    df = catalog.Q[name](spark, SF_CORRECT)
+    return df._jdf.queryExecution().executedPlan().toString()
+
+
+def test_dim_enrich_broadcasts_dimension(spark):
+    plan = _plan(spark, "j1_dim_enrich")
+    assert "BroadcastHashJoin" in plan
+    assert "BroadcastNestedLoopJoin" not in plan
+
+
+def test_filters_push_into_scan(spark):
+    plan = _plan(spark, "f2_f3_filters")
+    assert "PushedFilters: [" in plan
+    # at least one real pushed predicate, not an empty list
+    assert "PushedFilters: []" not in plan
+
+
+def test_range_join_is_equi_join_on_bucket(spark):
+    plan = _plan(spark, "j_range_join")
+    assert "BroadcastNestedLoopJoin" not in plan
+    assert "CartesianProduct" not in plan
+    assert "HashJoin" in plan or "SortMergeJoin" in plan
+
+
+def test_narrow_ops_have_no_exchange(spark):
+    # leakage-safe split is a pure narrow expression chain — any
+    # Exchange here means someone added an accidental shuffle
+    plan = _plan(spark, "corpus_split_leakage_safe")
+    assert "Exchange" not in plan
+
+
+def test_group_sum_partial_aggregation(spark):
+    # partial -> exchange -> final: exactly one shuffle for the agg
+    plan = _plan(spark, "a1_group_sum")
+    assert plan.count("HashAggregate") >= 2  # partial + final
+    assert "BroadcastNestedLoopJoin" not in plan
+
+
+def test_no_cartesian_products_anywhere_in_window(spark):
+    """No query in the driver-checked window may plan a CartesianProduct
+    (1-row broadcast cross joins are BroadcastNestedLoopJoin w/ 1-row
+    side and are allowed; true cartesians over data tables are not)."""
+    offenders = []
+    for name in list(catalog.Q)[:50]:
+        if name.startswith(("lake_", "pipe_")):
+            continue  # these execute writes during planning; covered by
+            # their own end-state checks
+        plan = _plan(spark, name)
+        if "CartesianProduct" in plan:
+            offenders.append(name)
+    assert not offenders, offenders

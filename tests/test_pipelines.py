@@ -861,3 +861,69 @@ def test_fanout_parallel_many_tables(spark, tmp_path):
         snap = reg.lake_table(name).snapshot()
         assert snap.count() == 3
         assert snap.filter(F.col("id") == 0).collect()[0]["v"] == "upd"
+
+
+def test_streaming_paragraph_dedup_matches_batch(spark, tmp_path):
+    """Streaming twin of paragraph dedup: explode paragraphs on the
+    stream (stateless), first-seen per fingerprint across micro-batches
+    (stateful) — the surviving fingerprint SET equals the batch
+    operator's (keep-first picks a different representative by design:
+    arrival order vs smallest (doc, idx))."""
+    import glob
+    import os
+    import shutil
+
+    from emr_hudi_example_spark.operators.dedup import paragraph_dedup
+    from emr_hudi_example_spark.operators.text import fingerprint
+    from emr_hudi_example_spark.streaming import streaming_first_seen
+
+    docs = (
+        spark.read.parquet(f"{SF}/documents.parquet")
+        .select(
+            "doc_id",
+            F.regexp_replace("text", " table ", "\n\n").alias("text"),
+        )
+        .limit(200)
+    )
+    batch_fps = {
+        r["fp"] for r in paragraph_dedup(docs).select("fp").collect()
+    }
+
+    ind = tmp_path / "in"
+    ind.mkdir()
+    for i in range(2):
+        stage = str(tmp_path / f"stage{i}")
+        docs.filter(F.col("doc_id") % 2 == i).coalesce(1).write.parquet(stage)
+        part = glob.glob(os.path.join(stage, "part-*.parquet"))[0]
+        shutil.move(part, str(ind / f"batch{i}.parquet"))
+        shutil.rmtree(stage)
+    stream = (
+        spark.readStream.schema(docs.schema)
+        .option("maxFilesPerTrigger", 1)
+        .parquet(str(ind))
+    )
+    paras = (
+        stream.select(
+            "doc_id",
+            F.posexplode(F.split("text", r"\n\n")).alias("para_idx", "para"),
+        )
+        .withColumn("para", F.trim("para"))
+        .filter(F.length("para") > 0)
+        .withColumn("fp", fingerprint("para"))
+    )
+    out = streaming_first_seen(paras, ["fp"])
+    seen = []
+
+    def sink(bdf, _bid):
+        seen.extend(bdf.collect())
+
+    q = (
+        out.writeStream.outputMode("update")
+        .option("checkpointLocation", str(tmp_path / "ckpt"))
+        .foreachBatch(sink)
+        .start()
+    )
+    q.processAllAvailable(); q.stop(); q.awaitTermination()
+    stream_fps = [r["fp"] for r in seen]
+    assert sorted(stream_fps) == sorted(set(stream_fps))  # once per fp
+    assert set(stream_fps) == batch_fps

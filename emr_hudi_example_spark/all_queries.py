@@ -47,6 +47,7 @@ _PRIORITY: list[str] = [
     "lake_schema_evolution",
     "lake_time_travel",
     "lake_restore_endstate",
+    "corpus_profile_columns",
     # -- r3 red row, oracle CAST fixed this round --
     "corpus_mixture_stats",
     # -- stale lake_* (substrate rewritten in r3 after last driver row) --

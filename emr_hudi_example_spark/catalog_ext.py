@@ -1105,6 +1105,46 @@ def sketch_kmv_jaccard(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @query(
+    "corpus_profile_columns",
+    oracle="""
+    SELECT 'doc_id' AS "column", count(*) AS n,
+           CAST(sum(CASE WHEN doc_id IS NULL THEN 1 ELSE 0 END) AS BIGINT)
+             AS n_null,
+           CAST(count(DISTINCT doc_id) AS BIGINT) AS n_distinct,
+           CAST(min(doc_id) AS VARCHAR) AS min_str,
+           CAST(max(doc_id) AS VARCHAR) AS max_str
+    FROM documents
+    UNION ALL
+    SELECT 'lang', count(*),
+           CAST(sum(CASE WHEN lang IS NULL THEN 1 ELSE 0 END) AS BIGINT),
+           CAST(count(DISTINCT lang) AS BIGINT),
+           min(lang), max(lang)
+    FROM documents
+    UNION ALL
+    SELECT 'source', count(*),
+           CAST(sum(CASE WHEN source IS NULL THEN 1 ELSE 0 END) AS BIGINT),
+           CAST(count(DISTINCT source) AS BIGINT),
+           min(source), max(source)
+    FROM documents
+    UNION ALL
+    SELECT 'n_chars', count(*),
+           CAST(sum(CASE WHEN n_chars IS NULL THEN 1 ELSE 0 END) AS BIGINT),
+           CAST(count(DISTINCT n_chars) AS BIGINT),
+           CAST(min(n_chars) AS VARCHAR), CAST(max(n_chars) AS VARCHAR)
+    FROM documents
+    """,
+)
+def corpus_profile_columns(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Single-pass data-quality profile of the documents table (rows,
+    nulls, exact distincts, typed min/max per column) — one table scan
+    however many columns are profiled."""
+    return C.profile_columns(
+        load(spark, sf_dir, "documents"),
+        ["doc_id", "lang", "source", "n_chars"],
+    )
+
+
+@query(
     "corpus_mixture_temperature",
     oracle=f"""
     WITH d AS (SELECT source AS domain, len({_TOKS}) AS n_tok

@@ -470,3 +470,38 @@ def training_order(
         )
         .withColumn("pos_in_shard", F.row_number().over(w))
     )
+
+
+def profile_columns(df: DataFrame, cols: list[str]) -> DataFrame:
+    """Single-pass column profiler: for every listed column its row
+    count, null count, exact distinct count, and min/max (as strings, so
+    heterogeneous column types share one output schema). The first
+    data-quality report run against any new table/feed.
+
+    Scale shape: ONE aggregation pass over the table computes every
+    per-column stat (count/sum-of-nulls/min/max are plain partial aggs;
+    the distinct counts expand per column but still partial-aggregate
+    map-side), then a constant-size ``stack`` unpivots the 1-row result
+    into (column, stats) rows — the table is scanned once regardless of
+    how many columns are profiled.
+    """
+    aggs = [F.count(F.lit(1)).alias("__n")]
+    for c in cols:
+        aggs += [
+            F.sum(F.isnull(c).cast("long")).alias(f"{c}__nulls"),
+            F.countDistinct(c).alias(f"{c}__distinct"),
+            # native-typed min/max, cast to string only for the shared
+            # output schema (numeric columns keep numeric ordering)
+            F.min(c).cast("string").alias(f"{c}__min"),
+            F.max(c).cast("string").alias(f"{c}__max"),
+        ]
+    one = df.agg(*aggs)
+    stack_args = ", ".join(
+        f"'{c}', {c}__nulls, {c}__distinct, {c}__min, {c}__max"
+        for c in cols
+    )
+    return one.selectExpr(
+        "__n AS n",
+        f"stack({len(cols)}, {stack_args}) AS "
+        "(column, n_null, n_distinct, min_str, max_str)",
+    ).select("column", "n", "n_null", "n_distinct", "min_str", "max_str")

@@ -48,6 +48,7 @@ _PRIORITY: list[str] = [
     "lake_time_travel",
     "lake_restore_endstate",
     "corpus_profile_columns",
+    "a11_cohort_retention",
     # -- r3 red row, oracle CAST fixed this round --
     "corpus_mixture_stats",
     # -- stale lake_* (substrate rewritten in r3 after last driver row) --

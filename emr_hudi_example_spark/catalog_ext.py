@@ -1575,6 +1575,32 @@ def a10_funnel_steps(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @query(
+    "a11_cohort_retention",
+    oracle="""
+    WITH a AS (SELECT DISTINCT user_id,
+                      CAST(date_trunc('day', ts) AS TIMESTAMP) AS day
+               FROM events),
+    f AS (SELECT user_id, min(day) AS cohort_day FROM a GROUP BY 1)
+    SELECT f.cohort_day,
+           CAST(date_diff('day', f.cohort_day, a.day) AS INT)
+             AS offset_days,
+           CAST(count(DISTINCT a.user_id) AS BIGINT) AS n_users
+    FROM a JOIN f USING (user_id)
+    GROUP BY 1, 2
+    """,
+)
+def a11_cohort_retention(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Cohort retention matrix: first-seen-day cohorts × activity-day
+    offsets × distinct users — dedup to (user, day) first, then two
+    same-key aggregations, no windows."""
+    from emr_hudi_example_spark.operators.relational import (
+        cohort_retention,
+    )
+
+    return cohort_retention(load(spark, sf_dir, "events"))
+
+
+@query(
     "dedup_ngram_containment",
     oracle=f"""
     WITH t AS (SELECT doc_id, {_TOKS} AS tk FROM documents),

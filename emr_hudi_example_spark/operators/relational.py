@@ -267,6 +267,39 @@ def funnel_steps(
     )
 
 
+def cohort_retention(
+    events: DataFrame,
+    user_col: str = "user_id",
+    ts_col: str = "ts",
+) -> DataFrame:
+    """Cohort retention matrix: users grouped by their first-seen day
+    (the cohort), counted on each later activity day as an offset —
+    ``(cohort_day, offset_days, n_users)``, the table every retention
+    curve is drawn from.
+
+    Scale shape: activity dedupes to distinct (user, day) first — the
+    smallest possible working set — then one aggregation for first-seen
+    per user and one join back on the user key (both shuffle on the
+    same key), and a final hash agg on (cohort, offset). No windows, no
+    per-user driver loops.
+    """
+    day = F.date_trunc("day", F.col(ts_col))
+    act = events.select(
+        F.col(user_col).alias("u"), day.alias("day")
+    ).distinct()
+    first = act.groupBy("u").agg(F.min("day").alias("cohort_day"))
+    return (
+        act.join(first, "u")
+        .groupBy(
+            "cohort_day",
+            F.datediff(F.col("day"), F.col("cohort_day")).alias(
+                "offset_days"
+            ),
+        )
+        .agg(F.countDistinct("u").alias("n_users"))
+    )
+
+
 # --------------------------------------------------------------- aggregations
 
 def group_sum(df: DataFrame, group_cols: list[str], value_col: str,

@@ -82,19 +82,34 @@ def main() -> None:
     total = round(sum(timings.values()), 4)
 
     sf = sf_dir.rstrip("/").rsplit("sf", 1)[-1]
+    sf_val = float(sf) if sf.replace(".", "").isdigit() else sf
+    # The driver retains only the LAST 2000 bytes of output (r4 verdict
+    # #2: both r3 and r4 lost the front-loaded headline — truncation
+    # cuts the FRONT). So: the big per-query dict goes FIRST inside the
+    # JSON object, headline scalars go LAST, and a second, final,
+    # headline-only JSON line guarantees the retained tail always ends
+    # with a small complete parseable record.
     print(
         json.dumps(
             {
-                # Headline fields FIRST: the r3 driver captured a
-                # truncated tail and lost the total because it trailed
-                # the per-query dict. Scalars lead; `queries` is last so
-                # truncation can only ever cost per-query detail.
+                "queries": timings,
                 "metric": "catalog_total_wall",
                 "value": total,
                 "unit": "sec",
                 "runs": runs,
-                "sf": float(sf) if sf.replace(".", "").isdigit() else sf,
-                "queries": timings,
+                "sf": sf_val,
+            }
+        )
+    )
+    print(
+        json.dumps(
+            {
+                "metric": "catalog_total_wall",
+                "value": total,
+                "unit": "sec",
+                "runs": runs,
+                "sf": sf_val,
+                "n_queries": len(timings),
             }
         )
     )

@@ -20,64 +20,73 @@ import emr_hudi_example_spark.catalog_pipelines as _pipes  # noqa: F401
 from emr_hudi_example_spark.catalog import ORACLE, Q
 
 # Names promoted to the front of the registry, in order. Composition
-# for round 4 (r3 verdict "Next round" #1/#2):
-#  1. queries NEW this round (no driver row can exist yet);
-#  2. the one red r3 row (corpus_mixture_stats, oracle cast fixed);
-#  3. the 25 queries outside the r3 window — their newest driver row is
-#     r2, and five of them (lake_*) sit on lake/table.py which was
-#     rewritten in r3 AFTER that check;
-#  4. remaining slots fill with r3-green queries in registration order.
+# for round 5 (r4 verdict "Next round" #1/#4):
+#  1. the one red r4 driver row (sim_quantize_int8 — output now
+#     serialized to scalars, see catalog_ext.py);
+#  2. queries NEW this round (no driver row can exist yet);
+#  3. ALL 44 queries whose newest driver row is r3 (outside the r4
+#     window), most-touched substrate first: operators/dedup.py and
+#     operators/relational.py gained ~150 lines each in r4 after those
+#     rows were recorded, then the pipe_* endstates, then the rest —
+#     so after r5 no green query's newest driver row is older than two
+#     rounds.
 # Unknown names are ignored, so this list may lead the code it gates.
 _PRIORITY: list[str] = [
-    # -- new in round 4 --
-    "lake_compact_endstate",
-    "dedup_paragraphs",
-    "dedup_paragraph_strip",
-    "corpus_split_leakage_safe",
-    "corpus_importance_sample",
+    # -- r4 red row, output serialization fixed this round --
     "sim_quantize_int8",
-    "sim_cosine_topk_int8",
-    "corpus_mixture_temperature",
-    "text_bigram_collocations",
-    "corpus_resample_boost",
-    "j_range_join",
-    "a10_funnel_steps",
-    "sketch_kmv_distinct",
-    "sketch_kmv_jaccard",
-    "lake_schema_evolution",
-    "lake_time_travel",
-    "lake_restore_endstate",
-    "corpus_profile_columns",
-    "a11_cohort_retention",
-    # -- r3 red row, oracle CAST fixed this round --
-    "corpus_mixture_stats",
-    # -- stale lake_* (substrate rewritten in r3 after last driver row) --
-    "lake_global_index_move",
-    "lake_mor_upsert_snapshot",
-    "lake_insert_append",
-    "lake_record_index_move",
-    "lake_cdc_changes",
-    # -- rest of the r3 tail (newest driver row is r2) --
-    "text_token_stats",
-    "text_quality_score",
-    "text_lang_id",
-    "text_fingerprints",
-    "dedup_exact",
-    "dedup_minhash_signatures",
-    "dedup_minhash_lsh",
-    "dedup_ngram_jaccard",
-    "dedup_simhash",
-    "dedup_embedding_cosine",
-    "curate_corpus",
-    "dedup_semantic_keep",
-    "sim_cosine_topk",
-    "sim_ivf_topk",
-    "corpus_hash_sample",
-    "corpus_vocab_topk",
-    "corpus_pack_sequences",
-    "mm_decode_features",
-    "mm_frame_sample",
-    "corpus_domain_quota",
+    # -- new in round 5 --
+    "mm_decode_real",
+    "lake_skipping_read",
+    "lake_zorder_compact",
+    "sketch_hll_distinct",
+    "corpus_minhash_dedup_e2e",
+    # -- r3-row queries on substrate r4 touched most --
+    "dedup_incremental",
+    "dedup_ngram_containment",
+    "dedup_simhash_pairs",
+    "dedup_cluster_groups",
+    "dedup_contamination",
+    "dedup_embedding_cells",
+    "j_asof_join",
+    "a6_tumbling_window",
+    "a7_session_window",
+    "a8_rollup",
+    "a9_pivot",
+    "set_operations",
+    "limit_sorted",
+    # -- pipeline endstates (newest row r3) --
+    "pipe_ods2dwd_endstate",
+    "pipe_dwd2dm_endstate",
+    "pipe_log2lake_endstate",
+    "pipe_bootstrap_endstate",
+    "pipe_lake2stream_export",
+    "pipe_multitable_fanout",
+    "pipe_cdc_dms_parse",
+    "pipe_cdc_canal_parse",
+    "pipe_stream_runsum_endstate",
+    # -- remaining r3-row queries --
+    "a3_distinct",
+    "a4_count",
+    "a5_precombine_dedup",
+    "p2_json_parse_flatten",
+    "c10_get_json_value",
+    "p4_to_json",
+    "p5_derived_partitions",
+    "p8_sql_over_views",
+    "f2_f3_filters",
+    "c_scalar_functions",
+    "c_date_functions",
+    "lake_upsert_snapshot",
+    "lake_incremental_read",
+    "lake_delete",
+    "sim_kmeans_refine",
+    "text_repetition",
+    "text_pii_scrub",
+    "text_tfidf_topk",
+    "text_unigram_quality",
+    "corpus_chunk_windows",
+    "corpus_training_order",
+    "corpus_length_histogram",
 ]
 
 

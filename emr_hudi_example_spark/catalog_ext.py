@@ -663,18 +663,27 @@ _KMEANS_ORACLE = f"""
                       list_max([abs(e::DOUBLE) FOR e IN embedding]) AS mx
                FROM embeddings)
     SELECT vec_id, mx AS scale,
-           CASE WHEN mx = 0
-                THEN [CAST(0 AS INT) FOR e IN embedding]
-                ELSE [CAST(floor(e::DOUBLE / mx * 127 + 0.5) AS INT)
-                      FOR e IN embedding] END AS qvec
+           array_to_string(
+             CASE WHEN mx = 0
+                  THEN [CAST(0 AS INT) FOR e IN embedding]
+                  ELSE [CAST(floor(e::DOUBLE / mx * 127 + 0.5) AS INT)
+                        FOR e IN embedding] END, ',') AS qcodes
     FROM v
     """,
 )
 def sim_quantize_int8(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Symmetric per-vector int8 quantization of the embedding corpus —
     the 4× ANN working-set shrink; round-half-up via exact ``floor`` so
-    the codes are bit-identical across engines."""
-    return S.quantize_embeddings(load(spark, sf_dir, "embeddings"))
+    the codes are bit-identical across engines.
+
+    The codes are graded as a comma-joined string (``concat_ws`` /
+    ``array_to_string``): the driver's pandas canonicalizer cannot hash
+    list-typed cells (r4 verdict #1), so graded outputs must be scalar.
+    """
+    qz = S.quantize_embeddings(load(spark, sf_dir, "embeddings"))
+    return qz.select(
+        "vec_id", "scale", F.concat_ws(",", "qvec").alias("qcodes")
+    )
 
 
 @query("sim_kmeans_refine", oracle=_KMEANS_ORACLE)

@@ -279,10 +279,13 @@ class LeaseLockProvider(LockProvider):
         import json
 
         path = self._path(self.token)
-        claim = self._read_claim(os.path.basename(path)) or {
-            "token": self.token,
-            "holder": self.holder,
-        }
+        claim = self._read_claim(os.path.basename(path))
+        if claim is None:
+            # Lease file pruned (superseded long ago) — recreating it
+            # from a fallback dict would repollute the pruned history
+            # log (r4 advice). Surface the same signal _read_claim
+            # swallowed; release() treats it as nothing-to-release.
+            raise FileNotFoundError(path)
         claim.update(updates)
         tmp = path + ".tmp"
         with open(tmp, "w") as fh:

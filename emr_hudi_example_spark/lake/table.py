@@ -1140,7 +1140,25 @@ class LakeTable:
         # expired + taken over) — the zombie publishes nothing. No-op
         # for the O_EXCL file lock (cannot be superseded while held).
         self.lock_provider.validate()
-        os.replace(tmp, os.path.join(self.commits_dir, instant + ".json"))
+        final = os.path.join(self.commits_dir, instant + ".json")
+        os.replace(tmp, final)
+        # validate() is not atomic with the rename: a writer paused
+        # (GC/SIGSTOP) between the two can still publish after a lease
+        # takeover (r4 advice). Re-validate AFTER publish and roll the
+        # manifest back if fenced, shrinking the zombie window from
+        # "unbounded pause" to the microseconds between rename and this
+        # check. Residual (documented) window: a zombie that crashes
+        # after the rename but before the rollback leaves its manifest
+        # in the timeline; a reader racing between rename and unlink
+        # can transiently observe it.
+        try:
+            self.lock_provider.validate()
+        except Exception:
+            try:
+                os.unlink(final)
+            except FileNotFoundError:
+                pass
+            raise
         self._live_cache = (instant, live)
         interval = self.manifest_checkpoint_interval
         if interval:

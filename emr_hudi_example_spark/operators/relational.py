@@ -199,7 +199,13 @@ def join_range(
     p = points.withColumn(
         "_rb", F.floor(F.col(point_col) / F.lit(bucket_width))
     )
-    i = intervals.withColumn(
+    # Inverted intervals (hi <= lo, corrupt data) must be dropped BEFORE
+    # the explode: F.sequence auto-steps -1 when end < start, so one bad
+    # row would generate a descending bucket array spanning the whole
+    # gap — a memory blowup that happens before the exact filter could
+    # discard the (matchless) pairs (r4 advice). hi <= lo matches zero
+    # points under lo <= p < hi, so dropping is semantics-preserving.
+    i = intervals.filter(F.col(hi_col) > F.col(lo_col)).withColumn(
         "_rb",
         F.explode(
             F.sequence(

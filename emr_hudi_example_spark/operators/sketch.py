@@ -100,6 +100,18 @@ def kmv_jaccard(
     over distinct values), each group is REDUCED TO ≤ k doubles — the
     pairwise self-join is over G rows of tiny arrays (G = group count),
     trivially broadcastable; corpus size never appears again.
+
+    Regime bound (deliberate): the pairwise join is **O(G²) in group
+    count**, independent of corpus size. That is the right tool when G
+    is a domain/language/source-bucket cardinality (G ≲ 10³–10⁴ ⇒ at
+    most ~10⁸ cheap array-intersect rows, comfortably one executor
+    wave); it is the WRONG tool for G ≈ 10⁶ groups (per-document
+    sketches, say), where G² ≈ 10¹² pairs no cluster should enumerate.
+    Beyond that regime, treat each group's k sketch hashes as a
+    signature and band them LSH-style (reuse ``dedup.minhash_lsh``'s
+    band→bucket→join path with the sketch array as the signature):
+    candidate pairs then scale with bucket collisions, not G², and this
+    estimator is applied only to the surviving candidates.
     """
     pairs = df.select(
         F.col(group_col).alias("grp"), F.col(value_col).alias("val")

@@ -47,6 +47,18 @@ def _canon(v):
         return f"{v:.6f}"
     if isinstance(v, bool):
         return str(int(v))
+    if isinstance(v, (list, tuple, set, dict, bytearray)):
+        # The driver canonicalizes via pandas sort_values, which cannot
+        # factorize container-typed cells (round-4 verdict: the only red
+        # row, sim_quantize_int8, was a raw array<int> output erroring
+        # with "unhashable type: 'list'"). Graded outputs must be
+        # scalar — serialize arrays with concat_ws(',') on the Spark
+        # side and array_to_string(x, ',') in the DuckDB oracle.
+        raise AssertionError(
+            f"container-typed cell {type(v).__name__} {v!r}: the driver's "
+            "pandas canonicalizer cannot hash it; project to scalars "
+            "(concat_ws / array_to_string) instead"
+        )
     return str(v)
 
 

@@ -461,7 +461,10 @@ def test_join_range_semantics(spark):
         "pid LONG, t LONG",
     )
     itv = spark.createDataFrame(
-        [(100, 10, 20), (200, 15, 40), (300, 60, 70)],
+        # iid 400 is inverted (hi << lo): must be dropped BEFORE bucket
+        # explosion — F.sequence would otherwise generate a descending
+        # array spanning the whole gap (r4 advice), here ~10^8 buckets.
+        [(100, 10, 20), (200, 15, 40), (300, 60, 70), (400, 50, -10**9)],
         "iid LONG, lo LONG, hi LONG",
     )
     got = sorted(

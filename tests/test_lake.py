@@ -1246,6 +1246,64 @@ def test_lease_fenced_commit_publishes_nothing(spark, tmp_path):
     assert t.timeline() == []
 
 
+def test_lease_release_after_prune_is_noop(tmp_path):
+    """release() after the holder's lease file was pruned from the
+    history log must NOT recreate it from a fallback dict (r4 advice:
+    _rewrite_own repolluted the pruned log). State on disk stays
+    exactly as the pruner left it."""
+    import os as _os
+
+    from emr_hudi_example_spark.lake.locks import LeaseLockProvider
+
+    root = str(tmp_path / "prune-tbl")
+    p = LeaseLockProvider(root, holder="w")
+    p.acquire(wait_seconds=1.0)
+    own = p._path(p.token)
+    _os.unlink(own)  # simulate a later holder's history prune
+    p.release()  # must not resurrect the pruned file
+    assert not _os.path.exists(own)
+    assert p.token is None
+
+
+def test_zombie_publish_after_takeover_is_rolled_back(spark, tmp_path):
+    """The narrower r4 residual window: a writer that passes the
+    pre-publish validate(), stalls, loses its lease to a takeover, then
+    completes the rename — the post-publish re-validate must unlink the
+    just-published manifest and raise, leaving the timeline clean."""
+    import os as _os
+
+    from emr_hudi_example_spark.lake import LakeTable
+    from emr_hudi_example_spark.lake.locks import (
+        LeaseLockProvider,
+        LockFenced,
+    )
+
+    root = tmp_path / "zombie-tbl"
+    p = LeaseLockProvider(str(root / "testdb" / "z"), holder="writer")
+    real_validate = p.validate
+    calls = {"n": 0}
+
+    def validate_with_midair_theft():
+        calls["n"] += 1
+        real_validate()
+        if calls["n"] == 1:  # theft lands between pre-check and rename
+            thief = LeaseLockProvider(
+                p.lease_dir.rsplit("/_lease", 1)[0], holder="thief"
+            )
+            assert thief._try_claim(p.token + 1)
+
+    p.validate = validate_with_midair_theft
+    t = LakeTable(
+        spark, str(root), "testdb", "z",
+        record_keys=["c_custkey"], precombine="ver", lock_provider=p,
+    )
+    with pytest.raises(LockFenced):
+        t.write(cust(spark, ver=1), op="upsert", instant="001")
+    assert calls["n"] == 2  # both commit-point checks ran
+    assert t.timeline() == []
+    assert not _os.path.exists(_os.path.join(t.commits_dir, "001.json"))
+
+
 def test_lease_provider_drives_lake_table(spark, tmp_path):
     """LakeTable runs unchanged on the lease provider: two commits,
     linear timeline, correct snapshot (the provider seam is real)."""

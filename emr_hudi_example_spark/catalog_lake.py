@@ -389,3 +389,94 @@ def lake_cdc_changes(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.col("before.c_acctbal").alias("before_bal"),
         F.col("after.c_acctbal").alias("after_bal"),
     )
+
+
+@query(
+    "lake_skipping_read",
+    oracle="""
+    SELECT o_orderkey, o_custkey, o_totalprice,
+           CAST(3 AS INT) AS files_skipped
+    FROM orders WHERE o_custkey BETWEEN 1250 AND 1350
+    """,
+)
+def lake_skipping_read(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Column-stats data skipping (r4 verdict task 5 — the Hudi 0.11
+    metadata-table column-stats analog, the reference's engine
+    dependency pom.xml:104-109): parquet-footer min/max for declared
+    ``stats_columns`` are harvested into the manifest at write time,
+    and ``snapshot(predicate=...)`` skips whole files driver-side
+    before any scan. Four insert commits land disjoint ``o_custkey``
+    ranges in four files; a selective BETWEEN predicate must read ONE
+    file and return exactly the filtered rows — the graded
+    ``files_skipped`` column pins the skip count (3 of 4) so a silent
+    regression to scan-everything fails the oracle, not just a perf
+    check."""
+    orders = load(spark, sf_dir, "orders").withColumn(
+        "ver", F.lit(1).cast("long")
+    )
+    t = LakeTable(
+        spark, _tmp_base(), "q", "skipread", ["o_orderkey"], "ver",
+        stats_columns=["o_custkey"],
+    )
+    bounds = [(None, 400), (400, 800), (800, 1200), (1200, None)]
+    for i, (lo, hi) in enumerate(bounds):
+        b = orders
+        if lo is not None:
+            b = b.filter(F.col("o_custkey") >= lo)
+        if hi is not None:
+            b = b.filter(F.col("o_custkey") < hi)
+        t.write(b.coalesce(1), op="insert", instant=f"00{i + 1}")
+    out = t.snapshot(predicate=[("o_custkey", "between", (1250, 1350))])
+    return out.select(
+        "o_orderkey", "o_custkey", "o_totalprice",
+        F.lit(t.last_files_skipped).cast("int").alias("files_skipped"),
+    )
+
+
+@query(
+    "lake_zorder_compact",
+    oracle="""
+    SELECT o_orderkey, o_custkey, o_totalprice
+    FROM orders WHERE o_custkey <= (SELECT max(o_custkey) // 8 FROM orders)
+    """,
+)
+def lake_zorder_compact(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Z-order clustering wired into compaction (r4 verdict task 6):
+    three interleaved insert commits leave every file spanning the full
+    key range (nothing skippable), then ``compact(sort_by=
+    [zorder_key([...], ranges=...)])`` range-partitions the rewrite on
+    the scale-normalized Morton key so each output file owns a tight
+    multi-dimensional cell. The post-compact predicate read must (a)
+    skip at least one file — asserted in-query, like the layout
+    assertion in ``lake_compact_endstate`` — and (b) return exactly the
+    filtered rows: clustering changes LAYOUT, never CONTENT."""
+    from emr_hudi_example_spark.operators.corpus import zorder_key
+
+    orders = load(spark, sf_dir, "orders").withColumn(
+        "ver", F.lit(1).cast("long")
+    )
+    t = LakeTable(
+        spark, _tmp_base(), "q", "zorder", ["o_orderkey"], "ver",
+        stats_columns=["o_custkey", "o_orderkey"],
+    )
+    for i in range(3):
+        t.write(
+            orders.filter(F.col("o_orderkey") % 3 == i).coalesce(1),
+            op="insert", instant=f"00{i + 1}",
+        )
+    lo_c, hi_c, lo_k, hi_k = orders.agg(
+        F.min("o_custkey"), F.max("o_custkey"),
+        F.min("o_orderkey"), F.max("o_orderkey"),
+    ).collect()[0]
+    t.compact(
+        instant="004", target_files_per_partition=8,
+        sort_by=[zorder_key(
+            ["o_custkey", "o_orderkey"], bits=16,
+            ranges=[(lo_c, hi_c), (lo_k, hi_k)],
+        )],
+    )
+    out = t.snapshot(predicate=[("o_custkey", "<=", int(hi_c) // 8)])
+    assert t.last_files_skipped > 0, (
+        "z-order clustering must make the predicate read skip files"
+    )
+    return out.select("o_orderkey", "o_custkey", "o_totalprice")

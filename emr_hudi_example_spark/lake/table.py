@@ -121,6 +121,7 @@ class LakeTable:
         record_index: bool = False,
         lock_provider: LockProvider | None = None,
         manifest_checkpoint_interval: int | None = 10,
+        stats_columns: list[str] | None = None,
     ) -> None:
         if table_type not in ("COPY_ON_WRITE", "MERGE_ON_READ"):
             raise ValueError(f"unknown table type: {table_type}")
@@ -144,6 +145,19 @@ class LakeTable:
         #: observability: candidates dropped by key-range pruning in the
         #: most recent upsert/delete planning pass
         self.last_range_pruned = 0
+        #: column-stats data skipping (Hudi 0.11 metadata-table column
+        #: stats analog, the reference's engine dependency pom.xml:104):
+        #: per-file parquet-FOOTER min/max are harvested for these
+        #: columns at write time and stored in the manifest, so
+        #: snapshot()/incremental()/read_optimized() with a `predicate`
+        #: can skip whole files driver-side — at 100 TB the difference
+        #: between touching one file and scanning a partition. Supported
+        #: stat types: int/float/string/date/timestamp (Decimal columns
+        #: are skipped — lossless JSON round-trip isn't guaranteed).
+        self.stats_columns = list(stats_columns or [])
+        #: observability: files skipped by column-stats pruning in the
+        #: most recent predicate read
+        self.last_files_skipped = 0
         #: how long a writer waits on a held lock before failing (0 =
         #: fail fast); live contention (async compactor vs ingest) waits,
         #: stale locks from crashed writers still surface as errors
@@ -349,10 +363,118 @@ class LakeTable:
             raise ValueError(f"table {self.db}.{self.table} does not exist")
         return T.StructType.fromJson(self._manifest(last)["schema"])
 
+    # -------------------------------------------- column-stats data skipping
+
+    #: predicate ops accepted by snapshot()/incremental()/read_optimized();
+    #: a predicate is a CONJUNCTION of (column, op, operand) conditions
+    _PRED_OPS = ("=", "<", "<=", ">", ">=", "between", "in")
+
+    def _stats_may_match(self, f: dict, predicate: list[tuple]) -> bool:
+        """Can ANY row of file ``f`` satisfy every predicate condition,
+        judging only by the manifest's per-file min/max? Missing stats
+        for a column ⇒ conservatively yes. Null rows never satisfy a
+        comparison predicate (SQL three-valued logic), and footer
+        min/max exclude nulls, so pruning on them is exact."""
+        if f.get("rows") == 0:
+            return False  # empty part file: no row can match anything
+        for col, op, val in predicate:
+            stats = (
+                (f.get("key_min"), f.get("key_max"))
+                if col == RECORD_KEY_COL
+                else tuple(f.get("col_stats", {}).get(col) or (None, None))
+            )
+            lo, hi = stats
+            if lo is None or hi is None:
+                continue  # no stats for this column in this file
+            try:
+                if op == "between":
+                    a, b = self._stat_json(val[0]), self._stat_json(val[1])
+                    if a is None or b is None:
+                        continue
+                    if hi < a or lo > b:
+                        return False
+                elif op == "in":
+                    vals = [self._stat_json(v) for v in val]
+                    if any(v is None for v in vals):
+                        continue
+                    if all(v < lo or v > hi for v in vals):
+                        return False
+                else:
+                    v = self._stat_json(val)
+                    if v is None:
+                        continue
+                    if (
+                        (op == "=" and (v < lo or v > hi))
+                        or (op == "<" and not lo < v)
+                        or (op == "<=" and not lo <= v)
+                        or (op == ">" and not hi > v)
+                        or (op == ">=" and not hi >= v)
+                    ):
+                        return False
+            except TypeError:
+                continue  # operand/stat type mismatch: keep the file
+        return True
+
+    def _stats_prune(
+        self, files: list[dict], predicate: list[tuple] | None
+    ) -> list[dict]:
+        """Driver-side file skipping on the manifest's column stats (the
+        read-path analog of upsert planning's key-range prune). On MOR,
+        only BASE files are skippable: a delta row may rewrite a key's
+        column values in either direction, so every live delta file must
+        reach the merge — a skipped base file is safe because any of its
+        rows that a retained delta supersedes wins the merge from the
+        delta copy alone, and its un-superseded rows provably fail the
+        predicate. Updates ``last_files_skipped``."""
+        if not predicate:
+            self.last_files_skipped = 0
+            return files
+        for col, op, _val in predicate:
+            if op not in self._PRED_OPS:
+                raise ValueError(
+                    f"unknown predicate op {op!r}; use one of {self._PRED_OPS}"
+                )
+        keep, skipped = [], 0
+        for f in files:
+            if self.is_mor and f.get("kind", "base") != "base":
+                keep.append(f)
+            elif self._stats_may_match(f, predicate):
+                keep.append(f)
+            else:
+                skipped += 1
+        self.last_files_skipped = skipped
+        return keep
+
+    @staticmethod
+    def _predicate_condition(predicate: list[tuple]):
+        """The exact row filter for a predicate — applied after the scan
+        (and after the MOR merge), so a predicate read returns precisely
+        ``df.filter(...)`` semantics; file skipping is only ever an
+        optimization on top."""
+        cond = F.lit(True)
+        for col, op, val in predicate:
+            c = F.col(col)
+            if op == "between":
+                cond = cond & (c >= F.lit(val[0])) & (c <= F.lit(val[1]))
+            elif op == "in":
+                cond = cond & c.isin(list(val))
+            elif op == "=":
+                cond = cond & (c == F.lit(val))
+            elif op == "<":
+                cond = cond & (c < F.lit(val))
+            elif op == "<=":
+                cond = cond & (c <= F.lit(val))
+            elif op == ">":
+                cond = cond & (c > F.lit(val))
+            elif op == ">=":
+                cond = cond & (c >= F.lit(val))
+        return cond
+
     def snapshot(
         self,
         partition_filter: dict[str, object] | None = None,
         as_of: str | None = None,
+        predicate: list[tuple] | None = None,
     ) -> DataFrame:
         """Latest-committed view (S3 semantics, ``SRC/ODS2DWD.scala:30-32``).
 
@@ -361,6 +483,11 @@ class LakeTable:
         ``as_of`` time-travels: the view as of the newest commit ≤ that
         instant (Hudi's ``as.of.instant`` read), served purely from that
         commit's manifest — old files must not have been cleaned yet.
+        ``predicate`` — conjunction of ``(col, op, operand)`` with op in
+        ``=, <, <=, >, >=, between, in`` — returns exactly
+        ``snapshot().filter(pred)`` but first SKIPS files whose manifest
+        column stats (``stats_columns``) prove no row can match (Hudi
+        0.11 data skipping); ``last_files_skipped`` records the count.
         """
         schema = None
         if as_of is not None:
@@ -379,29 +506,58 @@ class LakeTable:
                 for f in files
                 if all(f["partition"].get(k) == v for k, v in want.items())
             ]
+        files = self._stats_prune(files, predicate)
         out = self._read_files([f["path"] for f in files], schema)
         if self.is_mor:
             out = self._merged_read(out)
+        if predicate:
+            out = out.filter(self._predicate_condition(predicate))
         return out
 
-    def read_optimized(self) -> DataFrame:
+    def read_optimized(
+        self, predicate: list[tuple] | None = None
+    ) -> DataFrame:
         """S5 — read-optimized view (``SRC/MSK2Hudi.scala:5``): for COW
         it IS the snapshot; for MOR it scans BASE files only (inserts +
         compactions) with no delta merge — faster, possibly stale, the
-        real Hudi trade."""
+        real Hudi trade. ``predicate`` file-skips on column stats like
+        :meth:`snapshot` (every file here is base, so all are
+        skippable)."""
         if not self.is_mor:
-            return self.snapshot()
+            return self.snapshot(predicate=predicate)
         files = [f for f in self._live_files() if f.get("kind", "base") == "base"]
-        return self._read_files([f["path"] for f in files]).drop(DELETED_COL)
+        # base-only read: no delta can resurface a skipped row, so the
+        # MOR keep-deltas rule doesn't apply — prune as if COW
+        if predicate:
+            kept, skipped = [], 0
+            for f in files:
+                if self._stats_may_match(f, predicate):
+                    kept.append(f)
+                else:
+                    skipped += 1
+            self.last_files_skipped = skipped
+            files = kept
+        out = self._read_files([f["path"] for f in files]).drop(DELETED_COL)
+        if predicate:
+            out = out.filter(self._predicate_condition(predicate))
+        return out
 
-    def incremental(self, begin: str | None, end: str | None = None) -> DataFrame:
+    def incremental(
+        self,
+        begin: str | None,
+        end: str | None = None,
+        predicate: list[tuple] | None = None,
+    ) -> DataFrame:
         """S4 — rows changed in ``(begin, end]`` by commit time
         (``SRC/ODS2DWD.scala:51-56``). ``begin=None`` → from the start;
         ``end=None`` → up to the latest commit.
 
         File pruning: only files *added* by commits in range are scanned;
         the ``_commit_time`` row filter then drops carried-over older rows
-        that COW rewrites copied into those files.
+        that COW rewrites copied into those files. ``predicate``
+        additionally skips in-range files by manifest column stats (see
+        :meth:`snapshot`) before the scan, then applies the exact row
+        filter.
         """
         tl = self.timeline()
         arch = os.path.join(self.commits_dir, "_archived")
@@ -422,9 +578,9 @@ class LakeTable:
         in_range = [
             i for i in tl if (begin is None or i > begin) and (end is None or i <= end)
         ]
-        files: list[str] = []
+        added: list[dict] = []
         for inst in in_range:
-            files.extend(f["path"] for f in self._manifest(inst)["added"])
+            added.extend(self._manifest(inst)["added"])
         # a file added in-range may have been replaced by a later in-range
         # commit; restrict to files still live OR added by the newest
         # in-range commit chain. Simplest correct rule: scan files added in
@@ -433,8 +589,9 @@ class LakeTable:
             f["path"]
             for f in (self._live_files_at(in_range[-1]) if in_range else [])
         }
-        files = [p for p in files if p in live_at_end]
-        df = self._read_files(files)
+        fds = [f for f in added if f["path"] in live_at_end]
+        fds = self._stats_prune(fds, predicate)
+        df = self._read_files([f["path"] for f in fds])
         cond = F.lit(True)
         if begin is not None:
             cond = cond & (F.col(COMMIT_TIME_COL) > begin)
@@ -443,8 +600,16 @@ class LakeTable:
         if self.is_mor:
             # merge within the range: one row per key (its newest
             # in-range version), matching what a COW rewrite would have
-            # produced; tombstones drop out in the merge
-            return self._merged_read(df.filter(cond))
+            # produced; tombstones drop out in the merge. The predicate
+            # row filter applies AFTER the merge — filtering versions
+            # first could surface a stale matching version whose newest
+            # (non-matching) successor the filter removed.
+            out = self._merged_read(df.filter(cond))
+            if predicate:
+                out = out.filter(self._predicate_condition(predicate))
+            return out
+        if predicate:
+            cond = cond & self._predicate_condition(predicate)
         return df.filter(cond)
 
     def changes(self, begin: str | None, end: str | None = None) -> DataFrame:
@@ -1053,47 +1218,96 @@ class LakeTable:
                         k, v = seg[len(_PT_PREFIX):].split("=", 1)
                         partition[k] = unquote(v)
                 pp = "/".join(f"{k}={partition[k]}" for k in self.partition_keys) if partition else ""
-                kmin, kmax = self._footer_key_range(full)
-                added.append(
-                    {
-                        "path": rel,
-                        "partition": partition,
-                        "partition_path": pp,
-                        "kind": kind,
-                        "key_min": kmin,
-                        "key_max": kmax,
-                    }
+                ranges = self._footer_column_ranges(
+                    full, [RECORD_KEY_COL] + self.stats_columns
                 )
+                nrows = ranges.pop("__rows__", None)
+                kmin, kmax = ranges.get(RECORD_KEY_COL) or (None, None)
+                col_stats = {
+                    c: [self._stat_json(r[0]), self._stat_json(r[1])]
+                    for c, r in ranges.items()
+                    if c != RECORD_KEY_COL
+                    and r is not None
+                    and self._stat_json(r[0]) is not None
+                    and self._stat_json(r[1]) is not None
+                }
+                entry = {
+                    "path": rel,
+                    "partition": partition,
+                    "partition_path": pp,
+                    "kind": kind,
+                    "key_min": kmin,
+                    "key_max": kmax,
+                }
+                if nrows is not None:
+                    entry["rows"] = nrows[0]
+                if col_stats:
+                    entry["col_stats"] = col_stats
+                added.append(entry)
         return sorted(added, key=lambda f: f["path"])
 
     @staticmethod
-    def _footer_key_range(path: str) -> tuple[str | None, str | None]:
-        """Min/max of ``_record_key`` from the parquet FOOTER statistics
-        (no data read) — the engine's column-stats index, the analog of
-        what Hudi's metadata table stores per file. Stored in the
-        manifest so upsert/delete planning can range-prune candidate
-        files entirely driver-side."""
+    def _footer_column_ranges(
+        path: str, cols: list[str]
+    ) -> dict[str, tuple | None]:
+        """Per-column (min, max) from the parquet FOOTER statistics of
+        ONE metadata read (no data I/O) — the engine's column-stats
+        index, the analog of what Hudi's metadata table stores per file.
+        Stored in the manifest so upsert/delete planning AND predicate
+        reads can prune files entirely driver-side. A column with any
+        stats-less row group maps to None (conservative: unprunable)."""
+        out: dict[str, tuple | None] = {c: None for c in cols}
+        out["__rows__"] = None
         try:
             import pyarrow.parquet as pq
 
             md = pq.ParquetFile(path).metadata
-            idx = None
-            for i in range(md.num_columns):
-                if md.row_group(0).column(i).path_in_schema == RECORD_KEY_COL:
-                    idx = i
-                    break
-            if idx is None:
-                return None, None
-            mins, maxs = [], []
-            for rg in range(md.num_row_groups):
-                st = md.row_group(rg).column(idx).statistics
-                if st is None or not st.has_min_max:
-                    return None, None
-                mins.append(st.min)
-                maxs.append(st.max)
-            return min(mins), max(maxs)
+            out["__rows__"] = (md.num_rows, md.num_rows)
+            if md.num_row_groups == 0:
+                return out
+            idx_by_name = {
+                md.row_group(0).column(i).path_in_schema: i
+                for i in range(md.num_columns)
+            }
+            for c in cols:
+                i = idx_by_name.get(c)
+                if i is None:
+                    continue
+                mins, maxs = [], []
+                for rg in range(md.num_row_groups):
+                    st = md.row_group(rg).column(i).statistics
+                    if st is None or not st.has_min_max:
+                        mins = []
+                        break
+                    mins.append(st.min)
+                    maxs.append(st.max)
+                if mins:
+                    out[c] = (min(mins), max(maxs))
         except Exception:
-            return None, None  # stats are an optimization, never required
+            pass  # stats are an optimization, never required
+        return out
+
+    @staticmethod
+    def _stat_json(v):
+        """Normalize a footer stat (or predicate operand) to a JSON-safe
+        value whose Python comparison order matches the column's SQL
+        order: numbers/strings pass through, datetimes/dates become
+        isoformat strings (lexicographic == chronological), everything
+        else (Decimal, bytes, …) maps to None = unprunable."""
+        import datetime
+        import decimal
+
+        if isinstance(v, bool) or v is None:
+            return None
+        if isinstance(v, (int, float, str)):
+            return v
+        if isinstance(v, (datetime.datetime, datetime.date)):
+            return v.isoformat(sep=" ") if isinstance(
+                v, datetime.datetime
+            ) else v.isoformat()
+        if isinstance(v, decimal.Decimal):
+            return None  # string order != numeric order; stay safe
+        return None
 
     def _write_manifest(
         self,
@@ -1218,11 +1432,47 @@ class LakeTable:
 
     # ----------------------------------------------------------- compaction
 
+    def _cluster_for_compact(
+        self,
+        df: DataFrame,
+        files: list[dict],
+        target_files_per_partition: int,
+        sort_by: list | None,
+    ) -> DataFrame:
+        """Shape the compaction output files. Without ``sort_by``:
+        hash-repartition on the partition keys (or coalesce when
+        unpartitioned). With ``sort_by`` — Hudi clustering's sort/z-order
+        analog — RANGE-partition on (partition keys + sort key) so each
+        output file owns a DISJOINT key range: that is what makes the
+        per-file footer min/max tight enough for predicate reads to skip
+        files (coalesce + sortWithinPartitions alone sorts rows within
+        arbitrary splits, leaving every file spanning the full range).
+        ``sort_by`` may mix column names and expressions, e.g.
+        ``[zorder_key(["a", "b"])]`` clusters along both dimensions at
+        once."""
+        parts = max(
+            1,
+            target_files_per_partition
+            * max(1, len({f["partition_path"] for f in files})),
+        )
+        if sort_by:
+            keys = [F.col(k) for k in self.partition_keys] + [
+                F.col(s) if isinstance(s, str) else s for s in sort_by
+            ]
+            return df.repartitionByRange(parts, *keys).sortWithinPartitions(
+                *keys
+            )
+        if self.partition_keys:
+            return df.repartition(
+                parts, *[F.col(k) for k in self.partition_keys]
+            )
+        return df.coalesce(target_files_per_partition)
+
     def compact(
         self,
         instant: str | None = None,
         target_files_per_partition: int = 1,
-        sort_by: list[str] | None = None,
+        sort_by: list | None = None,
     ) -> str | None:
         """Small-file squashing as a commit — the COW engine's analog of
         the reference's MOR compaction knobs (``HudiConfig.scala:21-23``,
@@ -1247,7 +1497,7 @@ class LakeTable:
         self,
         instant: str | None,
         target_files_per_partition: int,
-        sort_by: list[str] | None = None,
+        sort_by: list | None = None,
     ) -> str:
         inst = self._next_instant(instant)
         live = self._live_files()
@@ -1257,22 +1507,9 @@ class LakeTable:
             # keep their _commit_time, the column set stays the stored
             # schema (all-false _deleted) so later reads are uniform
             df = self._merged_read(df).withColumn(DELETED_COL, F.lit(False))
-        if self.partition_keys:
-            parts = max(
-                1,
-                target_files_per_partition
-                * len({f["partition_path"] for f in live}),
-            )
-            df = df.repartition(
-                parts, *[F.col(k) for k in self.partition_keys]
-            )
-        else:
-            df = df.coalesce(target_files_per_partition)
-        if sort_by:
-            # clustering: sort within output files so parquet row-group
-            # min/max stats prune range/point predicates on these columns
-            # (Hudi clustering's sort-order analog)
-            df = df.sortWithinPartitions(*sort_by)
+        df = self._cluster_for_compact(
+            df, live, target_files_per_partition, sort_by
+        )
         added = self._write_data_files(df, inst)  # kind=base: folds deltas
         self._write_manifest(
             inst,
@@ -1334,7 +1571,7 @@ class LakeTable:
         self,
         plan_id: str | None = None,
         target_files_per_partition: int = 1,
-        sort_by: list[str] | None = None,
+        sort_by: list | None = None,
     ) -> str | None:
         """Async-compaction phase 2: execute a scheduled plan. Folds the
         plan's pinned files into fresh base files; delta files committed
@@ -1384,19 +1621,9 @@ class LakeTable:
                 df = self._merged_read(df).withColumn(
                     DELETED_COL, F.lit(False)
                 )
-            if self.partition_keys:
-                parts = max(
-                    1,
-                    target_files_per_partition
-                    * len({f["partition_path"] for f in pinned}),
-                )
-                df = df.repartition(
-                    parts, *[F.col(k) for k in self.partition_keys]
-                )
-            else:
-                df = df.coalesce(target_files_per_partition)
-            if sort_by:
-                df = df.sortWithinPartitions(*sort_by)
+            df = self._cluster_for_compact(
+                df, pinned, target_files_per_partition, sort_by
+            )
             added = self._write_data_files(df, inst)
             self._write_manifest(
                 inst,

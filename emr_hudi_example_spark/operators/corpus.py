@@ -222,7 +222,11 @@ def importance_sample(
     )
 
 
-def zorder_key(cols: list[str], bits: int = 16):
+def zorder_key(
+    cols: list[str],
+    bits: int = 16,
+    ranges: list[tuple[float, float]] | None = None,
+):
     """Z-order (Morton) key: interleave the low ``bits`` bits of each
     integer column into one long — rows sorted by it cluster along ALL
     the dimensions at once, so parquet row-group min/max stats prune
@@ -230,7 +234,18 @@ def zorder_key(cols: list[str], bits: int = 16):
     Pure expression tree (codegen); pair with
     ``LakeTable.compact(sort_by=[...])`` on a column materialized from
     this. Columns are truncated to ``bits`` bits; negative values are
-    masked like Java's ``&`` (two's complement)."""
+    masked like Java's ``&`` (two's complement).
+
+    ``ranges`` — one ``(lo, hi)`` per column — SCALE-NORMALIZES each
+    dimension onto the full ``[0, 2^bits)`` register before the
+    interleave: ``scaled = floor((x - lo) * 2^bits / (hi - lo + 1))``,
+    clamped. Without it, a column whose values span fewer significant
+    bits than a sibling contributes dead high bits, the wide column
+    dominates the curve, and the narrow column's ranges never tighten —
+    the same reason Hudi/Delta rank-normalize before z-ordering. Get
+    ``(lo, hi)`` from the table's manifest column stats or one cheap
+    ``agg(min, max)``; integer math is exact (products stay < 2^53).
+    """
     n = len(cols)
     if bits * n > 63:
         # bit position 63 would need 2^63, past LongType's max — the
@@ -239,15 +254,25 @@ def zorder_key(cols: list[str], bits: int = 16):
             f"zorder_key needs bits*len(cols) <= 63 (got {bits}*{n}="
             f"{bits * n}); reduce bits to {63 // n} for {n} columns"
         )
+    if ranges is not None and len(ranges) != n:
+        raise ValueError("ranges must have one (lo, hi) per column")
+    dims = []
+    m = 1 << bits
+    for j, c in enumerate(cols):
+        x = F.col(c).cast("long")
+        if ranges is not None:
+            lo, hi = ranges[j]
+            span = max(1, int(hi) - int(lo) + 1)
+            scaled = F.floor(((x - F.lit(int(lo))) * m) / F.lit(span))
+            x = F.least(
+                F.greatest(scaled, F.lit(0)), F.lit(m - 1)
+            ).cast("long")
+        dims.append(x)
     terms = []
     for i in range(bits):
-        for j, c in enumerate(cols):
-            bit = F.shiftright(F.col(c).cast("long"), i).bitwiseAND(
-                F.lit(1)
-            )
-            terms.append(
-                bit * F.lit(2 ** (i * n + j)).cast("long")
-            )
+        for j in range(n):
+            bit = F.shiftright(dims[j], i).bitwiseAND(F.lit(1))
+            terms.append(bit * F.lit(2 ** (i * n + j)).cast("long"))
     out = terms[0]
     for t in terms[1:]:
         out = out + t

@@ -1460,3 +1460,166 @@ def test_archival_pins_checkpoint_at_horizon(spark, tmp_path):
     t2._manifest_any = lambda inst: (reads.append(inst), orig(t2, inst))[1]
     assert t2.snapshot().count() == base.count()
     assert all(i > "003" for i in reads), "replay touched archived manifests"
+
+
+# ---------------------------------------------- column-stats data skipping
+
+
+def _orders(spark):
+    return spark.read.parquet(f"{SF}/orders.parquet").withColumn(
+        "ver", F.lit(1).cast("long")
+    )
+
+
+def _orders_table(spark, tmp, name, **kw):
+    return LakeTable(
+        spark, str(tmp), "testdb", name,
+        record_keys=["o_orderkey"], precombine="ver", **kw,
+    )
+
+
+def test_stats_skipping_cow_snapshot(spark, tmp_path):
+    """snapshot(predicate=...) skips files whose manifest column stats
+    (parquet-footer min/max, harvested at write) prove no row matches —
+    and returns exactly the filtered result (r4 verdict task 5)."""
+    o = _orders(spark)
+    t = _orders_table(
+        spark, tmp_path, "skip",
+        stats_columns=["o_orderdate", "o_totalprice"],
+    )
+    spans = [  # fixture dates span 1995..2001
+        ("1900-01-01", "1997-01-01"), ("1997-01-01", "1999-01-01"),
+        ("1999-01-01", "2000-01-01"), ("2000-01-01", "2100-01-01"),
+    ]
+    for i, (lo, hi) in enumerate(spans):
+        b = o.filter(
+            (F.col("o_orderdate") >= lo) & (F.col("o_orderdate") < hi)
+        ).coalesce(1)
+        t.write(b, op="insert", instant=f"00{i + 1}")
+    assert all("col_stats" in f for f in t._live_files())
+
+    pred = [("o_orderdate", "between", ("1999-03-01", "1999-06-30"))]
+    got = t.snapshot(predicate=pred)
+    skipped = t.last_files_skipped  # set at plan time; later reads reset it
+    want = t.snapshot().filter(
+        (F.col("o_orderdate") >= "1999-03-01")
+        & (F.col("o_orderdate") <= "1999-06-30")
+    )
+    assert skipped == 3  # only the 1999 file survives
+    assert got.count() == want.count() > 0
+    assert got.exceptAll(want).count() == 0
+
+    # numeric predicate on an unsorted column: stats exist but ranges
+    # overlap, so 0 skips — still exact results, never wrong results
+    hi_price = t.snapshot(predicate=[("o_totalprice", ">", 400000.0)])
+    assert hi_price.count() == t.snapshot().filter(
+        F.col("o_totalprice") > 400000.0
+    ).count()
+
+
+def test_stats_skipping_mor_keeps_deltas(spark, tmp_path):
+    """MOR predicate reads skip BASE files only: delta rows may move a
+    key's value into or out of the predicate range, so every delta
+    reaches the merge and the row filter runs post-merge."""
+    o = _orders(spark)
+    t = _orders_table(
+        spark, tmp_path, "skipmor",
+        table_type="MERGE_ON_READ", stats_columns=["o_totalprice"],
+    )
+    base = o.limit(100).coalesce(1)
+    t.write(base, op="insert", instant="001")
+    moved_in = (
+        base.limit(10)
+        .withColumn("ver", F.lit(2).cast("long"))
+        .withColumn("o_totalprice", F.lit(999999.0))
+    )
+    t.write(moved_in, op="upsert", instant="002")
+    # value moved INTO the range by a delta: base (no 999999) is skipped,
+    # the delta alone carries the matching rows through the merge
+    got = t.snapshot(predicate=[("o_totalprice", "=", 999999.0)])
+    assert got.count() == 10
+    assert t.last_files_skipped == 1
+    # value moved OUT of the range: the stale base version must NOT
+    # resurface (base is scanned, merge picks the delta, filter drops it)
+    one_key = [r[0] for r in base.limit(1).select("o_orderkey").collect()]
+    price = [
+        r[0]
+        for r in base.limit(1).select("o_totalprice").collect()
+    ][0]
+    t.write(
+        base.limit(1)
+        .withColumn("ver", F.lit(3).cast("long"))
+        .withColumn("o_totalprice", F.lit(0.01)),
+        op="upsert", instant="003",
+    )
+    stale = t.snapshot(predicate=[("o_totalprice", "=", float(price))])
+    assert stale.filter(F.col("o_orderkey").isin(one_key)).count() == 0
+
+
+def test_stats_skipping_incremental(spark, tmp_path):
+    """incremental(predicate=...) prunes in-range files by column stats
+    and still returns exactly the commit-time-filtered + predicate-
+    filtered rows."""
+    o = _orders(spark)
+    t = _orders_table(
+        spark, tmp_path, "skipinc", stats_columns=["o_orderdate"],
+    )
+    lo_half = o.filter(F.col("o_orderdate") < "1998-01-01").coalesce(1)
+    hi_half = o.filter(F.col("o_orderdate") >= "1998-01-01").coalesce(1)
+    t.write(lo_half, op="insert", instant="001")
+    t.write(hi_half, op="insert", instant="002")
+    pred = [("o_orderdate", ">=", "2000-06-01")]
+    got = t.incremental(None, "002", predicate=pred)
+    assert t.last_files_skipped == 1  # the pre-1998 file
+    assert got.count() == o.filter(
+        F.col("o_orderdate") >= "2000-06-01"
+    ).count()
+
+
+def test_zorder_compact_improves_skipping(spark, tmp_path):
+    """compact(sort_by=[zorder_key(...)]) range-clusters output files so
+    per-file stats tighten: before the compact every file spans the full
+    key range (0 skips possible); after it, predicates on EITHER z-order
+    dimension skip files, at identical content (r4 verdict task 6)."""
+    from emr_hudi_example_spark.operators.corpus import zorder_key
+
+    o = _orders(spark)
+    t = _orders_table(
+        spark, tmp_path, "zorder",
+        stats_columns=["o_custkey", "o_orderkey"],
+    )
+    # 3 interleaved commits: every file spans ~the full custkey range
+    for i in range(3):
+        t.write(
+            o.filter(F.col("o_orderkey") % 3 == i).coalesce(1),
+            op="insert", instant=f"00{i + 1}",
+        )
+    cust_lo, cust_max, okey_lo, okey_hi = o.agg(
+        F.min("o_custkey"), F.max("o_custkey"),
+        F.min("o_orderkey"), F.max("o_orderkey"),
+    ).collect()[0]
+    pred = [("o_custkey", "<=", int(cust_max) // 8)]
+    before = t.snapshot(predicate=pred)
+    skipped_before = t.last_files_skipped
+    n_match = before.count()
+    assert skipped_before == 0  # interleaved: nothing prunable
+
+    t.compact(
+        instant="004", target_files_per_partition=8,
+        # ranges scale-normalize both dims onto the full bit register —
+        # without them the wider o_orderkey dominates the curve and
+        # o_custkey predicates never prune
+        sort_by=[zorder_key(
+            ["o_custkey", "o_orderkey"], bits=16,
+            ranges=[(cust_lo, cust_max), (okey_lo, okey_hi)],
+        )],
+    )
+    after = t.snapshot(predicate=pred)
+    assert after.count() == n_match
+    assert after.exceptAll(before).count() == 0
+    skipped_cust = t.last_files_skipped
+    assert skipped_cust > 0, "z-order clustering must enable file skips"
+    # the SECOND z-order dimension prunes too (the point of interleaving
+    # bits instead of lexicographic (custkey, orderkey) sort)
+    t.snapshot(predicate=[("o_orderkey", "<=", int(okey_hi) // 8)])
+    assert t.last_files_skipped > 0

@@ -38,7 +38,7 @@ _PRIORITY: list[str] = [
     "mm_decode_real",
     "lake_skipping_read",
     "lake_zorder_compact",
-    "sketch_hll_distinct",
+    "sketch_fm_distinct",
     "corpus_minhash_dedup_e2e",
     # -- r3-row queries on substrate r4 touched most --
     "dedup_incremental",

@@ -198,6 +198,42 @@ def minhash_lsh_dedup(
     return jaccard_verify(df, cands, id_col, text_col, k, threshold)
 
 
+def minhash_dedup_corpus(
+    df: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    num_perm: int = 12,
+    band_size: int = 3,
+    k: int = 3,
+    threshold: float = 0.5,
+    max_bucket_size: int | None = 256,
+) -> DataFrame:
+    """END-TO-END near-dup removal: LSH pair generation feeding directly
+    into a keep/drop decision over the corpus — the shape a training-
+    data pipeline actually ships (pairs are an intermediate, the
+    deliverable is the surviving corpus).
+
+    Keep policy: *pairwise id-dominance* — a doc is dropped iff some
+    SMALLER-id doc is its verified near-dup (``id_b`` of any pair).
+    This is deliberately not the transitive-closure policy
+    (``connected_components`` / ``dedup_cluster_groups`` covers that):
+    dominance needs ONE extra anti-join after pair-gen instead of an
+    iterative algorithm, and for near-dup chains it only differs by
+    keeping additional intermediate docs whose direct partners were
+    already dropped — the conservative side for training data.
+
+    Scale shape: pair-gen is the bucketed LSH path (skew-capped, never
+    all-pairs); the drop set is at most one id per pair, so the final
+    ``left_anti`` join shuffles the thin (id) column against the corpus
+    — or broadcasts, when the drop set is small."""
+    pairs = minhash_lsh_dedup(
+        df, id_col, text_col, num_perm, band_size, k, threshold,
+        max_bucket_size,
+    )
+    drops = pairs.select(F.col("id_b").alias(id_col)).distinct()
+    return df.join(drops, id_col, "left_anti")
+
+
 def ngram_jaccard_pairs(
     df: DataFrame,
     id_col: str = "doc_id",

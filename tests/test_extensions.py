@@ -57,8 +57,40 @@ def test_multimodal_stub_contract(spark):
         assert r["sha256"] == hashlib.sha256(raw).hexdigest()
         assert r["crc32"] == (zlib.crc32(raw) & 0xFFFFFFFF)
         assert abs(r["fake_mean_luma"] - sum(raw) / len(raw) / 255.0) < 1e-12
-    with pytest.raises(NotImplementedError):
-        MM.decode_image_stub(b"\x89PNG")
+    # a non-PPM blob must be rejected by the REAL codec, loudly
+    with pytest.raises(ValueError, match="P6"):
+        MM.decode_ppm(b"\x89PNG")
+
+
+def test_ppm_codec_roundtrip_and_kernel_parity():
+    """encode → decode round-trips exactly, the header grammar (comment
+    lines, multi-digit dims) is honored, and the mapInPandas kernel's
+    inlined parser agrees with the module-level decode_ppm."""
+    import numpy as np
+    import pandas as pd
+
+    w, h = 13, 7
+    px = np.arange(3 * w * h, dtype=np.uint8).tobytes()
+    blob = MM.encode_ppm(w, h, px)
+    assert b"#" in blob.split(b"255")[0]  # comment line present
+    gw, gh, gpx = MM.decode_ppm(blob)
+    assert (gw, gh, gpx) == (w, h, px)
+    with pytest.raises(ValueError, match="truncated"):
+        MM.decode_ppm(blob[:-1])
+    # kernel parity on a builder-generated image
+    build = MM.make_ppm_corpus_batch()
+    decode = MM.make_ppm_decode_batch()
+    src = pd.DataFrame({"doc_id": [7, 12]})
+    corpus = pd.concat(build([src]))
+    out = pd.concat(decode([corpus])).set_index("doc_id")
+    for doc_id in (7, 12):
+        dw, dh, dpx = MM.decode_ppm(bytes(corpus.set_index("doc_id").loc[doc_id, "content"]))
+        arr = np.frombuffer(dpx, dtype=np.uint8).reshape(dh, dw, 3)
+        row = out.loc[doc_id]
+        assert (row["width"], row["height"]) == (dw, dh)
+        assert [row["sum_r"], row["sum_g"], row["sum_b"]] == [
+            int(arr[:, :, c].astype(np.int64).sum()) for c in range(3)
+        ]
 
 
 def test_embedding_near_dup_symmetric_bound(spark):
@@ -524,6 +556,47 @@ def test_kmv_sketch_accuracy_and_small_sets(spark):
         for r in kmv_distinct(df.repartition(13), "grp", "val", k=64).collect()
     }
     assert got2 == {g: r["est_distinct"] for g, r in got.items()}
+
+
+def test_fm_registers_and_estimate(spark):
+    """FM/PCSA registers are deterministic under repartitioning (a MAX
+    is a MAX) and the driver-side PCSA estimator lands within its
+    textbook error band (~0.78/sqrt(m) RMSE, m=16 → ~20%; allow wide
+    margin) on a 5000-distinct group."""
+    from emr_hudi_example_spark.operators.sketch import (
+        fm_estimate,
+        fm_registers,
+    )
+
+    rows = [("big", f"v{i}") for i in range(5000)]
+    df = spark.createDataFrame(rows, "grp STRING, val STRING")
+    regs = fm_registers(df, "grp", "val", m=16).collect()
+    assert len(regs) == 16  # every bucket hit at n=5000
+    assert all(1 <= r["r"] <= 52 for r in regs)
+    est = fm_estimate([r["r"] for r in regs], m=16)
+    assert 0.4 < est / 5000 < 2.5, est
+    regs2 = sorted(
+        (r["bucket"], r["r"])
+        for r in fm_registers(df.repartition(13), "grp", "val", m=16).collect()
+    )
+    assert regs2 == sorted((r["bucket"], r["r"]) for r in regs)
+
+
+def test_minhash_dedup_corpus_consistent_with_pairs(spark):
+    """The e2e survivor set is exactly the corpus minus every pair's
+    id_b — the keep policy is a pure function of the graded pair
+    list."""
+    from emr_hudi_example_spark.operators import dedup as D
+
+    docs = spark.read.parquet(f"{SF}/documents.parquet")
+    kw = dict(num_perm=12, band_size=3, k=3, threshold=0.2,
+              max_bucket_size=256)
+    pairs = D.minhash_lsh_dedup(docs, **kw)
+    drops = {r["id_b"] for r in pairs.collect()}
+    kept = {r["doc_id"] for r in D.minhash_dedup_corpus(docs, **kw).collect()}
+    all_ids = {r["doc_id"] for r in docs.select("doc_id").collect()}
+    assert kept == all_ids - drops
+    assert drops and kept  # both sides non-trivial on the fixture
 
 
 def test_kmv_jaccard_tracks_exact(spark):

@@ -1153,6 +1153,54 @@ def sketch_kmv_jaccard(spark: SparkSession, sf_dir: str) -> DataFrame:
     return kmv_jaccard(tok, "source", "token", k=64)
 
 
+@query(
+    "corpus_length_quantiles",
+    oracle="""
+    WITH l AS (SELECT lang, doc_id, length(text) AS len FROM documents),
+    r AS (SELECT lang, len,
+                 row_number() OVER (PARTITION BY lang
+                                    ORDER BY len, doc_id) AS rn,
+                 count(*) OVER (PARTITION BY lang) AS n
+          FROM l),
+    p AS (SELECT unnest([0.25, 0.5, 0.75, 0.9]) AS p)
+    SELECT lang, p, CAST(len AS BIGINT) AS q_len
+    FROM r, p WHERE rn = CAST(ceil(p * n) AS BIGINT)
+    """,
+)
+def corpus_length_quantiles(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-language document-length quantiles by EXACT rank (value at
+    ``row_number == ceil(p·n)``, ties broken by doc_id) — percentile
+    built-ins (approx or interpolating) differ across engines, rank
+    arithmetic cannot. The length-budget table a packing/truncation
+    stage sizes against.
+
+    Scale shape: one window sort per language partition — the same
+    shuffle a per-group topk needs; p is a constant 4-element explode.
+    For 100 TB corpora where a full per-group sort is too hot, swap in
+    the KMV/FM sketch path; this query is the exact-answer tier.
+    """
+    docs = load(spark, sf_dir, "documents")
+    from pyspark.sql.window import Window
+
+    l = docs.select(
+        "lang", "doc_id", F.length("text").alias("len")
+    )
+    w = Window.partitionBy("lang").orderBy("len", "doc_id")
+    r = l.select(
+        "lang", "len",
+        F.row_number().over(w).alias("rn"),
+        F.count(F.lit(1)).over(Window.partitionBy("lang")).alias("n"),
+    )
+    ps = F.explode(
+        F.array(*[F.lit(p) for p in (0.25, 0.5, 0.75, 0.9)])
+    ).alias("p")
+    return (
+        r.select("lang", "len", "rn", "n", ps)
+        .filter(F.col("rn") == F.ceil(F.col("p") * F.col("n")).cast("long"))
+        .select("lang", "p", F.col("len").cast("long").alias("q_len"))
+    )
+
+
 def _fm_oracle() -> str:
     from emr_hudi_example_spark.operators.sketch import fm_rho_sql
 

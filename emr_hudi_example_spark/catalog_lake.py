@@ -480,3 +480,28 @@ def lake_zorder_compact(spark: SparkSession, sf_dir: str) -> DataFrame:
         "z-order clustering must make the predicate read skip files"
     )
     return out.select("o_orderkey", "o_custkey", "o_totalprice")
+
+
+@query(
+    "lake_read_optimized",
+    oracle=f"""
+    SELECT c_custkey, c_name, c_acctbal, ver, _commit_time
+    FROM ({_B1_SQL})
+    """,
+)
+def lake_read_optimized(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """S5 — MOR read-optimized view (``SRC/MSK2Hudi.scala:5``): after a
+    base insert and a delta upsert, ``read_optimized()`` scans BASE
+    files only — the faster, possibly-stale view is exactly batch 1,
+    while ``snapshot()`` (graded by ``lake_mor_upsert_snapshot``) merges
+    the delta. This pins the STALENESS contract: the real Hudi trade is
+    that RO must NOT see unmerged deltas."""
+    t = LakeTable(
+        spark, _tmp_base(), "q", "ro", ["c_custkey"], "ver",
+        table_type="MERGE_ON_READ",
+    )
+    t.write(_batch1(spark, sf_dir), op="insert", instant="001")
+    t.write(_batch2(spark, sf_dir), op="upsert", instant="002")
+    return t.read_optimized().select(
+        "c_custkey", "c_name", "c_acctbal", "ver", "_commit_time"
+    )

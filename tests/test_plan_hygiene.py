@@ -65,3 +65,18 @@ def test_no_cartesian_products_anywhere_in_window(spark):
         if "CartesianProduct" in plan:
             offenders.append(name)
     assert not offenders, offenders
+
+
+def test_mm_decode_real_is_narrow(spark):
+    # builder kernel -> decoder kernel: two chained Arrow stages over
+    # the scan, zero shuffles — a shuffle here means someone broke the
+    # per-row pipeline shape the 100 TB media path depends on
+    plan = _plan(spark, "mm_decode_real")
+    assert "Exchange" not in plan
+    assert plan.count("MapInPandas") == 2
+
+
+def test_quantize_serialized_output_stays_narrow(spark):
+    # the r5 concat_ws serialization must not have introduced a shuffle
+    plan = _plan(spark, "sim_quantize_int8")
+    assert "Exchange" not in plan

@@ -695,6 +695,32 @@ def sim_quantize_int8(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def _srp_oracle(n_planes: int = 16) -> str:
+    dot = (
+        "list_sum([ (embedding[d]::DOUBLE) * "
+        "(CAST(concat('0x', substr(md5('p{i}:' || CAST(d - 1 AS VARCHAR)),"
+        " 1, 4)) AS BIGINT) - 32768) "
+        "FOR d IN range(1, len(embedding) + 1) ])"
+    )
+    terms = " + ".join(
+        f"(CASE WHEN {dot.format(i=i)} > 0 THEN {1 << i} ELSE 0 END)"
+        for i in range(n_planes)
+    )
+    return f"SELECT vec_id, CAST({terms} AS INT) AS sig FROM embeddings"
+
+
+@query("sim_srp_signatures", oracle=_srp_oracle())
+def sim_srp_signatures(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Signed-random-projection LSH signatures over the embedding
+    corpus — cosine-space SimHash, the third ANN family next to IVF
+    cells and int8 brute force. Value-gated down to the sign of every
+    hyperplane dot product: plane components are md5-derived 16-bit
+    integers (hashlib on the Spark side, SQL md5 in the oracle — same
+    bytes) and the fold order is identical in ``F.aggregate`` and
+    ``list_sum``, so the dots are bit-equal across engines."""
+    return S.srp_signatures(load(spark, sf_dir, "embeddings"))
+
+
 @query("sim_kmeans_refine", oracle=_KMEANS_ORACLE)
 def sim_kmeans_refine(spark: SparkSession, sf_dir: str) -> DataFrame:
     """One Lloyd k-means iteration over the embedding corpus (seeds =
@@ -1151,6 +1177,34 @@ def sketch_kmv_jaccard(spark: SparkSession, sf_dir: str) -> DataFrame:
         "source", F.explode(tokens("text")).alias("token")
     )
     return kmv_jaccard(tok, "source", "token", k=64)
+
+
+@query(
+    "text_bigram_surprise",
+    oracle=f"""
+    WITH t AS (SELECT doc_id, {_TOKS} AS tk FROM documents),
+    bg AS (SELECT doc_id,
+                  unnest(tk[1:len(tk) - 1]) AS w1,
+                  unnest(tk[2:len(tk)]) AS w2
+           FROM t),
+    uni AS (SELECT w1, count(*) AS c1 FROM bg GROUP BY w1),
+    big AS (SELECT w1, w2, count(*) AS c12 FROM bg GROUP BY w1, w2)
+    SELECT bg.doc_id,
+           count(*) AS n_bigrams,
+           CAST(sum(CASE WHEN c1 > 100 * c12 THEN 1 ELSE 0 END)
+                AS BIGINT) AS n_rare,
+           min(c12::DOUBLE / c1::DOUBLE) AS min_p
+    FROM bg JOIN big USING (w1, w2) JOIN uni USING (w1)
+    GROUP BY bg.doc_id
+    """,
+)
+def text_bigram_surprise(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Statistical-LM quality scoring without logs: per-doc count of
+    rare token transitions (exact integer cross-multiplication against
+    corpus bigram/first-token counts) and the most surprising
+    transition probability — the perplexity-shaped filter of a
+    data-quality pipeline, engine-exact."""
+    return TX.bigram_surprise(load(spark, sf_dir, "documents"))
 
 
 @query(

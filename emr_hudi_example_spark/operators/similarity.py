@@ -587,3 +587,60 @@ def kmeans_refine(
         .join(refined, id_col)
         .select(id_col, "cluster_init", "cluster_refined", "cos_refined")
     )
+
+
+def srp_plane_value(plane: int, dim: int, seed: str = "p") -> int:
+    """Deterministic random-hyperplane component: 16-bit signed integer
+    from md5(``'{seed}{plane}:{dim}'``) — computed with hashlib here and
+    with SQL ``md5`` in the DuckDB oracle, same bytes either way."""
+    import hashlib
+
+    return (
+        int(hashlib.md5(f"{seed}{plane}:{dim}".encode()).hexdigest()[:4], 16)
+        - 32768
+    )
+
+
+def srp_signatures(
+    df: DataFrame,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    n_planes: int = 16,
+    dim: int = 64,
+) -> DataFrame:
+    """Signed-random-projection (SRP) LSH signatures for cosine space:
+    bit ``i`` = sign of the dot product with a deterministic md5-derived
+    hyperplane — ``P(bit differs) = angle/π``, so Hamming distance on
+    the signature estimates angular distance (the cosine-space sibling
+    of text SimHash; band the bits for sub-quadratic near-dup candidate
+    generation exactly like ``dedup.simhash``'s pairing path).
+
+    Exactness: plane components are 16-bit integers (exact doubles),
+    products and the left-to-right fold are IEEE-identical in Spark's
+    ``aggregate`` and DuckDB's ``list_sum``, so even the SIGN of each
+    dot — and therefore the whole signature — is value-gated, not just
+    distribution-tested. Planes are precomputed driver-side and
+    embedded as literal arrays: per row the work is ``n_planes`` fused
+    zip-multiply folds, zero shuffles, no per-row hashing.
+    """
+    from functools import reduce
+    from operator import add
+
+    dv = _as_double(vec_col)
+    bits = []
+    for i in range(n_planes):
+        plane = F.array(
+            *[
+                F.lit(float(srp_plane_value(i, d)))
+                for d in range(dim)
+            ]
+        )
+        dot = F.aggregate(
+            F.zip_with(dv, plane, lambda a, b: a * b),
+            F.lit(0.0),
+            lambda acc, x: acc + x,
+        )
+        bits.append((dot > 0).cast("int") * F.lit(1 << i))
+    return df.select(
+        F.col(id_col), reduce(add, bits).cast("int").alias("sig")
+    )

@@ -376,3 +376,50 @@ def bigram_collocations(
             F.round("lift_raw", 6).alias("lift"), "rank",
         )
     )
+
+
+def bigram_surprise(
+    df: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    rare_denom: int = 100,
+) -> DataFrame:
+    """Per-document bigram-LM surprise profile — the statistical-LM
+    quality signal (garbled/boilerplate/glued text has improbable token
+    transitions) without the log-probabilities cross-engine floats
+    forbid. Per doc: ``n_bigrams``; ``n_rare`` = adjacent pairs whose
+    corpus conditional probability ``p(w2|w1) = c12/c1`` is below
+    ``1/rare_denom`` — decided by EXACT integer cross-multiplication
+    (``c1 > rare_denom·c12``), never a float threshold; and ``min_p``,
+    the most surprising transition (min of single-division doubles —
+    order-independent, IEEE-exact). Docs with < 2 tokens emit nothing.
+
+    Scale shape: one explode of the corpus into (doc, w1, w2); bigram
+    and first-token count tables built with map-side partial agg (the
+    skew-heavy 'the'-style keys collapse before shuffling); then two
+    hash joins of the bigram stream against those count tables and one
+    per-doc agg. No windows over raw token streams, no per-row Python.
+    """
+    tk = tokens(text_col)
+    bg = df.select(
+        F.col(id_col),
+        F.explode(
+            F.zip_with(
+                F.slice(tk, 1, F.size(tk) - 1),
+                F.slice(tk, 2, F.size(tk) - 1),
+                lambda a, b: F.struct(a.alias("w1"), b.alias("w2")),
+            )
+        ).alias("bg"),
+    ).select(id_col, F.col("bg.w1").alias("w1"), F.col("bg.w2").alias("w2"))
+    uni = bg.groupBy("w1").agg(F.count(F.lit(1)).alias("c1"))
+    big = bg.groupBy("w1", "w2").agg(F.count(F.lit(1)).alias("c12"))
+    joined = bg.join(big, ["w1", "w2"]).join(uni, ["w1"])
+    return joined.groupBy(id_col).agg(
+        F.count(F.lit(1)).alias("n_bigrams"),
+        F.sum(
+            (F.col("c1") > rare_denom * F.col("c12")).cast("long")
+        ).alias("n_rare"),
+        F.min(
+            F.col("c12").cast("double") / F.col("c1").cast("double")
+        ).alias("min_p"),
+    )

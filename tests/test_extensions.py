@@ -618,3 +618,35 @@ def test_kmv_jaccard_tracks_exact(spark):
     assert got[("w", "x")] == 0.0 and got[("w", "y")] == 0.0
     # exact J(x, z) = 200/600 = 1/3; k=64 band is wide — assert bracket
     assert 0.12 < got[("x", "z")] < 0.55
+
+
+def test_srp_hamming_tracks_cosine(spark):
+    """SRP contract: P(bit differs) = angle/pi, so pairs with small
+    signature Hamming distance must have systematically higher cosine
+    than pairs with large distance."""
+    import numpy as np
+
+    from emr_hudi_example_spark.operators.similarity import srp_signatures
+
+    emb = spark.read.parquet(f"{SF}/embeddings.parquet").limit(150)
+    sigs = {r["vec_id"]: r["sig"] for r in srp_signatures(emb).collect()}
+    vecs = {
+        r["vec_id"]: np.array(r["embedding"], dtype=np.float64)
+        for r in emb.collect()
+    }
+    close, far = [], []
+    ids = sorted(sigs)
+    for ai in range(len(ids)):
+        for bi in range(ai + 1, len(ids)):
+            a, b = ids[ai], ids[bi]
+            ham = bin(sigs[a] ^ sigs[b]).count("1")
+            va, vb = vecs[a], vecs[b]
+            cos = float(
+                va @ vb / (np.linalg.norm(va) * np.linalg.norm(vb))
+            )
+            if ham <= 4:
+                close.append(cos)
+            elif ham >= 10:
+                far.append(cos)
+    assert close and far
+    assert (sum(close) / len(close)) > (sum(far) / len(far)) + 0.1

@@ -13,6 +13,7 @@ from datetime import datetime, timezone
 
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
+from pyspark.sql import types as T
 
 from emr_hudi_example_spark.catalog import load, query
 from emr_hudi_example_spark.catalog_lake import _tmp_base
@@ -328,6 +329,81 @@ def pipe_cdc_dms_parse(spark: SparkSession, sf_dir: str) -> DataFrame:
             "score",
             "money",
         )
+    )
+
+
+@query(
+    "pipe_cdc_debezium_parse",
+    oracle="""
+    SELECT c_custkey,
+           CASE WHEN c_custkey % 100 = 0 THEN c_acctbal
+                WHEN c_custkey % 10 = 0 THEN c_acctbal + 1000.0
+                ELSE c_acctbal END AS c_acctbal,
+           CAST(CASE WHEN c_custkey % 100 = 0 THEN 1 ELSE 0 END AS INT)
+             AS is_deleted,
+           CAST(1700000000000 + c_custkey AS BIGINT) AS ts_ms
+    FROM customer
+    """,
+)
+def pipe_cdc_debezium_parse(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Debezium-envelope CDC parse + flatten — the third CDC dialect
+    (Canal and DMS are graded by their own ``pipe_cdc_*`` rows; a Kafka
+    Connect feed speaks this one). Inserts arrive as ``op=c`` (after
+    image), updates as ``op=u``, deletes as ``op=d`` carrying only the
+    before image; a junk record with no ``op`` must be dropped by the
+    parse guard. Output is the engine's upsert/tombstone stream —
+    exactly what ``LakeTable.write`` consumes, with ``ts_ms`` as the
+    precombine."""
+    from emr_hudi_example_spark.cdc import (
+        debezium_to_upserts,
+        parse_debezium,
+    )
+
+    cust = load(spark, sf_dir, "customer")
+    row_schema = T.StructType(
+        [
+            T.StructField("c_custkey", T.LongType()),
+            T.StructField("c_acctbal", T.DoubleType()),
+        ]
+    )
+    before = F.struct(
+        F.col("c_custkey"), F.col("c_acctbal").cast("double").alias("c_acctbal")
+    )
+    after_u = F.struct(
+        F.col("c_custkey"),
+        (F.col("c_acctbal") + 1000.0).cast("double").alias("c_acctbal"),
+    )
+    op = (
+        F.when(F.col("c_custkey") % 100 == 0, F.lit("d"))
+        .when(F.col("c_custkey") % 10 == 0, F.lit("u"))
+        .otherwise(F.lit("c"))
+    )
+    envelope = F.to_json(
+        F.struct(
+            F.when(op != "c", before).alias("before"),
+            F.when(op == "d", F.lit(None).cast(row_schema))
+            .when(op == "u", after_u)
+            .otherwise(before)
+            .alias("after"),
+            F.struct(
+                F.lit("appdb").alias("db"),
+                F.lit("public").alias("schema"),
+                F.lit("customer").alias("table"),
+                (F.lit(1700000000000) + F.col("c_custkey")).alias("ts_ms"),
+                F.col("c_custkey").alias("lsn"),
+            ).alias("source"),
+            op.alias("op"),
+            (F.lit(1700000000000) + F.col("c_custkey")).alias("ts_ms"),
+        )
+    )
+    junk = spark.createDataFrame([('{"foo": 1}',)], "value STRING")
+    feed = cust.select(envelope.alias("value")).unionByName(junk)
+    ups = debezium_to_upserts(parse_debezium(feed, row_schema))
+    return ups.select(
+        "c_custkey",
+        "c_acctbal",
+        F.col("_cdc_deleted").cast("int").alias("is_deleted"),
+        "ts_ms",
     )
 
 

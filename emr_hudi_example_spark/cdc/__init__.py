@@ -1,10 +1,16 @@
-"""CDC envelope parsing: Canal (MySQL binlog) and DMS/Kinesis."""
+"""CDC envelope parsing: Canal (MySQL binlog), DMS/Kinesis, Debezium."""
 
 from emr_hudi_example_spark.cdc.canal import (
     CANAL_OP_TO_LAKE_OP,
     ChangeSet,
     canal_to_change,
     parse_canal_df,
+)
+from emr_hudi_example_spark.cdc.debezium import (
+    DEBEZIUM_SOURCE_SCHEMA,
+    debezium_envelope_schema,
+    debezium_to_upserts,
+    parse_debezium,
 )
 from emr_hudi_example_spark.cdc.dms import DMS_ENVELOPE_SCHEMA, TAXI_DATA_SCHEMA
 
@@ -15,4 +21,8 @@ __all__ = [
     "CANAL_OP_TO_LAKE_OP",
     "DMS_ENVELOPE_SCHEMA",
     "TAXI_DATA_SCHEMA",
+    "DEBEZIUM_SOURCE_SCHEMA",
+    "debezium_envelope_schema",
+    "debezium_to_upserts",
+    "parse_debezium",
 ]

@@ -61,3 +61,41 @@ def test_parse_canal_df_matches_driver_side(spark):
     assert all(r["table"] == "test_binglog" for r in out)
     exploded = {json.loads(r["row_json"]).get("id") for r in out}
     assert exploded == {"4", "1", "2"}
+
+
+def test_debezium_envelope_to_upserts(spark):
+    """Debezium dialect: c/u take the after image, d takes the before
+    image with the tombstone flag, op-less junk and null-image rows are
+    dropped; ts_ms rides along as the precombine."""
+    import json as _json
+
+    from pyspark.sql import types as T
+
+    from emr_hudi_example_spark.cdc import (
+        debezium_to_upserts,
+        parse_debezium,
+    )
+
+    row_schema = T.StructType(
+        [T.StructField("id", T.LongType()), T.StructField("v", T.StringType())]
+    )
+    msgs = [
+        {"after": {"id": 1, "v": "new"}, "op": "c", "ts_ms": 10},
+        {"before": {"id": 2, "v": "old"}, "after": {"id": 2, "v": "upd"},
+         "op": "u", "ts_ms": 20},
+        {"before": {"id": 3, "v": "gone"}, "op": "d", "ts_ms": 30},
+        {"foo": 1},                      # junk: no op
+        {"op": "d", "ts_ms": 40},        # d with no before image: dropped
+    ]
+    df = spark.createDataFrame(
+        [(_json.dumps(m),) for m in msgs], "value STRING"
+    )
+    got = {
+        r["id"]: (r["v"], r["_cdc_deleted"], r["ts_ms"])
+        for r in debezium_to_upserts(parse_debezium(df, row_schema)).collect()
+    }
+    assert got == {
+        1: ("new", False, 10),
+        2: ("upd", False, 20),
+        3: ("gone", True, 30),
+    }

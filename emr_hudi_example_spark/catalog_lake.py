@@ -436,7 +436,8 @@ def lake_skipping_read(spark: SparkSession, sf_dir: str) -> DataFrame:
 @query(
     "lake_zorder_compact",
     oracle="""
-    SELECT o_orderkey, o_custkey, o_totalprice
+    SELECT o_orderkey, o_custkey, o_totalprice,
+           CAST(1 AS INT) AS skipped_any
     FROM orders WHERE o_custkey <= (SELECT max(o_custkey) // 8 FROM orders)
     """,
 )
@@ -447,8 +448,8 @@ def lake_zorder_compact(spark: SparkSession, sf_dir: str) -> DataFrame:
     [zorder_key([...], ranges=...)])`` range-partitions the rewrite on
     the scale-normalized Morton key so each output file owns a tight
     multi-dimensional cell. The post-compact predicate read must (a)
-    skip at least one file — asserted in-query, like the layout
-    assertion in ``lake_compact_endstate`` — and (b) return exactly the
+    skip at least one file — pinned by the graded ``skipped_any``
+    column — and (b) return exactly the
     filtered rows: clustering changes LAYOUT, never CONTENT."""
     from emr_hudi_example_spark.operators.corpus import zorder_key
 
@@ -476,10 +477,15 @@ def lake_zorder_compact(spark: SparkSession, sf_dir: str) -> DataFrame:
         )],
     )
     out = t.snapshot(predicate=[("o_custkey", "<=", int(hi_c) // 8)])
-    assert t.last_files_skipped > 0, (
-        "z-order clustering must make the predicate read skip files"
+    # skip evidence is part of the GRADED output (a bare assert would
+    # vanish under python -O): the exact count depends on range-
+    # partitioner sampling, but clustered stats must prune >= 1 file
+    return out.select(
+        "o_orderkey", "o_custkey", "o_totalprice",
+        F.lit(1 if t.last_files_skipped > 0 else 0)
+        .cast("int")
+        .alias("skipped_any"),
     )
-    return out.select("o_orderkey", "o_custkey", "o_totalprice")
 
 
 @query(

@@ -375,6 +375,22 @@ class LakeTable:
         for a column ⇒ conservatively yes. Null rows never satisfy a
         comparison predicate (SQL three-valued logic), and footer
         min/max exclude nulls, so pruning on them is exact."""
+        import re as _re
+
+        _DT = _re.compile(r"^\d{4}-\d{2}-\d{2}[T ]\d{2}:\d{2}")
+
+        def norm(v):
+            # datetime-shaped strings: unify the date/time separator to
+            # ' ' (what _stat_json serializes) so an ISO-'T' predicate
+            # operand orders chronologically against the stored stats —
+            # 'T' (0x54) vs ' ' (0x20) would otherwise misorder and
+            # wrongly prune (round-5 review finding). Applied only when
+            # BOTH sides are datetime-shaped, so genuine string columns
+            # compare raw.
+            return v[:10] + " " + v[11:] if (
+                isinstance(v, str) and _DT.match(v)
+            ) else v
+
         if f.get("rows") == 0:
             return False  # empty part file: no row can match anything
         for col, op, val in predicate:
@@ -386,21 +402,24 @@ class LakeTable:
             lo, hi = stats
             if lo is None or hi is None:
                 continue  # no stats for this column in this file
+            lo, hi = norm(lo), norm(hi)
             try:
                 if op == "between":
-                    a, b = self._stat_json(val[0]), self._stat_json(val[1])
+                    a, b = norm(self._stat_json(val[0])), norm(
+                        self._stat_json(val[1])
+                    )
                     if a is None or b is None:
                         continue
                     if hi < a or lo > b:
                         return False
                 elif op == "in":
-                    vals = [self._stat_json(v) for v in val]
+                    vals = [norm(self._stat_json(v)) for v in val]
                     if any(v is None for v in vals):
                         continue
                     if all(v < lo or v > hi for v in vals):
                         return False
                 else:
-                    v = self._stat_json(val)
+                    v = norm(self._stat_json(val))
                     if v is None:
                         continue
                     if (
@@ -416,16 +435,28 @@ class LakeTable:
         return True
 
     def _stats_prune(
-        self, files: list[dict], predicate: list[tuple] | None
+        self,
+        files: list[dict],
+        predicate: list[tuple] | None,
+        all_base: bool = False,
     ) -> list[dict]:
         """Driver-side file skipping on the manifest's column stats (the
-        read-path analog of upsert planning's key-range prune). On MOR,
-        only BASE files are skippable: a delta row may rewrite a key's
-        column values in either direction, so every live delta file must
-        reach the merge — a skipped base file is safe because any of its
-        rows that a retained delta supersedes wins the merge from the
-        delta copy alone, and its un-superseded rows provably fail the
-        predicate. Updates ``last_files_skipped``."""
+        read-path analog of upsert planning's key-range prune). Updates
+        ``last_files_skipped``.
+
+        MOR rule (unless ``all_base`` — the read-optimized view, where
+        no merge follows): delta files are never skipped — a delta row
+        may rewrite a key's column values in either direction — and a
+        BASE file is skippable only when, besides failing the stats
+        test, its KEY RANGE intersects no retained delta file's key
+        range. The key-disjointness clause matters because the merge is
+        ``max_by((precombine, commit_time))``: a retained delta with a
+        LOWER precombine than the base row loses the merge only while
+        the base row is present — prune the base and the stale delta
+        version would win unopposed and leak through the predicate
+        filter (round-5 review finding). Key-disjoint base files are
+        safe: no delta can touch their keys, so every pruned row
+        provably fails the predicate in its final merged form."""
         if not predicate:
             self.last_files_skipped = 0
             return files
@@ -434,11 +465,31 @@ class LakeTable:
                 raise ValueError(
                     f"unknown predicate op {op!r}; use one of {self._PRED_OPS}"
                 )
+        mor_merge = self.is_mor and not all_base
+        delta_ranges: list[tuple] = []
+        if mor_merge:
+            for f in files:
+                if f.get("kind", "base") != "base" and f.get("rows") != 0:
+                    delta_ranges.append((f.get("key_min"), f.get("key_max")))
+
+        def overlaps_delta(f: dict) -> bool:
+            kmin, kmax = f.get("key_min"), f.get("key_max")
+            if kmin is None or kmax is None:
+                return True  # unknown base key range: conservative
+            for dmin, dmax in delta_ranges:
+                if dmin is None or dmax is None:
+                    return True  # unknown delta key range: conservative
+                if not (dmax < kmin or dmin > kmax):
+                    return True
+            return False
+
         keep, skipped = [], 0
         for f in files:
-            if self.is_mor and f.get("kind", "base") != "base":
+            if mor_merge and f.get("kind", "base") != "base":
                 keep.append(f)
-            elif self._stats_may_match(f, predicate):
+            elif self._stats_may_match(f, predicate) or (
+                mor_merge and overlaps_delta(f)
+            ):
                 keep.append(f)
             else:
                 skipped += 1
@@ -468,6 +519,8 @@ class LakeTable:
                 cond = cond & (c > F.lit(val))
             elif op == ">=":
                 cond = cond & (c >= F.lit(val))
+            else:  # unreachable after _stats_prune validation; belt+braces
+                raise ValueError(f"unknown predicate op {op!r}")
         return cond
 
     def snapshot(
@@ -526,17 +579,10 @@ class LakeTable:
         if not self.is_mor:
             return self.snapshot(predicate=predicate)
         files = [f for f in self._live_files() if f.get("kind", "base") == "base"]
-        # base-only read: no delta can resurface a skipped row, so the
-        # MOR keep-deltas rule doesn't apply — prune as if COW
-        if predicate:
-            kept, skipped = [], 0
-            for f in files:
-                if self._stats_may_match(f, predicate):
-                    kept.append(f)
-                else:
-                    skipped += 1
-            self.last_files_skipped = skipped
-            files = kept
+        # base-only read: no merge follows, so no delta can resurface a
+        # skipped row — prune as if COW (all_base lifts the MOR rules
+        # while keeping op validation and the skip counter consistent)
+        files = self._stats_prune(files, predicate, all_base=True)
         out = self._read_files([f["path"] for f in files]).drop(DELETED_COL)
         if predicate:
             out = out.filter(self._predicate_condition(predicate))

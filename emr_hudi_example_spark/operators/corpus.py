@@ -263,7 +263,23 @@ def zorder_key(
         if ranges is not None:
             lo, hi = ranges[j]
             span = max(1, int(hi) - int(lo) + 1)
-            scaled = F.floor(((x - F.lit(int(lo))) * m) / F.lit(span))
+            if span * m > (1 << 53):
+                # the scale product must stay double-exact or bucket
+                # assignment goes off-by-one at boundaries; 2^53/m is
+                # still a ~10^11-wide range at bits=16 — reduce bits or
+                # pre-bucket wider domains
+                raise ValueError(
+                    f"range span {span} * 2^{bits} exceeds 2^53 for "
+                    f"column {c!r}; reduce bits or narrow the range"
+                )
+            # exact integral division: num and num % span are exact
+            # LONG arithmetic, their difference is an exact multiple of
+            # span <= 2^53, and dividing exact-multiple doubles yields
+            # the exact quotient — no FP boundary crossings
+            num = (x - F.lit(int(lo))) * m
+            scaled = ((num - (num % F.lit(span))) / F.lit(span)).cast(
+                "long"
+            )
             x = F.least(
                 F.greatest(scaled, F.lit(0)), F.lit(m - 1)
             ).cast("long")

@@ -15,22 +15,22 @@ def test_oracle_match(spark, name):
     compare(spark, name, catalog.Q[name], catalog.ORACLE[name], SF_CORRECT)
 
 
-def test_all_queries_return_rows(spark):
-    for name, fn in catalog.Q.items():
-        df = fn(spark, SF_CORRECT)
-        assert df.columns, name
-
-
-def test_no_container_columns_in_graded_output(spark):
-    """The driver's pandas canonicalizer cannot hash list/map/struct
-    cells (r4's only red row, sim_quantize_int8, was an array<int>
-    output). Gate it at the schema level for every oracle-gated query:
-    graded outputs must be scalar columns only."""
+def test_all_queries_return_rows_with_scalar_columns(spark):
+    """One pass over every query builder: (a) it produces a DataFrame
+    with columns, and (b) no oracle-gated output carries a
+    list/map/struct column — the driver's pandas canonicalizer cannot
+    hash container cells (r4's only red row, sim_quantize_int8, was an
+    array<int> output; serialize with concat_ws / array_to_string).
+    One loop, not two: the lake builders perform real multi-commit
+    writes, so each extra pass costs minutes of suite time."""
     from pyspark.sql import types as T
 
     bad = (T.ArrayType, T.MapType, T.StructType)
-    for name in catalog.ORACLE:
-        df = catalog.Q[name](spark, SF_CORRECT)
+    for name, fn in catalog.Q.items():
+        df = fn(spark, SF_CORRECT)
+        assert df.columns, name
+        if name not in catalog.ORACLE:
+            continue
         for field in df.schema.fields:
             assert not isinstance(field.dataType, bad), (
                 f"{name}.{field.name} is {field.dataType.simpleString()}: "

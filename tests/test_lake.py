@@ -1517,43 +1517,75 @@ def test_stats_skipping_cow_snapshot(spark, tmp_path):
     ).count()
 
 
+def _mor_price_table(spark, tmp, name):
+    return LakeTable(
+        spark, str(tmp), "testdb", name,
+        record_keys=["k"], precombine="ver",
+        table_type="MERGE_ON_READ", stats_columns=["price"],
+    )
+
+
 def test_stats_skipping_mor_keeps_deltas(spark, tmp_path):
-    """MOR predicate reads skip BASE files only: delta rows may move a
-    key's value into or out of the predicate range, so every delta
-    reaches the merge and the row filter runs post-merge."""
-    o = _orders(spark)
-    t = _orders_table(
-        spark, tmp_path, "skipmor",
-        table_type="MERGE_ON_READ", stats_columns=["o_totalprice"],
-    )
-    base = o.limit(100).coalesce(1)
+    """MOR predicate reads skip BASE files only when no retained delta's
+    key range intersects theirs: overlapping deltas may move a key's
+    value into or out of the predicate range (or lose the merge to the
+    base row — see the lower-precombine test), so the base must reach
+    the merge; key-disjoint bases are provably unaffected and skip."""
+    t = _mor_price_table(spark, tmp_path, "skipmor")
+    base = spark.createDataFrame(
+        [(f"a{i}", 500.0 + i, 1) for i in range(1, 10)],
+        "k STRING, price DOUBLE, ver LONG",
+    ).coalesce(1)
     t.write(base, op="insert", instant="001")
-    moved_in = (
-        base.limit(10)
-        .withColumn("ver", F.lit(2).cast("long"))
-        .withColumn("o_totalprice", F.lit(999999.0))
-    )
-    t.write(moved_in, op="upsert", instant="002")
-    # value moved INTO the range by a delta: base (no 999999) is skipped,
-    # the delta alone carries the matching rows through the merge
-    got = t.snapshot(predicate=[("o_totalprice", "=", 999999.0)])
-    assert got.count() == 10
-    assert t.last_files_skipped == 1
-    # value moved OUT of the range: the stale base version must NOT
-    # resurface (base is scanned, merge picks the delta, filter drops it)
-    one_key = [r[0] for r in base.limit(1).select("o_orderkey").collect()]
-    price = [
-        r[0]
-        for r in base.limit(1).select("o_totalprice").collect()
-    ][0]
+    # delta with DISJOINT keys (b* vs a*): base is skippable
+    delta = spark.createDataFrame(
+        [(f"b{i}", 999999.0, 2) for i in range(1, 6)],
+        "k STRING, price DOUBLE, ver LONG",
+    ).coalesce(1)
+    t.write(delta, op="upsert", instant="002")
+    got = t.snapshot(predicate=[("price", "=", 999999.0)])
+    skipped = t.last_files_skipped
+    assert got.count() == 5
+    assert skipped == 1  # the a* base: fails stats AND key-disjoint
+    # now an OVERLAPPING delta (key a5 moved out of range): the base may
+    # no longer skip — merge must see it so the stale value cannot win
     t.write(
-        base.limit(1)
-        .withColumn("ver", F.lit(3).cast("long"))
-        .withColumn("o_totalprice", F.lit(0.01)),
+        spark.createDataFrame(
+            [("a5", 0.01, 2)], "k STRING, price DOUBLE, ver LONG"
+        ).coalesce(1),
         op="upsert", instant="003",
     )
-    stale = t.snapshot(predicate=[("o_totalprice", "=", float(price))])
-    assert stale.filter(F.col("o_orderkey").isin(one_key)).count() == 0
+    stale = t.snapshot(predicate=[("price", "=", 505.0)])  # a5's old price
+    skipped = t.last_files_skipped
+    assert stale.count() == 0  # newest version (0.01) fails the filter
+    assert skipped == 0  # overlap forces the base through the merge
+
+
+def test_stats_skipping_mor_lower_precombine_delta(spark, tmp_path):
+    """Round-5 review regression: the merge is max_by(precombine), so a
+    LATE-ARRIVING delta with a LOWER precombine than the base row loses
+    only while the base row is present. Skipping the base on stats
+    would let the stale delta version win unopposed and leak through
+    the predicate filter — the key-overlap rule must keep the base."""
+    t = _mor_price_table(spark, tmp_path, "skipmorlow")
+    t.write(
+        spark.createDataFrame(
+            [("a1", 500.0, 2)], "k STRING, price DOUBLE, ver LONG"
+        ).coalesce(1),
+        op="insert", instant="001",
+    )
+    # out-of-order arrival: same key, OLDER version, different price
+    t.write(
+        spark.createDataFrame(
+            [("a1", 100.0, 1)], "k STRING, price DOUBLE, ver LONG"
+        ).coalesce(1),
+        op="upsert", instant="002",
+    )
+    # exact semantics: merge winner is ver=2 (price 500) -> 0 rows match
+    assert t.snapshot().filter(F.col("price") == 100.0).count() == 0
+    got = t.snapshot(predicate=[("price", "=", 100.0)])
+    assert got.count() == 0, "stale lower-precombine delta resurfaced"
+    assert t.last_files_skipped == 0
 
 
 def test_stats_skipping_incremental(spark, tmp_path):
@@ -1623,3 +1655,50 @@ def test_zorder_compact_improves_skipping(spark, tmp_path):
     # bits instead of lexicographic (custkey, orderkey) sort)
     t.snapshot(predicate=[("o_orderkey", "<=", int(okey_hi) // 8)])
     assert t.last_files_skipped > 0
+
+
+def test_stats_skipping_iso_t_separator_predicate(spark, tmp_path):
+    """Round-5 review regression: timestamp stats serialize with a ' '
+    separator; an ISO-'T' predicate operand must still order
+    chronologically against them (normalized at compare time), not
+    lexicographically prune files whose rows match."""
+    o = _orders(spark)
+    t = _orders_table(
+        spark, tmp_path, "skipiso", stats_columns=["o_orderdate"],
+    )
+    t.write(
+        o.filter(F.col("o_orderdate") < "1998-01-01").coalesce(1),
+        op="insert", instant="001",
+    )
+    t.write(
+        o.filter(F.col("o_orderdate") >= "1998-01-01").coalesce(1),
+        op="insert", instant="002",
+    )
+    want = o.filter(F.col("o_orderdate") > "1999-06-01 12:00:00").count()
+    got = t.snapshot(predicate=[("o_orderdate", ">", "1999-06-01T12:00:00")])
+    n = got.count()
+    skipped = t.last_files_skipped
+    # the 'T' operand must not lexicographically out-rank every stat
+    # (' ' < 'T') and prune BOTH files to zero rows
+    assert n == want > 0
+    assert skipped == 1  # pre-1998 file still prunes
+
+
+def test_read_optimized_predicate_validation_and_counter(spark, tmp_path):
+    """read_optimized shares _stats_prune: unknown ops raise (not
+    silently ignored) and a predicate-less read resets the skip
+    counter instead of leaving the previous read's count."""
+    t = _mor_price_table(spark, tmp_path, "roval")
+    t.write(
+        spark.createDataFrame(
+            [(f"a{i}", float(i), 1) for i in range(1, 6)],
+            "k STRING, price DOUBLE, ver LONG",
+        ).coalesce(1),
+        op="insert", instant="001",
+    )
+    with pytest.raises(ValueError, match="unknown predicate op"):
+        t.read_optimized(predicate=[("price", "!=", 3.0)])
+    t.snapshot(predicate=[("price", "=", 99999.0)])
+    assert t.last_files_skipped == 1
+    t.read_optimized()  # no predicate: counter must reset
+    assert t.last_files_skipped == 0

@@ -87,6 +87,11 @@ META_COLS = [COMMIT_TIME_COL, RECORD_KEY_COL, PARTITION_PATH_COL]
 
 _PT_PREFIX = "__pt_"
 
+#: datetime-shaped strings for predicate-vs-stat comparisons: ISO 'T'
+#: operand form vs the ' '-separated form _stat_json serializes
+_ISO_T = re.compile(r"^\d{4}-\d{2}-\d{2}T\d{2}:\d{2}")
+_DT_SPACE = re.compile(r"^\d{4}-\d{2}-\d{2} \d{2}:\d{2}")
+
 
 def reference_table_type(partition_keys: list[str] | None) -> str:
     """The reference's dynamic storage-type rule
@@ -375,22 +380,6 @@ class LakeTable:
         for a column ⇒ conservatively yes. Null rows never satisfy a
         comparison predicate (SQL three-valued logic), and footer
         min/max exclude nulls, so pruning on them is exact."""
-        import re as _re
-
-        _DT = _re.compile(r"^\d{4}-\d{2}-\d{2}[T ]\d{2}:\d{2}")
-
-        def norm(v):
-            # datetime-shaped strings: unify the date/time separator to
-            # ' ' (what _stat_json serializes) so an ISO-'T' predicate
-            # operand orders chronologically against the stored stats —
-            # 'T' (0x54) vs ' ' (0x20) would otherwise misorder and
-            # wrongly prune (round-5 review finding). Applied only when
-            # BOTH sides are datetime-shaped, so genuine string columns
-            # compare raw.
-            return v[:10] + " " + v[11:] if (
-                isinstance(v, str) and _DT.match(v)
-            ) else v
-
         if f.get("rows") == 0:
             return False  # empty part file: no row can match anything
         for col, op, val in predicate:
@@ -402,7 +391,27 @@ class LakeTable:
             lo, hi = stats
             if lo is None or hi is None:
                 continue  # no stats for this column in this file
-            lo, hi = norm(lo), norm(hi)
+
+            def norm(v, lo=lo, hi=hi):
+                # an ISO-'T' predicate operand against TIMESTAMP stats
+                # (always serialized ' '-separated by _stat_json) would
+                # order lexicographically ('T' 0x54 vs ' ' 0x20) and
+                # wrongly prune matching files — normalize the OPERAND
+                # only, and only when both stat bounds are
+                # ' '-separated datetime-shaped (a genuine string
+                # column's raw 'T'-form stats compare raw, matching
+                # Spark's string comparison in the row filter).
+                if (
+                    isinstance(v, str)
+                    and _ISO_T.match(v)
+                    and isinstance(lo, str)
+                    and isinstance(hi, str)
+                    and _DT_SPACE.match(lo)
+                    and _DT_SPACE.match(hi)
+                ):
+                    return v[:10] + " " + v[11:]
+                return v
+
             try:
                 if op == "between":
                     a, b = norm(self._stat_json(val[0])), norm(
@@ -447,16 +456,20 @@ class LakeTable:
         MOR rule (unless ``all_base`` — the read-optimized view, where
         no merge follows): delta files are never skipped — a delta row
         may rewrite a key's column values in either direction — and a
-        BASE file is skippable only when, besides failing the stats
-        test, its KEY RANGE intersects no retained delta file's key
-        range. The key-disjointness clause matters because the merge is
-        ``max_by((precombine, commit_time))``: a retained delta with a
-        LOWER precombine than the base row loses the merge only while
-        the base row is present — prune the base and the stale delta
-        version would win unopposed and leak through the predicate
-        filter (round-5 review finding). Key-disjoint base files are
-        safe: no delta can touch their keys, so every pruned row
-        provably fails the predicate in its final merged form."""
+        stats-failing BASE file is skippable only when its KEY RANGE
+        intersects no RETAINED file's key range (deltas AND surviving
+        bases). The key-disjointness clause matters because the merge
+        is ``max_by((precombine, commit_time))`` across ALL live files:
+        a retained row with a LOWER precombine for a shared key loses
+        the merge only while the pruned file's winning row is present —
+        prune it and the stale version wins unopposed and leaks through
+        the predicate filter. Duplicate keys can live base-vs-delta
+        (late-arriving upserts) or base-vs-base (the no-merge ``insert``
+        op), so both are guarded (round-5 review findings). Two pruned
+        files MAY share keys: every row of both provably fails the
+        predicate, so whichever would win the merge is filtered out
+        either way. Empty files (rows == 0) skip unconditionally — no
+        row of theirs can win any merge."""
         if not predicate:
             self.last_files_skipped = 0
             return files
@@ -466,35 +479,56 @@ class LakeTable:
                     f"unknown predicate op {op!r}; use one of {self._PRED_OPS}"
                 )
         mor_merge = self.is_mor and not all_base
-        delta_ranges: list[tuple] = []
-        if mor_merge:
+        if not mor_merge:
+            keep, skipped = [], 0
             for f in files:
-                if f.get("kind", "base") != "base" and f.get("rows") != 0:
-                    delta_ranges.append((f.get("key_min"), f.get("key_max")))
+                if self._stats_may_match(f, predicate):
+                    keep.append(f)
+                else:
+                    skipped += 1
+            self.last_files_skipped = skipped
+            return keep
 
-        def overlaps_delta(f: dict) -> bool:
+        # pass 1: stats verdict per file; deltas are always retained
+        candidates: list[dict] = []  # stats-failing, non-empty base files
+        retained: list[dict] = []
+        empty_skipped = 0
+        for f in files:
+            if f.get("rows") == 0:
+                empty_skipped += 1  # rowless: cannot win any merge
+            elif f.get("kind", "base") != "base":
+                retained.append(f)
+            elif self._stats_may_match(f, predicate):
+                retained.append(f)
+            else:
+                candidates.append(f)
+        # pass 2: a candidate skips only if key-disjoint from every
+        # retained file (unknown ranges are treated as overlapping)
+        retained_ranges = [
+            (f.get("key_min"), f.get("key_max")) for f in retained
+        ]
+
+        def overlaps_retained(f: dict) -> bool:
             kmin, kmax = f.get("key_min"), f.get("key_max")
             if kmin is None or kmax is None:
-                return True  # unknown base key range: conservative
-            for dmin, dmax in delta_ranges:
-                if dmin is None or dmax is None:
-                    return True  # unknown delta key range: conservative
-                if not (dmax < kmin or dmin > kmax):
+                return True  # unknown candidate key range: conservative
+            for rmin, rmax in retained_ranges:
+                if rmin is None or rmax is None:
+                    return True  # unknown retained key range
+                if not (rmax < kmin or rmin > kmax):
                     return True
             return False
 
-        keep, skipped = [], 0
-        for f in files:
-            if mor_merge and f.get("kind", "base") != "base":
-                keep.append(f)
-            elif self._stats_may_match(f, predicate) or (
-                mor_merge and overlaps_delta(f)
-            ):
+        keep, skipped = list(retained), empty_skipped
+        for f in candidates:
+            if overlaps_retained(f):
                 keep.append(f)
             else:
                 skipped += 1
         self.last_files_skipped = skipped
-        return keep
+        # preserve input order (manifest order) for deterministic scans
+        kept_paths = {f["path"] for f in keep}
+        return [f for f in files if f["path"] in kept_paths]
 
     @staticmethod
     def _predicate_condition(predicate: list[tuple]):

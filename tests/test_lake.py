@@ -1702,3 +1702,54 @@ def test_read_optimized_predicate_validation_and_counter(spark, tmp_path):
     assert t.last_files_skipped == 1
     t.read_optimized()  # no predicate: counter must reset
     assert t.last_files_skipped == 0
+
+
+def test_stats_skipping_mor_base_base_duplicate_keys(spark, tmp_path):
+    """Second review pass: the no-merge insert op can land the same key
+    in TWO base files; the snapshot merge dedupes them, so pruning the
+    winning base file must not let the losing copy win unopposed —
+    base candidates are checked against retained BASES too, not just
+    deltas."""
+    t = _mor_price_table(spark, tmp_path, "basebase")
+    t.write(
+        spark.createDataFrame(
+            [("a1", 100.0, 5)], "k STRING, price DOUBLE, ver LONG"
+        ).coalesce(1),
+        op="insert", instant="001",
+    )
+    t.write(  # duplicate key, OLDER version, different price
+        spark.createDataFrame(
+            [("a1", 1.0, 3)], "k STRING, price DOUBLE, ver LONG"
+        ).coalesce(1),
+        op="insert", instant="002",
+    )
+    # exact semantics: merge winner is ver=5/price=100 -> price=1 empty
+    assert t.snapshot().filter(F.col("price") == 1.0).count() == 0
+    got = t.snapshot(predicate=[("price", "=", 1.0)])
+    assert got.count() == 0, "stale base-base duplicate resurfaced"
+    assert t.last_files_skipped == 0  # key overlap keeps both bases
+
+
+def test_stats_skipping_string_stats_stay_raw(spark, tmp_path):
+    """Second review pass: operand separator normalization applies only
+    when the stored stats are ' '-separated datetime strings — a
+    genuine STRING column whose values use the ISO 'T' form keeps raw
+    lexicographic semantics (matching Spark's row filter), so files
+    with matching rows are not pruned."""
+    t = LakeTable(
+        spark, str(tmp_path), "testdb", "rawstr",
+        record_keys=["k"], precombine="ver", stats_columns=["s"],
+    )
+    t.write(
+        spark.createDataFrame(
+            [("a1", "2026-01-01T00:00:00", 1),
+             ("a2", "2026-01-01T10:00:00", 1)],
+            "k STRING, s STRING, ver LONG",
+        ).coalesce(1),
+        op="insert", instant="001",
+    )
+    # raw string semantics: 'T' (0x54) > 'A' (0x41) -> both rows match
+    pred = [("s", ">=", "2026-01-01A")]
+    got = t.snapshot(predicate=pred)
+    assert got.count() == 2, "string-column file wrongly pruned"
+    assert t.last_files_skipped == 0

@@ -23,13 +23,13 @@ from emr_hudi_example_spark.catalog import ORACLE, Q
 # for round 5 (r4 verdict "Next round" #1/#4):
 #  1. the one red r4 driver row (sim_quantize_int8 — output now
 #     serialized to scalars, see catalog_ext.py);
-#  2. queries NEW this round (no driver row can exist yet);
-#  3. ALL 44 queries whose newest driver row is r3 (outside the r4
-#     window), most-touched substrate first: operators/dedup.py and
+#  2. ALL 11 queries NEW this round (no driver row can exist yet);
+#  3. queries whose newest driver row is r3 (outside the r4 window),
+#     most-touched substrate first: operators/dedup.py and
 #     operators/relational.py gained ~150 lines each in r4 after those
-#     rows were recorded, then the pipe_* endstates, then the rest —
-#     so after r5 no green query's newest driver row is older than two
-#     rounds.
+#     rows were recorded, then the pipe_* endstates, then the rest.
+#     104 queries vs a 50-slot window means 6 r3-row queries stay in
+#     the tail this round; all 104 remain locally oracle-verified.
 # Unknown names are ignored, so this list may lead the code it gates.
 _PRIORITY: list[str] = [
     # -- r4 red row, output serialization fixed this round --
@@ -40,6 +40,11 @@ _PRIORITY: list[str] = [
     "lake_zorder_compact",
     "sketch_fm_distinct",
     "corpus_minhash_dedup_e2e",
+    "lake_read_optimized",
+    "sim_srp_signatures",
+    "text_bigram_surprise",
+    "corpus_length_quantiles",
+    "pipe_cdc_debezium_parse",
     # -- r3-row queries on substrate r4 touched most --
     "dedup_incremental",
     "dedup_ngram_containment",

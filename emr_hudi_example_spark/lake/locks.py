@@ -129,6 +129,20 @@ class LeaseLockProvider(LockProvider):
       zombie publishes nothing. This is the standard fencing-token
       check: mutual exclusion alone cannot protect a paused/partitioned
       writer, the token comparison at the resource does.
+
+      Residual window (deliberate, documented): ``validate()`` and the
+      manifest ``os.replace`` in ``table.py`` are two separate syscalls,
+      so a writer paused *between* them can still publish after a
+      takeover — fencing narrows the zombie window to those two
+      instructions but cannot close it without a resource-side token
+      check, which a plain filesystem rename does not offer. True
+      closure requires the storage layer to verify the token at publish
+      (e.g. object-store conditional-put on the manifest name, or the
+      new holder pre-claiming the expected next instant so a late
+      rename is detectable and discarded by readers). On the target
+      deployment (object store with conditional writes) swap the
+      manifest publish for a compare-and-swap keyed on this token; the
+      provider API already surfaces the token for exactly that.
     * ``release`` atomically rewrites the holder's own lease file with
       ``released: true`` (holder-only write; ``os.replace``).
 

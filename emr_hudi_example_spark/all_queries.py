@@ -45,6 +45,7 @@ _PRIORITY: list[str] = [
     "text_bigram_surprise",
     "corpus_length_quantiles",
     "pipe_cdc_debezium_parse",
+    "lake_bloom_index_prune",
     # -- r3-row queries on substrate r4 touched most --
     "dedup_incremental",
     "dedup_ngram_containment",

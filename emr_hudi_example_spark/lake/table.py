@@ -76,6 +76,7 @@ from pyspark.sql import functions as F
 from pyspark.sql import types as T
 
 from emr_hudi_example_spark.functions.core import now_instant, pk_not_null_condition
+from emr_hudi_example_spark.lake import bloom as bloom_mod
 from emr_hudi_example_spark.lake.locks import FileLockProvider, LockProvider
 
 COMMIT_TIME_COL = "_commit_time"
@@ -127,6 +128,9 @@ class LakeTable:
         lock_provider: LockProvider | None = None,
         manifest_checkpoint_interval: int | None = 10,
         stats_columns: list[str] | None = None,
+        bloom_index: bool = False,
+        bloom_bits: int = bloom_mod.DEFAULT_NBITS,
+        bloom_hashes: int = bloom_mod.DEFAULT_HASHES,
     ) -> None:
         if table_type not in ("COPY_ON_WRITE", "MERGE_ON_READ"):
             raise ValueError(f"unknown table type: {table_type}")
@@ -177,6 +181,24 @@ class LakeTable:
         #: whenever any live file predates the index.
         self.record_index = record_index
         self.index_dir = os.path.join(self.path, "_index")
+        #: per-file bloom-filter key index (Hudi's default BLOOM index
+        #: analog — the index family the reference configures,
+        #: ``SRC/Log2Hudi.scala:78-79``). Prunes upsert/delete candidate
+        #: files whose bloom definitely excludes every batch key — the
+        #: RANDOM-key workload (UUIDs, content hashes) where min/max
+        #: range stats prune nothing. Cheaper than the record index
+        #: (fixed bytes per FILE, not a row per RECORD); false positives
+        #: only cost a redundant exact key scan, never a wrong result.
+        #: Geometry is table-wide — see lake/bloom.py for sizing.
+        self.bloom_index = bloom_index
+        self.bloom_bits = bloom_bits
+        self.bloom_hashes = bloom_hashes
+        self.bloom_dir = os.path.join(self.path, "_bloom")
+        #: observability: candidates dropped by the bloom probe in the
+        #: most recent upsert/delete planning pass
+        self.last_bloom_pruned = 0
+        #: lazy per-instant sidecar cache: instant -> {rel_path: b64}
+        self._bloom_sidecars: dict[str, dict] = {}
         #: OCC seam (SRC/package.scala:38-47 parity): default is the
         #: single-host O_EXCL file lock; a multi-host deployment plugs
         #: in a coordination-service provider here (see lake/locks.py)
@@ -1115,11 +1137,15 @@ class LakeTable:
         per-file key stats (driver-side, no I/O), then scan the
         survivors' key columns and keep files holding a batch key.
 
-        With ``record_index`` and full index coverage of the candidates,
-        the persistent key→file index is probed instead — the candidate
-        set comes from a join against the (narrow) index table, and no
-        data file's key column is scanned at all."""
+        With ``bloom_index``, range-prune survivors are additionally
+        probed against their per-file blooms (``_bloom_hit_files``) —
+        the pruning path for RANDOM keys where min/max covers the whole
+        key space. With ``record_index`` and full index coverage of the
+        candidates, the persistent key→file index is probed instead —
+        the candidate set comes from a join against the (narrow) index
+        table, and no data file's key column is scanned at all."""
         self.last_range_pruned = 0
+        self.last_bloom_pruned = 0
         if self.record_index and candidates and all(
             f.get("indexed") for f in candidates
         ):
@@ -1138,6 +1164,10 @@ class LakeTable:
             ]
             self.last_range_pruned = len(candidates) - len(pruned)
             candidates = pruned
+            if not candidates:
+                return []
+        if self.bloom_index and len(candidates) > 1:
+            candidates = self._bloom_hit_files(candidates, batch)
             if not candidates:
                 return []
         join_cols = (
@@ -1209,20 +1239,7 @@ class LakeTable:
         key_schema = T.StructType(
             [T.StructField(RECORD_KEY_COL, T.StringType())]
         )
-        # store fp TABLE-ROOT-RELATIVE (like manifest paths), so the
-        # index — like the rest of the engine — survives a table
-        # directory move/rename/remount; absolute-path entries would
-        # silently stop matching after relocation and upserts would
-        # write duplicate keys (round-2 advice). _metadata.file_path is
-        # a percent-encoded file URI: strip scheme, decode, strip root.
-        root = os.path.abspath(self.path).rstrip("/") + "/"
-        rel_fp = F.regexp_replace(
-            F.url_decode(
-                F.regexp_replace(F.col("_metadata.file_path"), "^file:/+", "/")
-            ),
-            "^" + re.escape(root),
-            "",
-        )
+        rel_fp = self._rel_fp_expr()
         rows = self._read_files(
             [f["path"] for f in added], schema=key_schema
         ).select(
@@ -1232,6 +1249,217 @@ class LakeTable:
         rows.write.mode("overwrite").parquet(
             os.path.join(self.index_dir, instant)
         )
+
+    def _rel_fp_expr(self):
+        """``_metadata.file_path`` relativized against the table root.
+
+        Index/bloom entries store fp TABLE-ROOT-RELATIVE (like manifest
+        paths), so they — like the rest of the engine — survive a table
+        directory move/rename/remount; absolute-path entries would
+        silently stop matching after relocation (round-2 advice).
+        ``_metadata.file_path`` is a percent-encoded file URI: strip
+        scheme, decode, strip root."""
+        root = os.path.abspath(self.path).rstrip("/") + "/"
+        return F.regexp_replace(
+            F.url_decode(
+                F.regexp_replace(F.col("_metadata.file_path"), "^file:/+", "/")
+            ),
+            "^" + re.escape(root),
+            "",
+        )
+
+    def _write_bloom_sidecar(self, instant: str, added: list[dict]) -> None:
+        """Build one bloom per added file and persist the commit's
+        sidecar ``_bloom/<instant>.json`` (``{rel_path: b64_bitset}``,
+        atomic rename).
+
+        The build is DISTRIBUTED: one Arrow-batched ``applyInPandas``
+        pass over the commit's files grouped by file path — each group
+        hashes its own keys and emits a single (fp, bloom) row, so the
+        driver only ever sees file-count rows of ~``nbits/8`` bytes.
+        Matches where Hudi computes blooms: in the writer, once, at
+        file-write time."""
+        key_schema = T.StructType(
+            [T.StructField(RECORD_KEY_COL, T.StringType())]
+        )
+        rows = self._read_files(
+            [f["path"] for f in added], schema=key_schema
+        ).select(
+            self._rel_fp_expr().alias("fp"),
+            F.col(RECORD_KEY_COL).alias("key"),
+        )
+        nbits, k = self.bloom_bits, self.bloom_hashes
+
+        # SELF-CONTAINED kernel (imports inside, no package globals):
+        # cloudpickle ships it by value, so Python workers never need
+        # the repo on their import path — the same constraint every
+        # Arrow kernel in operators/ honors. Logic mirrors
+        # lake/bloom.py key_positions/build_bloom exactly (unit-tested
+        # there; test_bloom_kernel_matches_module pins the parity).
+        def _build(pdf: "pd.DataFrame") -> "pd.DataFrame":
+            import base64 as _b64
+            import hashlib as _hashlib
+
+            import numpy as _np
+            import pandas as _pd
+
+            keys = pdf["key"].tolist()
+            h = _np.empty((len(keys), 2), dtype=_np.uint64)
+            for j, key in enumerate(keys):
+                d = _hashlib.blake2b(
+                    str(key).encode("utf-8"), digest_size=16
+                ).digest()
+                h[j, 0] = int.from_bytes(d[:8], "little")
+                h[j, 1] = int.from_bytes(d[8:], "little") | 1
+            i = _np.arange(k, dtype=_np.uint64)
+            pos = (h[:, :1] + i[None, :] * h[:, 1:2]) % _np.uint64(nbits)
+            bits = _np.zeros(nbits, dtype=_np.uint8)
+            if len(keys):
+                bits[pos.ravel()] = 1
+            packed = _np.packbits(bits, bitorder="little").tobytes()
+            return _pd.DataFrame(
+                {
+                    "fp": [pdf["fp"].iloc[0]],
+                    "bloom": [_b64.b64encode(packed).decode("ascii")],
+                }
+            )
+
+        built = (
+            rows.groupBy("fp")
+            .applyInPandas(_build, "fp string, bloom string")
+            .collect()
+        )
+        sidecar = {r["fp"]: r["bloom"] for r in built}
+        # files written empty (e.g. an all-filtered partition split)
+        # produce no group — record an explicit empty bloom so the
+        # probe can prune them instead of falling back to "keep"
+        empty = None
+        for f in added:
+            if f["path"] not in sidecar:
+                if empty is None:
+                    empty = bloom_mod.bloom_to_b64(
+                        bloom_mod.build_bloom([], nbits, k)
+                    )
+                sidecar[f["path"]] = empty
+        os.makedirs(self.bloom_dir, exist_ok=True)
+        tmp = os.path.join(self.bloom_dir, f".{instant}.json.tmp")
+        with open(tmp, "w") as fh:
+            json.dump(sidecar, fh)
+        os.replace(tmp, os.path.join(self.bloom_dir, instant + ".json"))
+        self._bloom_sidecars[instant] = sidecar
+
+    def _bloom_for(self, f: dict) -> str | None:
+        """b64 bloom for a live-file entry, via the lazily-cached
+        per-instant sidecar; None when the file predates the index."""
+        if not f.get("bloom"):
+            return None
+        # manifest paths are data/<instant>/... — derive the sidecar
+        parts = f["path"].replace(os.sep, "/").split("/")
+        if len(parts) < 2:
+            return None
+        instant = parts[1]
+        if instant not in self._bloom_sidecars:
+            try:
+                with open(
+                    os.path.join(self.bloom_dir, instant + ".json")
+                ) as fh:
+                    self._bloom_sidecars[instant] = json.load(fh)
+            except FileNotFoundError:
+                self._bloom_sidecars[instant] = {}
+        return self._bloom_sidecars[instant].get(f["path"])
+
+    def _bloom_hit_files(
+        self, candidates: list[dict], batch: DataFrame
+    ) -> list[dict]:
+        """Bloom probe between range-pruning and the exact key scan:
+        drop candidate files whose bloom definitely excludes EVERY
+        batch key. Files without a bloom (pre-index commits) are kept
+        unconditionally; bloom false positives survive to the exact
+        scan — either way results are exact, pruning is best-effort.
+
+        100 TB shape: the probe is a single narrow ``mapInPandas`` pass
+        over the batch's distinct keys with the candidate blooms
+        broadcast (~``nbits/8`` bytes × range-prune survivors — the
+        range prune and partition prune bound the broadcast). Each key's
+        k positions are hashed ONCE (table-wide geometry) and tested
+        against every candidate bitset vectorized; output is hit file
+        paths only, bounded by candidate count. No data-file I/O, no
+        shuffle beyond the keys' ``distinct``."""
+        self.last_bloom_pruned = 0
+        with_bloom: list[tuple[dict, str]] = []
+        without: list[dict] = []
+        for f in candidates:
+            b = self._bloom_for(f)
+            if b is None:
+                without.append(f)
+            else:
+                with_bloom.append((f, b))
+        if not with_bloom:
+            return candidates
+        nbits, k = self.bloom_bits, self.bloom_hashes
+        payload = [(f["path"], b) for f, b in with_bloom]
+        bc = self.spark.sparkContext.broadcast(payload)
+        key_col = RECORD_KEY_COL
+
+        # self-contained kernel (see _write_bloom_sidecar for why)
+        def _probe(batches):
+            import base64 as _b64
+            import hashlib as _hashlib
+
+            import numpy as _np
+            import pandas as _pd
+
+            decoded = [
+                (
+                    p,
+                    _np.unpackbits(
+                        _np.frombuffer(_b64.b64decode(s), dtype=_np.uint8),
+                        bitorder="little",
+                    ),
+                )
+                for p, s in bc.value
+            ]
+            for pdf in batches:
+                if not len(pdf):
+                    continue
+                keys = pdf[key_col].tolist()
+                h = _np.empty((len(keys), 2), dtype=_np.uint64)
+                for j, key in enumerate(keys):
+                    d = _hashlib.blake2b(
+                        str(key).encode("utf-8"), digest_size=16
+                    ).digest()
+                    h[j, 0] = int.from_bytes(d[:8], "little")
+                    h[j, 1] = int.from_bytes(d[8:], "little") | 1
+                i = _np.arange(k, dtype=_np.uint64)
+                pos = (h[:, :1] + i[None, :] * h[:, 1:2]) % _np.uint64(
+                    nbits
+                )
+                hits = [
+                    p
+                    for p, bits in decoded
+                    if bits[pos].all(axis=1).any()
+                ]
+                yield _pd.DataFrame({"fp": hits})
+
+        hit_paths = {
+            r[0]
+            for r in (
+                batch.select(RECORD_KEY_COL)
+                .distinct()
+                .mapInPandas(_probe, "fp string")
+                .distinct()
+                .collect()
+            )
+        }
+        bc.destroy()
+        without_ids = {id(f) for f in without}
+        kept = [
+            f
+            for f in candidates
+            if id(f) in without_ids or f["path"] in hit_paths
+        ]
+        self.last_bloom_pruned = len(candidates) - len(kept)
+        return kept
 
     def _merge(self, old: DataFrame, batch: DataFrame) -> DataFrame:
         """Larger-precombine-wins merge, ties → incoming row — exactly
@@ -1408,6 +1636,12 @@ class LakeTable:
             self._write_record_index(instant, added)
             for f in added:
                 f["indexed"] = True  # same dicts enter the live set
+        if self.bloom_index and added:
+            self._write_bloom_sidecar(instant, added)
+            for f in added:
+                f["bloom"] = True  # probe-time flag; pre-bloom files
+                # (or tables that toggled the index on later) lack it
+                # and are kept unconditionally — conservative fallback
         # roll the live set forward BEFORE the manifest lands (while
         # last_instant() still names the previous commit)
         prev = self._live_files()
@@ -1752,6 +1986,17 @@ class LakeTable:
                 fns for _r, _ds, fns in os.walk(full)
             ):
                 shutil.rmtree(full)
+        # prune bloom sidecars whose instant no longer has any live file
+        if os.path.isdir(self.bloom_dir):
+            live_instants = {
+                p.replace(os.sep, "/").split("/")[1]
+                for p in keep
+                if "/" in p.replace(os.sep, "/")
+            }
+            for fn in os.listdir(self.bloom_dir):
+                if fn.endswith(".json") and fn[: -len(".json")] not in live_instants:
+                    os.remove(os.path.join(self.bloom_dir, fn))
+                    self._bloom_sidecars.pop(fn[: -len(".json")], None)
         return sorted(deleted)
 
     def archive_timeline(self, keep_commits: int = 4) -> list[str]:

@@ -1753,3 +1753,123 @@ def test_stats_skipping_string_stats_stay_raw(spark, tmp_path):
     got = t.snapshot(predicate=pred)
     assert got.count() == 2, "string-column file wrongly pruned"
     assert t.last_files_skipped == 0
+
+
+# ------------------------------------------------------ bloom key index
+
+
+def _bloom_table(spark, tmp, name="bl", **kw):
+    return LakeTable(
+        spark, str(tmp), "testdb", name,
+        record_keys=["k"], precombine="ver", bloom_index=True, **kw,
+    )
+
+
+def _hashed_cust(spark, ver=1):
+    """Customer rows keyed on md5(custkey) — RANDOM keys: every file
+    spans the full key space, so min/max range stats prune nothing.
+    The exact workload Hudi's bloom index exists for."""
+    return (
+        cust(spark, ver=ver)
+        .withColumn("k", F.md5(F.col("c_custkey").cast("string")))
+    )
+
+
+def test_bloom_prunes_random_key_files(spark, tmp_path):
+    """Four single-file insert commits with interleaved hashed keys:
+    range stats keep all four candidates (overlapping min/max), the
+    bloom probe must drop the three files holding no batch key, and the
+    upsert must rewrite exactly the remaining one."""
+    t = _bloom_table(spark, tmp_path)
+    base = _hashed_cust(spark, ver=1)
+    for i in range(4):
+        t.write(
+            base.filter(F.col("c_custkey") % 4 == i).coalesce(1),
+            op="insert", instant=f"00{i + 1}",
+        )
+    batch = (
+        _hashed_cust(spark, ver=2).filter(F.col("c_custkey") % 4 == 0)
+    )
+    t.write(batch, op="upsert", instant="005")
+    assert t.last_range_pruned == 0  # random keys: ranges overlap
+    assert t.last_bloom_pruned == 3  # blooms prune the other files
+    only_file_1 = {f["path"] for f in t._manifest("001")["added"]}
+    assert set(t._manifest("005")["replaced"]) == only_file_1
+    snap = t.snapshot()
+    assert snap.count() == base.count()
+    assert (
+        snap.filter(F.col("ver") == 2).count() == batch.count()
+    )
+
+
+def test_bloom_fallback_for_pre_index_files(spark, tmp_path):
+    """Files written before the index was enabled have no bloom and
+    must be kept unconditionally (conservative), while bloomed files
+    still prune — mixed-vintage tables stay exact."""
+    plain = LakeTable(
+        spark, str(tmp_path), "testdb", "mix",
+        record_keys=["k"], precombine="ver",
+    )
+    a = _hashed_cust(spark, ver=1).filter(F.col("c_custkey") % 2 == 0)
+    plain.write(a.coalesce(1), op="insert", instant="001")
+    t = _bloom_table(spark, tmp_path, name="mix")
+    b = _hashed_cust(spark, ver=1).filter(F.col("c_custkey") % 2 == 1)
+    t.write(b.coalesce(1), op="insert", instant="002")
+    # update keys living ONLY in the pre-index file: its lack of a
+    # bloom keeps it; file 002's bloom excludes every batch key
+    upd = _hashed_cust(spark, ver=2).filter(F.col("c_custkey") % 2 == 0)
+    t.write(upd, op="upsert", instant="003")
+    assert t.last_bloom_pruned == 1
+    snap = t.snapshot()
+    assert snap.filter(F.col("ver") == 2).count() == upd.count()
+    assert snap.count() == a.count() + b.count()
+
+
+def test_bloom_sidecar_cleanup_and_counter_reset(spark, tmp_path):
+    """clean() removes sidecars of instants with no surviving file;
+    a planning pass that never reaches the bloom probe resets the
+    observability counter."""
+    t = _bloom_table(spark, tmp_path, name="cl")
+    base = _hashed_cust(spark, ver=1)
+    t.write(base.coalesce(1), op="insert", instant="001")
+    t.write(_hashed_cust(spark, ver=2), op="upsert", instant="002")
+    t.write(_hashed_cust(spark, ver=3), op="upsert", instant="003")
+    assert t.last_bloom_pruned == 0  # single candidate: probe skipped
+    t.clean(retain_commits=1)
+    assert sorted(os.listdir(t.bloom_dir)) == ["003.json"]
+    snap = t.snapshot()
+    assert snap.count() == base.count()
+    assert snap.filter(F.col("ver") != 3).count() == 0
+
+
+def test_bloom_module_determinism():
+    """Blooms are process-independent: positions derive from blake2b,
+    not PYTHONHASHSEED — a bloom built anywhere is valid everywhere."""
+    from emr_hudi_example_spark.lake import bloom as B
+
+    keys = [f"key-{i}" for i in range(1000)]
+    b1 = B.build_bloom(keys, nbits=1 << 16, k=5)
+    b2 = B.build_bloom(list(keys), nbits=1 << 16, k=5)
+    assert b1 == b2
+    bits = B.bloom_from_b64(B.bloom_to_b64(b1))
+    pos = B.key_positions(keys, 1 << 16, 5)
+    assert B.might_contain(bits, pos).all()  # zero false negatives
+    other = B.key_positions([f"other-{i}" for i in range(1000)], 1 << 16, 5)
+    # at 1k keys in 64Kbit/k=5 the FPR is ~2e-5 — and deterministic
+    assert B.might_contain(bits, other).sum() <= 2
+
+
+def test_bloom_kernel_matches_module(spark, tmp_path):
+    """The self-contained Spark kernels (shipped by value to workers
+    that cannot import this repo) must produce byte-identical blooms to
+    the unit-tested lake/bloom.py reference implementation."""
+    from emr_hudi_example_spark.lake import bloom as B
+
+    t = _bloom_table(spark, tmp_path, name="par")
+    rows = _hashed_cust(spark, ver=1).filter(F.col("c_custkey") < 40)
+    t.write(rows.coalesce(1), op="insert", instant="001")
+    [(path, b64)] = list(t._bloom_sidecars["001"].items())
+    keys = [r["k"] for r in t.snapshot().select("k").collect()]
+    assert b64 == B.bloom_to_b64(
+        B.build_bloom(keys, t.bloom_bits, t.bloom_hashes)
+    )

@@ -46,6 +46,7 @@ _PRIORITY: list[str] = [
     "corpus_length_quantiles",
     "pipe_cdc_debezium_parse",
     "lake_bloom_index_prune",
+    "dedup_line_boilerplate",
     # -- r3-row queries on substrate r4 touched most --
     "dedup_incremental",
     "dedup_ngram_containment",

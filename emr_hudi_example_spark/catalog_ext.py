@@ -1862,3 +1862,55 @@ def corpus_length_histogram(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.min("n_chars").cast("long").alias("min_chars"),
         F.max("n_chars").cast("long").alias("max_chars"),
     )
+
+
+@query(
+    "dedup_line_boilerplate",
+    oracle="""
+    WITH t AS (SELECT doc_id,
+                      replace(text, ' value ', chr(10)) AS text
+               FROM documents),
+    lx AS (SELECT doc_id,
+                  unnest(str_split(text, chr(10))) AS line,
+                  unnest(range(len(str_split(text, chr(10)))))
+                    AS line_idx
+           FROM t),
+    l AS (SELECT doc_id, CAST(line_idx AS INT) AS line_idx,
+                 trim(line) AS line
+          FROM lx WHERE length(trim(line)) > 0),
+    f AS (SELECT doc_id, line_idx, line,
+                 md5(regexp_replace(lower(trim(line)), '\\s+', ' ', 'g'))
+                   AS fp
+          FROM l),
+    bp AS (SELECT fp
+           FROM (SELECT fp, count(DISTINCT doc_id) AS dfreq
+                 FROM f GROUP BY 1)
+           WHERE dfreq >= 3),
+    fl AS (SELECT f.doc_id, f.line_idx, f.line,
+                  (bp.fp IS NOT NULL) AS is_bp
+           FROM f LEFT JOIN bp ON f.fp = bp.fp)
+    SELECT doc_id,
+           coalesce(string_agg(CASE WHEN NOT is_bp THEN line END,
+                               chr(10) ORDER BY line_idx), '')
+             AS clean_text,
+           CAST(sum(CASE WHEN is_bp THEN 0 ELSE 1 END) AS BIGINT)
+             AS n_kept,
+           CAST(sum(CASE WHEN is_bp THEN 1 ELSE 0 END) AS BIGINT)
+             AS n_dropped
+    FROM fl GROUP BY 1
+    """,
+)
+def dedup_line_boilerplate(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Frequency-threshold LINE removal (CCNet/RefinedWeb boilerplate
+    pass) — distinct from the keep-first paragraph rules: a line whose
+    normalized form appears in >= 3 distinct documents is removed from
+    EVERY document, first included. The fixture has no newlines, so
+    line boundaries are synthesized deterministically (every literal
+    ``' value '`` becomes a newline — same left-to-right replace in
+    both engines; short segments repeat across documents, exercising
+    the threshold)."""
+    docs = load(spark, sf_dir, "documents").select(
+        "doc_id",
+        F.regexp_replace("text", " value ", "\n").alias("text"),
+    )
+    return D.strip_boilerplate_lines(docs, min_docs=3)

@@ -710,3 +710,80 @@ def incremental_dedup(
     return batch.join(ex_fp, "fp", "left_anti").select(
         id_col, "fp", "n_batch_dups"
     )
+
+
+def strip_boilerplate_lines(
+    docs: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    sep: str = r"\n",
+    join_sep: str = "\n",
+    min_docs: int = 3,
+) -> DataFrame:
+    """Frequency-threshold line removal (the CCNet/RefinedWeb
+    boilerplate pass): a LINE whose normalized form occurs in at least
+    ``min_docs`` DISTINCT documents is boilerplate — cookie banners,
+    navigation, footers — and is removed from EVERY document, including
+    the first. Complements :func:`strip_duplicate_paragraphs`, whose
+    keep-first rule preserves one copy; the threshold rule kills all
+    copies, because a line repeated across unrelated pages carries no
+    training signal at all.
+
+    Returns ``(id_col, clean_text, n_kept, n_dropped)``; a document
+    whose every line was boilerplate survives with empty ``clean_text``
+    (downstream length filters handle it).
+
+    Scale shape: one narrow ``posexplode``; the doc-frequency count
+    shuffles only the thin DISTINCT ``(fp, id)`` tuple (map-side
+    partials); the boilerplate set above the threshold is the repeated
+    VOCABULARY — tiny by construction — so tagging occurrences is a
+    broadcast join, not a shuffle; the rebuild is one groupBy on the
+    doc id with ``collect_list`` bounded by a document's own line
+    count. Line text is shuffled exactly once (rebuild side).
+    """
+    lines = (
+        docs.select(
+            F.col(id_col),
+            F.posexplode(F.split(F.col(text_col), sep)).alias(
+                "line_idx", "line"
+            ),
+        )
+        .withColumn("line", F.trim("line"))
+        .filter(F.length("line") > 0)
+        .withColumn("fp", fingerprint("line"))
+    )
+    boilerplate = (
+        lines.select("fp", id_col)
+        .distinct()
+        .groupBy("fp")
+        .agg(F.count(F.lit(1)).alias("doc_freq"))
+        .filter(F.col("doc_freq") >= min_docs)
+        .select("fp")
+    )
+    flagged = lines.join(
+        F.broadcast(boilerplate.withColumn("_bp", F.lit(True))),
+        "fp",
+        "left",
+    ).withColumn("is_bp", F.coalesce("_bp", F.lit(False)))
+    return flagged.groupBy(id_col).agg(
+        F.array_join(
+            F.transform(
+                F.filter(
+                    F.array_sort(
+                        F.collect_list(
+                            F.struct("line_idx", "is_bp", "line")
+                        )
+                    ),
+                    lambda x: ~x["is_bp"],
+                ),
+                lambda x: x["line"],
+            ),
+            join_sep,
+        ).alias("clean_text"),
+        F.sum(F.when(F.col("is_bp"), 0).otherwise(1))
+        .cast("long")
+        .alias("n_kept"),
+        F.sum(F.when(F.col("is_bp"), 1).otherwise(0))
+        .cast("long")
+        .alias("n_dropped"),
+    )

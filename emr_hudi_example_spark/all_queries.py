@@ -47,6 +47,7 @@ _PRIORITY: list[str] = [
     "pipe_cdc_debezium_parse",
     "lake_bloom_index_prune",
     "dedup_line_boilerplate",
+    "j3_salted_skew_join",
     # -- r3-row queries on substrate r4 touched most --
     "dedup_incremental",
     "dedup_ngram_containment",

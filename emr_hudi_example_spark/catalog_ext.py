@@ -1914,3 +1914,49 @@ def dedup_line_boilerplate(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.regexp_replace("text", " value ", "\n").alias("text"),
     )
     return D.strip_boilerplate_lines(docs, min_docs=3)
+
+
+@query(
+    "j3_salted_skew_join",
+    oracle="""
+    SELECT event_type,
+           CAST(count(*) AS BIGINT) AS n_events,
+           CAST(round(sum(CAST(value * length(event_type)
+                               AS DECIMAL(38,6))), 2) AS DOUBLE)
+             AS weighted_sum
+    FROM events GROUP BY 1
+    """,
+)
+def j3_salted_skew_join(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Skew-salted equi-join (``operators/relational.py join_salted``):
+    the events fact has FIVE hot join keys — without mitigation a
+    shuffled join puts each entire key on one reducer. The fact side
+    is salted deterministically (``xxhash64(event_id) % 8``), the dim
+    replicated per salt, and the join runs on ``(key, _salt)`` so a
+    hot key spreads over 8 reducers. The graded output aggregates the
+    joined rows; exactness of the salted join means it must equal the
+    plain-SQL oracle row-for-row (DECIMAL accumulation keeps the sum
+    order-independent). ``test_plan_hygiene`` pins that the salt
+    actually reaches the join's partitioning key."""
+    from emr_hudi_example_spark.operators import relational as R
+
+    ev = load(spark, sf_dir, "events")
+    dim = (
+        ev.select("event_type")
+        .distinct()
+        .withColumn("weight", F.length("event_type"))
+    )
+    joined = R.join_salted(
+        ev, dim, on="event_type", salt_on="event_id", n_salts=8
+    )
+    return joined.groupBy("event_type").agg(
+        F.count(F.lit(1)).cast("long").alias("n_events"),
+        F.round(
+            F.sum(
+                (F.col("value") * F.col("weight")).cast("decimal(38,6)")
+            ),
+            2,
+        )
+        .cast("double")
+        .alias("weighted_sum"),
+    )

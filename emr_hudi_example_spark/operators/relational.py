@@ -407,3 +407,53 @@ def salted_equi_join(
     right_s = right.withColumn("_salt", F.explode(salts))
     out = left_s.join(right_s, [key, "_salt"], how)
     return out.drop("_salt")
+
+
+def join_salted(
+    fact: DataFrame,
+    dim: DataFrame,
+    on: str,
+    salt_on: str,
+    n_salts: int = 8,
+) -> DataFrame:
+    """Skew-salted equi-join: the manual mitigation for a HOT join key
+    when the dim side is too big to broadcast and runtime skew
+    splitting (AQE skew join) is unavailable — e.g. the join feeds a
+    downstream operator AQE cannot re-plan, or the engine runs with
+    AQE off.
+
+    The fact side gains a deterministic salt (``xxhash64(salt_on) %
+    n_salts`` — derived from a fact column, so replays salt
+    identically); the dim side is REPLICATED once per salt value. The
+    join key becomes ``(on, _salt)``, so one hot key's rows spread
+    over ``n_salts`` reducers instead of one. Exactness: every fact
+    row still meets every matching dim row exactly once (its salt's
+    replica), so the result equals the unsalted join row-for-row.
+
+    Cost model (when to use): replicating the dim costs ``n_salts ×
+    |dim|`` shuffle volume; worth it when the hottest key's row count
+    divided by ``n_salts`` still exceeds the average reducer load.
+    Prefer ``broadcast(dim)`` when the dim fits in memory, and AQE's
+    ``skewJoin`` when the join is terminal — this operator is the
+    explicit fallback for the big-dim hot-key regime.
+    """
+    salted_fact = fact.withColumn(
+        "_salt",
+        F.pmod(F.xxhash64(F.col(salt_on)), F.lit(n_salts)).cast("int"),
+    )
+    salted_dim = dim.withColumn(
+        "_salt",
+        F.explode(
+            F.sequence(
+                F.lit(0).cast("int"), F.lit(n_salts - 1).cast("int")
+            )
+        ),
+    )
+    # hint("merge"): pin the shuffled sort-merge join so the salted
+    # partitioning is actually exercised (the fixture dim is tiny and
+    # would otherwise be broadcast — defeating the demonstration and
+    # the plan-hygiene test that asserts the salt reaches the
+    # partitioning key)
+    return salted_fact.join(
+        salted_dim.hint("merge"), [on, "_salt"]
+    ).drop("_salt")

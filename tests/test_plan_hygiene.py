@@ -80,3 +80,15 @@ def test_quantize_serialized_output_stays_narrow(spark):
     # the r5 concat_ws serialization must not have introduced a shuffle
     plan = _plan(spark, "sim_quantize_int8")
     assert "Exchange" not in plan
+
+
+def test_salted_join_salt_reaches_partitioning(spark):
+    """j3: the whole point of the salted join is that the shuffle key
+    includes the salt — if a refactor lets the optimizer collapse the
+    join back to the bare hot key (or broadcast it), the skew
+    mitigation silently vanishes."""
+    import re
+
+    plan = _plan(spark, "j3_salted_skew_join")
+    assert "SortMergeJoin" in plan or "ShuffledHashJoin" in plan
+    assert re.search(r"hashpartitioning\([^)]*_salt", plan)

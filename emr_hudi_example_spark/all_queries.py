@@ -48,6 +48,7 @@ _PRIORITY: list[str] = [
     "lake_bloom_index_prune",
     "dedup_line_boilerplate",
     "j3_salted_skew_join",
+    "pipe_stream_dedup_endstate",
     # -- r3-row queries on substrate r4 touched most --
     "dedup_incremental",
     "dedup_ngram_containment",

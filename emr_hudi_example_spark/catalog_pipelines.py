@@ -555,3 +555,129 @@ def pipe_stream_runsum_endstate(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.round(F.col("run_sum"), 2).cast("double").alias("run_sum"),
         "n_rows",
     )
+
+
+@query(
+    "pipe_stream_dedup_endstate",
+    oracle="""
+    WITH t AS (SELECT doc_id,
+                      replace(text, ' table ', chr(10) || chr(10)) AS text
+               FROM documents),
+    px AS (SELECT doc_id,
+                  unnest(str_split(text, chr(10) || chr(10))) AS para,
+                  unnest(range(len(str_split(text, chr(10) || chr(10)))))
+                    AS para_idx
+           FROM t),
+    p AS (SELECT doc_id, CAST(para_idx AS INT) AS para_idx,
+                 trim(para) AS para
+          FROM px WHERE length(trim(para)) > 0),
+    f AS (SELECT doc_id, para_idx,
+                 md5(regexp_replace(lower(trim(para)), '\\s+', ' ', 'g'))
+                   AS fp
+          FROM p),
+    m AS (SELECT fp, CAST(min(doc_id % 2) AS INT) AS first_batch
+          FROM f GROUP BY 1),
+    w AS (SELECT f.fp, m.first_batch,
+                 min(f.doc_id * 100000 + f.para_idx) AS ord
+          FROM f JOIN m ON f.fp = m.fp AND f.doc_id % 2 = m.first_batch
+          GROUP BY 1, 2)
+    SELECT fp,
+           CAST(ord // 100000 AS BIGINT) AS keep_id,
+           CAST(ord % 100000 AS INT) AS keep_idx,
+           first_batch
+    FROM w
+    """,
+)
+def pipe_stream_dedup_endstate(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Streaming stateful exact-dedup end-state
+    (``streaming/stateful.py streaming_first_seen``): paragraphs stream
+    in two micro-batches (docs with even ids first, then odd), and the
+    state store emits each fingerprint the FIRST time it is ever seen.
+    ARRIVAL ORDER wins across batches — a paragraph first carried by an
+    even-id doc survives there even when a smaller odd id carries it
+    too — which is exactly what distinguishes the streaming semantics
+    from the batch keep-global-min rule, and what the oracle reproduces
+    (min over the winning batch only). Within a batch the deterministic
+    ``order_col`` election removes shuffle-order nondeterminism, making
+    the end state exactly oracle-checkable."""
+    import glob
+    import os
+    import shutil
+
+    from emr_hudi_example_spark.streaming.stateful import (
+        streaming_first_seen,
+    )
+    from emr_hudi_example_spark.operators.text import fingerprint
+
+    docs = load(spark, sf_dir, "documents").select(
+        "doc_id",
+        F.regexp_replace("text", " table ", "\n\n").alias("text"),
+    )
+    paras = (
+        docs.select(
+            "doc_id",
+            F.posexplode(F.split("text", r"\n\n")).alias(
+                "para_idx", "para"
+            ),
+        )
+        .withColumn("para", F.trim("para"))
+        .filter(F.length("para") > 0)
+        .select(
+            fingerprint("para").alias("fp"),
+            "doc_id",
+            "para_idx",
+            (F.col("doc_id") % 2).cast("int").alias("first_batch"),
+            (F.col("doc_id") * 100000 + F.col("para_idx")).alias("_ord"),
+        )
+    )
+    base = _tmp_base()
+    ind = os.path.join(base, "in")
+    os.makedirs(ind)
+    stage = os.path.join(base, "stage")
+    paras.repartition(2, "first_batch").write.partitionBy(
+        "first_batch"
+    ).parquet(stage)
+    for i in (0, 1):
+        for j, part in enumerate(
+            sorted(
+                glob.glob(
+                    os.path.join(stage, f"first_batch={i}", "part-*.parquet")
+                )
+            )
+        ):
+            shutil.move(part, os.path.join(ind, f"batch{i}_{j}.parquet"))
+    shutil.rmtree(stage)
+    stream_schema = paras.drop("first_batch").schema
+    stream = (
+        spark.readStream.schema(stream_schema)
+        .option("maxFilesPerTrigger", 1)
+        .parquet(ind)
+    )
+    outd = os.path.join(base, "out")
+    prev_parts = spark.conf.get("spark.sql.shuffle.partitions")
+    try:
+        spark.conf.set("spark.sql.shuffle.partitions", "8")
+        out = streaming_first_seen(stream, ["fp"], order_col="_ord")
+
+        def land(bdf, bid):
+            bdf.withColumn(
+                "first_batch", F.lit(bid).cast("int")
+            ).write.mode("append").parquet(outd)
+
+        q = (
+            out.writeStream.outputMode("update")
+            .option("checkpointLocation", os.path.join(base, "ckpt"))
+            .foreachBatch(land)
+            .start()
+        )
+        q.processAllAvailable()
+        q.stop()
+        q.awaitTermination()
+    finally:
+        spark.conf.set("spark.sql.shuffle.partitions", prev_parts)
+    return spark.read.parquet(outd).select(
+        "fp",
+        F.col("doc_id").alias("keep_id"),
+        F.col("para_idx").alias("keep_idx"),
+        "first_batch",
+    )

@@ -88,11 +88,18 @@ def streaming_running_sum(
 def streaming_first_seen(
     stream_df: DataFrame,
     keys: list[str],
+    order_col: str | None = None,
 ) -> DataFrame:
     """Streaming exact-dedup: emit each key's row only the FIRST time it
     is ever seen (state = a per-key seen marker). The streaming analog
     of the exact-dedup keep-first batch operator — rows of replayed /
     duplicate keys in later micro-batches are dropped.
+
+    Within one micro-batch a key's rows arrive in shuffle order; with
+    ``order_col`` the MINIMUM row by that column is elected instead of
+    an arbitrary first — making the operator fully deterministic
+    (ACROSS batches arrival order wins, WITHIN a batch ``order_col``
+    does), which is what lets an end-state be oracle-verified.
 
     Scale note: state per distinct key is one boolean — the smallest
     possible; keys partition across state stores. For unbounded key
@@ -108,8 +115,19 @@ def streaming_first_seen(
             return
         first = None
         for pdf in pdfs:
-            if len(pdf) and first is None:
-                first = pdf.iloc[[0]][cols]
+            if not len(pdf):
+                continue
+            cand = (
+                pdf.loc[[pdf[order_col].idxmin()]][cols]
+                if order_col is not None
+                else pdf.iloc[[0]][cols]
+            )
+            if first is None:
+                first = cand
+            elif order_col is not None and (
+                cand[order_col].iloc[0] < first[order_col].iloc[0]
+            ):
+                first = cand
         state.update((True,))
         if first is not None:
             yield first

@@ -49,6 +49,7 @@ _PRIORITY: list[str] = [
     "dedup_line_boilerplate",
     "j3_salted_skew_join",
     "pipe_stream_dedup_endstate",
+    "sim_ann_recall",
     # -- r3-row queries on substrate r4 touched most --
     "dedup_incremental",
     "dedup_ngram_containment",

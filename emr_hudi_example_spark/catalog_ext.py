@@ -1960,3 +1960,69 @@ def j3_salted_skew_join(spark: SparkSession, sf_dir: str) -> DataFrame:
         .cast("double")
         .alias("weighted_sum"),
     )
+
+
+_ANN_RECALL_ORACLE = f"""
+    WITH v AS (SELECT vec_id, embedding, {_NORM_SQL} AS nrm FROM embeddings),
+    ex_scored AS (
+      SELECT b.vec_id AS query_id, a.vec_id AS neighbor_id,
+             {_VEC_DOT} / (a.nrm * b.nrm) AS cos
+      FROM v a JOIN v b ON b.vec_id % 50 = 0 AND a.vec_id != b.vec_id),
+    ex AS (SELECT query_id, neighbor_id FROM (
+        SELECT query_id, neighbor_id,
+               row_number() OVER (PARTITION BY query_id
+                                  ORDER BY cos DESC, neighbor_id) AS rn
+        FROM ex_scored) WHERE rn <= 5),
+    cen AS (SELECT vec_id AS cell_id, embedding, nrm FROM v
+            WHERE vec_id % 37 = 0),
+    q AS (SELECT * FROM v WHERE vec_id % 50 = 0),
+    corpus_cells AS (
+      SELECT vec_id, cell_id FROM (
+        SELECT a.vec_id, b.cell_id,
+               row_number() OVER (PARTITION BY a.vec_id
+                 ORDER BY {_dot_sql('a', 'b')} / (a.nrm * b.nrm) DESC,
+                          b.cell_id) AS rn
+        FROM v a CROSS JOIN cen b) WHERE rn = 1),
+    query_cells AS (
+      SELECT vec_id, cell_id FROM (
+        SELECT a.vec_id, b.cell_id,
+               row_number() OVER (PARTITION BY a.vec_id
+                 ORDER BY {_dot_sql('a', 'b')} / (a.nrm * b.nrm) DESC,
+                          b.cell_id) AS rn
+        FROM q a CROSS JOIN cen b) WHERE rn <= 3),
+    iv_scored AS (
+      SELECT DISTINCT q.vec_id AS query_id, c.vec_id AS neighbor_id,
+             {_dot_sql('q', 'c')} / (q.nrm * c.nrm) AS cos
+      FROM q
+      JOIN query_cells qc ON qc.vec_id = q.vec_id
+      JOIN corpus_cells cc ON cc.cell_id = qc.cell_id
+      JOIN v c ON c.vec_id = cc.vec_id AND c.vec_id != q.vec_id),
+    iv AS (SELECT query_id, neighbor_id FROM (
+        SELECT query_id, neighbor_id,
+               row_number() OVER (PARTITION BY query_id
+                                  ORDER BY cos DESC, neighbor_id) AS rn
+        FROM iv_scored) WHERE rn <= 5)
+    SELECT ex.query_id,
+           CAST(count(iv.neighbor_id) AS INT) AS hits,
+           CAST(5 AS INT) AS k
+    FROM ex LEFT JOIN iv
+      ON ex.query_id = iv.query_id AND ex.neighbor_id = iv.neighbor_id
+    GROUP BY 1
+    """
+
+
+@query("sim_ann_recall", oracle=_ANN_RECALL_ORACLE)
+def sim_ann_recall(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Recall@5 of the IVF approximate path against the brute-force
+    exact path — the evaluation harness every ANN deployment needs
+    before trading exactness for speed. Composes the two already-gated
+    searches (``sim_cosine_topk``, ``sim_ivf_topk``) and counts, per
+    query, how many exact neighbors the IVF probe recovered — integer
+    output, so the comparison is exact even though the underlying
+    scores are floats."""
+    emb = load(spark, sf_dir, "embeddings")
+    queries = emb.filter(F.col("vec_id") % 50 == 0)
+    centroids = emb.filter(F.col("vec_id") % 37 == 0)
+    exact = S.cosine_topk(emb, queries, k=5)
+    approx = S.ivf_cosine_topk(emb, queries, centroids, k=5, nprobe=3)
+    return S.ann_recall(exact, approx, k=5)

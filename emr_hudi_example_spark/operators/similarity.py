@@ -644,3 +644,37 @@ def srp_signatures(
     return df.select(
         F.col(id_col), reduce(add, bits).cast("int").alias("sig")
     )
+
+
+def ann_recall(
+    exact_topk: DataFrame, approx_topk: DataFrame, k: int
+) -> DataFrame:
+    """Recall@k evaluation — the metric that justifies shipping an
+    approximate index: per query, how many of the EXACT top-k neighbors
+    the approximate (IVF/LSH/int8) path recovered. Emitted as integer
+    ``hits`` out of ``k`` (exact arithmetic; turning it into a float
+    ratio is the caller's presentation choice, not the operator's).
+
+    Scale shape: both inputs are top-k lists — O(queries × k) rows —
+    so the semi-join and per-query count are trivially small no matter
+    the corpus size; the expensive parts already happened upstream.
+    A query whose approximate list shares nothing with the exact list
+    still appears, with ``hits = 0``.
+    """
+    pairs = ["query_id", "neighbor_id"]
+    hit = exact_topk.select(*pairs).join(
+        approx_topk.select(*pairs), pairs, "left_semi"
+    )
+    per_q = hit.groupBy("query_id").agg(
+        F.count(F.lit(1)).cast("int").alias("hits")
+    )
+    return (
+        exact_topk.select("query_id")
+        .distinct()
+        .join(per_q, "query_id", "left")
+        .select(
+            "query_id",
+            F.coalesce("hits", F.lit(0)).cast("int").alias("hits"),
+            F.lit(k).cast("int").alias("k"),
+        )
+    )

@@ -50,6 +50,7 @@ _PRIORITY: list[str] = [
     "j3_salted_skew_join",
     "pipe_stream_dedup_endstate",
     "sim_ann_recall",
+    "lake_delete_partition",
     # -- r3-row queries on substrate r4 touched most --
     "dedup_incremental",
     "dedup_ngram_containment",

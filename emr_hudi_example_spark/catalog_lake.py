@@ -565,3 +565,35 @@ def lake_bloom_index_prune(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.lit(t.last_range_pruned).cast("int").alias("range_pruned"),
         F.lit(t.last_bloom_pruned).cast("int").alias("bloom_pruned"),
     )
+
+
+@query(
+    "lake_delete_partition",
+    oracle="""
+    SELECT c_custkey, c_name, c_mktsegment, c_acctbal,
+           CAST(1 AS BIGINT) AS ver,
+           CAST(1 AS INT) AS removed_any
+    FROM customer WHERE c_mktsegment <> 'BUILDING'
+    """,
+)
+def lake_delete_partition(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Hudi's ``delete_partition`` write operation: dropping a whole
+    partition is a MANIFEST-ONLY commit (``added=[]``, ``replaced`` =
+    the partition's live files) — at 100 TB a day/tenant/source expires
+    for the cost of one small JSON write, with the cleaner reaping the
+    dereferenced files lazily. Graded: the post-drop snapshot equals the
+    other partitions exactly; ``removed_any`` pins that files were
+    actually dereferenced (a regression to a no-op drop fails values,
+    not just timing)."""
+    t = LakeTable(
+        spark, _tmp_base(), "q", "delpart", ["c_custkey"], "ver",
+        partition_keys=["c_mktsegment"],
+    )
+    t.write(_batch1(spark, sf_dir), op="insert", instant="001")
+    n = t.delete_partitions(
+        [{"c_mktsegment": "BUILDING"}], instant="002"
+    )
+    return t.snapshot().select(
+        "c_custkey", "c_name", "c_mktsegment", "c_acctbal", "ver",
+        F.lit(1 if n > 0 else 0).cast("int").alias("removed_any"),
+    )

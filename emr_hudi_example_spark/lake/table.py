@@ -891,6 +891,44 @@ class LakeTable:
                 # committed and silently skipping its replay
                 self._pending_checkpoint = None
 
+    def delete_partitions(
+        self, partitions: list[dict], instant: str | None = None
+    ) -> int:
+        """Drop whole partitions in one commit — Hudi's
+        ``delete_partition`` write operation, the retention workhorse at
+        scale (expire a day/tenant/source without touching a single
+        data file: the commit is MANIFEST-ONLY, ``added=[]`` and
+        ``replaced`` = the partitions' live files, so a 100 TB partition
+        drop costs one small JSON write). Data files become unreferenced
+        and the cleaner reaps them later (lazy, like failed writes).
+
+        ``partitions``: list of ``{partition_key: value}`` dicts (every
+        partition key must be present; values compared as the string
+        form the partition path stores). Returns the number of files
+        dereferenced. Raises on an unpartitioned table.
+        """
+        if not self.partition_keys:
+            raise ValueError("delete_partitions on an unpartitioned table")
+        pps = set()
+        for p in partitions:
+            missing = [k for k in self.partition_keys if k not in p]
+            if missing:
+                raise ValueError(f"partition spec missing keys {missing}")
+            pps.add(
+                "/".join(f"{k}={p[k]}" for k in self.partition_keys)
+            )
+        with self._writer_lock():
+            inst = self._next_instant(instant)
+            doomed = [
+                f["path"]
+                for f in self._live_files()
+                if f["partition_path"] in pps
+            ]
+            self._write_manifest(
+                inst, "delete_partition", self._stored_schema(), [], doomed
+            )
+            return len(doomed)
+
     def _writer_lock(self):
         """Acquire the table's writer lock via the pluggable provider
         (``lock_provider``; default = O_EXCL lock file — see
@@ -1707,6 +1745,46 @@ class LakeTable:
             json.dump({"instant": instant, "live_files": live}, fh)
         os.replace(tmp, os.path.join(self.ckpt_dir, instant + ".json"))
 
+    # ---------------------------------------------------------- savepoints
+
+    @property
+    def savepoint_dir(self) -> str:
+        return os.path.join(self.path, "_savepoints")
+
+    def savepoint(self, instant: str) -> None:
+        """Pin ``instant`` against the cleaner (Hudi savepoint): the
+        files live AT a savepointed instant are retained by ``clean()``
+        regardless of its retention horizon, so ``time_travel`` to the
+        savepoint keeps working forever — the mechanism behind audit /
+        reproducibility pins ("the corpus exactly as trained on").
+        Timeline archival is unaffected (archived manifests stay
+        readable), only file retention changes."""
+        if instant not in self._full_timeline():
+            raise ValueError(f"unknown instant {instant!r}")
+        os.makedirs(self.savepoint_dir, exist_ok=True)
+        tmp = os.path.join(self.savepoint_dir, f".{instant}.json.tmp")
+        with open(tmp, "w") as fh:
+            json.dump({"instant": instant}, fh)
+        os.replace(
+            tmp, os.path.join(self.savepoint_dir, instant + ".json")
+        )
+
+    def release_savepoint(self, instant: str) -> None:
+        """Unpin; the next ``clean()`` may reap the instant's files."""
+        try:
+            os.remove(os.path.join(self.savepoint_dir, instant + ".json"))
+        except FileNotFoundError:
+            pass
+
+    def savepoints(self) -> list[str]:
+        if not os.path.isdir(self.savepoint_dir):
+            return []
+        return sorted(
+            f[: -len(".json")]
+            for f in os.listdir(self.savepoint_dir)
+            if f.endswith(".json")
+        )
+
     # ------------------------------------------------------------- restore
 
     def restore(self, instant: str) -> list[str]:
@@ -1741,6 +1819,10 @@ class LakeTable:
             for c in self._checkpoints():
                 if c > instant:
                     os.remove(os.path.join(self.ckpt_dir, c + ".json"))
+            # savepoints pinning now-removed instants are meaningless
+            for sp in self.savepoints():
+                if sp > instant:
+                    self.release_savepoint(sp)
             self._live_cache = None
             return doomed
 
@@ -1971,6 +2053,10 @@ class LakeTable:
         keep = set()
         for inst in tl[-retain_commits:]:
             keep |= {f["path"] for f in self._live_files_at(inst)}
+        # savepointed instants pin their whole live set regardless of
+        # the retention horizon (Hudi savepoint semantics)
+        for sp in self.savepoints():
+            keep |= {f["path"] for f in self._live_files_at(sp)}
         deleted = []
         for root, _dirs, files in os.walk(self.data_dir):
             for fn in files:

@@ -1873,3 +1873,61 @@ def test_bloom_kernel_matches_module(spark, tmp_path):
     assert b64 == B.bloom_to_b64(
         B.build_bloom(keys, t.bloom_bits, t.bloom_hashes)
     )
+
+
+# ------------------------------------------- delete_partition / savepoint
+
+
+def test_delete_partition_manifest_only(spark, tmp_path):
+    """Dropping a partition is a manifest-only commit: zero data I/O,
+    files dereferenced for the cleaner, snapshot excludes the partition,
+    time travel before the drop still sees it."""
+    t = make_table(spark, tmp_path, partition_keys=["c_mktsegment"])
+    t.write(cust(spark, ver=1), op="insert", instant="001")
+    segs = [r[0] for r in t.snapshot().select("c_mktsegment").distinct().collect()]
+    victim = sorted(segs)[0]
+    n_before = t.snapshot().count()
+    n_victim = t.snapshot().filter(F.col("c_mktsegment") == victim).count()
+    removed = t.delete_partitions([{"c_mktsegment": victim}], instant="002")
+    assert removed > 0
+    m = t._manifest("002")
+    assert m["action"] == "delete_partition" and m["added"] == []
+    snap = t.snapshot()
+    assert snap.count() == n_before - n_victim
+    assert snap.filter(F.col("c_mktsegment") == victim).count() == 0
+    # data files still on disk (lazy) until the cleaner runs
+    assert t.snapshot(as_of="001").count() == n_before
+    deleted = t.clean(retain_commits=1)
+    assert len(deleted) == removed
+    with pytest.raises(ValueError, match="unpartitioned"):
+        make_table(spark, tmp_path, name="nopart").delete_partitions(
+            [{"x": "1"}]
+        )
+
+
+def test_delete_partition_missing_key_rejected(spark, tmp_path):
+    t = make_table(spark, tmp_path, partition_keys=["c_mktsegment"])
+    t.write(cust(spark, ver=1), op="insert", instant="001")
+    with pytest.raises(ValueError, match="missing keys"):
+        t.delete_partitions([{}])
+
+
+def test_savepoint_pins_files_against_cleaner(spark, tmp_path):
+    """Files live at a savepointed instant survive clean() past the
+    retention horizon; releasing the savepoint frees them."""
+    t = make_table(spark, tmp_path, name="sp")
+    t.write(cust(spark, ver=1), op="insert", instant="001")
+    t.savepoint("001")
+    t.write(cust(spark, ver=2), op="upsert", instant="002")
+    t.write(cust(spark, ver=3), op="upsert", instant="003")
+    # pinned = live@001 plus retained live@003; 002's replaced output is
+    # fair game — but nothing of 001 may be reaped
+    deleted = t.clean(retain_commits=1)
+    assert not any(p.startswith("data/001/") for p in deleted)
+    assert t.snapshot(as_of="001").filter(F.col("ver") == 1).count() > 0
+    t.release_savepoint("001")
+    deleted = t.clean(retain_commits=1)
+    assert deleted  # 001's (and 002's) files now reapable
+    assert t.snapshot().filter(F.col("ver") == 3).count() == t.snapshot().count()
+    with pytest.raises(ValueError, match="unknown instant"):
+        t.savepoint("999")

@@ -51,6 +51,7 @@ _PRIORITY: list[str] = [
     "pipe_stream_dedup_endstate",
     "sim_ann_recall",
     "lake_delete_partition",
+    "corpus_stratified_sample",
     # -- r3-row queries on substrate r4 touched most --
     "dedup_incremental",
     "dedup_ngram_containment",

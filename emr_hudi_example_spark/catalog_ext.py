@@ -2026,3 +2026,33 @@ def sim_ann_recall(spark: SparkSession, sf_dir: str) -> DataFrame:
     exact = S.cosine_topk(emb, queries, k=5)
     approx = S.ivf_cosine_topk(emb, queries, centroids, k=5, nprobe=3)
     return S.ann_recall(exact, approx, k=5)
+
+
+@query(
+    "corpus_stratified_sample",
+    oracle="""
+    WITH r AS (SELECT doc_id, lang, source,
+                      CASE lang WHEN 'en' THEN 8000
+                                WHEN 'zh' THEN 5000
+                                WHEN 'de' THEN 2500
+                                ELSE 1000 END AS rate_bp,
+                      CAST(concat('0x', substr(md5('ss0:' ||
+                               CAST(doc_id AS VARCHAR)), 1, 4))
+                           AS BIGINT) AS bucket
+               FROM documents)
+    SELECT doc_id, lang, source FROM r
+    WHERE bucket * 10000 < rate_bp * 65536
+    """,
+)
+def corpus_stratified_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-stratum deterministic sampling (mixture shaping): each
+    language keeps its own exact hash fraction — 80% en, 50% zh, 25%
+    de, 10% everything else — via the same salt-hash bucket idiom as
+    the global sample, so the draw is stable under any layout and
+    composable with the other samplers (independent salts)."""
+    return C.stratified_sample(
+        load(spark, sf_dir, "documents"),
+        rates_bp={"en": 8000, "zh": 5000, "de": 2500},
+        stratum_col="lang",
+        default_bp=1000,
+    ).select("doc_id", "lang", "source")

@@ -546,3 +546,48 @@ def profile_columns(df: DataFrame, cols: list[str]) -> DataFrame:
         f"stack({len(cols)}, {stack_args}) AS "
         "(column, n_null, n_distinct, min_str, max_str)",
     ).select("column", "n", "n_null", "n_distinct", "min_str", "max_str")
+
+
+def stratified_sample(
+    df: DataFrame,
+    rates_bp: dict[str, int],
+    stratum_col: str,
+    id_col: str = "doc_id",
+    salt: str = "ss0",
+    default_bp: int = 0,
+) -> DataFrame:
+    """Deterministic per-stratum sampling — the mixture-shaping step a
+    training pipeline runs after quality filtering: each stratum (lang,
+    source, domain) keeps its own EXACT hash fraction, expressed in
+    basis points (``rates_bp={"en": 5000}`` = keep ~50% of English).
+    Strata absent from the map keep ``default_bp``.
+
+    Selection hashes ``salt || id`` — stable under any partitioning /
+    cluster layout, independent draws per salt, and dup-safe when the
+    id is a content fingerprint (duplicates co-travel in or out, the
+    same property the leakage-safe split relies on).
+
+    Scale shape: a pure narrow expression — the rate map becomes an
+    inline literal MAP lookup (bounded by stratum cardinality, which is
+    small by definition for lang/source mixes), no join, no shuffle,
+    nothing to broadcast.
+    """
+    pairs: list = []
+    for k, v in sorted(rates_bp.items()):
+        pairs.extend([F.lit(k), F.lit(int(v))])
+    rate = F.coalesce(
+        F.element_at(F.create_map(*pairs), F.col(stratum_col)),
+        F.lit(int(default_bp)),
+    )
+    bucket = F.conv(
+        F.substring(
+            F.md5(
+                F.concat(F.lit(salt + ":"), F.col(id_col).cast("string"))
+            ),
+            1,
+            4,
+        ),
+        16,
+        10,
+    ).cast("long")  # 16 bits -> 0..65535
+    return df.filter(bucket * 10000 < rate * 65536)

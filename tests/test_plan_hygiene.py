@@ -92,3 +92,9 @@ def test_salted_join_salt_reaches_partitioning(spark):
     plan = _plan(spark, "j3_salted_skew_join")
     assert "SortMergeJoin" in plan or "ShuffledHashJoin" in plan
     assert re.search(r"hashpartitioning\([^)]*_salt", plan)
+
+
+def test_stratified_sample_is_narrow(spark):
+    # rate lookup is an inline literal map — no join, no Exchange
+    plan = _plan(spark, "corpus_stratified_sample")
+    assert "Exchange" not in plan

@@ -52,6 +52,7 @@ _PRIORITY: list[str] = [
     "sim_ann_recall",
     "lake_delete_partition",
     "corpus_stratified_sample",
+    "lake_insert_overwrite",
     # -- r3-row queries on substrate r4 touched most --
     "dedup_incremental",
     "dedup_ngram_containment",

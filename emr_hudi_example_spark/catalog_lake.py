@@ -597,3 +597,37 @@ def lake_delete_partition(spark: SparkSession, sf_dir: str) -> DataFrame:
         "c_custkey", "c_name", "c_mktsegment", "c_acctbal", "ver",
         F.lit(1 if n > 0 else 0).cast("int").alias("removed_any"),
     )
+
+
+@query(
+    "lake_insert_overwrite",
+    oracle="""
+    SELECT c_custkey, c_name, c_mktsegment, c_acctbal,
+           CAST(CASE WHEN c_mktsegment = 'MACHINERY'
+                     THEN 2 ELSE 1 END AS BIGINT) AS ver
+    FROM customer
+    WHERE c_mktsegment <> 'MACHINERY' OR c_custkey % 2 = 0
+    """,
+)
+def lake_insert_overwrite(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Hudi's ``insert_overwrite`` op: the batch REPLACES the touched
+    partitions' contents wholesale (no key merge) — the idempotent
+    backfill/dimension-reload primitive. One partition is refreshed
+    with a strict subset at ver=2; every other partition must carry
+    over by manifest reference untouched — the graded end state proves
+    both the replacement and the carry-over."""
+    t = LakeTable(
+        spark, _tmp_base(), "q", "iow", ["c_custkey"], "ver",
+        partition_keys=["c_mktsegment"],
+    )
+    t.write(_batch1(spark, sf_dir), op="insert", instant="001")
+    refresh = (
+        _batch1(spark, sf_dir)
+        .filter(F.col("c_mktsegment") == "MACHINERY")
+        .filter(F.col("c_custkey") % 2 == 0)
+        .withColumn("ver", F.lit(2).cast("long"))
+    )
+    t.write(refresh, op="insert_overwrite", instant="002")
+    return t.snapshot().select(
+        "c_custkey", "c_name", "c_mktsegment", "c_acctbal", "ver"
+    )

@@ -883,6 +883,8 @@ class LakeTable:
                     return self._commit_upsert(df, instant)
                 if op == "delete":
                     return self._commit_delete(df, instant)
+                if op == "insert_overwrite":
+                    return self._commit_insert_overwrite(df, instant)
                 raise ValueError(f"unknown write op: {op}")
             finally:
                 # a FAILED commit must not leave its checkpoint armed:
@@ -964,6 +966,45 @@ class LakeTable:
         # base, only merges/deletes to the log)
         added = self._write_data_files(batch, inst, kind="base")
         self._write_manifest(inst, "insert", batch.schema, added, [])
+        return inst
+
+    def _commit_insert_overwrite(
+        self, df: DataFrame, instant: str | None
+    ) -> str:
+        """Hudi's ``insert_overwrite``: REPLACE the contents of every
+        partition the batch touches (whole table when unpartitioned)
+        with the batch — the idempotent full-refresh op for dimension
+        reloads and backfills. No key merge: the batch IS the new
+        partition content. One commit: ``added`` = the batch's files,
+        ``replaced`` = the touched partitions' previous live files —
+        untouched partitions carry over by manifest reference, so the
+        cost scales with the REFRESHED slice, never the table."""
+        inst = self._next_instant(instant)
+        batch = self._prepare_batch(df, inst)
+        if self.exists():
+            batch = self._align_schema(batch)
+        live = self._live_files() if self.exists() else []
+        if self.partition_keys and live:
+            batch.persist()
+            try:
+                pps = {
+                    r[0]
+                    for r in batch.select(PARTITION_PATH_COL)
+                    .distinct()
+                    .collect()
+                }
+                doomed = [
+                    f["path"] for f in live if f["partition_path"] in pps
+                ]
+                added = self._write_data_files(batch, inst, kind="base")
+            finally:
+                batch.unpersist()
+        else:
+            doomed = [f["path"] for f in live]
+            added = self._write_data_files(batch, inst, kind="base")
+        self._write_manifest(
+            inst, "insert_overwrite", batch.schema, added, doomed
+        )
         return inst
 
     def _commit_upsert(self, df: DataFrame, instant: str | None) -> str:

@@ -1931,3 +1931,42 @@ def test_savepoint_pins_files_against_cleaner(spark, tmp_path):
     assert t.snapshot().filter(F.col("ver") == 3).count() == t.snapshot().count()
     with pytest.raises(ValueError, match="unknown instant"):
         t.savepoint("999")
+
+
+def test_insert_overwrite_partitioned_and_whole_table(spark, tmp_path):
+    """insert_overwrite replaces exactly the touched partitions (whole
+    table when unpartitioned); untouched partitions carry over."""
+    t = make_table(spark, tmp_path, name="iow", partition_keys=["c_mktsegment"])
+    t.write(cust(spark, ver=1), op="insert", instant="001")
+    segs = sorted(
+        r[0] for r in t.snapshot().select("c_mktsegment").distinct().collect()
+    )
+    victim = segs[0]
+    refresh = (
+        cust(spark, ver=2)
+        .filter(F.col("c_mktsegment") == victim)
+        .filter(F.col("c_custkey") % 2 == 0)  # smaller content: true replace
+    )
+    t.write(refresh, op="insert_overwrite", instant="002")
+    snap = t.snapshot()
+    in_victim = snap.filter(F.col("c_mktsegment") == victim)
+    assert in_victim.count() == refresh.count()
+    assert in_victim.filter(F.col("ver") != 2).count() == 0
+    others = snap.filter(F.col("c_mktsegment") != victim)
+    assert others.filter(F.col("ver") != 1).count() == 0
+    assert (
+        others.count()
+        == cust(spark).filter(F.col("c_mktsegment") != victim).count()
+    )
+    m = t._manifest("002")
+    assert m["action"] == "insert_overwrite" and m["replaced"]
+    # unpartitioned: whole-table replace
+    u = make_table(spark, tmp_path, name="iow_flat")
+    u.write(cust(spark, ver=1), op="insert", instant="001")
+    u.write(
+        cust(spark, ver=5).filter(F.col("c_custkey") < 10),
+        op="insert_overwrite",
+        instant="002",
+    )
+    assert u.snapshot().count() == cust(spark).filter(F.col("c_custkey") < 10).count()
+    assert u.snapshot(as_of="001").count() == cust(spark).count()

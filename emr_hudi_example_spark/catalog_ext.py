@@ -2056,3 +2056,93 @@ def corpus_stratified_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
         stratum_col="lang",
         default_bp=1000,
     ).select("doc_id", "lang", "source")
+
+
+# ======================================================== round-5 late batch
+
+from emr_hudi_example_spark.operators.sketch import (  # noqa: E402
+    hll_distinct,
+    hll_oracle_sql,
+)
+
+
+@query(
+    "sketch_hll_distinct",
+    oracle=hll_oracle_sql(
+        source_sql=f"(SELECT source AS src, unnest({_TOKS}) AS val "
+        "FROM documents)",
+        group_expr="src",
+        value_expr="val",
+        group_alias="source",
+    ),
+)
+def sketch_hll_distinct(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-domain distinct-token HyperLogLog with the ESTIMATE itself
+    oracle-gated — the estimator the FM-register query left driver-side
+    becomes gradeable by carrying the harmonic sum as the exact integer
+    Σ2^(53-M) (shift arithmetic, no pow); one IEEE divide at the end.
+    Registers merge across shards by MAX, so per-partition register
+    tables roll up without re-reading data — the sublinear
+    count-distinct path for a 100 TB corpus."""
+    from emr_hudi_example_spark.operators.text import tokens
+
+    tok = load(spark, sf_dir, "documents").select(
+        "source", F.explode(tokens("text")).alias("token")
+    )
+    return hll_distinct(tok, "source", "token").withColumnRenamed(
+        "grp", "source"
+    )
+
+
+@query(
+    "dedup_span_stats",
+    oracle=f"""
+    WITH t AS (SELECT doc_id, {_TOKS} AS tk FROM documents),
+    s AS (SELECT doc_id, unnest(list_transform({_shingles_sql(8)},
+                                               x -> md5(x))) AS fp
+          FROM t WHERE len(tk) >= 8),
+    xd AS (SELECT fp FROM (SELECT DISTINCT doc_id, fp FROM s)
+           GROUP BY fp HAVING count(*) > 1),
+    tot AS (SELECT doc_id, count(*) AS n_spans FROM s GROUP BY 1),
+    dup AS (SELECT s.doc_id, count(*) AS n_dup
+            FROM s JOIN xd USING (fp) GROUP BY 1)
+    SELECT d.doc_id,
+           CAST(coalesce(tot.n_spans, 0) AS BIGINT) AS n_spans,
+           CAST(coalesce(dup.n_dup, 0) AS BIGINT) AS n_dup_spans,
+           CASE WHEN coalesce(tot.n_spans, 0) = 0 THEN 0.0
+                ELSE round(coalesce(dup.n_dup, 0)::DOUBLE / tot.n_spans, 6)
+           END AS dup_ratio
+    FROM (SELECT DISTINCT doc_id FROM documents) d
+    LEFT JOIN tot USING (doc_id) LEFT JOIN dup USING (doc_id)
+    """,
+)
+def dedup_span_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Cross-document duplicate-span stats at 8-token granularity — the
+    positional exact-substring-dedup signal (see
+    ``operators/dedup.py duplicate_span_stats`` for the scale shape)."""
+    return D.duplicate_span_stats(
+        load(spark, sf_dir, "documents"), k=8
+    )
+
+
+@query(
+    "text_char_diversity",
+    oracle="""
+    WITH ch AS (SELECT doc_id, unnest(str_split(text, '')) AS c
+                FROM documents),
+    h AS (SELECT doc_id, c, count(*) AS cnt FROM ch GROUP BY 1, 2)
+    SELECT doc_id,
+           CAST(sum(cnt) AS BIGINT) AS n_chars,
+           CAST(count(*) AS INT) AS n_distinct_chars,
+           CAST(max(cnt) AS BIGINT) AS top_char_cnt,
+           round(CAST(sum(cnt * cnt) AS DOUBLE)
+                 / CAST(sum(cnt) * sum(cnt) AS DOUBLE), 6)
+             AS collision_index
+    FROM h GROUP BY doc_id
+    """,
+)
+def text_char_diversity(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Character-histogram diversity (Simpson collision index) — the
+    log-free entropy stand-in of a junk filter; exact integer counts +
+    one IEEE divide (see ``operators/text.py char_diversity``)."""
+    return TX.char_diversity(load(spark, sf_dir, "documents"))

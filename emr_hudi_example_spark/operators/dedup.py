@@ -787,3 +787,66 @@ def strip_boilerplate_lines(
         .cast("long")
         .alias("n_dropped"),
     )
+
+
+def duplicate_span_stats(
+    df: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    k: int = 8,
+) -> DataFrame:
+    """Cross-document duplicate-SPAN statistics — the positional signal
+    exact-substring dedup (suffix-array "dedup trained data" style)
+    acts on, computed at k-token granularity: for every document, how
+    many of its k-token windows also occur verbatim in at least one
+    OTHER document. Downstream policy then drops/trims docs whose
+    ``dup_ratio`` crosses a threshold (boilerplate, mirrored articles,
+    license headers) without needing the quadratic suffix structure.
+
+    Returns ``(id, n_spans, n_dup_spans, dup_ratio)``; docs shorter
+    than ``k`` tokens have ``n_spans = 0`` and ratio 0.0.
+
+    Scale shape: posexplode-free — span multiplicity per doc is enough,
+    so the pipeline is one narrow explode, a (fp, doc) distinct + count
+    to find cross-doc fingerprints (map-side combine), one thin
+    fp-keyed join back, and per-doc aggs. No all-pairs stage; the
+    cross-doc fp table is the only intermediate, and it shrinks with
+    corpus redundancy. The reference has no substring machinery at all
+    (closest: full-row precombine dedup, SRC/package.scala:60-66).
+    """
+    spans = df.select(
+        F.col(id_col).alias("_id"),
+        F.explode(shingles(text_col, k)).alias("sh"),
+    ).select("_id", F.md5("sh").alias("fp"))
+    # distinct (fp, doc) pairs -> fps carried by >1 distinct doc
+    cross_doc = (
+        spans.distinct()
+        .groupBy("fp")
+        .agg(F.count(F.lit(1)).alias("n_docs"))
+        .filter(F.col("n_docs") > 1)
+        .select("fp")
+    )
+    per_doc = spans.join(cross_doc, "fp", "left_semi").groupBy("_id").agg(
+        F.count(F.lit(1)).alias("n_dup_spans")
+    )
+    totals = spans.groupBy("_id").agg(F.count(F.lit(1)).alias("n_spans"))
+    base = df.select(F.col(id_col).alias("_id")).distinct()
+    out = (
+        base.join(totals, "_id", "left")
+        .join(per_doc, "_id", "left")
+        .select(
+            F.col("_id").alias(id_col),
+            F.coalesce("n_spans", F.lit(0)).cast("long").alias("n_spans"),
+            F.coalesce("n_dup_spans", F.lit(0))
+            .cast("long")
+            .alias("n_dup_spans"),
+        )
+    )
+    return out.withColumn(
+        "dup_ratio",
+        F.when(F.col("n_spans") == 0, F.lit(0.0)).otherwise(
+            F.round(
+                F.col("n_dup_spans").cast("double") / F.col("n_spans"), 6
+            )
+        ),
+    )

@@ -237,3 +237,126 @@ def fm_estimate(registers: list[int], m: int = 16) -> float:
     if raw <= 2.5 * m and zeros:
         return m * math.log(m / zeros)
     return raw
+
+
+# HLL bucket-index bits (m = 2**_HLL_B registers) and the fixed-point
+# scale for the graded harmonic sum: register M contributes the exact
+# integer 2^(_HLL_SCALE_BITS - M), so Σ 2^-M is carried as a BIGINT
+# (max m·2^53 = 2^61 < 2^63) instead of a float pow.
+_HLL_B = 8
+_HLL_M = 1 << _HLL_B
+_HLL_SCALE_BITS = 53
+# alpha_256 · m² · 2^53, folded to ONE double literal on the driver so
+# both engines parse the identical decimal constant — no cross-engine
+# float-expression evaluation-order hazard.
+_HLL_NUM = (0.7213 / (1 + 1.079 / _HLL_M)) * _HLL_M * _HLL_M * float(
+    1 << _HLL_SCALE_BITS
+)
+
+
+def hll_distinct(
+    df: DataFrame,
+    group_col: str,
+    value_col: str,
+) -> DataFrame:
+    """Per-group HyperLogLog with a fully GRADED estimator — the piece
+    :func:`fm_registers` deliberately left driver-side (fractional
+    ``2^-M`` is pow, not graded-value-safe). The trick that makes the
+    estimate oracle-gateable: carry the harmonic sum as the exact
+    integer ``Σ 2^(53-M)`` (missing buckets contribute ``2^53``), so
+    the only float op is ONE IEEE divide by a shared decimal literal —
+    bit-identical on any engine.
+
+    Register definition (md5-derived, engine-reproducible):
+    bucket = first 8 hash bits; M = leading-zero count of the next
+    52 bits + 1 (``53 - bitlength(w)``, via ``bin()`` string length —
+    exact integer math, no log2), all-zero word → M = 53.
+
+    Output: ``(grp, n_buckets_used, n_zero, sum_scaled, est_distinct)``.
+    ``est_distinct`` is the raw HLL harmonic estimate (~1.04/√m ≈ 6.5%
+    RMSE at m=256); ``n_zero`` is emitted so a consumer can apply the
+    standard linear-counting correction for tiny cardinalities —
+    deliberately not folded into the graded value (it needs ``ln``,
+    which is libm-dependent; the repo's graded paths are log-free).
+
+    Scale shape: one dedup shuffle on (group, value) with map-side
+    combine, a partial-aggregated MAX into ``groups × 256`` register
+    rows, then a per-group sum of 256 bigints. Registers merge across
+    shards/snapshots by the same MAX — the sketch-algebra property that
+    lets per-partition register tables roll up without re-reading data.
+    Reference parity: the reference counts distincts by exact
+    aggregation only (SRC/DWD2DM.scala:32-34); this is the sublinear
+    path a 100 TB corpus needs.
+    """
+    pairs = df.select(
+        F.col(group_col).alias("grp"),
+        F.col(value_col).cast("string").alias("val"),
+    ).distinct()
+    md5 = F.md5(F.col("val"))
+    bucket = F.conv(F.substring(md5, 1, 2), 16, 10).cast("int")
+    w = F.conv(F.substring(md5, 3, 13), 16, 10).cast("long")
+    rho = F.when(w == 0, F.lit(_HLL_SCALE_BITS)).otherwise(
+        F.lit(_HLL_SCALE_BITS) - F.length(F.bin(w))
+    )
+    regs = (
+        pairs.select("grp", bucket.alias("bucket"), rho.alias("rho"))
+        .groupBy("grp", "bucket")
+        .agg(F.max("rho").alias("m_reg"))
+    )
+    g = regs.groupBy("grp").agg(
+        F.count(F.lit(1)).cast("int").alias("n_buckets_used"),
+        F.sum(
+            # shiftleft's bit-count arg must be a literal in the Python
+            # API; the SQL form takes a column expression
+            F.expr(f"shiftleft(CAST(1 AS BIGINT), {_HLL_SCALE_BITS} - m_reg)")
+        ).cast("long").alias("s_used"),
+    )
+    empty_unit = F.lit(1 << _HLL_SCALE_BITS).cast("long")
+    sum_scaled = (
+        F.col("s_used")
+        + (F.lit(_HLL_M) - F.col("n_buckets_used")).cast("long") * empty_unit
+    )
+    return g.select(
+        "grp",
+        "n_buckets_used",
+        (F.lit(_HLL_M) - F.col("n_buckets_used")).cast("int").alias("n_zero"),
+        sum_scaled.cast("long").alias("sum_scaled"),
+        F.round(F.lit(_HLL_NUM) / sum_scaled.cast("double"), 4).alias(
+            "est_distinct"
+        ),
+    )
+
+
+def hll_oracle_sql(
+    source_sql: str, group_expr: str, value_expr: str, group_alias: str
+) -> str:
+    """DuckDB twin of :func:`hll_distinct`, generated from the SAME
+    constants (`_HLL_*`) so bucket width, scale bits, and the estimator
+    numerator literal cannot drift between engines."""
+    num = repr(_HLL_NUM)
+    unit = 1 << _HLL_SCALE_BITS
+    return f"""
+    WITH pairs AS (
+      SELECT DISTINCT {group_expr} AS grp,
+             CAST({value_expr} AS VARCHAR) AS val
+      FROM {source_sql}),
+    h AS (SELECT grp,
+            ('0x' || substr(md5(val), 1, 2))::BIGINT AS bucket,
+            ('0x' || substr(md5(val), 3, 13))::BIGINT AS w
+          FROM pairs),
+    regs AS (SELECT grp, bucket,
+               max(CASE WHEN w = 0 THEN {_HLL_SCALE_BITS}
+                        ELSE {_HLL_SCALE_BITS} - length(bin(w)) END) AS m_reg
+             FROM h GROUP BY 1, 2),
+    g AS (SELECT grp, count(*) AS n_used,
+            sum(1::BIGINT << ({_HLL_SCALE_BITS} - m_reg)) AS s_used
+          FROM regs GROUP BY 1)
+    SELECT grp AS {group_alias},
+           CAST(n_used AS INT) AS n_buckets_used,
+           CAST({_HLL_M} - n_used AS INT) AS n_zero,
+           CAST(s_used + ({_HLL_M} - n_used) * {unit}::BIGINT AS BIGINT)
+             AS sum_scaled,
+           round({num} / CAST(s_used + ({_HLL_M} - n_used) * {unit}::BIGINT
+                              AS DOUBLE), 4) AS est_distinct
+    FROM g
+    """

@@ -614,3 +614,35 @@ def c_date_functions(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.col("o_orderdate"), F.lit("1995-01-01").cast("timestamp")
         ).cast("int").alias("days_since"),
     )
+
+
+@query(
+    "a12_cube_grouping",
+    oracle="""
+    SELECT o_orderstatus, o_orderpriority,
+           CAST(GROUPING(o_orderstatus, o_orderpriority) AS BIGINT)
+             AS grp_id,
+           count(*) AS n_rows,
+           CAST(round(sum(CAST(o_totalprice AS DECIMAL(38,4))), 2)
+                AS DOUBLE) AS sum_price
+    FROM orders
+    GROUP BY CUBE (o_orderstatus, o_orderpriority)
+    """,
+)
+def a12_cube_grouping(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Full CUBE with grouping-set ids: all four aggregation lattices
+    (status×priority, status, priority, grand total) in ONE expand +
+    hash-agg pass — no repeated scans — with ``grouping_id()``
+    disambiguating the NULL-as-subtotal rows from genuine NULL keys
+    (the §2.7 rollup's completion; SQL-standard bit order, leftmost
+    column = MSB, matches DuckDB's GROUPING())."""
+    orders = load(spark, sf_dir, "orders")
+    return orders.cube("o_orderstatus", "o_orderpriority").agg(
+        F.grouping_id().cast("long").alias("grp_id"),
+        F.count(F.lit(1)).alias("n_rows"),
+        F.round(F.sum(F.col("o_totalprice").cast("decimal(38,4)")), 2)
+        .cast("double")
+        .alias("sum_price"),
+    ).select(
+        "o_orderstatus", "o_orderpriority", "grp_id", "n_rows", "sum_price"
+    )

@@ -2146,3 +2146,41 @@ def text_char_diversity(spark: SparkSession, sf_dir: str) -> DataFrame:
     log-free entropy stand-in of a junk filter; exact integer counts +
     one IEEE divide (see ``operators/text.py char_diversity``)."""
     return TX.char_diversity(load(spark, sf_dir, "documents"))
+
+
+@query(
+    "corpus_dsir_weights",
+    oracle=f"""
+    WITH t AS (SELECT doc_id, lang = 'en' AS tgt, {_TOKS} AS tk
+               FROM documents),
+    bg AS (SELECT doc_id, tgt,
+                  CAST(concat('0x', substr(md5('dsir0:' || sh), 1, 4))
+                       AS BIGINT) % 1024 AS f
+           FROM (SELECT doc_id, tgt, unnest({_shingles_sql(2)}) AS sh
+                 FROM t WHERE len(tk) >= 2)),
+    raw AS (SELECT f, count(*) AS r_cnt FROM bg GROUP BY 1),
+    tgt AS (SELECT f, count(*) AS t_cnt FROM bg WHERE tgt GROUP BY 1),
+    ratios AS (SELECT raw.f,
+                      (coalesce(tgt.t_cnt, 0) + 1) * 1000000
+                        // (raw.r_cnt + 1) AS ratio_scaled
+               FROM raw LEFT JOIN tgt USING (f)),
+    scored AS (SELECT bg.doc_id, count(*) AS n_bigrams,
+                      sum(ratio_scaled) AS score
+               FROM bg JOIN ratios USING (f) GROUP BY 1)
+    SELECT d.doc_id,
+           CAST(coalesce(s.n_bigrams, 0) AS BIGINT) AS n_bigrams,
+           CAST(coalesce(s.score, 0) AS BIGINT) AS dsir_score_ppm
+    FROM (SELECT DISTINCT doc_id FROM documents) d
+    LEFT JOIN scored s USING (doc_id)
+    """,
+)
+def corpus_dsir_weights(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """DSIR-style target-likeness scores (hashed-bigram likelihood
+    ratios, target = English slice) in exact integer space — the
+    data-selection ranking signal of a pretraining mix builder; the
+    ≤1024-row feature-ratio table broadcasts (see
+    ``operators/corpus.py dsir_weights`` for the 100 TB shape)."""
+    docs = load(spark, sf_dir, "documents").withColumn(
+        "_is_en", F.col("lang") == "en"
+    )
+    return C.dsir_weights(docs, target_col="_is_en")

@@ -631,3 +631,60 @@ def lake_insert_overwrite(spark: SparkSession, sf_dir: str) -> DataFrame:
     return t.snapshot().select(
         "c_custkey", "c_name", "c_mktsegment", "c_acctbal", "ver"
     )
+
+
+@query(
+    "lake_merge_endstate",
+    oracle="""
+    WITH b1 AS (
+      SELECT c_custkey, c_name, c_acctbal, CAST(1 AS BIGINT) AS ver,
+             '001' AS _commit_time
+      FROM customer),
+    survivors AS (
+      -- WHEN MATCHED AND t.c_acctbal < 0 THEN DELETE; matched keys are
+      -- custkey % 3 = 0 (the source's update slice)
+      SELECT * FROM b1
+      WHERE NOT (c_custkey % 3 = 0 AND c_acctbal < 0)
+        -- updated keys' base rows lose to the ver-2 update row
+        AND NOT (c_custkey % 3 = 0 AND c_acctbal >= 0)),
+    upd AS (
+      SELECT c_custkey, c_name, c_acctbal + 500.0 AS c_acctbal,
+             CAST(2 AS BIGINT) AS ver, '002' AS _commit_time
+      FROM b1 WHERE c_custkey % 3 = 0 AND c_acctbal >= 0),
+    ins AS (
+      SELECT c_custkey + 1000000 AS c_custkey, c_name, c_acctbal,
+             CAST(5 AS BIGINT) AS ver, '002' AS _commit_time
+      FROM customer WHERE c_custkey % 5 = 0)
+    SELECT * FROM survivors
+    UNION ALL SELECT * FROM upd
+    UNION ALL SELECT * FROM ins
+    """,
+)
+def lake_merge_endstate(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """SQL MERGE INTO in one commit — matched-and-negative-balance rows
+    DELETE, other matched rows UPDATE (balance +500, precombine bumped
+    so the update deterministically wins), unmatched source rows
+    INSERT. The graded end state proves all three clauses landed
+    atomically in instant 002 (``lake/table.py merge_into``)."""
+    base = _batch1(spark, sf_dir).select(
+        "c_custkey", "c_name", "c_acctbal", "ver"
+    )
+    t = LakeTable(spark, _tmp_base(), "q", "mrg", ["c_custkey"], "ver")
+    t.write(base, op="insert", instant="001")
+    src_upd = base.filter(F.col("c_custkey") % 3 == 0).withColumn(
+        "ver", F.lit(9).cast("long")
+    )
+    src_ins = (
+        base.filter(F.col("c_custkey") % 5 == 0)
+        .withColumn("c_custkey", F.col("c_custkey") + 1000000)
+        .withColumn("ver", F.lit(5).cast("long"))
+    )
+    t.merge_into(
+        src_upd.unionByName(src_ins),
+        update_set={"c_acctbal": "t.c_acctbal + 500.0", "ver": "t.ver + 1"},
+        delete_condition="t.c_acctbal < 0",
+        instant="002",
+    )
+    return t.snapshot().select(
+        "c_custkey", "c_name", "c_acctbal", "ver", "_commit_time"
+    )

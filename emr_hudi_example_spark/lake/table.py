@@ -931,6 +931,122 @@ class LakeTable:
             )
             return len(doomed)
 
+    def merge_into(
+        self,
+        source: DataFrame,
+        update_set: dict[str, str] | None = None,
+        delete_condition: str | None = None,
+        insert_condition: str | None = None,
+        instant: str | None = None,
+    ) -> str:
+        """SQL ``MERGE INTO`` against the table — matched rows update
+        (or delete), unmatched source rows insert, in ONE commit (the
+        statement Hudi exposes via Spark SQL; the reference reaches the
+        same end states only through separate upsert/delete jobs,
+        ``SRC/package.scala:15-81``).
+
+        Expressions are SQL strings over the aliases ``s`` (source) and
+        ``t`` (target): ``update_set`` maps target column →
+        expression (unlisted columns keep ``t.<col>``);
+        ``delete_condition`` selects matched rows to delete (evaluated
+        FIRST, like a WHEN MATCHED ... THEN DELETE clause preceding the
+        update clause); ``insert_condition`` gates unmatched-source
+        inserts (default: all; source must carry the full data schema).
+
+        Resolution discipline: update-derived rows flow through the
+        table's standard ``(precombine, _commit_time)`` merge on BOTH
+        storage types — set the precombine in ``update_set`` (e.g.
+        ``"ver": "t.ver + 1"``) so updates deterministically win,
+        mirroring Hudi's payload-ordering discipline. This keeps COW and
+        MOR end states identical (a MOR update delta cannot bypass
+        precombine without a same-instant tombstone killing its own
+        row).
+
+        Scale shape: matched/unmatched classification is ONE shuffle
+        join of source against the snapshot on the record key; the
+        commit then reuses the upsert path's two-level file pruning
+        (partition prune + key-hit scan), so write amplification scales
+        with keys touched. Deletes ride the same commit: COW anti-joins
+        them out of the rewritten files; MOR appends tombstones into the
+        same delta batch.
+        """
+        if not self.exists():
+            raise ValueError("merge_into on non-existent table")
+        tcols = self.logical().columns
+        t = self.logical().alias("t")
+        s = source.alias("s")
+        cond = None
+        for k in self.record_keys:
+            c = F.col(f"s.{k}") == F.col(f"t.{k}")
+            cond = c if cond is None else (cond & c)
+        matched = s.join(t, cond, "inner")
+        if delete_condition:
+            del_rows = matched.filter(F.expr(delete_condition))
+            upd_base = matched.filter(
+                ~F.coalesce(F.expr(delete_condition), F.lit(False))
+            )
+        else:
+            del_rows = matched.limit(0)
+            upd_base = matched
+        del_full = del_rows.select(
+            *[F.col(f"t.{c}").alias(c) for c in tcols]
+        )
+        if update_set:
+            updates = upd_base.select(
+                *[
+                    F.expr(update_set.get(c, f"t.{c}")).alias(c)
+                    for c in tcols
+                ]
+            )
+        else:
+            updates = upd_base.limit(0).select(
+                *[F.col(f"t.{c}").alias(c) for c in tcols]
+            )
+        s_only = s.join(t, cond, "left_anti")
+        if insert_condition:
+            s_only = s_only.filter(F.expr(insert_condition))
+        inserts = s_only.select(*tcols)
+        upserts = updates.unionByName(inserts)
+        with self._writer_lock():
+            inst = self._next_instant(instant)
+            up = self._prepare_batch(upserts, inst)
+            dl = self._prepare_batch(del_full, inst)
+            if self.is_mor:
+                batch = up.unionByName(
+                    dl.withColumn(DELETED_COL, F.lit(True))
+                )
+                return self._commit_mor_append(
+                    self._align_schema(batch), inst, "merge"
+                )
+            up = self._align_schema(up)
+            dl = self._align_schema(dl)
+            up.persist()
+            dl.persist()
+            try:
+                keyframe = up.unionByName(dl.select(*up.columns))
+                affected, old = self._affected_files(keyframe)
+                join_cols = (
+                    [RECORD_KEY_COL]
+                    if self.global_index
+                    else [PARTITION_PATH_COL, RECORD_KEY_COL]
+                )
+                survivors = old.join(
+                    dl.select(*join_cols).distinct(), join_cols, "left_anti"
+                )
+                merged = self._merge(survivors, up)
+                added = self._write_data_files(merged, inst)
+                self._write_manifest(
+                    inst,
+                    "merge",
+                    up.schema,
+                    added,
+                    sorted({f["path"] for f in affected}),
+                )
+                return inst
+            finally:
+                up.unpersist()
+                dl.unpersist()
+
     def _writer_lock(self):
         """Acquire the table's writer lock via the pluggable provider
         (``lock_provider``; default = O_EXCL lock file — see

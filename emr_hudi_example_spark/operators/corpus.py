@@ -591,3 +591,94 @@ def stratified_sample(
         10,
     ).cast("long")  # 16 bits -> 0..65535
     return df.filter(bucket * 10000 < rate * 65536)
+
+
+def dsir_weights(
+    df: DataFrame,
+    target_col: str,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    n_buckets: int = 1024,
+    scale: int = 1_000_000,
+) -> DataFrame:
+    """DSIR-style data-selection scores (Xie et al. 2023, "Data
+    Selection for Language Models via Importance Resampling"): score
+    every document by how target-like its hashed-bigram feature
+    distribution is, using smoothed per-feature likelihood ratios
+    between the target slice (rows where boolean ``target_col`` is
+    true) and the whole corpus.
+
+    Log-free integer variant (graded-value-safe, the repo standard):
+    instead of Σ count_f · log(p_tgt(f)/p_raw(f)), each bigram
+    occurrence contributes the SCALED smoothed ratio
+    ``floor((t_f + 1) · scale / (r_f + 1))`` and the document score is
+    the exact BIGINT sum — the same "more target-mass ⇒ larger score"
+    ordering on the ratio scale, with zero float ops anywhere.
+
+    Returns ``(id, n_bigrams, dsir_score_ppm)``; docs with < 2 tokens
+    score 0. Select the training subset by ranking on
+    ``dsir_score_ppm / n_bigrams`` (length-normalized) downstream.
+
+    Scale shape: one bigram explode; the feature-count tables collapse
+    to ≤ ``n_buckets`` rows each (hashed features, map-side combine) so
+    the ratio table is a guaranteed BROADCAST join against the bigram
+    stream; then one per-doc agg. At 100 TB the only heavy exchange is
+    the per-doc aggregation — keyed on the same id the scan is already
+    bucketed by.
+    """
+    tk = tokens(text_col)
+    bg = df.select(
+        F.col(id_col).alias("_id"),
+        F.col(target_col).alias("_tgt"),
+        F.explode(
+            F.zip_with(
+                F.slice(tk, 1, F.greatest(F.size(tk) - 1, F.lit(0))),
+                F.slice(tk, 2, F.greatest(F.size(tk) - 1, F.lit(0))),
+                lambda a, b: F.concat_ws(" ", a, b),
+            )
+        ).alias("bgm"),
+    ).withColumn(
+        "f",
+        F.pmod(
+            F.conv(
+                F.substring(F.md5(F.concat(F.lit("dsir0:"), F.col("bgm"))), 1, 4),
+                16,
+                10,
+            ).cast("long"),
+            F.lit(n_buckets),
+        ),
+    )
+    raw = bg.groupBy("f").agg(F.count(F.lit(1)).alias("r_cnt"))
+    tgt = (
+        bg.filter(F.col("_tgt"))
+        .groupBy("f")
+        .agg(F.count(F.lit(1)).alias("t_cnt"))
+    )
+    ratios = (
+        raw.join(tgt, "f", "left")
+        .na.fill({"t_cnt": 0})
+        .select(
+            "f",
+            F.expr(
+                f"(t_cnt + 1) * CAST({scale} AS BIGINT) div (r_cnt + 1)"
+            ).alias("ratio_scaled"),
+        )
+    )
+    scored = (
+        bg.join(F.broadcast(ratios), "f")
+        .groupBy("_id")
+        .agg(
+            F.count(F.lit(1)).cast("long").alias("n_bigrams"),
+            F.sum("ratio_scaled").cast("long").alias("dsir_score_ppm"),
+        )
+    )
+    base = df.select(F.col(id_col).alias("_id")).distinct()
+    return (
+        base.join(scored, "_id", "left")
+        .na.fill({"n_bigrams": 0, "dsir_score_ppm": 0})
+        .select(
+            F.col("_id").alias(id_col),
+            F.col("n_bigrams").cast("long").alias("n_bigrams"),
+            F.col("dsir_score_ppm").cast("long").alias("dsir_score_ppm"),
+        )
+    )

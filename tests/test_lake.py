@@ -1970,3 +1970,63 @@ def test_insert_overwrite_partitioned_and_whole_table(spark, tmp_path):
     )
     assert u.snapshot().count() == cust(spark).filter(F.col("c_custkey") < 10).count()
     assert u.snapshot(as_of="001").count() == cust(spark).count()
+
+
+def test_merge_into_cow_mor_parity(spark, tmp_path):
+    """MERGE INTO lands all three clauses in one commit, and the COW and
+    MOR end states are identical (updates resolve through the same
+    precombine discipline on both storage types)."""
+    import pyspark.sql.functions as F
+
+    base = cust(spark, ver=1).select("c_custkey", "c_name", "c_acctbal", "ver")
+    src = (
+        base.filter(F.col("c_custkey") % 3 == 0)
+        .withColumn("ver", F.lit(9).cast("long"))
+        .unionByName(
+            base.filter(F.col("c_custkey") % 5 == 0)
+            .withColumn("c_custkey", F.col("c_custkey") + 1000000)
+            .withColumn("ver", F.lit(5).cast("long"))
+        )
+    )
+    ends = {}
+    for kind in ("cow", "mor"):
+        kw = {"table_type": "MERGE_ON_READ"} if kind == "mor" else {}
+        t = LakeTable(
+            spark, str(tmp_path / kind), "m", kind,
+            record_keys=["c_custkey"], precombine="ver", **kw,
+        )
+        t.write(base, op="insert", instant="001")
+        t.merge_into(
+            src,
+            update_set={
+                "c_acctbal": "t.c_acctbal + 500.0",
+                "ver": "t.ver + 1",
+            },
+            delete_condition="t.c_acctbal < 0",
+            instant="002",
+        )
+        assert t.timeline()[-1] == "002"  # single commit for all clauses
+        ends[kind] = {
+            tuple(r)
+            for r in t.snapshot()
+            .select("c_custkey", "c_acctbal", "ver", "_commit_time")
+            .collect()
+        }
+    assert ends["cow"] == ends["mor"]
+    # deleted: matched negative-balance keys are gone
+    deleted = {
+        r[0]
+        for r in base.filter(
+            (F.col("c_custkey") % 3 == 0) & (F.col("c_acctbal") < 0)
+        ).select("c_custkey").collect()
+    }
+    surviving_keys = {k for (k, _, _, _) in ends["cow"]}
+    assert deleted and deleted.isdisjoint(surviving_keys)
+    # inserted: synthetic keys present with source precombine
+    assert any(k > 1000000 and v == 5 for (k, _, v, _) in ends["cow"])
+
+
+def test_merge_into_requires_existing_table(spark, tmp_path):
+    t = make_table(spark, tmp_path)
+    with pytest.raises(ValueError, match="non-existent"):
+        t.merge_into(cust(spark))

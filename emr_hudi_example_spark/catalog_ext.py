@@ -2184,3 +2184,36 @@ def corpus_dsir_weights(spark: SparkSession, sf_dir: str) -> DataFrame:
         "_is_en", F.col("lang") == "en"
     )
     return C.dsir_weights(docs, target_col="_is_en")
+
+
+@query(
+    "mm_audio_wav",
+    oracle="""
+    WITH d AS (SELECT doc_id,
+                      64 + doc_id % 61 AS n_frames,
+                      1 + doc_id % 2 AS channels,
+                      8000 + (doc_id % 3) * 4000 AS sample_rate
+               FROM documents),
+    s AS (SELECT d.doc_id, d.n_frames, d.channels, d.sample_rate,
+                 ((d.doc_id * 7 + i.i * 13) % 4096) - 2048 AS v
+          FROM d,
+               LATERAL (SELECT unnest(range(d.n_frames * d.channels)) AS i) i)
+    SELECT doc_id,
+           CAST(n_frames AS INT) AS n_frames,
+           CAST(channels AS INT) AS n_channels,
+           CAST(sample_rate AS INT) AS sample_rate,
+           CAST(sum(abs(v)) AS BIGINT) AS sum_abs,
+           CAST(sum(v * v) AS BIGINT) AS sum_sq,
+           CAST(max(abs(v)) AS INT) AS max_abs
+    FROM s GROUP BY 1, 2, 3, 4
+    """,
+)
+def mm_audio_wav(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """REAL audio codec in the multimodal path: a pure-Python RIFF/WAVE
+    PCM-16 parser (chunk walk incl. a junk LIST chunk, frame math,
+    numpy amplitude sums) inside the Arrow-batched ``mapInPandas``
+    decode kernel. Fixture clips are synthesized per doc_id from a
+    closed-form sample formula, so the DuckDB oracle recomputes the
+    exact integer aggregates WITHOUT decoding: values match only if
+    the decoder truly recovers every 16-bit sample from the blob."""
+    return MM.decode_wav_features(load(spark, sf_dir, "documents"))

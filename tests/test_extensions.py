@@ -650,3 +650,41 @@ def test_srp_hamming_tracks_cosine(spark):
                 far.append(cos)
     assert close and far
     assert (sum(close) / len(close)) > (sum(far) / len(far)) + 0.1
+
+
+def test_wav_codec_roundtrip_and_kernel_parity():
+    """encode → decode round-trips exactly, the RIFF chunk walk skips
+    the junk LIST chunk and honors odd-size padding, and the
+    mapInPandas kernel's inlined parser agrees with the module-level
+    decode_wav."""
+    import numpy as np
+    import pandas as pd
+
+    v = np.arange(-50, 49, dtype="<i2")  # 99 samples → odd data size pad
+    blob = MM.encode_wav(1, 16000, v.tobytes())
+    assert b"LIST" in blob  # junk chunk forces a real chunk walk
+    ch, rate, nf, pcm = MM.decode_wav(blob)
+    assert (ch, rate, nf) == (1, 16000, 99)
+    assert np.array_equal(np.frombuffer(pcm, dtype="<i2"), v)
+    with pytest.raises(ValueError, match="RIFF"):
+        MM.decode_wav(b"OggS")
+    with pytest.raises(ValueError, match="truncated chunk"):
+        MM.decode_wav(blob[:20])
+    # kernel parity on builder-generated clips (odd/even channel cases)
+    build = MM.make_wav_corpus_batch()
+    decode = MM.make_wav_decode_batch()
+    src = pd.DataFrame({"doc_id": [7, 12]})
+    corpus = pd.concat(build([src])).set_index("doc_id")
+    out = pd.concat(decode([corpus.reset_index()])).set_index("doc_id")
+    for doc_id in (7, 12):
+        dch, drate, dnf, dpcm = MM.decode_wav(
+            bytes(corpus.loc[doc_id, "content"])
+        )
+        arr = np.frombuffer(dpcm, dtype="<i2").astype(np.int64)
+        row = out.loc[doc_id]
+        assert (row["n_channels"], row["sample_rate"], row["n_frames"]) == (
+            dch, drate, dnf,
+        )
+        assert row["sum_abs"] == int(np.abs(arr).sum())
+        assert row["sum_sq"] == int((arr * arr).sum())
+        assert row["max_abs"] == int(np.abs(arr).max())

@@ -34,6 +34,16 @@ from emr_hudi_example_spark.catalog import ORACLE, Q
 _PRIORITY: list[str] = [
     # -- r4 red row, output serialization fixed this round --
     "sim_quantize_int8",
+    # -- new in round 5 (late batch) --
+    "lake_merge_endstate",
+    "pipe_stream_watermark_endstate",
+    "mm_audio_wav",
+    "dedup_span_strip",
+    "dedup_span_stats",
+    "sketch_hll_distinct",
+    "corpus_dsir_weights",
+    "text_char_diversity",
+    "a12_cube_grouping",
     # -- new in round 5 --
     "mm_decode_real",
     "lake_skipping_read",

@@ -2217,3 +2217,45 @@ def mm_audio_wav(spark: SparkSession, sf_dir: str) -> DataFrame:
     exact integer aggregates WITHOUT decoding: values match only if
     the decoder truly recovers every 16-bit sample from the blob."""
     return MM.decode_wav_features(load(spark, sf_dir, "documents"))
+
+
+@query(
+    "dedup_span_strip",
+    oracle=f"""
+    WITH t AS (SELECT doc_id, {_TOKS} AS tk FROM documents),
+    tok AS (SELECT doc_id, unnest(tk) AS tok,
+                   unnest(range(len(tk))) AS pos
+            FROM t),
+    sh AS (SELECT doc_id, unnest(range(len(tk) - 7)) AS s,
+                  unnest(list_transform({_shingles_sql(8)},
+                                        x -> md5(x))) AS fp
+           FROM t WHERE len(tk) >= 8),
+    own AS (SELECT fp, min(doc_id) AS owner
+            FROM (SELECT DISTINCT doc_id, fp FROM sh)
+            GROUP BY fp HAVING count(*) > 1),
+    bad AS (SELECT DISTINCT sh.doc_id, sh.s + q.off AS pos
+            FROM sh JOIN own ON sh.fp = own.fp AND sh.doc_id <> own.owner,
+                 LATERAL (SELECT unnest(range(8)) AS off) q),
+    kept AS (SELECT tok.doc_id, tok.pos, tok.tok
+             FROM tok LEFT JOIN bad
+               ON tok.doc_id = bad.doc_id AND tok.pos = bad.pos
+             WHERE bad.pos IS NULL),
+    reb AS (SELECT doc_id, count(*) AS n_kept,
+                   string_agg(tok, ' ' ORDER BY pos) AS stripped_text
+            FROM kept GROUP BY 1),
+    tot AS (SELECT doc_id, count(*) AS n_tokens FROM tok GROUP BY 1)
+    SELECT tot.doc_id,
+           CAST(tot.n_tokens AS BIGINT) AS n_tokens,
+           CAST(tot.n_tokens - coalesce(reb.n_kept, 0) AS BIGINT)
+             AS n_removed,
+           coalesce(reb.stripped_text, '') AS stripped_text
+    FROM tot LEFT JOIN reb USING (doc_id)
+    """,
+)
+def dedup_span_strip(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact substring-dedup REWRITE: duplicated 8-token windows keep
+    their first (min-doc) occurrence and are stripped everywhere else,
+    overlapping windows coalescing into maximal removed spans (see
+    ``operators/dedup.py strip_duplicate_spans`` for the scale
+    shape)."""
+    return D.strip_duplicate_spans(load(spark, sf_dir, "documents"), k=8)

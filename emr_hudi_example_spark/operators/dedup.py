@@ -24,7 +24,7 @@ from pyspark.sql import Column, DataFrame
 from pyspark.sql import functions as F
 
 from emr_hudi_example_spark.functions.core import ensure_parallelism
-from emr_hudi_example_spark.operators.text import fingerprint, shingles
+from emr_hudi_example_spark.operators.text import fingerprint, shingles, tokens
 
 
 def exact_dedup_groups(
@@ -849,4 +849,88 @@ def duplicate_span_stats(
                 F.col("n_dup_spans").cast("double") / F.col("n_spans"), 6
             )
         ),
+    )
+
+
+def strip_duplicate_spans(
+    df: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    k: int = 8,
+) -> DataFrame:
+    """Exact substring DEDUP TRANSFORM at k-token granularity — the
+    rewrite step "deduplicating training data makes LMs better" applies
+    with suffix arrays, re-expressed relationally: every k-token window
+    that occurs verbatim in more than one document keeps its FIRST
+    occurrence (min doc_id owns the fingerprint) and is stripped from
+    every other document, overlapping windows coalescing into maximal
+    removed spans. Documents shorter than ``k`` tokens pass through
+    untouched; a fully-duplicated document collapses to empty text.
+
+    Returns ``(id, n_tokens, n_removed, stripped_text)`` with
+    ``stripped_text`` = surviving tokens in original order.
+
+    Scale shape: positional shingle explode → one fp-keyed agg electing
+    (owner, cross-doc flag) with map-side combine → thin fp join back →
+    covered-position explode (bounded by k × dup occurrences) →
+    per-doc anti-join + ordered rebuild. No suffix structure, no
+    all-pairs; the heavy key is the 128-bit fp, same as every dedup
+    path here. The per-doc rebuild's ``collect_list`` is bounded by
+    document length — the same bound the corpus's own row width already
+    imposes on the scan.
+    """
+    toks = df.select(
+        F.col(id_col).alias("_id"),
+        F.posexplode(tokens(text_col)).alias("pos", "tok"),
+    )
+    sh = df.select(
+        F.col(id_col).alias("_id"),
+        F.posexplode(shingles(text_col, k)).alias("s", "sh"),
+    ).select("_id", "s", F.md5("sh").alias("fp"))
+    owners = (
+        sh.select("_id", "fp")
+        .distinct()
+        .groupBy("fp")
+        .agg(
+            F.min("_id").alias("owner"),
+            F.count(F.lit(1)).alias("n_docs"),
+        )
+        .filter(F.col("n_docs") > 1)
+        .select("fp", "owner")
+    )
+    covered = (
+        sh.join(owners, "fp")
+        .filter(F.col("_id") != F.col("owner"))
+        .select(
+            "_id",
+            F.explode(
+                F.sequence(F.col("s"), F.col("s") + F.lit(k - 1))
+            ).alias("pos"),
+        )
+        .distinct()
+    )
+    kept = toks.join(covered, ["_id", "pos"], "left_anti")
+    rebuilt = kept.groupBy("_id").agg(
+        F.count(F.lit(1)).alias("n_kept"),
+        F.array_join(
+            F.transform(
+                F.array_sort(F.collect_list(F.struct("pos", "tok"))),
+                lambda x: x.tok,
+            ),
+            " ",
+        ).alias("stripped_text"),
+    )
+    totals = toks.groupBy("_id").agg(
+        F.count(F.lit(1)).alias("n_tokens")
+    )
+    return (
+        totals.join(rebuilt, "_id", "left")
+        .select(
+            F.col("_id").alias(id_col),
+            F.col("n_tokens").cast("long").alias("n_tokens"),
+            (
+                F.col("n_tokens") - F.coalesce("n_kept", F.lit(0))
+            ).cast("long").alias("n_removed"),
+            F.coalesce("stripped_text", F.lit("")).alias("stripped_text"),
+        )
     )

@@ -98,3 +98,29 @@ def test_stratified_sample_is_narrow(spark):
     # rate lookup is an inline literal map — no join, no Exchange
     plan = _plan(spark, "corpus_stratified_sample")
     assert "Exchange" not in plan
+
+
+def test_wav_decode_is_narrow(spark):
+    # builder -> decoder, two chained Arrow kernels, zero shuffles —
+    # same contract as the image path
+    plan = _plan(spark, "mm_audio_wav")
+    assert "Exchange" not in plan
+    assert plan.count("MapInPandas") == 2
+
+
+def test_dsir_ratio_table_broadcasts(spark):
+    # the <=1024-row hashed-feature ratio table must broadcast against
+    # the bigram stream — a shuffle join here would move the whole
+    # corpus's bigrams twice at 100 TB
+    plan = _plan(spark, "corpus_dsir_weights")
+    assert "BroadcastHashJoin" in plan
+    assert "CartesianProduct" not in plan
+
+
+def test_cube_is_single_expand_pass(spark):
+    # CUBE must plan one Expand + partial/final hash aggregation — not
+    # one scan per grouping set
+    plan = _plan(spark, "a12_cube_grouping")
+    assert plan.count("Expand") == 1
+    assert plan.count("Scan parquet") == 1
+    assert plan.count("HashAggregate") >= 2

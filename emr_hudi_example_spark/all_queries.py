@@ -34,6 +34,13 @@ from emr_hudi_example_spark.catalog import ORACLE, Q
 _PRIORITY: list[str] = [
     # -- r4 red row, output serialization fixed this round --
     "sim_quantize_int8",
+    # -- new in round 5 (session 2) --
+    "graph_pagerank",
+    "text_gopher_quality",
+    "corpus_rarity_buckets",
+    "dedup_soft_weights",
+    "a13_ntile_deciles",
+    "a14_sliding_window",
     # -- new in round 5 (late batch) --
     "lake_merge_endstate",
     "pipe_stream_watermark_endstate",

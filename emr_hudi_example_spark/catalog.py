@@ -646,3 +646,95 @@ def a12_cube_grouping(spark: SparkSession, sf_dir: str) -> DataFrame:
     ).select(
         "o_orderstatus", "o_orderpriority", "grp_id", "n_rows", "sum_price"
     )
+
+
+# =========================================================================
+# §2.7 extensions (cont.) — quantile bucketing (NTILE) and sliding
+# event-time windows, completing the window-function family alongside
+# a6 (tumbling), a7 (session), a8 (rollup), a12 (cube).
+# =========================================================================
+
+@query(
+    "a13_ntile_deciles",
+    oracle="""
+    WITH d AS (SELECT o_orderpriority, o_totalprice,
+                      ntile(10) OVER (PARTITION BY o_orderpriority
+                                      ORDER BY o_totalprice, o_orderkey)
+                        AS decile
+               FROM orders)
+    SELECT o_orderpriority, decile, count(*) AS n,
+           min(o_totalprice) AS min_price,
+           max(o_totalprice) AS max_price,
+           CAST(round(sum(CAST(o_totalprice AS DECIMAL(38,4))), 2)
+                AS DOUBLE) AS sum_price
+    FROM d GROUP BY 1, 2
+    """,
+)
+def a13_ntile_deciles(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-priority price deciles: NTILE(10) over a deterministic order
+    (ties broken by the key column — SQL-standard bucket sizing both
+    engines), then per-bucket stats. Scale shape: ONE window shuffle
+    keyed by the bounded-cardinality priority column, then a hash-agg
+    on the same key — AQE reuses the exchange; min/max of doubles are
+    exact, the sum follows the DECIMAL policy."""
+    from pyspark.sql.window import Window
+
+    orders = load(spark, sf_dir, "orders")
+    w = Window.partitionBy("o_orderpriority").orderBy(
+        "o_totalprice", "o_orderkey"
+    )
+    d = orders.select(
+        "o_orderpriority",
+        "o_totalprice",
+        F.ntile(10).over(w).alias("decile"),
+    )
+    return d.groupBy("o_orderpriority", "decile").agg(
+        F.count(F.lit(1)).alias("n"),
+        F.min("o_totalprice").alias("min_price"),
+        F.max("o_totalprice").alias("max_price"),
+        F.round(F.sum(F.col("o_totalprice").cast("decimal(38,4)")), 2)
+        .cast("double")
+        .alias("sum_price"),
+    )
+
+
+@query(
+    "a14_sliding_window",
+    oracle="""
+    WITH b AS (SELECT event_type, value,
+                      make_timestamp((epoch_us(ts) // 1800000000)
+                                     * 1800000000) AS b0
+               FROM events),
+    w AS (SELECT event_type, value, b0 AS window_start FROM b
+          UNION ALL
+          SELECT event_type, value, b0 - INTERVAL 30 MINUTE FROM b)
+    SELECT window_start, event_type, count(*) AS n,
+           CAST(round(sum(CAST(value AS DECIMAL(38,4))), 2) AS DOUBLE)
+             AS sum_value
+    FROM w GROUP BY 1, 2
+    """,
+)
+def a14_sliding_window(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Sliding event-time windows (1 h length, 30 min slide): each event
+    lands in length/slide = 2 windows — ``F.window`` expands them
+    inline (same expression a watermarked stream uses), then one
+    hash-agg on (window, type). The oracle derives the same two
+    epoch-aligned window starts arithmetically. At 100 TB the expand
+    factor is the bounded length/slide ratio, not a data-dependent
+    blow-up."""
+    events = load(spark, sf_dir, "events")
+    return (
+        events.groupBy(F.window("ts", "1 hour", "30 minutes"), "event_type")
+        .agg(
+            F.count(F.lit(1)).alias("n"),
+            F.round(F.sum(F.col("value").cast("decimal(38,4)")), 2)
+            .cast("double")
+            .alias("sum_value"),
+        )
+        .select(
+            F.col("window.start").alias("window_start"),
+            "event_type",
+            "n",
+            "sum_value",
+        )
+    )

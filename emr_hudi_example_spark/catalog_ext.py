@@ -2259,3 +2259,188 @@ def dedup_span_strip(spark: SparkSession, sf_dir: str) -> DataFrame:
     ``operators/dedup.py strip_duplicate_spans`` for the scale
     shape)."""
     return D.strip_duplicate_spans(load(spark, sf_dir, "documents"), k=8)
+
+
+# ====================================================== graph / curation ops
+
+# One PageRank iteration, unrolled: dangling mass (decimal-exact), inflow
+# (decimal-exact per-edge contributions), then the double combine in the
+# same association order as operators/graph.py pagerank().
+def _pr_iter_sql(k: int) -> str:
+    return f"""
+    dm{k} AS (SELECT coalesce(sum(CAST(round(r.rank, 12) AS DECIMAL(38,12))),
+                              CAST(0 AS DECIMAL(38,12))) AS dm
+              FROM r{k} r LEFT JOIN deg d ON r.node = d.src
+              WHERE d.src IS NULL),
+    in{k} AS (SELECT ed.dst AS node,
+                     sum(CAST(round(r.rank / ed.deg, 12)
+                              AS DECIMAL(38,12))) AS s
+              FROM ed JOIN r{k} r ON ed.src = r.node GROUP BY 1),
+    r{k + 1} AS (SELECT n.node,
+                        (1.0::DOUBLE - 0.85::DOUBLE) / nn.n
+                        + 0.85::DOUBLE
+                          * coalesce(CAST(i.s AS DOUBLE), 0.0::DOUBLE)
+                        + 0.85::DOUBLE * (CAST(dm{k}.dm AS DOUBLE) / nn.n)
+                          AS rank
+                 FROM nodes n CROSS JOIN nn CROSS JOIN dm{k}
+                 LEFT JOIN in{k} i ON n.node = i.node)"""
+
+
+@query(
+    "graph_pagerank",
+    oracle=f"""
+    WITH hops AS (
+      SELECT user_id AS src,
+             lead(user_id) OVER (PARTITION BY event_type
+                                 ORDER BY ts, event_id) AS dst
+      FROM events),
+    edges AS (SELECT src, dst FROM hops
+              WHERE dst IS NOT NULL AND src <> dst GROUP BY 1, 2),
+    nodes AS (SELECT src AS node FROM edges
+              UNION SELECT dst FROM edges),
+    nn AS (SELECT count(*)::BIGINT AS n FROM nodes),
+    deg AS (SELECT src, count(*) AS deg FROM edges GROUP BY 1),
+    ed AS (SELECT e.src, e.dst, d.deg FROM edges e JOIN deg d USING (src)),
+    r0 AS (SELECT node, 1.0::DOUBLE / (SELECT n FROM nn) AS rank
+           FROM nodes),
+    {_pr_iter_sql(0)},
+    {_pr_iter_sql(1)},
+    {_pr_iter_sql(2)}
+    SELECT node, round(rank, 8) AS rank FROM r3
+    """,
+)
+def graph_pagerank(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Link-graph centrality for corpus curation (CommonCrawl publishes
+    PageRank/harmonic host rankings; corpus recipes weight domains by
+    them): 3 fixed iterations with uniform teleport and dangling-mass
+    redistribution over the deterministic user-handoff graph derived
+    from the event stream. Decimal-exact accumulation makes the ranks
+    bit-identical across engines and partitionings (see
+    ``operators/graph.py``)."""
+    from emr_hudi_example_spark.operators import graph as G
+
+    edges = G.sequential_interaction_edges(load(spark, sf_dir, "events"))
+    pr = G.pagerank(edges, iterations=3, damping=0.85, scale=12)
+    return pr.select("node", F.round("rank", 8).alias("rank"))
+
+
+_GQ_STOPS_SQL = " + ".join(
+    f"(list_contains(lw, '{w}'))::INT" for w in TX.GOPHER_STOPWORDS
+)
+
+
+@query(
+    "text_gopher_quality",
+    oracle=f"""
+    WITH t AS (SELECT doc_id, text,
+                      [w FOR w IN {_TOKS} IF len(w) > 0] AS tk,
+                      str_split(text, chr(10)) AS ln
+               FROM documents),
+    t2 AS (SELECT doc_id, text, tk, ln,
+                  [lower(w) FOR w IN tk] AS lw FROM t),
+    m AS (SELECT doc_id,
+                 len(tk)::BIGINT AS n_words,
+                 list_sum([len(w) FOR w IN tk]) AS sum_wl,
+                 length(text) - length(replace(text, '#', '')) AS hash_cnt,
+                 (length(text) - length(replace(text, '...', ''))) // 3
+                   AS ell_cnt,
+                 len([l FOR l IN ln
+                      IF substr(ltrim(l), 1, 1) IN ('-', '*', '•')])
+                   AS bullet_lines,
+                 len([l FOR l IN ln IF ends_with(rtrim(l), '...')])
+                   AS ell_lines,
+                 len(ln) AS n_lines,
+                 len([w FOR w IN tk IF regexp_matches(w, '[A-Za-z]')])
+                   AS alpha_words,
+                 {_GQ_STOPS_SQL} AS stop_hits
+          FROM t2),
+    r AS (SELECT doc_id, n_words,
+                 round(CAST(sum_wl AS DOUBLE)
+                       / CAST(nullif(n_words, 0) AS DOUBLE), 6)
+                   AS mean_word_len,
+                 round(CAST(hash_cnt + ell_cnt AS DOUBLE)
+                       / CAST(nullif(n_words, 0) AS DOUBLE), 6)
+                   AS symbol_ratio,
+                 round(CAST(bullet_lines AS DOUBLE)
+                       / CAST(n_lines AS DOUBLE), 6) AS bullet_ratio,
+                 round(CAST(ell_lines AS DOUBLE)
+                       / CAST(n_lines AS DOUBLE), 6)
+                   AS ellipsis_line_ratio,
+                 round(CAST(alpha_words AS DOUBLE)
+                       / CAST(nullif(n_words, 0) AS DOUBLE), 6)
+                   AS alpha_ratio,
+                 stop_hits::INT AS stop_hits
+          FROM m)
+    SELECT doc_id, n_words, mean_word_len, symbol_ratio, bullet_ratio,
+           ellipsis_line_ratio, alpha_ratio, stop_hits,
+           (n_words >= 50 AND n_words <= 100000)::INT AS pass_word_count,
+           (mean_word_len >= 3 AND mean_word_len <= 10)::INT
+             AS pass_mean_word_len,
+           (symbol_ratio <= 0.1)::INT AS pass_symbol_ratio,
+           (bullet_ratio <= 0.9)::INT AS pass_bullet_lines,
+           (ellipsis_line_ratio <= 0.3)::INT AS pass_ellipsis_lines,
+           (alpha_ratio >= 0.8)::INT AS pass_alpha_words,
+           (stop_hits >= 2)::INT AS pass_stopwords,
+           (n_words >= 50 AND n_words <= 100000
+            AND mean_word_len >= 3 AND mean_word_len <= 10
+            AND symbol_ratio <= 0.1 AND bullet_ratio <= 0.9
+            AND ellipsis_line_ratio <= 0.3 AND alpha_ratio >= 0.8
+            AND stop_hits >= 2)::INT AS pass_gopher
+    FROM r
+    """,
+)
+def text_gopher_quality(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Gopher-rules quality filter (Rae et al. 2021 §A1.1): every raw
+    metric + per-rule flags + the conjunction, all exact integer counts
+    and single IEEE divides (``operators/text.py gopher_quality``)."""
+    return TX.gopher_quality(load(spark, sf_dir, "documents"))
+
+
+@query(
+    "corpus_rarity_buckets",
+    oracle=f"""
+    WITH tok AS (SELECT doc_id, lower(w) AS w
+                 FROM (SELECT doc_id,
+                              unnest([x FOR x IN {_TOKS} IF len(x) > 0]) AS w
+                       FROM documents)),
+    vocab AS (SELECT w, count(*) AS cnt FROM tok GROUP BY 1),
+    tot AS (SELECT sum(cnt)::BIGINT AS total FROM vocab),
+    rar AS (SELECT w, (tot.total // cnt)::BIGINT AS rarity
+            FROM vocab CROSS JOIN tot),
+    sc AS (SELECT tok.doc_id, count(*)::BIGINT AS n_tokens,
+                  (sum(rar.rarity) // count(*))::BIGINT AS rarity_score
+           FROM tok JOIN rar USING (w) GROUP BY 1)
+    SELECT d.doc_id,
+           coalesce(sc.n_tokens, 0) AS n_tokens,
+           coalesce(sc.rarity_score, 0) AS rarity_score,
+           CASE WHEN coalesce(sc.rarity_score, 0) < 2000 THEN 'head'
+                WHEN coalesce(sc.rarity_score, 0) < 20000 THEN 'middle'
+                ELSE 'tail' END AS bucket
+    FROM documents d LEFT JOIN sc USING (doc_id)
+    """,
+)
+def corpus_rarity_buckets(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """CCNet-style head/middle/tail partitioning by self-unigram LM
+    rarity — log-free, integer-exact (``operators/corpus.py
+    unigram_rarity_scores``)."""
+    return C.unigram_rarity_scores(load(spark, sf_dir, "documents"))
+
+
+@query(
+    "dedup_soft_weights",
+    oracle="""
+    WITH k AS (SELECT doc_id,
+                      md5(regexp_replace(lower(trim(text)), '\\s+', ' ',
+                                         'g')) AS fp
+               FROM documents),
+    c AS (SELECT fp, count(*) AS dup_count FROM k GROUP BY 1)
+    SELECT k.doc_id, c.dup_count::BIGINT AS dup_count,
+           round(1.0::DOUBLE / c.dup_count, 6) AS weight
+    FROM k JOIN c USING (fp)
+    """,
+)
+def dedup_soft_weights(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Soft dedup: keep every row, weight by 1/duplicate-count so each
+    unique content contributes one unit of loss mass
+    (``operators/dedup.py soft_dedup_weights``)."""
+    return D.soft_dedup_weights(load(spark, sf_dir, "documents"))

@@ -682,3 +682,67 @@ def dsir_weights(
             F.col("dsir_score_ppm").cast("long").alias("dsir_score_ppm"),
         )
     )
+
+
+def unigram_rarity_scores(
+    df: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    head_max: int = 2_000,
+    middle_max: int = 20_000,
+) -> DataFrame:
+    """CCNet-style head/middle/tail corpus partitioning by language-model
+    score (Wenzek et al. 2019, public) — with the corpus's OWN unigram
+    model standing in for the external KenLM (no model files in this
+    environment, and a self-unigram score ranks the same degenerate
+    docs a 5-gram LM would flag). Log-free and integer-exact per the
+    repo float policy: a token's rarity is ``total_tokens // count``
+    (inverse probability, floored), a document's score is the floored
+    mean token rarity — common-word docs score low (head), rare-junk
+    docs score high (tail).
+
+    Scale shape: one explode over tokens, a vocab-sized hash-agg with
+    map-side combine, a 1-row total broadcast, then a shuffle join of
+    the exploded tokens to the rarity table on the token key (vocab is
+    too big to broadcast at 100 TB — the join co-partitions on token),
+    and a final per-doc agg. BIGINT sums: corpus ≤ 2^53 tokens holds to
+    ~petabyte scale.
+    """
+    tok = df.select(
+        F.col(id_col).alias("_id"),
+        F.explode(
+            F.filter(tokens(F.col(text_col)), lambda t: F.length(t) > 0)
+        ).alias("w"),
+    ).select("_id", F.lower("w").alias("w"))
+    vocab = tok.groupBy("w").agg(F.count(F.lit(1)).alias("cnt"))
+    total = vocab.agg(F.sum("cnt").cast("long").alias("total"))
+    rarity = vocab.crossJoin(F.broadcast(total)).select(
+        "w", F.expr("total div cnt").cast("long").alias("rarity")
+    )
+    scored = (
+        tok.join(rarity, "w")
+        .groupBy("_id")
+        .agg(
+            F.count(F.lit(1)).cast("long").alias("n_tokens"),
+            F.sum("rarity").cast("long").alias("sum_rarity"),
+        )
+        .select(
+            "_id",
+            "n_tokens",
+            F.expr("sum_rarity div n_tokens").cast("long").alias("rarity_score"),
+        )
+    )
+    base = df.select(F.col(id_col).alias("_id"))
+    return (
+        base.join(scored, "_id", "left")
+        .na.fill({"n_tokens": 0, "rarity_score": 0})
+        .select(
+            F.col("_id").alias(id_col),
+            "n_tokens",
+            "rarity_score",
+            F.when(F.col("rarity_score") < head_max, "head")
+            .when(F.col("rarity_score") < middle_max, "middle")
+            .otherwise("tail")
+            .alias("bucket"),
+        )
+    )

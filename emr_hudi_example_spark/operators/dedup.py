@@ -934,3 +934,27 @@ def strip_duplicate_spans(
             F.coalesce("stripped_text", F.lit("")).alias("stripped_text"),
         )
     )
+
+
+def soft_dedup_weights(
+    df: DataFrame, id_col: str = "doc_id", text_col: str = "text"
+) -> DataFrame:
+    """Soft deduplication: instead of DROPPING duplicates, every document
+    keeps a training weight ``1 / duplicate_count`` so each unique
+    content contributes exactly one unit of loss mass regardless of how
+    many times it was crawled (the "soft dedup" alternative of modern
+    data recipes — dropping loses in-domain frequency signal, weighting
+    preserves it).
+
+    Scale shape: identical to ``exact_dedup_groups`` — ONE hash-shuffle
+    on the md5 fingerprint for the count, then a same-key broadcast-free
+    join back (both sides partitioned by ``fp``, so AQE plans it
+    shuffle-reuse). The weight is one exact IEEE divide of two integers.
+    """
+    keyed = df.select(F.col(id_col), fingerprint(text_col).alias("fp"))
+    counts = keyed.groupBy("fp").agg(F.count(F.lit(1)).alias("dup_count"))
+    return keyed.join(counts, "fp").select(
+        id_col,
+        F.col("dup_count").cast("long").alias("dup_count"),
+        F.round(F.lit(1.0) / F.col("dup_count"), 6).alias("weight"),
+    )

@@ -1,0 +1,138 @@
+"""Graph operators for corpus curation at scale.
+
+Web-scale training corpora rank and filter by link-graph centrality
+(CommonCrawl publishes harmonic-centrality / PageRank host rankings;
+OpenWebText-style pipelines weight by inbound-link karma). These
+operators provide that layer as iterative DataFrame programs: an edge
+derivation from an event stream plus a fixed-iteration PageRank.
+
+Scale notes (100 TB): PageRank's per-iteration cost is ONE shuffle of
+the edge list joined to the current rank vector plus a hash-agg on the
+destination key — the textbook Pregel-as-join-agg mapping. Ranks and
+edges stay partitioned by node id so AQE reuses the exchange; no
+driver-side graph materialization at any point (the only action is the
+loop-bound count). Convergence-free fixed iterations keep the plan a
+static DAG — no per-round planning cost growth (lineage is truncated
+with localCheckpoint like operators/dedup.py connected_components).
+
+All rank arithmetic accumulates in DECIMAL so cross-partition summation
+order cannot perturb low bits (same policy as operators/similarity.py
+k-means refine): each double contribution is rounded to a fixed scale,
+summed exactly, and only then returned to double for the next
+iteration's single-op combine.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, Window
+from pyspark.sql import functions as F
+
+__all__ = ["sequential_interaction_edges", "pagerank"]
+
+
+def sequential_interaction_edges(
+    events: DataFrame,
+    *,
+    user_col: str = "user_id",
+    type_col: str = "event_type",
+    time_col: str = "ts",
+    tiebreak_col: str = "event_id",
+) -> DataFrame:
+    """Derive a deterministic user-interaction digraph from an event
+    stream: within each event type's timeline, draw an edge from the
+    acting user to the next acting user (the "handoff" graph used for
+    session-flow and influence analysis). Self-loops dropped, parallel
+    edges collapsed to weight = occurrence count.
+
+    Scale shape: one window shuffle keyed by ``type_col`` (bounded
+    cardinality) ordered by time — at 100 TB the timeline per type is
+    long but the window only carries a single ``lead``, so state is one
+    row; then one hash-agg on the (src, dst) pair.
+    """
+    w = Window.partitionBy(type_col).orderBy(time_col, tiebreak_col)
+    hops = events.select(
+        F.col(user_col).alias("src"),
+        F.lead(user_col).over(w).alias("dst"),
+    )
+    return (
+        hops.filter(F.col("dst").isNotNull() & (F.col("src") != F.col("dst")))
+        .groupBy("src", "dst")
+        .agg(F.count(F.lit(1)).alias("weight"))
+    )
+
+
+def pagerank(
+    edges: DataFrame,
+    *,
+    iterations: int = 3,
+    damping: float = 0.85,
+    scale: int = 12,
+) -> DataFrame:
+    """Fixed-iteration PageRank over an (src, dst) edge list, returning
+    ``(node, rank)`` for every node that appears as source or sink.
+
+    Classic formulation with uniform teleport and dangling-mass
+    redistribution:
+
+        r'(v) = (1-d)/N + d * ( Σ_{u→v} r(u)/deg(u)  +  D/N )
+
+    where ``D`` is the total rank parked on dangling nodes (sinks with
+    no out-edges). Each per-edge contribution and the dangling mass are
+    rounded to ``scale`` decimal places and summed as ``DECIMAL(38,
+    scale)`` — exact, order-independent — so two engines (or two
+    cluster runs with different partitionings) produce bit-identical
+    ranks. The remaining double ops per iteration are single
+    multiplies/adds in a fixed order.
+
+    Scale shape per iteration: broadcast-free join of the rank vector
+    to the edge list on ``src`` (both hash-partitioned by node id; the
+    rank vector is |V| rows — tiny next to |E|), then one hash-agg on
+    ``dst``. Fixed ``iterations`` keeps the whole program a static
+    3-stage-deep DAG; ``localCheckpoint`` between rounds truncates
+    lineage so planning cost stays flat.
+    """
+    dec = f"decimal(38,{scale})"
+    nodes = (
+        edges.select(F.col("src").alias("node"))
+        .unionByName(edges.select(F.col("dst").alias("node")))
+        .distinct()
+    )
+    n_nodes = nodes.count()  # driver-side scalar: loop constant, M3-style
+    deg = edges.groupBy("src").agg(F.count(F.lit(1)).alias("deg"))
+    # out-degree joined once onto the edge list — reused every iteration
+    edged = edges.join(deg, "src").select("src", "dst", "deg").localCheckpoint()
+    ranks = nodes.withColumn("rank", F.lit(1.0 / n_nodes))
+
+    teleport = (1.0 - damping) / n_nodes
+    for _ in range(iterations):
+        with_deg = ranks.join(deg, ranks["node"] == deg["src"], "left")
+        dangling = (
+            with_deg.filter(F.col("deg").isNull())
+            .agg(
+                F.coalesce(
+                    F.sum(F.round(F.col("rank"), scale).cast(dec)),
+                    F.lit(0).cast(dec),
+                ).alias("dm")
+            )
+            .collect()[0]["dm"]
+        )
+        dangling_share = damping * (float(dangling) / n_nodes)
+        contrib = edged.join(ranks, edged["src"] == ranks["node"]).select(
+            F.col("dst").alias("node"),
+            F.round(F.col("rank") / F.col("deg"), scale).cast(dec).alias("c"),
+        )
+        inflow = contrib.groupBy("node").agg(F.sum("c").alias("s"))
+        ranks = (
+            nodes.join(inflow, "node", "left")
+            .select(
+                "node",
+                (
+                    F.lit(teleport)
+                    + F.lit(damping)
+                    * F.coalesce(F.col("s").cast("double"), F.lit(0.0))
+                    + F.lit(dangling_share)
+                ).alias("rank"),
+            )
+            .localCheckpoint()
+        )
+    return ranks

@@ -470,3 +470,115 @@ def char_diversity(
             ).alias("collision_index"),
         )
     )
+
+
+GOPHER_STOPWORDS = ["the", "be", "to", "of", "and", "that", "have", "with"]
+
+
+def gopher_quality(
+    df: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+) -> DataFrame:
+    """Gopher-rules document quality filter (Rae et al. 2021, §A1.1 —
+    public heuristics): word-count bounds, mean-word-length bounds,
+    symbol-to-word ratio (# and ellipsis), bullet-line and
+    ellipsis-line fractions, alphabetic-word fraction, and a minimum
+    stopword-hit count. Emits every raw metric plus per-rule 0/1 flags
+    and the conjunction, so downstream recipes can re-threshold without
+    a rescan.
+
+    Every metric is exact integer counting plus at most one IEEE divide
+    (cross-engine-stable; same policy as ``char_diversity``), built
+    entirely from JVM array/string expressions — narrow, zero-shuffle,
+    pipelined with the parquet scan.
+    """
+    c = F.col(text_col)
+    tk = F.filter(tokens(c), lambda t: F.length(t) > 0)
+    ln = F.split(c, "\n")
+    base = df.select(
+        F.col(id_col),
+        tk.alias("tk"),
+        ln.alias("ln"),
+        (F.length(c) - F.length(F.replace(c, F.lit("#"), F.lit("")))).alias(
+            "hash_cnt"
+        ),
+        (
+            (F.length(c) - F.length(F.replace(c, F.lit("..."), F.lit(""))))
+            / F.lit(3)
+        ).cast("long").alias("ellipsis_cnt"),
+    )
+    n_words = F.size("tk")
+    n_words_nz = F.when(n_words > 0, n_words)  # NULL-guard for empty docs
+    sum_wl = F.aggregate(
+        F.transform(F.col("tk"), lambda w: F.length(w)),
+        F.lit(0),
+        lambda acc, x: acc + x,
+    )
+    mean_wl = F.round(sum_wl.cast("double") / n_words_nz.cast("double"), 6)
+    symbol_ratio = F.round(
+        (F.col("hash_cnt") + F.col("ellipsis_cnt")).cast("double")
+        / n_words_nz.cast("double"),
+        6,
+    )
+    bullet_lines = F.size(
+        F.filter(
+            F.col("ln"),
+            lambda l: F.substring(F.ltrim(l), 1, 1).isin("-", "*", "•"),
+        )
+    )
+    ellipsis_lines = F.size(
+        F.filter(F.col("ln"), lambda l: F.rtrim(l).endswith("..."))
+    )
+    n_lines = F.size("ln")  # split always yields >= 1 element
+    bullet_ratio = F.round(
+        bullet_lines.cast("double") / n_lines.cast("double"), 6
+    )
+    ellipsis_line_ratio = F.round(
+        ellipsis_lines.cast("double") / n_lines.cast("double"), 6
+    )
+    alpha_words = F.size(
+        F.filter(F.col("tk"), lambda w: w.rlike("[A-Za-z]"))
+    )
+    alpha_ratio = F.round(
+        alpha_words.cast("double") / n_words_nz.cast("double"), 6
+    )
+    lowered = F.transform(F.col("tk"), lambda w: F.lower(w))
+    stop_hits = reduce(
+        lambda a, b: a + b,
+        [
+            F.array_contains(lowered, w).cast("int")
+            for w in GOPHER_STOPWORDS
+        ],
+    )
+    m = base.select(
+        id_col,
+        n_words.cast("long").alias("n_words"),
+        mean_wl.alias("mean_word_len"),
+        symbol_ratio.alias("symbol_ratio"),
+        bullet_ratio.alias("bullet_ratio"),
+        ellipsis_line_ratio.alias("ellipsis_line_ratio"),
+        alpha_ratio.alias("alpha_ratio"),
+        stop_hits.cast("int").alias("stop_hits"),
+    )
+    f_words = (F.col("n_words") >= 50) & (F.col("n_words") <= 100000)
+    f_meanlen = (F.col("mean_word_len") >= 3) & (F.col("mean_word_len") <= 10)
+    f_symbol = F.col("symbol_ratio") <= 0.1
+    f_bullet = F.col("bullet_ratio") <= 0.9
+    f_ellipsis = F.col("ellipsis_line_ratio") <= 0.3
+    f_alpha = F.col("alpha_ratio") >= 0.8
+    f_stop = F.col("stop_hits") >= 2
+    return m.select(
+        "*",
+        f_words.cast("int").alias("pass_word_count"),
+        f_meanlen.cast("int").alias("pass_mean_word_len"),
+        f_symbol.cast("int").alias("pass_symbol_ratio"),
+        f_bullet.cast("int").alias("pass_bullet_lines"),
+        f_ellipsis.cast("int").alias("pass_ellipsis_lines"),
+        f_alpha.cast("int").alias("pass_alpha_words"),
+        f_stop.cast("int").alias("pass_stopwords"),
+        (
+            f_words & f_meanlen & f_symbol & f_bullet & f_ellipsis
+            & f_alpha & f_stop
+        ).cast("int").alias("pass_gopher"),
+    )

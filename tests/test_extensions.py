@@ -688,3 +688,39 @@ def test_wav_codec_roundtrip_and_kernel_parity():
         assert row["sum_abs"] == int(np.abs(arr).sum())
         assert row["sum_sq"] == int((arr * arr).sum())
         assert row["max_abs"] == int(np.abs(arr).max())
+
+
+def test_pagerank_mass_conserved(spark):
+    """Teleport + damped inflow + dangling redistribution must conserve
+    rank mass: Σ rank = 1 (up to the 12-dp contribution rounding)."""
+    from emr_hudi_example_spark.operators import graph as G
+    from tests.conftest import SF_CORRECT
+
+    from emr_hudi_example_spark.catalog import load
+
+    edges = G.sequential_interaction_edges(load(spark, SF_CORRECT, "events"))
+    pr = G.pagerank(edges, iterations=3)
+    total = pr.agg(F.sum("rank")).collect()[0][0]
+    assert abs(total - 1.0) < 1e-6
+    assert pr.filter(F.col("rank") <= 0).count() == 0
+
+
+def test_soft_dedup_weight_mass_equals_unique_content(spark):
+    """Σ weights == number of distinct fingerprints (each unique content
+    contributes exactly one unit of loss mass)."""
+    from emr_hudi_example_spark.operators import dedup as D
+    from tests.conftest import SF_CORRECT
+
+    from emr_hudi_example_spark.catalog import load
+
+    docs = load(spark, SF_CORRECT, "documents")
+    w = D.soft_dedup_weights(docs)
+    n_unique = (
+        docs.selectExpr(
+            "md5(regexp_replace(lower(trim(text)), '\\\\s+', ' ')) AS fp"
+        )
+        .distinct()
+        .count()
+    )
+    total_w = w.agg(F.sum("weight")).collect()[0][0]
+    assert abs(total_w - n_unique) < 1e-3

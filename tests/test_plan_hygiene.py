@@ -124,3 +124,17 @@ def test_cube_is_single_expand_pass(spark):
     assert plan.count("Expand") == 1
     assert plan.count("Scan parquet") == 1
     assert plan.count("HashAggregate") >= 2
+
+
+def test_gopher_quality_is_narrow(spark):
+    # per-doc quality metrics are pure expression work — any Exchange
+    # means an accidental shuffle crept into the filter chain
+    plan = _plan(spark, "text_gopher_quality")
+    assert "Exchange" not in plan
+
+
+def test_sliding_window_single_agg_shuffle(spark):
+    # explode-to-2-windows is narrow; exactly one agg shuffle after it
+    plan = _plan(spark, "a14_sliding_window")
+    assert plan.count("HashAggregate") >= 2  # partial + final
+    assert "CartesianProduct" not in plan

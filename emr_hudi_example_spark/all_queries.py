@@ -23,18 +23,24 @@ from emr_hudi_example_spark.catalog import ORACLE, Q
 # for round 5 (r4 verdict "Next round" #1/#4):
 #  1. the one red r4 driver row (sim_quantize_int8 — output now
 #     serialized to scalars, see catalog_ext.py);
-#  2. ALL 11 queries NEW this round (no driver row can exist yet);
+#  2. ALL 38 queries NEW this round (no driver row can exist yet), in
+#     three batches newest-first — the 50-slot window covers them all;
 #  3. queries whose newest driver row is r3 (outside the r4 window),
 #     most-touched substrate first: operators/dedup.py and
 #     operators/relational.py gained ~150 lines each in r4 after those
 #     rows were recorded, then the pipe_* endstates, then the rest.
-#     104 queries vs a 50-slot window means 6 r3-row queries stay in
-#     the tail this round; all 104 remain locally oracle-verified.
+#     132 queries vs a 50-slot window means most r3-row queries stay in
+#     the tail this round; all 132 remain locally oracle-verified.
 # Unknown names are ignored, so this list may lead the code it gates.
 _PRIORITY: list[str] = [
     # -- r4 red row, output serialization fixed this round --
     "sim_quantize_int8",
     # -- new in round 5 (session 2) --
+    "pipe_stream_join_endstate",
+    "j4_order_revenue_topk",
+    "a15_zscore_outliers",
+    "sketch_cms_heavy_hitters",
+    "sim_hard_negatives",
     "graph_pagerank",
     "text_gopher_quality",
     "corpus_rarity_buckets",

@@ -738,3 +738,116 @@ def a14_sliding_window(spark: SparkSession, sf_dir: str) -> DataFrame:
             "sum_value",
         )
     )
+
+
+@query(
+    "j4_order_revenue_topk",
+    oracle="""
+    WITH r AS (
+      SELECT l.l_orderkey,
+             o.o_orderdate,
+             o.o_orderpriority,
+             CAST(round(sum(CAST(l.l_extendedprice AS DECIMAL(38,4))
+                            * (1 - CAST(l.l_discount AS DECIMAL(38,4)))), 2)
+                  AS DOUBLE) AS revenue
+      FROM customer c
+      JOIN orders o ON c.c_custkey = o.o_custkey
+      JOIN lineitem l ON l.l_orderkey = o.o_orderkey
+      WHERE c.c_mktsegment = 'BUILDING'
+      GROUP BY 1, 2, 3)
+    SELECT l_orderkey, o_orderdate, o_orderpriority, revenue
+    FROM r ORDER BY revenue DESC, l_orderkey LIMIT 10
+    """,
+)
+def j4_order_revenue_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q3-shaped 3-table star join: segment-filtered customers →
+    orders → lineitem, revenue per order, global top-10. Scale shape:
+    the segment filter pushes into the customer scan and that side
+    BROADCASTS into orders (dimension ≪ fact); the orders→lineitem join
+    shuffles on the shared ``orderkey``, the revenue agg reuses the same
+    key partitioning, and the global top-10 is a TakeOrdered (per-
+    partition heap + driver merge), never a full sort. Revenue follows
+    the DECIMAL policy: price × (1-discount) accumulates exactly."""
+    cust = load(spark, sf_dir, "customer").filter(
+        F.col("c_mktsegment") == "BUILDING"
+    ).select("c_custkey")
+    orders = load(spark, sf_dir, "orders").select(
+        "o_orderkey", "o_custkey", "o_orderdate", "o_orderpriority"
+    )
+    li = load(spark, sf_dir, "lineitem").select(
+        "l_orderkey", "l_extendedprice", "l_discount"
+    )
+    rev = (
+        F.col("l_extendedprice").cast("decimal(38,4)")
+        * (F.lit(1) - F.col("l_discount").cast("decimal(38,4)"))
+    )
+    r = (
+        orders.join(F.broadcast(cust), orders["o_custkey"] == cust["c_custkey"])
+        .join(li, li["l_orderkey"] == orders["o_orderkey"])
+        .groupBy("l_orderkey", "o_orderdate", "o_orderpriority")
+        .agg(F.round(F.sum(rev), 2).cast("double").alias("revenue"))
+    )
+    return r.orderBy(F.col("revenue").desc(), F.col("l_orderkey")).limit(10)
+
+
+@query(
+    "a15_zscore_outliers",
+    oracle="""
+    WITH s AS (
+      SELECT event_type,
+             count(*) AS n,
+             sum(CAST(value AS DECIMAL(38,10))) AS sx,
+             sum(CAST(CAST(value AS DOUBLE) * CAST(value AS DOUBLE)
+                      AS DECIMAL(38,10))) AS sxx
+      FROM events GROUP BY 1),
+    m AS (
+      SELECT event_type, n,
+             CAST(sx AS DOUBLE) / n AS mean,
+             sqrt(CAST(sxx AS DOUBLE) / n
+                  - (CAST(sx AS DOUBLE) / n) * (CAST(sx AS DOUBLE) / n))
+               AS sd
+      FROM s)
+    SELECT e.event_id, e.event_type,
+           round(CAST(e.value AS DOUBLE), 6) AS value,
+           round(m.mean, 6) AS mean,
+           round(m.sd, 6) AS sd
+    FROM events e JOIN m USING (event_type)
+    WHERE abs(CAST(e.value AS DOUBLE) - m.mean) > 3.0::DOUBLE * m.sd
+    """,
+)
+def a15_zscore_outliers(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-group 3σ outlier detection — the classic data-quality gate
+    before a corpus ships. The sufficient statistics (n, Σx, Σx²)
+    accumulate as DECIMAL — exact, summation-order-independent — so the
+    mean/σ doubles are bit-identical on both engines (σ's ``sqrt`` is
+    IEEE correctly-rounded, engine-safe); each per-row x² is cast to
+    DECIMAL(38,10) before summing, deterministic on both sides. Scale
+    shape: one hash-agg to a group-count-sized stats table, broadcast
+    back onto the stream — the filter is then narrow."""
+    events = load(spark, sf_dir, "events")
+    vd = F.col("value").cast("double")
+    stats = events.groupBy("event_type").agg(
+        F.count(F.lit(1)).alias("n"),
+        F.sum(F.col("value").cast("decimal(38,10)")).alias("sx"),
+        F.sum((vd * vd).cast("decimal(38,10)")).alias("sxx"),
+    )
+    sxd = F.col("sx").cast("double")
+    m = stats.select(
+        "event_type",
+        (sxd / F.col("n")).alias("mean"),
+        F.sqrt(
+            F.col("sxx").cast("double") / F.col("n")
+            - (sxd / F.col("n")) * (sxd / F.col("n"))
+        ).alias("sd"),
+    )
+    return (
+        events.join(F.broadcast(m), "event_type")
+        .filter(F.abs(vd - F.col("mean")) > F.lit(3.0) * F.col("sd"))
+        .select(
+            "event_id",
+            "event_type",
+            F.round(vd, 6).alias("value"),
+            F.round("mean", 6).alias("mean"),
+            F.round("sd", 6).alias("sd"),
+        )
+    )

@@ -2444,3 +2444,90 @@ def dedup_soft_weights(spark: SparkSession, sf_dir: str) -> DataFrame:
     unique content contributes one unit of loss mass
     (``operators/dedup.py soft_dedup_weights``)."""
     return D.soft_dedup_weights(load(spark, sf_dir, "documents"))
+
+
+def _cms_bucket_sql(i: int, v: str = "v") -> str:
+    return f"(('0x' || substr(md5('cms{i}:' || {v}), 1, 13))::BIGINT % 512)"
+
+
+_CMS_ROWS_SQL = " UNION ALL ".join(
+    f"SELECT {i} AS row, {_cms_bucket_sql(i, 'w')} AS bucket FROM tok"
+    for i in range(4)
+)
+_CMS_PROBE_SQL = " UNION ALL ".join(
+    f"SELECT v, true_count, {i} AS row, {_cms_bucket_sql(i)} AS bucket "
+    "FROM cand"
+    for i in range(4)
+)
+
+
+@query(
+    "sketch_cms_heavy_hitters",
+    oracle=f"""
+    WITH tok AS (SELECT lower(w) AS w
+                 FROM (SELECT unnest([x FOR x IN {_TOKS} IF len(x) > 0])
+                         AS w
+                       FROM documents)),
+    rb AS ({_CMS_ROWS_SQL}),
+    sketch AS (SELECT row, bucket, count(*) AS cnt FROM rb GROUP BY 1, 2),
+    cand AS (SELECT w AS v, count(*) AS true_count FROM tok GROUP BY 1),
+    probes AS ({_CMS_PROBE_SQL}),
+    est AS (SELECT p.v, p.true_count, min(s.cnt) AS est_count
+            FROM probes p JOIN sketch s USING (row, bucket)
+            GROUP BY 1, 2),
+    ranked AS (SELECT v, est_count, true_count,
+                      CAST(row_number() OVER (ORDER BY est_count DESC, v)
+                           AS INT) AS rank
+               FROM est)
+    SELECT v AS value, est_count::BIGINT AS est_count,
+           true_count::BIGINT AS true_count,
+           (est_count - true_count)::BIGINT AS overestimate, rank
+    FROM ranked WHERE rank <= 20
+    """,
+)
+def sketch_cms_heavy_hitters(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Count-Min-Sketch heavy hitters over the token stream: 4×512
+    deterministic md5 counter grid, min-over-rows estimates, top-20
+    with the exact count and overestimate alongside
+    (``operators/sketch.py cms_heavy_hitters``)."""
+    from emr_hudi_example_spark.operators import sketch as SK
+
+    docs = load(spark, sf_dir, "documents")
+    tok = docs.select(
+        F.explode(
+            F.filter(TX.tokens(F.col("text")), lambda t: F.length(t) > 0)
+        ).alias("w")
+    ).select(F.lower("w").alias("w"))
+    return SK.cms_heavy_hitters(tok, "w", depth=4, width=512, k=20)
+
+
+@query(
+    "sim_hard_negatives",
+    oracle=f"""
+    WITH v AS (SELECT vec_id, label, embedding, {_NORM_SQL} AS nrm
+               FROM embeddings),
+    scored AS (
+      SELECT b.vec_id AS query_id, b.label AS query_label,
+             a.vec_id AS neighbor_id, a.label AS neighbor_label,
+             {_VEC_DOT} / (a.nrm * b.nrm) AS cos
+      FROM v a JOIN v b ON b.vec_id % 50 = 0 AND a.label != b.label
+    ),
+    ranked AS (
+      SELECT query_id, query_label, neighbor_id, neighbor_label, cos,
+             CAST(row_number() OVER (PARTITION BY query_id
+                                     ORDER BY cos DESC, neighbor_id) AS INT)
+               AS rank
+      FROM scored)
+    SELECT query_id, query_label, neighbor_id, neighbor_label,
+           round(cos, 6) AS cos, rank
+    FROM ranked WHERE rank <= 3
+    """,
+)
+def sim_hard_negatives(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Hard-negative mining: top-3 most-similar OTHER-label vectors per
+    query (queries = vec_id % 50 = 0) — the confusable examples a
+    contrastive loss trains against (``operators/similarity.py
+    hard_negatives``)."""
+    emb = load(spark, sf_dir, "embeddings")
+    queries = emb.filter(F.col("vec_id") % 50 == 0)
+    return S.hard_negatives(emb, queries, k=3)

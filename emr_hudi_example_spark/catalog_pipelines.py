@@ -798,3 +798,128 @@ def pipe_stream_watermark_endstate(
     finally:
         spark.conf.set("spark.sql.shuffle.partitions", prev_parts)
     return mart.logical().select("window_start", "event_type", "n_events")
+
+
+@query(
+    "pipe_stream_join_endstate",
+    oracle="""
+    SELECT a.event_id AS click_id, b.event_id AS purchase_id, a.user_id,
+           (epoch_us(b.ts) - epoch_us(a.ts)) AS gap_us
+    FROM events a JOIN events b
+      ON a.user_id = b.user_id
+     AND a.event_type = 'click' AND b.event_type = 'purchase'
+     AND b.ts >= a.ts AND b.ts <= a.ts + INTERVAL 1 HOUR
+    """,
+)
+def pipe_stream_join_endstate(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Stream-stream interval join END-STATE: clicks and purchases
+    arrive as two independent file streams in two time-ordered
+    micro-batches each; Structured Streaming's stateful inner join
+    (watermark 2 h, join window 1 h) pairs every purchase with the
+    same user's clicks from the preceding hour. Inner joins emit each
+    match exactly once as soon as both rows have arrived, and the
+    2 h watermark (> the 1 h join window) guarantees no state needed
+    by a cross-batch match is evicted early — so the drained end-state
+    equals the batch interval join, which is what the oracle checks.
+
+    Scale shape: both sides shuffle on ``user_id`` into the state
+    store; per-key state is bounded by the watermark horizon (2 h of
+    events per user), the property that makes this run forever at
+    100 TB/day where a batch self-join could not.
+    """
+    import os
+    import time
+
+    events = load(spark, sf_dir, "events").withColumn(
+        # watermarks require TIMESTAMP (with zone); the fixture may read
+        # as TIMESTAMP_NTZ — session TZ is UTC, so the cast is lossless
+        "ts", F.col("ts").cast("timestamp")
+    )
+    clicks = events.filter(F.col("event_type") == "click").select(
+        "event_id", "user_id", "ts"
+    )
+    buys = events.filter(F.col("event_type") == "purchase").select(
+        "event_id", "user_id", "ts"
+    )
+    lo, hi = events.agg(
+        F.min("ts").alias("lo"), F.max("ts").alias("hi")
+    ).collect()[0]
+    boundary = lo + (hi - lo) / 2
+
+    base = _tmp_base()
+    dirs = {}
+    for name, side in (("clicks", clicks), ("buys", buys)):
+        d = os.path.join(base, name)
+        os.makedirs(d)
+        for i, part in enumerate(
+            (side.filter(F.col("ts") < F.lit(boundary)),
+             side.filter(F.col("ts") >= F.lit(boundary)))
+        ):
+            stage = os.path.join(base, f"stage_{name}_{i}")
+            part.coalesce(1).write.parquet(stage)
+            src = [
+                f for f in os.listdir(stage) if f.endswith(".parquet")
+            ][0]
+            dst = os.path.join(d, f"b{i}.parquet")
+            os.rename(os.path.join(stage, src), dst)
+            # FileStreamSource orders by modification time: force
+            # batch 0 strictly older so arrival order == event order
+            t = time.time() - 600 + i * 300
+            os.utime(dst, (t, t))
+        dirs[name] = d
+
+    schema = clicks.schema
+    sa = (
+        spark.readStream.schema(schema)
+        .option("maxFilesPerTrigger", 1)
+        .parquet(dirs["clicks"])
+        .withWatermark("ts", "2 hours")
+        .select(
+            F.col("event_id").alias("click_id"),
+            F.col("user_id").alias("a_user"),
+            F.col("ts").alias("a_ts"),
+        )
+    )
+    sb = (
+        spark.readStream.schema(schema)
+        .option("maxFilesPerTrigger", 1)
+        .parquet(dirs["buys"])
+        .withWatermark("ts", "2 hours")
+        .select(
+            F.col("event_id").alias("purchase_id"),
+            F.col("user_id").alias("b_user"),
+            F.col("ts").alias("b_ts"),
+        )
+    )
+    joined = sa.join(
+        sb,
+        (F.col("a_user") == F.col("b_user"))
+        & (F.col("b_ts") >= F.col("a_ts"))
+        & (F.col("b_ts") <= F.col("a_ts") + F.expr("interval 1 hour")),
+        "inner",
+    )
+    outd = os.path.join(base, "out")
+    prev_parts = spark.conf.get("spark.sql.shuffle.partitions")
+    try:
+        spark.conf.set("spark.sql.shuffle.partitions", "8")
+
+        def land(bdf, bid):
+            bdf.write.mode("append").parquet(outd)
+
+        q = (
+            joined.writeStream.outputMode("append")
+            .option("checkpointLocation", os.path.join(base, "ckpt"))
+            .foreachBatch(land)
+            .start()
+        )
+        q.processAllAvailable()
+        q.stop()
+        q.awaitTermination()
+    finally:
+        spark.conf.set("spark.sql.shuffle.partitions", prev_parts)
+    return spark.read.parquet(outd).select(
+        "click_id",
+        "purchase_id",
+        F.col("a_user").alias("user_id"),
+        (F.unix_micros("b_ts") - F.unix_micros("a_ts")).alias("gap_us"),
+    )

@@ -678,3 +678,67 @@ def ann_recall(
             F.lit(k).cast("int").alias("k"),
         )
     )
+
+
+def hard_negatives(
+    corpus: DataFrame,
+    queries: DataFrame,
+    k: int = 3,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    label_col: str = "label",
+) -> DataFrame:
+    """Hard-negative mining for contrastive training: for each query
+    vector, the top-k most-similar corpus vectors carrying a DIFFERENT
+    label — the "confusable" examples a contrastive or metric-learning
+    loss needs (easy negatives are free; hard ones require exactly this
+    nearest-other-class search). Same broadcast-queries × one-corpus-pass
+    shape as ``cosine_topk`` with a label-inequality filter fused into
+    the scan; ties broken by neighbor id for determinism.
+
+    Scale shape: queries broadcast (mining batches are small relative to
+    the corpus), corpus streamed once, per-query top-k via window over
+    the O(q·corpus) scored stream with partial top-k pushdown; swap the
+    corpus side to the IVF-cell path when q grows.
+    """
+    c = with_norm(corpus, vec_col).select(
+        F.col(id_col).alias("neighbor_id"),
+        F.col(label_col).alias("neighbor_label"),
+        F.col("_vec").alias("c_vec"),
+        F.col("_norm").alias("c_norm"),
+    )
+    q = with_norm(queries, vec_col).select(
+        F.col(id_col).alias("query_id"),
+        F.col(label_col).alias("query_label"),
+        F.col("_vec").alias("q_vec"),
+        F.col("_norm").alias("q_norm"),
+    )
+    scored = (
+        c.crossJoin(F.broadcast(q))
+        .filter(F.col("neighbor_label") != F.col("query_label"))
+        .select(
+            "query_id",
+            "query_label",
+            "neighbor_id",
+            "neighbor_label",
+            (
+                _dot(F.col("q_vec"), F.col("c_vec"))
+                / (F.col("q_norm") * F.col("c_norm"))
+            ).alias("cos"),
+        )
+    )
+    w = Window.partitionBy("query_id").orderBy(
+        F.col("cos").desc(), F.col("neighbor_id").asc()
+    )
+    return (
+        scored.withColumn("rank", F.row_number().over(w))
+        .filter(F.col("rank") <= k)
+        .select(
+            "query_id",
+            "query_label",
+            "neighbor_id",
+            "neighbor_label",
+            F.round("cos", 6).alias("cos"),
+            "rank",
+        )
+    )

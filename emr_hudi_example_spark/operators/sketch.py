@@ -360,3 +360,111 @@ def hll_oracle_sql(
                               AS DOUBLE), 4) AS est_distinct
     FROM g
     """
+
+
+def cms_heavy_hitters(
+    df: DataFrame,
+    value_col: str,
+    depth: int = 4,
+    width: int = 512,
+    k: int = 20,
+) -> DataFrame:
+    """Count-Min-Sketch heavy hitters, fully deterministic and therefore
+    oracle-gatable (same md5 hash family both engines): ``depth``
+    independent hash rows of ``width`` counters each; a value's
+    estimate is the MIN over its ``depth`` counters — always an
+    OVERestimate (counters only collide upward), with error ≤ 2N/width
+    at 1-2^-depth probability (Cormode & Muthukrishnan 2005, public).
+    Emits the top-``k`` values by estimated count (ties → value asc)
+    with the exact count alongside, so the gate verifies both the
+    sketch arithmetic and the overestimate invariant.
+
+    Scale shape (the reason CMS exists): the sketch is a FIXED
+    depth×width counter grid that merges by addition — per-partition
+    partial sketches combine map-side, so the shuffle carries at most
+    depth·width rows per partition regardless of corpus size. The
+    candidate-scoring pass joins the (already aggregated, vocab-sized)
+    distinct-value table to the tiny sketch on the (row, bucket) key;
+    at 100 TB the candidate set would instead be a sampled/thresholded
+    subset — the sketch lookup itself is O(depth) per candidate.
+    """
+    val = F.col(value_col).cast("string")
+    # one row per (hash-row, bucket) occurrence; md5("cms{i}:"+v) mod width
+    rows = df.select(
+        F.explode(
+            F.array(
+                *[
+                    F.struct(
+                        F.lit(i).alias("row"),
+                        (
+                            F.conv(
+                                F.substring(
+                                    F.md5(F.concat(F.lit(f"cms{i}:"), val)),
+                                    1,
+                                    13,
+                                ),
+                                16,
+                                10,
+                            ).cast("long")
+                            % width
+                        ).alias("bucket"),
+                    )
+                    for i in range(depth)
+                ]
+            )
+        ).alias("rb")
+    ).select("rb.row", "rb.bucket")
+    sketch = rows.groupBy("row", "bucket").agg(
+        F.count(F.lit(1)).alias("cnt")
+    )
+    # candidate set = distinct values with exact counts (vocab-sized)
+    cand = df.groupBy(val.alias("v")).agg(
+        F.count(F.lit(1)).alias("true_count")
+    )
+    probes = cand.select(
+        "v",
+        "true_count",
+        F.explode(
+            F.array(
+                *[
+                    F.struct(
+                        F.lit(i).alias("row"),
+                        (
+                            F.conv(
+                                F.substring(
+                                    F.md5(
+                                        F.concat(F.lit(f"cms{i}:"), F.col("v"))
+                                    ),
+                                    1,
+                                    13,
+                                ),
+                                16,
+                                10,
+                            ).cast("long")
+                            % width
+                        ).alias("bucket"),
+                    )
+                    for i in range(depth)
+                ]
+            )
+        ).alias("rb"),
+    ).select("v", "true_count", "rb.row", "rb.bucket")
+    est = (
+        probes.join(F.broadcast(sketch), ["row", "bucket"])
+        .groupBy("v", "true_count")
+        .agg(F.min("cnt").alias("est_count"))
+    )
+    w = Window.orderBy(F.col("est_count").desc(), F.col("v").asc())
+    return (
+        est.withColumn("rank", F.row_number().over(w))
+        .filter(F.col("rank") <= k)
+        .select(
+            F.col("v").alias("value"),
+            F.col("est_count").cast("long").alias("est_count"),
+            F.col("true_count").cast("long").alias("true_count"),
+            (F.col("est_count") - F.col("true_count"))
+            .cast("long")
+            .alias("overestimate"),
+            F.col("rank").cast("int").alias("rank"),
+        )
+    )

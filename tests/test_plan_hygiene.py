@@ -138,3 +138,20 @@ def test_sliding_window_single_agg_shuffle(spark):
     plan = _plan(spark, "a14_sliding_window")
     assert plan.count("HashAggregate") >= 2  # partial + final
     assert "CartesianProduct" not in plan
+
+
+def test_hard_negatives_broadcasts_queries(spark):
+    # mining joins the tiny query batch via broadcast — a shuffle or
+    # nested-loop here would re-shuffle the whole corpus per batch
+    plan = _plan(spark, "sim_hard_negatives")
+    assert "BroadcastNestedLoopJoin" in plan or "BroadcastHashJoin" in plan
+    assert "CartesianProduct" not in plan
+
+
+def test_q3_shape_broadcasts_dim_and_takeordered_topk(spark):
+    # segment-filtered customers broadcast; global top-10 must be a
+    # TakeOrdered (heap + driver merge), never a full Sort of the aggs
+    plan = _plan(spark, "j4_order_revenue_topk")
+    assert "BroadcastHashJoin" in plan
+    assert "TakeOrdered" in plan
+    assert "CartesianProduct" not in plan

@@ -36,6 +36,10 @@ _PRIORITY: list[str] = [
     # -- r4 red row, output serialization fixed this round --
     "sim_quantize_int8",
     # -- new in round 5 (session 2) --
+    "dq_referential_audit",
+    "dq_uniqueness_audit",
+    "corpus_shard_manifest",
+    "sim_centroid_classify",
     "pipe_stream_join_endstate",
     "j4_order_revenue_topk",
     "a15_zscore_outliers",

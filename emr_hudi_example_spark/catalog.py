@@ -851,3 +851,103 @@ def a15_zscore_outliers(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.round("sd", 6).alias("sd"),
         )
     )
+
+
+# =========================================================================
+# Data-quality audits — the pre-publish checks a warehouse runs over the
+# star schema (extension; the reference relies on upstream CDC guarantees).
+# =========================================================================
+
+@query(
+    "dq_referential_audit",
+    oracle="""
+    SELECT 'lineitem_order_fk' AS check_name,
+           (SELECT count(*) FROM lineitem l
+            WHERE NOT EXISTS (SELECT 1 FROM orders o
+                              WHERE o.o_orderkey = l.l_orderkey))
+             AS n_orphans,
+           (SELECT count(*) FROM lineitem) AS n_rows
+    UNION ALL
+    SELECT 'orders_customer_fk',
+           (SELECT count(*) FROM orders o
+            WHERE NOT EXISTS (SELECT 1 FROM customer c
+                              WHERE c.c_custkey = o.o_custkey)),
+           (SELECT count(*) FROM orders)
+    UNION ALL
+    SELECT 'customer_nation_fk',
+           (SELECT count(*) FROM customer c
+            WHERE NOT EXISTS (SELECT 1 FROM nation n
+                              WHERE n.n_nationkey = c.c_nationkey)),
+           (SELECT count(*) FROM customer)
+    UNION ALL
+    SELECT 'supplier_nation_fk',
+           (SELECT count(*) FROM supplier s
+            WHERE NOT EXISTS (SELECT 1 FROM nation n
+                              WHERE n.n_nationkey = s.s_nationkey)),
+           (SELECT count(*) FROM supplier)
+    UNION ALL
+    SELECT 'lineitem_part_fk',
+           (SELECT count(*) FROM lineitem l
+            WHERE NOT EXISTS (SELECT 1 FROM part p
+                              WHERE p.p_partkey = l.l_partkey)),
+           (SELECT count(*) FROM lineitem)
+    """,
+)
+def dq_referential_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """FK orphan audit over the star schema: five anti-join checks in
+    one unioned plan (``operators/relational.py referential_audit``)."""
+    li = load(spark, sf_dir, "lineitem")
+    orders = load(spark, sf_dir, "orders")
+    cust = load(spark, sf_dir, "customer")
+    nation = load(spark, sf_dir, "nation")
+    supp = load(spark, sf_dir, "supplier")
+    part = load(spark, sf_dir, "part")
+    return R.referential_audit(
+        [
+            ("lineitem_order_fk", li, "l_orderkey", orders, "o_orderkey"),
+            ("orders_customer_fk", orders, "o_custkey", cust, "c_custkey"),
+            ("customer_nation_fk", cust, "c_nationkey", nation,
+             "n_nationkey"),
+            ("supplier_nation_fk", supp, "s_nationkey", nation,
+             "n_nationkey"),
+            ("lineitem_part_fk", li, "l_partkey", part, "p_partkey"),
+        ]
+    )
+
+
+@query(
+    "dq_uniqueness_audit",
+    oracle="""
+    SELECT 'orders' AS table_name, count(*) AS n_rows,
+           count(DISTINCT o_orderkey) AS n_keys,
+           count(*) - count(DISTINCT o_orderkey) AS n_dup_rows
+    FROM orders
+    UNION ALL
+    SELECT 'customer', count(*), count(DISTINCT c_custkey),
+           count(*) - count(DISTINCT c_custkey) FROM customer
+    UNION ALL
+    SELECT 'part', count(*), count(DISTINCT p_partkey),
+           count(*) - count(DISTINCT p_partkey) FROM part
+    UNION ALL
+    SELECT 'lineitem', count(*),
+           count(DISTINCT (l_orderkey, l_linenumber)),
+           count(*) - count(DISTINCT (l_orderkey, l_linenumber))
+    FROM lineitem
+    UNION ALL
+    SELECT 'events', count(*), count(DISTINCT event_id),
+           count(*) - count(DISTINCT event_id) FROM events
+    """,
+)
+def dq_uniqueness_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """PK uniqueness audit: rows vs distinct keys per table, one unioned
+    plan (``operators/relational.py uniqueness_audit``)."""
+    return R.uniqueness_audit(
+        [
+            ("orders", load(spark, sf_dir, "orders"), ["o_orderkey"]),
+            ("customer", load(spark, sf_dir, "customer"), ["c_custkey"]),
+            ("part", load(spark, sf_dir, "part"), ["p_partkey"]),
+            ("lineitem", load(spark, sf_dir, "lineitem"),
+             ["l_orderkey", "l_linenumber"]),
+            ("events", load(spark, sf_dir, "events"), ["event_id"]),
+        ]
+    )

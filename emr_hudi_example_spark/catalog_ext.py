@@ -2531,3 +2531,69 @@ def sim_hard_negatives(spark: SparkSession, sf_dir: str) -> DataFrame:
     emb = load(spark, sf_dir, "embeddings")
     queries = emb.filter(F.col("vec_id") % 50 == 0)
     return S.hard_negatives(emb, queries, k=3)
+
+
+@query(
+    "corpus_shard_manifest",
+    oracle=f"""
+    WITH s AS (SELECT (('0x' || substr(md5(doc_id::VARCHAR), 1, 13))::BIGINT
+                       % 8)::INT AS shard,
+                      doc_id,
+                      len({_TOKS}) AS ntok,
+                      length(text) AS nchr
+               FROM documents)
+    SELECT shard, count(*)::BIGINT AS n_docs,
+           sum(ntok)::BIGINT AS n_tokens,
+           sum(nchr)::BIGINT AS n_chars,
+           min(doc_id)::BIGINT AS min_id,
+           max(doc_id)::BIGINT AS max_id
+    FROM s GROUP BY 1
+    """,
+)
+def corpus_shard_manifest(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Training-export shard manifest: md5-stable shard assignment +
+    per-shard doc/token/char counts and id ranges
+    (``operators/corpus.py shard_manifest``)."""
+    return C.shard_manifest(load(spark, sf_dir, "documents"), n_shards=8)
+
+
+@query(
+    "sim_centroid_classify",
+    oracle=f"""
+    WITH v AS (SELECT vec_id, label, embedding, {_NORM_SQL} AS nrm
+               FROM embeddings),
+    vals AS (
+      SELECT v.label AS cls, t.i AS dim,
+             CAST(CAST(v.embedding[t.i] AS DOUBLE) AS DECIMAL(27,10)) AS val
+      FROM v CROSS JOIN generate_series(1, 64) AS t(i)),
+    means AS (
+      SELECT cls, dim,
+             CAST(sum(val) AS DOUBLE) / CAST(count(*) AS DOUBLE) AS m
+      FROM vals GROUP BY 1, 2),
+    cen1 AS (SELECT cls, list(m ORDER BY dim) AS cvec
+             FROM means GROUP BY 1),
+    cen1n AS (SELECT cls, cvec,
+                     sqrt(list_sum([ cvec[i] * cvec[i]
+                                     FOR i IN range(1, 65) ])) AS cnorm
+              FROM cen1),
+    scored AS (
+      SELECT v.vec_id, v.label, c.cls,
+             list_sum([ (v.embedding[i]::DOUBLE) * c.cvec[i]
+                        FOR i IN range(1, 65) ]) / (v.nrm * c.cnorm) AS cos
+      FROM v CROSS JOIN cen1n c),
+    r1 AS (SELECT vec_id, label, cls, cos,
+                  row_number() OVER (PARTITION BY vec_id
+                    ORDER BY cos DESC, cls) AS rn
+           FROM scored)
+    SELECT label, cls AS pred_label, count(*) AS n,
+           round(CAST(sum(CAST(cos AS DECIMAL(27,10))) AS DOUBLE)
+                 / count(*), 6) AS mean_cos
+    FROM r1 WHERE rn = 1 GROUP BY 1, 2
+    """,
+)
+def sim_centroid_classify(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Nearest-centroid label audit over the embedding corpus: exact-
+    decimal per-label prototypes, cosine argmax assignment, confusion
+    matrix with decimal-exact mean cosine per cell
+    (``operators/similarity.py centroid_classify``)."""
+    return S.centroid_classify(load(spark, sf_dir, "embeddings"))

@@ -746,3 +746,44 @@ def unigram_rarity_scores(
             .alias("bucket"),
         )
     )
+
+
+def shard_manifest(
+    df: DataFrame,
+    n_shards: int = 8,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+) -> DataFrame:
+    """Training-export shard manifest: every document is assigned to one
+    of ``n_shards`` output shards by a content-independent md5 of its id
+    (stable under re-partitioning and re-runs — the property a resumable
+    exporter needs), and the manifest row per shard carries the counts a
+    loader checks before training: docs, whitespace tokens, characters,
+    id range.
+
+    Scale shape: the shard id is a narrow expression; ONE hash-agg on
+    the (bounded, small) shard key with map-side combine — the manifest
+    is n_shards rows no matter the corpus size.
+    """
+    shard = (
+        F.conv(
+            F.substring(F.md5(F.col(id_col).cast("string")), 1, 13), 16, 10
+        ).cast("long")
+        % n_shards
+    ).cast("int")
+    return (
+        df.select(
+            shard.alias("shard"),
+            F.col(id_col).alias("_id"),
+            token_count(F.col(text_col)).alias("_ntok"),
+            F.length(F.col(text_col)).alias("_nchr"),
+        )
+        .groupBy("shard")
+        .agg(
+            F.count(F.lit(1)).cast("long").alias("n_docs"),
+            F.sum("_ntok").cast("long").alias("n_tokens"),
+            F.sum("_nchr").cast("long").alias("n_chars"),
+            F.min("_id").cast("long").alias("min_id"),
+            F.max("_id").cast("long").alias("max_id"),
+        )
+    )

@@ -457,3 +457,70 @@ def join_salted(
     return salted_fact.join(
         salted_dim.hint("merge"), [on, "_salt"]
     ).drop("_salt")
+
+
+def referential_audit(
+    checks: list[tuple],
+) -> DataFrame:
+    """Referential-integrity audit: for each ``(name, child, child_key,
+    parent, parent_key)`` tuple, count child rows whose key has no
+    parent (orphans) — the FK check a warehouse runs before publishing
+    a snapshot. Returns one row per check: (check_name, n_orphans,
+    n_rows).
+
+    Scale shape: each check is ONE left-anti join — broadcast when the
+    parent is a dimension, shuffle-hash on the key otherwise (left to
+    AQE/stats) — feeding a count agg; checks union into a single plan so
+    the scheduler runs them concurrently. No driver-side row transfer.
+    """
+    outs = []
+    for name, child, child_key, parent, parent_key in checks:
+        orphans = child.join(
+            parent.select(F.col(parent_key).alias("_pk")).distinct(),
+            child[child_key] == F.col("_pk"),
+            "left_anti",
+        )
+        outs.append(
+            orphans.agg(F.count(F.lit(1)).alias("n_orphans")).crossJoin(
+                child.agg(F.count(F.lit(1)).alias("n_rows"))
+            ).select(
+                F.lit(name).alias("check_name"),
+                F.col("n_orphans").cast("long").alias("n_orphans"),
+                F.col("n_rows").cast("long").alias("n_rows"),
+            )
+        )
+    out = outs[0]
+    for o in outs[1:]:
+        out = out.unionByName(o)
+    return out
+
+
+def uniqueness_audit(
+    tables: list[tuple],
+) -> DataFrame:
+    """Primary-key uniqueness audit: for each ``(name, df, key_cols)``,
+    total rows vs distinct key combinations — one row per table:
+    (table_name, n_rows, n_keys, n_dup_rows).
+
+    Scale shape: per table one count agg + one distinct-count (two-phase
+    hash agg with map-side partials); tables union into one plan.
+    """
+    outs = []
+    for name, df, key_cols in tables:
+        outs.append(
+            df.agg(
+                F.count(F.lit(1)).cast("long").alias("n_rows"),
+                F.count_distinct(*[F.col(c) for c in key_cols])
+                .cast("long")
+                .alias("n_keys"),
+            ).select(
+                F.lit(name).alias("table_name"),
+                "n_rows",
+                "n_keys",
+                (F.col("n_rows") - F.col("n_keys")).alias("n_dup_rows"),
+            )
+        )
+    out = outs[0]
+    for o in outs[1:]:
+        out = out.unionByName(o)
+    return out

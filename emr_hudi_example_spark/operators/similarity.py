@@ -742,3 +742,78 @@ def hard_negatives(
             "rank",
         )
     )
+
+
+def centroid_classify(
+    vectors: DataFrame,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    label_col: str = "label",
+) -> DataFrame:
+    """Nearest-centroid label audit: build one prototype per label (the
+    exact-decimal per-dimension mean, same order-independent
+    accumulation as ``kmeans_refine``), assign every vector to its
+    nearest prototype by cosine, and emit the confusion matrix
+    ``(label, pred_label, n, mean_cos)`` — the standard embedding-space
+    sanity check that catches mislabeled slices and collapsed classes
+    before a classifier or curriculum trusts the labels.
+
+    Scale shape: label means are one shuffle on (label, dim) — k·d
+    groups, map-side partials; assignment broadcasts the k prototypes
+    over one corpus pass; the confusion rollup is a k² hash-agg. The
+    per-cell mean cosine also accumulates as DECIMAL so the matrix is
+    engine- and partitioning-exact.
+    """
+    vals = vectors.select(
+        F.col(label_col).alias("cls"),
+        F.posexplode(_as_double(vec_col)).alias("dim", "val"),
+    )
+    means = (
+        vals.groupBy("cls", "dim")
+        .agg(
+            F.sum(F.col("val").cast("decimal(27,10)")).alias("s"),
+            F.count(F.lit(1)).alias("n"),
+        )
+        .select(
+            "cls",
+            "dim",
+            (F.col("s").cast("double") / F.col("n").cast("double")).alias(
+                "m"
+            ),
+        )
+    )
+    cen = (
+        means.groupBy("cls")
+        .agg(F.array_sort(F.collect_list(F.struct("dim", "m"))).alias("dm"))
+        .select("cls", F.transform("dm", lambda x: x["m"]).alias("cvec"))
+        .withColumn("cnorm", _norm(F.col("cvec")))
+    )
+    v = with_norm(vectors, vec_col).select(
+        F.col(id_col),
+        F.col(label_col).alias("label"),
+        F.col("_vec"),
+        F.col("_norm"),
+    )
+    scored = v.crossJoin(F.broadcast(cen)).select(
+        id_col,
+        "label",
+        "cls",
+        (
+            _dot(F.col("_vec"), F.col("cvec"))
+            / (F.col("_norm") * F.col("cnorm"))
+        ).alias("cos"),
+    )
+    w = Window.partitionBy(id_col).orderBy(
+        F.col("cos").desc(), F.col("cls").asc()
+    )
+    top1 = scored.withColumn("rn", F.row_number().over(w)).filter(
+        F.col("rn") == 1
+    )
+    return top1.groupBy("label", F.col("cls").alias("pred_label")).agg(
+        F.count(F.lit(1)).cast("long").alias("n"),
+        F.round(
+            F.sum(F.col("cos").cast("decimal(27,10)")).cast("double")
+            / F.count(F.lit(1)),
+            6,
+        ).alias("mean_cos"),
+    )

@@ -40,6 +40,8 @@ _PRIORITY: list[str] = [
     "dq_uniqueness_audit",
     "corpus_shard_manifest",
     "sim_centroid_classify",
+    "mm_image_downsample",
+    "a16_grouping_sets",
     "pipe_stream_join_endstate",
     "j4_order_revenue_topk",
     "a15_zscore_outliers",

@@ -951,3 +951,38 @@ def dq_uniqueness_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
             ("events", load(spark, sf_dir, "events"), ["event_id"]),
         ]
     )
+
+
+@query(
+    "a16_grouping_sets",
+    oracle="""
+    SELECT o_orderstatus, o_orderpriority,
+           CAST(GROUPING(o_orderstatus, o_orderpriority) AS BIGINT)
+             AS grp_id,
+           count(*) AS n_rows,
+           CAST(round(sum(CAST(o_totalprice AS DECIMAL(38,4))), 2)
+                AS DOUBLE) AS sum_price
+    FROM orders
+    GROUP BY GROUPING SETS ((o_orderstatus), (o_orderpriority), ())
+    """,
+)
+def a16_grouping_sets(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Explicit GROUPING SETS — the sparse lattice CUBE/ROLLUP can't
+    express (each single-column marginal plus the grand total, WITHOUT
+    the full cross product): one Expand + one hash-agg pass, grouping
+    ids disambiguating subtotal NULLs, completing the §2.7 lattice
+    family (a8 rollup, a12 cube). Expressed in SQL over a temp view —
+    the P8 surface — since DataFrame groupingSets is SQL-first."""
+    load(spark, sf_dir, "orders").createOrReplaceTempView("orders_gs")
+    return spark.sql(
+        """
+        SELECT o_orderstatus, o_orderpriority,
+               CAST(grouping_id(o_orderstatus, o_orderpriority) AS BIGINT)
+                 AS grp_id,
+               count(*) AS n_rows,
+               CAST(round(sum(CAST(o_totalprice AS DECIMAL(38,4))), 2)
+                    AS DOUBLE) AS sum_price
+        FROM orders_gs
+        GROUP BY GROUPING SETS ((o_orderstatus), (o_orderpriority), ())
+        """
+    )

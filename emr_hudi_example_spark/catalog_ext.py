@@ -2597,3 +2597,42 @@ def sim_centroid_classify(spark: SparkSession, sf_dir: str) -> DataFrame:
     matrix with decimal-exact mean cosine per cell
     (``operators/similarity.py centroid_classify``)."""
     return S.centroid_classify(load(spark, sf_dir, "embeddings"))
+
+
+@query(
+    "mm_image_downsample",
+    oracle="""
+    WITH d AS (SELECT doc_id, 4 + doc_id % 5 AS w, 3 + doc_id % 4 AS h
+               FROM documents),
+    px AS (
+      SELECT d.doc_id, d.w, d.h, y.y, x.x, c.c,
+             (d.doc_id*31 + y.y*17 + x.x*7 + c.c*11) % 256 AS v
+      FROM d,
+           LATERAL (SELECT unnest(range(d.h)) AS y) y,
+           LATERAL (SELECT unnest(range(d.w)) AS x) x,
+           LATERAL (SELECT unnest(range(3)) AS c) c
+    ),
+    blk AS (
+      SELECT doc_id, w, h, y // 2 AS by, x // 2 AS bx, c,
+             sum(v) // count(*) AS dv
+      FROM px GROUP BY 1, 2, 3, 4, 5, 6
+    )
+    SELECT doc_id,
+           CAST((w + 1) // 2 AS INT) AS down_width,
+           CAST((h + 1) // 2 AS INT) AS down_height,
+           CAST(sum(CASE WHEN c = 0 THEN dv ELSE 0 END) AS BIGINT)
+             AS dsum_r,
+           CAST(sum(CASE WHEN c = 1 THEN dv ELSE 0 END) AS BIGINT)
+             AS dsum_g,
+           CAST(sum(CASE WHEN c = 2 THEN dv ELSE 0 END) AS BIGINT)
+             AS dsum_b
+    FROM blk GROUP BY 1, 2, 3
+    """,
+)
+def mm_image_downsample(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Real resize stage on the real codec: P6 decode + exact-integer
+    2×2 box downsample inside one Arrow kernel; the oracle recomputes
+    every downsampled pixel from the fixture's closed-form formula, so
+    the graded sums match only if the resize touches every block
+    correctly (``operators/multimodal.py make_ppm_downsample_batch``)."""
+    return MM.downsample_features(load(spark, sf_dir, "documents"))

@@ -105,18 +105,17 @@ def pagerank(
 
     teleport = (1.0 - damping) / n_nodes
     for _ in range(iterations):
+        # dangling mass as a 1-row broadcast instead of a driver collect:
+        # the whole iteration stays ONE job (the localCheckpoint action);
+        # arithmetic is identical — decimal-exact sum, then the same
+        # double ops in the same order as the oracle's SQL
         with_deg = ranks.join(deg, ranks["node"] == deg["src"], "left")
-        dangling = (
-            with_deg.filter(F.col("deg").isNull())
-            .agg(
-                F.coalesce(
-                    F.sum(F.round(F.col("rank"), scale).cast(dec)),
-                    F.lit(0).cast(dec),
-                ).alias("dm")
-            )
-            .collect()[0]["dm"]
+        dangling = with_deg.filter(F.col("deg").isNull()).agg(
+            F.coalesce(
+                F.sum(F.round(F.col("rank"), scale).cast(dec)),
+                F.lit(0).cast(dec),
+            ).alias("dm")
         )
-        dangling_share = damping * (float(dangling) / n_nodes)
         contrib = edged.join(ranks, edged["src"] == ranks["node"]).select(
             F.col("dst").alias("node"),
             F.round(F.col("rank") / F.col("deg"), scale).cast(dec).alias("c"),
@@ -124,13 +123,15 @@ def pagerank(
         inflow = contrib.groupBy("node").agg(F.sum("c").alias("s"))
         ranks = (
             nodes.join(inflow, "node", "left")
+            .crossJoin(F.broadcast(dangling))
             .select(
                 "node",
                 (
                     F.lit(teleport)
                     + F.lit(damping)
                     * F.coalesce(F.col("s").cast("double"), F.lit(0.0))
-                    + F.lit(dangling_share)
+                    + F.lit(damping)
+                    * (F.col("dm").cast("double") / F.lit(float(n_nodes)))
                 ).alias("rank"),
             )
             .localCheckpoint()

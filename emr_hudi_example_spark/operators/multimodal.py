@@ -463,3 +463,96 @@ def decode_wav_features(doc_ids: DataFrame) -> DataFrame:
     return corpus.mapInPandas(
         make_wav_decode_batch(), schema=DECODE_WAV_SCHEMA
     )
+
+
+#: Output schema of the downsample kernel: downsampled dims + exact
+#: integer channel sums of the downsampled raster.
+DOWNSAMPLE_SCHEMA = (
+    "doc_id LONG, down_width INT, down_height INT, "
+    "dsum_r LONG, dsum_g LONG, dsum_b LONG"
+)
+
+
+def make_ppm_downsample_batch():
+    """Resize kernel: decode each P6 blob and 2×2 box-downsample it with
+    EXACT integer arithmetic — each output pixel is
+    ``floor(block_sum / block_px)`` (edge blocks shrink to 1 wide/tall
+    for odd dims), so the result is bit-identical to the SQL oracle's
+    ``sum(v) // count(*)`` per block. This is the real shape of a
+    thumbnail / feature-extraction resize stage: decode → numpy block
+    reduce → emit derived features, all inside one Arrow-batched
+    ``mapInPandas`` pass (narrow, no shuffle; a Pillow-backed resize
+    would drop into exactly this kernel)."""
+
+    def down_batch(batches):
+        import numpy as _np
+        import pandas as _pd
+
+        def parse(data):
+            data = bytes(data)
+            if data[:2] != b"P6":
+                raise ValueError("not a P6 PPM")
+            pos, tokens = 2, []
+            while len(tokens) < 3:
+                while pos < len(data) and data[pos : pos + 1].isspace():
+                    pos += 1
+                if data[pos : pos + 1] == b"#":
+                    while pos < len(data) and data[pos : pos + 1] != b"\n":
+                        pos += 1
+                    continue
+                start = pos
+                while pos < len(data) and not data[pos : pos + 1].isspace():
+                    pos += 1
+                tokens.append(int(data[start:pos]))
+            pos += 1
+            w, h, _maxval = tokens
+            raster = data[pos : pos + 3 * w * h]
+            px = _np.frombuffer(raster, dtype=_np.uint8).reshape(h, w, 3)
+            iy = _np.arange(0, h, 2)
+            ix = _np.arange(0, w, 2)
+            sums = _np.add.reduceat(
+                _np.add.reduceat(px.astype(_np.int64), iy, axis=0),
+                ix,
+                axis=1,
+            )
+            bh = _np.diff(_np.append(iy, h))
+            bw = _np.diff(_np.append(ix, w))
+            counts = _np.multiply.outer(bh, bw)[:, :, None]
+            dpx = sums // counts
+            dsum = dpx.sum(axis=(0, 1))
+            return (
+                len(ix),
+                len(iy),
+                int(dsum[0]),
+                int(dsum[1]),
+                int(dsum[2]),
+            )
+
+        for pdf in batches:
+            parsed = pdf["content"].map(parse)
+            yield _pd.DataFrame(
+                {
+                    "doc_id": pdf["doc_id"],
+                    "down_width": parsed.map(lambda t: t[0]).astype("int32"),
+                    "down_height": parsed.map(lambda t: t[1]).astype(
+                        "int32"
+                    ),
+                    "dsum_r": parsed.map(lambda t: t[2]),
+                    "dsum_g": parsed.map(lambda t: t[3]),
+                    "dsum_b": parsed.map(lambda t: t[4]),
+                }
+            )
+
+    return down_batch
+
+
+def downsample_features(doc_ids: DataFrame) -> DataFrame:
+    """Synthesize the PPM corpus (builder kernel), then decode +
+    2×2 box-downsample it (resize kernel) — the thumbnail stage of a
+    multimodal pipeline as two chained narrow Arrow passes."""
+    corpus = doc_ids.select("doc_id").mapInPandas(
+        make_ppm_corpus_batch(), schema="doc_id LONG, content BINARY"
+    )
+    return corpus.mapInPandas(
+        make_ppm_downsample_batch(), schema=DOWNSAMPLE_SCHEMA
+    )

@@ -42,6 +42,8 @@ _PRIORITY: list[str] = [
     "sim_centroid_classify",
     "mm_image_downsample",
     "a16_grouping_sets",
+    "text_readability",
+    "corpus_dedup_funnel",
     "pipe_stream_join_endstate",
     "j4_order_revenue_topk",
     "a15_zscore_outliers",

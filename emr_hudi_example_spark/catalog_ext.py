@@ -2636,3 +2636,99 @@ def mm_image_downsample(spark: SparkSession, sf_dir: str) -> DataFrame:
     the graded sums match only if the resize touches every block
     correctly (``operators/multimodal.py make_ppm_downsample_batch``)."""
     return MM.downsample_features(load(spark, sf_dir, "documents"))
+
+
+@query(
+    "text_readability",
+    oracle=f"""
+    WITH t AS (SELECT doc_id,
+                      [w FOR w IN {_TOKS} IF len(w) > 0] AS tk,
+                      greatest(len(regexp_extract_all(text, '[.!?]+')), 1)
+                        AS n_sentences
+               FROM documents),
+    m AS (SELECT doc_id,
+                 len(tk)::BIGINT AS n_words,
+                 n_sentences::BIGINT AS n_sentences,
+                 list_sum([greatest(len(regexp_extract_all(lower(w),
+                                                           '[aeiouy]+')), 1)
+                           FOR w IN tk])::BIGINT AS n_syllables
+          FROM t)
+    SELECT doc_id, n_words, n_sentences, n_syllables,
+           round(206.835::DOUBLE
+                 - 1.015::DOUBLE * (n_words::DOUBLE / n_sentences::DOUBLE)
+                 - 84.6::DOUBLE * (n_syllables::DOUBLE / n_words::DOUBLE),
+                 6) AS flesch_ease,
+           round(0.39::DOUBLE * (n_words::DOUBLE / n_sentences::DOUBLE)
+                 + 11.8::DOUBLE * (n_syllables::DOUBLE / n_words::DOUBLE)
+                 - 15.59::DOUBLE, 6) AS fk_grade
+    FROM m WHERE n_words > 0
+    """,
+)
+def text_readability(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Flesch Reading Ease + Flesch-Kincaid grade from deterministic
+    sentence/syllable counts (``operators/text.py readability``)."""
+    return TX.readability(load(spark, sf_dir, "documents"))
+
+
+@query(
+    "corpus_dedup_funnel",
+    oracle="""
+    WITH f AS (SELECT doc_id,
+                      md5(regexp_replace(lower(trim(text)), '\\s+', ' ',
+                                         'g')) AS fp,
+                      n_chars, text
+               FROM documents),
+    p AS (SELECT md5(regexp_replace(lower(trim(para)), '\\s+', ' ', 'g'))
+                   AS pfp
+          FROM (SELECT unnest(str_split(text, chr(10) || chr(10))) AS para
+                FROM f)
+          WHERE length(trim(para)) > 0)
+    SELECT 'raw' AS stage, count(*)::BIGINT AS n FROM f
+    UNION ALL SELECT 'exact_unique', count(DISTINCT fp) FROM f
+    UNION ALL SELECT 'quality_pass', count(*) FROM f WHERE n_chars >= 200
+    UNION ALL SELECT 'quality_unique', count(DISTINCT fp) FROM f
+              WHERE n_chars >= 200
+    UNION ALL SELECT 'paragraphs', count(*) FROM p
+    UNION ALL SELECT 'paragraph_unique', count(DISTINCT pfp) FROM p
+    """,
+)
+def corpus_dedup_funnel(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Pipeline-observability funnel: the stage counts a curation
+    dashboard tracks — raw docs, exact-unique fingerprints, a quality
+    gate (here the length floor; any flag column plugs in), unique
+    survivors of the gate, and paragraph-level totals/uniques. One
+    unioned plan; each leg is a count or distinct-count agg, so the
+    funnel costs a handful of map-side-combined shuffles regardless of
+    corpus size."""
+    from emr_hudi_example_spark.operators.text import fingerprint
+
+    docs = load(spark, sf_dir, "documents")
+    f = docs.select(
+        "doc_id", fingerprint("text").alias("fp"), "n_chars", "text"
+    )
+    paras = (
+        f.select(F.explode(F.split("text", r"\n\n")).alias("para"))
+        .withColumn("para", F.trim("para"))
+        .filter(F.length("para") > 0)
+        .select(fingerprint("para").alias("pfp"))
+    )
+    gated = f.filter(F.col("n_chars") >= 200)
+
+    def row(stage, df_, expr):
+        return df_.agg(expr.cast("long").alias("n")).select(
+            F.lit(stage).alias("stage"), "n"
+        )
+
+    out = row("raw", f, F.count(F.lit(1)))
+    out = out.unionByName(
+        row("exact_unique", f, F.count_distinct(F.col("fp")))
+    )
+    out = out.unionByName(row("quality_pass", gated, F.count(F.lit(1))))
+    out = out.unionByName(
+        row("quality_unique", gated, F.count_distinct(F.col("fp")))
+    )
+    out = out.unionByName(row("paragraphs", paras, F.count(F.lit(1))))
+    out = out.unionByName(
+        row("paragraph_unique", paras, F.count_distinct(F.col("pfp")))
+    )
+    return out

@@ -582,3 +582,62 @@ def gopher_quality(
             & f_alpha & f_stop
         ).cast("int").alias("pass_gopher"),
     )
+
+
+def readability(
+    df: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+) -> DataFrame:
+    """Flesch readability metrics (public 1948/1975 formulas) from
+    deterministic structural counts: sentences = runs of ``[.!?]``,
+    syllables = vowel-group runs per word (min 1) — the standard
+    dictionary-free approximation. Emits the raw counts plus
+    Flesch Reading Ease and Flesch-Kincaid grade; both are a handful of
+    fixed-order IEEE ops over exact integers, so the scores are
+    bit-identical cross-engine (no libm). Used as a quality/curriculum
+    feature (graded-reader ordering, jargon detection).
+
+    Scale shape: narrow per-row expressions (regex counts + one array
+    fold), zero shuffle, pipelines with the scan.
+    """
+    c = F.col(text_col)
+    tk = F.filter(tokens(c), lambda t: F.length(t) > 0)
+    n_words = F.size(tk)
+    n_sentences = F.greatest(
+        F.regexp_count(c, F.lit(r"[.!?]+")), F.lit(1)
+    )
+    n_syllables = F.aggregate(
+        F.transform(
+            tk,
+            lambda w: F.greatest(
+                F.regexp_count(F.lower(w), F.lit("[aeiouy]+")), F.lit(1)
+            ),
+        ),
+        F.lit(0),
+        lambda acc, x: acc + x,
+    )
+    base = df.select(
+        F.col(id_col),
+        n_words.cast("long").alias("n_words"),
+        n_sentences.cast("long").alias("n_sentences"),
+        n_syllables.cast("long").alias("n_syllables"),
+    ).filter(F.col("n_words") > 0)
+    wps = F.col("n_words").cast("double") / F.col("n_sentences").cast(
+        "double"
+    )
+    spw = F.col("n_syllables").cast("double") / F.col("n_words").cast(
+        "double"
+    )
+    return base.select(
+        id_col,
+        "n_words",
+        "n_sentences",
+        "n_syllables",
+        F.round(
+            F.lit(206.835) - F.lit(1.015) * wps - F.lit(84.6) * spw, 6
+        ).alias("flesch_ease"),
+        F.round(
+            F.lit(0.39) * wps + F.lit(11.8) * spw - F.lit(15.59), 6
+        ).alias("fk_grade"),
+    )

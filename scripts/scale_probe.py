@@ -52,6 +52,23 @@ def build_inputs(spark: SparkSession, mult: int) -> dict[str, str]:
         df = spark.read.parquet(f"{SF_DIR}/{tbl}.parquet")
         scaled(df, key, mult, shift).write.mode("overwrite").parquet(dst)
         paths[tbl] = dst
+    # events: shift BOTH user_id (graph nodes) and event_id (the window
+    # tiebreak must stay unique); copies share timestamps, so per-type
+    # timelines interleave across copies — a DENSER handoff graph, the
+    # adversarial case for PageRank's join+agg iterations
+    spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+    ev = spark.read.parquet(f"{SF_DIR}/events.parquet")
+    if dict(ev.dtypes).get("ts") == "bigint":  # TIMESTAMP(NANOS) fixture
+        ev = ev.withColumn("ts", F.timestamp_micros(F.expr("ts div 1000")))
+    out = ev
+    for i in range(1, mult):
+        out = out.unionByName(
+            ev.withColumn("user_id", F.col("user_id") + F.lit(i * 10_000_000))
+            .withColumn("event_id", F.col("event_id") + F.lit(i * 10_000_000))
+        )
+    dst = f"{WORK}/x{mult}/events"
+    out.write.mode("overwrite").parquet(dst)
+    paths["events"] = dst
     return paths
 
 
@@ -125,6 +142,19 @@ def run_probe(spark: SparkSession, mult: int) -> list[dict]:
                 "rows": D.connected_components(
                     pairs.selectExpr("id_a", "id_b"),
                     docs.select("doc_id"),
+                ).count()
+            },
+        )
+    )
+    from emr_hudi_example_spark.operators import graph as G
+
+    events = spark.read.parquet(paths["events"])
+    recs.append(
+        timed(
+            "pagerank_3iter", mult,
+            lambda: {
+                "rows": G.pagerank(
+                    G.sequential_interaction_edges(events), iterations=3
                 ).count()
             },
         )

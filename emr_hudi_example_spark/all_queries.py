@@ -44,6 +44,10 @@ _PRIORITY: list[str] = [
     "a16_grouping_sets",
     "text_readability",
     "corpus_dedup_funnel",
+    "corpus_bpe_pair_counts",
+    "j5_semi_anti_cohorts",
+    "j6_full_outer_reconcile",
+    "a17_timeline_gapfill",
     "pipe_stream_join_endstate",
     "j4_order_revenue_topk",
     "a15_zscore_outliers",

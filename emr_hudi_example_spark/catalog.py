@@ -986,3 +986,140 @@ def a16_grouping_sets(spark: SparkSession, sf_dir: str) -> DataFrame:
         GROUP BY GROUPING SETS ((o_orderstatus), (o_orderpriority), ())
         """
     )
+
+
+@query(
+    "j5_semi_anti_cohorts",
+    oracle="""
+    SELECT c_mktsegment, 'with_orders' AS cohort, count(*) AS n
+    FROM customer c
+    WHERE EXISTS (SELECT 1 FROM orders o WHERE o.o_custkey = c.c_custkey)
+    GROUP BY 1
+    UNION ALL
+    SELECT c_mktsegment, 'no_orders', count(*)
+    FROM customer c
+    WHERE NOT EXISTS (SELECT 1 FROM orders o
+                      WHERE o.o_custkey = c.c_custkey)
+    GROUP BY 1
+    """,
+)
+def j5_semi_anti_cohorts(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """LEFT SEMI / LEFT ANTI joins — the §2.5 existence-join family the
+    engine uses internally everywhere (delete routing, dedup survivor
+    selection), surfaced as a graded query: customers WITH orders vs
+    customers with NO orders, per segment. Semi/anti joins carry only
+    the probe side through the plan (no fact columns, no row
+    multiplication) — at 100 TB that is the difference between an
+    existence check and a materialized join."""
+    cust = load(spark, sf_dir, "customer")
+    ok = load(spark, sf_dir, "orders").select("o_custkey")
+    sem = (
+        cust.join(ok, cust["c_custkey"] == ok["o_custkey"], "left_semi")
+        .groupBy("c_mktsegment")
+        .agg(F.count(F.lit(1)).alias("n"))
+        .select("c_mktsegment", F.lit("with_orders").alias("cohort"), "n")
+    )
+    ant = (
+        cust.join(ok, cust["c_custkey"] == ok["o_custkey"], "left_anti")
+        .groupBy("c_mktsegment")
+        .agg(F.count(F.lit(1)).alias("n"))
+        .select("c_mktsegment", F.lit("no_orders").alias("cohort"), "n")
+    )
+    return sem.unionByName(ant)
+
+
+@query(
+    "j6_full_outer_reconcile",
+    oracle="""
+    WITH l AS (SELECT o_orderkey, o_totalprice FROM orders
+               WHERE o_orderkey % 3 <> 0),
+    r AS (SELECT o_orderkey, o_totalprice FROM orders
+          WHERE o_orderkey % 2 <> 0)
+    SELECT CASE WHEN l.o_orderkey IS NULL THEN 'right_only'
+                WHEN r.o_orderkey IS NULL THEN 'left_only'
+                ELSE 'both' END AS status,
+           count(*) AS n,
+           CAST(round(sum(CAST(coalesce(l.o_totalprice, r.o_totalprice)
+                               AS DECIMAL(38,4))), 2) AS DOUBLE)
+             AS sum_price
+    FROM l FULL OUTER JOIN r ON l.o_orderkey = r.o_orderkey
+    GROUP BY 1
+    """,
+)
+def j6_full_outer_reconcile(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """FULL OUTER reconciliation — the snapshot-diff shape (two
+    extracts of the same table, which keys are in one/other/both, with
+    value mass per bucket). One shuffle on the shared key; the status
+    CASE and the sum run on the joined stream — no second pass."""
+    orders = load(spark, sf_dir, "orders")
+    left = orders.filter(F.col("o_orderkey") % 3 != 0).select(
+        F.col("o_orderkey").alias("l_key"),
+        F.col("o_totalprice").alias("l_price"),
+    )
+    right = orders.filter(F.col("o_orderkey") % 2 != 0).select(
+        F.col("o_orderkey").alias("r_key"),
+        F.col("o_totalprice").alias("r_price"),
+    )
+    j = left.join(right, left["l_key"] == right["r_key"], "full_outer")
+    status = (
+        F.when(F.col("l_key").isNull(), "right_only")
+        .when(F.col("r_key").isNull(), "left_only")
+        .otherwise("both")
+    )
+    return j.select(
+        status.alias("status"),
+        F.coalesce("l_price", "r_price").alias("price"),
+    ).groupBy("status").agg(
+        F.count(F.lit(1)).alias("n"),
+        F.round(F.sum(F.col("price").cast("decimal(38,4)")), 2)
+        .cast("double")
+        .alias("sum_price"),
+    )
+
+
+@query(
+    "a17_timeline_gapfill",
+    oracle="""
+    WITH b AS (SELECT event_type, CAST(date_trunc('hour', ts) AS TIMESTAMP)
+                        AS hr
+               FROM events),
+    cnt AS (SELECT event_type, hr, count(*) AS n FROM b GROUP BY 1, 2),
+    span AS (SELECT event_type, min(hr) AS lo, max(hr) AS hi
+             FROM b GROUP BY 1),
+    grid AS (SELECT s.event_type,
+                    unnest(generate_series(s.lo, s.hi, INTERVAL 1 HOUR))
+                      AS hr
+             FROM span s)
+    SELECT g.event_type, g.hr AS hour_ts,
+           coalesce(c.n, 0)::BIGINT AS n
+    FROM grid g LEFT JOIN cnt c
+      ON g.event_type = c.event_type AND g.hr = c.hr
+    """,
+)
+def a17_timeline_gapfill(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Dense-timeline gap fill — resample an event stream onto a
+    complete hourly grid with explicit zero rows (the shape every
+    monitoring/forecasting consumer needs; missing hours are silent
+    data loss otherwise). Per-type min/max spans explode into an hour
+    grid (`F.sequence` over timestamps — grid size is span/step, not
+    row count), left-joined to the hourly counts. Two hash-aggs + one
+    join, all keyed on (type, hour)."""
+    events = load(spark, sf_dir, "events")
+    b = events.select(
+        "event_type", F.date_trunc("hour", "ts").alias("hr")
+    )
+    cnt = b.groupBy("event_type", "hr").agg(F.count(F.lit(1)).alias("n"))
+    span = b.groupBy("event_type").agg(
+        F.min("hr").alias("lo"), F.max("hr").alias("hi")
+    )
+    grid = span.select(
+        "event_type",
+        F.explode(
+            F.sequence("lo", "hi", F.expr("interval 1 hour"))
+        ).alias("hr"),
+    )
+    return grid.join(cnt, ["event_type", "hr"], "left").select(
+        "event_type",
+        F.col("hr").alias("hour_ts"),
+        F.coalesce("n", F.lit(0)).cast("long").alias("n"),
+    )

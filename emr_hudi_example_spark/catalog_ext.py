@@ -2732,3 +2732,30 @@ def corpus_dedup_funnel(spark: SparkSession, sf_dir: str) -> DataFrame:
         row("paragraph_unique", paras, F.count_distinct(F.col("pfp")))
     )
     return out
+
+
+@query(
+    "corpus_bpe_pair_counts",
+    oracle=f"""
+    WITH v AS (SELECT lower(w) AS w, count(*) AS freq
+               FROM (SELECT unnest([x FOR x IN {_TOKS} IF len(x) > 0]) AS w
+                     FROM documents)
+               GROUP BY 1),
+    p AS (SELECT freq,
+                 unnest(list_concat(
+                   [substr(w, i, 2) FOR i IN range(1, len(w))],
+                   [substr(w, len(w), 1) || '</w>'])) AS pair
+          FROM v),
+    a AS (SELECT pair, sum(freq)::BIGINT AS weighted_count
+          FROM p GROUP BY 1)
+    SELECT pair, weighted_count,
+           CAST(row_number() OVER (ORDER BY weighted_count DESC, pair)
+                AS INT) AS rank
+    FROM a QUALIFY rank <= 20
+    """,
+)
+def corpus_bpe_pair_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """First BPE merge statistic: adjacent character-pair counts over
+    the word vocabulary, frequency-weighted, end-of-word marker
+    included — top-20 (``operators/corpus.py bpe_pair_counts``)."""
+    return C.bpe_pair_counts(load(spark, sf_dir, "documents"), k=20)

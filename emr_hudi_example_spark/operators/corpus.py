@@ -787,3 +787,66 @@ def shard_manifest(
             F.max("_id").cast("long").alias("max_id"),
         )
     )
+
+
+def bpe_pair_counts(
+    df: DataFrame,
+    k: int = 20,
+    text_col: str = "text",
+    end_marker: str = "</w>",
+) -> DataFrame:
+    """First iteration of BPE tokenizer training (Sennrich et al. 2016,
+    public): count adjacent character pairs across the word vocabulary,
+    weighted by word frequency, with the end-of-word marker pair
+    included — the statistic whose argmax becomes the first merge rule.
+    Returns the top-``k`` pairs by weighted count (ties → pair asc).
+
+    Scale shape: the WORD VOCABULARY aggregates first (one token
+    shuffle with map-side combine — at corpus scale the vocab is
+    orders of magnitude smaller than the token stream), then pairs
+    explode from the vocab only, and a second hash-agg on the pair key
+    (alphabet², tiny) produces the counts. Full BPE iterates: apply the
+    merge to the vocab (a narrow regexp per word) and re-run — each
+    round costs one vocab-sized pass, never a corpus rescan.
+    """
+    vocab = (
+        df.select(
+            F.explode(
+                F.filter(tokens(F.col(text_col)), lambda t: F.length(t) > 0)
+            ).alias("w")
+        )
+        .select(F.lower("w").alias("w"))
+        .groupBy("w")
+        .agg(F.count(F.lit(1)).alias("freq"))
+    )
+    # adjacent-pair grams: substr(w, i, 2) for i in 1..len-1 (guarded to
+    # a 1-element range for 1-char words; the `when` below discards it)
+    inner = F.transform(
+        F.sequence(F.lit(1), F.greatest(F.length("w") - 1, F.lit(1))),
+        lambda i: F.col("w").substr(i, F.lit(2)),
+    )
+    pairs = vocab.select(
+        "freq",
+        F.explode(
+            F.concat(
+                F.when(F.length("w") > 1, inner).otherwise(
+                    F.array().cast("array<string>")
+                ),
+                F.array(
+                    F.concat(
+                        F.col("w").substr(F.length("w"), F.lit(1)),
+                        F.lit(end_marker),
+                    )
+                ),
+            )
+        ).alias("pair"),
+    )
+    agg = pairs.groupBy("pair").agg(
+        F.sum("freq").cast("long").alias("weighted_count")
+    )
+    w = Window.orderBy(F.col("weighted_count").desc(), F.col("pair").asc())
+    return (
+        agg.withColumn("rank", F.row_number().over(w))
+        .filter(F.col("rank") <= k)
+        .select("pair", "weighted_count", F.col("rank").cast("int"))
+    )

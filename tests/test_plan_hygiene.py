@@ -155,3 +155,11 @@ def test_q3_shape_broadcasts_dim_and_takeordered_topk(spark):
     assert "BroadcastHashJoin" in plan
     assert "TakeOrdered" in plan
     assert "CartesianProduct" not in plan
+
+
+def test_semi_anti_plans_use_existence_joins(spark):
+    # the cohort query must plan real semi/anti joins (probe-side only),
+    # not an inner join + dedup
+    plan = _plan(spark, "j5_semi_anti_cohorts")
+    assert "LeftSemi" in plan
+    assert "LeftAnti" in plan

@@ -48,6 +48,9 @@ _PRIORITY: list[str] = [
     "j5_semi_anti_cohorts",
     "j6_full_outer_reconcile",
     "a17_timeline_gapfill",
+    "pipe_stream_session_endstate",
+    "text_code_detection",
+    "a18_daily_deltas",
     "pipe_stream_join_endstate",
     "j4_order_revenue_topk",
     "a15_zscore_outliers",

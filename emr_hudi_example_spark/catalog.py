@@ -1123,3 +1123,44 @@ def a17_timeline_gapfill(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.col("hr").alias("hour_ts"),
         F.coalesce("n", F.lit(0)).cast("long").alias("n"),
     )
+
+
+@query(
+    "a18_daily_deltas",
+    oracle="""
+    WITH d AS (SELECT event_type,
+                      CAST(date_trunc('day', ts) AS TIMESTAMP) AS day,
+                      count(*) AS n
+               FROM events GROUP BY 1, 2)
+    SELECT event_type, day, n,
+           n - lag(n) OVER (PARTITION BY event_type ORDER BY day)
+             AS delta,
+           round(CAST(n AS DOUBLE)
+                 / CAST(lag(n) OVER (PARTITION BY event_type ORDER BY day)
+                        AS DOUBLE) - 1.0::DOUBLE, 6) AS pct_change
+    FROM d
+    """,
+)
+def a18_daily_deltas(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Day-over-day deltas per event type — the LAG window family over
+    an aggregated timeline (counts, absolute delta, relative change;
+    first day NULL on both engines). One hash-agg to the day grain,
+    then a window over the (tiny) aggregate keyed by type — the window
+    never sees raw events."""
+    from pyspark.sql.window import Window
+
+    events = load(spark, sf_dir, "events")
+    d = events.groupBy(
+        "event_type", F.date_trunc("day", "ts").alias("day")
+    ).agg(F.count(F.lit(1)).alias("n"))
+    w = Window.partitionBy("event_type").orderBy("day")
+    prev = F.lag("n").over(w)
+    return d.select(
+        "event_type",
+        "day",
+        "n",
+        (F.col("n") - prev).alias("delta"),
+        F.round(
+            F.col("n").cast("double") / prev.cast("double") - F.lit(1.0), 6
+        ).alias("pct_change"),
+    )

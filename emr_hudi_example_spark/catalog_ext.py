@@ -2759,3 +2759,39 @@ def corpus_bpe_pair_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
     the word vocabulary, frequency-weighted, end-of-word marker
     included — top-20 (``operators/corpus.py bpe_pair_counts``)."""
     return C.bpe_pair_counts(load(spark, sf_dir, "documents"), k=20)
+
+
+@query(
+    "text_code_detection",
+    oracle="""
+    WITH m AS (SELECT doc_id,
+        length(text) - length(replace(text, '{', ''))
+          + length(text) - length(replace(text, '}', '')) AS brace_cnt,
+        length(text) - length(replace(text, ';', '')) AS semicolon_cnt,
+        len([l FOR l IN str_split(text, chr(10))
+             IF starts_with(l, '    ') OR starts_with(l, chr(9))])
+          AS indent_lines,
+        len([l FOR l IN str_split(text, chr(10))
+             IF starts_with(ltrim(l), '#') OR starts_with(ltrim(l), '//')])
+          AS comment_lines,
+        (length(text) - length(replace(text, ' = ', ''))) // 3
+          AS assign_cnt,
+        len(str_split(text, chr(10))) AS n_lines
+      FROM documents),
+    r AS (SELECT doc_id, brace_cnt::BIGINT AS brace_cnt,
+                 semicolon_cnt::BIGINT AS semicolon_cnt,
+                 indent_lines::BIGINT AS indent_lines,
+                 comment_lines::BIGINT AS comment_lines,
+                 assign_cnt::BIGINT AS assign_cnt,
+                 n_lines::BIGINT AS n_lines,
+                 round(CAST(brace_cnt + semicolon_cnt + indent_lines
+                            + comment_lines + assign_cnt AS DOUBLE)
+                       / CAST(n_lines AS DOUBLE), 6) AS code_score
+          FROM m)
+    SELECT *, (code_score >= 0.5)::INT AS is_code FROM r
+    """,
+)
+def text_code_detection(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Code-vs-prose routing signal from structural counts
+    (``operators/text.py code_detection``)."""
+    return TX.code_detection(load(spark, sf_dir, "documents"))

@@ -923,3 +923,117 @@ def pipe_stream_join_endstate(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.col("a_user").alias("user_id"),
         (F.unix_micros("b_ts") - F.unix_micros("a_ts")).alias("gap_us"),
     )
+
+
+@query(
+    "pipe_stream_session_endstate",
+    oracle="""
+    WITH o AS (SELECT user_id, ts, event_id,
+                      lag(ts) OVER (PARTITION BY user_id
+                                    ORDER BY ts, event_id) AS prev
+               FROM events),
+    b AS (SELECT user_id, ts,
+                 CASE WHEN prev IS NULL
+                           OR ts - prev > INTERVAL 30 MINUTE
+                      THEN 1 ELSE 0 END AS brk
+          FROM o),
+    i AS (SELECT user_id, ts,
+                 sum(brk) OVER (PARTITION BY user_id ORDER BY ts
+                                ROWS UNBOUNDED PRECEDING) AS sid
+          FROM b),
+    sess AS (SELECT user_id, sid,
+                    min(ts) AS session_start,
+                    max(ts) + INTERVAL 30 MINUTE AS session_end,
+                    count(*) AS n_events
+             FROM i GROUP BY 1, 2),
+    wm AS (SELECT max(ts) - INTERVAL 48 HOUR AS wmf FROM events)
+    SELECT s.user_id,
+           CAST(s.session_start AS TIMESTAMP) AS session_start,
+           CAST(s.session_end AS TIMESTAMP) AS session_end,
+           s.n_events
+    FROM sess s, wm WHERE s.session_end <= wm.wmf
+    """,
+)
+def pipe_stream_session_endstate(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    """Streaming SESSION-WINDOW aggregation END-STATE in append mode —
+    the stateful merge semantics tumbling windows can't express: per
+    user, events within a 30-minute gap coalesce into one session
+    whose extent GROWS (and whose state entries MERGE) as batches
+    arrive; a session is emitted exactly once, when the watermark
+    (max event time − 48 h) passes its end (= last event + gap, the
+    Spark definition). Batches are TIME-ORDERED halves, so the
+    watermark advances monotonically and sessions straddling the
+    batch boundary must merge in the state store for the counts to
+    come out right — which is exactly what the oracle's gaps-and-
+    islands reconstruction checks (sessions still open at stream end
+    are withheld on both sides; the ``<=`` eviction boundary is
+    unreachable at micros precision).
+
+    Scale shape: state is keyed by user and bounded by the watermark
+    horizon — closed sessions evict; per-batch work shuffles only that
+    batch's rows to their user's state partition.
+    """
+    import os
+    import time
+
+    ev = load(spark, sf_dir, "events").select(
+        "event_id",
+        "user_id",
+        F.col("ts").cast("timestamp").alias("ts"),
+    )
+    lo, hi = ev.agg(F.min("ts").alias("lo"), F.max("ts").alias("hi")).collect()[0]
+    boundary = lo + (hi - lo) / 2
+    base = _tmp_base()
+    ind = os.path.join(base, "in")
+    os.makedirs(ind)
+    for i, part in enumerate(
+        (ev.filter(F.col("ts") < F.lit(boundary)),
+         ev.filter(F.col("ts") >= F.lit(boundary)))
+    ):
+        stage = os.path.join(base, f"stage{i}")
+        part.coalesce(1).write.parquet(stage)
+        src = [f for f in os.listdir(stage) if f.endswith(".parquet")][0]
+        dst = os.path.join(ind, f"b{i}.parquet")
+        os.rename(os.path.join(stage, src), dst)
+        t = time.time() - 600 + i * 300
+        os.utime(dst, (t, t))
+    stream = (
+        spark.readStream.schema(ev.schema)
+        .option("maxFilesPerTrigger", 1)
+        .parquet(ind)
+    )
+    agg = (
+        stream.withWatermark("ts", "48 hours")
+        .groupBy(F.session_window("ts", "30 minutes"), "user_id")
+        .agg(F.count(F.lit(1)).alias("n_events"))
+        .select(
+            "user_id",
+            F.col("session_window.start").alias("session_start"),
+            F.col("session_window.end").alias("session_end"),
+            "n_events",
+        )
+    )
+    outd = os.path.join(base, "out")
+    prev_parts = spark.conf.get("spark.sql.shuffle.partitions")
+    try:
+        spark.conf.set("spark.sql.shuffle.partitions", "8")
+
+        def land(bdf, bid):
+            bdf.write.mode("append").parquet(outd)
+
+        q = (
+            agg.writeStream.outputMode("append")
+            .option("checkpointLocation", os.path.join(base, "ckpt"))
+            .foreachBatch(land)
+            .start()
+        )
+        q.processAllAvailable()
+        q.stop()
+        q.awaitTermination()
+    finally:
+        spark.conf.set("spark.sql.shuffle.partitions", prev_parts)
+    return spark.read.parquet(outd).select(
+        "user_id", "session_start", "session_end", "n_events"
+    )

@@ -641,3 +641,65 @@ def readability(
             F.lit(0.39) * wps + F.lit(11.8) * spw - F.lit(15.59), 6
         ).alias("fk_grade"),
     )
+
+
+def code_detection(
+    df: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+) -> DataFrame:
+    """Code-vs-prose routing signal — corpora route code to different
+    tokenization/dedup/quality stacks than prose, so the detector runs
+    early in every mixed crawl pipeline. Structural counts (braces,
+    semicolons, indented lines, comment lines, assignment operators)
+    over the raw text, one ratio, one flag; exact integers + a single
+    IEEE divide, narrow and zero-shuffle like the other quality ops.
+    """
+    c = F.col(text_col)
+
+    def cnt(ch: str) -> F.Column:
+        return F.length(c) - F.length(F.replace(c, F.lit(ch), F.lit("")))
+
+    lines = F.split(c, "\n")
+    n_lines = F.size(lines)
+    indented = F.size(
+        F.filter(
+            lines,
+            lambda l: l.startswith("    ") | l.startswith("\t"),
+        )
+    )
+    comments = F.size(
+        F.filter(
+            lines,
+            lambda l: F.ltrim(l).startswith("#")
+            | F.ltrim(l).startswith("//"),
+        )
+    )
+    assigns = (
+        F.length(c) - F.length(F.replace(c, F.lit(" = "), F.lit("")))
+    ) / F.lit(3)
+    base = df.select(
+        F.col(id_col),
+        (cnt("{") + cnt("}")).cast("long").alias("brace_cnt"),
+        cnt(";").cast("long").alias("semicolon_cnt"),
+        indented.cast("long").alias("indent_lines"),
+        comments.cast("long").alias("comment_lines"),
+        assigns.cast("long").alias("assign_cnt"),
+        n_lines.cast("long").alias("n_lines"),
+    )
+    score = F.round(
+        (
+            F.col("brace_cnt")
+            + F.col("semicolon_cnt")
+            + F.col("indent_lines")
+            + F.col("comment_lines")
+            + F.col("assign_cnt")
+        ).cast("double")
+        / F.col("n_lines").cast("double"),
+        6,
+    )
+    return base.select(
+        "*",
+        score.alias("code_score"),
+        (score >= 0.5).cast("int").alias("is_code"),
+    )

@@ -51,6 +51,7 @@ _PRIORITY: list[str] = [
     "pipe_stream_session_endstate",
     "text_code_detection",
     "a18_daily_deltas",
+    "sketch_quantile_sample",
     "pipe_stream_join_endstate",
     "j4_order_revenue_topk",
     "a15_zscore_outliers",

@@ -2795,3 +2795,47 @@ def text_code_detection(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Code-vs-prose routing signal from structural counts
     (``operators/text.py code_detection``)."""
     return TX.code_detection(load(spark, sf_dir, "documents"))
+
+
+@query(
+    "sketch_quantile_sample",
+    oracle="""
+    WITH s AS (SELECT lang, n_chars,
+                      row_number() OVER (
+                        PARTITION BY lang
+                        ORDER BY md5('qk:' || doc_id::VARCHAR), doc_id)
+                        AS rk
+               FROM documents),
+    samp AS (SELECT lang, list(n_chars ORDER BY n_chars) AS arr
+             FROM s WHERE rk <= 64 GROUP BY 1),
+    est AS (SELECT lang, len(arr)::BIGINT AS n_sample,
+                   arr[(floor(0.5 * (len(arr) - 1)))::INT + 1]::BIGINT
+                     AS est_p50,
+                   arr[(floor(0.9 * (len(arr) - 1)))::INT + 1]::BIGINT
+                     AS est_p90
+            FROM samp),
+    r AS (SELECT lang, n_chars,
+                 row_number() OVER (PARTITION BY lang
+                                    ORDER BY n_chars, doc_id) AS rn,
+                 count(*) OVER (PARTITION BY lang) AS n_rows
+          FROM documents),
+    ex AS (SELECT lang, n_rows::BIGINT AS n_rows,
+                  min(CASE WHEN rn = floor(0.5 * (n_rows - 1)) + 1
+                           THEN n_chars END)::BIGINT AS exact_p50,
+                  min(CASE WHEN rn = floor(0.9 * (n_rows - 1)) + 1
+                           THEN n_chars END)::BIGINT AS exact_p90
+           FROM r GROUP BY 1, 2)
+    SELECT ex.lang, ex.n_rows, est.n_sample,
+           est.est_p50, est.est_p90, ex.exact_p50, ex.exact_p90
+    FROM ex JOIN est USING (lang)
+    """,
+)
+def sketch_quantile_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Mergeable bottom-k hash-priority quantile sketch per language,
+    graded with the exact quantiles alongside
+    (``operators/sketch.py bottomk_quantile_sketch``)."""
+    from emr_hudi_example_spark.operators import sketch as SK
+
+    return SK.bottomk_quantile_sketch(
+        load(spark, sf_dir, "documents"), "lang", "n_chars", "doc_id", k=64
+    )

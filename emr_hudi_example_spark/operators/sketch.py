@@ -468,3 +468,95 @@ def cms_heavy_hitters(
             F.col("rank").cast("int").alias("rank"),
         )
     )
+
+
+def bottomk_quantile_sketch(
+    df: DataFrame,
+    group_col: str,
+    value_col: str,
+    id_col: str,
+    k: int = 64,
+    salt: str = "qk",
+) -> DataFrame:
+    """Mergeable quantile sketch from a bottom-k hash-priority sample:
+    keep each group's ``k`` rows with the smallest md5(salt‖id) — a
+    uniform sample that is DETERMINISTIC (so exactly oracle-gatable,
+    like the KMV sketch) and MERGEABLE (union two groups' samples,
+    re-take the k smallest priorities — the property shard/rollup
+    pipelines need where an exact quantile would require a global
+    sort). Estimates P50/P90 as the sample's order statistic at
+    ``floor(q·(m-1))`` and emits the EXACT quantiles alongside so the
+    gate also witnesses the sketch's error on real data.
+
+    Scale shape: one window shuffle on the group key for the sample
+    (per-group top-k heap, map-side partial), one more for the exact
+    side (rank over the full group — the expensive path the sketch
+    replaces; at 100 TB you'd drop the exact columns and keep only the
+    sample pass).
+    """
+    prio = F.md5(
+        F.concat(F.lit(salt + ":"), F.col(id_col).cast("string"))
+    )
+    w = Window.partitionBy(group_col).orderBy(prio, F.col(id_col))
+    samp = (
+        df.withColumn("_rk", F.row_number().over(w))
+        .filter(F.col("_rk") <= k)
+        .groupBy(group_col)
+        .agg(
+            F.array_sort(F.collect_list(F.col(value_col))).alias("arr"),
+        )
+        .select(
+            group_col,
+            F.size("arr").cast("long").alias("n_sample"),
+            F.element_at(
+                "arr",
+                (
+                    F.floor(F.lit(0.5) * (F.size("arr") - 1)) + 1
+                ).cast("int"),
+            ).cast("long").alias("est_p50"),
+            F.element_at(
+                "arr",
+                (
+                    F.floor(F.lit(0.9) * (F.size("arr") - 1)) + 1
+                ).cast("int"),
+            ).cast("long").alias("est_p90"),
+        )
+    )
+    w2 = Window.partitionBy(group_col).orderBy(
+        F.col(value_col), F.col(id_col)
+    )
+    ranked = df.withColumn("_rn", F.row_number().over(w2))
+    counts = df.groupBy(group_col).agg(F.count(F.lit(1)).alias("n_rows"))
+    exact = (
+        ranked.join(counts, group_col)
+        .filter(
+            (F.col("_rn") == F.floor(F.lit(0.5) * (F.col("n_rows") - 1)) + 1)
+            | (F.col("_rn") == F.floor(F.lit(0.9) * (F.col("n_rows") - 1)) + 1)
+        )
+        .groupBy(group_col, "n_rows")
+        .agg(
+            F.min(
+                F.when(
+                    F.col("_rn")
+                    == F.floor(F.lit(0.5) * (F.col("n_rows") - 1)) + 1,
+                    F.col(value_col),
+                )
+            ).cast("long").alias("exact_p50"),
+            F.min(
+                F.when(
+                    F.col("_rn")
+                    == F.floor(F.lit(0.9) * (F.col("n_rows") - 1)) + 1,
+                    F.col(value_col),
+                )
+            ).cast("long").alias("exact_p90"),
+        )
+    )
+    return exact.join(samp, group_col).select(
+        group_col,
+        F.col("n_rows").cast("long").alias("n_rows"),
+        "n_sample",
+        "est_p50",
+        "est_p90",
+        "exact_p50",
+        "exact_p90",
+    )

@@ -23,14 +23,16 @@ from emr_hudi_example_spark.catalog import ORACLE, Q
 # for round 5 (r4 verdict "Next round" #1/#4):
 #  1. the one red r4 driver row (sim_quantize_int8 — output now
 #     serialized to scalars, see catalog_ext.py);
-#  2. ALL 38 queries NEW this round (no driver row can exist yet), in
-#     three batches newest-first — the 50-slot window covers them all;
+#  2. queries NEW this round (no driver row can exist yet), newest
+#     batch first — round 5 added more new queries (56) than the window
+#     holds, so the oldest few r5 additions overflow to the r6 window;
 #  3. queries whose newest driver row is r3 (outside the r4 window),
 #     most-touched substrate first: operators/dedup.py and
 #     operators/relational.py gained ~150 lines each in r4 after those
 #     rows were recorded, then the pipe_* endstates, then the rest.
-#     132 queries vs a 50-slot window means most r3-row queries stay in
-#     the tail this round; all 132 remain locally oracle-verified.
+#     148 queries vs a 50-slot window means the r3-row queries stay in
+#     the tail this round; ALL 148 remain locally oracle-verified
+#     (tests/test_catalog_oracle.py runs every registered oracle).
 # Unknown names are ignored, so this list may lead the code it gates.
 _PRIORITY: list[str] = [
     # -- r4 red row, output serialization fixed this round --

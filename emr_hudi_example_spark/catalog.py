@@ -803,9 +803,10 @@ def j4_order_revenue_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     m AS (
       SELECT event_type, n,
              CAST(sx AS DOUBLE) / n AS mean,
-             sqrt(CAST(sxx AS DOUBLE) / n
-                  - (CAST(sx AS DOUBLE) / n) * (CAST(sx AS DOUBLE) / n))
-               AS sd
+             sqrt(greatest(CAST(sxx AS DOUBLE) / n
+                           - (CAST(sx AS DOUBLE) / n)
+                             * (CAST(sx AS DOUBLE) / n),
+                           0.0::DOUBLE)) AS sd
       FROM s)
     SELECT e.event_id, e.event_type,
            round(CAST(e.value AS DOUBLE), 6) AS value,
@@ -835,9 +836,16 @@ def a15_zscore_outliers(spark: SparkSession, sf_dir: str) -> DataFrame:
     m = stats.select(
         "event_type",
         (sxd / F.col("n")).alias("mean"),
+        # greatest(·, 0): the single-pass E[x²]−mean² form cancels
+        # catastrophically for (near-)constant groups — the true
+        # variance can come out as -1e-18, which NaNs Spark's sqrt and
+        # CRASHES DuckDB's; clamp identically on both sides
         F.sqrt(
-            F.col("sxx").cast("double") / F.col("n")
-            - (sxd / F.col("n")) * (sxd / F.col("n"))
+            F.greatest(
+                F.col("sxx").cast("double") / F.col("n")
+                - (sxd / F.col("n")) * (sxd / F.col("n")),
+                F.lit(0.0),
+            )
         ).alias("sd"),
     )
     return (

@@ -2405,7 +2405,7 @@ def text_gopher_quality(spark: SparkSession, sf_dir: str) -> DataFrame:
                        FROM documents)),
     vocab AS (SELECT w, count(*) AS cnt FROM tok GROUP BY 1),
     tot AS (SELECT sum(cnt)::BIGINT AS total FROM vocab),
-    rar AS (SELECT w, (tot.total // cnt)::BIGINT AS rarity
+    rar AS (SELECT w, least(tot.total // cnt, 2147483648)::BIGINT AS rarity
             FROM vocab CROSS JOIN tot),
     sc AS (SELECT tok.doc_id, count(*)::BIGINT AS n_tokens,
                   (sum(rar.rarity) // count(*))::BIGINT AS rarity_score

@@ -800,6 +800,55 @@ def pipe_stream_watermark_endstate(
     return mart.logical().select("window_start", "event_type", "n_events")
 
 
+def _stage_time_ordered(base: str, name: str, parts) -> str:
+    """Write each DataFrame in ``parts`` as ONE parquet file into
+    ``base/name`` with strictly increasing modification times, so
+    FileStreamSource (which orders by modTime) replays them in list
+    order — arrival order == event-time order for the watermark-driven
+    end-state queries."""
+    import os
+    import time
+
+    d = os.path.join(base, name)
+    os.makedirs(d, exist_ok=True)
+    for i, part in enumerate(parts):
+        stage = os.path.join(base, f"stage_{name}_{i}")
+        part.coalesce(1).write.parquet(stage)
+        src = [f for f in os.listdir(stage) if f.endswith(".parquet")][0]
+        dst = os.path.join(d, f"b{i}.parquet")
+        os.rename(os.path.join(stage, src), dst)
+        t = time.time() - 600 + i * 300
+        os.utime(dst, (t, t))
+    return d
+
+
+def _drain_append(spark, stream_df, base: str, outd: str) -> None:
+    """Drain an append-mode streaming query to parquet via foreachBatch,
+    with state-store shuffle partitions pinned for the run (stateful
+    shuffles are fixed at query start — not AQE-coalesced — so size
+    them to fixture key cardinality)."""
+    import os
+
+    prev = spark.conf.get("spark.sql.shuffle.partitions")
+    try:
+        spark.conf.set("spark.sql.shuffle.partitions", "8")
+
+        def land(bdf, bid):
+            bdf.write.mode("append").parquet(outd)
+
+        q = (
+            stream_df.writeStream.outputMode("append")
+            .option("checkpointLocation", os.path.join(base, "ckpt"))
+            .foreachBatch(land)
+            .start()
+        )
+        q.processAllAvailable()
+        q.stop()
+        q.awaitTermination()
+    finally:
+        spark.conf.set("spark.sql.shuffle.partitions", prev)
+
+
 @query(
     "pipe_stream_join_endstate",
     oracle="""
@@ -828,7 +877,6 @@ def pipe_stream_join_endstate(spark: SparkSession, sf_dir: str) -> DataFrame:
     100 TB/day where a batch self-join could not.
     """
     import os
-    import time
 
     events = load(spark, sf_dir, "events").withColumn(
         # watermarks require TIMESTAMP (with zone); the fixture may read
@@ -847,26 +895,15 @@ def pipe_stream_join_endstate(spark: SparkSession, sf_dir: str) -> DataFrame:
     boundary = lo + (hi - lo) / 2
 
     base = _tmp_base()
-    dirs = {}
-    for name, side in (("clicks", clicks), ("buys", buys)):
-        d = os.path.join(base, name)
-        os.makedirs(d)
-        for i, part in enumerate(
+    dirs = {
+        name: _stage_time_ordered(
+            base,
+            name,
             (side.filter(F.col("ts") < F.lit(boundary)),
-             side.filter(F.col("ts") >= F.lit(boundary)))
-        ):
-            stage = os.path.join(base, f"stage_{name}_{i}")
-            part.coalesce(1).write.parquet(stage)
-            src = [
-                f for f in os.listdir(stage) if f.endswith(".parquet")
-            ][0]
-            dst = os.path.join(d, f"b{i}.parquet")
-            os.rename(os.path.join(stage, src), dst)
-            # FileStreamSource orders by modification time: force
-            # batch 0 strictly older so arrival order == event order
-            t = time.time() - 600 + i * 300
-            os.utime(dst, (t, t))
-        dirs[name] = d
+             side.filter(F.col("ts") >= F.lit(boundary))),
+        )
+        for name, side in (("clicks", clicks), ("buys", buys))
+    }
 
     schema = clicks.schema
     sa = (
@@ -899,24 +936,7 @@ def pipe_stream_join_endstate(spark: SparkSession, sf_dir: str) -> DataFrame:
         "inner",
     )
     outd = os.path.join(base, "out")
-    prev_parts = spark.conf.get("spark.sql.shuffle.partitions")
-    try:
-        spark.conf.set("spark.sql.shuffle.partitions", "8")
-
-        def land(bdf, bid):
-            bdf.write.mode("append").parquet(outd)
-
-        q = (
-            joined.writeStream.outputMode("append")
-            .option("checkpointLocation", os.path.join(base, "ckpt"))
-            .foreachBatch(land)
-            .start()
-        )
-        q.processAllAvailable()
-        q.stop()
-        q.awaitTermination()
-    finally:
-        spark.conf.set("spark.sql.shuffle.partitions", prev_parts)
+    _drain_append(spark, joined, base, outd)
     return spark.read.parquet(outd).select(
         "click_id",
         "purchase_id",
@@ -932,13 +952,14 @@ def pipe_stream_join_endstate(spark: SparkSession, sf_dir: str) -> DataFrame:
                       lag(ts) OVER (PARTITION BY user_id
                                     ORDER BY ts, event_id) AS prev
                FROM events),
-    b AS (SELECT user_id, ts,
+    b AS (SELECT user_id, ts, event_id,
                  CASE WHEN prev IS NULL
                            OR ts - prev > INTERVAL 30 MINUTE
                       THEN 1 ELSE 0 END AS brk
           FROM o),
     i AS (SELECT user_id, ts,
-                 sum(brk) OVER (PARTITION BY user_id ORDER BY ts
+                 sum(brk) OVER (PARTITION BY user_id
+                                ORDER BY ts, event_id
                                 ROWS UNBOUNDED PRECEDING) AS sid
           FROM b),
     sess AS (SELECT user_id, sid,
@@ -976,7 +997,6 @@ def pipe_stream_session_endstate(
     batch's rows to their user's state partition.
     """
     import os
-    import time
 
     ev = load(spark, sf_dir, "events").select(
         "event_id",
@@ -986,19 +1006,12 @@ def pipe_stream_session_endstate(
     lo, hi = ev.agg(F.min("ts").alias("lo"), F.max("ts").alias("hi")).collect()[0]
     boundary = lo + (hi - lo) / 2
     base = _tmp_base()
-    ind = os.path.join(base, "in")
-    os.makedirs(ind)
-    for i, part in enumerate(
+    ind = _stage_time_ordered(
+        base,
+        "in",
         (ev.filter(F.col("ts") < F.lit(boundary)),
-         ev.filter(F.col("ts") >= F.lit(boundary)))
-    ):
-        stage = os.path.join(base, f"stage{i}")
-        part.coalesce(1).write.parquet(stage)
-        src = [f for f in os.listdir(stage) if f.endswith(".parquet")][0]
-        dst = os.path.join(ind, f"b{i}.parquet")
-        os.rename(os.path.join(stage, src), dst)
-        t = time.time() - 600 + i * 300
-        os.utime(dst, (t, t))
+         ev.filter(F.col("ts") >= F.lit(boundary))),
+    )
     stream = (
         spark.readStream.schema(ev.schema)
         .option("maxFilesPerTrigger", 1)
@@ -1016,24 +1029,7 @@ def pipe_stream_session_endstate(
         )
     )
     outd = os.path.join(base, "out")
-    prev_parts = spark.conf.get("spark.sql.shuffle.partitions")
-    try:
-        spark.conf.set("spark.sql.shuffle.partitions", "8")
-
-        def land(bdf, bid):
-            bdf.write.mode("append").parquet(outd)
-
-        q = (
-            agg.writeStream.outputMode("append")
-            .option("checkpointLocation", os.path.join(base, "ckpt"))
-            .foreachBatch(land)
-            .start()
-        )
-        q.processAllAvailable()
-        q.stop()
-        q.awaitTermination()
-    finally:
-        spark.conf.set("spark.sql.shuffle.partitions", prev_parts)
+    _drain_append(spark, agg, base, outd)
     return spark.read.parquet(outd).select(
         "user_id", "session_start", "session_end", "n_events"
     )

@@ -705,8 +705,8 @@ def unigram_rarity_scores(
     map-side combine, a 1-row total broadcast, then a shuffle join of
     the exploded tokens to the rarity table on the token key (vocab is
     too big to broadcast at 100 TB — the join co-partitions on token),
-    and a final per-doc agg. BIGINT sums: corpus ≤ 2^53 tokens holds to
-    ~petabyte scale.
+    and a final per-doc agg; per-token rarity is capped (see inline
+    note) so the BIGINT doc sums cannot overflow at any corpus size.
     """
     tok = df.select(
         F.col(id_col).alias("_id"),
@@ -716,8 +716,17 @@ def unigram_rarity_scores(
     ).select("_id", F.lower("w").alias("w"))
     vocab = tok.groupBy("w").agg(F.count(F.lit(1)).alias("cnt"))
     total = vocab.agg(F.sum("cnt").cast("long").alias("total"))
+    # rarity capped at 2^31: a hapax's raw rarity equals total_tokens,
+    # and 1e7 rare tokens × 1e12-token-corpus rarity would overflow the
+    # BIGINT doc sum (Spark wraps silently, DuckDB promotes to HUGEINT —
+    # silent cross-engine divergence). The cap keeps sum_rarity ≤
+    # n_tokens·2^31 < 2^63 for any doc under 4G tokens, and a ≥2^31×
+    # rarity is already "maximally rare" for bucketing purposes.
     rarity = vocab.crossJoin(F.broadcast(total)).select(
-        "w", F.expr("total div cnt").cast("long").alias("rarity")
+        "w",
+        F.least(F.expr("total div cnt"), F.lit(2**31))
+        .cast("long")
+        .alias("rarity"),
     )
     scored = (
         tok.join(rarity, "w")

@@ -92,13 +92,20 @@ def pagerank(
     lineage so planning cost stays flat.
     """
     dec = f"decimal(38,{scale})"
+    # nodes and deg are re-read every iteration — checkpoint them once so
+    # the (possibly expensive) upstream edge derivation never re-executes
     nodes = (
         edges.select(F.col("src").alias("node"))
         .unionByName(edges.select(F.col("dst").alias("node")))
         .distinct()
+        .localCheckpoint()
     )
     n_nodes = nodes.count()  # driver-side scalar: loop constant, M3-style
-    deg = edges.groupBy("src").agg(F.count(F.lit(1)).alias("deg"))
+    if n_nodes == 0:  # empty graph (e.g. all hops were self-loops)
+        return nodes.withColumn("rank", F.lit(0.0))
+    deg = edges.groupBy("src").agg(
+        F.count(F.lit(1)).alias("deg")
+    ).localCheckpoint()
     # out-degree joined once onto the edge list — reused every iteration
     edged = edges.join(deg, "src").select("src", "dst", "deg").localCheckpoint()
     ranks = nodes.withColumn("rank", F.lit(1.0 / n_nodes))

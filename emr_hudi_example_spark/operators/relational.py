@@ -507,12 +507,19 @@ def uniqueness_audit(
     """
     outs = []
     for name, df, key_cols in tables:
+        # composite keys count as ROW VALUES (a struct with a NULL
+        # member still counts), matching SQL's count(DISTINCT (a,b));
+        # multi-arg count_distinct would SKIP any row with a NULL key
+        # part — exactly the dirty rows a DQ audit exists to surface
+        key = (
+            F.col(key_cols[0])
+            if len(key_cols) == 1
+            else F.struct(*[F.col(c) for c in key_cols])
+        )
         outs.append(
             df.agg(
                 F.count(F.lit(1)).cast("long").alias("n_rows"),
-                F.count_distinct(*[F.col(c) for c in key_cols])
-                .cast("long")
-                .alias("n_keys"),
+                F.count_distinct(key).cast("long").alias("n_keys"),
             ).select(
                 F.lit(name).alias("table_name"),
                 "n_rows",

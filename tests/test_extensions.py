@@ -724,3 +724,22 @@ def test_soft_dedup_weight_mass_equals_unique_content(spark):
     )
     total_w = w.agg(F.sum("weight")).collect()[0][0]
     assert abs(total_w - n_unique) < 1e-3
+
+
+def test_pagerank_empty_graph_returns_empty(spark):
+    """An all-self-loop event stream derives zero edges; pagerank must
+    return an empty (node, rank) frame, not divide by zero."""
+    from emr_hudi_example_spark.operators import graph as G
+
+    ev = spark.createDataFrame(
+        [(1, i, 7, "click") for i in range(4)],
+        "user_id LONG, event_id LONG, unused LONG, event_type STRING",
+    ).selectExpr(
+        "event_id", "timestamp_micros(event_id * 1000000) AS ts",
+        "user_id", "event_type",
+    )
+    edges = G.sequential_interaction_edges(ev)
+    assert edges.count() == 0
+    pr = G.pagerank(edges, iterations=3)
+    assert pr.count() == 0
+    assert pr.columns == ["node", "rank"]

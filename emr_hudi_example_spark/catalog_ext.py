@@ -2839,3 +2839,88 @@ def sketch_quantile_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
     return SK.bottomk_quantile_sketch(
         load(spark, sf_dir, "documents"), "lang", "n_chars", "doc_id", k=64
     )
+
+
+@query(
+    "corpus_fim_split",
+    oracle="""
+    WITH t AS (SELECT doc_id, text, length(text) AS n,
+                      (('0x' || substr(md5('fim:' || doc_id::VARCHAR), 1, 4))
+                       ::BIGINT % 101) AS h1,
+                      (('0x' || substr(md5('fim2:' || doc_id::VARCHAR), 1, 4))
+                       ::BIGINT % 101) AS h2
+               FROM documents WHERE length(text) >= 20),
+    c AS (SELECT doc_id, text, n,
+                 1 + ((n - 2) * least(h1, h2)) // 100 AS cut1,
+                 1 + ((n - 2) * greatest(h1, h2)) // 100 + 1 AS cut2
+          FROM t)
+    SELECT doc_id,
+           cut1::BIGINT AS cut1, cut2::BIGINT AS cut2,
+           length(substr(text, 1, cut1))::BIGINT AS n_prefix,
+           length(substr(text, cut1 + 1, cut2 - cut1))::BIGINT AS n_middle,
+           length(substr(text, cut2 + 1))::BIGINT AS n_suffix,
+           md5('<PRE>' || substr(text, 1, cut1)
+               || '<SUF>' || substr(text, cut2 + 1)
+               || '<MID>' || substr(text, cut1 + 1, cut2 - cut1))
+             AS psm_fingerprint
+    FROM c
+    """,
+)
+def corpus_fim_split(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Fill-in-the-middle training transform (Bavarian et al. 2022,
+    public): split each document at two deterministic hash-derived
+    offsets into (prefix, middle, suffix) and re-serialize in PSM
+    sentinel order — the code/infilling pre-training recipe. The graded
+    output carries the cut positions, the three segment lengths, and an
+    md5 of the reassembled PSM string, so the oracle witnesses the
+    exact byte split. Narrow expression chain, zero shuffle; the hash
+    offsets make the transform stable across runs and partitionings
+    (no RNG state — the repo's sampling policy)."""
+    docs = load(spark, sf_dir, "documents").filter(F.length("text") >= 20)
+    h1 = (
+        F.conv(
+            F.substring(
+                F.md5(F.concat(F.lit("fim:"), F.col("doc_id").cast("string"))),
+                1, 4,
+            ), 16, 10,
+        ).cast("long") % 101
+    )
+    h2 = (
+        F.conv(
+            F.substring(
+                F.md5(F.concat(F.lit("fim2:"), F.col("doc_id").cast("string"))),
+                1, 4,
+            ), 16, 10,
+        ).cast("long") % 101
+    )
+    d = docs.select(
+        "doc_id", "text", h1.alias("h1c"), h2.alias("h2c")
+    ).select(
+        "doc_id",
+        "text",
+        (
+            F.lit(1)
+            + F.expr("((length(text) - 2) * least(h1c, h2c)) div 100")
+        ).cast("long").alias("cut1"),
+        (
+            F.lit(1)
+            + F.expr("((length(text) - 2) * greatest(h1c, h2c)) div 100")
+            + F.lit(1)
+        ).cast("long").alias("cut2"),
+    )
+    pre = F.expr("substring(text, 1, cut1)")
+    mid = F.expr("substring(text, cut1 + 1, cut2 - cut1)")
+    suf = F.expr("substring(text, cut2 + 1)")
+    return d.select(
+        "doc_id",
+        "cut1",
+        "cut2",
+        F.length(pre).cast("long").alias("n_prefix"),
+        F.length(mid).cast("long").alias("n_middle"),
+        F.length(suf).cast("long").alias("n_suffix"),
+        F.md5(
+            F.concat(
+                F.lit("<PRE>"), pre, F.lit("<SUF>"), suf, F.lit("<MID>"), mid
+            )
+        ).alias("psm_fingerprint"),
+    )

@@ -37,14 +37,13 @@ from emr_hudi_example_spark.catalog import ORACLE, Q
 _PRIORITY: list[str] = [
     # -- r4 red row, output serialization fixed this round --
     "sim_quantize_int8",
-    # Round 5 added 55 new queries — with the quantize re-check that is
-    # 56 candidates for the 50-slot window. The cut below is placed so
-    # every ENGINE-substantive query (lake semantics, pipeline/streaming
-    # end-states, iterative graph, sketches, kernels) gets its driver
-    # row this round, and the overflow is 6 simple window-function /
-    # narrow-expression queries whose oracles exercise little machinery
-    # (soft_weights/a13/a14/a16/a18/text_code_detection) — they
-    # front-load in r6.
+    # Round 5 added more new queries than the 50-slot window holds.
+    # The cut below is placed so every ENGINE-substantive query (lake
+    # semantics, pipeline/streaming end-states, iterative graph,
+    # sketches, kernels) gets its driver row this round, and the
+    # overflow is the simple window-function / narrow-expression
+    # queries at the end of the round-5 section, whose oracles
+    # exercise little machinery — they front-load in r6.
     # -- new in round 5 (session 2, substantive) --
     "pipe_stream_session_endstate",
     "pipe_stream_join_endstate",
@@ -66,6 +65,8 @@ _PRIORITY: list[str] = [
     "a15_zscore_outliers",
     "a17_timeline_gapfill",
     "corpus_fim_split",
+    "lake_cleaner_endstate",
+    "lake_locked_writers_endstate",
     # -- new in round 5 (late batch) --
     "lake_merge_endstate",
     "pipe_stream_watermark_endstate",

@@ -688,3 +688,84 @@ def lake_merge_endstate(spark: SparkSession, sf_dir: str) -> DataFrame:
     return t.snapshot().select(
         "c_custkey", "c_name", "c_acctbal", "ver", "_commit_time"
     )
+
+
+@query(
+    "lake_cleaner_endstate",
+    oracle=f"""
+    WITH u AS ({_B1_SQL} UNION ALL {_B2_SQL}
+               UNION ALL
+               SELECT c_custkey, c_name, c_nationkey,
+                      c_acctbal + 2000.0 AS c_acctbal, c_mktsegment,
+                      CAST(3 AS BIGINT) AS ver, '003' AS _commit_time
+               FROM customer WHERE c_custkey % 10 = 0)
+    SELECT c_custkey, c_acctbal, ver, _commit_time
+    FROM u
+    QUALIFY row_number() OVER (PARTITION BY c_custkey ORDER BY ver DESC) = 1
+    """,
+)
+def lake_cleaner_endstate(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Cleaner through the VALUE gate: three commits, then
+    ``clean(retain_commits=2)`` physically deletes files superseded
+    before the retention horizon — and the snapshot must be unchanged
+    (the cleaner may only remove files no retained commit references).
+    The query asserts files were actually deleted (the graded rows are
+    wrong if cleaning touched a live file; the assert guards the
+    'cleaned nothing' degenerate pass). Reference policy:
+    hoodie.cleaner.commits.retained (SRC/package.scala:30)."""
+    t = LakeTable(spark, _tmp_base(), "q", "cleaner", ["c_custkey"], "ver")
+    t.write(_batch1(spark, sf_dir), op="upsert", instant="001")
+    t.write(_batch2(spark, sf_dir), op="upsert", instant="002")
+    b3 = (
+        _batch1(spark, sf_dir)
+        .filter(F.col("c_custkey") % 10 == 0)
+        .withColumn("ver", F.lit(3).cast("long"))
+        .withColumn("c_acctbal", F.col("c_acctbal") + 2000.0)
+    )
+    t.write(b3, op="upsert", instant="003")
+    deleted = t.clean(retain_commits=2)
+    assert deleted, "cleaner deleted no files — nothing was exercised"
+    return t.snapshot().select(
+        "c_custkey", "c_acctbal", "ver", "_commit_time"
+    )
+
+
+@query(
+    "lake_locked_writers_endstate",
+    oracle=f"""
+    WITH u AS ({_B1_SQL} UNION ALL {_B2_SQL})
+    SELECT c_custkey, c_acctbal, ver, _commit_time
+    FROM u
+    QUALIFY row_number() OVER (PARTITION BY c_custkey ORDER BY ver DESC) = 1
+    """,
+)
+def lake_locked_writers_endstate(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Multi-writer OCC through the VALUE gate: two INDEPENDENT
+    LakeTable handles (as two processes would hold) write to the same
+    table path under the fencing ``LeaseLockProvider`` — the multi-host
+    lock the reference delegates to ZooKeeper
+    (SRC/package.scala:38-47). Each commit acquires the lease, validates
+    its fencing token at the manifest publish, and releases; the graded
+    end-state proves the serialized commits compose into exactly the
+    single-writer upsert semantics (writer 2's handle must re-plan
+    against writer 1's published manifest, not its own stale view)."""
+    from emr_hudi_example_spark.lake.locks import LeaseLockProvider
+
+    base = _tmp_base()
+    w1 = LakeTable(
+        spark, base, "q", "occ", ["c_custkey"], "ver",
+        lock_provider=LeaseLockProvider(
+            f"{base}/q/occ", holder="writer-1", lease_seconds=30
+        ),
+    )
+    w1.write(_batch1(spark, sf_dir), op="upsert", instant="001")
+    w2 = LakeTable(
+        spark, base, "q", "occ", ["c_custkey"], "ver",
+        lock_provider=LeaseLockProvider(
+            f"{base}/q/occ", holder="writer-2", lease_seconds=30
+        ),
+    )
+    w2.write(_batch2(spark, sf_dir), op="upsert", instant="002")
+    return w2.snapshot().select(
+        "c_custkey", "c_acctbal", "ver", "_commit_time"
+    )

@@ -37,6 +37,7 @@ def sequential_interaction_edges(
     type_col: str = "event_type",
     time_col: str = "ts",
     tiebreak_col: str = "event_id",
+    bucket: str | None = "7 days",
 ) -> DataFrame:
     """Derive a deterministic user-interaction digraph from an event
     stream: within each event type's timeline, draw an edge from the
@@ -44,16 +45,59 @@ def sequential_interaction_edges(
     session-flow and influence analysis). Self-loops dropped, parallel
     edges collapsed to weight = occurrence count.
 
-    Scale shape: one window shuffle keyed by ``type_col`` (bounded
-    cardinality) ordered by time — at 100 TB the timeline per type is
-    long but the window only carries a single ``lead``, so state is one
-    row; then one hash-agg on the (src, dst) pair.
+    Scale shape: a window partitioned by ``type_col`` ALONE would be a
+    scale bug — event-type cardinality is tiny, so each partition's
+    entire multi-billion-row timeline would sort in ONE task. Instead
+    the lead is computed per (type, time-``bucket``) sub-window —
+    bounded partitions that parallelize — and the single cross-bucket
+    hop per boundary is stitched from each bucket's first/last rows
+    via a second window over the (small, bucket-count-sized) boundary
+    table. The stitched result is IDENTICAL to the global-order window
+    (rows with equal timestamps share a bucket, so the total
+    (ts, tiebreak) order is preserved); the oracle verifies that
+    equivalence on every run. ``bucket=None`` falls back to the naive
+    single-window shape for tiny inputs.
     """
-    w = Window.partitionBy(type_col).orderBy(time_col, tiebreak_col)
-    hops = events.select(
-        F.col(user_col).alias("src"),
-        F.lead(user_col).over(w).alias("dst"),
-    )
+    ts, tb = F.col(time_col), F.col(tiebreak_col)
+    if bucket is None:
+        w = Window.partitionBy(type_col).orderBy(time_col, tiebreak_col)
+        hops = events.select(
+            F.col(user_col).alias("src"),
+            F.lead(user_col).over(w).alias("dst"),
+        )
+    else:
+        bucketed = events.select(
+            F.col(user_col).alias("u"),
+            F.col(type_col).alias("t"),
+            ts.alias("_ts"),
+            tb.alias("_tb"),
+            F.window(ts, bucket)["start"].alias("b"),
+        )
+        wb = Window.partitionBy("t", "b").orderBy("_ts", "_tb")
+        inner = bucketed.select(
+            F.col("u").alias("src"),
+            F.lead("u").over(wb).alias("dst"),
+            "t",
+            "b",
+            "_ts",
+            "_tb",
+        )
+        # boundary stitch: each bucket's LAST user hands off to the next
+        # non-empty bucket's FIRST user (per type). The boundary table is
+        # one row per (type, bucket) — days/weeks count, not row count.
+        bounds = (
+            bucketed.groupBy("t", "b")
+            .agg(
+                F.min_by("u", F.struct("_ts", "_tb")).alias("first_u"),
+                F.max_by("u", F.struct("_ts", "_tb")).alias("last_u"),
+            )
+        )
+        wstitch = Window.partitionBy("t").orderBy("b")
+        stitch = bounds.select(
+            F.col("last_u").alias("src"),
+            F.lead("first_u").over(wstitch).alias("dst"),
+        )
+        hops = inner.select("src", "dst").unionByName(stitch)
     return (
         hops.filter(F.col("dst").isNotNull() & (F.col("src") != F.col("dst")))
         .groupBy("src", "dst")

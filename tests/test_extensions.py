@@ -743,3 +743,19 @@ def test_pagerank_empty_graph_returns_empty(spark):
     pr = G.pagerank(edges, iterations=3)
     assert pr.count() == 0
     assert pr.columns == ["node", "rank"]
+
+
+def test_bucketed_edge_derivation_matches_global_window(spark):
+    """The scalable (type, time-bucket) sub-window + boundary-stitch
+    edge derivation must produce EXACTLY the global-order window's
+    edges (same total order ⇒ same hops), for a bucket smaller than
+    the event span so the stitch path genuinely fires."""
+    from emr_hudi_example_spark.catalog import load
+    from emr_hudi_example_spark.operators import graph as G
+    from tests.conftest import SF_CORRECT
+
+    ev = load(spark, SF_CORRECT, "events")
+    naive = G.sequential_interaction_edges(ev, bucket=None)
+    bucketed = G.sequential_interaction_edges(ev, bucket="1 day")
+    assert naive.exceptAll(bucketed).count() == 0
+    assert bucketed.exceptAll(naive).count() == 0

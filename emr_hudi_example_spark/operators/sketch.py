@@ -454,9 +454,15 @@ def cms_heavy_hitters(
         .groupBy("v", "true_count")
         .agg(F.min("cnt").alias("est_count"))
     )
+    # orderBy().limit(k) plans as TakeOrderedAndProject (per-partition
+    # top-k heaps + a k-row driver merge) — the est table is vocab-sized
+    # at corpus scale, and an unpartitioned row_number window over it
+    # would funnel the whole vocabulary through one task. The rank
+    # window then runs over only the k survivors.
+    top = est.orderBy(F.col("est_count").desc(), F.col("v").asc()).limit(k)
     w = Window.orderBy(F.col("est_count").desc(), F.col("v").asc())
     return (
-        est.withColumn("rank", F.row_number().over(w))
+        top.withColumn("rank", F.row_number().over(w))
         .filter(F.col("rank") <= k)
         .select(
             F.col("v").alias("value"),

@@ -54,6 +54,8 @@ _PRIORITY: list[str] = [
     "sim_centroid_classify",
     "mm_image_downsample",
     "dq_referential_audit",
+    "dq_k_anonymity",
+    "dedup_lsh_eval",
     "text_gopher_quality",
     "corpus_rarity_buckets",
     "text_readability",

@@ -1176,3 +1176,45 @@ def a18_daily_deltas(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.col("n").cast("double") / prev.cast("double") - F.lit(1.0), 6
         ).alias("pct_change"),
     )
+
+
+@query(
+    "dq_k_anonymity",
+    oracle="""
+    WITH cls AS (SELECT c_nationkey, c_mktsegment, count(*) AS cnt
+                 FROM customer GROUP BY 1, 2),
+    t(k) AS (VALUES (2), (5), (10))
+    SELECT t.k::INT AS k, count(*)::BIGINT AS n_classes,
+           sum((cnt < t.k)::INT)::BIGINT AS n_classes_below,
+           sum(CASE WHEN cnt < t.k THEN cnt ELSE 0 END)::BIGINT
+             AS n_rows_at_risk
+    FROM cls CROSS JOIN t GROUP BY 1
+    """,
+)
+def dq_k_anonymity(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """k-anonymity audit — the re-identification check a governed
+    dataset runs before release: rows whose quasi-identifier
+    combination (here nation × market segment) appears fewer than k
+    times are individually distinguishable. One hash-agg to the
+    equivalence-class table (bounded by QI-combination cardinality),
+    then a broadcast cross join against the tiny threshold list — the
+    raw table is scanned once regardless of how many k values are
+    audited."""
+    cust = load(spark, sf_dir, "customer")
+    cls = cust.groupBy("c_nationkey", "c_mktsegment").agg(
+        F.count(F.lit(1)).alias("cnt")
+    )
+    th = cust.sparkSession.createDataFrame([(2,), (5,), (10,)], "k INT")
+    return (
+        cls.crossJoin(F.broadcast(th))
+        .groupBy("k")
+        .agg(
+            F.count(F.lit(1)).cast("long").alias("n_classes"),
+            F.sum((F.col("cnt") < F.col("k")).cast("int"))
+            .cast("long")
+            .alias("n_classes_below"),
+            F.sum(
+                F.when(F.col("cnt") < F.col("k"), F.col("cnt")).otherwise(0)
+            ).cast("long").alias("n_rows_at_risk"),
+        )
+    )

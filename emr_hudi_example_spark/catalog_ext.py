@@ -2929,51 +2929,49 @@ def corpus_fim_split(spark: SparkSession, sf_dir: str) -> DataFrame:
 @query(
     "dedup_lsh_eval",
     oracle=_lsh_verified_cte() + """,
-    truth_sh AS (SELECT doc_id, unnest(sh) AS s FROM sets_),
-    truth_cand AS (
-      SELECT DISTINCT a.doc_id AS id_a, b.doc_id AS id_b
-      FROM truth_sh a JOIN truth_sh b
-        ON a.s = b.s AND a.doc_id < b.doc_id),
+    tsh AS (SELECT DISTINCT doc_id, s
+            FROM (SELECT doc_id, unnest(sh) AS s FROM sets_)),
+    tsz AS (SELECT doc_id, count(*) AS n FROM tsh GROUP BY 1),
+    tint AS (SELECT a.doc_id AS id_a, b.doc_id AS id_b, count(*) AS ni
+             FROM tsh a JOIN tsh b
+               ON a.s = b.s AND a.doc_id < b.doc_id GROUP BY 1, 2),
     truth AS (
-      SELECT c.id_a, c.id_b
-      FROM truth_cand c
-      JOIN sets_ sa ON sa.doc_id = c.id_a
-      JOIN sets_ sb ON sb.doc_id = c.id_b
-      WHERE round(len(list_intersect(sa.sh, sb.sh))::DOUBLE
-                  / len(list_distinct(list_concat(sa.sh, sb.sh)))::DOUBLE,
-                  6) >= 0.2)
+      SELECT i.id_a, i.id_b
+      FROM tint i JOIN tsz sa ON sa.doc_id = i.id_a
+                  JOIN tsz sb ON sb.doc_id = i.id_b
+      WHERE round(i.ni::DOUBLE / (sa.n + sb.n - i.ni)::DOUBLE, 6) >= 0.2)
     SELECT (SELECT count(*) FROM cand)::BIGINT AS n_candidates,
            (SELECT count(*) FROM verified WHERE jaccard >= 0.2)::BIGINT
              AS n_verified,
            (SELECT count(*) FROM truth)::BIGINT AS n_truth,
            round((SELECT count(*) FROM verified WHERE jaccard >= 0.2)::DOUBLE
-                 / (SELECT count(*) FROM cand)::DOUBLE, 6)
+                 / nullif((SELECT count(*) FROM cand), 0)::DOUBLE, 6)
              AS cand_precision,
            round((SELECT count(*) FROM verified WHERE jaccard >= 0.2)::DOUBLE
-                 / (SELECT count(*) FROM truth)::DOUBLE, 6) AS recall
+                 / nullif((SELECT count(*) FROM truth), 0)::DOUBLE, 6)
+             AS recall
     """,
 )
 def dedup_lsh_eval(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Measure, don't guess — the LSH configuration's quality envelope
     as a GRADED value: candidate-stage precision (how much of the
     bucket-join survives exact verification) and recall against the
-    complete ground truth (exact Jaccard ≥ 0.2 over the uncapped
-    inverted-index candidate set, which is exhaustive — any pair at
-    that threshold shares shingles). Verified-LSH precision is 1.0 by
-    construction (verify filters on exact Jaccard), so the metrics
-    that matter are the candidate hit-rate (wasted verify work) and
-    the band-collision recall (missed near-dups) — exactly the two
-    knobs ``num_perm``/``band_size`` trade. One row out; each leg is
-    the already-bounded pair machinery plus count aggs."""
+    EXHAUSTIVE ground truth — exact Jaccard >= 0.2 over the uncapped
+    inverted index, computed by intersection COUNTING
+    (``operators/dedup.py ngram_jaccard_pairs_counted``) so no shingle
+    arrays ship through the pair join. Verified-LSH precision is 1.0
+    by construction (verify filters on exact Jaccard), so the graded
+    metrics are the candidate hit-rate (wasted verify work) and the
+    band-collision recall (missed near-dups) — exactly the two knobs
+    num_perm/band_size trade. Divisions are nullif-guarded on both
+    sides: a duplicate-free corpus yields NULL metrics, not an error."""
     docs = load(spark, sf_dir, "documents")
     sig = D.minhash_signatures(docs, num_perm=_NUM_PERM, k=3)
     cand = D.lsh_candidate_pairs(
         sig, num_perm=_NUM_PERM, band_size=_BAND, max_bucket_size=256
     )
     verified = D.jaccard_verify(docs, cand, k=3, threshold=0.2)
-    truth = D.ngram_jaccard_pairs(
-        docs, k=3, threshold=0.2, max_doc_freq=None
-    )
+    truth = D.ngram_jaccard_pairs_counted(docs, k=3, threshold=0.2)
     out = (
         cand.agg(F.count(F.lit(1)).cast("long").alias("n_candidates"))
         .crossJoin(
@@ -2991,12 +2989,12 @@ def dedup_lsh_eval(spark: SparkSession, sf_dir: str) -> DataFrame:
         "n_truth",
         F.round(
             F.col("n_verified").cast("double")
-            / F.col("n_candidates").cast("double"),
+            / F.nullif(F.col("n_candidates"), F.lit(0)).cast("double"),
             6,
         ).alias("cand_precision"),
         F.round(
             F.col("n_verified").cast("double")
-            / F.col("n_truth").cast("double"),
+            / F.nullif(F.col("n_truth"), F.lit(0)).cast("double"),
             6,
         ).alias("recall"),
     )

@@ -52,6 +52,8 @@ _PRIORITY: list[str] = [
     "sketch_quantile_sample",
     "sim_hard_negatives",
     "sim_centroid_classify",
+    "sim_pq_codes",
+    "sim_pq_adc_topk",
     "mm_image_downsample",
     "dq_referential_audit",
     "dq_k_anonymity",

@@ -2998,3 +2998,104 @@ def dedup_lsh_eval(spark: SparkSession, sf_dir: str) -> DataFrame:
             6,
         ).alias("recall"),
     )
+
+
+# ------------------------------------------------------------------ PQ ops
+
+_PQ_M, _PQ_SUB, _PQ_K = 8, 8, 16
+
+
+def _pq_dist_sql(m: int, a: str, b: str) -> str:
+    lo, hi = m * _PQ_SUB + 1, m * _PQ_SUB + _PQ_SUB + 1
+    t = (
+        f"({a}.embedding[i]::DOUBLE - {b}.embedding[i]::DOUBLE)"
+    )
+    return f"list_sum([ {t} * {t} FOR i IN range({lo}, {hi}) ])"
+
+
+def _pq_codes_cte() -> str:
+    dists = ", ".join(
+        f"{_pq_dist_sql(m, 'v', 's')} AS d_{m}" for m in range(_PQ_M)
+    )
+    mins = ", ".join(f"min(d_{m}) AS m_{m}" for m in range(_PQ_M))
+    # deterministic argmin without composite min_by (DuckDB's is
+    # scalar-only): min distance per subspace, then the smallest cid
+    # among rows AT that min — the float equality is bitwise-safe
+    # because min() returns one of the very values it compared
+    argmins = ", ".join(
+        f"min(CASE WHEN sc.d_{m} = mi.m_{m} THEN sc.cid END)::INT"
+        f" AS code_{m}"
+        for m in range(_PQ_M)
+    )
+    return f"""
+    WITH seeds AS (
+      SELECT row_number() OVER (ORDER BY vec_id) - 1 AS cid, embedding
+      FROM (SELECT vec_id, embedding FROM embeddings
+            ORDER BY vec_id LIMIT {_PQ_K})),
+    scored AS (SELECT v.vec_id, s.cid, {dists}
+               FROM embeddings v CROSS JOIN seeds s),
+    cmins AS (SELECT vec_id, {mins} FROM scored GROUP BY 1),
+    codes AS (SELECT sc.vec_id, {argmins}
+              FROM scored sc JOIN cmins mi USING (vec_id)
+              GROUP BY 1)
+    """
+
+
+@query(
+    "sim_pq_codes",
+    oracle=_pq_codes_cte()
+    + "SELECT vec_id, "
+    + ", ".join(f"code_{m}" for m in range(_PQ_M))
+    + " FROM codes",
+)
+def sim_pq_codes(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Product-quantization encoding: 8 subspaces × 16 sampled
+    codewords — 64 floats become 8 small ints, the 32× compression
+    billion-scale ANN serves from (``operators/similarity.py
+    pq_codes``)."""
+    return S.pq_codes(load(spark, sf_dir, "embeddings"))
+
+
+_PQ_LUT_UNION = " UNION ALL ".join(
+    f"SELECT query_id, cid, {m} AS m, d_{m} AS d FROM lutw"
+    for m in range(_PQ_M)
+)
+_PQ_CODES_UNION = " UNION ALL ".join(
+    f"SELECT vec_id, {m} AS m, code_{m} AS code FROM codes"
+    for m in range(_PQ_M)
+)
+
+
+@query(
+    "sim_pq_adc_topk",
+    oracle=_pq_codes_cte()
+    + f""",
+    q AS (SELECT vec_id AS query_id, embedding FROM embeddings
+          WHERE vec_id % 50 = 0),
+    lutw AS (SELECT q.query_id, s.cid,
+                    {", ".join(f"{_pq_dist_sql(m, 'q', 's')} AS d_{m}"
+                               for m in range(_PQ_M))}
+             FROM q CROSS JOIN seeds s),
+    lut AS ({_PQ_LUT_UNION}),
+    cl AS ({_PQ_CODES_UNION}),
+    adc AS (SELECT l.query_id, c.vec_id,
+                   CAST(sum(CAST(l.d AS DECIMAL(27,12))) AS DOUBLE) AS adc
+            FROM cl c JOIN lut l ON c.m = l.m AND c.code = l.cid
+            GROUP BY 1, 2),
+    r AS (SELECT query_id, vec_id, adc,
+                 CAST(row_number() OVER (PARTITION BY query_id
+                                         ORDER BY adc, vec_id) AS INT)
+                   AS rank
+          FROM adc WHERE query_id <> vec_id)
+    SELECT query_id, vec_id AS neighbor_id, round(adc, 6) AS adc_dist,
+           rank
+    FROM r WHERE rank <= 5
+    """,
+)
+def sim_pq_adc_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """ADC serving over PQ codes: per-query LUT of exact sub-codeword
+    distances, approximate distance = sum of the LUT entries the codes
+    select, decimal-exact accumulation, top-5
+    (``operators/similarity.py pq_adc_topk``)."""
+    emb = load(spark, sf_dir, "embeddings")
+    return S.pq_adc_topk(emb, emb.filter(F.col("vec_id") % 50 == 0), k=5)

@@ -759,3 +759,52 @@ def test_bucketed_edge_derivation_matches_global_window(spark):
     bucketed = G.sequential_interaction_edges(ev, bucket="1 day")
     assert naive.exceptAll(bucketed).count() == 0
     assert bucketed.exceptAll(naive).count() == 0
+
+
+def test_pq_adc_recall_against_exact(spark):
+    """PQ+ADC is lossy by design; the floor pins that ADC genuinely
+    ranks by distance, not that it is precise: random hit rate for
+    top-5 of 500 is ~1% per slot, and measured recall@5 is ~14% at
+    K=16 (≈36% at K=64 — the synthetic embeddings have no cluster
+    structure, so sampled codebooks plateau early; a per-subspace
+    Lloyd refinement à la ``kmeans_refine`` is the quality lever).
+    Floor at 0.1 ≈ 10× chance."""
+    from emr_hudi_example_spark.catalog import load
+    from emr_hudi_example_spark.operators import similarity as S
+    from tests.conftest import SF_CORRECT
+
+    emb = load(spark, SF_CORRECT, "embeddings")
+    queries = emb.filter(F.col("vec_id") % 50 == 0)
+    adc = S.pq_adc_topk(emb, queries, k=5)
+    # exact L2 top-5 via the cosine machinery's vectors: brute force
+    v = emb.selectExpr(
+        "vec_id", "transform(embedding, x -> cast(x as double)) AS e"
+    )
+    q = queries.selectExpr(
+        "vec_id AS qid", "transform(embedding, x -> cast(x as double)) AS qe"
+    )
+    from pyspark.sql.window import Window
+
+    scored = v.crossJoin(F.broadcast(q)).filter(
+        F.col("vec_id") != F.col("qid")
+    ).select(
+        "qid",
+        "vec_id",
+        F.aggregate(
+            F.zip_with("e", "qe", lambda x, y: (x - y) * (x - y)),
+            F.lit(0.0),
+            lambda a, x: a + x,
+        ).alias("d2"),
+    )
+    w = Window.partitionBy("qid").orderBy(F.col("d2").asc(), F.col("vec_id"))
+    exact = scored.withColumn("rn", F.row_number().over(w)).filter(
+        F.col("rn") <= 5
+    )
+    hits = adc.join(
+        exact,
+        (adc["query_id"] == exact["qid"])
+        & (adc["neighbor_id"] == exact["vec_id"]),
+    ).count()
+    total = exact.count()
+    assert total > 0
+    assert hits / total >= 0.1, f"PQ recall@5 too low: {hits}/{total}"

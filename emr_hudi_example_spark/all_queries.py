@@ -23,9 +23,9 @@ from emr_hudi_example_spark.catalog import ORACLE, Q
 # for round 5 (r4 verdict "Next round" #1/#4):
 #  1. the one red r4 driver row (sim_quantize_int8 — output now
 #     serialized to scalars, see catalog_ext.py);
-#  2. queries NEW this round (no driver row can exist yet), newest
-#     batch first — round 5 added more new queries (56) than the window
-#     holds, so the oldest few r5 additions overflow to the r6 window;
+#  2. queries NEW this round (no driver row can exist yet) — round 5
+#     added more new queries than the window holds, so the simplest r5
+#     additions overflow to the r6 window;
 #  3. queries whose newest driver row is r3 (outside the r4 window),
 #     most-touched substrate first: operators/dedup.py and
 #     operators/relational.py gained ~150 lines each in r4 after those
@@ -64,10 +64,6 @@ _PRIORITY: list[str] = [
     "corpus_dedup_funnel",
     "corpus_bpe_pair_counts",
     "j4_order_revenue_topk",
-    "j5_semi_anti_cohorts",
-    "j6_full_outer_reconcile",
-    "a15_zscore_outliers",
-    "a17_timeline_gapfill",
     "corpus_fim_split",
     "lake_cleaner_endstate",
     "lake_locked_writers_endstate",
@@ -100,8 +96,12 @@ _PRIORITY: list[str] = [
     "lake_delete_partition",
     "corpus_stratified_sample",
     "lake_insert_overwrite",
-    # -- new in round 5 (session 2, simple expressions; first 2 fit the
-    #    window, the rest overflow to r6) --
+    # -- new in round 5 (session 2, simple window-function / narrow-
+    #    expression queries; these take the window overflow → r6) --
+    "j5_semi_anti_cohorts",
+    "j6_full_outer_reconcile",
+    "a15_zscore_outliers",
+    "a17_timeline_gapfill",
     "dq_uniqueness_audit",
     "corpus_shard_manifest",
     "dedup_soft_weights",

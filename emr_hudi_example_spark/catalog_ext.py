@@ -3099,3 +3099,43 @@ def sim_pq_adc_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     (``operators/similarity.py pq_adc_topk``)."""
     emb = load(spark, sf_dir, "embeddings")
     return S.pq_adc_topk(emb, emb.filter(F.col("vec_id") % 50 == 0), k=5)
+
+
+def _pq_rdist_sql() -> str:
+    t = "(v.embedding[c.m * 8 + i]::DOUBLE - c.cvec[i])"
+    return f"list_sum([ {t} * {t} FOR i IN range(1, 9) ])"
+
+
+@query(
+    "sim_pq_refined_codes",
+    oracle=_pq_codes_cte()
+    + f""",
+    cl AS ({_PQ_CODES_UNION}),
+    vals AS (SELECT cl.m, cl.code, t.i AS dim,
+                    CAST(v.embedding[cl.m * 8 + t.i]::DOUBLE
+                         AS DECIMAL(27,10)) AS val
+             FROM cl JOIN embeddings v USING (vec_id)
+             CROSS JOIN generate_series(1, 8) AS t(i)),
+    means AS (SELECT m, code, dim,
+                     CAST(sum(val) AS DOUBLE) / CAST(count(*) AS DOUBLE)
+                       AS mu
+              FROM vals GROUP BY 1, 2, 3),
+    cen AS (SELECT m, code, list(mu ORDER BY dim) AS cvec
+            FROM means GROUP BY 1, 2),
+    scored2 AS (SELECT v.vec_id, c.m, c.code, {_pq_rdist_sql()} AS d
+                FROM embeddings v CROSS JOIN cen c),
+    mins2 AS (SELECT vec_id, m, min(d) AS md
+              FROM scored2 GROUP BY 1, 2)
+    SELECT s.vec_id, s.m,
+           min(CASE WHEN s.d = mi.md THEN s.code END)::INT AS rcode,
+           round(min(mi.md), 6) AS rdist
+    FROM scored2 s JOIN mins2 mi USING (vec_id, m)
+    GROUP BY 1, 2
+    """,
+)
+def sim_pq_refined_codes(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Trained PQ: one Lloyd refinement of the sampled codebooks
+    (decimal-exact per-cell sub-centroid means) and re-encoding against
+    them — refined code + squared distance per (vector, subspace)
+    (``operators/similarity.py pq_refined_codes``)."""
+    return S.pq_refined_codes(load(spark, sf_dir, "embeddings"))

@@ -959,3 +959,81 @@ def pq_adc_topk(
             "rank",
         )
     )
+
+
+def pq_refined_codes(
+    vectors: DataFrame,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    n_subspaces: int = 8,
+    sub_dim: int = 8,
+    n_codes: int = 16,
+) -> DataFrame:
+    """One Lloyd refinement of the PQ codebooks — the "trained PQ" step
+    that closes the gap sampled codebooks leave: each (subspace,
+    codeword) cell's centroid is recomputed as the DECIMAL-exact mean
+    of its members' sub-vectors (order-independent, same policy as
+    ``kmeans_refine``), and the corpus re-encodes against the refined
+    codebooks. Returns long-form ``(id, m, rcode, rdist)`` — the
+    refined code and its (rounded) squared distance per subspace.
+
+    Scale shape: the mean recompute shuffles (subspace, code, dim)
+    partials — n_subspaces·n_codes·sub_dim groups, map-side combined;
+    re-encoding broadcasts the refined codebook (a constant-size
+    table) over one corpus pass. Loop the pair (encode → refine) for
+    more Lloyd iterations.
+    """
+    v = vectors.select(F.col(id_col), _as_double(vec_col).alias("_v"))
+    codes = pq_codes(
+        vectors, id_col, vec_col, n_subspaces, sub_dim, n_codes
+    )
+    stack_codes = ", ".join(f"{m}, code_{m}" for m in range(n_subspaces))
+    codes_long = codes.selectExpr(
+        id_col, f"stack({n_subspaces}, {stack_codes}) AS (m, code)"
+    )
+    joined = codes_long.join(v, id_col)
+    sub = F.slice(
+        F.col("_v"), F.col("m") * F.lit(sub_dim) + F.lit(1), F.lit(sub_dim)
+    )
+    vals = joined.select(
+        "m", "code", F.posexplode(sub).alias("dim", "val")
+    )
+    means = (
+        vals.groupBy("m", "code", "dim")
+        .agg(
+            F.sum(F.col("val").cast("decimal(27,10)")).alias("s"),
+            F.count(F.lit(1)).alias("n"),
+        )
+        .select(
+            "m",
+            "code",
+            "dim",
+            (F.col("s").cast("double") / F.col("n").cast("double")).alias(
+                "mu"
+            ),
+        )
+    )
+    cen = (
+        means.groupBy("m", "code")
+        .agg(F.array_sort(F.collect_list(F.struct("dim", "mu"))).alias("dm"))
+        .select("m", "code", F.transform("dm", lambda x: x["mu"]).alias("cvec"))
+    )
+    qsub = F.slice(
+        F.col("_v"), F.col("m") * F.lit(sub_dim) + F.lit(1), F.lit(sub_dim)
+    )
+    scored = v.crossJoin(F.broadcast(cen)).select(
+        id_col,
+        "m",
+        "code",
+        F.aggregate(
+            F.zip_with(qsub, F.col("cvec"), lambda x, y: (x - y) * (x - y)),
+            F.lit(0.0),
+            lambda acc, x: acc + x,
+        ).alias("d"),
+    )
+    return scored.groupBy(id_col, "m").agg(
+        F.min_by("code", F.struct(F.col("d"), F.col("code")))
+        .cast("int")
+        .alias("rcode"),
+        F.round(F.min("d"), 6).alias("rdist"),
+    )

@@ -808,3 +808,53 @@ def test_pq_adc_recall_against_exact(spark):
     total = exact.count()
     assert total > 0
     assert hits / total >= 0.1, f"PQ recall@5 too low: {hits}/{total}"
+
+
+def test_pq_refinement_reduces_distortion(spark):
+    """Lloyd monotonicity: re-encoding against refined (per-cell mean)
+    codebooks cannot increase total quantization distortion relative
+    to the sampled codebooks' assignment distances."""
+    from emr_hudi_example_spark.catalog import load
+    from emr_hudi_example_spark.operators import similarity as S
+    from tests.conftest import SF_CORRECT
+
+    emb = load(spark, SF_CORRECT, "embeddings")
+    refined = S.pq_refined_codes(emb)
+    total_refined = refined.agg(F.sum("rdist")).collect()[0][0]
+    # sampled-codebook distortion: distance of each vector to its
+    # ASSIGNED sampled codeword, per subspace
+    v = emb.selectExpr(
+        "vec_id", "transform(embedding, x -> cast(x as double)) AS _v"
+    )
+    seeds = (
+        emb.orderBy("vec_id").limit(16)
+        .selectExpr(
+            "vec_id AS _sid",
+            "transform(embedding, x -> cast(x as double)) AS _sv",
+        )
+    )
+    from pyspark.sql.window import Window
+
+    seeds = seeds.withColumn(
+        "cid", F.row_number().over(Window.orderBy("_sid")) - 1
+    )
+    codes = S.pq_codes(emb)
+    stack = ", ".join(f"{m}, code_{m}" for m in range(8))
+    cl = codes.selectExpr("vec_id", f"stack(8, {stack}) AS (m, code)")
+    j = cl.join(v, "vec_id").join(
+        F.broadcast(seeds), cl["code"] == seeds["cid"]
+    )
+    sub = lambda c: F.slice(
+        F.col(c), F.col("m") * F.lit(8) + F.lit(1), F.lit(8)
+    )
+    d = j.select(
+        F.aggregate(
+            F.zip_with(sub("_v"), sub("_sv"), lambda x, y: (x - y) * (x - y)),
+            F.lit(0.0),
+            lambda a, x: a + x,
+        ).alias("d")
+    )
+    total_sampled = d.agg(F.sum("d")).collect()[0][0]
+    assert total_refined <= total_sampled + 1e-6, (
+        total_refined, total_sampled,
+    )

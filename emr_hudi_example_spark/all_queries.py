@@ -30,8 +30,8 @@ from emr_hudi_example_spark.catalog import ORACLE, Q
 #     most-touched substrate first: operators/dedup.py and
 #     operators/relational.py gained ~150 lines each in r4 after those
 #     rows were recorded, then the pipe_* endstates, then the rest.
-#     156 queries vs a 50-slot window means the r3-row queries stay in
-#     the tail this round; ALL 156 remain locally oracle-verified
+#     157 queries vs a 50-slot window means the r3-row queries stay in
+#     the tail this round; ALL 157 remain locally oracle-verified
 #     (tests/test_catalog_oracle.py runs every registered oracle).
 # Unknown names are ignored, so this list may lead the code it gates.
 _PRIORITY: list[str] = [
@@ -55,13 +55,13 @@ _PRIORITY: list[str] = [
     "sim_pq_codes",
     "sim_pq_adc_topk",
     "sim_pq_refined_codes",
+    "sim_ivfpq_topk",
     "mm_image_downsample",
     "dq_referential_audit",
     "dq_k_anonymity",
     "dedup_lsh_eval",
     "text_gopher_quality",
     "corpus_rarity_buckets",
-    "corpus_dedup_funnel",
     "corpus_bpe_pair_counts",
     "j4_order_revenue_topk",
     "corpus_fim_split",
@@ -98,6 +98,7 @@ _PRIORITY: list[str] = [
     "lake_insert_overwrite",
     # -- new in round 5 (session 2, simple window-function / narrow-
     #    expression queries; these take the window overflow → r6) --
+    "corpus_dedup_funnel",
     "text_readability",
     "j5_semi_anti_cohorts",
     "j6_full_outer_reconcile",

@@ -3139,3 +3139,66 @@ def sim_pq_refined_codes(spark: SparkSession, sf_dir: str) -> DataFrame:
     them — refined code + squared distance per (vector, subspace)
     (``operators/similarity.py pq_refined_codes``)."""
     return S.pq_refined_codes(load(spark, sf_dir, "embeddings"))
+
+
+@query(
+    "sim_ivfpq_topk",
+    oracle=_pq_codes_cte()
+    + f""",
+    v AS (SELECT vec_id, embedding, {_NORM_SQL} AS nrm FROM embeddings),
+    cen AS (SELECT vec_id AS cell_id, embedding, nrm FROM v
+            WHERE vec_id % 37 = 0),
+    q AS (SELECT * FROM v WHERE vec_id % 50 = 0),
+    corpus_cells AS (
+      SELECT vec_id, cell_id FROM (
+        SELECT a.vec_id, b.cell_id,
+               row_number() OVER (PARTITION BY a.vec_id
+                 ORDER BY {_dot_sql('a', 'b')} / (a.nrm * b.nrm) DESC,
+                          b.cell_id) AS rn
+        FROM v a CROSS JOIN cen b) WHERE rn = 1),
+    query_cells AS (
+      SELECT vec_id, cell_id FROM (
+        SELECT a.vec_id, b.cell_id,
+               row_number() OVER (PARTITION BY a.vec_id
+                 ORDER BY {_dot_sql('a', 'b')} / (a.nrm * b.nrm) DESC,
+                          b.cell_id) AS rn
+        FROM q a CROSS JOIN cen b) WHERE rn <= 3),
+    candpairs AS (
+      SELECT DISTINCT qc.vec_id AS query_id, cc.vec_id AS neighbor_id
+      FROM query_cells qc JOIN corpus_cells cc
+        ON cc.cell_id = qc.cell_id
+      WHERE cc.vec_id <> qc.vec_id),
+    lutw AS (SELECT qq.vec_id AS query_id, s.cid,
+                    {", ".join(f"{_pq_dist_sql(m, 'qq', 's')} AS d_{m}"
+                               for m in range(_PQ_M))}
+             FROM q qq CROSS JOIN seeds s),
+    lut AS ({_PQ_LUT_UNION}),
+    cl AS ({_PQ_CODES_UNION}),
+    adc AS (SELECT cp.query_id, cp.neighbor_id,
+                   CAST(sum(CAST(l.d AS DECIMAL(27,12))) AS DOUBLE) AS adc
+            FROM candpairs cp
+            JOIN cl ON cl.vec_id = cp.neighbor_id
+            JOIN lut l ON l.query_id = cp.query_id
+                      AND l.m = cl.m AND l.cid = cl.code
+            GROUP BY 1, 2),
+    rk AS (SELECT query_id, neighbor_id, adc,
+                  CAST(row_number() OVER (PARTITION BY query_id
+                    ORDER BY adc, neighbor_id) AS INT) AS rank
+           FROM adc)
+    SELECT query_id, neighbor_id, round(adc, 6) AS adc_dist, rank
+    FROM rk WHERE rank <= 5
+    """,
+)
+def sim_ivfpq_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """IVF-PQ composed serving path: coarse quantizer restricts each
+    query to 3 probed cells, PQ-ADC ranks within them from code bytes
+    and a broadcast per-query LUT — the FAISS architecture as a pure
+    DataFrame program (``operators/similarity.py ivfpq_adc_topk``)."""
+    emb = load(spark, sf_dir, "embeddings")
+    return S.ivfpq_adc_topk(
+        emb,
+        emb.filter(F.col("vec_id") % 50 == 0),
+        emb.filter(F.col("vec_id") % 37 == 0),
+        k=5,
+        nprobe=3,
+    )

@@ -1037,3 +1037,106 @@ def pq_refined_codes(
         .alias("rcode"),
         F.round(F.min("d"), 6).alias("rdist"),
     )
+
+
+def ivfpq_adc_topk(
+    corpus: DataFrame,
+    queries: DataFrame,
+    centroids: DataFrame,
+    k: int = 5,
+    nprobe: int = 3,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    n_subspaces: int = 8,
+    sub_dim: int = 8,
+    n_codes: int = 16,
+) -> DataFrame:
+    """IVF-PQ — the composed billion-scale ANN architecture (FAISS's
+    default): the coarse IVF quantizer restricts each query to its
+    ``nprobe`` nearest cells' members, and WITHIN the probed cells
+    ranking uses PQ codes via ADC lookup-table sums instead of raw
+    vectors — the scan touches only code bytes, never the float
+    corpus. (Production systems encode residuals against the cell
+    centroid before PQ — the next refinement; the composition and
+    data flow are identical.)
+
+    Scale shape: cells shard the corpus (the candidate join is
+    cell-id-keyed, ~nprobe/n_cells of the data per query), the PQ
+    codebook and per-query LUTs broadcast, and per-pair ADC sums
+    accumulate as DECIMAL so the ranking is partitioning-exact.
+    """
+    corpus_cells = assign_cells(corpus, centroids, id_col, vec_col, 1)
+    query_cells = assign_cells(queries, centroids, id_col, vec_col, nprobe)
+    codes = pq_codes(
+        corpus, id_col, vec_col, n_subspaces, sub_dim, n_codes
+    )
+    seeds = (
+        corpus.orderBy(id_col)
+        .limit(n_codes)
+        .select(F.col(id_col).alias("_sid"), _as_double(vec_col).alias("_sv"))
+    )
+    seeds = seeds.withColumn(
+        "cid", F.row_number().over(Window.orderBy("_sid")) - 1
+    ).drop("_sid")
+    q = queries.select(
+        F.col(id_col).alias("query_id"), _as_double(vec_col).alias("_q")
+    )
+    lut_wide = q.crossJoin(F.broadcast(seeds))
+    for m in range(n_subspaces):
+        lut_wide = lut_wide.withColumn(
+            f"d_{m}", _sub_sqdist(F.col("_q"), F.col("_sv"), m, sub_dim)
+        )
+    stack_lut = ", ".join(f"{m}, d_{m}" for m in range(n_subspaces))
+    lut = lut_wide.selectExpr(
+        "query_id", "cid", f"stack({n_subspaces}, {stack_lut}) AS (m, d)"
+    )
+    stack_codes = ", ".join(f"{m}, code_{m}" for m in range(n_subspaces))
+    codes_long = codes.selectExpr(
+        id_col, f"stack({n_subspaces}, {stack_codes}) AS (m, code)"
+    )
+    cand = (
+        query_cells.select(
+            F.col(id_col).alias("query_id"), "cell_id"
+        )
+        .join(
+            corpus_cells.select(
+                F.col(id_col).alias("neighbor_id"), "cell_id"
+            ),
+            "cell_id",
+        )
+        .filter(F.col("query_id") != F.col("neighbor_id"))
+        .select("query_id", "neighbor_id")
+        .distinct()
+    )
+    adc = (
+        cand.join(
+            codes_long, cand["neighbor_id"] == codes_long[id_col]
+        )
+        .join(
+            F.broadcast(lut),
+            (cand["query_id"] == lut["query_id"])
+            & (codes_long["m"] == lut["m"])
+            & (codes_long["code"] == lut["cid"]),
+        )
+        .select(cand["query_id"], "neighbor_id", "d")
+        .groupBy("query_id", "neighbor_id")
+        .agg(F.sum(F.col("d").cast("decimal(27,12)")).alias("s"))
+        .select(
+            "query_id",
+            "neighbor_id",
+            F.col("s").cast("double").alias("adc"),
+        )
+    )
+    w = Window.partitionBy("query_id").orderBy(
+        F.col("adc").asc(), F.col("neighbor_id").asc()
+    )
+    return (
+        adc.withColumn("rank", F.row_number().over(w))
+        .filter(F.col("rank") <= k)
+        .select(
+            "query_id",
+            "neighbor_id",
+            F.round("adc", 6).alias("adc_dist"),
+            "rank",
+        )
+    )

@@ -769,3 +769,48 @@ def lake_locked_writers_endstate(spark: SparkSession, sf_dir: str) -> DataFrame:
     return w2.snapshot().select(
         "c_custkey", "c_acctbal", "ver", "_commit_time"
     )
+
+
+@query(
+    "lake_archive_endstate",
+    oracle=f"""
+    WITH u AS ({_B1_SQL} UNION ALL {_B2_SQL}
+               UNION ALL
+               SELECT c_custkey, c_name, c_nationkey,
+                      c_acctbal + 2000.0 AS c_acctbal, c_mktsegment,
+                      CAST(3 AS BIGINT) AS ver, '003' AS _commit_time
+               FROM customer WHERE c_custkey % 100 = 0
+               UNION ALL
+               SELECT c_custkey, c_name, c_nationkey,
+                      c_acctbal + 3000.0 AS c_acctbal, c_mktsegment,
+                      CAST(4 AS BIGINT) AS ver, '004' AS _commit_time
+               FROM customer WHERE c_custkey % 100 = 0)
+    SELECT c_custkey, c_acctbal, ver, _commit_time
+    FROM u
+    QUALIFY row_number() OVER (PARTITION BY c_custkey ORDER BY ver DESC) = 1
+    """,
+)
+def lake_archive_endstate(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Timeline ARCHIVAL through the value gate: after four commits the
+    active timeline is trimmed to the newest two (older instants move
+    to ``_archived/`` — Hudi's archived timeline, which bounds active-
+    timeline listing cost at high commit counts), and the snapshot must
+    be byte-identical — archival moves timeline METADATA only, never
+    data files. The assert guards the degenerate nothing-archived
+    pass."""
+    t = LakeTable(spark, _tmp_base(), "q", "arch", ["c_custkey"], "ver")
+    t.write(_batch1(spark, sf_dir), op="upsert", instant="001")
+    t.write(_batch2(spark, sf_dir), op="upsert", instant="002")
+    for ver, bump, instant in ((3, 2000.0, "003"), (4, 3000.0, "004")):
+        b = (
+            _batch1(spark, sf_dir)
+            .filter(F.col("c_custkey") % 100 == 0)
+            .withColumn("ver", F.lit(ver).cast("long"))
+            .withColumn("c_acctbal", F.col("c_acctbal") + bump)
+        )
+        t.write(b, op="upsert", instant=instant)
+    archived = t.archive_timeline(keep_commits=2)
+    assert archived, "archival moved no instants — nothing was exercised"
+    return t.snapshot().select(
+        "c_custkey", "c_acctbal", "ver", "_commit_time"
+    )

@@ -30,8 +30,8 @@ from emr_hudi_example_spark.catalog import ORACLE, Q
 #     most-touched substrate first: operators/dedup.py and
 #     operators/relational.py gained ~150 lines each in r4 after those
 #     rows were recorded, then the pipe_* endstates, then the rest.
-#     158 queries vs a 50-slot window means the r3-row queries stay in
-#     the tail this round; ALL 158 remain locally oracle-verified
+#     159 queries vs a 50-slot window means the r3-row queries stay in
+#     the tail this round; ALL 159 remain locally oracle-verified
 #     (tests/test_catalog_oracle.py runs every registered oracle).
 # Unknown names are ignored, so this list may lead the code it gates.
 _PRIORITY: list[str] = [
@@ -46,6 +46,7 @@ _PRIORITY: list[str] = [
     # exercise little machinery — they front-load in r6.
     # -- new in round 5 (session 2, substantive) --
     "pipe_stream_session_endstate",
+    "pipe_stream_enrich_endstate",
     "pipe_stream_join_endstate",
     "graph_pagerank",
     "sketch_cms_heavy_hitters",
@@ -62,7 +63,6 @@ _PRIORITY: list[str] = [
     "dedup_lsh_eval",
     "text_gopher_quality",
     "corpus_rarity_buckets",
-    "j4_order_revenue_topk",
     "corpus_fim_split",
     "lake_cleaner_endstate",
     "lake_locked_writers_endstate",
@@ -98,6 +98,7 @@ _PRIORITY: list[str] = [
     "lake_insert_overwrite",
     # -- new in round 5 (session 2, simple window-function / narrow-
     #    expression queries; these take the window overflow → r6) --
+    "j4_order_revenue_topk",
     "corpus_bpe_pair_counts",
     "corpus_dedup_funnel",
     "text_readability",

@@ -1033,3 +1033,63 @@ def pipe_stream_session_endstate(
     return spark.read.parquet(outd).select(
         "user_id", "session_start", "session_end", "n_events"
     )
+
+
+@query(
+    "pipe_stream_enrich_endstate",
+    oracle="""
+    SELECT o.o_orderkey, o.o_totalprice,
+           coalesce(c.c_mktsegment, 'N/A') AS c_mktsegment
+    FROM orders o LEFT JOIN customer c ON o.o_custkey = c.c_custkey
+    """,
+)
+def pipe_stream_enrich_endstate(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    """STREAM-STATIC dimension enrichment end-state — the reference's
+    ODS→DWD join (SRC/ODS2DWD.scala:58-62) re-platformed onto the
+    idiomatic Structured Streaming form: the fact table arrives as a
+    file stream in two micro-batches and LEFT-joins the static
+    customer dimension INSIDE the streaming query (stream-static joins
+    are stateless — the dim broadcasts per micro-batch, no watermark,
+    no state store), with nvl defaults for dimension misses. The
+    drained end-state must equal the batch left join.
+
+    Scale shape: per micro-batch cost is one broadcast join over that
+    batch's rows only; the dimension refreshes by re-resolution each
+    batch — exactly how slowly-changing dims ride along in production
+    streams."""
+    import os
+
+    orders = load(spark, sf_dir, "orders").select(
+        "o_orderkey", "o_custkey", "o_totalprice"
+    )
+    cust = load(spark, sf_dir, "customer").select(
+        "c_custkey", "c_mktsegment"
+    )
+    base = _tmp_base()
+    ind = _stage_time_ordered(
+        base,
+        "in",
+        (orders.filter(F.col("o_orderkey") % 2 == 0),
+         orders.filter(F.col("o_orderkey") % 2 == 1)),
+    )
+    stream = (
+        spark.readStream.schema(orders.schema)
+        .option("maxFilesPerTrigger", 1)
+        .parquet(ind)
+    )
+    enriched = stream.join(
+        F.broadcast(cust),
+        stream["o_custkey"] == cust["c_custkey"],
+        "left",
+    ).select(
+        "o_orderkey",
+        "o_totalprice",
+        F.coalesce("c_mktsegment", F.lit("N/A")).alias("c_mktsegment"),
+    )
+    outd = os.path.join(base, "out")
+    _drain_append(spark, enriched, base, outd)
+    return spark.read.parquet(outd).select(
+        "o_orderkey", "o_totalprice", "c_mktsegment"
+    )

@@ -163,3 +163,17 @@ def test_semi_anti_plans_use_existence_joins(spark):
     plan = _plan(spark, "j5_semi_anti_cohorts")
     assert "LeftSemi" in plan
     assert "LeftAnti" in plan
+
+
+def test_pq_adc_broadcasts_lut(spark):
+    # the per-query distance LUT must broadcast — a shuffled LUT join
+    # would re-shuffle the code stream per query batch
+    plan = _plan(spark, "sim_pq_adc_topk")
+    assert "BroadcastHashJoin" in plan
+    assert "CartesianProduct" not in plan
+
+
+def test_ivfpq_broadcasts_lut_and_joins_on_cell(spark):
+    plan = _plan(spark, "sim_ivfpq_topk")
+    assert "BroadcastHashJoin" in plan
+    assert "CartesianProduct" not in plan

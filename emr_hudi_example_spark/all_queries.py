@@ -30,8 +30,8 @@ from emr_hudi_example_spark.catalog import ORACLE, Q
 #     most-touched substrate first: operators/dedup.py and
 #     operators/relational.py gained ~150 lines each in r4 after those
 #     rows were recorded, then the pipe_* endstates, then the rest.
-#     159 queries vs a 50-slot window means the r3-row queries stay in
-#     the tail this round; ALL 159 remain locally oracle-verified
+#     160 queries vs a 50-slot window means the r3-row queries stay in
+#     the tail this round; ALL 160 remain locally oracle-verified
 #     (tests/test_catalog_oracle.py runs every registered oracle).
 # Unknown names are ignored, so this list may lead the code it gates.
 _PRIORITY: list[str] = [
@@ -57,13 +57,13 @@ _PRIORITY: list[str] = [
     "sim_pq_adc_topk",
     "sim_pq_refined_codes",
     "sim_ivfpq_topk",
+    "sim_ivfpq_residual_topk",
     "mm_image_downsample",
     "dq_referential_audit",
     "dq_k_anonymity",
     "dedup_lsh_eval",
     "text_gopher_quality",
     "corpus_rarity_buckets",
-    "corpus_fim_split",
     "lake_cleaner_endstate",
     "lake_locked_writers_endstate",
     "lake_archive_endstate",
@@ -98,6 +98,7 @@ _PRIORITY: list[str] = [
     "lake_insert_overwrite",
     # -- new in round 5 (session 2, simple window-function / narrow-
     #    expression queries; these take the window overflow → r6) --
+    "corpus_fim_split",
     "j4_order_revenue_topk",
     "corpus_bpe_pair_counts",
     "corpus_dedup_funnel",

@@ -3202,3 +3202,110 @@ def sim_ivfpq_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
         k=5,
         nprobe=3,
     )
+
+
+def _pq_rdist_m_sql(m: int, a: str, ar: str, b: str, br: str) -> str:
+    lo, hi = m * _PQ_SUB + 1, m * _PQ_SUB + _PQ_SUB + 1
+    t = f"({a}.{ar}[i] - {b}.{br}[i])"
+    return f"list_sum([ {t} * {t} FOR i IN range({lo}, {hi}) ])"
+
+
+_RIVF_LUT_UNION = " UNION ALL ".join(
+    f"SELECT query_id, cell_id, cid, {m} AS m, d_{m} AS d FROM lutw"
+    for m in range(_PQ_M)
+)
+_RIVF_CODES_UNION = " UNION ALL ".join(
+    f"SELECT vec_id, {m} AS m, code_{m} AS code FROM codes"
+    for m in range(_PQ_M)
+)
+
+
+@query(
+    "sim_ivfpq_residual_topk",
+    oracle=f"""
+    WITH v AS (SELECT vec_id, embedding, {_NORM_SQL} AS nrm
+               FROM embeddings),
+    cen AS (SELECT vec_id AS cell_id, embedding, nrm FROM v
+            WHERE vec_id % 37 = 0),
+    q AS (SELECT * FROM v WHERE vec_id % 50 = 0),
+    corpus_cells AS (
+      SELECT vec_id, cell_id FROM (
+        SELECT a.vec_id, b.cell_id,
+               row_number() OVER (PARTITION BY a.vec_id
+                 ORDER BY {_dot_sql('a', 'b')} / (a.nrm * b.nrm) DESC,
+                          b.cell_id) AS rn
+        FROM v a CROSS JOIN cen b) WHERE rn = 1),
+    query_cells AS (
+      SELECT vec_id, cell_id FROM (
+        SELECT a.vec_id, b.cell_id,
+               row_number() OVER (PARTITION BY a.vec_id
+                 ORDER BY {_dot_sql('a', 'b')} / (a.nrm * b.nrm) DESC,
+                          b.cell_id) AS rn
+        FROM q a CROSS JOIN cen b) WHERE rn <= 3),
+    res AS (SELECT v.vec_id, cc.cell_id,
+                   [ v.embedding[i]::DOUBLE - cn.embedding[i]::DOUBLE
+                     FOR i IN range(1, 65) ] AS r
+            FROM v JOIN corpus_cells cc USING (vec_id)
+            JOIN cen cn ON cn.cell_id = cc.cell_id),
+    rseeds AS (SELECT row_number() OVER (ORDER BY vec_id) - 1 AS cid, r
+               FROM (SELECT vec_id, r FROM res
+                     ORDER BY vec_id LIMIT {_PQ_K})),
+    rscored AS (SELECT a.vec_id, s.cid,
+                       {", ".join(f"{_pq_rdist_m_sql(m, 'a', 'r', 's', 'r')} AS d_{m}"
+                                  for m in range(_PQ_M))}
+                FROM res a CROSS JOIN rseeds s),
+    cmins2 AS (SELECT vec_id,
+                      {", ".join(f"min(d_{m}) AS m_{m}" for m in range(_PQ_M))}
+               FROM rscored GROUP BY 1),
+    codes AS (SELECT sc.vec_id,
+                     {", ".join(f"min(CASE WHEN sc.d_{m} = mi.m_{m} THEN sc.cid END)::INT AS code_{m}"
+                                for m in range(_PQ_M))}
+              FROM rscored sc JOIN cmins2 mi USING (vec_id)
+              GROUP BY 1),
+    qres AS (SELECT qq.vec_id AS query_id, qc.cell_id,
+                    [ qq.embedding[i]::DOUBLE - cn.embedding[i]::DOUBLE
+                      FOR i IN range(1, 65) ] AS r
+             FROM q qq JOIN query_cells qc ON qc.vec_id = qq.vec_id
+             JOIN cen cn ON cn.cell_id = qc.cell_id),
+    lutw AS (SELECT a.query_id, a.cell_id, s.cid,
+                    {", ".join(f"{_pq_rdist_m_sql(m, 'a', 'r', 's', 'r')} AS d_{m}"
+                               for m in range(_PQ_M))}
+             FROM qres a CROSS JOIN rseeds s),
+    lut AS ({_RIVF_LUT_UNION}),
+    cl AS ({_RIVF_CODES_UNION}),
+    candpairs AS (
+      SELECT DISTINCT qc.vec_id AS query_id, cc.vec_id AS neighbor_id,
+             cc.cell_id
+      FROM query_cells qc JOIN corpus_cells cc
+        ON cc.cell_id = qc.cell_id
+      WHERE cc.vec_id <> qc.vec_id),
+    adc AS (SELECT cp.query_id, cp.neighbor_id,
+                   CAST(sum(CAST(l.d AS DECIMAL(27,12))) AS DOUBLE) AS adc
+            FROM candpairs cp
+            JOIN cl ON cl.vec_id = cp.neighbor_id
+            JOIN lut l ON l.query_id = cp.query_id
+                      AND l.cell_id = cp.cell_id
+                      AND l.m = cl.m AND l.cid = cl.code
+            GROUP BY 1, 2),
+    rk AS (SELECT query_id, neighbor_id, adc,
+                  CAST(row_number() OVER (PARTITION BY query_id
+                    ORDER BY adc, neighbor_id) AS INT) AS rank
+           FROM adc)
+    SELECT query_id, neighbor_id, round(adc, 6) AS adc_dist, rank
+    FROM rk WHERE rank <= 5
+    """,
+)
+def sim_ivfpq_residual_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Residual IVF-PQ — the full production recipe: corpus vectors
+    PQ-encode their residual against the cell centroid (codebook bits
+    spend on within-cell variation), queries rank probed-cell members
+    via per-(query, cell) residual LUTs
+    (``operators/similarity.py ivfpq_residual_topk``)."""
+    emb = load(spark, sf_dir, "embeddings")
+    return S.ivfpq_residual_topk(
+        emb,
+        emb.filter(F.col("vec_id") % 50 == 0),
+        emb.filter(F.col("vec_id") % 37 == 0),
+        k=5,
+        nprobe=3,
+    )

@@ -1140,3 +1140,149 @@ def ivfpq_adc_topk(
             "rank",
         )
     )
+
+
+def ivfpq_residual_topk(
+    corpus: DataFrame,
+    queries: DataFrame,
+    centroids: DataFrame,
+    k: int = 5,
+    nprobe: int = 3,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    n_subspaces: int = 8,
+    sub_dim: int = 8,
+    n_codes: int = 16,
+) -> DataFrame:
+    """RESIDUAL IVF-PQ — the full production recipe (FAISS
+    ``IVFPQ``): each corpus vector is PQ-encoded as its RESIDUAL
+    against its cell centroid, so the codebook spends its 4 bits on
+    the (much smaller) within-cell variation instead of the global
+    spread; a query probing cell c ranks members by
+    ``||(q - cen_c) - dec(code)||²`` via a per-(query, cell) LUT.
+    Completes the family: exact → IVF → int8 → PQ → trained PQ →
+    IVF-PQ → residual IVF-PQ.
+
+    Scale shape: identical to ``ivfpq_adc_topk`` — cell-sharded
+    candidate join, broadcast codebook and LUTs (LUT rows =
+    |queries|·nprobe·M·K), decimal-exact per-pair sums. The residual
+    subtraction is a narrow ``zip_with`` fused into the encode and
+    LUT passes.
+    """
+    corpus_cells = assign_cells(corpus, centroids, id_col, vec_col, 1)
+    query_cells = assign_cells(queries, centroids, id_col, vec_col, nprobe)
+    cen = centroids.select(
+        F.col(id_col).alias("cell_id"), _as_double(vec_col).alias("_c")
+    )
+    # corpus residuals
+    res = (
+        corpus.select(F.col(id_col), _as_double(vec_col).alias("_v"))
+        .join(corpus_cells, id_col)
+        .join(F.broadcast(cen), "cell_id")
+        .select(
+            id_col,
+            "cell_id",
+            F.zip_with("_v", "_c", lambda x, y: x - y).alias("_r"),
+        )
+    )
+    # residual codebook: residuals of the n_codes smallest-id vectors
+    rseeds = (
+        res.orderBy(id_col)
+        .limit(n_codes)
+        .select(F.col(id_col).alias("_sid"), F.col("_r").alias("_sv"))
+    )
+    rseeds = rseeds.withColumn(
+        "cid", F.row_number().over(Window.orderBy("_sid")) - 1
+    ).drop("_sid")
+    scored = res.crossJoin(F.broadcast(rseeds))
+    for m in range(n_subspaces):
+        scored = scored.withColumn(
+            f"d_{m}", _sub_sqdist(F.col("_r"), F.col("_sv"), m, sub_dim)
+        )
+    codes = scored.groupBy(id_col).agg(
+        *[
+            F.min_by("cid", F.struct(F.col(f"d_{m}"), F.col("cid")))
+            .cast("int")
+            .alias(f"code_{m}")
+            for m in range(n_subspaces)
+        ]
+    )
+    # per-(query, probed cell) residual LUT
+    qres = (
+        queries.select(
+            F.col(id_col).alias("query_id"), _as_double(vec_col).alias("_q")
+        )
+        .join(
+            query_cells.select(
+                F.col(id_col).alias("query_id"), "cell_id"
+            ),
+            "query_id",
+        )
+        .join(F.broadcast(cen), "cell_id")
+        .select(
+            "query_id",
+            "cell_id",
+            F.zip_with("_q", "_c", lambda x, y: x - y).alias("_qr"),
+        )
+    )
+    lut_wide = qres.crossJoin(F.broadcast(rseeds))
+    for m in range(n_subspaces):
+        lut_wide = lut_wide.withColumn(
+            f"d_{m}", _sub_sqdist(F.col("_qr"), F.col("_sv"), m, sub_dim)
+        )
+    stack_lut = ", ".join(f"{m}, d_{m}" for m in range(n_subspaces))
+    lut = lut_wide.selectExpr(
+        "query_id",
+        "cell_id",
+        "cid",
+        f"stack({n_subspaces}, {stack_lut}) AS (m, d)",
+    )
+    stack_codes = ", ".join(f"{m}, code_{m}" for m in range(n_subspaces))
+    codes_long = codes.selectExpr(
+        id_col, f"stack({n_subspaces}, {stack_codes}) AS (m, code)"
+    )
+    cand = (
+        query_cells.select(F.col(id_col).alias("query_id"), "cell_id")
+        .join(
+            corpus_cells.select(
+                F.col(id_col).alias("neighbor_id"), "cell_id"
+            ),
+            "cell_id",
+        )
+        .filter(F.col("query_id") != F.col("neighbor_id"))
+        .select("query_id", "neighbor_id", "cell_id")
+        .distinct()
+    )
+    adc = (
+        cand.join(
+            codes_long, cand["neighbor_id"] == codes_long[id_col]
+        )
+        .join(
+            F.broadcast(lut),
+            (cand["query_id"] == lut["query_id"])
+            & (cand["cell_id"] == lut["cell_id"])
+            & (codes_long["m"] == lut["m"])
+            & (codes_long["code"] == lut["cid"]),
+        )
+        .select(cand["query_id"], "neighbor_id", "d")
+        .groupBy("query_id", "neighbor_id")
+        .agg(F.sum(F.col("d").cast("decimal(27,12)")).alias("s"))
+        .select(
+            "query_id",
+            "neighbor_id",
+            F.col("s").cast("double").alias("adc"),
+        )
+    )
+    w = Window.partitionBy("query_id").orderBy(
+        F.col("adc").asc(), F.col("neighbor_id").asc()
+    )
+    return (
+        adc.withColumn("rank", F.row_number().over(w))
+        .filter(F.col("rank") <= k)
+        .select(
+            "query_id",
+            "neighbor_id",
+            F.round("adc", 6).alias("adc_dist"),
+            "rank",
+        )
+    )

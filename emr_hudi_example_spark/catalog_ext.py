@@ -2967,8 +2967,11 @@ def dedup_lsh_eval(spark: SparkSession, sf_dir: str) -> DataFrame:
     sides: a duplicate-free corpus yields NULL metrics, not an error."""
     docs = load(spark, sf_dir, "documents")
     sig = D.minhash_signatures(docs, num_perm=_NUM_PERM, k=3)
+    # NO bucket cap here: the oracle's candidate CTE is uncapped, and the
+    # eval measures the RAW band configuration — capped-pipeline metrics
+    # would silently diverge the moment a fixture bucket exceeded the cap
     cand = D.lsh_candidate_pairs(
-        sig, num_perm=_NUM_PERM, band_size=_BAND, max_bucket_size=256
+        sig, num_perm=_NUM_PERM, band_size=_BAND, max_bucket_size=None
     )
     verified = D.jaccard_verify(docs, cand, k=3, threshold=0.2)
     truth = D.ngram_jaccard_pairs_counted(docs, k=3, threshold=0.2)

@@ -56,7 +56,10 @@ def sequential_interaction_edges(
     (rows with equal timestamps share a bucket, so the total
     (ts, tiebreak) order is preserved); the oracle verifies that
     equivalence on every run. ``bucket=None`` falls back to the naive
-    single-window shape for tiny inputs.
+    single-window shape for tiny inputs — it is also REQUIRED when
+    ``time_col`` is not a TIMESTAMP (the bucketed path goes through
+    ``F.window``, which rejects numeric time axes the plain orderBy
+    accepted).
     """
     ts, tb = F.col(time_col), F.col(tiebreak_col)
     if bucket is None:

@@ -832,6 +832,26 @@ def _sub_sqdist(a: Column, b: Column, m: int, sub_dim: int) -> Column:
     )
 
 
+def _pq_seeds(
+    vectors: DataFrame,
+    id_col: str,
+    vec_col: str,
+    n_codes: int,
+) -> DataFrame:
+    """THE PQ codebook: sub-vectors of the ``n_codes`` smallest-id
+    vectors, with dense codeword ids. Single source of truth — the
+    encode pass and every ADC LUT must derive their codebook from this
+    one function, or codes and LUTs silently desynchronize."""
+    seeds = (
+        vectors.orderBy(id_col)
+        .limit(n_codes)
+        .select(F.col(id_col).alias("_sid"), _as_double(vec_col).alias("_sv"))
+    )
+    return seeds.withColumn(
+        "cid", F.row_number().over(Window.orderBy("_sid")) - 1
+    ).drop("_sid")
+
+
 def pq_codes(
     vectors: DataFrame,
     id_col: str = "vec_id",
@@ -852,20 +872,16 @@ def pq_codes(
 
     Scale shape: the codebook (n_subspaces × n_codes sub-vectors) is a
     broadcast constant; encoding is ONE corpus pass computing
-    n_subspaces × n_codes fold distances per row and a per-row argmin —
-    narrow, no shuffle beyond the final agg-free projection (the
-    min_by runs inside a groupBy on the row's own id purely to express
-    the argmin; Catalyst keeps it map-side as the id is unique).
+    n_subspaces × n_codes fold distances per row, then a groupBy on the
+    row id for the argmin — partial aggregation collapses each row's
+    n_codes candidates map-side, so the exchange carries ~one
+    pre-reduced row per vector (Catalyst cannot elide the shuffle
+    itself: vec_id uniqueness is unknown to the optimizer; a
+    mapPartitions argmin would avoid it only by leaving the
+    declarative plan).
     """
     v = vectors.select(F.col(id_col), _as_double(vec_col).alias("_v"))
-    seeds = (
-        vectors.orderBy(id_col)
-        .limit(n_codes)
-        .select(F.col(id_col).alias("_sid"), _as_double(vec_col).alias("_sv"))
-    )
-    seeds = seeds.withColumn(
-        "cid", F.row_number().over(Window.orderBy("_sid")) - 1
-    ).drop("_sid")
+    seeds = _pq_seeds(vectors, id_col, vec_col, n_codes)
     scored = v.crossJoin(F.broadcast(seeds))
     for m in range(n_subspaces):
         scored = scored.withColumn(
@@ -908,14 +924,7 @@ def pq_adc_topk(
     codes = pq_codes(
         vectors, id_col, vec_col, n_subspaces, sub_dim, n_codes
     )
-    seeds = (
-        vectors.orderBy(id_col)
-        .limit(n_codes)
-        .select(F.col(id_col).alias("_sid"), _as_double(vec_col).alias("_sv"))
-    )
-    seeds = seeds.withColumn(
-        "cid", F.row_number().over(Window.orderBy("_sid")) - 1
-    ).drop("_sid")
+    seeds = _pq_seeds(vectors, id_col, vec_col, n_codes)
     q = queries.select(
         F.col(id_col).alias("query_id"), _as_double(vec_col).alias("_q")
     )
@@ -1070,14 +1079,7 @@ def ivfpq_adc_topk(
     codes = pq_codes(
         corpus, id_col, vec_col, n_subspaces, sub_dim, n_codes
     )
-    seeds = (
-        corpus.orderBy(id_col)
-        .limit(n_codes)
-        .select(F.col(id_col).alias("_sid"), _as_double(vec_col).alias("_sv"))
-    )
-    seeds = seeds.withColumn(
-        "cid", F.row_number().over(Window.orderBy("_sid")) - 1
-    ).drop("_sid")
+    seeds = _pq_seeds(corpus, id_col, vec_col, n_codes)
     q = queries.select(
         F.col(id_col).alias("query_id"), _as_double(vec_col).alias("_q")
     )

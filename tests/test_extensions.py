@@ -855,6 +855,8 @@ def test_pq_refinement_reduces_distortion(spark):
         ).alias("d")
     )
     total_sampled = d.agg(F.sum("d")).collect()[0][0]
-    assert total_refined <= total_sampled + 1e-6, (
+    # rdist values are rounded to 6 dp before summing (~4k terms →
+    # up to ~2e-3 aggregate rounding perturbation); slack covers it
+    assert total_refined <= total_sampled + 1e-2, (
         total_refined, total_sampled,
     )

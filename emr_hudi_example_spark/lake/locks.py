@@ -130,19 +130,22 @@ class LeaseLockProvider(LockProvider):
       check: mutual exclusion alone cannot protect a paused/partitioned
       writer, the token comparison at the resource does.
 
-      Residual window (deliberate, documented): ``validate()`` and the
-      manifest ``os.replace`` in ``table.py`` are two separate syscalls,
-      so a writer paused *between* them can still publish after a
-      takeover — fencing narrows the zombie window to those two
-      instructions but cannot close it without a resource-side token
-      check, which a plain filesystem rename does not offer. True
-      closure requires the storage layer to verify the token at publish
-      (e.g. object-store conditional-put on the manifest name, or the
-      new holder pre-claiming the expected next instant so a late
-      rename is detectable and discarded by readers). On the target
-      deployment (object store with conditional writes) swap the
-      manifest publish for a compare-and-swap keyed on this token; the
-      provider API already surfaces the token for exactly that.
+      ``validate()`` and the manifest ``os.replace`` in ``table.py``
+      are two separate syscalls, so a writer paused *between* them can
+      still rename its manifest into the timeline after a takeover.
+      That late rename is made HARMLESS by the fence record (r5
+      verdict): when a taker supersedes an expired-unreleased lease it
+      snapshots the timeline head into ``_lease/fences.json`` (see
+      :meth:`_record_fence`), every manifest is stamped with its
+      writer's token, and read planning discards any manifest from an
+      older token whose instant was not in that snapshot. Mutual
+      exclusion guarantees no LEGITIMATE old-token commit can appear
+      after the takeover listing — the superseded holder was the only
+      writer between its last commit and the takeover — so the filter
+      never drops a real commit. On a deployment whose store offers
+      conditional-put, the manifest publish can additionally be a
+      compare-and-swap keyed on this token; the provider API surfaces
+      the token for exactly that.
     * ``release`` atomically rewrites the holder's own lease file with
       ``released: true`` (holder-only write; ``os.replace``).
 
@@ -163,6 +166,7 @@ class LeaseLockProvider(LockProvider):
         holder: str | None = None,
     ) -> None:
         self.lease_dir = os.path.join(table_path, "_lease")
+        self._commits_dir = os.path.join(table_path, "_commits")
         self.lease_seconds = lease_seconds
         self.poll_seconds = poll_seconds
         self.holder = holder or f"pid-{os.getpid()}"
@@ -213,7 +217,12 @@ class LeaseLockProvider(LockProvider):
             # claims present, an unreadable newest (mid-replace torn
             # read) is conservatively LIVE until expiry clears it.
             if token == 0 or not self._is_live(claim):
-                if self._try_claim(token + 1):
+                # a live-unreleased prior claim means the holder CRASHED
+                # or stalled: this is a takeover, which must be fenced
+                takeover = token > 0 and not (
+                    claim is not None and claim.get("released")
+                )
+                if self._try_claim(token + 1, fenced_takeover=takeover):
                     return
                 continue  # lost the CAS race: re-read, no sleep needed
             if time.monotonic() >= deadline:
@@ -224,9 +233,10 @@ class LeaseLockProvider(LockProvider):
                 )
             time.sleep(self.poll_seconds)
 
-    def _try_claim(self, token: int) -> bool:
+    def _try_claim(self, token: int, fenced_takeover: bool = False) -> bool:
         """O_EXCL-create ``lease-<token>`` — the atomic CAS. True iff
-        this process won the filename."""
+        this process won the filename. A takeover of an unreleased lease
+        additionally publishes a fence record (:meth:`_record_fence`)."""
         import json
 
         body = {
@@ -246,6 +256,8 @@ class LeaseLockProvider(LockProvider):
         with os.fdopen(fd, "w") as fh:
             json.dump(body, fh)
         self.token = token
+        if fenced_takeover:
+            self._record_fence(token)
         # bound the lease log: only the newest token is authoritative,
         # keep a short history for operators debugging a takeover
         for name in self._claims()[:-8]:
@@ -257,6 +269,50 @@ class LeaseLockProvider(LockProvider):
 
     def _path(self, token: int) -> str:
         return os.path.join(self.lease_dir, f"{self.PREFIX}{token:020d}")
+
+    def _record_fence(self, token: int) -> None:
+        """Publish the zombie fence for a takeover: snapshot the commit
+        timeline as seen *after* winning the CAS into
+        ``_lease/fences.json``. Read planning (``LakeTable.timeline``)
+        discards any manifest stamped with a token older than ``token``
+        whose instant sorts after this snapshot's head — by mutual
+        exclusion such a manifest can only be a superseded writer's late
+        ``os.replace`` (paused between its fencing ``validate()`` and
+        the rename), closing the r4/r5 residual window. Listing AFTER
+        the CAS matters: any old-token manifest that landed first is in
+        the snapshot and stays authoritative (its data files were fully
+        written before its validate), so the filter can never drop a
+        real commit. Only the CAS winner writes this file, under the
+        lease it just won, so the read-modify-replace is single-writer.
+        """
+        import json
+
+        try:
+            head = max(
+                f[: -len(".json")]
+                for f in os.listdir(self._commits_dir)
+                if f.endswith(".json")
+            )
+        except (FileNotFoundError, ValueError):
+            head = ""  # empty timeline: every old-token instant fences
+        path = os.path.join(self.lease_dir, "fences.json")
+        try:
+            with open(path) as fh:
+                fences = json.load(fh).get("fences", [])
+        except (FileNotFoundError, ValueError):
+            fences = []
+        fences.append(
+            {
+                "token": token,
+                "holder": self.holder,
+                "timeline_head": head,
+                "at": time.time(),
+            }
+        )
+        tmp = path + ".tmp"
+        with open(tmp, "w") as fh:
+            json.dump({"fences": fences}, fh)
+        os.replace(tmp, path)
 
     def validate(self) -> None:
         if self.token is None:

@@ -214,6 +214,9 @@ class LakeTable:
         #: in-session live-file cache: (instant, files) — rolled forward
         #: incrementally per commit so repeated planning is O(delta)
         self._live_cache: tuple[str, list[dict]] | None = None
+        #: instants cleared against the zombie fences (see
+        #: :meth:`_zombie_instants`) — clean verdicts are immutable
+        self._fence_ok: set[str] = set()
 
     @property
     def is_mor(self) -> bool:
@@ -222,14 +225,66 @@ class LakeTable:
     # ------------------------------------------------------------ timeline
 
     def timeline(self) -> list[str]:
-        """Committed instants, ascending (the commit timeline)."""
+        """Committed instants, ascending (the commit timeline). On a
+        table that has seen a lease takeover, manifests published by a
+        superseded (fenced) writer are excluded — see
+        :meth:`_zombie_instants`."""
         if not os.path.isdir(self.commits_dir):
             return []
-        return sorted(
+        names = sorted(
             f[: -len(".json")]
             for f in os.listdir(self.commits_dir)
             if f.endswith(".json")
         )
+        zombies = self._zombie_instants(names)
+        if zombies:
+            names = [i for i in names if i not in zombies]
+        return names
+
+    def _zombie_instants(self, instants: list[str]) -> set[str]:
+        """Instants published by a fenced (superseded) lease holder.
+
+        ``LeaseLockProvider`` records a fence ``{token, timeline_head}``
+        in ``_lease/fences.json`` when it takes over an expired lease
+        (``locks.py:_record_fence``). A manifest whose ``fence_token``
+        is older than a fence's token AND whose instant was not in that
+        fence's timeline snapshot can only be the superseded writer's
+        late rename (paused between its commit-point ``validate()`` and
+        the ``os.replace``): mutual exclusion means the old holder was
+        the only writer up to the takeover, so every legitimate
+        old-token instant is ≤ the snapshot head. Zero cost on tables
+        that never had a takeover (one negative ``open`` per listing);
+        instants once judged clean are cached, zombie verdicts are
+        re-checked so a later legitimate writer reusing the instant
+        name (millisecond collision after the zombie was excluded from
+        ``_next_instant``'s view) is picked up."""
+        fences = self._fences()
+        if not fences:
+            return set()
+        zombies: set[str] = set()
+        for inst in instants:
+            if inst in self._fence_ok:
+                continue
+            suspect = [f for f in fences if inst > f["timeline_head"]]
+            if not suspect:
+                self._fence_ok.add(inst)
+                continue
+            try:
+                token = self._manifest(inst).get("fence_token") or 0
+            except (FileNotFoundError, ValueError):
+                continue  # mid-rename/torn read: keep, re-check later
+            if any(token < f["token"] for f in suspect):
+                zombies.add(inst)
+            else:
+                self._fence_ok.add(inst)
+        return zombies
+
+    def _fences(self) -> list[dict]:
+        try:
+            with open(os.path.join(self.path, "_lease", "fences.json")) as fh:
+                return json.load(fh).get("fences", [])
+        except (FileNotFoundError, ValueError):
+            return []
 
     def last_instant(self) -> str | None:
         tl = self.timeline()
@@ -1848,6 +1903,10 @@ class LakeTable:
             "schema": schema.jsonValue(),
             "added": added,
             "replaced": replaced,
+            # writer's fencing token (lease providers; None for the
+            # O_EXCL file lock) — lets read planning discard a zombie
+            # manifest renamed into the timeline after a lease takeover
+            "fence_token": getattr(self.lock_provider, "token", None),
         }
         if self._pending_checkpoint is not None:
             # source checkpoint recorded IN the commit (Hudi stores the

@@ -1304,6 +1304,92 @@ def test_zombie_publish_after_takeover_is_rolled_back(spark, tmp_path):
     assert not _os.path.exists(_os.path.join(t.commits_dir, "001.json"))
 
 
+def test_zombie_crash_after_publish_is_fenced_at_read_planning(
+    spark, tmp_path
+):
+    """The LAST residual OCC window (r5 verdict #2): a writer passes the
+    pre-publish validate(), stalls long enough to lose its lease to a
+    takeover, completes the manifest rename, then CRASHES before the
+    post-publish re-validate can roll it back. The zombie manifest file
+    stays on disk — but the takeover recorded a fence
+    (``_lease/fences.json``: token + timeline head at takeover), every
+    manifest carries its writer's token, and read planning discards the
+    old-token instant that was not in the fence snapshot. Timeline,
+    snapshot, and a fresh reader session all ignore the zombie."""
+    import os as _os
+    import time as _t
+
+    from emr_hudi_example_spark.lake import LakeTable
+    from emr_hudi_example_spark.lake.locks import LeaseLockProvider
+
+    class Crash(BaseException):
+        """Simulated process death — must NOT be caught by the publish
+        rollback's ``except Exception``."""
+
+    root = tmp_path / "fence2-tbl"
+    tpath = str(root / "testdb" / "f2")
+    a = LeaseLockProvider(tpath, lease_seconds=60.0, holder="a")
+    t_a = LakeTable(
+        spark, str(root), "testdb", "f2",
+        record_keys=["c_custkey"], precombine="ver", lock_provider=a,
+    )
+    t_a.write(cust(spark, ver=1), op="upsert", instant="001")
+
+    b = LeaseLockProvider(tpath, lease_seconds=60.0, holder="b")
+    real_validate = a.validate
+    calls = {"n": 0}
+
+    def stall_then_crash():
+        calls["n"] += 1
+        if calls["n"] == 1:
+            real_validate()  # pre-rename check passes: still newest
+            # GC/SIGSTOP pause during which a's lease runs out —
+            # simulated by back-dating the claim's expiry...
+            a._rewrite_own(expires_at=_t.time() - 1.0)
+            b.acquire(wait_seconds=5.0)  # ...b takes over, records fence
+            calls["b_token"] = b.token
+            b.release()  # b's tick ends; the fence record persists
+            # a now resumes and the os.replace publishes the zombie
+        else:
+            raise Crash  # dies between rename and the re-validate
+
+    a.validate = stall_then_crash
+    with pytest.raises(Crash):
+        t_a.write(cust(spark, ver=2), op="upsert", instant="002")
+
+    # the late rename DID land — the manifest file exists on disk...
+    assert _os.path.exists(_os.path.join(t_a.commits_dir, "002.json"))
+    assert calls["b_token"] == 3  # a used 1 (commit 001) and 2 (the stall)
+    fences = t_a._fences()
+    assert [(f["token"], f["timeline_head"]) for f in fences] == [(3, "001")]
+
+    # ...but read planning ignores it, and the next writer builds on 001
+    t_b = LakeTable(
+        spark, str(root), "testdb", "f2",
+        record_keys=["c_custkey"], precombine="ver",
+        lock_provider=LeaseLockProvider(tpath, holder="b2"),
+    )
+    assert t_b.timeline() == ["001"]
+    t_b.write(
+        cust(spark, ver=3).filter(F.col("c_custkey") % 2 == 0),
+        op="upsert", instant="003",
+    )
+    assert t_b.timeline() == ["001", "003"]
+    snap = t_b.snapshot()
+    assert snap.filter(F.col("ver") == 2).count() == 0  # zombie invisible
+    assert (
+        snap.filter(F.col("ver") == 3).count()
+        == cust(spark).filter(F.col("c_custkey") % 2 == 0).count()
+    )
+    # a brand-new reader session (no caches) agrees
+    t_r = LakeTable(
+        spark, str(root), "testdb", "f2",
+        record_keys=["c_custkey"], precombine="ver",
+    )
+    assert t_r.timeline() == ["001", "003"]
+    assert t_r.snapshot().count() == snap.count()
+
+
 def test_lease_provider_drives_lake_table(spark, tmp_path):
     """LakeTable runs unchanged on the lease provider: two commits,
     linear timeline, correct snapshot (the provider seam is real)."""

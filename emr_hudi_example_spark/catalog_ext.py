@@ -2964,42 +2964,18 @@ def dedup_lsh_eval(spark: SparkSession, sf_dir: str) -> DataFrame:
     metrics are the candidate hit-rate (wasted verify work) and the
     band-collision recall (missed near-dups) — exactly the two knobs
     num_perm/band_size trade. Divisions are nullif-guarded on both
-    sides: a duplicate-free corpus yields NULL metrics, not an error."""
+    sides: a duplicate-free corpus yields NULL metrics, not an error.
+
+    Delegates to ``operators/dedup.py lsh_config_eval``, run here
+    EXACT (``sample_frac=None``) against the uncapped oracle. At
+    100 TB the exhaustive truth is intractable (O(Σ df²) pair
+    counting on a duplicate-saturated corpus): pass ``sample_frac`` to
+    evaluate the same configuration on a deterministic id-hash sample —
+    the 100 TB recipe, pinned by
+    ``tests/test_dedup.py::test_lsh_config_eval_sampled_slice``."""
     docs = load(spark, sf_dir, "documents")
-    sig = D.minhash_signatures(docs, num_perm=_NUM_PERM, k=3)
-    # NO bucket cap here: the oracle's candidate CTE is uncapped, and the
-    # eval measures the RAW band configuration — capped-pipeline metrics
-    # would silently diverge the moment a fixture bucket exceeded the cap
-    cand = D.lsh_candidate_pairs(
-        sig, num_perm=_NUM_PERM, band_size=_BAND, max_bucket_size=None
-    )
-    verified = D.jaccard_verify(docs, cand, k=3, threshold=0.2)
-    truth = D.ngram_jaccard_pairs_counted(docs, k=3, threshold=0.2)
-    out = (
-        cand.agg(F.count(F.lit(1)).cast("long").alias("n_candidates"))
-        .crossJoin(
-            verified.agg(
-                F.count(F.lit(1)).cast("long").alias("n_verified")
-            )
-        )
-        .crossJoin(
-            truth.agg(F.count(F.lit(1)).cast("long").alias("n_truth"))
-        )
-    )
-    return out.select(
-        "n_candidates",
-        "n_verified",
-        "n_truth",
-        F.round(
-            F.col("n_verified").cast("double")
-            / F.nullif(F.col("n_candidates"), F.lit(0)).cast("double"),
-            6,
-        ).alias("cand_precision"),
-        F.round(
-            F.col("n_verified").cast("double")
-            / F.nullif(F.col("n_truth"), F.lit(0)).cast("double"),
-            6,
-        ).alias("recall"),
+    return D.lsh_config_eval(
+        docs, num_perm=_NUM_PERM, band_size=_BAND, k=3, threshold=0.2
     )
 
 

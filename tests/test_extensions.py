@@ -860,3 +860,24 @@ def test_pq_refinement_reduces_distortion(spark):
     assert total_refined <= total_sampled + 1e-2, (
         total_refined, total_sampled,
     )
+
+
+def test_lsh_config_eval_sampled_slice(spark):
+    """The 100 TB recipe for dedup_lsh_eval's exhaustive ground truth
+    (r5 verdict #3): sample_frac runs ALL THREE legs (signatures,
+    candidates, truth) on a deterministic id-hash sample, so the
+    sampled eval is EXACTLY the full eval of the pre-filtered corpus —
+    the estimate is reproducible, engine-independent, and unbiased
+    (a pair's Jaccard does not depend on the rest of the corpus)."""
+    from emr_hudi_example_spark.operators import dedup as D
+
+    docs = spark.read.parquet(f"{SF}/documents.parquet").limit(400)
+    kw = dict(num_perm=12, band_size=3, k=3, threshold=0.2)
+    sampled = D.lsh_config_eval(docs, sample_frac=0.5, seed=7, **kw)
+    slice_ = D.hash_sample(docs, "doc_id", 0.5, seed=7)
+    manual = D.lsh_config_eval(slice_, **kw)
+    assert sampled.collect() == manual.collect()
+    n_slice = slice_.count()
+    assert 0 < n_slice < 400  # the sample is a real, proper subset
+    # and the exact (sample_frac=None) path is unchanged: identity slice
+    assert D.hash_sample(docs, "doc_id", None).count() == 400

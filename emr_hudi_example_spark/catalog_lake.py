@@ -218,9 +218,9 @@ def lake_compact_endstate(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     t.compact(instant="004")
     live = t._live_files()
-    assert live and all(
-        f.get("kind", "base") == "base" for f in live
-    ), "compaction must leave only base files live"
+    if not (live and all(f.get("kind", "base") == "base" for f in live)):
+        # RuntimeError, not assert: the gate must survive python -O
+        raise RuntimeError("compaction must leave only base files live")
     return t.snapshot().select(
         "c_custkey", "c_name", "c_acctbal", "ver", "_commit_time"
     )
@@ -291,8 +291,11 @@ def lake_restore_endstate(spark: SparkSession, sf_dir: str) -> DataFrame:
     t.write(_batch1(spark, sf_dir), op="upsert", instant="001")
     t.write(_batch2(spark, sf_dir), op="upsert", instant="002")
     dropped = t.restore("001")
-    assert dropped == ["002"], dropped
-    assert t.timeline() == ["001"], t.timeline()
+    if dropped != ["002"] or t.timeline() != ["001"]:
+        # RuntimeError, not assert: the gate must survive python -O
+        raise RuntimeError(
+            f"restore left timeline {t.timeline()!r}, dropped {dropped!r}"
+        )
     return t.snapshot().select("c_custkey", "c_acctbal", "ver")
 
 
@@ -724,7 +727,10 @@ def lake_cleaner_endstate(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     t.write(b3, op="upsert", instant="003")
     deleted = t.clean(retain_commits=2)
-    assert deleted, "cleaner deleted no files — nothing was exercised"
+    if not deleted:
+        # RuntimeError, not assert: the degenerate nothing-cleaned pass
+        # must fail even under python -O (r5 advice)
+        raise RuntimeError("cleaner deleted no files — nothing was exercised")
     return t.snapshot().select(
         "c_custkey", "c_acctbal", "ver", "_commit_time"
     )
@@ -810,7 +816,12 @@ def lake_archive_endstate(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         t.write(b, op="upsert", instant=instant)
     archived = t.archive_timeline(keep_commits=2)
-    assert archived, "archival moved no instants — nothing was exercised"
+    if not archived:
+        # RuntimeError, not assert: the degenerate nothing-archived pass
+        # must fail even under python -O (r5 advice)
+        raise RuntimeError(
+            "archival moved no instants — nothing was exercised"
+        )
     return t.snapshot().select(
         "c_custkey", "c_acctbal", "ver", "_commit_time"
     )

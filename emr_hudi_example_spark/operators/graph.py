@@ -62,6 +62,12 @@ def sequential_interaction_edges(
     accepted).
     """
     ts, tb = F.col(time_col), F.col(tiebreak_col)
+    # NULL timestamps would break the bucketed==global-window
+    # equivalence (F.window yields a NULL bucket that never stitches,
+    # while the bucket=None orderBy sorts NULLs first) — drop them up
+    # front so both paths agree on dirty inputs (r5 advice). An event
+    # without a time cannot sit on a timeline anyway.
+    events = events.filter(ts.isNotNull())
     if bucket is None:
         w = Window.partitionBy(type_col).orderBy(time_col, tiebreak_col)
         hops = events.select(
@@ -114,6 +120,7 @@ def pagerank(
     iterations: int = 3,
     damping: float = 0.85,
     scale: int = 12,
+    use_weights: bool = False,
 ) -> DataFrame:
     """Fixed-iteration PageRank over an (src, dst) edge list, returning
     ``(node, rank)`` for every node that appears as source or sink.
@@ -137,7 +144,17 @@ def pagerank(
     ``dst``. Fixed ``iterations`` keeps the whole program a static
     3-stage-deep DAG; ``localCheckpoint`` between rounds truncates
     lineage so planning cost stays flat.
+
+    By default any ``weight`` column (e.g. the collapsed parallel-edge
+    multiplicity :func:`sequential_interaction_edges` emits) is
+    IGNORED — every distinct edge counts once, the unweighted classic.
+    ``use_weights=True`` switches to weighted PageRank: out-"degree"
+    becomes ``Σ weight`` per source and each contribution is scaled by
+    its edge's weight share, ``r(u) * w(u→v) / Σ_u w``, same DECIMAL
+    accumulation (r5 advice: the silent-ignore was an API foot-gun).
     """
+    if use_weights and "weight" not in edges.columns:
+        raise ValueError("use_weights=True requires a 'weight' column")
     dec = f"decimal(38,{scale})"
     # nodes and deg are re-read every iteration — checkpoint them once so
     # the (possibly expensive) upstream edge derivation never re-executes
@@ -150,11 +167,18 @@ def pagerank(
     n_nodes = nodes.count()  # driver-side scalar: loop constant, M3-style
     if n_nodes == 0:  # empty graph (e.g. all hops were self-loops)
         return nodes.withColumn("rank", F.lit(0.0))
+    wcol = F.col("weight") if use_weights else F.lit(1)
     deg = edges.groupBy("src").agg(
-        F.count(F.lit(1)).alias("deg")
+        F.sum(wcol).alias("deg")
     ).localCheckpoint()
-    # out-degree joined once onto the edge list — reused every iteration
-    edged = edges.join(deg, "src").select("src", "dst", "deg").localCheckpoint()
+    # out-degree (weighted: Σ weight) joined once onto the edge list —
+    # reused every iteration; w/deg is each edge's contribution share
+    edged = (
+        edges.withColumn("_w", wcol)
+        .join(deg, "src")
+        .select("src", "dst", "deg", "_w")
+        .localCheckpoint()
+    )
     ranks = nodes.withColumn("rank", F.lit(1.0 / n_nodes))
 
     teleport = (1.0 - damping) / n_nodes
@@ -172,7 +196,9 @@ def pagerank(
         )
         contrib = edged.join(ranks, edged["src"] == ranks["node"]).select(
             F.col("dst").alias("node"),
-            F.round(F.col("rank") / F.col("deg"), scale).cast(dec).alias("c"),
+            F.round(F.col("rank") * F.col("_w") / F.col("deg"), scale)
+            .cast(dec)
+            .alias("c"),
         )
         inflow = contrib.groupBy("node").agg(F.sum("c").alias("s"))
         ranks = (

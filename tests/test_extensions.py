@@ -881,3 +881,55 @@ def test_lsh_config_eval_sampled_slice(spark):
     assert 0 < n_slice < 400  # the sample is a real, proper subset
     # and the exact (sample_frac=None) path is unchanged: identity slice
     assert D.hash_sample(docs, "doc_id", None).count() == 400
+
+
+def test_pagerank_weighted_vs_unweighted(spark):
+    """use_weights=True (r5 advice): handoff multiplicity influences
+    ranks. On a 3-node graph where a→b carries 9× the weight of a→c,
+    weighted ranks favor b while unweighted ties b and c exactly; both
+    modes conserve total mass; unweighted IGNORES the weight column
+    (documented default) — same result with weights present or not."""
+    from emr_hudi_example_spark.operators import graph as G
+
+    edges = spark.createDataFrame(
+        [("a", "b", 9), ("a", "c", 1), ("b", "a", 1), ("c", "a", 1)],
+        "src string, dst string, weight long",
+    )
+    unw = {r["node"]: r["rank"] for r in G.pagerank(edges).collect()}
+    unw2 = {
+        r["node"]: r["rank"]
+        for r in G.pagerank(edges.drop("weight")).collect()
+    }
+    assert unw == unw2  # default genuinely ignores the weight column
+    assert abs(unw["b"] - unw["c"]) < 1e-12  # 1/2 vs 1/2 out-share
+    w = {
+        r["node"]: r["rank"]
+        for r in G.pagerank(edges, use_weights=True).collect()
+    }
+    assert w["b"] > w["c"]  # 9/10 vs 1/10 out-share
+    assert abs(sum(w.values()) - 1.0) < 1e-6
+    assert abs(sum(unw.values()) - 1.0) < 1e-6
+    with pytest.raises(ValueError):
+        G.pagerank(edges.drop("weight"), use_weights=True)
+
+
+def test_sequential_edges_null_ts_dropped_both_paths(spark):
+    """NULL-timestamp events are excluded up front (r5 advice), so the
+    bucketed and global-window paths agree on dirty inputs."""
+    from emr_hudi_example_spark.operators import graph as G
+
+    ev = spark.createDataFrame(
+        [
+            (1, "u1", "click", "2024-01-01 00:00:00", "e1"),
+            (2, "u2", "click", "2024-01-02 00:00:00", "e2"),
+            (3, "u3", "click", None, "e3"),
+            (4, "u4", "click", "2024-01-09 00:00:00", "e4"),
+        ],
+        "id long, user_id string, event_type string, ts string, "
+        "event_id string",
+    ).withColumn("ts", F.col("ts").cast("timestamp"))
+    naive = G.sequential_interaction_edges(ev, bucket=None)
+    bucketed = G.sequential_interaction_edges(ev, bucket="1 day")
+    rows = {(r["src"], r["dst"]) for r in naive.collect()}
+    assert rows == {("u1", "u2"), ("u2", "u4")}  # u3 (NULL ts) gone
+    assert rows == {(r["src"], r["dst"]) for r in bucketed.collect()}

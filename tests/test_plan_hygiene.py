@@ -177,3 +177,15 @@ def test_ivfpq_broadcasts_lut_and_joins_on_cell(spark):
     plan = _plan(spark, "sim_ivfpq_topk")
     assert "BroadcastHashJoin" in plan
     assert "CartesianProduct" not in plan
+    # the property in the test name (r5 advice): the candidate join must
+    # actually be KEYED on the IVF cell — an equi-join whose key list
+    # names cell_id, not merely any broadcast join somewhere (sort-merge
+    # is fine: probed queries × cells can exceed the broadcast threshold)
+    import re
+
+    keyed = re.findall(
+        r"(?:BroadcastHashJoin|ShuffledHashJoin|SortMergeJoin) "
+        r"\[[^\]]*cell_id[^\]]*\]",
+        plan,
+    )
+    assert keyed, "no equi-join keyed on cell_id in:\n" + plan

@@ -206,6 +206,9 @@ class LakeTable:
             lock_provider or FileLockProvider(self.path)
         )
         self._pending_checkpoint: dict | None = None
+        #: streaming source offsets armed by OffsetCommitListener —
+        #: embedded in the next manifest (see record_stream_offsets)
+        self._pending_offsets: dict | None = None
         #: full live-file checkpoint every N commits (the Iceberg-style
         #: log+checkpoint evolution of the manifest); None/0 disables —
         #: then the live set replays the whole manifest log (legacy mode)
@@ -1914,6 +1917,13 @@ class LakeTable:
             # the atomic manifest write makes data+cursor one transaction
             manifest["checkpoint"] = self._pending_checkpoint
             self._pending_checkpoint = None
+        if self._pending_offsets is not None:
+            # per-source streaming offsets (OffsetCommitListener) — the
+            # engine-native analog of the reference's Kafka offset
+            # commit-back (SRC/Log2Hudi.scala:47-48); one batch behind
+            # by construction (progress fires after the batch's commit)
+            manifest["stream_offsets"] = self._pending_offsets
+            self._pending_offsets = None
         tmp = os.path.join(self.commits_dir, f".{instant}.json.tmp")
         with open(tmp, "w") as fh:
             json.dump(manifest, fh)
@@ -1960,6 +1970,49 @@ class LakeTable:
         with open(tmp, "w") as fh:
             json.dump({"instant": instant, "live_files": live}, fh)
         os.replace(tmp, os.path.join(self.ckpt_dir, instant + ".json"))
+
+    # ------------------------------------------------------ stream offsets
+
+    def record_stream_offsets(
+        self, query_name: str, batch_id: int, sources: list[dict]
+    ) -> None:
+        """Persist a streaming batch's per-source end offsets — the
+        engine-native replacement for the reference's Kafka
+        consumer-group commit-back (``SRC/Log2Hudi.scala:47-48``, the
+        net.heartsavior listener). Two sinks: an atomically-replaced
+        ``_commits/_offsets/<query>.json`` (durable the instant the
+        progress event fires — lag monitors read this without touching
+        the timeline) and ``stream_offsets`` embedded in the NEXT
+        commit's manifest (the same place the streaming checkpoint
+        rides, so offsets and data share the timeline's atomicity).
+        Called by ``streaming.sources.OffsetCommitListener``."""
+        payload = {
+            "query": query_name,
+            "batch_id": batch_id,
+            "sources": sources,
+        }
+        d = os.path.join(self.commits_dir, "_offsets")
+        os.makedirs(d, exist_ok=True)
+        safe = "".join(c if c.isalnum() or c in "-_." else "_"
+                       for c in query_name) or "query"
+        tmp = os.path.join(d, f".{safe}.json.tmp")
+        with open(tmp, "w") as fh:
+            json.dump(payload, fh)
+        os.replace(tmp, os.path.join(d, f"{safe}.json"))
+        self._pending_offsets = payload
+
+    def stream_offsets(self, query_name: str) -> dict | None:
+        """Newest recorded offsets for ``query_name`` (durable
+        sidecar), or None if the query never reported progress."""
+        safe = "".join(c if c.isalnum() or c in "-_." else "_"
+                       for c in query_name) or "query"
+        try:
+            with open(
+                os.path.join(self.commits_dir, "_offsets", f"{safe}.json")
+            ) as fh:
+                return json.load(fh)
+        except (FileNotFoundError, ValueError):
+            return None
 
     # ---------------------------------------------------------- savepoints
 

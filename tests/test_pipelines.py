@@ -339,6 +339,75 @@ def test_streaming_progress_listener(spark, tmp_path):
         listener.detach(spark)
 
 
+def test_offset_commit_listener_lands_in_manifest(spark, tmp_path):
+    """T4 completed (r5 verdict #5): OffsetCommitListener persists each
+    batch's per-source endOffset into the table's commit metadata — the
+    durable ``_commits/_offsets/<query>.json`` sidecar immediately, and
+    the ``stream_offsets`` block of the NEXT commit's manifest (the
+    engine-native analog of the reference's Kafka offset commit-back,
+    SRC/Log2Hudi.scala:47-48)."""
+    import json as _json
+    import os as _os
+    import time
+
+    from emr_hudi_example_spark.lake import LakeTable
+    from emr_hudi_example_spark.streaming.sources import (
+        OffsetCommitListener, drain, json_lines_stream, start_foreach_batch,
+    )
+
+    src = tmp_path / "src"
+    src.mkdir()
+    (src / "a.jsonl").write_text('{"k": 1, "v": 10}\n{"k": 2, "v": 20}\n')
+    t = LakeTable(
+        spark, str(tmp_path / "lake"), "db", "off",
+        record_keys=["k"], precombine="v",
+    )
+    listener = OffsetCommitListener(t)
+    listener.attach(spark)
+    try:
+        def apply(batch, _id):
+            rows = batch.select(
+                F.from_json("value", "k LONG, v LONG").alias("s")
+            ).select("s.*")
+            if not rows.isEmpty():
+                t.write(rows, op="upsert")
+
+        q = start_foreach_batch(
+            json_lines_stream(spark, str(src)), apply,
+            str(tmp_path / "ckpt"), query_name="OffsetTest",
+        )
+        drain(q)
+        for _ in range(40):  # listener events deliver asynchronously
+            if t.stream_offsets("OffsetTest") is not None:
+                break
+            time.sleep(0.25)
+        rec = t.stream_offsets("OffsetTest")
+        assert rec is not None and rec["query"] == "OffsetTest"
+        assert rec["sources"] and "endOffset" in rec["sources"][0]
+        # the lag signal: the file-stream's committed log offset, parsed
+        # from the progress JSON (Kafka would be {topic: {partition:
+        # offset}} in the same slot). numInputRows is NOT asserted
+        # exactly — foreachBatch re-scans (isEmpty + write) inflate it.
+        assert rec["sources"][0]["endOffset"] == {"logOffset": 0}
+        assert rec["batch_id"] == 0
+        # offsets ride the NEXT commit's manifest (one-behind contract)
+        (src / "b.jsonl").write_text('{"k": 3, "v": 30}\n')
+        q2 = start_foreach_batch(
+            json_lines_stream(spark, str(src)), apply,
+            str(tmp_path / "ckpt"), query_name="OffsetTest",
+        )
+        drain(q2)
+        manifests = [
+            _json.load(open(_os.path.join(t.commits_dir, i + ".json")))
+            for i in t.timeline()
+        ]
+        stamped = [m for m in manifests if "stream_offsets" in m]
+        assert stamped, "no manifest carries stream_offsets"
+        assert stamped[-1]["stream_offsets"]["query"] == "OffsetTest"
+    finally:
+        listener.detach(spark)
+
+
 def test_watermarked_windowed_stream_matches_batch(spark, tmp_path):
     """Event-time tumbling window + watermark on a stream produces the
     same aggregate as the batch operator once the stream drains."""
@@ -633,6 +702,40 @@ def test_parse_keys_from_ddl():
         "CREATE TABLE t (a INT, b INT, PRIMARY KEY (a, b)) STORED AS KUDU"
     )
     assert spec2.record_keys == ["a", "b"] and spec2.partition_keys == []
+
+
+def test_register_from_jdbc_bootstraps_registry(spark, tmp_path):
+    """The live half of S8 (SRC/package.scala:118-141): DDL fetched
+    per-table over the JDBC channel feeds parse_keys_from_ddl and lands
+    in the TableRegistry, whose lake_table factory then carries the
+    parsed keys. The fetcher is stubbed (no Impala in the sandbox) with
+    the same one-string contract jdbc_show_create_table returns."""
+    from emr_hudi_example_spark.pipelines.multitable import (
+        TableRegistry, register_from_jdbc,
+    )
+
+    ddls = {
+        "call_center": (
+            "CREATE TABLE kudu.call_center (\n"
+            "  cc_call_center_sk INT,\n  cc_day INT,\n"
+            "  PRIMARY KEY (cc_call_center_sk, cc_day)\n)\n"
+            "PARTITIONED BY ( RANGE (cc_day) (...) )\nSTORED AS KUDU"
+        ),
+        "web_site": (
+            "CREATE TABLE t (a INT, b INT, PRIMARY KEY (a, b)) "
+            "STORED AS KUDU"
+        ),
+    }
+    reg = TableRegistry(spark, str(tmp_path), "cdc")
+    specs = register_from_jdbc(
+        reg, "jdbc:impala://unused:21050", list(ddls), fetch=ddls.__getitem__
+    )
+    assert specs["call_center"].record_keys == ["cc_call_center_sk"]
+    assert specs["call_center"].partition_keys == ["cc_day"]
+    assert specs["web_site"].record_keys == ["a", "b"]
+    t = reg.lake_table("call_center")
+    assert t.record_keys == ["cc_call_center_sk"]
+    assert t.partition_keys == ["cc_day"]
 
 
 def test_cdc_insert_replay_is_exactly_once(spark, tmp_path):

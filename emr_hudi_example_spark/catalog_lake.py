@@ -825,3 +825,141 @@ def lake_archive_endstate(spark: SparkSession, sf_dir: str) -> DataFrame:
     return t.snapshot().select(
         "c_custkey", "c_acctbal", "ver", "_commit_time"
     )
+
+
+@query(
+    "lake_fenced_writer_endstate",
+    oracle=f"""
+    WITH u AS ({_B1_SQL}
+               UNION ALL
+               SELECT c_custkey, c_name, c_nationkey,
+                      c_acctbal + 500.0 AS c_acctbal, c_mktsegment,
+                      CAST(3 AS BIGINT) AS ver, '003' AS _commit_time
+               FROM customer WHERE c_custkey % 3 = 0)
+    SELECT c_custkey, c_acctbal, ver, _commit_time
+    FROM u
+    QUALIFY row_number() OVER (PARTITION BY c_custkey ORDER BY ver DESC) = 1
+    """,
+)
+def lake_fenced_writer_endstate(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Zombie-writer fencing through the VALUE gate (r5 verdict #2,
+    ``SRC/package.scala:38-47`` ZK-OCC intent): writer A passes the
+    pre-publish validate, stalls until its lease expires, writer B
+    takes over (recording the fence snapshot in ``_lease/fences.json``),
+    then A's delayed ``os.replace`` lands its manifest AND A crashes
+    before the post-publish re-validate can roll it back — the worst
+    case the two in-line checks cannot catch. The graded end-state is
+    batch1 ⊎ batch3 ONLY: the zombie's '002' manifest exists on disk
+    but read planning discards it (older fence token, instant not in
+    the takeover snapshot), so its ver=2 rows never surface. Exercises
+    ``locks.py:_record_fence`` + ``table.py:_zombie_instants``."""
+    import time as _time
+
+    from emr_hudi_example_spark.lake.locks import LeaseLockProvider
+
+    base = _tmp_base()
+    tpath = f"{base}/q/fenced"
+
+    class _Crash(BaseException):
+        """Simulated writer death after publish, before re-validate."""
+
+    a = LeaseLockProvider(tpath, holder="writer-a", lease_seconds=60)
+    w_a = LakeTable(
+        spark, base, "q", "fenced", ["c_custkey"], "ver", lock_provider=a
+    )
+    w_a.write(_batch1(spark, sf_dir), op="upsert", instant="001")
+
+    b = LeaseLockProvider(tpath, holder="writer-b", lease_seconds=60)
+    real_validate = a.validate
+    state = {"calls": 0}
+
+    def stall_then_crash() -> None:
+        state["calls"] += 1
+        if state["calls"] == 1:
+            real_validate()  # pre-publish check passes (still newest)
+            # the stall: back-date a's lease so it is expired, as a
+            # GC/SIGSTOP pause past the lease would leave it
+            a._rewrite_own(expires_at=_time.time() - 1.0)
+            b.acquire(wait_seconds=5.0)  # fenced takeover, snapshot=001
+            b.release()
+        else:
+            raise _Crash()  # dies between rename and re-validate
+
+    a.validate = stall_then_crash
+    try:
+        w_a.write(_batch2(spark, sf_dir), op="upsert", instant="002")
+    except _Crash:
+        pass  # the zombie manifest '002' is now on disk, unprotected
+    b3 = (
+        _batch1(spark, sf_dir)
+        .filter(F.col("c_custkey") % 3 == 0)
+        .withColumn("ver", F.lit(3).cast("long"))
+        .withColumn("c_acctbal", F.col("c_acctbal") + 500.0)
+    )
+    w_b = LakeTable(
+        spark, base, "q", "fenced", ["c_custkey"], "ver",
+        lock_provider=LeaseLockProvider(
+            tpath, holder="writer-b2", lease_seconds=30
+        ),
+    )
+    w_b.write(b3, op="upsert", instant="003")
+    if os.path.exists(
+        os.path.join(w_b.commits_dir, "002.json")
+    ) is False:
+        # the scenario must genuinely leave the zombie file behind —
+        # otherwise this query silently degrades to plain OCC
+        raise RuntimeError("zombie manifest missing — fence not exercised")
+    if w_b.timeline() != ["001", "003"]:
+        raise RuntimeError(f"fence failed: timeline {w_b.timeline()!r}")
+    return w_b.snapshot().select(
+        "c_custkey", "c_acctbal", "ver", "_commit_time"
+    )
+
+
+@query(
+    "lake_partition_sync_endstate",
+    oracle="""
+    SELECT c_mktsegment,
+           count(*)::BIGINT AS n,
+           CAST(round(sum(CAST(c_acctbal AS DECIMAL(38,4))), 2) AS DOUBLE)
+             AS sum_bal,
+           TRUE AS is_registered
+    FROM customer GROUP BY c_mktsegment
+    """,
+)
+def lake_partition_sync_endstate(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    """Partition-granular catalog sync through the VALUE gate (r5
+    verdict #6 — ``SRC/util/HudiConfig.scala:38-44``'s per-partition
+    metastore registration): a c_mktsegment-partitioned lake table is
+    synced into the session catalog; the graded aggregate is computed
+    BY SQL OVER THE SYNCED CATALOG TABLE (not the LakeTable handle),
+    and each segment's ``is_registered`` flag comes from
+    ``SHOW PARTITIONS`` — if sync failed to register a partition the
+    flag goes false/NULL and the row hash breaks. Per-partition sums
+    accumulate in DECIMAL(38,4) exactly (float policy)."""
+    t = LakeTable(
+        spark, _tmp_base(), "q", "psync", ["c_custkey"], "ver",
+        partition_keys=["c_mktsegment"],
+    )
+    t.write(_batch1(spark, sf_dir), op="insert", instant="001")
+    ident = t.sync_table("q_psync_synced")
+    parts = t.synced_partitions(ident)  # catalog metadata, M3-sized
+    segs = [p.split("=", 1)[1] for p in parts]
+    reg = spark.createDataFrame(
+        [(s, True) for s in segs], "c_mktsegment string, is_registered boolean"
+    )
+    agg = spark.sql(
+        f"""
+        SELECT c_mktsegment,
+               count(*) AS n,
+               CAST(round(sum(CAST(c_acctbal AS DECIMAL(38,4))), 2)
+                    AS DOUBLE) AS sum_bal
+        FROM {ident} GROUP BY c_mktsegment
+        """
+    )
+    return agg.join(F.broadcast(reg), "c_mktsegment", "left").select(
+        "c_mktsegment", "n", "sum_bal",
+        F.coalesce("is_registered", F.lit(False)).alias("is_registered"),
+    )

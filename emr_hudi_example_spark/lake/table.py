@@ -2401,11 +2401,36 @@ class LakeTable:
         Python, so the synced table is a snapshot *copy* as of the
         latest commit; re-run after new commits to refresh (Hudi's sync
         is likewise re-invoked per commit). Returns the catalog name.
+
+        PARTITION-GRANULAR (r5 verdict #6, the
+        ``ALTER TABLE ADD PARTITION`` loop of
+        ``SRC/util/HudiConfig.scala:38-44``): a partitioned lake table
+        syncs as a catalog table partitioned on the same keys, each
+        partition registered individually — so external engines prune
+        on the partition column and ``SHOW PARTITIONS`` lists the lake
+        layout. ``saveAsTable(partitionBy=...)`` registers the written
+        partitions; a defensive ``MSCK REPAIR`` then reconciles any the
+        write path missed (the catalog-side analog of Hudi's
+        per-partition sync loop).
         """
         ident = name or f"{self.db}_{self.table}"
-        self.snapshot().write.mode("overwrite").format("parquet").saveAsTable(ident)
+        writer = self.snapshot().write.mode("overwrite").format("parquet")
+        if self.partition_keys:
+            writer = writer.partitionBy(*self.partition_keys)
+        writer.saveAsTable(ident)
+        if self.partition_keys:
+            # per-partition registration sweep — harmless when the write
+            # already registered them, repairs drift when it didn't
+            self.spark.sql(f"MSCK REPAIR TABLE {ident}")
         # the overwrite replaces the backing files; invalidate this
         # session's cached file listing (other sessions REFRESH TABLE
         # themselves, exactly as consumers of Hive-synced tables do)
         self.spark.catalog.refreshTable(ident)
         return ident
+
+    def synced_partitions(self, ident: str) -> list[str]:
+        """``SHOW PARTITIONS`` of a synced catalog table, sorted — the
+        verification hook for partition-granular sync."""
+        return sorted(
+            r[0] for r in self.spark.sql(f"SHOW PARTITIONS {ident}").collect()
+        )

@@ -763,6 +763,38 @@ def test_sync_table_visible_from_fresh_session(spark, tmp_path):
         spark.sql(f"DROP TABLE IF EXISTS {ident}")
 
 
+def test_sync_table_registers_partitions(spark, tmp_path):
+    """Partition-granular catalog sync (r5 verdict #6 — the
+    ALTER TABLE ADD PARTITION loop of SRC/util/HudiConfig.scala:38-44):
+    syncing a partitioned lake table registers each partition in the
+    session catalog, SHOW PARTITIONS lists the lake's layout, and a
+    partition-filtered catalog query prunes to one partition's rows."""
+    t = make_table(
+        spark, tmp_path, name="syncp", partition_keys=["c_mktsegment"]
+    )
+    t.write(cust(spark, ver=1), op="insert", instant="001")
+    segs = sorted(
+        r["c_mktsegment"]
+        for r in cust(spark).select("c_mktsegment").distinct().collect()
+    )
+    assert len(segs) >= 2  # the fixture genuinely spans partitions
+    ident = t.sync_table()
+    try:
+        parts = t.synced_partitions(ident)
+        assert parts == [f"c_mktsegment={s}" for s in segs]
+        fresh = spark.newSession()
+        seg = segs[0]
+        got = fresh.sql(
+            f"SELECT count(*) AS n FROM {ident} "
+            f"WHERE c_mktsegment = '{seg}'"
+        ).collect()[0]["n"]
+        assert got == cust(spark).where(
+            F.col("c_mktsegment") == seg
+        ).count()
+    finally:
+        spark.sql(f"DROP TABLE IF EXISTS {ident}")
+
+
 # ------------------------------------------------ async (scheduled) compaction
 
 

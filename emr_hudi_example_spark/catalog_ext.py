@@ -2992,7 +2992,18 @@ def _pq_dist_sql(m: int, a: str, b: str) -> str:
     return f"list_sum([ {t} * {t} FOR i IN range({lo}, {hi}) ])"
 
 
-def _pq_codes_cte() -> str:
+def _pq_codes_cte(
+    src: str = "embeddings",
+    sfx: str = "",
+    pre: str = "",
+    with_kw: bool = True,
+) -> str:
+    """PQ-encode oracle CTE chain over relation ``src`` (must expose
+    vec_id + embedding). ``sfx`` suffixes every CTE name so two encode
+    chains (e.g. raw PQ and permuted OPQ) coexist in one oracle;
+    ``pre`` injects CTEs after WITH (e.g. the permuted-embedding
+    relation itself); ``with_kw=False`` omits the WITH keyword so the
+    chain can append to an existing CTE list."""
     dists = ", ".join(
         f"{_pq_dist_sql(m, 'v', 's')} AS d_{m}" for m in range(_PQ_M)
     )
@@ -3006,16 +3017,17 @@ def _pq_codes_cte() -> str:
         f" AS code_{m}"
         for m in range(_PQ_M)
     )
+    kw = "WITH " if with_kw else ""
     return f"""
-    WITH seeds AS (
+    {kw}{pre}seeds{sfx} AS (
       SELECT row_number() OVER (ORDER BY vec_id) - 1 AS cid, embedding
-      FROM (SELECT vec_id, embedding FROM embeddings
+      FROM (SELECT vec_id, embedding FROM {src}
             ORDER BY vec_id LIMIT {_PQ_K})),
-    scored AS (SELECT v.vec_id, s.cid, {dists}
-               FROM embeddings v CROSS JOIN seeds s),
-    cmins AS (SELECT vec_id, {mins} FROM scored GROUP BY 1),
-    codes AS (SELECT sc.vec_id, {argmins}
-              FROM scored sc JOIN cmins mi USING (vec_id)
+    scored{sfx} AS (SELECT v.vec_id, s.cid, {dists}
+               FROM {src} v CROSS JOIN seeds{sfx} s),
+    cmins{sfx} AS (SELECT vec_id, {mins} FROM scored{sfx} GROUP BY 1),
+    codes{sfx} AS (SELECT sc.vec_id, {argmins}
+              FROM scored{sfx} sc JOIN cmins{sfx} mi USING (vec_id)
               GROUP BY 1)
     """
 
@@ -3287,4 +3299,191 @@ def sim_ivfpq_residual_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
         emb.filter(F.col("vec_id") % 37 == 0),
         k=5,
         nprobe=3,
+    )
+
+
+# --------------------------------------------------------------- OPQ-lite
+
+_OPQ_PERM_CTES = f"""ener_o AS (
+      SELECT i AS d,
+             sum(CAST(embedding[i+1]::DOUBLE * embedding[i+1]::DOUBLE
+                      AS DECIMAL(38,12))) AS e
+      FROM embeddings, range({_PQ_M * _PQ_SUB}) t(i)
+      GROUP BY i),
+    perm_o AS (
+      SELECT d,
+             (CASE WHEN (rn // {_PQ_M}) % 2 = 0 THEN rn % {_PQ_M}
+                   ELSE {_PQ_M - 1} - (rn % {_PQ_M}) END) * {_PQ_SUB}
+               + (rn // {_PQ_M}) AS new_pos
+      FROM (SELECT d, row_number() OVER (ORDER BY e DESC, d) - 1 AS rn
+            FROM ener_o)),
+    emb_p AS (
+      SELECT e.vec_id,
+             list(e.embedding[p.d + 1]::DOUBLE ORDER BY p.new_pos)
+               AS embedding
+      FROM embeddings e CROSS JOIN perm_o p
+      GROUP BY e.vec_id),
+    """
+
+_OPQ_LUT_UNION = " UNION ALL ".join(
+    f"SELECT query_id, cid, {m} AS m, d_{m} AS d FROM lutw_o"
+    for m in range(_PQ_M)
+)
+_OPQ_CODES_UNION = " UNION ALL ".join(
+    f"SELECT vec_id, {m} AS m, code_{m} AS code FROM codes_o"
+    for m in range(_PQ_M)
+)
+
+_OPQ_ADC_CTES = (
+    _pq_codes_cte(src="emb_p", sfx="_o", pre=_OPQ_PERM_CTES)
+    + f""",
+    q_o AS (SELECT vec_id AS query_id, embedding FROM emb_p
+            WHERE vec_id % 50 = 0),
+    lutw_o AS (SELECT q.query_id, s.cid,
+                      {", ".join(f"{_pq_dist_sql(m, 'q', 's')} AS d_{m}"
+                                 for m in range(_PQ_M))}
+               FROM q_o q CROSS JOIN seeds_o s),
+    lut_o AS ({_OPQ_LUT_UNION}),
+    cl_o AS ({_OPQ_CODES_UNION}),
+    adc_o AS (SELECT l.query_id, c.vec_id,
+                     CAST(sum(CAST(l.d AS DECIMAL(27,12))) AS DOUBLE) AS adc
+              FROM cl_o c JOIN lut_o l ON c.m = l.m AND c.code = l.cid
+              GROUP BY 1, 2),
+    r_o AS (SELECT query_id, vec_id, adc,
+                   CAST(row_number() OVER (PARTITION BY query_id
+                                           ORDER BY adc, vec_id) AS INT)
+                     AS rank
+            FROM adc_o WHERE query_id <> vec_id)"""
+)
+
+
+@query(
+    "sim_opq_topk",
+    oracle=_OPQ_ADC_CTES
+    + """
+    SELECT query_id, vec_id AS neighbor_id, round(adc, 6) AS adc_dist,
+           rank
+    FROM r_o WHERE rank <= 5
+    """,
+)
+def sim_opq_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """OPQ-lite ADC top-k (r5 verdict #8, depth on the serving path):
+    dimensions are permuted for subspace energy balance — the
+    public Ge et al. 2013 initialization, as a pure permutation so
+    every value stays engine-exact — then PQ-encoded and served via
+    broadcast LUTs (``operators/similarity.py opq_adc_topk``). The
+    permutation statistics come from one corpus pass with
+    DECIMAL-exact energy sums; the serving plan is byte-for-byte the
+    ``sim_pq_adc_topk`` shape."""
+    emb = load(spark, sf_dir, "embeddings")
+    return S.opq_adc_topk(
+        emb, emb.filter(F.col("vec_id") % 50 == 0), k=5,
+        dim=_PQ_M * _PQ_SUB,
+    )
+
+
+def _adc_chain_sql(sfx: str, src: str) -> str:
+    """ADC serving chain over a codes{sfx}/seeds{sfx} pair (from
+    ``_pq_codes_cte``): per-query LUT, LUT-sum distances, ranked
+    neighbors in ``top{sfx}``. ``src`` supplies the query vectors."""
+    lut_union = " UNION ALL ".join(
+        f"SELECT query_id, cid, {m} AS m, d_{m} AS d FROM lutw{sfx}"
+        for m in range(_PQ_M)
+    )
+    codes_union = " UNION ALL ".join(
+        f"SELECT vec_id, {m} AS m, code_{m} AS code FROM codes{sfx}"
+        for m in range(_PQ_M)
+    )
+    dists = ", ".join(
+        f"{_pq_dist_sql(m, 'q', 's')} AS d_{m}" for m in range(_PQ_M)
+    )
+    return f""",
+    q{sfx} AS (SELECT vec_id AS query_id, embedding FROM {src}
+               WHERE vec_id % 50 = 0),
+    lutw{sfx} AS (SELECT q.query_id, s.cid, {dists}
+                  FROM q{sfx} q CROSS JOIN seeds{sfx} s),
+    lut{sfx} AS ({lut_union}),
+    cl{sfx} AS ({codes_union}),
+    adc{sfx} AS (SELECT l.query_id, c.vec_id,
+                        CAST(sum(CAST(l.d AS DECIMAL(27,12))) AS DOUBLE)
+                          AS adc
+                 FROM cl{sfx} c JOIN lut{sfx} l
+                   ON c.m = l.m AND c.code = l.cid
+                 GROUP BY 1, 2),
+    top{sfx} AS (SELECT query_id, vec_id,
+                        row_number() OVER (PARTITION BY query_id
+                                           ORDER BY adc, vec_id) AS rank
+                 FROM adc{sfx} WHERE query_id <> vec_id)"""
+
+
+_L2_SQ_SQL = (
+    "list_sum([ (v.embedding[i]::DOUBLE - q.embedding[i]::DOUBLE)"
+    " * (v.embedding[i]::DOUBLE - q.embedding[i]::DOUBLE)"
+    f" FOR i IN range(1, {_PQ_M * _PQ_SUB + 1}) ])"
+)
+
+
+@query(
+    "sim_ann_compare",
+    oracle=_pq_codes_cte(src="embeddings", sfx="_r", pre=_OPQ_PERM_CTES)
+    + ",\n    "
+    + _pq_codes_cte(src="emb_p", sfx="_q", with_kw=False)
+    + _adc_chain_sql("_r", "embeddings")
+    + _adc_chain_sql("_q", "emb_p")
+    + f""",
+    ex_scored AS (
+      SELECT q.vec_id AS query_id, v.vec_id AS nid, {_L2_SQ_SQL} AS sq
+      FROM embeddings v JOIN embeddings q
+        ON q.vec_id % 50 = 0 AND v.vec_id <> q.vec_id),
+    ex AS (SELECT query_id, nid FROM (
+        SELECT query_id, nid,
+               row_number() OVER (PARTITION BY query_id
+                                  ORDER BY sq, nid) AS rn
+        FROM ex_scored) WHERE rn <= 5),
+    ph AS (SELECT ex.query_id, count(t.vec_id) AS pq_hits
+           FROM ex LEFT JOIN top_r t
+             ON ex.query_id = t.query_id AND ex.nid = t.vec_id
+                AND t.rank <= 5
+           GROUP BY 1),
+    oh AS (SELECT ex.query_id, count(t.vec_id) AS opq_hits
+           FROM ex LEFT JOIN top_q t
+             ON ex.query_id = t.query_id AND ex.nid = t.vec_id
+                AND t.rank <= 5
+           GROUP BY 1)
+    SELECT p.query_id, p.pq_hits::INT AS pq_hits,
+           o.opq_hits::INT AS opq_hits, CAST(5 AS INT) AS k
+    FROM ph p JOIN oh o USING (query_id)
+    """,
+)
+def sim_ann_compare(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Quantizer bake-off through the VALUE gate (r5 verdict #8): plain
+    PQ-ADC vs OPQ-lite ADC, each scored by recall@5 hits against the
+    EXACT squared-L2 truth (``operators/similarity.py l2_topk``) —
+    per-query hit counts, so the graded output quantifies what the
+    energy-balancing permutation buys on this corpus. All three legs
+    share the broadcast-LUT / broadcast-queries scale shapes of their
+    standalone queries."""
+    emb = load(spark, sf_dir, "embeddings")
+    q = emb.filter(F.col("vec_id") % 50 == 0)
+    exact = S.l2_topk(emb, q, k=5).select("query_id", "neighbor_id")
+    dim = _PQ_M * _PQ_SUB
+    pq = S.pq_adc_topk(emb, q, k=5).select(
+        "query_id", "neighbor_id", F.lit(1).alias("hit")
+    )
+    opq = S.opq_adc_topk(emb, q, k=5, dim=dim).select(
+        "query_id", "neighbor_id", F.lit(1).alias("hit")
+    )
+    ph = (
+        exact.join(pq, ["query_id", "neighbor_id"], "left")
+        .groupBy("query_id")
+        .agg(F.count("hit").cast("int").alias("pq_hits"))
+    )
+    oh = (
+        exact.join(opq, ["query_id", "neighbor_id"], "left")
+        .groupBy("query_id")
+        .agg(F.count("hit").cast("int").alias("opq_hits"))
+    )
+    return ph.join(oh, "query_id").select(
+        "query_id", "pq_hits", "opq_hits",
+        F.lit(5).cast("int").alias("k"),
     )

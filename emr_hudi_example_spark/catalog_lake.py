@@ -944,6 +944,16 @@ def lake_partition_sync_endstate(
         partition_keys=["c_mktsegment"],
     )
     t.write(_batch1(spark, sf_dir), op="insert", instant="001")
+    # self-heal an orphaned warehouse location (a previous PROCESS's
+    # synced copy whose catalog entry died with its session): drop any
+    # registered table, then clear the leftover directory — otherwise
+    # saveAsTable refuses with LOCATION_ALREADY_EXISTS
+    spark.sql("DROP TABLE IF EXISTS q_psync_synced")
+    import shutil
+    from urllib.parse import urlparse
+
+    wh = urlparse(spark.conf.get("spark.sql.warehouse.dir")).path
+    shutil.rmtree(os.path.join(wh, "q_psync_synced"), ignore_errors=True)
     ident = t.sync_table("q_psync_synced")
     parts = t.synced_partitions(ident)  # catalog metadata, M3-sized
     segs = [p.split("=", 1)[1] for p in parts]

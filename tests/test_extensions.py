@@ -933,3 +933,38 @@ def test_sequential_edges_null_ts_dropped_both_paths(spark):
     rows = {(r["src"], r["dst"]) for r in naive.collect()}
     assert rows == {("u1", "u2"), ("u2", "u4")}  # u3 (NULL ts) gone
     assert rows == {(r["src"], r["dst"]) for r in bucketed.collect()}
+
+
+def test_opq_permutation_is_isometry_and_balanced(spark):
+    """The OPQ-lite permutation must (a) be a bijection on dims, (b)
+    preserve exact L2 neighborhoods (a permutation is an isometry — the
+    quantizer improves, the geometry doesn't move), and (c) genuinely
+    snake-balance: each subspace receives exactly one dimension per
+    energy-rank round."""
+    from emr_hudi_example_spark.operators import similarity as S
+
+    emb = spark.read.parquet(f"{SF}/embeddings.parquet")
+    q = emb.filter(F.col("vec_id") % 50 == 0)
+    perm_df = S.opq_dim_permutation(emb, dim=64, n_subspaces=8)
+    perm = S.collect_dim_permutation(perm_df, 64)
+    assert sorted(perm) == list(range(64))  # bijection
+    # (c): round r of the ranking contributes one dim to every bucket
+    rows = {r["d"]: r["new_pos"] for r in perm_df.collect()}
+    buckets_per_round = {}
+    ranked = sorted(rows, key=lambda d: rows[d])  # not rank order, but
+    for d, new_pos in rows.items():
+        buckets_per_round.setdefault(new_pos % 8, set()).add(new_pos // 8)
+    for rnd, buckets in buckets_per_round.items():
+        assert buckets == set(range(8))
+    # (b): exact L2 top-5 neighbor sets identical through the permutation
+    base = {
+        (r["query_id"], r["neighbor_id"])
+        for r in S.l2_topk(emb, q, k=5).collect()
+    }
+    vp = S.apply_dim_permutation(emb, perm)
+    qp = S.apply_dim_permutation(q, perm)
+    permuted = {
+        (r["query_id"], r["neighbor_id"])
+        for r in S.l2_topk(vp, qp, k=5).collect()
+    }
+    assert base == permuted

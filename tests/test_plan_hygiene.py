@@ -189,3 +189,14 @@ def test_ivfpq_broadcasts_lut_and_joins_on_cell(spark):
         plan,
     )
     assert keyed, "no equi-join keyed on cell_id in:\n" + plan
+
+
+def test_opq_adds_no_exchange_over_plain_pq(spark):
+    # the OPQ permutation must be a free narrow projection: same
+    # broadcast-LUT shape as plain PQ-ADC, and NO additional shuffle
+    # beyond the (driver-collected, dim-row) statistics pass
+    pq = _plan(spark, "sim_pq_adc_topk")
+    opq = _plan(spark, "sim_opq_topk")
+    assert "BroadcastHashJoin" in opq
+    assert "CartesianProduct" not in opq
+    assert opq.count("Exchange") <= pq.count("Exchange")

@@ -1375,6 +1375,7 @@ def opq_adc_topk(
     n_subspaces: int = 8,
     sub_dim: int = 8,
     n_codes: int = 16,
+    stats_sample_frac: float | None = None,
 ) -> DataFrame:
     """OPQ-lite ADC serving: permute dimensions for subspace energy
     balance (:func:`opq_dim_permutation`, statistics from the CORPUS
@@ -1386,9 +1387,21 @@ def opq_adc_topk(
     Scale: the permutation adds one corpus statistics pass (a
     ``dim``-row aggregate) and a free narrow projection; everything
     downstream is exactly :func:`pq_adc_topk`'s broadcast-LUT shape.
+    At 100 TB even that statistics scan is worth skipping:
+    ``stats_sample_frac`` computes the energy ranking on a
+    deterministic id-hash sample (``dedup.hash_sample`` — same recipe
+    as ``lsh_config_eval``'s sampled ground truth); per-dimension
+    energy is an average-like statistic, so a small sample preserves
+    the RANKING the permutation depends on while the encode/serve
+    passes still touch every vector.
     """
+    stats_src = vectors
+    if stats_sample_frac is not None:
+        from emr_hudi_example_spark.operators.dedup import hash_sample
+
+        stats_src = hash_sample(vectors, id_col, stats_sample_frac)
     perm = collect_dim_permutation(
-        opq_dim_permutation(vectors, vec_col, dim, n_subspaces), dim
+        opq_dim_permutation(stats_src, vec_col, dim, n_subspaces), dim
     )
     vp = apply_dim_permutation(vectors, perm, id_col, vec_col)
     qp = apply_dim_permutation(queries, perm, id_col, vec_col)

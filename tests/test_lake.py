@@ -1422,6 +1422,85 @@ def test_zombie_crash_after_publish_is_fenced_at_read_planning(
     assert t_r.snapshot().count() == snap.count()
 
 
+def test_two_successive_takeovers_fence_both_zombies(spark, tmp_path):
+    """Fences ACCUMULATE: writer A's zombie survives takeover 1, writer
+    B's zombie survives takeover 2 — read planning must discard both
+    (each against its own fence snapshot) while keeping every commit
+    published by a then-current holder."""
+    import os as _os
+    import time as _t
+
+    from emr_hudi_example_spark.lake import LakeTable
+    from emr_hudi_example_spark.lake.locks import LeaseLockProvider
+
+    class Crash(BaseException):
+        pass
+
+    root = tmp_path / "fence3-tbl"
+    tpath = str(root / "testdb" / "f3")
+
+    def make_writer(holder):
+        p = LeaseLockProvider(tpath, lease_seconds=60.0, holder=holder)
+        t = LakeTable(
+            spark, str(root), "testdb", "f3",
+            record_keys=["c_custkey"], precombine="ver", lock_provider=p,
+        )
+        return p, t
+
+    def stage_zombie(p, t, ver, instant, successor):
+        """Drive writer (p, t) into the publish-then-crash window while
+        ``successor`` takes over mid-stall."""
+        real = p.validate
+        calls = {"n": 0}
+
+        def hook():
+            calls["n"] += 1
+            if calls["n"] == 1:
+                real()
+                p._rewrite_own(expires_at=_t.time() - 1.0)
+                successor.acquire(wait_seconds=5.0)
+                successor.release()
+            else:
+                raise Crash
+
+        p.validate = hook
+        with pytest.raises(Crash):
+            t.write(cust(spark, ver=ver), op="upsert", instant=instant)
+        p.validate = real
+
+    a, t_a = make_writer("a")
+    t_a.write(cust(spark, ver=1), op="upsert", instant="001")
+    b, t_b = make_writer("b")
+    stage_zombie(a, t_a, ver=2, instant="002", successor=b)  # zombie 1
+    t_b.write(
+        cust(spark, ver=3).filter(F.col("c_custkey") <= 20),
+        op="upsert", instant="003",
+    )
+    c, t_c = make_writer("c")
+    stage_zombie(b, t_b, ver=4, instant="004", successor=c)  # zombie 2
+    t_c.write(
+        cust(spark, ver=5).filter(F.col("c_custkey") <= 5),
+        op="upsert", instant="005",
+    )
+
+    reader = LakeTable(
+        spark, str(root), "testdb", "f3",
+        record_keys=["c_custkey"], precombine="ver",
+    )
+    assert len(reader._fences()) == 2
+    # both zombie manifests exist on disk, neither is readable state
+    for z in ("002", "004"):
+        assert _os.path.exists(_os.path.join(reader.commits_dir, z + ".json"))
+    assert reader.timeline() == ["001", "003", "005"]
+    snap = reader.snapshot()
+    assert snap.filter(F.col("ver").isin(2, 4)).count() == 0
+    n20 = cust(spark).filter(F.col("c_custkey") <= 20).count()
+    n5 = cust(spark).filter(F.col("c_custkey") <= 5).count()
+    assert snap.filter(F.col("ver") == 5).count() == n5
+    assert snap.filter(F.col("ver") == 3).count() == n20 - n5
+    assert snap.count() == cust(spark).count()
+
+
 def test_lease_provider_drives_lake_table(spark, tmp_path):
     """LakeTable runs unchanged on the lease provider: two commits,
     linear timeline, correct snapshot (the provider seam is real)."""

@@ -88,6 +88,14 @@ META_COLS = [COMMIT_TIME_COL, RECORD_KEY_COL, PARTITION_PATH_COL]
 
 _PT_PREFIX = "__pt_"
 
+
+class ConcurrentWriteConflict(RuntimeError):
+    """Optimistic commit aborted: a concurrent commit invalidated this
+    writer's read set, or out-ran its instant. The write published
+    NOTHING; retry re-runs the merge against fresh table state (the
+    data files it did write are orphans for the lazy cleaner, exactly
+    like any failed write)."""
+
 #: datetime-shaped strings for predicate-vs-stat comparisons: ISO 'T'
 #: operand form vs the ' '-separated form _stat_json serializes
 _ISO_T = re.compile(r"^\d{4}-\d{2}-\d{2}T\d{2}:\d{2}")
@@ -950,6 +958,173 @@ class LakeTable:
                 # later compact()), falsely marking the failed batch
                 # committed and silently skipping its replay
                 self._pending_checkpoint = None
+
+    def write_optimistic(
+        self,
+        df: DataFrame,
+        op: str = "upsert",
+        instant: str | None = None,
+    ) -> str:
+        """Hudi's OPTIMISTIC multi-writer model (the concurrency mode
+        its ZooKeeper lock exists to arbitrate, ``SRC/package.scala:
+        38-47``): the heavy work — reading the affected files, merging,
+        writing the new data files — runs with NO table lock held; the
+        lock is taken only for a short conflict-check + manifest
+        publish. Concurrent writers whose commits touch DISJOINT data
+        both succeed with full parallelism (the 100 TB pattern:
+        per-partition backfill jobs, multi-tenant ingest); a writer
+        whose read set was modified underneath it — or whose planned
+        instant was out-run — raises :class:`ConcurrentWriteConflict`
+        and publishes nothing (its data files are orphans for the lazy
+        cleaner; the caller retries against fresh state).
+
+        Conflict rules at publish (file/key-stat level, like Hudi's
+        early conflict detection — conservative, never unsound):
+
+        * a file this commit REPLACES was replaced by a concurrent
+          commit → lost update, abort;
+        * for key-merging ops, a concurrent commit ADDED a file whose
+          (partition, record-key range) overlaps one of ours → both
+          writers may have materialized the same key, abort
+          (``insert`` skips this: Hudi's insert is not key-unique);
+        * the newest published instant ≥ ours → instant-order
+          violation, abort (our data files are stamped with the
+          planned instant, so it cannot be reallocated).
+
+        COW only; MOR appends are O(batch) and serialize cheaply under
+        the plain lock — use :meth:`write`. The creating commit also
+        serializes (no read set exists to conflict on). Exactly-once
+        ``checkpoint`` batches belong to the serialized streaming path.
+        """
+        if self.is_mor:
+            raise ValueError(
+                "write_optimistic is COW-only; MOR appends serialize "
+                "cheaply under the plain lock (use write())"
+            )
+        if op not in ("insert", "upsert", "delete"):
+            raise ValueError(f"unsupported optimistic op: {op}")
+        if not self.exists():
+            return self.write(df, op=op, instant=instant)
+        base = self.last_instant()
+        if instant is None:
+            # uniquify: concurrent writers allocating in the same
+            # millisecond must not share a data directory / manifest
+            # name (the suffix keeps the instant sorting after `base`)
+            import uuid
+
+            inst = self._next_instant(None) + "w" + uuid.uuid4().hex[:4]
+        else:
+            inst = self._next_instant(instant)
+
+        # ---- compute phase: NO LOCK HELD (mirrors the serialized
+        # twins _commit_insert/_commit_upsert_inner/_commit_delete)
+        if op == "delete":
+            keys = df.filter(pk_not_null_condition(self.record_keys))
+            keys = self._stamp(keys, inst)
+            keys.persist()
+            try:
+                affected, old = self._affected_files(keys)
+                join_cols = (
+                    [RECORD_KEY_COL]
+                    if self.global_index
+                    else [PARTITION_PATH_COL, RECORD_KEY_COL]
+                )
+                survivors = old.join(
+                    keys.select(*join_cols).distinct(), join_cols,
+                    "left_anti",
+                )
+                added = self._write_data_files(survivors, inst)
+            finally:
+                keys.unpersist()
+            replaced = sorted({f["path"] for f in affected})
+            action, schema = "delete", self._stored_schema()
+        else:
+            batch = self._prepare_batch(df, inst)
+            batch.persist()
+            try:
+                batch = self._align_schema(batch)
+                if op == "insert":
+                    added, replaced = (
+                        self._write_data_files(batch, inst, kind="base"),
+                        [],
+                    )
+                else:
+                    affected, old = self._affected_files(batch)
+                    merged = self._merge(old, batch)
+                    added = self._write_data_files(merged, inst)
+                    replaced = sorted({f["path"] for f in affected})
+            finally:
+                batch.unpersist()
+            action, schema = op if op != "insert" else "insert", batch.schema
+
+        # ---- publish phase: short critical section
+        with self._writer_lock():
+            try:
+                self._check_publish_conflicts(base, inst, op, added, replaced)
+            except ConcurrentWriteConflict:
+                for f in added:  # best-effort orphan reclaim; the lazy
+                    try:         # cleaner owns whatever survives
+                        os.unlink(os.path.join(self.path, f["path"]))
+                    except OSError:
+                        pass
+                raise
+            self._write_manifest(inst, action, schema, added, replaced)
+            return inst
+
+    def _check_publish_conflicts(
+        self,
+        base: str | None,
+        inst: str,
+        op: str,
+        added: list[dict],
+        replaced: list[str],
+    ) -> None:
+        """Raise :class:`ConcurrentWriteConflict` unless publishing a
+        commit computed at snapshot ``base`` is equivalent to SOME
+        serial order (see :meth:`write_optimistic` for the rules).
+        Cost: O(commits since base × files per commit) manifest reads —
+        publish-window sized, driver-side."""
+        tl = self.timeline()
+        if tl and tl[-1] >= inst:
+            raise ConcurrentWriteConflict(
+                f"instant order: published {tl[-1]!r} >= planned {inst!r}"
+            )
+        newer = [i for i in tl if base is None or i > base]
+        if not newer:
+            return
+        their_replaced: set[str] = set()
+        their_added: list[dict] = []
+        for i in newer:
+            m = self._manifest(i)
+            their_replaced |= set(m["replaced"])
+            their_added.extend(m["added"])
+        clash = their_replaced & set(replaced)
+        if clash:
+            raise ConcurrentWriteConflict(
+                f"read-set overlap on {sorted(clash)[:3]} with concurrent "
+                f"commits {newer}"
+            )
+        if op == "insert":
+            return
+        for f in added:
+            for g in their_added:
+                if f.get("partition_path") != g.get("partition_path"):
+                    continue
+                fmin, fmax = f.get("key_min"), f.get("key_max")
+                gmin, gmax = g.get("key_min"), g.get("key_max")
+                if None in (fmin, fmax, gmin, gmax):
+                    # missing key stats: cannot prove disjoint — abort
+                    # (conservative, never unsound)
+                    raise ConcurrentWriteConflict(
+                        f"no key stats to prove {f['path']} disjoint "
+                        f"from concurrent {g['path']}"
+                    )
+                if not (fmax < gmin or gmax < fmin):
+                    raise ConcurrentWriteConflict(
+                        f"key-range overlap: {f['path']} "
+                        f"[{fmin},{fmax}] vs concurrent {g['path']} "
+                        f"[{gmin},{gmax}]"
+                    )
 
     def delete_partitions(
         self, partitions: list[dict], instant: str | None = None

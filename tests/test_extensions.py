@@ -968,3 +968,27 @@ def test_opq_permutation_is_isometry_and_balanced(spark):
         for r in S.l2_topk(vp, qp, k=5).collect()
     }
     assert base == permuted
+
+
+def test_opq_stats_sampling_matches_presampled(spark):
+    """stats_sample_frac (the 100 TB recipe): the permutation statistics
+    run on a deterministic id-hash sample — identical to computing the
+    permutation from the pre-filtered corpus, while encode/serve still
+    cover every vector."""
+    from emr_hudi_example_spark.operators import similarity as S
+    from emr_hudi_example_spark.operators.dedup import hash_sample
+
+    emb = spark.read.parquet(f"{SF}/embeddings.parquet")
+    q = emb.filter(F.col("vec_id") % 50 == 0)
+    sampled = S.opq_adc_topk(emb, q, k=5, stats_sample_frac=0.5)
+    perm = S.collect_dim_permutation(
+        S.opq_dim_permutation(hash_sample(emb, "vec_id", 0.5)), 64
+    )
+    manual = S.pq_adc_topk(
+        S.apply_dim_permutation(emb, perm),
+        S.apply_dim_permutation(q, perm),
+        k=5,
+    )
+    assert sorted(map(tuple, sampled.collect())) == sorted(
+        map(tuple, manual.collect())
+    )

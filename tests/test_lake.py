@@ -1422,6 +1422,154 @@ def test_zombie_crash_after_publish_is_fenced_at_read_planning(
     assert t_r.snapshot().count() == snap.count()
 
 
+def test_optimistic_disjoint_partition_writers_both_commit(spark, tmp_path):
+    """write_optimistic: two writers upserting DISJOINT partitions
+    interleave compute — writer B publishes while writer A is between
+    its merge and its publish — and BOTH commits land (Hudi's
+    optimistic multi-writer model; the lock serializes only the short
+    conflict-check + publish)."""
+    from emr_hudi_example_spark.lake import LakeTable
+
+    root = tmp_path / "occ-tbl"
+
+    def handle():
+        return LakeTable(
+            spark, str(root), "testdb", "occ",
+            record_keys=["c_custkey"], precombine="ver",
+            partition_keys=["c_mktsegment"],
+        )
+
+    t_seed = handle()
+    t_seed.write(cust(spark, ver=1), op="insert", instant="001")
+    segs = sorted(
+        r[0] for r in cust(spark).select("c_mktsegment").distinct().collect()
+    )
+    s1, s2 = segs[0], segs[1]
+    t_a, t_b = handle(), handle()
+    b1 = cust(spark, ver=2).filter(F.col("c_mktsegment") == s1)
+    b2 = cust(spark, ver=2).filter(F.col("c_mktsegment") == s2)
+
+    orig = t_a._writer_lock
+    fired = {"n": 0}
+
+    def lock_after_concurrent_commit():
+        if fired["n"] == 0:
+            fired["n"] = 1
+            # B's whole commit lands while A holds NO lock (A has
+            # already merged and written its data files)
+            t_b.write_optimistic(b2, op="upsert", instant="002")
+        return orig()
+
+    t_a._writer_lock = lock_after_concurrent_commit
+    inst_a = t_a.write_optimistic(b1, op="upsert", instant="003")
+    assert inst_a == "003" and fired["n"] == 1
+
+    reader = handle()
+    assert reader.timeline() == ["001", "002", "003"]
+    snap = reader.snapshot()
+    for seg in (s1, s2):
+        assert (
+            snap.filter(
+                (F.col("c_mktsegment") == seg) & (F.col("ver") == 2)
+            ).count()
+            == cust(spark).filter(F.col("c_mktsegment") == seg).count()
+        )
+    assert snap.count() == cust(spark).count()
+
+
+def test_optimistic_conflicting_writer_aborts_and_retries(spark, tmp_path):
+    """write_optimistic: a concurrent commit that rewrote part of this
+    writer's read set aborts the publish with ConcurrentWriteConflict —
+    nothing lands, the orphaned data files are unlinked best-effort —
+    and a retry against fresh state produces the serialized result."""
+    from emr_hudi_example_spark.lake import LakeTable
+    from emr_hudi_example_spark.lake.table import ConcurrentWriteConflict
+
+    root = tmp_path / "occ2-tbl"
+
+    def handle():
+        return LakeTable(
+            spark, str(root), "testdb", "occ2",
+            record_keys=["c_custkey"], precombine="ver",
+        )
+
+    t_seed = handle()
+    t_seed.write(cust(spark, ver=1), op="insert", instant="001")
+    t_a, t_b = handle(), handle()
+    b_a = cust(spark, ver=2).filter(F.col("c_custkey") <= 50)
+    b_b = (
+        cust(spark, ver=3)
+        .filter((F.col("c_custkey") >= 25) & (F.col("c_custkey") <= 75))
+    )
+
+    orig = t_a._writer_lock
+    fired = {"n": 0}
+
+    def lock_after_concurrent_commit():
+        if fired["n"] == 0:
+            fired["n"] = 1
+            t_b.write_optimistic(b_b, op="upsert", instant="002")
+        return orig()
+
+    t_a._writer_lock = lock_after_concurrent_commit
+    with pytest.raises(ConcurrentWriteConflict):
+        t_a.write_optimistic(b_a, op="upsert", instant="003")
+    reader = handle()
+    assert reader.timeline() == ["001", "002"]  # A published nothing
+    # retry from fresh state serializes after B: keys 25-50 keep B's
+    # ver=3 (higher precombine), 1-24 take A's ver=2
+    t_a2 = handle()
+    t_a2.write_optimistic(b_a, op="upsert", instant="004")
+    snap = handle().snapshot()
+    n_a_only = cust(spark).filter(F.col("c_custkey") < 25).filter(
+        F.col("c_custkey") <= 50
+    ).count()
+    assert snap.filter(F.col("ver") == 2).count() == n_a_only
+    n_b = cust(spark).filter(
+        (F.col("c_custkey") >= 25) & (F.col("c_custkey") <= 75)
+    ).count()
+    assert snap.filter(F.col("ver") == 3).count() == n_b
+    assert snap.count() == cust(spark).count()
+
+
+def test_optimistic_instant_overrun_aborts(spark, tmp_path):
+    """A planned instant out-run by a concurrent publish must abort
+    (the instant is baked into the written data files' _commit_time)."""
+    from emr_hudi_example_spark.lake import LakeTable
+    from emr_hudi_example_spark.lake.table import ConcurrentWriteConflict
+
+    root = tmp_path / "occ3-tbl"
+
+    def handle():
+        return LakeTable(
+            spark, str(root), "testdb", "occ3",
+            record_keys=["c_custkey"], precombine="ver",
+        )
+
+    t_seed = handle()
+    t_seed.write(cust(spark, ver=1), op="insert", instant="001")
+    t_a, t_b = handle(), handle()
+    orig = t_a._writer_lock
+    fired = {"n": 0}
+
+    def lock_after_concurrent_commit():
+        if fired["n"] == 0:
+            fired["n"] = 1
+            t_b.write_optimistic(
+                cust(spark, ver=3).filter(F.col("c_custkey") > 1000),
+                op="upsert", instant="005",  # out-runs A's planned 002
+            )
+        return orig()
+
+    t_a._writer_lock = lock_after_concurrent_commit
+    with pytest.raises(ConcurrentWriteConflict):
+        t_a.write_optimistic(
+            cust(spark, ver=2).filter(F.col("c_custkey") <= 5),
+            op="upsert", instant="002",
+        )
+    assert handle().timeline() == ["001", "005"]
+
+
 def test_two_successive_takeovers_fence_both_zombies(spark, tmp_path):
     """Fences ACCUMULATE: writer A's zombie survives takeover 1, writer
     B's zombie survives takeover 2 — read planning must discard both

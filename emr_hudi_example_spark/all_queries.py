@@ -66,6 +66,7 @@ _PRIORITY: list[str] = [
     "sim_ann_compare",
     "lake_fenced_writer_endstate",
     "lake_partition_sync_endstate",
+    "lake_optimistic_writers_endstate",
     # -- substrate touched this round (re-grade to prove still green) --
     "dedup_lsh_eval",        # sampled ground-truth mode added
     "graph_pagerank",        # weighted-edge support + NULL-ts guard

@@ -973,3 +973,83 @@ def lake_partition_sync_endstate(
         "c_mktsegment", "n", "sum_bal",
         F.coalesce("is_registered", F.lit(False)).alias("is_registered"),
     )
+
+
+@query(
+    "lake_optimistic_writers_endstate",
+    oracle=f"""
+    WITH segs AS (SELECT DISTINCT c_mktsegment AS s FROM customer
+                  ORDER BY 1 LIMIT 2),
+    u AS ({_B1_SQL}
+          UNION ALL
+          SELECT c_custkey, c_name, c_nationkey, c_acctbal + 100.0,
+                 c_mktsegment, CAST(2 AS BIGINT) AS ver,
+                 CASE WHEN c_mktsegment = (SELECT min(s) FROM segs)
+                      THEN '003' ELSE '002' END AS _commit_time
+          FROM customer WHERE c_mktsegment IN (SELECT s FROM segs))
+    SELECT c_custkey, c_mktsegment, c_acctbal, ver, _commit_time
+    FROM u
+    QUALIFY row_number() OVER (PARTITION BY c_custkey ORDER BY ver DESC) = 1
+    """,
+)
+def lake_optimistic_writers_endstate(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    """Optimistic multi-writer commits through the VALUE gate (Hudi's
+    lock-arbitrated concurrent-writer model, ``SRC/package.scala:
+    38-47``): writer A merges and writes its data files with NO lock
+    held; writer B's entire commit (a different partition) lands in
+    that window; A's publish passes the conflict check (disjoint
+    replaced files, disjoint (partition, key-range) additions) and BOTH
+    commits survive — the end-state equals the serialized two-commit
+    upsert. Exercises ``LakeTable.write_optimistic`` +
+    ``_check_publish_conflicts``."""
+    t_seed = LakeTable(
+        spark, _tmp_base(), "q", "optw", ["c_custkey"], "ver",
+        partition_keys=["c_mktsegment"],
+    )
+    base = t_seed.path.rsplit("/q/optw", 1)[0]
+    t_seed.write(_batch1(spark, sf_dir), op="insert", instant="001")
+    segs = sorted(
+        r[0]
+        for r in load(spark, sf_dir, "customer")
+        .select("c_mktsegment").distinct().collect()
+    )[:2]
+    s1, s2 = segs
+
+    def handle() -> LakeTable:
+        return LakeTable(
+            spark, base, "q", "optw", ["c_custkey"], "ver",
+            partition_keys=["c_mktsegment"],
+        )
+
+    t_a, t_b = handle(), handle()
+    bump = (
+        _batch1(spark, sf_dir)
+        .withColumn("ver", F.lit(2).cast("long"))
+        .withColumn("c_acctbal", F.col("c_acctbal") + 100.0)
+    )
+    orig = t_a._writer_lock
+    fired = {"n": 0}
+
+    def lock_after_concurrent_commit():
+        if fired["n"] == 0:
+            fired["n"] = 1
+            t_b.write_optimistic(
+                bump.filter(F.col("c_mktsegment") == s2),
+                op="upsert", instant="002",
+            )
+        return orig()
+
+    t_a._writer_lock = lock_after_concurrent_commit
+    t_a.write_optimistic(
+        bump.filter(F.col("c_mktsegment") == s1), op="upsert", instant="003"
+    )
+    if fired["n"] != 1:
+        raise RuntimeError("concurrent commit did not interleave")
+    reader = handle()
+    if reader.timeline() != ["001", "002", "003"]:
+        raise RuntimeError(f"bad timeline {reader.timeline()!r}")
+    return reader.snapshot().select(
+        "c_custkey", "c_mktsegment", "c_acctbal", "ver", "_commit_time"
+    )

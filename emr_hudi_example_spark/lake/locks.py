@@ -284,6 +284,13 @@ class LeaseLockProvider(LockProvider):
         written before its validate), so the filter can never drop a
         real commit. Only the CAS winner writes this file, under the
         lease it just won, so the read-modify-replace is single-writer.
+
+        Fences ACCUMULATE and must never be pruned to the newest: a
+        later takeover's snapshot may itself contain an earlier
+        (not-yet-noticed) zombie manifest, which only the EARLIER fence
+        can condemn — each fence guards exactly the tokens older than
+        its own takeover. Takeovers are crash events, so the list stays
+        operator-log sized.
         """
         import json
 

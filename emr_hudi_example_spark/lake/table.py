@@ -991,16 +991,22 @@ class LakeTable:
           violation, abort (our data files are stamped with the
           planned instant, so it cannot be reallocated).
 
-        COW only; MOR appends are O(batch) and serialize cheaply under
-        the plain lock — use :meth:`write`. The creating commit also
-        serializes (no read set exists to conflict on). Exactly-once
-        ``checkpoint`` batches belong to the serialized streaming path.
+        On a MERGE_ON_READ table every optimistic write is an APPEND
+        (delta files / tombstones, or base files for insert) and
+        appends COMMUTE: the read-time precombine merge resolves
+        overlapping keys identically in either publish order, and a
+        concurrent compaction's fold point precedes any later delta's
+        instant — so MOR needs only the instant-order check, never a
+        data conflict. This is exactly why the reference routes its
+        partitioned streaming tables to MOR (``SRC/package.scala:176``):
+        maximal writer concurrency. Inline compaction is NOT triggered
+        on the optimistic path (it would stretch the critical section);
+        use the async compactor.
+
+        The creating commit serializes (no read set exists to conflict
+        on). Exactly-once ``checkpoint`` batches belong to the
+        serialized streaming path.
         """
-        if self.is_mor:
-            raise ValueError(
-                "write_optimistic is COW-only; MOR appends serialize "
-                "cheaply under the plain lock (use write())"
-            )
         if op not in ("insert", "upsert", "delete"):
             raise ValueError(f"unsupported optimistic op: {op}")
         if not self.exists():
@@ -1018,7 +1024,17 @@ class LakeTable:
 
         # ---- compute phase: NO LOCK HELD (mirrors the serialized
         # twins _commit_insert/_commit_upsert_inner/_commit_delete)
-        if op == "delete":
+        if self.is_mor and op != "insert":
+            # append-only: delta (upsert) or tombstone delta (delete);
+            # commutes with every concurrent append under the read merge
+            batch = self._prepare_batch(df, inst)
+            if op == "delete":
+                batch = batch.withColumn(DELETED_COL, F.lit(True))
+            batch = self._align_schema(batch)
+            added = self._write_data_files(batch, inst, kind="delta")
+            replaced: list[str] = []
+            action, schema = op, batch.schema
+        elif op == "delete":
             keys = df.filter(pk_not_null_condition(self.record_keys))
             keys = self._stamp(keys, inst)
             keys.persist()
@@ -1104,7 +1120,10 @@ class LakeTable:
                 f"read-set overlap on {sorted(clash)[:3]} with concurrent "
                 f"commits {newer}"
             )
-        if op == "insert":
+        if op == "insert" or self.is_mor:
+            # inserts are not key-unique (Hudi semantics); MOR appends
+            # COMMUTE under the precombine read merge — neither needs
+            # the added-vs-added key-overlap proof
             return
         for f in added:
             for g in their_added:

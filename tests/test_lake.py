@@ -1570,6 +1570,61 @@ def test_optimistic_instant_overrun_aborts(spark, tmp_path):
     assert handle().timeline() == ["001", "005"]
 
 
+def test_optimistic_mor_overlapping_appends_commute(spark, tmp_path):
+    """On MERGE_ON_READ, optimistic writers appending OVERLAPPING keys
+    both commit — appends commute under the precombine read merge, so
+    no data conflict exists (the reason the reference routes its
+    partitioned streaming tables to MOR). The snapshot equals the
+    serialized two-upsert result: higher precombine wins per key.
+    A tombstone delta published the same way deletes through."""
+    from emr_hudi_example_spark.lake import LakeTable
+
+    root = tmp_path / "occ-mor"
+
+    def handle():
+        return LakeTable(
+            spark, str(root), "testdb", "occm",
+            record_keys=["c_custkey"], precombine="ver",
+            table_type="MERGE_ON_READ",
+        )
+
+    t_seed = handle()
+    t_seed.write(cust(spark, ver=1), op="insert", instant="001")
+    t_a, t_b = handle(), handle()
+    overlap_a = cust(spark, ver=2).filter(F.col("c_custkey") <= 50)
+    overlap_b = cust(spark, ver=3).filter(F.col("c_custkey") <= 30)
+
+    orig = t_a._writer_lock
+    fired = {"n": 0}
+
+    def lock_after_concurrent_commit():
+        if fired["n"] == 0:
+            fired["n"] = 1
+            t_b.write_optimistic(overlap_b, op="upsert", instant="002")
+        return orig()
+
+    t_a._writer_lock = lock_after_concurrent_commit
+    t_a.write_optimistic(overlap_a, op="upsert", instant="003")
+    assert fired["n"] == 1
+
+    reader = handle()
+    assert reader.timeline() == ["001", "002", "003"]
+    snap = reader.snapshot()
+    n30 = cust(spark).filter(F.col("c_custkey") <= 30).count()
+    n50 = cust(spark).filter(F.col("c_custkey") <= 50).count()
+    assert snap.filter(F.col("ver") == 3).count() == n30  # B wins overlap
+    assert snap.filter(F.col("ver") == 2).count() == n50 - n30
+    assert snap.count() == cust(spark).count()
+    # optimistic tombstone append deletes through the same path
+    t_c = handle()
+    t_c.write_optimistic(
+        cust(spark, ver=9).filter(F.col("c_custkey") <= 10),
+        op="delete", instant="004",
+    )
+    n10 = cust(spark).filter(F.col("c_custkey") <= 10).count()
+    assert handle().snapshot().count() == cust(spark).count() - n10
+
+
 def test_two_successive_takeovers_fence_both_zombies(spark, tmp_path):
     """Fences ACCUMULATE: writer A's zombie survives takeover 1, writer
     B's zombie survives takeover 2 — read planning must discard both

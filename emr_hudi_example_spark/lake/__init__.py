@@ -12,6 +12,7 @@ from emr_hudi_example_spark.lake.locks import (
 )
 from emr_hudi_example_spark.lake.table import (
     COMMIT_TIME_COL,
+    ConcurrentWriteConflict,
     DELETED_COL,
     META_COLS,
     PARTITION_PATH_COL,
@@ -28,6 +29,7 @@ __all__ = [
     "LockFenced",
     "LockProvider",
     "retry_on_contention",
+    "ConcurrentWriteConflict",
     "LakeTable",
     "META_COLS",
     "COMMIT_TIME_COL",

@@ -1071,7 +1071,7 @@ class LakeTable:
                     replaced = sorted({f["path"] for f in affected})
             finally:
                 batch.unpersist()
-            action, schema = op if op != "insert" else "insert", batch.schema
+            action, schema = op, batch.schema
 
         # ---- publish phase: short critical section
         with self._writer_lock():

@@ -1532,6 +1532,65 @@ def test_optimistic_conflicting_writer_aborts_and_retries(spark, tmp_path):
     assert snap.count() == cust(spark).count()
 
 
+def test_optimistic_writers_real_threads_converge(spark, tmp_path):
+    """UNSTAGED concurrency: four real threads write_optimistic four
+    disjoint partitions simultaneously (Spark sessions are thread-safe
+    for job submission). Whatever interleaving the scheduler produces,
+    every thread converges with bounded conflict-retries and the final
+    snapshot holds all four partitions' ver=2 rows — the multi-writer
+    liveness + safety property staged tests can't prove."""
+    import threading
+
+    from emr_hudi_example_spark.lake import (
+        ConcurrentWriteConflict, LakeTable,
+    )
+
+    root = tmp_path / "occ-threads"
+
+    def handle():
+        return LakeTable(
+            spark, str(root), "testdb", "occt",
+            record_keys=["c_custkey"], precombine="ver",
+            partition_keys=["c_mktsegment"],
+        )
+
+    handle().write(cust(spark, ver=1), op="insert", instant="001")
+    segs = sorted(
+        r[0] for r in cust(spark).select("c_mktsegment").distinct().collect()
+    )[:4]
+    errors: list[Exception] = []
+
+    def writer(seg: str) -> None:
+        t = handle()
+        batch = cust(spark, ver=2).filter(F.col("c_mktsegment") == seg)
+        for _ in range(8):  # bounded retry on instant-order collisions
+            try:
+                t.write_optimistic(batch, op="upsert")
+                return
+            except ConcurrentWriteConflict:
+                t = handle()  # fresh snapshot, retry
+            except Exception as exc:  # pragma: no cover - surface it
+                errors.append(exc)
+                return
+        errors.append(RuntimeError(f"writer {seg} never converged"))
+
+    threads = [threading.Thread(target=writer, args=(s,)) for s in segs]
+    for th in threads:
+        th.start()
+    for th in threads:
+        th.join(120)
+    assert not errors, errors
+    snap = handle().snapshot()
+    for seg in segs:
+        assert (
+            snap.filter(
+                (F.col("c_mktsegment") == seg) & (F.col("ver") == 2)
+            ).count()
+            == cust(spark).filter(F.col("c_mktsegment") == seg).count()
+        )
+    assert snap.count() == cust(spark).count()
+
+
 def test_optimistic_instant_overrun_aborts(spark, tmp_path):
     """A planned instant out-run by a concurrent publish must abort
     (the instant is baked into the written data files' _commit_time)."""

@@ -69,6 +69,7 @@ import json
 import os
 import re
 import shutil
+import time
 from urllib.parse import unquote, urlparse
 
 from pyspark.sql import DataFrame, SparkSession
@@ -225,6 +226,17 @@ class LakeTable:
         #: in-session live-file cache: (instant, files) — rolled forward
         #: incrementally per commit so repeated planning is O(delta)
         self._live_cache: tuple[str, list[dict]] | None = None
+        #: lock-free writers (optimistic publish, async compaction fold)
+        #: drop a marker under ``_commits/.inflight/`` before writing
+        #: data files so a concurrent ``clean()`` never reaps an
+        #: in-flight commit's files as orphans (Hudi's heartbeat file
+        #: analog). Markers older than this TTL are treated as crashed
+        #: writers: clean() removes the marker and reclaims the files; a
+        #: writer that out-lives its own marker is still SAFE because
+        #: the publish critical section re-verifies every added file
+        #: exists and aborts with :class:`ConcurrentWriteConflict`.
+        self.inflight_ttl_seconds: float = 900.0
+        self.inflight_dir = os.path.join(self.commits_dir, ".inflight")
         #: instants cleared against the zombie fences (see
         #: :meth:`_zombie_instants`) — clean verdicts are immutable
         self._fence_ok: set[str] = set()
@@ -1022,6 +1034,18 @@ class LakeTable:
         else:
             inst = self._next_instant(instant)
 
+        # announce the lock-free write BEFORE any data file exists so a
+        # concurrent clean() (which cannot see our not-yet-published
+        # manifest) never reaps the in-flight files as orphans
+        self._mark_inflight(inst)
+        try:
+            return self._write_optimistic_inner(base, inst, df, op)
+        finally:
+            self._clear_inflight(inst)
+
+    def _write_optimistic_inner(
+        self, base: str | None, inst: str, df: DataFrame, op: str
+    ) -> str:
         # ---- compute phase: NO LOCK HELD (mirrors the serialized
         # twins _commit_insert/_commit_upsert_inner/_commit_delete)
         if self.is_mor and op != "insert":
@@ -1077,6 +1101,21 @@ class LakeTable:
         with self._writer_lock():
             try:
                 self._check_publish_conflicts(base, inst, op, added, replaced)
+                # belt-and-braces for a compute phase that out-lived its
+                # own inflight TTL: if a cleaner judged the marker stale
+                # and reaped our files, abort instead of publishing a
+                # manifest that references deleted data
+                missing = [
+                    f["path"]
+                    for f in added
+                    if not os.path.exists(os.path.join(self.path, f["path"]))
+                ]
+                if missing:
+                    raise ConcurrentWriteConflict(
+                        f"in-flight data files reaped by the cleaner "
+                        f"(marker exceeded inflight_ttl_seconds="
+                        f"{self.inflight_ttl_seconds}): {missing[:3]}"
+                    )
             except ConcurrentWriteConflict:
                 for f in added:  # best-effort orphan reclaim; the lazy
                     try:         # cleaner owns whatever survives
@@ -2494,6 +2533,57 @@ class LakeTable:
             os.remove(pfile)
             return inst
 
+    # ---------------------------------------------------- inflight markers
+
+    def _mark_inflight(self, instant: str) -> None:
+        """Announce a LOCK-FREE write in progress (optimistic writer /
+        async-compaction fold): ``_commits/.inflight/<instant>.json``
+        tells a concurrent ``clean()`` that ``data/<instant>/`` belongs
+        to a live writer, not a crashed one — without it the cleaner
+        would reap the half-written files and the later publish would
+        reference deleted data (silent loss; r6 advice, high). The
+        serialized ``write()`` path doesn't need one: it holds the same
+        writer lock ``clean()`` takes."""
+        os.makedirs(self.inflight_dir, exist_ok=True)
+        tmp = os.path.join(self.inflight_dir, f".{instant}.tmp")
+        with open(tmp, "w") as fh:
+            json.dump(
+                {"instant": instant, "pid": os.getpid(), "at": time.time()},
+                fh,
+            )
+        os.replace(tmp, os.path.join(self.inflight_dir, instant + ".json"))
+
+    def _clear_inflight(self, instant: str) -> None:
+        try:
+            os.unlink(os.path.join(self.inflight_dir, instant + ".json"))
+        except OSError:
+            pass  # already reaped as stale, or never created
+
+    def _inflight_split(self) -> tuple[set[str], set[str]]:
+        """(live, stale) in-flight instants: markers younger than
+        ``inflight_ttl_seconds`` protect their data dir from the
+        cleaner; older ones are crashed writers whose files are fair
+        game (and whose marker clean() removes)."""
+        live: set[str] = set()
+        stale: set[str] = set()
+        try:
+            names = os.listdir(self.inflight_dir)
+        except FileNotFoundError:
+            return live, stale
+        horizon = time.time() - self.inflight_ttl_seconds
+        for n in names:
+            if not n.endswith(".json") or n.startswith("."):
+                continue
+            inst = n[: -len(".json")]
+            try:
+                with open(os.path.join(self.inflight_dir, n)) as fh:
+                    at = json.load(fh).get("at", 0.0)
+            except (FileNotFoundError, ValueError):
+                live.add(inst)  # torn read / mid-replace: assume live
+                continue
+            (live if at > horizon else stale).add(inst)
+        return live, stale
+
     # -------------------------------------------------------------- cleaner
 
     def clean(self, retain_commits: int = 2) -> list[str]:
@@ -2503,9 +2593,16 @@ class LakeTable:
         Also removes orphan files from crashed writes. Returns deleted
         relative paths.
 
-        Takes the writer lock: an in-flight write's data files exist
-        before its manifest does and would otherwise look like orphans —
-        cleaning them mid-write would corrupt the commit."""
+        Takes the writer lock: a SERIALIZED in-flight write's data files
+        exist before its manifest does and would otherwise look like
+        orphans — cleaning them mid-write would corrupt the commit.
+        LOCK-FREE writers (``write_optimistic`` / the async-compaction
+        fold) are instead protected by their ``_commits/.inflight/``
+        markers: their data dirs are skipped while the marker is younger
+        than ``inflight_ttl_seconds``; older markers are crashed writers
+        — the marker is removed and the files reclaimed (any such writer
+        still alive aborts at publish via the added-files existence
+        check, never publishing a manifest to deleted data)."""
         tl = self.timeline()
         if not tl:
             return []
@@ -2520,18 +2617,25 @@ class LakeTable:
         # the retention horizon (Hudi savepoint semantics)
         for sp in self.savepoints():
             keep |= {f["path"] for f in self._live_files_at(sp)}
+        inflight, stale_inflight = self._inflight_split()
+        for inst in stale_inflight:
+            self._clear_inflight(inst)  # crashed writer: files now fair game
         deleted = []
         for root, _dirs, files in os.walk(self.data_dir):
             for fn in files:
                 full = os.path.join(root, fn)
                 rel = os.path.relpath(full, self.path)
+                parts = rel.replace(os.sep, "/").split("/")
+                if len(parts) >= 2 and parts[1] in inflight:
+                    continue  # live lock-free writer's in-flight files
                 if rel not in keep and fn.endswith(".parquet"):
                     os.remove(full)
                     deleted.append(rel)
-        # prune now-empty instant dirs
+        # prune now-empty instant dirs (never an in-flight writer's: its
+        # dir may exist before Spark materializes the first part file)
         for d in os.listdir(self.data_dir) if os.path.isdir(self.data_dir) else []:
             full = os.path.join(self.data_dir, d)
-            if os.path.isdir(full) and not any(
+            if d not in inflight and os.path.isdir(full) and not any(
                 fns for _r, _ds, fns in os.walk(full)
             ):
                 shutil.rmtree(full)

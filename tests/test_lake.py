@@ -2489,3 +2489,110 @@ def test_merge_into_requires_existing_table(spark, tmp_path):
     t = make_table(spark, tmp_path)
     with pytest.raises(ValueError, match="non-existent"):
         t.merge_into(cust(spark))
+
+
+# ---------------------------------------------------------------- inflight
+# clean() vs lock-free writers (r6 advice, high): an optimistic writer's
+# data files exist before its manifest — the .inflight marker must keep a
+# concurrent cleaner's hands off them, and a writer whose marker expired
+# must ABORT at publish rather than commit a manifest to deleted files.
+
+
+def test_clean_during_optimistic_compute_keeps_inflight_files(
+    spark, tmp_path
+):
+    """A clean() firing while an optimistic writer is between its data
+    write and its publish must NOT reap the in-flight files: the marker
+    protects them, the publish lands, and the snapshot is correct."""
+    root = tmp_path / "occ-clean"
+
+    def handle():
+        return LakeTable(
+            spark, str(root), "testdb", "occ",
+            record_keys=["c_custkey"], precombine="ver",
+        )
+
+    t_seed = handle()
+    t_seed.write(cust(spark, ver=1), op="insert", instant="001")
+    t_seed.write(
+        cust(spark, ver=1).limit(10), op="upsert", instant="002"
+    )  # second commit so retain_commits=1 has something to reap
+
+    t_a, t_c = handle(), handle()
+    orig = t_a._writer_lock
+    fired = {"n": 0}
+
+    def lock_after_concurrent_clean():
+        if fired["n"] == 0:
+            fired["n"] = 1
+            # cleaner fires while A holds NO lock: A's data files are on
+            # disk, its manifest is not
+            t_c.clean(retain_commits=1)
+        return orig()
+
+    t_a._writer_lock = lock_after_concurrent_clean
+    inst = t_a.write_optimistic(cust(spark, ver=2), op="upsert")
+    assert fired["n"] == 1
+
+    reader = handle()
+    assert reader.timeline()[-1] == inst
+    snap = reader.snapshot()
+    assert snap.count() == cust(spark).count()
+    assert snap.filter(F.col("ver") == 2).count() == cust(spark).count()
+    # marker cleared after publish
+    assert reader._inflight_split() == (set(), set())
+
+
+def test_expired_inflight_marker_aborts_publish_not_corrupts(
+    spark, tmp_path
+):
+    """If the cleaner's TTL judges the writer crashed (marker stale) and
+    reaps its files, the still-alive writer must abort with
+    ConcurrentWriteConflict at publish — never commit a manifest that
+    references deleted files."""
+    from emr_hudi_example_spark.lake import ConcurrentWriteConflict
+
+    root = tmp_path / "occ-stale"
+
+    def handle():
+        return LakeTable(
+            spark, str(root), "testdb", "occ",
+            record_keys=["c_custkey"], precombine="ver",
+        )
+
+    t_seed = handle()
+    t_seed.write(cust(spark, ver=1), op="insert", instant="001")
+
+    t_a, t_c = handle(), handle()
+    t_c.inflight_ttl_seconds = 0.0  # every marker counts as crashed
+    orig = t_a._writer_lock
+    fired = {"n": 0}
+
+    def lock_after_hostile_clean():
+        if fired["n"] == 0:
+            fired["n"] = 1
+            t_c.clean(retain_commits=1)
+        return orig()
+
+    t_a._writer_lock = lock_after_hostile_clean
+    with pytest.raises(ConcurrentWriteConflict, match="reaped"):
+        t_a.write_optimistic(cust(spark, ver=2), op="upsert")
+
+    reader = handle()
+    assert reader.timeline() == ["001"]  # nothing published
+    assert reader.snapshot().filter(F.col("ver") == 2).count() == 0
+    # the hostile clean also removed the stale marker
+    assert reader._inflight_split() == (set(), set())
+
+
+def test_clean_removes_stale_inflight_markers(spark, tmp_path):
+    t = make_table(spark, tmp_path)
+    t.write(cust(spark, ver=1), op="insert", instant="001")
+    t._mark_inflight("002zzzz")
+    live, stale = t._inflight_split()
+    assert live == {"002zzzz"} and stale == set()
+    t.inflight_ttl_seconds = 0.0
+    live, stale = t._inflight_split()
+    assert live == set() and stale == {"002zzzz"}
+    t.clean(retain_commits=2)
+    assert t._inflight_split() == (set(), set())

@@ -135,7 +135,7 @@ class LeaseLockProvider(LockProvider):
       still rename its manifest into the timeline after a takeover.
       That late rename is made HARMLESS by the fence record (r5
       verdict): when a taker supersedes an expired-unreleased lease it
-      snapshots the timeline head into ``_lease/fences.json`` (see
+      snapshots the timeline head into ``_lease/fence-<token>.json`` (see
       :meth:`_record_fence`), every manifest is stamped with its
       writer's token, and read planning discards any manifest from an
       older token whose instant was not in that snapshot. Mutual
@@ -272,25 +272,27 @@ class LeaseLockProvider(LockProvider):
 
     def _record_fence(self, token: int) -> None:
         """Publish the zombie fence for a takeover: snapshot the commit
-        timeline as seen *after* winning the CAS into
-        ``_lease/fences.json``. Read planning (``LakeTable.timeline``)
-        discards any manifest stamped with a token older than ``token``
-        whose instant sorts after this snapshot's head — by mutual
-        exclusion such a manifest can only be a superseded writer's late
-        ``os.replace`` (paused between its fencing ``validate()`` and
-        the rename), closing the r4/r5 residual window. Listing AFTER
-        the CAS matters: any old-token manifest that landed first is in
-        the snapshot and stays authoritative (its data files were fully
-        written before its validate), so the filter can never drop a
-        real commit. Only the CAS winner writes this file, under the
-        lease it just won, so the read-modify-replace is single-writer.
+        timeline as seen *after* winning the CAS into an IMMUTABLE
+        per-token file ``_lease/fence-<token>.json`` (``O_EXCL`` create,
+        one atomic syscall — no shared-file read-modify-replace, so a
+        taker paused between its CAS and its fence write can never race
+        a later takeover's record; r6 advice). Read planning
+        (``LakeTable.timeline``) discards any manifest stamped with a
+        token older than ``token`` whose instant sorts after this
+        snapshot's head — by mutual exclusion such a manifest can only
+        be a superseded writer's late ``os.replace`` (paused between its
+        fencing ``validate()`` and the rename), closing the r4/r5
+        residual window. Listing AFTER the CAS matters: any old-token
+        manifest that landed first is in the snapshot and stays
+        authoritative (its data files were fully written before its
+        validate), so the filter can never drop a real commit.
 
         Fences ACCUMULATE and must never be pruned to the newest: a
         later takeover's snapshot may itself contain an earlier
         (not-yet-noticed) zombie manifest, which only the EARLIER fence
         can condemn — each fence guards exactly the tokens older than
-        its own takeover. Takeovers are crash events, so the list stays
-        operator-log sized.
+        its own takeover. Takeovers are crash events, so the directory
+        stays operator-log sized.
         """
         import json
 
@@ -302,24 +304,29 @@ class LeaseLockProvider(LockProvider):
             )
         except (FileNotFoundError, ValueError):
             head = ""  # empty timeline: every old-token instant fences
-        path = os.path.join(self.lease_dir, "fences.json")
-        try:
-            with open(path) as fh:
-                fences = json.load(fh).get("fences", [])
-        except (FileNotFoundError, ValueError):
-            fences = []
-        fences.append(
-            {
-                "token": token,
-                "holder": self.holder,
-                "timeline_head": head,
-                "at": time.time(),
-            }
-        )
-        tmp = path + ".tmp"
+        os.makedirs(self.lease_dir, exist_ok=True)
+        path = os.path.join(self.lease_dir, f"fence-{token:020d}.json")
+        # fully write a private temp, then hard-link it into place:
+        # link(2) is atomic AND exclusive (EEXIST if the fence already
+        # landed), so readers never observe a torn fence and duplicate
+        # recorders are harmless
+        tmp = path + f".{os.getpid()}.tmp"
         with open(tmp, "w") as fh:
-            json.dump({"fences": fences}, fh)
-        os.replace(tmp, path)
+            json.dump(
+                {
+                    "token": token,
+                    "holder": self.holder,
+                    "timeline_head": head,
+                    "at": time.time(),
+                },
+                fh,
+            )
+        try:
+            os.link(tmp, path)
+        except FileExistsError:
+            pass  # this takeover's fence is already on disk
+        finally:
+            os.unlink(tmp)
 
     def validate(self) -> None:
         if self.token is None:

@@ -268,7 +268,7 @@ class LakeTable:
         """Instants published by a fenced (superseded) lease holder.
 
         ``LeaseLockProvider`` records a fence ``{token, timeline_head}``
-        in ``_lease/fences.json`` when it takes over an expired lease
+        as ``_lease/fence-<token>.json`` when it takes over an expired lease
         (``locks.py:_record_fence``). A manifest whose ``fence_token``
         is older than a fence's token AND whose instant was not in that
         fence's timeline snapshot can only be the superseded writer's
@@ -293,9 +293,18 @@ class LakeTable:
                 self._fence_ok.add(inst)
                 continue
             try:
-                token = self._manifest(inst).get("fence_token") or 0
+                token = self._manifest(inst).get("fence_token")
             except (FileNotFoundError, ValueError):
                 continue  # mid-rename/torn read: keep, re-check later
+            if token is None:
+                # no fencing token = written under a non-lease provider
+                # (FileLockProvider stamps None). Such a writer cannot
+                # be a superseded LEASE holder — only lease zombies are
+                # what fences condemn, and they always carry a token —
+                # so condemning None would silently drop real commits in
+                # mixed-lock-provider use (r6 advice, medium). Keep.
+                self._fence_ok.add(inst)
+                continue
             if any(token < f["token"] for f in suspect):
                 zombies.add(inst)
             else:
@@ -303,11 +312,33 @@ class LakeTable:
         return zombies
 
     def _fences(self) -> list[dict]:
+        """Takeover fence records, ascending by token. One immutable
+        ``_lease/fence-<token>.json`` per takeover (written atomically
+        by the CAS winner, ``locks.py:_record_fence``); the legacy
+        shared ``fences.json`` list is still read for tables fenced by
+        older builds."""
+        lease_dir = os.path.join(self.path, "_lease")
+        fences: list[dict] = []
         try:
-            with open(os.path.join(self.path, "_lease", "fences.json")) as fh:
-                return json.load(fh).get("fences", [])
+            with open(os.path.join(lease_dir, "fences.json")) as fh:
+                fences.extend(json.load(fh).get("fences", []))
         except (FileNotFoundError, ValueError):
-            return []
+            pass
+        try:
+            names = sorted(
+                n
+                for n in os.listdir(lease_dir)
+                if n.startswith("fence-") and n.endswith(".json")
+            )
+        except FileNotFoundError:
+            return fences
+        for n in names:
+            try:
+                with open(os.path.join(lease_dir, n)) as fh:
+                    fences.append(json.load(fh))
+            except (FileNotFoundError, ValueError):
+                continue  # mid-link torn read: picked up next listing
+        return sorted(fences, key=lambda f: f["token"])
 
     def last_instant(self) -> str | None:
         tl = self.timeline()

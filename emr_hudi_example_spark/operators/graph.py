@@ -152,6 +152,8 @@ def pagerank(
     becomes ``Σ weight`` per source and each contribution is scaled by
     its edge's weight share, ``r(u) * w(u→v) / Σ_u w``, same DECIMAL
     accumulation (r5 advice: the silent-ignore was an API foot-gun).
+    A NULL weight coalesces to 1 (that edge counts once, like the
+    unweighted classic) rather than being silently dropped.
     """
     if use_weights and "weight" not in edges.columns:
         raise ValueError("use_weights=True requires a 'weight' column")
@@ -167,7 +169,12 @@ def pagerank(
     n_nodes = nodes.count()  # driver-side scalar: loop constant, M3-style
     if n_nodes == 0:  # empty graph (e.g. all hops were self-loops)
         return nodes.withColumn("rank", F.lit(0.0))
-    wcol = F.col("weight") if use_weights else F.lit(1)
+    # NULL weight = unweighted edge (counts once), NOT silently dropped:
+    # F.sum skips NULLs, which would leak that edge's rank mass entirely
+    # — diverging from the unweighted path (r6 advice)
+    wcol = (
+        F.coalesce(F.col("weight"), F.lit(1)) if use_weights else F.lit(1)
+    )
     deg = edges.groupBy("src").agg(
         F.sum(wcol).alias("deg")
     ).localCheckpoint()

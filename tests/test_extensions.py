@@ -913,6 +913,32 @@ def test_pagerank_weighted_vs_unweighted(spark):
         G.pagerank(edges.drop("weight"), use_weights=True)
 
 
+def test_pagerank_null_weight_counts_once_not_dropped(spark):
+    """A NULL weight coalesces to 1 (r6 advice): the edge still carries
+    rank mass like an unweighted edge, instead of being silently dropped
+    from both the out-degree sum and the contribution."""
+    from emr_hudi_example_spark.operators import graph as G
+
+    with_null = spark.createDataFrame(
+        [("a", "b", 9), ("a", "c", None), ("b", "a", 1), ("c", "a", 1)],
+        "src string, dst string, weight long",
+    )
+    explicit_one = spark.createDataFrame(
+        [("a", "b", 9), ("a", "c", 1), ("b", "a", 1), ("c", "a", 1)],
+        "src string, dst string, weight long",
+    )
+    got = {
+        r["node"]: r["rank"]
+        for r in G.pagerank(with_null, use_weights=True).collect()
+    }
+    want = {
+        r["node"]: r["rank"]
+        for r in G.pagerank(explicit_one, use_weights=True).collect()
+    }
+    assert got == want  # bit-identical: NULL == weight 1
+    assert abs(sum(got.values()) - 1.0) < 1e-6  # mass conserved
+
+
 def test_sequential_edges_null_ts_dropped_both_paths(spark):
     """NULL-timestamp events are excluded up front (r5 advice), so the
     bucketed and global-window paths agree on dirty inputs."""

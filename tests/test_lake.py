@@ -2596,3 +2596,87 @@ def test_clean_removes_stale_inflight_markers(spark, tmp_path):
     assert live == set() and stale == {"002zzzz"}
     t.clean(retain_commits=2)
     assert t._inflight_split() == (set(), set())
+
+
+def test_file_lock_commits_survive_on_fenced_table(spark, tmp_path):
+    """A table that once recorded a lease-takeover fence must keep
+    accepting commits from the default FileLockProvider (which stamps
+    fence_token: None): only lease-provider zombies — which always
+    carry a token — are condemned by fences. Treating None as token 0
+    silently erased every later file-lock commit (r6 advice, medium)."""
+    from emr_hudi_example_spark.lake import LakeTable
+    from emr_hudi_example_spark.lake.locks import LeaseLockProvider
+
+    root = tmp_path / "mixed-prov"
+    tpath = str(root / "testdb" / "mx")
+    a = LeaseLockProvider(tpath, lease_seconds=60.0, holder="a")
+    t_a = LakeTable(
+        spark, str(root), "testdb", "mx",
+        record_keys=["c_custkey"], precombine="ver", lock_provider=a,
+    )
+    t_a.write(cust(spark, ver=1), op="insert", instant="001")
+
+    # force a takeover fence: back-date a's lease, let b take over
+    import time as _t
+
+    a.acquire(5.0)
+    a._rewrite_own(expires_at=_t.time() - 1.0)
+    b = LeaseLockProvider(tpath, lease_seconds=60.0, holder="b")
+    b.acquire(5.0)
+    b.release()
+    assert t_a._fences()  # fence recorded
+
+    # later operator writes via the DEFAULT provider (O_EXCL file lock)
+    t_file = LakeTable(
+        spark, str(root), "testdb", "mx",
+        record_keys=["c_custkey"], precombine="ver",
+    )
+    t_file.write(cust(spark, ver=2), op="upsert", instant="002")
+    assert t_file.timeline() == ["001", "002"]
+
+    # a FRESH reader (no _fence_ok cache) still sees the commit
+    t_r = LakeTable(
+        spark, str(root), "testdb", "mx",
+        record_keys=["c_custkey"], precombine="ver",
+    )
+    assert t_r.timeline() == ["001", "002"]
+    assert (
+        t_r.snapshot().filter(F.col("ver") == 2).count()
+        == cust(spark).count()
+    )
+
+
+def test_fence_records_are_immutable_per_token_files(spark, tmp_path):
+    """_record_fence writes one O_EXCL-linked fence-<token>.json per
+    takeover (r6 advice: the shared fences.json read-modify-replace
+    could lose a record to a paused taker racing the next takeover).
+    A legacy fences.json is still honored alongside."""
+    import json as _json
+    import os as _os
+
+    from emr_hudi_example_spark.lake import LakeTable
+    from emr_hudi_example_spark.lake.locks import LeaseLockProvider
+
+    root = tmp_path / "fence-files"
+    tpath = str(root / "testdb" / "ff")
+    _os.makedirs(_os.path.join(tpath, "_commits"))
+    p = LeaseLockProvider(tpath, holder="w")
+    p._record_fence(5)
+    p._record_fence(7)
+    p._record_fence(5)  # duplicate recorder: harmless no-op
+    names = sorted(
+        n for n in _os.listdir(p.lease_dir) if n.startswith("fence-")
+    )
+    assert len(names) == 2 and not any(n.endswith(".tmp") for n in names)
+
+    # legacy shared-file fences merge in, ascending by token
+    with open(_os.path.join(p.lease_dir, "fences.json"), "w") as fh:
+        _json.dump(
+            {"fences": [{"token": 3, "holder": "old", "timeline_head": ""}]},
+            fh,
+        )
+    t = LakeTable(
+        spark, str(root), "testdb", "ff",
+        record_keys=["c_custkey"], precombine="ver",
+    )
+    assert [f["token"] for f in t._fences()] == [3, 5, 7]

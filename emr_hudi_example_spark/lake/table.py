@@ -2520,6 +2520,21 @@ class LakeTable:
         (a pinned file was already replaced — e.g. an inline compaction
         ran in between; the plan is discarded, as only the file set it
         pinned could make the partial fold safe).
+
+        Concurrency (r6 verdict #1): the HEAVY fold — reading the
+        pinned files, merging, writing the new base files — holds NO
+        table lock, exactly like ``write_optimistic``'s compute phase
+        (an ``.inflight`` marker keeps the cleaner off the half-written
+        files). The lock is taken only for a short publish: re-verify
+        the plan file still exists and its pinned files are all still
+        live, rename the provisional data dir to the final instant, and
+        write the manifest. Concurrent APPENDS (streaming ingest, MOR
+        deltas, optimistic inserts) therefore never wait on a large fold
+        and never invalidate it — only a commit that REPLACED a pinned
+        file does, in which case the fold's output is abandoned to the
+        lazy cleaner and the plan discarded (a mid-fold replacement can
+        also surface as a read error inside the Spark job: same
+        situation one step earlier — the plan was doomed either way).
         """
         pending = self.pending_compactions()
         if plan_id is None:
@@ -2528,23 +2543,32 @@ class LakeTable:
             plan_id = pending[0]
         pdir = os.path.join(self.commits_dir, "_compaction")
         pfile = os.path.join(pdir, plan_id + ".json")
-        with self._writer_lock():
-            # read the plan UNDER the lock: a concurrent executor of the
-            # same plan either finished (file gone → nothing to do) or
-            # discarded it as stale — never a FileNotFoundError race
-            try:
-                with open(pfile) as fh:
-                    plan = json.load(fh)
-            except FileNotFoundError:
-                return None
-            live = self._live_files()
-            live_paths = {f["path"] for f in live}
-            pinned_paths = set(plan["files"])
-            if not pinned_paths <= live_paths:
-                os.remove(pfile)  # stale plan — a pinned file was replaced
-                return None
-            pinned = [f for f in live if f["path"] in pinned_paths]
-            inst = self._next_instant(None)
+        # ---- plan read + staleness pre-check: NO LOCK (plan files are
+        # immutable once scheduled; a concurrent executor either
+        # finished — file gone — or discarded it as stale)
+        try:
+            with open(pfile) as fh:
+                plan = json.load(fh)
+        except FileNotFoundError:
+            return None
+        live_by_path = {f["path"]: f for f in self._live_files()}
+        pinned_paths = set(plan["files"])
+        if not pinned_paths <= set(live_by_path):
+            self._discard_plan(pfile)  # a pinned file was replaced
+            return None
+        pinned = [live_by_path[p] for p in sorted(pinned_paths)]
+        import uuid
+
+        # provisional instant for the fold's data dir (uniquified like
+        # write_optimistic's — concurrent executors must not collide);
+        # the PUBLISHED instant is allocated later, under the lock, and
+        # the dir renamed to it so path-derived instants (bloom sidecar
+        # lookup, cleaner pruning) stay consistent
+        prov = self._next_instant(None) + "c" + uuid.uuid4().hex[:4]
+        self._mark_inflight(prov)
+        try:
+            # ---- fold: NO LOCK HELD (the expensive part — at 100 TB
+            # this is a full rewrite of the pinned file set)
             df = self._read_files(sorted(pinned_paths))
             if self.is_mor:
                 df = self._merged_read(df).withColumn(
@@ -2553,16 +2577,82 @@ class LakeTable:
             df = self._cluster_for_compact(
                 df, pinned, target_files_per_partition, sort_by
             )
-            added = self._write_data_files(df, inst)
-            self._write_manifest(
-                inst,
-                "compact",
-                self._stored_schema(),
-                added,
-                sorted(pinned_paths),
-            )
+            added = self._write_data_files(df, prov)
+
+            # ---- publish: short critical section
+            with self._writer_lock():
+                try:
+                    with open(pfile) as fh:
+                        json.load(fh)
+                except FileNotFoundError:
+                    self._orphan(added)  # another executor won this plan
+                    return None
+                live_now = {f["path"] for f in self._live_files()}
+                if not pinned_paths <= live_now:
+                    # plan went stale DURING the fold: abandon the output
+                    self._discard_plan(pfile)
+                    self._orphan(added)
+                    return None
+                if any(
+                    not os.path.exists(os.path.join(self.path, f["path"]))
+                    for f in added
+                ):
+                    # fold out-lived its inflight TTL and a cleaner
+                    # reaped the output; plan stays valid for a retry
+                    self._orphan(added)
+                    return None
+                inst = self._next_instant(None)
+                added = self._relocate_fold(prov, inst, added)
+                self._write_manifest(
+                    inst,
+                    "compact",
+                    self._stored_schema(),
+                    added,
+                    sorted(pinned_paths),
+                )
+                self._discard_plan(pfile)
+                return inst
+        finally:
+            self._clear_inflight(prov)
+
+    @staticmethod
+    def _discard_plan(pfile: str) -> None:
+        try:
             os.remove(pfile)
-            return inst
+        except FileNotFoundError:
+            pass  # concurrent executor discarded it first
+
+    def _orphan(self, added: list[dict]) -> None:
+        """Best-effort unlink of an abandoned write's files; the lazy
+        cleaner owns whatever survives (same recipe as the optimistic
+        conflict path)."""
+        for f in added:
+            try:
+                os.unlink(os.path.join(self.path, f["path"]))
+            except OSError:
+                pass
+
+    def _relocate_fold(
+        self, prov: str, inst: str, added: list[dict]
+    ) -> list[dict]:
+        """Rename the provisional fold dir ``data/<prov>/`` to the
+        published instant's dir (one atomic directory rename, under the
+        writer lock) and rewrite the file records to match. Keeps the
+        invariant that a file's path embeds its commit's instant, which
+        bloom-sidecar lookup and cleaner pruning rely on."""
+        os.rename(
+            os.path.join(self.data_dir, prov),
+            os.path.join(self.data_dir, inst),
+        )
+        prefix = f"data/{prov}/"
+        out = []
+        for f in added:
+            g = dict(f)
+            rel = g["path"].replace(os.sep, "/")
+            if rel.startswith(prefix):
+                g["path"] = f"data/{inst}/" + rel[len(prefix):]
+            out.append(g)
+        return out
 
     # ---------------------------------------------------- inflight markers
 

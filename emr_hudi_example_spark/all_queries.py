@@ -3,15 +3,32 @@ catalog entry (relational core, lakehouse semantics, pipelines,
 extensions) into the shared Q/ORACLE dicts.
 
 The driver's CORRECTNESS gate verifies the first 50 *registered* queries
-only (round-2 verdict), so registration order is signal-bearing: queries
-that have never received a driver correctness row — or are new this
-round — are promoted to the front of the dict via ``_PRIORITY`` so they
-land inside the checked window. Long-green queries (driver-verified in
-r1/r2) fill the remaining slots and the tail; all 65+ are still verified
-locally by ``tests/test_catalog_oracle.py`` regardless of order.
+only (round-2 verdict), so registration order is signal-bearing. Since
+round 7 the order is COMPUTED from the recorded ``CORRECTNESS_r*.json``
+files instead of a hand-maintained list (r6 verdict #3 — the list was
+the only place a stale-row query could silently hide):
+
+1. queries whose LATEST driver row failed (err / any mismatch) — must
+   be re-graded immediately;
+2. never-driver-graded queries (new this round, or overflow from a
+   previous round's window) — no row can exist yet;
+3. everything else by ASCENDING latest-graded round — the stalest
+   driver signal refreshes first, so over successive rounds the window
+   rotates through the whole catalog.
+
+Ties inside a group break by ``_SUBSTRATE_HINTS`` (name prefixes of the
+subsystems most churned this round — their queries deserve the freshest
+driver signal), then original registration order. All 165+ queries are
+still value-verified locally every session by
+``tests/test_catalog_oracle.py`` regardless of window position.
 """
 
 from __future__ import annotations
+
+import glob
+import json
+import os
+import re
 
 import emr_hudi_example_spark.catalog as _catalog  # noqa: F401  (registers)
 import emr_hudi_example_spark.catalog_lake as _lake  # noqa: F401
@@ -19,111 +36,73 @@ import emr_hudi_example_spark.catalog_ext as _ext  # noqa: F401
 import emr_hudi_example_spark.catalog_pipelines as _pipes  # noqa: F401
 from emr_hudi_example_spark.catalog import ORACLE, Q
 
-# Names promoted to the front of the registry, in order. Composition
-# for round 5 (r4 verdict "Next round" #1/#4):
-#  1. the one red r4 driver row (sim_quantize_int8 — output now
-#     serialized to scalars, see catalog_ext.py);
-#  2. queries NEW this round (no driver row can exist yet) — round 5
-#     added more new queries than the window holds, so the simplest r5
-#     additions overflow to the r6 window;
-#  3. queries whose newest driver row is r3 (outside the r4 window),
-#     most-touched substrate first: operators/dedup.py and
-#     operators/relational.py gained ~150 lines each in r4 after those
-#     rows were recorded, then the pipe_* endstates, then the rest.
-#     160 queries vs a 50-slot window means the r3-row queries stay in
-#     the tail this round; ALL 160 remain locally oracle-verified
-#     (tests/test_catalog_oracle.py runs every registered oracle).
-# Unknown names are ignored, so this list may lead the code it gates.
-_PRIORITY: list[str] = [
-    # Round 6 window policy (r5 verdict "Next round" #1): the 17 queries
-    # registered in round 5 that overflowed the 50-slot window and have
-    # never received a driver CORRECTNESS row go FIRST, followed by
-    # queries new in round 6, then re-grades for queries whose substrate
-    # this round touched, then the oldest-row (r3) queries in the prior
-    # priority order.  17 + new + regrades is kept well under 50 so
-    # nothing overflows again.
-    # -- never driver-graded (round-5 overflow; all locally
-    #    oracle-verified by tests/test_catalog_oracle.py) --
-    "corpus_fim_split",
-    "j4_order_revenue_topk",
-    "corpus_bpe_pair_counts",
-    "corpus_dedup_funnel",
-    "text_readability",
-    "j5_semi_anti_cohorts",
-    "j6_full_outer_reconcile",
-    "a15_zscore_outliers",
-    "a17_timeline_gapfill",
-    "dq_uniqueness_audit",
-    "corpus_shard_manifest",
-    "dedup_soft_weights",
-    "a13_ntile_deciles",
-    "a14_sliding_window",
-    "a16_grouping_sets",
-    "a18_daily_deltas",
-    "text_code_detection",
-    # -- new in round 6 --
-    "sim_opq_topk",
-    "sim_ann_compare",
-    "lake_fenced_writer_endstate",
-    "lake_partition_sync_endstate",
-    "lake_optimistic_writers_endstate",
-    # -- substrate touched this round (re-grade to prove still green) --
-    "dedup_lsh_eval",        # sampled ground-truth mode added
-    "graph_pagerank",        # weighted-edge support + NULL-ts guard
-    "lake_cleaner_endstate",  # assert -> RuntimeError guards
-    "lake_archive_endstate",
-    # -- oldest driver rows (r3), prior priority order; the overflow
-    #    beyond slot 50 stays locally verified and refreshes in r7 --
-    "dedup_incremental",
-    "dedup_ngram_containment",
-    "dedup_simhash_pairs",
-    "dedup_cluster_groups",
-    "dedup_contamination",
-    "dedup_embedding_cells",
-    "j_asof_join",
-    "a6_tumbling_window",
-    "a7_session_window",
-    "a8_rollup",
-    "a9_pivot",
-    "set_operations",
-    "limit_sorted",
-    "pipe_ods2dwd_endstate",
-    "pipe_dwd2dm_endstate",
-    "pipe_log2lake_endstate",
-    "pipe_bootstrap_endstate",
-    "pipe_lake2stream_export",
-    "pipe_multitable_fanout",
-    "pipe_cdc_dms_parse",
-    "pipe_cdc_canal_parse",
-    "pipe_stream_runsum_endstate",
-    "a3_distinct",
-    "a4_count",
-    "a5_precombine_dedup",
-    "p2_json_parse_flatten",
-    "c10_get_json_value",
-    "p4_to_json",
-    "p5_derived_partitions",
-    "p8_sql_over_views",
-    "f2_f3_filters",
-    "c_scalar_functions",
-    "c_date_functions",
-    "lake_upsert_snapshot",
-    "lake_incremental_read",
-    "lake_delete",
-    "sim_kmeans_refine",
-    "text_repetition",
-    "text_pii_scrub",
-    "text_tfidf_topk",
-    "text_unigram_quality",
-    "corpus_chunk_windows",
-    "corpus_training_order",
-    "corpus_length_histogram",
-]
+#: name prefixes of the subsystems whose substrate changed most this
+#: round, in priority order — used only as a TIE-BREAK within the same
+#: staleness group. Round 7: the lake kernel (table.py timeline/fence
+#: filter, inflight markers, async compactor) changed under the lake_*
+#: family, whose newest rows are r3/r4 (r6 verdict #2).
+_SUBSTRATE_HINTS: list[str] = ["lake_", "pipe_"]
+
+
+def latest_driver_rows(root: str | None = None) -> dict[str, tuple[int, bool]]:
+    """Parse every recorded ``CORRECTNESS_r<N>.json`` under the repo
+    root: query name -> (newest round with a row, that row was green).
+    A green row has no ``err`` and no *_match field that is literally
+    False (None = the weaker rows-only check, not a failure)."""
+    if root is None:
+        root = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
+    newest: dict[str, tuple[int, bool]] = {}
+    for path in glob.glob(os.path.join(root, "CORRECTNESS_r*.json")):
+        m = re.search(r"_r(\d+)\.json$", os.path.basename(path))
+        if not m:
+            continue
+        try:
+            with open(path) as fh:
+                rows = json.load(fh)
+        except (OSError, ValueError):
+            continue
+        rnd = int(m.group(1))
+        if not isinstance(rows, dict):
+            continue
+        for name, row in rows.items():
+            if name in newest and newest[name][0] >= rnd:
+                continue
+            green = isinstance(row, dict) and row.get("err") is None and not any(
+                row.get(k) is False
+                for k in ("rows_match", "schema_match", "hash_match")
+            )
+            newest[name] = (rnd, green)
+    return newest
+
+
+def compute_priority(
+    names: list[str], newest: dict[str, tuple[int, bool]]
+) -> list[str]:
+    """Stable full ordering of ``names`` per the module-docstring
+    policy. Pure function of its inputs (unit-tested directly)."""
+    reg_idx = {n: i for i, n in enumerate(names)}
+
+    def hint_rank(n: str) -> int:
+        for i, p in enumerate(_SUBSTRATE_HINTS):
+            if n.startswith(p):
+                return i
+        return len(_SUBSTRATE_HINTS)
+
+    def key(n: str):
+        rnd, green = newest.get(n, (None, True))
+        if rnd is not None and not green:
+            group, stale = 0, rnd  # latest row RED: regrade first
+        elif rnd is None:
+            group, stale = 1, 0  # never graded
+        else:
+            group, stale = 2, rnd  # stalest driver signal first
+        return (group, stale, hint_rank(n), reg_idx[n])
+
+    return sorted(names, key=key)
 
 
 def _reorder() -> None:
-    ordered = [n for n in _PRIORITY if n in Q]
-    ordered += [n for n in Q if n not in set(ordered)]
+    ordered = compute_priority(list(Q), latest_driver_rows())
     for registry in (Q, ORACLE):
         snapshot = dict(registry)
         registry.clear()
@@ -132,4 +111,4 @@ def _reorder() -> None:
 
 _reorder()
 
-__all__ = ["Q", "ORACLE"]
+__all__ = ["Q", "ORACLE", "compute_priority", "latest_driver_rows"]

@@ -3,8 +3,13 @@ parquet with a commit timeline (snapshot + incremental reads)."""
 
 from emr_hudi_example_spark.lake.compactor import AsyncCompactor
 from emr_hudi_example_spark.lake.locks import (
+    ConditionalPutLockProvider,
     FileLockProvider,
     LeaseLockProvider,
+    LocalFSStore,
+    MemoryStore,
+    PutIfAbsentStore,
+    S3ConditionalPutStore,
     LockContention,
     LockFenced,
     LockProvider,
@@ -23,8 +28,13 @@ from emr_hudi_example_spark.lake.table import (
 
 __all__ = [
     "AsyncCompactor",
+    "ConditionalPutLockProvider",
     "FileLockProvider",
     "LeaseLockProvider",
+    "LocalFSStore",
+    "MemoryStore",
+    "PutIfAbsentStore",
+    "S3ConditionalPutStore",
     "LockContention",
     "LockFenced",
     "LockProvider",

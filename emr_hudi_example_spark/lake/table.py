@@ -331,13 +331,22 @@ class LakeTable:
                 if n.startswith("fence-") and n.endswith(".json")
             )
         except FileNotFoundError:
-            return fences
+            names = []  # no on-disk fences; provider store may have some
         for n in names:
             try:
                 with open(os.path.join(lease_dir, n)) as fh:
                     fences.append(json.load(fh))
             except (FileNotFoundError, ValueError):
                 continue  # mid-link torn read: picked up next listing
+        # a non-filesystem lock store (ZK/S3 conditional-put) records
+        # fences in ITS store; merge them so readers configured with the
+        # deployment's provider see takeovers from either backend
+        provider_fences = getattr(self.lock_provider, "fences", None)
+        if callable(provider_fences):
+            seen = {f["token"] for f in fences}
+            fences.extend(
+                f for f in provider_fences() if f["token"] not in seen
+            )
         return sorted(fences, key=lambda f: f["token"])
 
     def last_instant(self) -> str | None:

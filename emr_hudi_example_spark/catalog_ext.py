@@ -3462,7 +3462,11 @@ def sim_ann_compare(spark: SparkSession, sf_dir: str) -> DataFrame:
     per-query hit counts, so the graded output quantifies what the
     energy-balancing permutation buys on this corpus. All three legs
     share the broadcast-LUT / broadcast-queries scale shapes of their
-    standalone queries."""
+    standalone queries. At 100 TB the exact leg runs with
+    ``l2_topk(query_sample_frac=0.01..0.05)`` — recall on a
+    deterministic hash-sampled query slice estimates full recall
+    without the all-pairs truth (the fixture-scale graded run is
+    exact)."""
     emb = load(spark, sf_dir, "embeddings")
     q = emb.filter(F.col("vec_id") % 50 == 0)
     exact = S.l2_topk(emb, q, k=5).select("query_id", "neighbor_id")

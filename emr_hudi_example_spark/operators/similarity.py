@@ -1416,6 +1416,7 @@ def l2_topk(
     k: int = 5,
     id_col: str = "vec_id",
     vec_col: str = "embedding",
+    query_sample_frac: float | None = None,
 ) -> DataFrame:
     """Exact brute-force squared-L2 top-k per query — the ground truth
     the PQ/OPQ ADC paths approximate (ADC sums sub-codeword squared
@@ -1423,7 +1424,21 @@ def l2_topk(
     broadcast-queries/corpus-streams shape as :func:`cosine_topk`;
     the distance is a left fold of per-dimension squared diffs (the
     oracle's list_sum association). Returns
-    ``(query_id, neighbor_id, sq_dist, rank)``."""
+    ``(query_id, neighbor_id, sq_dist, rank)``.
+
+    EVALUATION-ONLY at scale: the truth leg is all-pairs by definition
+    (|Q|·|C| distance folds). The 100 TB recipe is
+    ``query_sample_frac`` — a deterministic ``hash_sample`` of the
+    QUERY side (same xxhash64-bucket recipe as ``lsh_config_eval``'s
+    ``sample_frac``; r6 verdict #5): recall measured on a hashed 1–5%
+    query slice is an unbiased estimate of full-corpus recall, and the
+    corpus side still streams — never materialize the cross product.
+    Serving paths (IVF/PQ/OPQ) are the production kernels; this is
+    their referee."""
+    if query_sample_frac is not None:
+        from emr_hudi_example_spark.operators.dedup import hash_sample
+
+        queries = hash_sample(queries, id_col, query_sample_frac)
     c = corpus.select(
         F.col(id_col).alias("neighbor_id"), _as_double(vec_col).alias("_c")
     )

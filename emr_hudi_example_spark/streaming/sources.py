@@ -199,11 +199,34 @@ class OffsetCommitListener(BatchProgressListener):
     Hudi's deltastreamer checkpoint). Lag = broker head minus the
     recorded endOffset, readable by any engine that can open JSON — no
     external lib, no Kafka admin round-trip on the hot path.
+
+    ``commit_to_group`` (r6 verdict #6 — completes T4 on a real
+    cluster): an optional callable invoked with the SAME payload that
+    was just persisted engine-side, for deployments that additionally
+    want the offsets visible to standard Kafka tooling (consumer-group
+    lag). Wire it to a kafka admin client's ``commitAsync`` equivalent
+    — e.g. with kafka-python::
+
+        def commit(payload):
+            for s in payload["sources"]:
+                for topic, parts in (s["endOffset"] or {}).items():
+                    consumer.commit({TopicPartition(topic, int(p)):
+                                     OffsetAndMetadata(off, None)
+                                     for p, off in parts.items()})
+
+    It runs AFTER the engine-side persist (the durable record is the
+    engine's, matching the reference where the broker commit is also
+    best-effort observability, ``SRC/Log2Hudi.scala:47-48``); a broker
+    error never fails the listener — it is swallowed and surfaced via
+    ``last_commit_error`` (lag monitoring degrades, ingest does not).
+    No broker in the sandbox, so tests inject a fake.
     """
 
-    def __init__(self, table) -> None:
+    def __init__(self, table, commit_to_group=None) -> None:
         super().__init__()
         self._table = table
+        self.commit_to_group = commit_to_group
+        self.last_commit_error: Exception | None = None
 
     def _handle(self, p) -> None:
         super()._handle(p)
@@ -225,3 +248,11 @@ class OffsetCommitListener(BatchProgressListener):
             for s in p.sources
         ]
         self._table.record_stream_offsets(p.name, p.batchId, sources)
+        if self.commit_to_group is not None:
+            try:
+                self.commit_to_group(
+                    {"query": p.name, "batch_id": p.batchId,
+                     "sources": sources}
+                )
+            except Exception as exc:  # observability must not stop ingest
+                self.last_commit_error = exc

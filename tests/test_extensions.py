@@ -1018,3 +1018,31 @@ def test_opq_stats_sampling_matches_presampled(spark):
     assert sorted(map(tuple, sampled.collect())) == sorted(
         map(tuple, manual.collect())
     )
+
+
+def test_l2_topk_query_sampling_is_exact_slice(spark):
+    """query_sample_frac (r6 verdict #5 — the 100 TB eval recipe): the
+    sampled truth equals the FULL truth restricted to the hash-sampled
+    query ids (deterministic slice, not an approximation), and the
+    default path is the identity."""
+    from emr_hudi_example_spark.operators import similarity as S
+    from emr_hudi_example_spark.operators.dedup import hash_sample
+
+    emb = spark.read.parquet(f"{SF}/embeddings.parquet")
+    q = emb.filter(F.col("vec_id") % 20 == 0)
+    full = {
+        (r["query_id"], r["neighbor_id"], r["rank"])
+        for r in S.l2_topk(emb, q, k=3).collect()
+    }
+    sampled = {
+        (r["query_id"], r["neighbor_id"], r["rank"])
+        for r in S.l2_topk(emb, q, k=3, query_sample_frac=0.4).collect()
+    }
+    kept = {r["vec_id"] for r in hash_sample(q, "vec_id", 0.4).collect()}
+    assert 0 < len(kept) < q.count()  # real, proper subset
+    assert sampled == {t for t in full if t[0] in kept}
+    # identity when None / >= 1.0
+    assert {
+        (r["query_id"], r["neighbor_id"], r["rank"])
+        for r in S.l2_topk(emb, q, k=3, query_sample_frac=1.0).collect()
+    } == full

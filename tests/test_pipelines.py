@@ -1030,3 +1030,72 @@ def test_streaming_paragraph_dedup_matches_batch(spark, tmp_path):
     stream_fps = [r["fp"] for r in seen]
     assert sorted(stream_fps) == sorted(set(stream_fps))  # once per fp
     assert set(stream_fps) == batch_fps
+
+
+def test_offset_commit_to_group_receives_persisted_offsets(spark, tmp_path):
+    """T4 broker-side commit (r6 verdict #6): an injected
+    commit_to_group fake receives EXACTLY the payloads persisted
+    engine-side (same query/batch/sources), fires once per progress
+    event, and a callback failure is swallowed into last_commit_error
+    without stopping ingest."""
+    import time
+
+    from emr_hudi_example_spark.lake import LakeTable
+    from emr_hudi_example_spark.streaming.sources import (
+        OffsetCommitListener, drain, json_lines_stream, start_foreach_batch,
+    )
+
+    src = tmp_path / "src"
+    src.mkdir()
+    (src / "a.jsonl").write_text('{"k": 1, "v": 10}\n')
+    t = LakeTable(
+        spark, str(tmp_path / "lake"), "db", "grp",
+        record_keys=["k"], precombine="v",
+    )
+    committed = []
+    listener = OffsetCommitListener(t, commit_to_group=committed.append)
+    listener.attach(spark)
+    try:
+        def apply(batch, _id):
+            rows = batch.select(
+                F.from_json("value", "k LONG, v LONG").alias("s")
+            ).select("s.*")
+            if not rows.isEmpty():
+                t.write(rows, op="upsert")
+
+        q = start_foreach_batch(
+            json_lines_stream(spark, str(src)), apply,
+            str(tmp_path / "ckpt"), query_name="GroupCommit",
+        )
+        drain(q)
+        for _ in range(40):
+            if committed and t.stream_offsets("GroupCommit") is not None:
+                break
+            time.sleep(0.25)
+        rec = t.stream_offsets("GroupCommit")
+        assert rec is not None and committed
+        # the callback got the same payload the engine persisted
+        match = [c for c in committed if c["batch_id"] == rec["batch_id"]]
+        assert match and match[-1] == rec
+        assert listener.last_commit_error is None
+
+        # a failing broker commit must not break the listener
+        def boom(payload):
+            raise RuntimeError("broker unreachable")
+
+        listener.commit_to_group = boom
+        (src / "b.jsonl").write_text('{"k": 2, "v": 20}\n')
+        q2 = start_foreach_batch(
+            json_lines_stream(spark, str(src)), apply,
+            str(tmp_path / "ckpt"), query_name="GroupCommit",
+        )
+        drain(q2)
+        for _ in range(40):
+            if listener.last_commit_error is not None:
+                break
+            time.sleep(0.25)
+        assert isinstance(listener.last_commit_error, RuntimeError)
+        # ...and the engine-side persist still advanced
+        assert t.stream_offsets("GroupCommit")["batch_id"] >= rec["batch_id"]
+    finally:
+        listener.detach(spark)

@@ -1,0 +1,135 @@
+"""sf0.1 → sf1-equivalent spot-bench of the most expensive catalog
+queries (r6 verdict #8): build a 10×-scaled input dir from the sf0.1
+fixtures by key-shifted unions (FK-consistent: orders/lineitem share
+the orderkey shift, orders.o_custkey follows the customer shift) and
+re-run the top-cost queries through the REAL catalog entries at both
+scales. The question is which of the heavy hitters are fixed-cost
+(micro-batch drain / per-commit overhead — ratio ≈ 1-3× for 10× data)
+vs data-cost (ratio ≈ 10×) vs super-linear (the all-pairs eval legs —
+expected, their 100 TB recipe is the sampling knob).
+
+Usage: python scripts/sf1_spot_bench.py [runs]   (default 2; min taken)
+Writes scaled parquet under /tmp/sf1_spot/ and prints one JSON line per
+(query, scale) plus a ratio table; results recorded in BASELINE.md.
+"""
+
+from __future__ import annotations
+
+import json
+import os
+import shutil
+import sys
+import time
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+SF_DIR = "/root/testdata/sf0.1"
+WORK = "/tmp/sf1_spot"
+MULT = 10
+SHIFT = 10_000_000
+
+#: the round-7 top-cost set: streaming drains, medallion chain, PQ/ANN
+#: family, LSH eval, graph, bloom-index lake path
+QUERIES = [
+    "pipe_dwd2dm_endstate",
+    "pipe_stream_dedup_endstate",
+    "pipe_stream_join_endstate",
+    "graph_pagerank",
+    "lake_bloom_index_prune",
+    "sim_opq_topk",
+    "dedup_lsh_eval",
+    "sim_ivfpq_residual_topk",
+    "sim_ann_compare",
+    "dedup_cluster_groups",
+]
+
+COPY_TABLES = ["region", "nation", "supplier", "part"]  # dims: verbatim
+
+
+def _scaled(df: DataFrame, shifts: dict[str, int]) -> DataFrame:
+    out = df
+    for i in range(1, MULT):
+        c = df
+        for col, s in shifts.items():
+            c = c.withColumn(col, F.col(col) + F.lit(i * s))
+        out = out.unionByName(c)
+    return out
+
+
+def build(spark: SparkSession) -> str:
+    dst_dir = f"{WORK}/x{MULT}"
+    if os.path.isdir(dst_dir) and os.path.exists(f"{dst_dir}/_DONE"):
+        return dst_dir
+    shutil.rmtree(dst_dir, ignore_errors=True)
+    os.makedirs(dst_dir, exist_ok=True)
+    for tbl in COPY_TABLES:
+        shutil.copy(f"{SF_DIR}/{tbl}.parquet", f"{dst_dir}/{tbl}.parquet")
+    plan = {
+        "customer": {"c_custkey": SHIFT},
+        # FK-consistent: orders follows customer's custkey shift AND
+        # shifts its own orderkey; lineitem follows the orderkey shift
+        "orders": {"o_orderkey": SHIFT, "o_custkey": SHIFT},
+        "lineitem": {"l_orderkey": SHIFT},
+        "documents": {"doc_id": SHIFT},
+        "embeddings": {"vec_id": SHIFT},
+    }
+    for tbl, shifts in plan.items():
+        df = spark.read.parquet(f"{SF_DIR}/{tbl}.parquet")
+        _scaled(df, shifts).coalesce(8).write.mode("overwrite").parquet(
+            f"{dst_dir}/{tbl}.parquet"
+        )
+    # events: TIMESTAMP(NANOS) fixture reads as bigint under
+    # nanosAsLong — keep it bigint so catalog.load()'s div-1000
+    # conversion applies identically to the scaled copy. Copies share
+    # timestamps: per-user timelines interleave — the dense case for
+    # sessionization/watermarks/PageRank.
+    spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+    ev = spark.read.parquet(f"{SF_DIR}/events.parquet")
+    _scaled(
+        ev, {"user_id": SHIFT, "event_id": SHIFT}
+    ).coalesce(8).write.mode("overwrite").parquet(f"{dst_dir}/events.parquet")
+    open(f"{dst_dir}/_DONE", "w").close()
+    return dst_dir
+
+
+def main() -> None:
+    runs = int(sys.argv[1]) if len(sys.argv) > 1 else 2
+    sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
+    from emr_hudi_example_spark import all_queries as catalog
+    from emr_hudi_example_spark import catalog_pipelines as _cp
+    from emr_hudi_example_spark.session import get_spark_session
+
+    spark = get_spark_session(app_name="sf1-spot")
+    spark.sparkContext.setLogLevel("ERROR")
+    scaled_dir = build(spark)
+    results: dict[str, dict[str, float]] = {}
+    for label, sf_dir in (("sf0.1", SF_DIR), (f"sf1({MULT}x)", scaled_dir)):
+        spark.read.parquet(f"{sf_dir}/region.parquet").count()
+        for name in QUERIES:
+            best = None
+            for _ in range(runs):
+                _cp._MEDALLION_CACHE.clear()
+                t0 = time.perf_counter()
+                n = catalog.Q[name](spark, sf_dir).count()
+                el = time.perf_counter() - t0
+                best = el if best is None else min(best, el)
+            results.setdefault(name, {})[label] = round(best, 2)
+            print(
+                json.dumps(
+                    {"query": name, "scale": label,
+                     "wall_sec": round(best, 2), "rows": n}
+                ),
+                flush=True,
+            )
+    print("\n| Query | sf0.1 | 10x | ratio |")
+    print("|---|---|---|---|")
+    for name in QUERIES:
+        a = results[name]["sf0.1"]
+        b = results[name][f"sf1({MULT}x)"]
+        print(f"| {name} | {a:.2f} | {b:.2f} | {b / a:.1f}x |")
+    spark.stop()
+
+
+if __name__ == "__main__":
+    main()

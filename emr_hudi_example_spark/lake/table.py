@@ -2072,6 +2072,10 @@ class LakeTable:
                     "kind": kind,
                     "key_min": kmin,
                     "key_max": kmax,
+                    # driver-side size stat at write time: compaction
+                    # strategies select small files from the manifest
+                    # alone, no per-file stat storm at schedule time
+                    "bytes": os.path.getsize(full),
                 }
                 if nrows is not None:
                     entry["rows"] = nrows[0]
@@ -2460,22 +2464,66 @@ class LakeTable:
 
     # -------------------------------------------- async (scheduled) compaction
 
-    def schedule_compaction(self, plan_id: str | None = None) -> str | None:
+    def schedule_compaction(
+        self,
+        plan_id: str | None = None,
+        strategy: str = "full",
+        small_file_limit_bytes: int = 32 << 20,
+    ) -> str | None:
         """Async-compaction phase 1 (the reference runs compaction async
         on the KDS path, ``SRC/KDS2Hudi.scala:131-133``; Hudi's
-        schedule/execute split): pin a compaction PLAN — the set of live
-        files as of now — on the timeline sidecar, and return
+        schedule/execute split): pin a compaction PLAN — a file set
+        chosen by ``strategy`` — on the timeline sidecar, and return
         immediately. Ingest keeps committing; ``run_compaction`` later
         folds ONLY the pinned files.
 
-        Returns the plan id, or None when there is nothing to compact
-        (no deltas on MOR; ≤1 live file on COW).
+        Strategies (Hudi's pluggable ``CompactionStrategy`` analog —
+        at 100 TB "compact everything" is never the plan):
+
+        * ``full`` — every live file (the default; the safe universal
+          fold).
+        * ``small_files`` — bounded-IO selection driven by the ``bytes``
+          size stat each manifest records at write time (no per-file
+          stat storm at schedule). On COW: the individual files smaller
+          than ``small_file_limit_bytes`` (≥2, else nothing to gain) —
+          any COW subset folds safely (no merge semantics across files,
+          just a re-cluster). On MOR the unit is the PARTITION: pin ALL
+          live files of every partition that has a delta file or ≥2
+          small base files. Partition granularity is a CORRECTNESS
+          boundary, not a heuristic: the fold drops merged-away
+          tombstones, which is only sound if no OLDER row for a
+          tombstoned key survives outside the pinned set — under the
+          per-partition index a key lives entirely inside its
+          partition, so pinning whole partitions preserves the
+          invariant. A global-index MOR table (keys move between
+          partitions) therefore refuses ``small_files`` with a
+          ``ValueError`` — use ``full``.
+
+        Returns the plan id, or None when the strategy selects nothing.
         """
+        if strategy not in ("full", "small_files"):
+            raise ValueError(f"unknown compaction strategy: {strategy}")
+        if (
+            strategy == "small_files"
+            and self.is_mor
+            and self.global_index
+        ):
+            raise ValueError(
+                "small_files strategy is unsound on a global-index MOR "
+                "table (a tombstoned key's older row may live in an "
+                "unpinned partition); use strategy='full'"
+            )
         if not self.exists():
             return None
         with self._writer_lock():
             live = self._live_files()
-            if self.is_mor:
+            if strategy == "small_files":
+                # the selection itself guarantees worthwhile work: a
+                # delta to fold, or ≥2 small files to squash
+                live = self._select_small_files(live, small_file_limit_bytes)
+                if not live:
+                    return None
+            elif self.is_mor:
                 if not any(f.get("kind") == "delta" for f in live):
                     return None
             elif len(live) <= 1:
@@ -2484,6 +2532,7 @@ class LakeTable:
             plan = {
                 "plan_id": pid,
                 "scheduled_after": self.last_instant(),
+                "strategy": strategy,
                 "files": sorted(f["path"] for f in live),
             }
             pdir = os.path.join(self.commits_dir, "_compaction")
@@ -2493,6 +2542,42 @@ class LakeTable:
                 json.dump(plan, fh)
             os.replace(tmp, os.path.join(pdir, pid + ".json"))
             return pid
+
+    def _file_bytes(self, f: dict) -> int:
+        """Manifest-recorded size; stat fallback for pre-r7 manifests
+        (missing size = unknown = treated as LARGE, never selected —
+        conservative: the fold only shrinks what it can prove small)."""
+        b = f.get("bytes")
+        if b is not None:
+            return b
+        try:
+            return os.path.getsize(os.path.join(self.path, f["path"]))
+        except OSError:
+            return 1 << 62
+
+    def _select_small_files(
+        self, live: list[dict], limit: int
+    ) -> list[dict]:
+        """The ``small_files`` strategy's file selection (see
+        :meth:`schedule_compaction` for the correctness argument)."""
+        if not self.is_mor:
+            small = [f for f in live if self._file_bytes(f) < limit]
+            return small if len(small) >= 2 else []
+        by_pp: dict[str, list[dict]] = {}
+        for f in live:
+            by_pp.setdefault(f.get("partition_path", ""), []).append(f)
+        picked: list[dict] = []
+        for pp, files in by_pp.items():
+            has_delta = any(f.get("kind") == "delta" for f in files)
+            small_bases = [
+                f
+                for f in files
+                if f.get("kind") != "delta"
+                and self._file_bytes(f) < limit
+            ]
+            if has_delta or len(small_bases) >= 2:
+                picked.extend(files)  # WHOLE partition, never a subset
+        return picked
 
     def pending_compactions(self) -> list[str]:
         """Scheduled-but-unexecuted plan ids, ascending."""

@@ -2897,3 +2897,115 @@ def test_thread_stress_writers_compactor_cleaner(spark, tmp_path):
     assert reader._inflight_split() == (set(), set())
     fresh = handle().snapshot()
     assert fresh.filter(F.col("ver") == final_ver).count() == n_total
+
+
+# ------------------------------------------------------- compaction strategy
+
+
+def test_small_files_strategy_cow_pins_only_small(spark, tmp_path):
+    """small_files on COW (Hudi CompactionStrategy analog): the plan
+    pins exactly the files under the size limit — selected from the
+    manifest's write-time byte stats, no stat storm — the fold squashes
+    them, and the big file is untouched."""
+    t = make_table(spark, tmp_path)
+    t.write(cust(spark, ver=1), op="insert", instant="001")
+    t.write(cust(spark, ver=1).limit(5), op="insert", instant="002")
+    t.write(cust(spark, ver=1).limit(5), op="insert", instant="003")
+    live = t._live_files()
+    assert all(isinstance(f.get("bytes"), int) for f in live)
+    sizes = sorted(t._file_bytes(f) for f in live)
+    big = max(sizes)
+    small_paths = {f["path"] for f in live if t._file_bytes(f) < big}
+    assert len(small_paths) >= 2
+
+    pid = t.schedule_compaction(strategy="small_files",
+                                small_file_limit_bytes=big)
+    assert pid is not None
+    import json as _json
+    import os as _os
+
+    plan = _json.load(open(_os.path.join(
+        t.commits_dir, "_compaction", pid + ".json")))
+    assert plan["strategy"] == "small_files"
+    assert set(plan["files"]) == small_paths  # the big file is NOT pinned
+
+    n = t.snapshot().count()
+    inst = t.run_compaction(pid)
+    assert inst is not None
+    after = t._live_files()
+    assert t.snapshot().count() == n  # data unchanged
+    big_paths = {f["path"] for f in live if t._file_bytes(f) >= big}
+    assert big_paths <= {f["path"] for f in after}  # big file survived
+    assert len(after) < len(live)  # small files squashed
+
+
+def test_small_files_strategy_mor_is_partition_granular(spark, tmp_path):
+    """small_files on MOR pins WHOLE partitions (the tombstone-safety
+    boundary): only the partition with a delta is selected, its
+    tombstone does not resurrect the key after the fold, and untouched
+    partitions' files are not pinned."""
+    t = LakeTable(
+        spark, str(tmp_path), "testdb", "sfm",
+        record_keys=["c_custkey"], precombine="ver",
+        partition_keys=["c_mktsegment"], table_type="MERGE_ON_READ",
+    )
+    t.write(cust(spark, ver=1), op="insert", instant="001")
+    victim = cust(spark, ver=2).limit(1)
+    seg = victim.collect()[0]["c_mktsegment"]
+    key = victim.collect()[0]["c_custkey"]
+    t.write(victim, op="delete", instant="002")
+
+    pid = t.schedule_compaction(strategy="small_files",
+                                small_file_limit_bytes=1)  # nothing is
+    # "small": selection rides ONLY on the delta-bearing partition
+    assert pid is not None
+    import json as _json
+    import os as _os
+
+    plan = _json.load(open(_os.path.join(
+        t.commits_dir, "_compaction", pid + ".json")))
+    pinned = [f for f in t._live_files() if f["path"] in set(plan["files"])]
+    assert pinned and all(
+        f["partition_path"] == f"c_mktsegment={seg}" for f in pinned
+    )
+    # the WHOLE partition: its base file AND its tombstone delta
+    kinds = {f.get("kind") for f in pinned}
+    assert kinds == {"base", "delta"}
+
+    n_before = t.snapshot().count()
+    inst = t.run_compaction(pid)
+    assert inst is not None
+    snap = t.snapshot()
+    assert snap.count() == n_before
+    assert snap.filter(F.col("c_custkey") == key).count() == 0  # no
+    # resurrection: the fold dropped the tombstone AND the old row
+    # other partitions' files untouched
+    untouched = {
+        f["path"] for f in t._live_files()
+        if f["partition_path"] != f"c_mktsegment={seg}"
+    }
+    orig_untouched = {
+        f["path"] for f in t._manifest("001")["added"]
+        if f["partition_path"] != f"c_mktsegment={seg}"
+    }
+    assert orig_untouched <= untouched
+
+
+def test_small_files_strategy_guards(spark, tmp_path):
+    t = LakeTable(
+        spark, str(tmp_path), "testdb", "sfg",
+        record_keys=["c_custkey"], precombine="ver",
+        partition_keys=["c_mktsegment"], table_type="MERGE_ON_READ",
+        global_index=True,
+    )
+    t.write(cust(spark, ver=1), op="insert", instant="001")
+    with pytest.raises(ValueError, match="global-index"):
+        t.schedule_compaction(strategy="small_files")
+    with pytest.raises(ValueError, match="unknown compaction strategy"):
+        t.schedule_compaction(strategy="biggest_first")
+    # a selection that picks nothing schedules nothing
+    cow = make_table(spark, tmp_path, name="sfg2")
+    cow.write(cust(spark, ver=1), op="insert", instant="001")
+    assert cow.schedule_compaction(
+        strategy="small_files", small_file_limit_bytes=1
+    ) is None

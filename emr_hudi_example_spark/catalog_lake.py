@@ -227,6 +227,103 @@ def lake_compact_endstate(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @query(
+    "lake_small_file_compact_endstate",
+    oracle=f"""
+    WITH b2b AS (
+      SELECT c_custkey, c_name, c_nationkey,
+             c_acctbal + 1000.0 AS c_acctbal, c_mktsegment,
+             CAST(2 AS BIGINT) AS ver, '002' AS _commit_time
+      FROM customer
+      WHERE c_custkey % 10 = 0 AND c_mktsegment = 'BUILDING'
+    ),
+    u AS ({_B1_SQL} UNION ALL SELECT * FROM b2b),
+    merged AS (
+      SELECT c_custkey, c_name, c_acctbal, c_mktsegment, ver, _commit_time
+      FROM u
+      QUALIFY row_number() OVER (PARTITION BY c_custkey
+                                 ORDER BY ver DESC) = 1
+    )
+    SELECT * FROM merged
+    WHERE NOT (c_custkey % 100 = 0 AND c_mktsegment = 'BUILDING')
+    """,
+)
+def lake_small_file_compact_endstate(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    """Strategy-driven PARTIAL compaction end-state (r7): on a
+    partitioned MOR table only the 'BUILDING' partition receives a
+    delta (upsert) and a tombstone (delete); a ``small_files``-strategy
+    plan therefore pins exactly that partition's files — partition-
+    granular selection, Hudi's CompactionStrategy analog — and the fold
+    must (a) change LAYOUT only in the selected partition, (b) drop the
+    tombstoned key without resurrecting its older row, and (c) leave
+    every other partition's files byte-untouched. Snapshot equals the
+    precombine-merge oracle minus the deletion, like the full-fold
+    twin ``lake_compact_endstate``."""
+    t = LakeTable(
+        spark, _tmp_base(), "q", "sfcmpct", ["c_custkey"], "ver",
+        partition_keys=["c_mktsegment"], table_type="MERGE_ON_READ",
+    )
+    b1 = _batch1(spark, sf_dir)
+    # seed as INSERT: MOR routes inserts to BASE files, so only the
+    # partitions later commits touch carry deltas — the selection signal
+    t.write(b1, op="insert", instant="001")
+    t.write(
+        _batch2(spark, sf_dir).filter(F.col("c_mktsegment") == "BUILDING"),
+        op="upsert", instant="002",
+    )
+    t.write(
+        b1.filter(
+            (F.col("c_custkey") % 100 == 0)
+            & (F.col("c_mktsegment") == "BUILDING")
+        ),
+        op="delete", instant="003",
+    )
+    pid = t.schedule_compaction(
+        strategy="small_files", small_file_limit_bytes=1
+    )
+    if pid is None:
+        raise RuntimeError("small_files strategy selected nothing")
+    inst = t.run_compaction(pid)
+    if inst is None:
+        raise RuntimeError("partial compaction did not commit")
+    folded = t._manifest(inst)["replaced"]
+    live = {f["path"]: f for f in t._live_files()}
+    # layout gates (RuntimeError, not assert: must survive python -O):
+    # only BUILDING files were folded, BUILDING is now delta-free, and
+    # commit 001's other-partition files are still live verbatim
+    pinned_pp = {live_pp(p) for p in folded}
+    if pinned_pp != {"c_mktsegment=BUILDING"}:
+        raise RuntimeError(f"plan escaped the delta partition: {pinned_pp}")
+    for f in live.values():
+        if (
+            f["partition_path"] == "c_mktsegment=BUILDING"
+            and f.get("kind") == "delta"
+        ):
+            raise RuntimeError("BUILDING still carries delta files")
+    for f in t._manifest("001")["added"]:
+        if f["partition_path"] != "c_mktsegment=BUILDING" and f[
+            "path"
+        ] not in live:
+            raise RuntimeError("an unselected partition's file was folded")
+    return t.snapshot().select(
+        "c_custkey", "c_name", "c_acctbal", "c_mktsegment", "ver",
+        "_commit_time",
+    )
+
+
+def live_pp(path: str) -> str:
+    """partition_path segment of a ``data/<instant>/<pp...>/file`` path
+    (hive-style dirs use the ``__pt_`` prefix on disk)."""
+    segs = [
+        s.replace("__pt_", "", 1)
+        for s in path.split("/")
+        if s.startswith("__pt_")
+    ]
+    return "/".join(segs)
+
+
+@query(
     "lake_schema_evolution",
     oracle="""
     WITH b1 AS (

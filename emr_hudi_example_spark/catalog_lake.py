@@ -1150,3 +1150,64 @@ def lake_optimistic_writers_endstate(
     return reader.snapshot().select(
         "c_custkey", "c_mktsegment", "c_acctbal", "ver", "_commit_time"
     )
+
+
+@query(
+    "lake_bootstrap_adopt",
+    oracle=f"""
+    WITH u AS (
+      {_B1_SQL}
+      UNION ALL
+      SELECT * FROM ({_B2_SQL}) WHERE c_mktsegment = 'BUILDING'
+    )
+    SELECT c_custkey, c_name, c_mktsegment, c_acctbal, ver, _commit_time
+    FROM u
+    QUALIFY row_number() OVER (PARTITION BY c_custkey ORDER BY ver DESC) = 1
+    """,
+)
+def lake_bootstrap_adopt(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Metadata-only bootstrap end-state (Hudi METADATA_ONLY analog;
+    full-rewrite cousin: ``bootstrap_parquet`` / SRC/Hive2Hudi.scala):
+    an existing hive-partitioned parquet directory is adopted as commit
+    001 with ZERO data rewrite (gated: no engine-written file exists
+    after bootstrap), then an ordinary upsert (002) copy-on-writes ONLY
+    the key-hit adopted files — the snapshot below is served from a MIX
+    of adopted source files (meta columns synthesized at read time) and
+    engine-written files, and equals the plain upsert oracle. At 100 TB
+    this is the onboarding path: a metadata pass instead of rewriting
+    the corpus, then incremental migration."""
+    base = _tmp_base()
+    src = os.path.join(base, "source")
+    _batch1(spark, sf_dir).write.partitionBy("c_mktsegment").parquet(src)
+    t = LakeTable(
+        spark, base, "q", "adopt", ["c_custkey"], "ver",
+        partition_keys=["c_mktsegment"],
+    )
+    t.bootstrap_metadata_only(src, instant="001")
+    n_engine = sum(
+        1
+        for _r, _d, fns in os.walk(t.data_dir)
+        for fn in fns
+        if fn.endswith(".parquet")
+    ) if os.path.isdir(t.data_dir) else 0
+    if n_engine != 0 or not all(
+        f.get("external") for f in t._live_files()
+    ):
+        raise RuntimeError("bootstrap rewrote data")
+    t.write(
+        _batch2(spark, sf_dir).filter(F.col("c_mktsegment") == "BUILDING"),
+        op="upsert",
+        instant="002",
+    )
+    live = t._live_files()
+    if not any(f.get("external") for f in live) or not any(
+        not f.get("external") for f in live
+    ):
+        raise RuntimeError("snapshot is not served from mixed files")
+    replaced = t._manifest("002")["replaced"]
+    if not all(os.path.isabs(p) and os.path.exists(p) for p in replaced):
+        raise RuntimeError("upsert deleted or relocated adopted files")
+    return t.snapshot().select(
+        "c_custkey", "c_name", "c_mktsegment", "c_acctbal", "ver",
+        "_commit_time",
+    )

@@ -240,6 +240,9 @@ class LakeTable:
         #: instants cleared against the zombie fences (see
         #: :meth:`_zombie_instants`) — clean verdicts are immutable
         self._fence_ok: set[str] = set()
+        #: lazy cache of ``_external/bases.json`` (metadata-only
+        #: bootstrap registry; see :meth:`bootstrap_metadata_only`)
+        self._external_cache: list[dict] | None = None
 
     @property
     def is_mor(self) -> bool:
@@ -495,18 +498,125 @@ class LakeTable:
     def _read_files(
         self, files: list[str], schema: T.StructType | None = None
     ) -> DataFrame:
+        """Scan manifest file paths. Table-relative paths are the normal
+        engine-written files; ABSOLUTE paths are externally-adopted
+        files (:meth:`bootstrap_metadata_only`) whose meta columns are
+        synthesized at read time from the bootstrap registry."""
         schema = schema or self._stored_schema()
         if not files:
             return self.spark.createDataFrame([], schema)
-        paths = [os.path.join(self.path, f) for f in files]
-        df = self.spark.read.schema(schema).parquet(*paths)
-        return df
+        internal = [f for f in files if not os.path.isabs(f)]
+        external = [f for f in files if os.path.isabs(f)]
+        parts: list[DataFrame] = []
+        if internal:
+            paths = [os.path.join(self.path, f) for f in internal]
+            parts.append(self.spark.read.schema(schema).parquet(*paths))
+        if external:
+            parts.append(self._read_external(external, schema))
+        out = parts[0]
+        for p in parts[1:]:
+            out = out.unionByName(p)
+        return out
 
     def _stored_schema(self) -> T.StructType:
         last = self.last_instant()
         if last is None:
             raise ValueError(f"table {self.db}.{self.table} does not exist")
         return T.StructType.fromJson(self._manifest(last)["schema"])
+
+    # ---------------------------------- externally-adopted file reads
+    # (metadata-only bootstrap; see bootstrap_metadata_only below)
+
+    def _external_bases(self) -> list[dict]:
+        """Bootstrap registry: ``[{"base": <abs dir>, "instant": i}]``.
+        Written once by :meth:`bootstrap_metadata_only`; immutable."""
+        if self._external_cache is None:
+            reg = os.path.join(self.path, "_external", "bases.json")
+            try:
+                with open(reg) as fh:
+                    self._external_cache = json.load(fh)["bases"]
+            except FileNotFoundError:
+                self._external_cache = []
+        return self._external_cache
+
+    def _external_raw(self, base: str, paths: list[str]) -> DataFrame:
+        """Scan adopted files. Partitioned tables recover partition
+        columns from the hive-style dir names via ``basePath``;
+        partition TYPE inference is pinned off for the read so values
+        round-trip verbatim as strings (``"01"`` must not become ``1``
+        — the stamped partition path has to equal the dir segment the
+        manifest recorded)."""
+        key = "spark.sql.sources.partitionColumnTypeInference.enabled"
+        prev = self.spark.conf.get(key, "true")
+        self.spark.conf.set(key, "false")
+        try:
+            r = self.spark.read
+            if self.partition_keys:
+                r = r.option("basePath", base)
+            return r.parquet(*paths)
+        finally:
+            self.spark.conf.set(key, prev)
+
+    def _stamp_external(
+        self, raw: DataFrame, instant: str, schema: T.StructType
+    ) -> DataFrame:
+        """Adopted files carry no engine meta columns — synthesize them
+        (commit time = the bootstrap instant, key/partition-path from
+        the data columns, exactly :meth:`_stamp`) and project to the
+        requested schema. A schema column the file lacks reads as null,
+        the same additive-evolution behavior internal files get from
+        ``spark.read.schema`` (``_deleted`` reads as False: an adopted
+        row is never a tombstone)."""
+        stamped = self._stamp(raw, instant)
+        have = set(stamped.columns)
+        cols = []
+        for f in schema.fields:
+            if f.name in have:
+                cols.append(F.col(f.name).cast(f.dataType).alias(f.name))
+            elif f.name == DELETED_COL:
+                cols.append(F.lit(False).cast(f.dataType).alias(f.name))
+            else:
+                cols.append(F.lit(None).cast(f.dataType).alias(f.name))
+        return stamped.select(*cols)
+
+    def _read_external(
+        self,
+        paths: list[str],
+        schema: T.StructType,
+        join_cols: list[str] | None = None,
+    ) -> DataFrame:
+        """Read adopted files, grouped by their bootstrap base (one scan
+        per base — never per file or per partition, so the plan stays
+        O(bases) at any table size). With ``join_cols`` the result is
+        the key-scan shape ``(_fp, *join_cols)`` — ``_metadata`` is
+        captured INSIDE each branch because Spark's hidden metadata
+        column does not resolve through a Union."""
+        groups: dict[tuple[str, str], list[str]] = {}
+        for p in paths:
+            owner = None
+            for b in self._external_bases():
+                if p.startswith(b["base"].rstrip(os.sep) + os.sep):
+                    owner = b
+                    break
+            if owner is None:
+                raise ValueError(
+                    f"external file {p!r} matches no adopted base"
+                )
+            groups.setdefault((owner["base"], owner["instant"]), []).append(p)
+        parts = []
+        for (base, instant), ps in sorted(groups.items()):
+            df = self._stamp_external(
+                self._external_raw(base, sorted(ps)), instant, schema
+            )
+            if join_cols is not None:
+                df = df.select(
+                    F.col("_metadata.file_path").alias("_fp"), *join_cols
+                )
+            parts.append(df)
+        out = parts[0]
+        for p in parts[1:]:
+            out = out.unionByName(p)
+        return out
 
     # -------------------------------------------- column-stats data skipping
 
@@ -1701,9 +1811,29 @@ class LakeTable:
             if self.global_index
             else [PARTITION_PATH_COL, RECORD_KEY_COL]
         )
-        scan = self._read_files([f["path"] for f in candidates]).select(
-            F.col("_metadata.file_path").alias("_fp"), *join_cols
-        )
+        internal_c = [f for f in candidates if not os.path.isabs(f["path"])]
+        external_c = [f for f in candidates if os.path.isabs(f["path"])]
+        scans = []
+        if internal_c:
+            scans.append(
+                self._read_files([f["path"] for f in internal_c]).select(
+                    F.col("_metadata.file_path").alias("_fp"), *join_cols
+                )
+            )
+        if external_c:
+            # adopted files: _metadata captured inside the branch (it
+            # does not resolve through the stamp union — see
+            # _read_external)
+            scans.append(
+                self._read_external(
+                    [f["path"] for f in external_c],
+                    self._stored_schema(),
+                    join_cols=join_cols,
+                )
+            )
+        scan = scans[0]
+        for s in scans[1:]:
+            scan = scan.unionByName(s)
         hits = (
             scan.join(batch.select(*join_cols).distinct(), join_cols, "left_semi")
             .select("_fp")
@@ -2162,13 +2292,18 @@ class LakeTable:
         ``manifest_checkpoint_interval`` commits, so neither writes nor
         reads ever serialize O(live_files) JSON per commit."""
         os.makedirs(self.commits_dir, exist_ok=True)
-        if self.record_index and added:
-            self._write_record_index(instant, added)
-            for f in added:
+        # adopted (external) files are not index-built: they lack the
+        # engine meta columns the builders read. Unflagged files make
+        # the planners fall back conservatively (record index requires
+        # full coverage; bloom keeps unflagged files unconditionally).
+        indexable = [f for f in added if not f.get("external")]
+        if self.record_index and indexable:
+            self._write_record_index(instant, indexable)
+            for f in indexable:
                 f["indexed"] = True  # same dicts enter the live set
-        if self.bloom_index and added:
-            self._write_bloom_sidecar(instant, added)
-            for f in added:
+        if self.bloom_index and indexable:
+            self._write_bloom_sidecar(instant, indexable)
+            for f in indexable:
                 f["bloom"] = True  # probe-time flag; pre-bloom files
                 # (or tables that toggled the index on later) lack it
                 # and are kept unconditionally — conservative fallback
@@ -2291,6 +2426,149 @@ class LakeTable:
         except (FileNotFoundError, ValueError):
             return None
 
+    # ------------------------------------------ metadata-only bootstrap
+
+    def bootstrap_metadata_only(
+        self, source_dir: str, instant: str | None = None
+    ) -> str:
+        """Adopt an existing parquet directory as this table's initial
+        commit WITHOUT copying or rewriting a byte of data — the engine
+        analog of Hudi's METADATA_ONLY bootstrap mode (the onboarding
+        path for historical Hive/parquet tables; ``bootstrap_parquet``
+        in ``pipelines/bootstrap.py`` is its full-rewrite cousin, from
+        ``SRC/Hive2Hudi.scala:23-35``).
+
+        The commit is a pure metadata pass: list the files, read ONE
+        parquet footer per file for column stats, write the manifest
+        referencing the files in place (absolute paths + ``external``
+        flag). At 100 TB that is minutes of driver+footer I/O instead of
+        rewriting the corpus. From then on the table behaves normally:
+
+        - reads synthesize the meta columns on the fly
+          (:meth:`_stamp_external`) and still file-skip on the footer
+          stats harvested here;
+        - upserts copy-on-write ONLY the key-hit files, so data
+          migrates into engine-written files incrementally;
+          :meth:`compact` migrates everything in one (lock-free) fold;
+        - ``clean()``/``restore()`` never delete adopted files —
+          replaced entries just leave the live set (the source
+          directory stays user-owned).
+
+        Layout contract: unpartitioned table → any ``*.parquet`` below
+        ``source_dir``; partitioned → hive-style ``key=value``
+        directories matching ``partition_keys`` exactly (partition
+        values are read as STRINGS — type inference is pinned off so
+        dir names round-trip verbatim). ``record_keys`` and the
+        precombine column must exist in the files. Single-string-key
+        tables keep per-file key ranges for upsert range pruning;
+        other key shapes stay conservatively unpruned (a numeric
+        footer min/max does not bound the stringified record key).
+        """
+        if self.exists():
+            raise ValueError(
+                "metadata-only bootstrap requires an empty table"
+            )
+        base = os.path.abspath(source_dir)
+        found: list[str] = []
+        for root, _dirs, fns in os.walk(base):
+            for fn in fns:
+                if fn.endswith(".parquet"):
+                    found.append(os.path.join(root, fn))
+        found.sort()
+        if not found:
+            raise ValueError(f"no parquet files under {base!r}")
+        want_stats = [RECORD_KEY_COL] + self.stats_columns
+        string_key = (
+            self.record_keys[0] if len(self.record_keys) == 1 else None
+        )
+        if string_key is not None and string_key not in want_stats:
+            want_stats = want_stats + [string_key]
+        records: list[dict] = []
+        for full in found:
+            partition: dict[str, str] = {}
+            rel_dir = os.path.relpath(os.path.dirname(full), base)
+            for seg in rel_dir.split(os.sep):
+                if "=" in seg:
+                    k, v = seg.split("=", 1)
+                    partition[k] = unquote(v)
+            if set(partition) != set(self.partition_keys):
+                raise ValueError(
+                    f"{full!r}: partition dirs {sorted(partition)} do not"
+                    f" match partition_keys {self.partition_keys}"
+                )
+            pp = (
+                "/".join(
+                    f"{k}={partition[k]}" for k in self.partition_keys
+                )
+                if partition
+                else ""
+            )
+            ranges = self._footer_column_ranges(full, want_stats)
+            nrows = ranges.pop("__rows__", None)
+            kmin = kmax = None
+            if string_key is not None:
+                kr = ranges.get(string_key)
+                # valid only for a STRING key: the record key is the
+                # value itself, so footer order == record-key order
+                if (
+                    kr is not None
+                    and isinstance(kr[0], str)
+                    and isinstance(kr[1], str)
+                ):
+                    kmin, kmax = kr
+            col_stats = {
+                c: [self._stat_json(r[0]), self._stat_json(r[1])]
+                for c, r in ranges.items()
+                if c in self.stats_columns
+                and r is not None
+                and self._stat_json(r[0]) is not None
+                and self._stat_json(r[1]) is not None
+            }
+            entry = {
+                "path": full,
+                "partition": partition,
+                "partition_path": pp,
+                "kind": "base",
+                "key_min": kmin,
+                "key_max": kmax,
+                "bytes": os.path.getsize(full),
+                "external": True,
+            }
+            if nrows is not None:
+                entry["rows"] = nrows[0]
+            if col_stats:
+                entry["col_stats"] = col_stats
+            records.append(entry)
+        raw = self._external_raw(base, found)
+        missing = [
+            c
+            for c in self.record_keys + [self.precombine]
+            if c not in raw.columns
+        ]
+        if missing:
+            raise ValueError(
+                f"adopted files lack required columns {missing}"
+            )
+        with self._writer_lock():
+            if self.exists():
+                raise ConcurrentWriteConflict(
+                    "another writer initialized the table during bootstrap"
+                )
+            inst = self._next_instant(instant)
+            stamped = self._stamp(raw, inst)
+            if self.is_mor:
+                stamped = stamped.withColumn(DELETED_COL, F.lit(False))
+            ext_dir = os.path.join(self.path, "_external")
+            os.makedirs(ext_dir, exist_ok=True)
+            bases = [{"base": base, "instant": inst}]
+            with open(os.path.join(ext_dir, "bases.json"), "w") as fh:
+                json.dump({"bases": bases}, fh)
+            self._external_cache = bases
+            self._write_manifest(
+                inst, "bootstrap", stamped.schema, records, []
+            )
+        return inst
+
     # ---------------------------------------------------------- savepoints
 
     @property
@@ -2354,8 +2632,8 @@ class LakeTable:
             }
             for i in doomed:
                 for f in self._manifest(i)["added"]:
-                    if f["path"] in keep_files:
-                        continue
+                    if f["path"] in keep_files or f.get("external"):
+                        continue  # adopted source files are user-owned
                     full = os.path.join(self.path, f["path"])
                     if os.path.exists(full):
                         os.remove(full)

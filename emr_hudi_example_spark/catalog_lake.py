@@ -668,6 +668,62 @@ def lake_bloom_index_prune(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @query(
+    "lake_col_bloom_skipping",
+    oracle="""
+    SELECT c_custkey, c_name, c_acctbal,
+           md5(CAST(c_custkey AS VARCHAR)) AS tag,
+           CAST(3 AS INT) AS col_bloom_pruned
+    FROM customer
+    WHERE md5(CAST(c_custkey AS VARCHAR)) = md5('8')
+    """,
+)
+def lake_col_bloom_skipping(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Secondary bloom index on a NON-KEY column (the Hudi
+    metadata-table bloom-filter partition generalized beyond the
+    record key; the reference's index family is
+    ``hoodie.index.type=GLOBAL_BLOOM``, ``SRC/Log2Hudi.scala:78-79``).
+
+    The workload neither min/max stats nor the KEY bloom can touch:
+    point lookups on a high-cardinality DATA column (``tag`` =
+    md5(custkey) — request ids, session keys, content hashes). Four
+    interleaved insert commits give every file full-range values, so
+    stats would keep all four; the per-file column blooms (built
+    distributively at write time into the self-describing
+    ``_bloom_cols`` sidecar, 16 KiB/file/column) prune the three files
+    that provably lack the probed value — pinned by the graded
+    ``col_bloom_pruned = 3`` column so a silent regression to
+    scan-everything fails the oracle. Rows are the exact filter
+    result: ``=`` never matches NULL, so bloom pruning is exact and a
+    false positive only costs reading a file the row filter then
+    empties. At 100 TB this turns "scan the partition for one request
+    id" into "read the one file that can hold it"."""
+    import hashlib
+
+    base = (
+        load(spark, sf_dir, "customer")
+        .withColumn("tag", F.md5(F.col("c_custkey").cast("string")))
+        .withColumn("ver", F.lit(1).cast("long"))
+    )
+    t = LakeTable(
+        spark, _tmp_base(), "q", "colbloom", ["c_custkey"], "ver",
+        bloom_columns=["tag"],
+    )
+    for i in range(4):
+        t.write(
+            base.filter(F.col("c_custkey") % 4 == i).coalesce(1),
+            op="insert", instant=f"00{i + 1}",
+        )
+    probe = hashlib.md5(b"8").hexdigest()  # custkey 8 -> file 001
+    out = t.snapshot(predicate=[("tag", "=", probe)])
+    return out.select(
+        "c_custkey", "c_name", "c_acctbal", "tag",
+        F.lit(t.last_col_bloom_pruned).cast("int").alias(
+            "col_bloom_pruned"
+        ),
+    )
+
+
+@query(
     "lake_delete_partition",
     oracle="""
     SELECT c_custkey, c_name, c_mktsegment, c_acctbal,

@@ -140,6 +140,9 @@ class LakeTable:
         bloom_index: bool = False,
         bloom_bits: int = bloom_mod.DEFAULT_NBITS,
         bloom_hashes: int = bloom_mod.DEFAULT_HASHES,
+        bloom_columns: list[str] | None = None,
+        col_bloom_bits: int = 1 << 17,
+        col_bloom_hashes: int = 5,
     ) -> None:
         if table_type not in ("COPY_ON_WRITE", "MERGE_ON_READ"):
             raise ValueError(f"unknown table type: {table_type}")
@@ -208,6 +211,34 @@ class LakeTable:
         self.last_bloom_pruned = 0
         #: lazy per-instant sidecar cache: instant -> {rel_path: b64}
         self._bloom_sidecars: dict[str, dict] = {}
+        #: SECONDARY bloom index on non-key columns (the Hudi
+        #: metadata-table bloom-filter partition generalized beyond the
+        #: record key): per added file, one bloom over each listed
+        #: column's distinct non-null values (canonical STRING forms),
+        #: persisted in a self-describing sidecar
+        #: ``_bloom_cols/<instant>.json``. Predicate reads
+        #: (``snapshot(predicate=...)`` etc.) probe it for ``=``/``in``
+        #: conditions — the high-cardinality-column workload (request
+        #: ids, session keys, emails) where every file spans the full
+        #: value range and min/max stats prune NOTHING. ``=`` / ``in``
+        #: never match NULL rows, so bloom pruning is exact; false
+        #: positives only cost reading a file the filter then empties.
+        #: Geometry is per-SIDECAR (stored in the JSON), so resizing
+        #: the config never invalidates already-written blooms. Default
+        #: 2^17 bits (16 KiB/file/column) / 5 hashes: FPR ~2% at 16k
+        #: distinct values per file.
+        self.bloom_columns = list(bloom_columns or [])
+        self.col_bloom_bits = col_bloom_bits
+        self.col_bloom_hashes = col_bloom_hashes
+        self.col_bloom_dir = os.path.join(self.path, "_bloom_cols")
+        #: observability: files skipped in the most recent predicate
+        #: read where the COLUMN bloom (not min/max stats) was the
+        #: decider — a subset of ``last_files_skipped``
+        self.last_col_bloom_pruned = 0
+        #: lazy per-instant sidecar cache:
+        #: instant -> {"nbits", "k", "files": {rel_path: {col: bloom}}}
+        #: (bloom values decoded lazily from b64 to unpacked bit arrays)
+        self._col_bloom_sidecars: dict[str, dict] = {}
         #: OCC seam (SRC/package.scala:38-47 parity): default is the
         #: single-host O_EXCL file lock; a multi-host deployment plugs
         #: in a coordination-service provider here (see lake/locks.py)
@@ -722,6 +753,7 @@ class LakeTable:
         row of theirs can win any merge."""
         if not predicate:
             self.last_files_skipped = 0
+            self.last_col_bloom_pruned = 0
             return files
         for col, op, _val in predicate:
             if op not in self._PRED_OPS:
@@ -730,17 +762,22 @@ class LakeTable:
                 )
         mor_merge = self.is_mor and not all_base
         if not mor_merge:
-            keep, skipped = [], 0
+            keep, skipped, bloom_skipped = [], 0, 0
             for f in files:
-                if self._stats_may_match(f, predicate):
-                    keep.append(f)
-                else:
+                if not self._stats_may_match(f, predicate):
                     skipped += 1
+                elif not self._col_bloom_may_match(f, predicate):
+                    skipped += 1  # stats passed, column bloom decided
+                    bloom_skipped += 1
+                else:
+                    keep.append(f)
             self.last_files_skipped = skipped
+            self.last_col_bloom_pruned = bloom_skipped
             return keep
 
         # pass 1: stats verdict per file; deltas are always retained
         candidates: list[dict] = []  # stats-failing, non-empty base files
+        bloom_decided: set[int] = set()  # candidates the col bloom failed
         retained: list[dict] = []
         empty_skipped = 0
         for f in files:
@@ -748,10 +785,13 @@ class LakeTable:
                 empty_skipped += 1  # rowless: cannot win any merge
             elif f.get("kind", "base") != "base":
                 retained.append(f)
-            elif self._stats_may_match(f, predicate):
-                retained.append(f)
-            else:
+            elif not self._stats_may_match(f, predicate):
                 candidates.append(f)
+            elif not self._col_bloom_may_match(f, predicate):
+                candidates.append(f)
+                bloom_decided.add(id(f))
+            else:
+                retained.append(f)
         # pass 2: a candidate skips only if key-disjoint from every
         # retained file (unknown ranges are treated as overlapping)
         retained_ranges = [
@@ -769,13 +809,16 @@ class LakeTable:
                     return True
             return False
 
-        keep, skipped = list(retained), empty_skipped
+        keep, skipped, bloom_skipped = list(retained), empty_skipped, 0
         for f in candidates:
             if overlaps_retained(f):
                 keep.append(f)
             else:
                 skipped += 1
+                if id(f) in bloom_decided:
+                    bloom_skipped += 1
         self.last_files_skipped = skipped
+        self.last_col_bloom_pruned = bloom_skipped
         # preserve input order (manifest order) for deterministic scans
         kept_paths = {f["path"] for f in keep}
         return [f for f in files if f["path"] in kept_paths]
@@ -2117,6 +2160,194 @@ class LakeTable:
         self.last_bloom_pruned = len(candidates) - len(kept)
         return kept
 
+    # ------------------------------- secondary (non-key-column) blooms
+
+    def _write_col_bloom_sidecar(
+        self, instant: str, added: list[dict], schema: T.StructType
+    ) -> None:
+        """Build one bloom per (added file, bloom column) and persist
+        the commit's sidecar ``_bloom_cols/<instant>.json`` —
+        ``{"nbits": n, "k": k, "files": {rel_path: {col: b64}}}``,
+        atomic rename. Self-describing geometry: probes use the
+        sidecar's recorded (nbits, k), so later config changes never
+        corrupt existing indexes.
+
+        Values are canonicalized by Spark's ``cast("string")`` BEFORE
+        hashing; the read-side probe (:meth:`_bloom_operand`) only
+        hashes operands whose canonical string form it can reproduce
+        exactly (str/int/bool) and keeps the file otherwise — exactness
+        over pruning. NULLs are excluded (``=``/``in`` never match
+        NULL). A bloom column absent from this commit's schema gets an
+        explicit EMPTY bloom: the file provably holds no value of it.
+
+        100 TB shape: like the key bloom, the build is one distributed
+        Arrow pass over the commit's files (one output row per
+        file × column, ~``nbits/8`` bytes each); the probe is
+        driver-side — O(operands · k) hashing + a cached 16 KiB bitset
+        load per candidate file, no data I/O, no jobs."""
+        names = {f.name for f in schema.fields}
+        present = [c for c in self.bloom_columns if c in names]
+        nbits, k = self.col_bloom_bits, self.col_bloom_hashes
+        built: list = []
+        if present:
+            read_schema = T.StructType(
+                [f for f in schema.fields if f.name in present]
+            )
+            rows = self._read_files(
+                [f["path"] for f in added], schema=read_schema
+            ).select(
+                self._rel_fp_expr().alias("fp"),
+                *[F.col(c).cast("string").alias(c) for c in present],
+            )
+            cols = list(present)
+
+            # self-contained kernel (see _write_bloom_sidecar for why);
+            # parity with lake/bloom.py pinned by
+            # test_col_bloom_kernel_matches_module
+            def _build(pdf: "pd.DataFrame") -> "pd.DataFrame":
+                import base64 as _b64
+                import hashlib as _hashlib
+
+                import numpy as _np
+                import pandas as _pd
+
+                out_col, out_bloom = [], []
+                for c in cols:
+                    vals = pdf[c].dropna().unique().tolist()
+                    h = _np.empty((len(vals), 2), dtype=_np.uint64)
+                    for j, v in enumerate(vals):
+                        d = _hashlib.blake2b(
+                            str(v).encode("utf-8"), digest_size=16
+                        ).digest()
+                        h[j, 0] = int.from_bytes(d[:8], "little")
+                        h[j, 1] = int.from_bytes(d[8:], "little") | 1
+                    i = _np.arange(k, dtype=_np.uint64)
+                    pos = (h[:, :1] + i[None, :] * h[:, 1:2]) % _np.uint64(
+                        nbits
+                    )
+                    bits = _np.zeros(nbits, dtype=_np.uint8)
+                    if len(vals):
+                        bits[pos.ravel()] = 1
+                    packed = _np.packbits(
+                        bits, bitorder="little"
+                    ).tobytes()
+                    out_col.append(c)
+                    out_bloom.append(
+                        _b64.b64encode(packed).decode("ascii")
+                    )
+                return _pd.DataFrame(
+                    {
+                        "fp": [pdf["fp"].iloc[0]] * len(out_col),
+                        "col": out_col,
+                        "bloom": out_bloom,
+                    }
+                )
+
+            built = (
+                rows.groupBy("fp")
+                .applyInPandas(_build, "fp string, col string, bloom string")
+                .collect()
+            )
+        files: dict[str, dict[str, str]] = {}
+        for r in built:
+            files.setdefault(r["fp"], {})[r["col"]] = r["bloom"]
+        # empty files produce no group; columns missing from this
+        # commit's schema produce no row — both get explicit empty
+        # blooms (the file provably holds no non-null value)
+        empty = None
+        for f in added:
+            per = files.setdefault(f["path"], {})
+            for c in self.bloom_columns:
+                if c not in per:
+                    if empty is None:
+                        empty = bloom_mod.bloom_to_b64(
+                            bloom_mod.build_bloom([], nbits, k)
+                        )
+                    per[c] = empty
+        sidecar = {"nbits": nbits, "k": k, "files": files}
+        os.makedirs(self.col_bloom_dir, exist_ok=True)
+        tmp = os.path.join(self.col_bloom_dir, f".{instant}.json.tmp")
+        with open(tmp, "w") as fh:
+            json.dump(sidecar, fh)
+        os.replace(
+            tmp, os.path.join(self.col_bloom_dir, instant + ".json")
+        )
+        self._col_bloom_sidecars[instant] = sidecar
+
+    def _col_blooms_for(self, f: dict) -> tuple[int, int, dict] | None:
+        """(nbits, k, {col: b64-or-decoded}) for a live-file entry via
+        the lazily-cached per-instant sidecar; None when the file
+        predates the index (kept unconditionally)."""
+        if not f.get("col_bloom"):
+            return None
+        parts = f["path"].replace(os.sep, "/").split("/")
+        if len(parts) < 2:
+            return None
+        instant = parts[1]
+        if instant not in self._col_bloom_sidecars:
+            try:
+                with open(
+                    os.path.join(self.col_bloom_dir, instant + ".json")
+                ) as fh:
+                    self._col_bloom_sidecars[instant] = json.load(fh)
+            except FileNotFoundError:
+                self._col_bloom_sidecars[instant] = {"files": {}}
+        sc = self._col_bloom_sidecars[instant]
+        per = sc.get("files", {}).get(f["path"])
+        if per is None:
+            return None
+        return sc.get("nbits", self.col_bloom_bits), sc.get(
+            "k", self.col_bloom_hashes
+        ), per
+
+    @staticmethod
+    def _bloom_operand(v) -> str | None:
+        """Canonical string form of a predicate operand, EXACTLY as
+        Spark's ``cast("string")`` rendered the column at index-build
+        time — or None when that form can't be reproduced with
+        certainty (floats, dates, timestamps, Decimals: Java vs Python
+        renderings diverge on edge cases), in which case the probe
+        keeps the file. A wrong canonical form here would FALSELY PRUNE
+        a matching file, so the whitelist is deliberately narrow."""
+        if v is None:
+            return None
+        if isinstance(v, bool):  # before int: bool is an int subclass
+            return "true" if v else "false"
+        if isinstance(v, str):
+            return v
+        if isinstance(v, int):
+            return str(v)
+        return None
+
+    def _col_bloom_may_match(self, f: dict, predicate: list[tuple]) -> bool:
+        """Can ANY row of file ``f`` satisfy every ``=``/``in``
+        condition on a bloom-indexed column, judging by the file's
+        column blooms? Definite-miss on any conjunct ⇒ False (no row
+        can match). Unprobeable conditions (no bloom, non-canonical
+        operand, other ops) are skipped — conservative, like missing
+        min/max stats."""
+        if not self.bloom_columns:
+            return True
+        info = self._col_blooms_for(f)
+        if info is None:
+            return True
+        nbits, k, per = info
+        for col, op, val in predicate:
+            if op not in ("=", "in") or per.get(col) is None:
+                continue
+            operands = list(val) if op == "in" else [val]
+            canon = [self._bloom_operand(v) for v in operands]
+            if any(c is None for c in canon):
+                continue  # unreproducible form: cannot safely prune
+            bits = per[col]
+            if isinstance(bits, str):  # decode once, cache the array
+                bits = bloom_mod.bloom_from_b64(bits)
+                per[col] = bits
+            pos = bloom_mod.key_positions(canon, nbits, k)
+            if not bloom_mod.might_contain(bits, pos).any():
+                return False  # every operand definitely absent
+        return True
+
     def _merge(self, old: DataFrame, batch: DataFrame) -> DataFrame:
         """Larger-precombine-wins merge, ties → incoming row — exactly
         ``DefaultHoodieRecordPayload`` (``SRC/package.scala:25,35``):
@@ -2307,6 +2538,10 @@ class LakeTable:
                 f["bloom"] = True  # probe-time flag; pre-bloom files
                 # (or tables that toggled the index on later) lack it
                 # and are kept unconditionally — conservative fallback
+        if self.bloom_columns and indexable:
+            self._write_col_bloom_sidecar(instant, indexable, schema)
+            for f in indexable:
+                f["col_bloom"] = True  # same conservative-fallback flag
         # roll the live set forward BEFORE the manifest lands (while
         # last_instant() still names the previous commit)
         prev = self._live_files()
@@ -3133,16 +3368,21 @@ class LakeTable:
             ):
                 shutil.rmtree(full)
         # prune bloom sidecars whose instant no longer has any live file
-        if os.path.isdir(self.bloom_dir):
-            live_instants = {
-                p.replace(os.sep, "/").split("/")[1]
-                for p in keep
-                if "/" in p.replace(os.sep, "/")
-            }
-            for fn in os.listdir(self.bloom_dir):
+        live_instants = {
+            p.replace(os.sep, "/").split("/")[1]
+            for p in keep
+            if "/" in p.replace(os.sep, "/")
+        }
+        for sidecar_dir, cache in (
+            (self.bloom_dir, self._bloom_sidecars),
+            (self.col_bloom_dir, self._col_bloom_sidecars),
+        ):
+            if not os.path.isdir(sidecar_dir):
+                continue
+            for fn in os.listdir(sidecar_dir):
                 if fn.endswith(".json") and fn[: -len(".json")] not in live_instants:
-                    os.remove(os.path.join(self.bloom_dir, fn))
-                    self._bloom_sidecars.pop(fn[: -len(".json")], None)
+                    os.remove(os.path.join(sidecar_dir, fn))
+                    cache.pop(fn[: -len(".json")], None)
         return sorted(deleted)
 
     def archive_timeline(self, keep_commits: int = 4) -> list[str]:

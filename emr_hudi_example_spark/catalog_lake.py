@@ -724,6 +724,54 @@ def lake_col_bloom_skipping(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @query(
+    "lake_bucket_index_pointread",
+    oracle="""
+    SELECT c_custkey, c_name, c_acctbal,
+           CAST(2 AS BIGINT) AS ver,
+           CAST(7 AS INT) AS bucket_pruned,
+           CAST(7 AS INT) AS read_pruned
+    FROM customer WHERE c_custkey = 8
+    """,
+)
+def lake_bucket_index_pointread(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Bucket index — Hudi's ``hoodie.index.type=BUCKET`` simple-bucket
+    engine (the zero-storage alternative to the reference's
+    GLOBAL_BLOOM, ``SRC/Log2Hudi.scala:78-79``): files are laid out per
+    ``pmod(xxhash64(record_key), 8)`` and BOTH write planning and point
+    reads locate candidates by bucket arithmetic alone — no index
+    table, no bloom I/O, no key scan, O(1) metadata at any table size.
+
+    One insert commit lands eight bucket files; a single-key upsert
+    must rewrite exactly one of them (pinned ``bucket_pruned = 7`` —
+    seven candidates dropped before any scan), and the record-key point
+    read touches one file (pinned ``read_pruned = 7``). Rows are the
+    merged end state: pruning changes I/O, never results. At 100 TB
+    this is the fixed-cost ingest path — candidate location stays
+    constant-time while bloom sidecars and record indexes grow with the
+    table."""
+    base = load(spark, sf_dir, "customer").withColumn(
+        "ver", F.lit(1).cast("long")
+    )
+    t = LakeTable(
+        spark, _tmp_base(), "q", "bucketidx", ["c_custkey"], "ver",
+        bucket_index=8,
+    )
+    t.write(base, op="insert", instant="001")
+    t.write(
+        base.filter(F.col("c_custkey") == 8)
+        .withColumn("ver", F.lit(2).cast("long")),
+        op="upsert", instant="002",
+    )
+    bucket_pruned = t.last_bucket_pruned
+    out = t.snapshot(predicate=[("_record_key", "=", "8")])
+    return out.select(
+        "c_custkey", "c_name", "c_acctbal", "ver",
+        F.lit(bucket_pruned).cast("int").alias("bucket_pruned"),
+        F.lit(t.last_bucket_read_pruned).cast("int").alias("read_pruned"),
+    )
+
+
+@query(
     "lake_delete_partition",
     oracle="""
     SELECT c_custkey, c_name, c_mktsegment, c_acctbal,

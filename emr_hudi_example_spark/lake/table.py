@@ -143,6 +143,7 @@ class LakeTable:
         bloom_columns: list[str] | None = None,
         col_bloom_bits: int = 1 << 17,
         col_bloom_hashes: int = 5,
+        bucket_index: int | None = None,
     ) -> None:
         if table_type not in ("COPY_ON_WRITE", "MERGE_ON_READ"):
             raise ValueError(f"unknown table type: {table_type}")
@@ -239,6 +240,28 @@ class LakeTable:
         #: instant -> {"nbits", "k", "files": {rel_path: {col: bloom}}}
         #: (bloom values decoded lazily from b64 to unpacked bit arrays)
         self._col_bloom_sidecars: dict[str, dict] = {}
+        #: BUCKET index (Hudi's ``hoodie.index.type=BUCKET`` simple
+        #: bucket engine): data files are written per
+        #: ``pmod(xxhash64(record_key), n)`` bucket (one shuffle task →
+        #: one file per bucket per commit) and upsert/delete planning
+        #: maps the batch's keys to buckets — the candidate set is the
+        #: hit buckets' files, located with ZERO index storage, no
+        #: probe I/O and no per-record state, at any table size. The
+        #: trade (exactly Hudi's): bucket count is fixed per file — it
+        #: is stamped into each manifest entry (``bucket``/
+        #: ``bucket_n``), and files written under a DIFFERENT n are
+        #: always candidates (conservative), so resizing converges by
+        #: rewrite instead of corrupting planning. Point-lookup reads
+        #: (``predicate`` ``=``/``in`` on the record key) prune by
+        #: bucket too. Size n for ~1 GB per bucket per commit: every
+        #: commit (and every compaction fold) shuffles into n tasks.
+        self.bucket_index = bucket_index
+        #: observability: candidates dropped by bucket targeting in the
+        #: most recent upsert/delete planning pass
+        self.last_bucket_pruned = 0
+        #: observability: files dropped by record-key bucket pruning in
+        #: the most recent predicate read
+        self.last_bucket_read_pruned = 0
         #: OCC seam (SRC/package.scala:38-47 parity): default is the
         #: single-host O_EXCL file lock; a multi-host deployment plugs
         #: in a coordination-service provider here (see lake/locks.py)
@@ -754,12 +777,14 @@ class LakeTable:
         if not predicate:
             self.last_files_skipped = 0
             self.last_col_bloom_pruned = 0
+            self.last_bucket_read_pruned = 0
             return files
         for col, op, _val in predicate:
             if op not in self._PRED_OPS:
                 raise ValueError(
                     f"unknown predicate op {op!r}; use one of {self._PRED_OPS}"
                 )
+        files = self._bucket_prune_reads(files, predicate)
         mor_merge = self.is_mor and not all_base
         if not mor_merge:
             keep, skipped, bloom_skipped = [], 0, 0
@@ -822,6 +847,55 @@ class LakeTable:
         # preserve input order (manifest order) for deterministic scans
         kept_paths = {f["path"] for f in keep}
         return [f for f in files if f["path"] in kept_paths]
+
+    def _bucket_prune_reads(
+        self, files: list[dict], predicate: list[tuple]
+    ) -> list[dict]:
+        """Point-lookup pruning on a bucket-indexed table: an ``=`` /
+        ``in`` condition on the RECORD KEY confines matching rows to
+        the operands' buckets, so files of other buckets are dropped
+        before any scan — one tiny probe job (operands → bucket ids),
+        no data I/O. Unconditionally safe, even under the MOR merge:
+        a pruned file provably holds NO row with an operand key, and
+        every row the merge could surface from it would fail the
+        key-equality row filter anyway (unlike non-key column pruning,
+        which needs the key-overlap guard). Unstamped files and files
+        written under a different bucket count are kept."""
+        self.last_bucket_read_pruned = 0
+        n = self.bucket_index
+        if not n:
+            return files
+        vals: list | None = None
+        for col, op, val in predicate:
+            if col != RECORD_KEY_COL or op not in ("=", "in"):
+                continue
+            ops = list(val) if op == "in" else [val]
+            if all(isinstance(v, str) for v in ops):
+                vals = ops  # first probeable key condition suffices
+                break
+        if not vals or not any(
+            f.get("bucket") is not None and f.get("bucket_n") == n
+            for f in files
+        ):
+            return files
+        probe = self.spark.createDataFrame(
+            [(v,) for v in sorted(set(vals))], f"{RECORD_KEY_COL} string"
+        )
+        op_buckets = {
+            r[0]
+            for r in probe.select(self._bucket_expr().alias("b"))
+            .distinct()
+            .collect()
+        }
+        kept = [
+            f
+            for f in files
+            if f.get("bucket") is None
+            or f.get("bucket_n") != n
+            or f["bucket"] in op_buckets
+        ]
+        self.last_bucket_read_pruned = len(files) - len(kept)
+        return kept
 
     @staticmethod
     def _predicate_condition(predicate: list[tuple]):
@@ -1825,6 +1899,11 @@ class LakeTable:
         table, and no data file's key column is scanned at all."""
         self.last_range_pruned = 0
         self.last_bloom_pruned = 0
+        self.last_bucket_pruned = 0
+        if self.bucket_index and len(candidates) > 1:
+            candidates = self._bucket_hit_files(candidates, batch)
+            if not candidates:
+                return []
         if self.record_index and candidates and all(
             f.get("indexed") for f in candidates
         ):
@@ -1897,6 +1976,48 @@ class LakeTable:
             for f in candidates
             if os.path.abspath(os.path.join(self.path, f["path"])) in hit_paths
         ]
+
+    def _bucket_expr(self):
+        """A record key's bucket id: ``pmod(xxhash64(key), n)``.
+        Computed ONLY Spark-side (write layout, planning, read-probe
+        jobs) — never re-implemented in Python, so there is no second
+        hash implementation to drift from the files on disk."""
+        return F.pmod(
+            F.xxhash64(F.col(RECORD_KEY_COL)), F.lit(self.bucket_index)
+        ).cast("int")
+
+    def _bucket_hit_files(
+        self, candidates: list[dict], batch: DataFrame
+    ) -> list[dict]:
+        """Bucket-index candidate targeting: one tiny agg job derives
+        the batch's distinct bucket ids (≤ n ints to the driver) and
+        the candidate set shrinks to the hit buckets' files — no index
+        table, no bloom I/O, no key scan. Files with no bucket stamp,
+        or stamped under a DIFFERENT bucket count (pre-bucketing
+        vintage, adopted externals, a resized table), are kept
+        unconditionally: a key can only be guaranteed absent from a
+        file that was provably written under the CURRENT modulus."""
+        n = self.bucket_index
+        if not any(
+            f.get("bucket") is not None and f.get("bucket_n") == n
+            for f in candidates
+        ):
+            return candidates
+        batch_buckets = {
+            r[0]
+            for r in batch.select(self._bucket_expr().alias("b"))
+            .distinct()
+            .collect()
+        }
+        kept = [
+            f
+            for f in candidates
+            if f.get("bucket") is None
+            or f.get("bucket_n") != n
+            or f["bucket"] in batch_buckets
+        ]
+        self.last_bucket_pruned = len(candidates) - len(kept)
+        return kept
 
     def _index_hit_files(
         self, candidates: list[dict], batch: DataFrame
@@ -2395,6 +2516,17 @@ class LakeTable:
             pt = _PT_PREFIX + k
             writer = writer.withColumn(pt, F.col(k).cast("string"))
             pt_cols.append(pt)
+        if self.bucket_index:
+            # bucket layout: shuffle into n tasks keyed on the bucket id
+            # (all rows of a bucket land in ONE task → one file per
+            # bucket per commit, Hudi's file-group-per-bucket shape) and
+            # directory-encode the id so the walker can stamp it into
+            # the manifest. The hash is Spark's xxhash64 — planning
+            # recomputes it Spark-side too, so writer and planner can
+            # never disagree on a key's bucket.
+            writer = writer.withColumn("__bk", self._bucket_expr())
+            writer = writer.repartition(self.bucket_index, F.col("__bk"))
+            pt_cols = pt_cols + ["__bk"]
         w = writer.write.mode("overwrite")
         if pt_cols:
             w = w.partitionBy(*pt_cols)
@@ -2408,10 +2540,13 @@ class LakeTable:
                 full = os.path.join(root, fn)
                 rel = os.path.relpath(full, self.path)
                 partition: dict[str, str] = {}
+                bucket: int | None = None
                 for seg in os.path.relpath(root, out_dir).split(os.sep):
                     if seg.startswith(_PT_PREFIX) and "=" in seg:
                         k, v = seg[len(_PT_PREFIX):].split("=", 1)
                         partition[k] = unquote(v)
+                    elif seg.startswith("__bk="):
+                        bucket = int(seg[len("__bk="):])
                 pp = "/".join(f"{k}={partition[k]}" for k in self.partition_keys) if partition else ""
                 ranges = self._footer_column_ranges(
                     full, [RECORD_KEY_COL] + self.stats_columns
@@ -2442,6 +2577,9 @@ class LakeTable:
                     entry["rows"] = nrows[0]
                 if col_stats:
                     entry["col_stats"] = col_stats
+                if bucket is not None:
+                    entry["bucket"] = bucket
+                    entry["bucket_n"] = self.bucket_index
                 added.append(entry)
         return sorted(added, key=lambda f: f["path"])
 

@@ -924,6 +924,121 @@ class LakeTable:
                 raise ValueError(f"unknown predicate op {op!r}")
         return cond
 
+    def _view_files(
+        self,
+        partition_filter: dict[str, object] | None,
+        as_of: str | None,
+    ) -> tuple[list[dict] | None, T.StructType | None]:
+        """The (files, as-of schema) a snapshot-style view reads:
+        time-travel resolution + driver-side partition pruning, shared
+        by :meth:`snapshot` and the metadata-only aggregates.
+        ``(None, None)`` means the as_of predates the table (empty
+        view); schema is None for the latest view (stored schema)."""
+        schema = None
+        if as_of is not None:
+            past = [i for i in self.timeline() if i <= as_of]
+            if not past:
+                return None, None
+            m = self._manifest(past[-1])
+            files = self._live_files_at(past[-1])
+            schema = T.StructType.fromJson(m["schema"])  # as-of schema
+        else:
+            files = self._live_files()
+        if partition_filter:
+            want = {k: str(v) for k, v in partition_filter.items()}
+            files = [
+                f
+                for f in files
+                if all(f["partition"].get(k) == v for k, v in want.items())
+            ]
+        return files, schema
+
+    def metadata_count(
+        self,
+        partition_filter: dict[str, object] | None = None,
+        as_of: str | None = None,
+    ) -> tuple[int, bool]:
+        """Exact row count of the snapshot view served from MANIFEST
+        stats alone — O(live file count) driver-side arithmetic, zero
+        scan, zero Spark jobs (the Iceberg/Hudi metadata-table
+        ``count(*)`` path; at 100 TB: milliseconds instead of a
+        full-corpus scan). Returns ``(count, from_metadata)``.
+
+        The fast path is EXACT only when no read-time merge can change
+        cardinality: COW tables qualify always (upserts merge and
+        deletes materialize at write — :meth:`_commit_delete`
+        anti-joins, so live COW files hold no tombstones); MOR does
+        not (the precombine merge collapses duplicate keys and
+        tombstone deltas kill rows at READ time), nor do files missing
+        a ``rows`` stat. Those fall back to an exact
+        ``snapshot().count()`` scan and report
+        ``from_metadata=False`` — correctness never depends on the
+        shortcut."""
+        files, _ = self._view_files(partition_filter, as_of)
+        if files is None:
+            return 0, True
+        if not self.is_mor and all(
+            f.get("rows") is not None for f in files
+        ):
+            return sum(f["rows"] for f in files), True
+        return (
+            self.snapshot(
+                partition_filter=partition_filter, as_of=as_of
+            ).count(),
+            False,
+        )
+
+    def metadata_min_max(
+        self,
+        col: str,
+        partition_filter: dict[str, object] | None = None,
+        as_of: str | None = None,
+    ):
+        """SQL ``MIN(col)``/``MAX(col)`` of the snapshot view folded
+        from the manifest's per-file footer stats — no scan, no jobs.
+        Returns ``(min, max, from_metadata)``; values come back in the
+        manifest's JSON-normalized form (numbers as numbers,
+        timestamps as ``' '``-separated strings).
+
+        Exact on the fast path because parquet footer min/max exclude
+        NULLs — exactly SQL aggregate semantics — and COW reads apply
+        no merge that could drop a file's extreme row. Falls back to
+        an exact scan (``from_metadata=False``) for MOR (a merge LOSER
+        may hold the footer extreme), for any file missing stats for
+        ``col`` (including all-NULL files — indistinguishable from
+        stat-less), and for record-key stats absence. Empty files
+        (``rows == 0``) are skipped, not a fallback trigger."""
+        files, _ = self._view_files(partition_filter, as_of)
+        if files is None:
+            return None, None, True
+        if not self.is_mor:
+            los, his, ok = [], [], True
+            for f in files:
+                if f.get("rows") == 0:
+                    continue
+                lo, hi = (
+                    (f.get("key_min"), f.get("key_max"))
+                    if col == RECORD_KEY_COL
+                    else tuple(
+                        f.get("col_stats", {}).get(col) or (None, None)
+                    )
+                )
+                if lo is None or hi is None:
+                    ok = False
+                    break
+                los.append(lo)
+                his.append(hi)
+            if ok:
+                if not los:
+                    return None, None, True  # view holds no rows
+                return min(los), max(his), True
+        row = (
+            self.snapshot(partition_filter=partition_filter, as_of=as_of)
+            .agg(F.min(col), F.max(col))
+            .collect()[0]
+        )
+        return row[0], row[1], False
+
     def snapshot(
         self,
         partition_filter: dict[str, object] | None = None,
@@ -943,23 +1058,9 @@ class LakeTable:
         column stats (``stats_columns``) prove no row can match (Hudi
         0.11 data skipping); ``last_files_skipped`` records the count.
         """
-        schema = None
-        if as_of is not None:
-            past = [i for i in self.timeline() if i <= as_of]
-            if not past:
-                return self.spark.createDataFrame([], self._stored_schema())
-            m = self._manifest(past[-1])
-            files = self._live_files_at(past[-1])
-            schema = T.StructType.fromJson(m["schema"])  # as-of schema
-        else:
-            files = self._live_files()
-        if partition_filter:
-            want = {k: str(v) for k, v in partition_filter.items()}
-            files = [
-                f
-                for f in files
-                if all(f["partition"].get(k) == v for k, v in want.items())
-            ]
+        files, schema = self._view_files(partition_filter, as_of)
+        if files is None:
+            return self.spark.createDataFrame([], self._stored_schema())
         files = self._stats_prune(files, predicate)
         out = self._read_files([f["path"] for f in files], schema)
         if self.is_mor:

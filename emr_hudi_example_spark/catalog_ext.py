@@ -1005,16 +1005,20 @@ def dedup_contamination(spark: SparkSession, sf_dir: str) -> DataFrame:
 )
 def dedup_cluster_groups(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Fuzzy-dedup cluster assignment: MinHash-LSH near-dup pairs →
-    connected components (min-label propagation) → one canonical
-    survivor per duplicate CLUSTER. Pairs alone can't pick survivors
-    when dups chain (A~B, B~C but not A~C); the transitive closure can.
-    Verified against DuckDB's recursive-CTE reachability closure."""
+    connected components (two-phase star contraction — O(log n) rounds
+    independent of chain diameter, the r7→r8 scale fix for
+    duplicate-saturated corpora) → one canonical survivor per duplicate
+    CLUSTER. Pairs alone can't pick survivors when dups chain (A~B,
+    B~C but not A~C); the transitive closure can. Verified against
+    DuckDB's recursive-CTE reachability closure."""
     docs = load(spark, sf_dir, "documents")
     pairs = D.minhash_lsh_dedup(
         docs, num_perm=_NUM_PERM, band_size=_BAND, k=3, threshold=0.2,
         max_bucket_size=256,
     )
-    comp = D.connected_components(pairs, docs.select("doc_id"), "doc_id")
+    comp = D.connected_components_star(
+        pairs, docs.select("doc_id"), "doc_id"
+    )
     return comp.withColumn(
         "is_canonical", F.col("doc_id") == F.col("group_id")
     )

@@ -171,6 +171,25 @@ class LocalFSStore(PutIfAbsentStore):
             return True
         except FileExistsError:
             return False
+        except OSError as e:
+            import errno
+
+            # link(2) unsupported (many FUSE mounts — s3fs etc.): fall
+            # back to O_EXCL create+write. Weaker only in that a reader
+            # could glimpse a part-written body mid-write; exclusivity
+            # (exactly one racer wins the name) still holds, which is
+            # the property the lease CAS depends on.
+            if e.errno not in (errno.EPERM, errno.ENOTSUP, errno.EOPNOTSUPP):
+                raise
+            try:
+                fd = os.open(
+                    self._p(key), os.O_CREAT | os.O_EXCL | os.O_WRONLY
+                )
+            except FileExistsError:
+                return False
+            with os.fdopen(fd, "w") as fh:
+                fh.write(body)
+            return True
         finally:
             os.unlink(tmp)
 

@@ -240,6 +240,7 @@ class LakeTable:
         #: instant -> {"nbits", "k", "files": {rel_path: {col: bloom}}}
         #: (bloom values decoded lazily from b64 to unpacked bit arrays)
         self._col_bloom_sidecars: dict[str, dict] = {}
+        self._col_bloom_type_cache: dict[str, dict] = {}
         #: BUCKET index (Hudi's ``hoodie.index.type=BUCKET`` simple
         #: bucket engine): data files are written per
         #: ``pmod(xxhash64(record_key), n)`` bucket (one shuffle task →
@@ -291,6 +292,10 @@ class LakeTable:
         #: exists and aborts with :class:`ConcurrentWriteConflict`.
         self.inflight_ttl_seconds: float = 900.0
         self.inflight_dir = os.path.join(self.commits_dir, ".inflight")
+        #: instant → stop-Event of its live heartbeat thread (see
+        #: :meth:`_mark_inflight`); crashed writers leave no entry —
+        #: their markers go stale exactly as before
+        self._inflight_heartbeats: dict[str, object] = {}
         #: instants cleared against the zombie fences (see
         #: :meth:`_zombie_instants`) — clean verdicts are immutable
         self._fence_ok: set[str] = set()
@@ -2522,24 +2527,59 @@ class LakeTable:
             "k", self.col_bloom_hashes
         ), per
 
+    # column types whose Spark cast("string") rendering a same-typed
+    # Python operand reproduces verbatim (the only pairings the bloom
+    # probe may prune on)
+    _BLOOM_INTEGRAL_TYPES = frozenset(
+        ("byte", "tinyint", "short", "smallint", "integer", "int", "long", "bigint")
+    )
+
     @staticmethod
-    def _bloom_operand(v) -> str | None:
+    def _bloom_operand(v, col_type: str | None) -> str | None:
         """Canonical string form of a predicate operand, EXACTLY as
-        Spark's ``cast("string")`` rendered the column at index-build
-        time — or None when that form can't be reproduced with
-        certainty (floats, dates, timestamps, Decimals: Java vs Python
-        renderings diverge on edge cases), in which case the probe
-        keeps the file. A wrong canonical form here would FALSELY PRUNE
-        a matching file, so the whitelist is deliberately narrow."""
-        if v is None:
+        Spark's ``cast("string")`` rendered the COLUMN's values at
+        index-build time — or None when that form can't be reproduced
+        with certainty, in which case the probe keeps the file.
+
+        The gate is the pairing of (stored column type, operand type),
+        not the operand type alone: an ``int`` operand ``1000`` probed
+        against a ``double`` column (stored as ``"1000.0"``) or a
+        ``str`` operand against a numeric column hashes a different
+        canonical form than the build side, and the row filter
+        (``F.col == F.lit`` with type coercion) WOULD match — pruning
+        there silently drops rows. Only pairings that provably render
+        identically pass: str↔string, int↔integral, bool↔boolean.
+        Unknown/absent column type ⇒ None (conservative keep)."""
+        if v is None or col_type is None:
             return None
         if isinstance(v, bool):  # before int: bool is an int subclass
-            return "true" if v else "false"
+            return ("true" if v else "false") if col_type == "boolean" else None
         if isinstance(v, str):
-            return v
+            return v if col_type == "string" else None
         if isinstance(v, int):
-            return str(v)
+            return str(v) if col_type in LakeTable._BLOOM_INTEGRAL_TYPES else None
         return None
+
+    def _col_bloom_types(self, f: dict) -> dict:
+        """{col: simple type name} for the bloom-indexed columns as of
+        the file's writing instant (the schema the index-build
+        ``cast("string")`` ran under), lazily cached per instant.
+        Missing manifest ⇒ empty map ⇒ every probe keeps the file."""
+        parts = f["path"].replace(os.sep, "/").split("/")
+        instant = parts[1] if len(parts) >= 2 else ""
+        cached = self._col_bloom_type_cache.get(instant)
+        if cached is not None:
+            return cached
+        types: dict[str, str] = {}
+        try:
+            schema = T.StructType.fromJson(self._manifest(instant)["schema"])
+            for fld in schema.fields:
+                if fld.name in self.bloom_columns:
+                    types[fld.name] = fld.dataType.simpleString()
+        except (FileNotFoundError, KeyError):
+            pass
+        self._col_bloom_type_cache[instant] = types
+        return types
 
     def _col_bloom_may_match(self, f: dict, predicate: list[tuple]) -> bool:
         """Can ANY row of file ``f`` satisfy every ``=``/``in``
@@ -2554,11 +2594,13 @@ class LakeTable:
         if info is None:
             return True
         nbits, k, per = info
+        col_types = self._col_bloom_types(f)
         for col, op, val in predicate:
             if op not in ("=", "in") or per.get(col) is None:
                 continue
             operands = list(val) if op == "in" else [val]
-            canon = [self._bloom_operand(v) for v in operands]
+            ct = col_types.get(col)
+            canon = [self._bloom_operand(v, ct) for v in operands]
             if any(c is None for c in canon):
                 continue  # unreproducible form: cannot safely prune
             bits = per[col]
@@ -3510,7 +3552,35 @@ class LakeTable:
         would reap the half-written files and the later publish would
         reference deleted data (silent loss; r6 advice, high). The
         serialized ``write()`` path doesn't need one: it holds the same
-        writer lock ``clean()`` takes."""
+        writer lock ``clean()`` takes.
+
+        The marker is HEARTBEATED (r7 advice, low): a daemon thread
+        rewrites its ``at`` timestamp every ``ttl/3`` until
+        ``_clear_inflight``. Without it, any fold whose compute phase
+        out-lives the TTL gets reaped by a periodic cleaner, aborts at
+        publish, and retries just as slowly — a livelock on exactly the
+        100 TB-scale compactions the marker exists to protect. A
+        CRASHED writer's heartbeat dies with its process, so staleness
+        detection is unchanged for the case the TTL is really for."""
+        self._write_inflight_marker(instant)
+        import threading
+
+        stop = threading.Event()
+        self._inflight_heartbeats[instant] = stop
+        interval = max(1.0, self.inflight_ttl_seconds / 3.0)
+
+        def beat() -> None:
+            while not stop.wait(interval):
+                try:
+                    self._write_inflight_marker(instant)
+                except OSError:
+                    pass  # dir vanished (table dropped mid-write): moot
+
+        threading.Thread(
+            target=beat, daemon=True, name=f"inflight-hb-{instant}"
+        ).start()
+
+    def _write_inflight_marker(self, instant: str) -> None:
         os.makedirs(self.inflight_dir, exist_ok=True)
         tmp = os.path.join(self.inflight_dir, f".{instant}.tmp")
         with open(tmp, "w") as fh:
@@ -3521,6 +3591,9 @@ class LakeTable:
         os.replace(tmp, os.path.join(self.inflight_dir, instant + ".json"))
 
     def _clear_inflight(self, instant: str) -> None:
+        hb = self._inflight_heartbeats.pop(instant, None)
+        if hb is not None:
+            hb.set()  # stop the heartbeat before removing the marker
         try:
             os.unlink(os.path.join(self.inflight_dir, instant + ".json"))
         except OSError:

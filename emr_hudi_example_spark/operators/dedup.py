@@ -554,6 +554,100 @@ def connected_components(
     )
 
 
+def connected_components_star(
+    pairs: DataFrame,
+    vertices: DataFrame,
+    id_col: str = "doc_id",
+    max_iter: int = 30,
+) -> DataFrame:
+    """Connected components by two-phase star contraction (the public
+    large-star/small-star MapReduce algorithm, Kiveris et al. 2014) —
+    same contract as :func:`connected_components` (``(id_col,
+    group_id)``, group_id = component min) but converging in rounds
+    bounded by O(log n) INDEPENDENT OF GRAPH DIAMETER, where min-label
+    propagation needs O(diameter) rounds. Duplicate-saturated corpora
+    build long near-dup chains whose diameter grows with the clone
+    count — the r7 scale probe measured label propagation at 5.2× wall
+    for 10× data on a clone-dense corpus purely from extra rounds; star
+    contraction's round count is insensitive to that.
+
+    Each round rewrites the edge set with two O(E)-shuffle steps:
+
+    - large-star: per node u, connect every LARGER neighbor to
+      ``m = min(N(u) ∪ {u})`` — emit ``(v, m)`` for v ∈ N(u), v > u.
+    - small-star: orient edges toward the larger endpoint; per node u
+      with smaller-neighbor set N⁻(u), ``m = min(N⁻(u))`` (< u always);
+      emit ``(v, m)`` for v ∈ N⁻(u) ∪ {u}, v ≠ m.
+
+    Both steps strictly preserve connectivity and never raise a node's
+    reachable minimum; the joint fixed point is a disjoint union of
+    stars rooted at each component's min id, read off as the final
+    labels. Convergence is checked EXACTLY (``exceptAll`` probe — one
+    extra O(E) job per round; rounds are few so a hash-sum shortcut
+    isn't worth the correctness argument). ``localCheckpoint``
+    truncates lineage per round as in the propagation variant.
+    """
+    fwd = (
+        pairs.select(F.col("id_a").alias("a"), F.col("id_b").alias("b"))
+        .filter(F.col("a") != F.col("b"))
+    )
+    edges = (
+        fwd.unionByName(
+            fwd.select(F.col("b").alias("a"), F.col("a").alias("b"))
+        )
+        .filter(F.col("a") > F.col("b"))  # canonical: larger first
+        .distinct()
+        .localCheckpoint(eager=True)
+    )
+    n_edges = edges.count()
+    for _ in range(max_iter):
+        if n_edges == 0:
+            break
+        # large-star over the bidirectional view: center u sees ALL its
+        # neighbors; m = min(N(u) ∪ {u}) via least() inside the agg
+        nbrs = edges.unionByName(
+            edges.select(F.col("b").alias("a"), F.col("a").alias("b"))
+        )
+        lmin = nbrs.groupBy("a").agg(
+            F.least(F.min("b"), F.first("a")).alias("m")
+        )
+        large = (
+            nbrs.join(lmin, "a")
+            .filter(F.col("b") > F.col("a"))
+            .select(F.col("b").alias("a"), F.col("m").alias("b"))
+            .filter(F.col("a") != F.col("b"))
+            .distinct()
+        )
+        # small-star over larger-first orientation: m = min(N⁻(u)) < u;
+        # emit (v, m) for v ∈ N⁻(u) \ {m} plus (u, m)
+        smin = large.groupBy("a").agg(F.min("b").alias("m"))
+        small = (
+            large.join(smin, "a")
+            .select(F.col("b").alias("v"), F.col("m"))
+            .filter(F.col("v") != F.col("m"))
+            .unionByName(
+                smin.select(F.col("a").alias("v"), F.col("m"))
+            )
+            .select(F.col("v").alias("a"), F.col("m").alias("b"))
+            .distinct()
+            .localCheckpoint(eager=True)
+        )
+        new_n = small.count()
+        if new_n == n_edges and small.exceptAll(edges).isEmpty():
+            edges = small
+            break
+        edges, n_edges = small, new_n
+    labels = vertices.select(F.col(id_col).alias("v")).join(
+        edges.select(F.col("a").alias("v"), F.col("b").alias("root")),
+        "v",
+        "left",
+    )
+    return labels.select(
+        F.col("v").alias(id_col),
+        F.coalesce("root", F.col("v")).alias("group_id"),
+    )
+
+
 def paragraph_dedup(
     docs: DataFrame,
     id_col: str = "doc_id",

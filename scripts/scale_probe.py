@@ -139,7 +139,7 @@ def run_probe(spark: SparkSession, mult: int) -> list[dict]:
         timed(
             "cluster_groups", mult,
             lambda: {
-                "rows": D.connected_components(
+                "rows": D.connected_components_star(
                     pairs.selectExpr("id_a", "id_b"),
                     docs.select("doc_id"),
                 ).count()

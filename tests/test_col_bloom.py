@@ -130,6 +130,66 @@ def test_col_bloom_unprobeable_operand_keeps_files(spark, tmp_path):
     assert out.count() == expect
 
 
+def test_col_bloom_type_mismatch_operand_keeps_files(spark, tmp_path):
+    """r7 advisory (high): the probe must gate on the STORED column
+    type, not the operand's Python type. An int operand against a
+    double column (stored cast ``"1000.0"``) or a numeric-string
+    operand against an integral column hashes a different canonical
+    form than the build side — yet the row filter's type coercion
+    WOULD match, so pruning on it silently drops rows."""
+    # double column, whole-number values: int operand must NOT prune
+    t = col_bloom_table(
+        spark, tmp_path, name="tym", bloom_columns=["bal"]
+    )
+    rows = tagged_cust(spark).withColumn(
+        "bal", F.col("c_custkey").cast("double")
+    )
+    for i in range(2):
+        t.write(
+            rows.filter(F.col("c_custkey") % 2 == i).coalesce(1),
+            op="insert", instant=f"00{i + 1}",
+        )
+    out = t.snapshot(predicate=[("bal", "=", 8)])  # int vs double col
+    assert [r["c_custkey"] for r in out.collect()] == [8]  # coerced hit
+    assert t.last_col_bloom_pruned == 0  # mismatched pairing: keep all
+    # numeric-string operand vs integral column: also unprobeable
+    t2 = col_bloom_table(
+        spark, tmp_path, name="tym2", bloom_columns=["c_nationkey"]
+    )
+    write_four_interleaved(t2, spark)
+    nk = int(
+        tagged_cust(spark)
+        .filter(F.col("c_custkey") == 8)
+        .select("c_nationkey")
+        .collect()[0][0]
+    )
+    out = t2.snapshot(predicate=[("c_nationkey", "=", str(nk))])
+    assert t2.last_col_bloom_pruned == 0
+    assert out.count() == tagged_cust(spark).filter(
+        F.col("c_nationkey") == nk
+    ).count()
+    # the MATCHED pairing still prunes: int operand, integral column
+    out = t2.snapshot(predicate=[("c_nationkey", "=", nk)])
+    assert out.count() >= 1 and t2.last_files_skipped >= 0
+    # bool operand vs boolean column: the one bool pairing that IS
+    # probeable (int-vs-boolean never reaches the probe: Spark's row
+    # filter rejects boolean=int at analysis, loudly not silently)
+    t3 = col_bloom_table(
+        spark, tmp_path, name="tym3", bloom_columns=["flag"]
+    )
+    brows = tagged_cust(spark).withColumn(
+        "flag", F.col("c_custkey") % 2 == 0
+    )
+    for i in range(2):
+        t3.write(
+            brows.filter(F.col("c_custkey") % 2 == i).coalesce(1),
+            op="insert", instant=f"00{i + 1}",
+        )
+    out = t3.snapshot(predicate=[("flag", "=", True)])
+    assert t3.last_col_bloom_pruned == 1  # bool vs boolean: prunes
+    assert out.count() == brows.filter("flag").count()
+
+
 def test_col_bloom_mor_stale_winner_guard(spark, tmp_path):
     """MOR: the merged winner for a key lives in the BASE file; a
     predicate matching only the LOSING delta row's value makes the

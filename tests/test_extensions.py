@@ -1046,3 +1046,59 @@ def test_l2_topk_query_sampling_is_exact_slice(spark):
         (r["query_id"], r["neighbor_id"], r["rank"])
         for r in S.l2_topk(emb, q, k=3, query_sample_frac=1.0).collect()
     } == full
+
+
+def test_star_contraction_matches_label_propagation(spark):
+    """Star-contraction CC must produce the identical (vertex →
+    component-min) labeling as min-label propagation on every graph
+    shape that stresses it: long chains (diameter >> log n — the case
+    star contraction exists for), multi-component random graphs,
+    singletons, self-loops, duplicate/reversed edges."""
+    import random
+
+    from emr_hudi_example_spark.operators.dedup import (
+        connected_components,
+        connected_components_star,
+    )
+
+    def run(edge_list, n_vertices):
+        pairs = spark.createDataFrame(
+            [(int(a), int(b)) for a, b in edge_list] or [(0, 0)],
+            "id_a long, id_b long",
+        )
+        verts = spark.range(n_vertices).select(
+            F.col("id").alias("doc_id")
+        )
+        star = {
+            (r["doc_id"], r["group_id"])
+            for r in connected_components_star(pairs, verts).collect()
+        }
+        prop = {
+            (r["doc_id"], r["group_id"])
+            for r in connected_components(
+                pairs, verts, max_iter=200, check_every=1
+            ).collect()
+        }
+        assert star == prop
+        return star
+
+    # 60-node chain: diameter 59; star contraction must finish inside
+    # its default max_iter=30 where naive propagation needs ~60 rounds
+    chain = [(i, i + 1) for i in range(59)]
+    labels = run(chain, 61)  # vertex 60 is a singleton
+    assert labels == {(i, 0) for i in range(60)} | {(60, 60)}
+
+    # seeded random graphs: several components + isolated vertices
+    rng = random.Random(7)
+    for trial in range(3):
+        n = 80
+        edges = [
+            (rng.randrange(n), rng.randrange(n))
+            for _ in range(rng.randrange(20, 70))
+        ]
+        edges += [(5, 5), (12, 7), (7, 12)]  # self-loop + dup reversed
+        run(edges, n)
+
+    # empty edge set: every vertex is its own group
+    labels = run([(0, 0)], 5)  # lone self-loop ≡ no edges
+    assert labels == {(i, i) for i in range(5)}

@@ -2585,6 +2585,26 @@ def test_expired_inflight_marker_aborts_publish_not_corrupts(
     assert reader._inflight_split() == (set(), set())
 
 
+def test_inflight_heartbeat_outlives_ttl(spark, tmp_path):
+    """r7 advisory (low): a live writer's marker must NOT go stale even
+    when its compute phase out-lives the TTL — the heartbeat thread
+    refreshes ``at`` every ttl/3, so only a CRASHED writer (heartbeat
+    died with its process) ever crosses the horizon. Without this a
+    periodic cleaner livelocks every fold longer than the TTL."""
+    import time as _time
+
+    t = make_table(spark, tmp_path)
+    t.inflight_ttl_seconds = 2.0  # heartbeat interval = max(1, 2/3) = 1s
+    t._mark_inflight("009hbhb")
+    _time.sleep(3.2)  # well past the TTL; 3 heartbeats have fired
+    live, stale = t._inflight_split()
+    assert live == {"009hbhb"} and stale == set()
+    t._clear_inflight("009hbhb")
+    assert t._inflight_split() == (set(), set())
+    _time.sleep(1.5)  # a stopped heartbeat must not resurrect the marker
+    assert t._inflight_split() == (set(), set())
+
+
 def test_clean_removes_stale_inflight_markers(spark, tmp_path):
     t = make_table(spark, tmp_path)
     t.write(cust(spark, ver=1), op="insert", instant="001")

@@ -157,6 +157,39 @@ def test_zombie_fenced_at_read_planning_over_memory_store(spark, tmp_path):
     assert t_r.snapshot().filter(F.col("ver") == 2).count() == 0
 
 
+def test_localfs_put_if_absent_falls_back_without_link(tmp_path, monkeypatch):
+    """r7 advisory (low): link(2)-less filesystems (s3fs and most FUSE
+    mounts raise EPERM/ENOTSUP) must fall back to O_EXCL create+write —
+    exclusivity still holds, lease acquisition keeps working instead of
+    dying with a hard OSError."""
+    import errno
+    import os as _os
+
+    from emr_hudi_example_spark.lake.locks import LocalFSStore
+
+    store = LocalFSStore(str(tmp_path / "locks"))
+    store.ensure()
+
+    real_link = _os.link
+
+    def no_link(src, dst, **kw):
+        raise OSError(errno.EPERM, "Operation not permitted")
+
+    monkeypatch.setattr(_os, "link", no_link)
+    assert store.put_if_absent("lease", "body-1") is True
+    assert store.get("lease") == "body-1"
+    assert store.put_if_absent("lease", "body-2") is False  # loser
+    assert store.get("lease") == "body-1"
+    # no temp litter left behind
+    assert [n for n in _os.listdir(store.root) if n.startswith(".")] == []
+    monkeypatch.setattr(_os, "link", real_link)
+    # the full lease dance still works over the fallback store
+    monkeypatch.setattr(_os, "link", no_link)
+    p = LeaseLockProvider(str(tmp_path / "tbl2"), holder="x")
+    p.acquire(1.0)
+    p.release()
+
+
 def test_s3_store_documents_the_calls():
     s = S3ConditionalPutStore("bkt", "tables/t1/_lease")
     with pytest.raises(NotImplementedError, match="IfNoneMatch"):

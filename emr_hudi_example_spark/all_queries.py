@@ -38,10 +38,11 @@ from emr_hudi_example_spark.catalog import ORACLE, Q
 
 #: name prefixes of the subsystems whose substrate changed most this
 #: round, in priority order — used only as a TIE-BREAK within the same
-#: staleness group. Round 7: the lake kernel (table.py timeline/fence
-#: filter, inflight markers, async compactor) changed under the lake_*
-#: family, whose newest rows are r3/r4 (r6 verdict #2).
-_SUBSTRATE_HINTS: list[str] = ["lake_", "pipe_"]
+#: staleness group. Round 8: the dedup kernel (star-contraction CC,
+#: md5 hash_sample) and similarity evals (sampled-slice bake-offs)
+#: changed, plus the lake kernel (bloom type gating, bucket-MOR read,
+#: plan-carried clustering, inflight heartbeat).
+_SUBSTRATE_HINTS: list[str] = ["dedup_", "sim_", "lake_"]
 
 
 def latest_driver_rows(root: str | None = None) -> dict[str, tuple[int, bool]]:

@@ -772,6 +772,64 @@ def lake_bucket_index_pointread(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @query(
+    "lake_bucket_mor_pointread",
+    oracle="""
+    SELECT c_custkey, c_name, c_acctbal,
+           CAST(3 AS BIGINT) AS ver,
+           CAST(7 AS INT) AS read_pruned,
+           CAST(2 AS INT) AS delta_files
+    FROM customer WHERE c_custkey = 8
+    """,
+)
+def lake_bucket_mor_pointread(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Bucket-index point read over MERGE_ON_READ with retained delta
+    files (r7 verdict #4 — the delta-safety twin of
+    ``lake_bucket_index_pointread``'s COW case): deltas are
+    bucket-stamped by the same Spark-side ``pmod(xxhash64(key), n)``
+    as bases, so EVERY version of a key — base, superseding delta,
+    late out-of-order delta — shares one bucket and the merge set is
+    pruned or kept as a unit; bucket pruning can never separate a
+    stale row from the newer version that beats it.
+
+    Sequence: bucketed insert (8 base files) → delta ver=3 for key 8
+    (supersession) → delta ver=2 for key 8 (OUT-OF-ORDER arrival; must
+    lose the precombine merge to the already-landed ver=3). The point
+    read keeps key 8's bucket (1 base + 2 deltas, pinned
+    ``delta_files = 2``), prunes the seven other-bucket bases (pinned
+    ``read_pruned = 7``), and returns the ver=3 winner — proving the
+    prune composes with the MOR merge, not just the COW scan."""
+    base = load(spark, sf_dir, "customer").withColumn(
+        "ver", F.lit(1).cast("long")
+    )
+    t = LakeTable(
+        spark, _tmp_base(), "q", "bucketmor", ["c_custkey"], "ver",
+        bucket_index=8, table_type="MERGE_ON_READ",
+    )
+    t.write(base, op="insert", instant="001")
+    key8 = base.filter(F.col("c_custkey") == 8)
+    t.write(
+        key8.withColumn("ver", F.lit(3).cast("long")),
+        op="upsert", instant="002",
+    )
+    t.write(
+        key8.withColumn("ver", F.lit(2).cast("long")),
+        op="upsert", instant="003",
+    )
+    out = t.snapshot(predicate=[("_record_key", "=", "8")])
+    deltas = sum(
+        1
+        for inst in ("002", "003")
+        for f in t._manifest(inst)["added"]
+        if f["kind"] == "delta"
+    )
+    return out.select(
+        "c_custkey", "c_name", "c_acctbal", "ver",
+        F.lit(t.last_bucket_read_pruned).cast("int").alias("read_pruned"),
+        F.lit(deltas).cast("int").alias("delta_files"),
+    )
+
+
+@query(
     "lake_delete_partition",
     oracle="""
     SELECT c_custkey, c_name, c_mktsegment, c_acctbal,

@@ -3258,11 +3258,56 @@ class LakeTable:
 
     # -------------------------------------------- async (scheduled) compaction
 
+    #: declarative clustering spec for compaction plans — JSON-safe so
+    #: the schedule/run split can carry intent across processes:
+    #: a list whose items are column names (plain sort dims) or
+    #: ``{"zorder": {"cols": [...], "bits": 16, "ranges": [[lo,hi],..]}}``
+    #: (reconstructed via ``operators.corpus.zorder_key`` at execute
+    #: time). Column EXPRESSIONS can't be pinned in a plan file — they
+    #: don't serialize — which is exactly why the spec is declarative.
+
+    @staticmethod
+    def _sort_by_from_spec(spec: list) -> list:
+        """Materialize a plan's ``sort_spec`` into ``sort_by`` items
+        (column names pass through; zorder dicts become the Morton-key
+        expression)."""
+        from emr_hudi_example_spark.operators.corpus import zorder_key
+
+        out = []
+        for item in spec:
+            if isinstance(item, str):
+                out.append(item)
+            elif isinstance(item, dict) and "zorder" in item:
+                z = item["zorder"]
+                ranges = z.get("ranges")
+                out.append(
+                    zorder_key(
+                        list(z["cols"]),
+                        bits=int(z.get("bits", 16)),
+                        ranges=[tuple(r) for r in ranges]
+                        if ranges is not None
+                        else None,
+                    )
+                )
+            else:
+                raise ValueError(f"bad sort_spec item: {item!r}")
+        return out
+
+    @staticmethod
+    def _validate_sort_spec(spec: list) -> None:
+        """Fail at SCHEDULE time, not at execute time in a daemon: the
+        spec must be materializable (zorder geometry checks run here)
+        and JSON-round-trippable."""
+        LakeTable._sort_by_from_spec(spec)
+        json.dumps(spec)
+
     def schedule_compaction(
         self,
         plan_id: str | None = None,
         strategy: str = "full",
         small_file_limit_bytes: int = 32 << 20,
+        sort_spec: list | None = None,
+        target_files_per_partition: int | None = None,
     ) -> str | None:
         """Async-compaction phase 1 (the reference runs compaction async
         on the KDS path, ``SRC/KDS2Hudi.scala:131-133``; Hudi's
@@ -3293,10 +3338,23 @@ class LakeTable:
           partitions) therefore refuses ``small_files`` with a
           ``ValueError`` — use ``full``.
 
+        ``sort_spec`` pins CLUSTERING intent in the plan (r7 verdict
+        #5 — Hudi's async *clustering* through the same schedule/run
+        split as compaction): a JSON-declarative list of column names
+        and/or ``{"zorder": {"cols": [...], "bits": ..., "ranges":
+        [[lo, hi], ...]}}`` dicts, validated and serialized at schedule
+        time and materialized into the range-partitioned rewrite by
+        whichever executor (``run_compaction`` caller or an
+        ``AsyncCompactor`` daemon) later runs the plan — lock-free,
+        exactly like an unclustered fold. ``target_files_per_partition``
+        pins the output-file fan-out the same way.
+
         Returns the plan id, or None when the strategy selects nothing.
         """
         if strategy not in ("full", "small_files"):
             raise ValueError(f"unknown compaction strategy: {strategy}")
+        if sort_spec is not None:
+            self._validate_sort_spec(sort_spec)
         if (
             strategy == "small_files"
             and self.is_mor
@@ -3329,6 +3387,10 @@ class LakeTable:
                 "strategy": strategy,
                 "files": sorted(f["path"] for f in live),
             }
+            if sort_spec is not None:
+                plan["sort_spec"] = sort_spec
+            if target_files_per_partition is not None:
+                plan["target_files"] = int(target_files_per_partition)
             pdir = os.path.join(self.commits_dir, "_compaction")
             os.makedirs(pdir, exist_ok=True)
             tmp = os.path.join(pdir, pid + ".json.tmp")
@@ -3387,12 +3449,21 @@ class LakeTable:
     def run_compaction(
         self,
         plan_id: str | None = None,
-        target_files_per_partition: int = 1,
+        target_files_per_partition: int | None = None,
         sort_by: list | None = None,
     ) -> str | None:
         """Async-compaction phase 2: execute a scheduled plan. Folds the
         plan's pinned files into fresh base files; delta files committed
         AFTER the schedule are untouched and keep merging on top at read.
+
+        Plan-carried clustering (r7 verdict #5): when the caller leaves
+        ``sort_by`` / ``target_files_per_partition`` unset, the plan's
+        pinned ``sort_spec`` / ``target_files`` (from
+        ``schedule_compaction``) drive the fold — so an
+        ``AsyncCompactor`` daemon executes scheduled CLUSTERING
+        (z-order rewrite) lock-free with no per-plan arguments, and the
+        clustering intent survives process boundaries. Explicit
+        arguments override the plan.
 
         Correctness of the partial fold: the per-key merge is a max over
         ``(precombine, _commit_time)``, so folding the pinned subset
@@ -3439,6 +3510,10 @@ class LakeTable:
                 plan = json.load(fh)
         except FileNotFoundError:
             return None
+        if sort_by is None and plan.get("sort_spec") is not None:
+            sort_by = self._sort_by_from_spec(plan["sort_spec"])
+        if target_files_per_partition is None:
+            target_files_per_partition = int(plan.get("target_files", 1))
         live_by_path = {f["path"]: f for f in self._live_files()}
         pinned_paths = set(plan["files"])
         if not pinned_paths <= set(live_by_path):

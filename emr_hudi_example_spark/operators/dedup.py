@@ -1115,18 +1115,39 @@ def hash_sample(
     seed: int = 0,
 ) -> DataFrame:
     """Deterministic id-hash sample: keep rows whose
-    ``xxhash64(id, seed)`` lands in the first ``sample_frac`` of the
-    hash space. Unlike ``DataFrame.sample`` this is reproducible across
-    engines, sessions, and partitionings (the decision is a pure
-    function of the id), so a sampled evaluation can be re-run — or
-    cross-checked in another engine — and see the exact same corpus
-    slice. ``None``/``1.0`` is the identity."""
+    ``md5("<seed>:" || id)`` leading 16 bits land in the first
+    ``sample_frac`` of the hash space. Unlike ``DataFrame.sample`` this
+    is reproducible across engines, sessions, and partitionings (the
+    decision is a pure function of the id), so a sampled evaluation can
+    be re-run — or cross-checked in another engine — and see the exact
+    same corpus slice; md5 rather than xxhash64 precisely so DuckDB can
+    replay the slice verbatim (``substr(md5(...), 1, 4)`` hex → int),
+    making sampled-mode queries fully oracle-gradable (r7 verdict #2).
+    ``None``/``1.0`` is the identity."""
     if sample_frac is None or sample_frac >= 1.0:
         return df
-    cut = int(sample_frac * 1_000_000)
-    return df.filter(
-        F.pmod(F.xxhash64(F.col(id_col), F.lit(seed)), F.lit(1_000_000))
-        < F.lit(cut)
+    cut = int(sample_frac * 65536)
+    bucket = F.conv(
+        F.substring(
+            F.md5(
+                F.concat(F.lit(f"{seed}:"), F.col(id_col).cast("string"))
+            ),
+            1, 4,
+        ),
+        16, 10,
+    ).cast("long")
+    return df.filter(bucket < F.lit(cut))
+
+
+def hash_sample_sql(
+    id_expr: str, sample_frac: float, seed: int = 0
+) -> str:
+    """The DuckDB predicate replaying :func:`hash_sample`'s slice
+    bit-exactly — keep in lockstep with the Spark expression above."""
+    cut = int(sample_frac * 65536)
+    return (
+        f"CAST(('0x' || substr(md5('{seed}:' || "
+        f"CAST({id_expr} AS VARCHAR)), 1, 4)) AS INTEGER) < {cut}"
     )
 
 

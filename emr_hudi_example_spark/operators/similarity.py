@@ -1417,6 +1417,7 @@ def l2_topk(
     id_col: str = "vec_id",
     vec_col: str = "embedding",
     query_sample_frac: float | None = None,
+    query_sample_seed: int = 0,
 ) -> DataFrame:
     """Exact brute-force squared-L2 top-k per query — the ground truth
     the PQ/OPQ ADC paths approximate (ADC sums sub-codeword squared
@@ -1438,7 +1439,9 @@ def l2_topk(
     if query_sample_frac is not None:
         from emr_hudi_example_spark.operators.dedup import hash_sample
 
-        queries = hash_sample(queries, id_col, query_sample_frac)
+        queries = hash_sample(
+            queries, id_col, query_sample_frac, query_sample_seed
+        )
     c = corpus.select(
         F.col(id_col).alias("neighbor_id"), _as_double(vec_col).alias("_c")
     )

@@ -102,6 +102,51 @@ def test_bucket_read_prune_mor_safe(spark, tmp_path):
     assert t.last_bucket_read_pruned == 7  # 7 other-bucket bases
 
 
+def test_bucket_read_prune_mor_supersession_and_out_of_order(
+    spark, tmp_path
+):
+    """r7 verdict #4: a bucket-pruned read on a MOR table with RETAINED
+    delta files can never drop a key whose newer version lives in an
+    unpruned delta — deltas are bucket-stamped by the same Spark-side
+    hash as bases, so every version of a key (base, superseding delta,
+    late out-of-order delta) lives in ONE bucket and the merge set is
+    pruned or kept as a unit.
+
+    Sequence: base ver=1 → delta ver=3 (supersession) → delta ver=2
+    (out-of-order arrival, must LOSE to the already-landed ver=3)."""
+    t = bucket_table(
+        spark, tmp_path, name="morseq", table_type="MERGE_ON_READ"
+    )
+    t.write(cust(spark, ver=1), op="insert", instant="001")
+    t.write(
+        cust(spark, ver=3).filter(F.col("c_custkey") == 8),
+        op="upsert", instant="002",
+    )
+    t.write(
+        cust(spark, ver=2).filter(F.col("c_custkey") == 8),
+        op="upsert", instant="003",
+    )
+    # both deltas carry key 8's bucket stamp under the same modulus
+    d2 = t._manifest("002")["added"]
+    d3 = t._manifest("003")["added"]
+    assert len(d2) == 1 and len(d3) == 1
+    assert d2[0]["kind"] == "delta" and d3[0]["kind"] == "delta"
+    assert d2[0]["bucket"] == d3[0]["bucket"]
+    assert d2[0]["bucket_n"] == 8 and d3[0]["bucket_n"] == 8
+    # point read: precombine winner ver=3, NOT the late-arriving ver=2
+    out = t.snapshot(predicate=[(RECORD_KEY_COL, "=", "8")])
+    assert [(r["c_custkey"], r["ver"]) for r in out.collect()] == [(8, 3)]
+    assert t.last_bucket_read_pruned == 7  # other buckets' bases only
+    # an untouched key still reads its base version through the prune
+    out = t.snapshot(predicate=[(RECORD_KEY_COL, "=", "9")])
+    assert [(r["c_custkey"], r["ver"]) for r in out.collect()] == [(9, 1)]
+    # full-table merge agrees (pruning is an I/O optimization only)
+    snap = t.snapshot()
+    assert snap.count() == cust(spark).count()
+    assert snap.filter(F.col("ver") == 3).count() == 1
+    assert snap.filter(F.col("ver") == 2).count() == 0
+
+
 def test_bucket_resize_is_conservative(spark, tmp_path):
     """Files stamped under n=4 are ALWAYS candidates for an n=8
     handle: planning never trusts a bucket id computed under a

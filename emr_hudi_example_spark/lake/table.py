@@ -241,6 +241,10 @@ class LakeTable:
         #: (bloom values decoded lazily from b64 to unpacked bit arrays)
         self._col_bloom_sidecars: dict[str, dict] = {}
         self._col_bloom_type_cache: dict[str, dict] = {}
+        #: immutable-manifest cache (see :meth:`_manifest`); cleared on
+        #: :meth:`restore`, the one operation that can re-allocate an
+        #: instant id
+        self._manifest_mem: dict[str, dict] = {}
         #: BUCKET index (Hudi's ``hoodie.index.type=BUCKET`` simple
         #: bucket engine): data files are written per
         #: ``pmod(xxhash64(record_key), n)`` bucket (one shuffle task →
@@ -416,8 +420,24 @@ class LakeTable:
         return tl[-1] if tl else None
 
     def _manifest(self, instant: str) -> dict:
+        """Commit manifest by instant, cached in-memory: manifests are
+        IMMUTABLE once published (writers os.replace a fully-written
+        temp file; nothing ever rewrites one), so a cache hit can never
+        be stale — it turns the O(commits-since-base × files) manifest
+        re-reads of optimistic publish conflict checks (r7 verdict
+        watch item) and repeated planning walks into dict lookups.
+        Bounded: evicted wholesale past 4096 entries (a table handle
+        outliving that many commits is a long-lived daemon; correctness
+        is unaffected, the next read re-warms)."""
+        cached = self._manifest_mem.get(instant)
+        if cached is not None:
+            return cached
         with open(os.path.join(self.commits_dir, instant + ".json")) as fh:
-            return json.load(fh)
+            m = json.load(fh)
+        if len(self._manifest_mem) >= 4096:
+            self._manifest_mem.clear()
+        self._manifest_mem[instant] = m
+        return m
 
     def _manifest_any(self, instant: str) -> dict:
         """Manifest by instant, falling back to the archived timeline."""
@@ -470,7 +490,8 @@ class LakeTable:
             return self._live_cache[1]
         target = self._manifest_any(instant)
         if "live_files" in target:  # legacy full-list manifest: direct
-            return target["live_files"]
+            # copy: the manifest dict is cache-backed and immutable
+            return list(target["live_files"])
         live: list[dict] = []
         start: str | None = None
         cks = [c for c in self._checkpoints() if c <= instant]
@@ -3164,6 +3185,9 @@ class LakeTable:
                 if sp > instant:
                     self.release_savepoint(sp)
             self._live_cache = None
+            # a doomed instant id can be re-allocated by a later write
+            # (instants are dense) — drop its cached manifest with it
+            self._manifest_mem.clear()
             return doomed
 
     # ----------------------------------------------------------- compaction

@@ -77,17 +77,23 @@ def latest_driver_rows(root: str | None = None) -> dict[str, tuple[int, bool]]:
 
 
 def compute_priority(
-    names: list[str], newest: dict[str, tuple[int, bool]]
+    names: list[str],
+    newest: dict[str, tuple[int, bool]],
+    hints: list[str] | None = None,
 ) -> list[str]:
     """Stable full ordering of ``names`` per the module-docstring
-    policy. Pure function of its inputs (unit-tested directly)."""
+    policy. Pure function of its inputs (unit-tested directly;
+    ``hints`` defaults to the round's ``_SUBSTRATE_HINTS`` and is
+    injectable so the unit test doesn't chase the per-round list)."""
+    if hints is None:
+        hints = _SUBSTRATE_HINTS
     reg_idx = {n: i for i, n in enumerate(names)}
 
     def hint_rank(n: str) -> int:
-        for i, p in enumerate(_SUBSTRATE_HINTS):
+        for i, p in enumerate(hints):
             if n.startswith(p):
                 return i
-        return len(_SUBSTRATE_HINTS)
+        return len(hints)
 
     def key(n: str):
         rnd, green = newest.get(n, (None, True))

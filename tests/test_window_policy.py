@@ -20,9 +20,11 @@ def test_compute_priority_groups_and_ties():
         "q_red": (6, False),  # latest row failed
         # q_new: never graded
     }
-    got = compute_priority(names, newest)
+    got = compute_priority(names, newest, hints=["lake_", "pipe_"])
     # red first, never-graded second, then ascending round with
-    # substrate hints (lake_ before pipe_ before others) breaking ties
+    # injected substrate hints (lake_ before pipe_ before others)
+    # breaking ties — hints are passed explicitly so this test doesn't
+    # chase the per-round _SUBSTRATE_HINTS list
     assert got == [
         "q_red", "q_new", "lake_old", "pipe_old", "q_old", "q_fresh"
     ]

@@ -3325,6 +3325,70 @@ class LakeTable:
         LakeTable._sort_by_from_spec(spec)
         json.dumps(spec)
 
+    @staticmethod
+    def _resolve_auto_placeholder(spec: list) -> list:
+        """Substitute a degenerate-but-valid range for ``"auto"`` so
+        the pre-lock structural validation can materialize the spec;
+        real resolution happens against the live set under the lock."""
+        out = []
+        for item in spec:
+            if (
+                isinstance(item, dict)
+                and "zorder" in item
+                and item["zorder"].get("ranges") == "auto"
+            ):
+                z = dict(item["zorder"])
+                z["ranges"] = [[0, 1] for _ in z.get("cols", [])]
+                out.append({"zorder": z})
+            else:
+                out.append(item)
+        return out
+
+    def _resolve_sort_spec(self, spec: list, live: list[dict]) -> list:
+        """Resolve ``"ranges": "auto"`` in zorder items from the
+        manifest's per-file column stats — min of file mins / max of
+        file maxes over the live set, driver-side, NO data job (at
+        100 TB a full-table min/max agg just to size the Morton curve
+        is a scan the manifest already paid for). Loud ValueError when
+        any live non-empty file lacks stats for a column (pre-index
+        vintage or un-tracked column): guessed ranges would silently
+        mis-shape the curve; pass explicit ranges instead."""
+        out = []
+        for item in spec:
+            if not (
+                isinstance(item, dict)
+                and "zorder" in item
+                and item["zorder"].get("ranges") == "auto"
+            ):
+                out.append(item)
+                continue
+            z = dict(item["zorder"])
+            ranges = []
+            for c in z["cols"]:
+                los, his = [], []
+                for f in live:
+                    if f.get("rows") == 0:
+                        continue  # rowless file constrains nothing
+                    st = (f.get("col_stats") or {}).get(c)
+                    if not st or st[0] is None or st[1] is None:
+                        raise ValueError(
+                            f"ranges='auto' needs column stats for "
+                            f"{c!r} on every live file; file "
+                            f"{f['path']!r} has none — add {c!r} to "
+                            f"stats_columns or pass explicit ranges"
+                        )
+                    los.append(st[0])
+                    his.append(st[1])
+                if not los:
+                    raise ValueError(
+                        f"ranges='auto': no live data files to derive "
+                        f"{c!r} bounds from"
+                    )
+                ranges.append([min(los), max(his)])
+            z["ranges"] = ranges
+            out.append({"zorder": z})
+        return out
+
     def schedule_compaction(
         self,
         plan_id: str | None = None,
@@ -3378,7 +3442,11 @@ class LakeTable:
         if strategy not in ("full", "small_files"):
             raise ValueError(f"unknown compaction strategy: {strategy}")
         if sort_spec is not None:
-            self._validate_sort_spec(sort_spec)
+            # structural pre-check; 'auto' zorder ranges resolve under
+            # the lock (they need the live set), then full validation
+            self._validate_sort_spec(
+                self._resolve_auto_placeholder(sort_spec)
+            )
         if (
             strategy == "small_files"
             and self.is_mor
@@ -3412,6 +3480,8 @@ class LakeTable:
                 "files": sorted(f["path"] for f in live),
             }
             if sort_spec is not None:
+                sort_spec = self._resolve_sort_spec(sort_spec, live)
+                self._validate_sort_spec(sort_spec)
                 plan["sort_spec"] = sort_spec
             if target_files_per_partition is not None:
                 plan["target_files"] = int(target_files_per_partition)

@@ -3116,3 +3116,60 @@ def test_async_clustering_through_schedule_run_split(spark, tmp_path):
     )
     assert out.count() == expect
     assert reader.last_files_skipped > 0
+
+
+def test_clustering_auto_ranges_from_manifest_stats(spark, tmp_path):
+    """``sort_spec=[{"zorder": {..., "ranges": "auto"}}]`` resolves the
+    Morton-curve bounds from the manifest's per-file column stats at
+    schedule time — driver-side, no data job — and the executed plan
+    still yields a skipping layout. A column without stats fails LOUDLY
+    at schedule time (guessed ranges would silently mis-shape the
+    curve)."""
+    orders = (
+        spark.read.parquet("/root/testdata/sf0.001/orders.parquet")
+        .withColumn("ver", F.lit(1).cast("long"))
+    )
+    t = LakeTable(
+        spark, str(tmp_path), "testdb", "zauto",
+        record_keys=["o_orderkey"], precombine="ver",
+        stats_columns=["o_custkey", "o_orderkey"],
+    )
+    for i in range(3):
+        t.write(
+            orders.filter(F.col("o_orderkey") % 3 == i).coalesce(1),
+            op="insert", instant=f"00{i + 1}",
+        )
+    pid = t.schedule_compaction(
+        sort_spec=[{"zorder": {"cols": ["o_custkey", "o_orderkey"],
+                               "bits": 16, "ranges": "auto"}}],
+        target_files_per_partition=8,
+    )
+    assert pid is not None
+    # the plan pins CONCRETE resolved ranges (exact manifest bounds)
+    import json as _json
+    import os as _os
+
+    with open(
+        _os.path.join(t.commits_dir, "_compaction", pid + ".json")
+    ) as fh:
+        plan = _json.load(fh)
+    lo_c, hi_c, lo_k, hi_k = orders.agg(
+        F.min("o_custkey"), F.max("o_custkey"),
+        F.min("o_orderkey"), F.max("o_orderkey"),
+    ).collect()[0]
+    assert plan["sort_spec"][0]["zorder"]["ranges"] == [
+        [lo_c, hi_c], [lo_k, hi_k]
+    ]
+    assert t.run_compaction(pid) is not None
+    cut = int(hi_c) // 8
+    out = t.snapshot(predicate=[("o_custkey", "<=", cut)])
+    assert out.count() == orders.filter(F.col("o_custkey") <= cut).count()
+    assert t.last_files_skipped > 0  # clustered layout skips
+    # un-tracked column: loud schedule-time failure, not a daemon crash
+    import pytest as _pytest
+
+    with _pytest.raises(ValueError, match="stats"):
+        t.schedule_compaction(
+            sort_spec=[{"zorder": {"cols": ["o_totalprice_missing"],
+                                   "bits": 16, "ranges": "auto"}}]
+        )

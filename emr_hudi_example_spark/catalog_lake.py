@@ -772,6 +772,54 @@ def lake_bucket_index_pointread(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @query(
+    "lake_record_index_pointread",
+    oracle="""
+    SELECT c_custkey, c_name, c_acctbal,
+           CAST(2 AS BIGINT) AS ver,
+           CAST(3 AS INT) AS read_pruned
+    FROM customer WHERE c_custkey = 8
+    """,
+)
+def lake_record_index_pointread(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Record-level index on the READ path (r8 — the read twin of the
+    write-planning probe that ``lake_record_index_move`` grades):
+    Hudi's ``RECORD_INDEX`` analog, an exact persistent key→file
+    mapping sharded by key hash (``_index/<instant>/shard=<k>/``). A
+    key-equality read probes only the operand key's shard dirs (~1/64
+    of index bytes at any table size), keeps exactly the files the
+    index maps the key to — dead mappings drop out against the live
+    set — and scans nothing else. Four interleaved inserts leave every
+    file spanning the full key range (range stats prune nothing); the
+    upsert moves key 8's winning row to a new file; the point read must
+    find exactly that file (pinned ``read_pruned = 3``) and return the
+    ver=2 row. Exactness beats the bloom index here (no false-positive
+    scans) and needs no bucket modulus; cost is one tiny sharded index
+    join per read."""
+    base = load(spark, sf_dir, "customer").withColumn(
+        "ver", F.lit(1).cast("long")
+    )
+    t = LakeTable(
+        spark, _tmp_base(), "q", "recidx", ["c_custkey"], "ver",
+        record_index=True,
+    )
+    for i in range(4):
+        t.write(
+            base.filter(F.col("c_custkey") % 4 == i).coalesce(1),
+            op="insert", instant=f"00{i + 1}",
+        )
+    t.write(
+        base.filter(F.col("c_custkey") == 8)
+        .withColumn("ver", F.lit(2).cast("long")),
+        op="upsert", instant="005",
+    )
+    out = t.snapshot(predicate=[("_record_key", "=", "8")])
+    return out.select(
+        "c_custkey", "c_name", "c_acctbal", "ver",
+        F.lit(t.last_record_read_pruned).cast("int").alias("read_pruned"),
+    )
+
+
+@query(
     "lake_bucket_mor_pointread",
     oracle="""
     SELECT c_custkey, c_name, c_acctbal,

@@ -267,6 +267,10 @@ class LakeTable:
         #: observability: files dropped by record-key bucket pruning in
         #: the most recent predicate read
         self.last_bucket_read_pruned = 0
+        #: files dropped by the read-side record-index probe
+        #: (:meth:`_record_prune_reads`) in the most recent predicate
+        #: read
+        self.last_record_read_pruned = 0
         #: OCC seam (SRC/package.scala:38-47 parity): default is the
         #: single-host O_EXCL file lock; a multi-host deployment plugs
         #: in a coordination-service provider here (see lake/locks.py)
@@ -804,6 +808,7 @@ class LakeTable:
             self.last_files_skipped = 0
             self.last_col_bloom_pruned = 0
             self.last_bucket_read_pruned = 0
+            self.last_record_read_pruned = 0
             return files
         for col, op, _val in predicate:
             if op not in self._PRED_OPS:
@@ -811,6 +816,7 @@ class LakeTable:
                     f"unknown predicate op {op!r}; use one of {self._PRED_OPS}"
                 )
         files = self._bucket_prune_reads(files, predicate)
+        files = self._record_prune_reads(files, predicate)
         mor_merge = self.is_mor and not all_base
         if not mor_merge:
             keep, skipped, bloom_skipped = [], 0, 0
@@ -2162,24 +2168,125 @@ class LakeTable:
             F.col(RECORD_KEY_COL).alias("key")
         ).distinct()
         hits = idx.join(keys, "key").select("fp").distinct().collect()
-        # index entries are table-root-relative (manifest-style) so they
-        # match after a table move; legacy absolute/URI entries are
-        # relativized against the CURRENT root for compatibility
+        hit_paths = self._normalize_index_fps(fp for (fp,) in hits)
+        return [f for f in candidates if f["path"] in hit_paths]
+
+    def _normalize_index_fps(self, fps) -> set[str]:
+        """Index entries are table-root-relative (manifest-style) so
+        they match after a table move; legacy absolute/URI entries are
+        relativized against the CURRENT root for compatibility."""
         root = os.path.abspath(self.path)
-        hit_paths = set()
-        for (fp,) in hits:
+        out = set()
+        for fp in fps:
             if "://" in fp or fp.startswith("file:"):
                 fp = unquote(urlparse(fp).path)
             if os.path.isabs(fp):
                 fp = os.path.relpath(fp, root)
-            hit_paths.add(fp)
-        return [f for f in candidates if f["path"] in hit_paths]
+            out.add(fp)
+        return out
+
+    def _record_prune_reads(
+        self, files: list[dict], predicate: list[tuple]
+    ) -> list[dict]:
+        """Read-side record-index point-lookup pruning (the read twin
+        of ``_index_hit_files``'s write planning): an ``=``/``in``
+        condition on the RECORD KEY probes the persistent key→file
+        index and keeps exactly the files the index maps an operand key
+        to. EXACT, not probabilistic: every indexed file's keys were
+        written to its commit's index shard at publish, so a no-hit
+        file provably holds no operand key — and, as with bucket
+        pruning, that makes the prune unconditionally MOR-safe (any row
+        the merge could surface from a pruned file would fail the
+        key-equality row filter anyway). Requires full coverage (every
+        live file ``indexed``); partial coverage keeps everything.
+
+        Probe I/O scales with the SHARD layout, not the table: operand
+        keys hash (Spark-side, same expression as the writer) to their
+        shard ids and only those ``shard=`` dirs of each commit's index
+        are read — ~1/64 of index bytes per point lookup at any table
+        size. Pre-sharding commit dirs (flat layout) are read whole."""
+        self.last_record_read_pruned = 0
+        if not self.record_index or len(files) <= 1:
+            return files
+        if not all(f.get("indexed") for f in files):
+            return files  # partial coverage: conservative keep-all
+        vals: list[str] | None = None
+        for col, op, val in predicate:
+            if col != RECORD_KEY_COL or op not in ("=", "in"):
+                continue
+            ops = list(val) if op == "in" else [val]
+            if all(isinstance(v, str) for v in ops):
+                vals = sorted(set(ops))
+                break
+        if not vals:
+            return files
+        probe = self.spark.createDataFrame(
+            [(v,) for v in vals], "key string"
+        )
+        op_shards = {
+            r[0]
+            for r in probe.select(
+                F.pmod(F.xxhash64("key"), F.lit(self.INDEX_SHARDS))
+                .cast("int")
+                .alias("s")
+            )
+            .distinct()
+            .collect()
+        }
+        paths: list[str] = []
+        try:
+            instants = sorted(os.listdir(self.index_dir))
+        except FileNotFoundError:
+            return files
+        for inst in instants:
+            d = os.path.join(self.index_dir, inst)
+            if not os.path.isdir(d):
+                continue
+            sharded = any(
+                x.startswith("shard=") for x in os.listdir(d)
+            )
+            if sharded:
+                paths.extend(
+                    p
+                    for s in op_shards
+                    if os.path.isdir(p := os.path.join(d, f"shard={s}"))
+                )
+            else:
+                paths.append(d)  # pre-sharding flat commit dir
+        if not paths:
+            return files  # operand shards empty ⇒ no key exists; but
+            # an empty scan list can't express that — keep (read
+            # returns 0 rows through the row filter regardless)
+        idx = self.spark.read.option(
+            "recursiveFileLookup", "true"
+        ).parquet(*paths)
+        hits = (
+            idx.join(F.broadcast(probe), "key")
+            .select("fp")
+            .distinct()
+            .collect()
+        )
+        hit_paths = self._normalize_index_fps(fp for (fp,) in hits)
+        kept = [f for f in files if f["path"] in hit_paths]
+        self.last_record_read_pruned = len(files) - len(kept)
+        return kept
+
+    #: key-hash shards per record-index commit dir (Hudi's
+    #: ``record.index.*`` file-group sharding analog): probes touch
+    #: only the operand keys' shard dirs, so point-lookup index I/O is
+    #: ~1/64 of the index regardless of table size
+    INDEX_SHARDS = 64
 
     def _write_record_index(self, instant: str, added: list[dict]) -> None:
         """Append this commit's (record key → file) mapping under
-        ``_index/<instant>/``. Entries for later-replaced files go stale
-        harmlessly (lookups intersect with live files); the index is
-        append-only, like Hudi's metadata-table record index."""
+        ``_index/<instant>/shard=<pmod(xxhash64(key), 64)>/``. Entries
+        for later-replaced files go stale harmlessly (lookups intersect
+        with live files); the index is append-only, like Hudi's
+        metadata-table record index. The shard dir is derived from the
+        SAME Spark-side hash probes recompute, so writer and prober can
+        never disagree; readers that don't care about shards
+        (``_index_hit_files``) use recursiveFileLookup and see a flat
+        (key, fp) table either way."""
         # explicit key-only schema: the creating commit indexes before
         # its own manifest exists, so the stored schema isn't readable
         # yet — and the index never needs more than the key column
@@ -2192,9 +2299,18 @@ class LakeTable:
         ).select(
             F.col(RECORD_KEY_COL).alias("key"),
             rel_fp.alias("fp"),
+            F.pmod(
+                F.xxhash64(F.col(RECORD_KEY_COL)),
+                F.lit(self.INDEX_SHARDS),
+            ).cast("int").alias("shard"),
         )
-        rows.write.mode("overwrite").parquet(
-            os.path.join(self.index_dir, instant)
+        (
+            # hash-shuffle on the shard id: one task per shard ⇒ one
+            # index file per shard dir, built in parallel
+            rows.repartition(self.INDEX_SHARDS, F.col("shard"))
+            .write.mode("overwrite")
+            .partitionBy("shard")
+            .parquet(os.path.join(self.index_dir, instant))
         )
 
     def _rel_fp_expr(self):
@@ -3864,6 +3980,16 @@ class LakeTable:
                 if fn.endswith(".json") and fn[: -len(".json")] not in live_instants:
                     os.remove(os.path.join(sidecar_dir, fn))
                     cache.pop(fn[: -len(".json")], None)
+        # prune record-index commit dirs the same way: an instant's
+        # index maps keys to the files ADDED at that instant, so once
+        # none of them is live every mapping in the dir is dead weight
+        # (lookups intersect with live files either way — this bounds
+        # index GROWTH, not correctness)
+        if os.path.isdir(self.index_dir):
+            for d in os.listdir(self.index_dir):
+                full = os.path.join(self.index_dir, d)
+                if os.path.isdir(full) and d not in live_instants:
+                    shutil.rmtree(full)
         return sorted(deleted)
 
     def archive_timeline(self, keep_commits: int = 4) -> list[str]:

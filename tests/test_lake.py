@@ -3173,3 +3173,106 @@ def test_clustering_auto_ranges_from_manifest_stats(spark, tmp_path):
             sort_spec=[{"zorder": {"cols": ["o_totalprice_missing"],
                                    "bits": 16, "ranges": "auto"}}]
         )
+
+
+def test_record_index_read_prune_exact_and_mor_safe(spark, tmp_path):
+    """Read-side record-index point-lookup pruning: an indexed table's
+    key-equality read scans only the files the index maps the key to —
+    EXACT (a no-hit file provably holds no operand key), sharded probe
+    I/O, and unconditionally MOR-safe including tombstones and
+    out-of-order deltas."""
+    t = LakeTable(
+        spark, str(tmp_path), "testdb", "rrp",
+        record_keys=["c_custkey"], precombine="ver",
+        record_index=True,
+    )
+    base = cust(spark, ver=1)
+    # 4 interleaved inserts: key-range stats are useless (full span)
+    for i in range(4):
+        t.write(
+            base.filter(F.col("c_custkey") % 4 == i).coalesce(1),
+            op="insert", instant=f"00{i + 1}",
+        )
+    out = t.snapshot(predicate=[("_record_key", "=", "8")])
+    assert [(r["c_custkey"], r["ver"]) for r in out.collect()] == [(8, 1)]
+    assert t.last_record_read_pruned == 3  # exactly one containing file
+    # `in` across two files keeps both, prunes the other two
+    out = t.snapshot(predicate=[("_record_key", "in", ("8", "9"))])
+    assert sorted(r["c_custkey"] for r in out.collect()) == [8, 9]
+    assert t.last_record_read_pruned == 2
+    # absent key: every file pruned, empty exact result
+    out = t.snapshot(predicate=[("_record_key", "=", "no-such-key")])
+    assert out.count() == 0
+    assert t.last_record_read_pruned == 4
+    # sharded layout on disk: commit dirs hold shard=N subdirs
+    import os as _os
+
+    d = _os.path.join(t.index_dir, "001")
+    assert any(x.startswith("shard=") for x in _os.listdir(d))
+
+    # MOR: supersession + tombstone both live in indexed delta files
+    m = LakeTable(
+        spark, str(tmp_path), "testdb", "rrpm",
+        record_keys=["c_custkey"], precombine="ver",
+        record_index=True, table_type="MERGE_ON_READ",
+    )
+    m.write(base, op="insert", instant="001")
+    m.write(
+        base.filter(F.col("c_custkey") == 8)
+        .withColumn("ver", F.lit(3).cast("long")),
+        op="upsert", instant="002",
+    )
+    m.write(
+        base.filter(F.col("c_custkey") == 12).select("c_custkey", "ver"),
+        op="delete", instant="003",
+    )
+    out = m.snapshot(predicate=[("_record_key", "=", "8")])
+    assert [(r["c_custkey"], r["ver"]) for r in out.collect()] == [(8, 3)]
+    assert m.last_record_read_pruned >= 1
+    out = m.snapshot(predicate=[("_record_key", "=", "12")])
+    assert out.count() == 0  # tombstone delta kept by its index entry
+    # full snapshot unaffected by any of this
+    assert m.snapshot().count() == base.count() - 1
+
+
+def test_record_index_read_prune_coverage_and_cleaner(spark, tmp_path):
+    """Partial index coverage keeps every file (pre-index commits force
+    the unpruned read); clean() reaps index dirs of instants with no
+    surviving file and the probe still answers exactly afterwards."""
+    plain = LakeTable(
+        spark, str(tmp_path), "testdb", "rrc",
+        record_keys=["c_custkey"], precombine="ver",
+    )
+    plain.write(
+        cust(spark, ver=1).filter(F.col("c_custkey") % 2 == 0),
+        op="insert", instant="001",
+    )
+    t = LakeTable(
+        spark, str(tmp_path), "testdb", "rrc",
+        record_keys=["c_custkey"], precombine="ver",
+        record_index=True,
+    )
+    t.write(
+        cust(spark, ver=1).filter(F.col("c_custkey") % 2 == 1),
+        op="insert", instant="002",
+    )
+    out = t.snapshot(predicate=[("_record_key", "=", "8")])
+    assert [r["c_custkey"] for r in out.collect()] == [8]
+    assert t.last_record_read_pruned == 0  # 001 unindexed: keep all
+
+    # fully-indexed table: upserts then clean() — dead instants' index
+    # dirs are reaped, live mappings keep answering
+    import os as _os
+
+    u = LakeTable(
+        spark, str(tmp_path), "testdb", "rrcu",
+        record_keys=["c_custkey"], precombine="ver",
+        record_index=True,
+    )
+    u.write(cust(spark, ver=1), op="upsert", instant="001")
+    u.write(cust(spark, ver=2), op="upsert", instant="002")
+    u.write(cust(spark, ver=3), op="upsert", instant="003")
+    u.clean(retain_commits=1)
+    assert sorted(_os.listdir(u.index_dir)) == ["003"]
+    out = u.snapshot(predicate=[("_record_key", "=", "8")])
+    assert [(r["c_custkey"], r["ver"]) for r in out.collect()] == [(8, 3)]

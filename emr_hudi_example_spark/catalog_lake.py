@@ -794,13 +794,16 @@ def lake_record_index_pointread(spark: SparkSession, sf_dir: str) -> DataFrame:
     find exactly that file (pinned ``read_pruned = 3``) and return the
     ver=2 row. Exactness beats the bloom index here (no false-positive
     scans) and needs no bucket modulus; cost is one tiny sharded index
-    join per read."""
+    join per read. ``index_shards=8`` sizes the shard fan-out to the
+    fixture (each commit's modulus is pinned in its ``.nshards``
+    marker — an operator runs 64+ at scale and may resize freely
+    between commits)."""
     base = load(spark, sf_dir, "customer").withColumn(
         "ver", F.lit(1).cast("long")
     )
     t = LakeTable(
         spark, _tmp_base(), "q", "recidx", ["c_custkey"], "ver",
-        record_index=True,
+        record_index=True, index_shards=8,
     )
     for i in range(4):
         t.write(

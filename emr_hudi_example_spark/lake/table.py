@@ -134,6 +134,7 @@ class LakeTable:
         table_type: str = "COPY_ON_WRITE",
         inline_compact_deltas: int | None = None,
         record_index: bool = False,
+        index_shards: int = 64,
         lock_provider: LockProvider | None = None,
         manifest_checkpoint_interval: int | None = 10,
         stats_columns: list[str] | None = None,
@@ -193,6 +194,13 @@ class LakeTable:
         #: creation; planning falls back to the key scan automatically
         #: whenever any live file predates the index.
         self.record_index = record_index
+        #: key-hash shards per record-index commit dir (Hudi's
+        #: ``record.index.*`` file-group sharding analog): probes touch
+        #: only the operand keys' shard dirs, so point-lookup index I/O
+        #: is ~1/shards of the index regardless of table size. Probes
+        #: read each commit dir's ACTUAL layout, so resizing between
+        #: commits is safe (mixed shard counts coexist per instant).
+        self.index_shards = index_shards
         self.index_dir = os.path.join(self.path, "_index")
         #: per-file bloom-filter key index (Hudi's default BLOOM index
         #: analog — the index family the reference configures,
@@ -2203,8 +2211,11 @@ class LakeTable:
         Probe I/O scales with the SHARD layout, not the table: operand
         keys hash (Spark-side, same expression as the writer) to their
         shard ids and only those ``shard=`` dirs of each commit's index
-        are read — ~1/64 of index bytes per point lookup at any table
-        size. Pre-sharding commit dirs (flat layout) are read whole."""
+        are read — ~1/``index_shards`` of index bytes per point lookup
+        at any table size. Each instant dir's own ``.nshards`` marker
+        supplies the modulus, so commits written under different shard
+        counts (a resized table) each probe correctly; pre-sharding
+        flat dirs and marker-less sharded dirs are read whole."""
         self.last_record_read_pruned = 0
         if not self.record_index or len(files) <= 1:
             return files
@@ -2223,16 +2234,26 @@ class LakeTable:
         probe = self.spark.createDataFrame(
             [(v,) for v in vals], "key string"
         )
-        op_shards = {
-            r[0]
-            for r in probe.select(
-                F.pmod(F.xxhash64("key"), F.lit(self.INDEX_SHARDS))
-                .cast("int")
-                .alias("s")
-            )
-            .distinct()
-            .collect()
-        }
+        shard_cache: dict[int, set[int]] = {}
+
+        def op_shards(n: int) -> set[int]:
+            # operand shards under modulus n — computed per DISTINCT
+            # modulus seen across instant dirs (a resized table mixes
+            # them; probing an instant with the wrong modulus would
+            # falsely prune)
+            if n not in shard_cache:
+                shard_cache[n] = {
+                    r[0]
+                    for r in probe.select(
+                        F.pmod(F.xxhash64("key"), F.lit(n))
+                        .cast("int")
+                        .alias("s")
+                    )
+                    .distinct()
+                    .collect()
+                }
+            return shard_cache[n]
+
         paths: list[str] = []
         try:
             instants = sorted(os.listdir(self.index_dir))
@@ -2242,17 +2263,27 @@ class LakeTable:
             d = os.path.join(self.index_dir, inst)
             if not os.path.isdir(d):
                 continue
-            sharded = any(
-                x.startswith("shard=") for x in os.listdir(d)
-            )
-            if sharded:
-                paths.extend(
-                    p
-                    for s in op_shards
-                    if os.path.isdir(p := os.path.join(d, f"shard={s}"))
-                )
-            else:
+            listing = os.listdir(d)
+            if not any(x.startswith("shard=") for x in listing):
                 paths.append(d)  # pre-sharding flat commit dir
+                continue
+            try:
+                with open(os.path.join(d, ".nshards")) as fh:
+                    n = int(fh.read().strip())
+            except (OSError, ValueError):
+                # sharded dir without a readable modulus marker: read
+                # every shard of this instant — unpruned but exact
+                paths.extend(
+                    os.path.join(d, x)
+                    for x in listing
+                    if x.startswith("shard=")
+                )
+                continue
+            paths.extend(
+                p
+                for s in op_shards(n)
+                if os.path.isdir(p := os.path.join(d, f"shard={s}"))
+            )
         if not paths:
             return files  # operand shards empty ⇒ no key exists; but
             # an empty scan list can't express that — keep (read
@@ -2271,11 +2302,6 @@ class LakeTable:
         self.last_record_read_pruned = len(files) - len(kept)
         return kept
 
-    #: key-hash shards per record-index commit dir (Hudi's
-    #: ``record.index.*`` file-group sharding analog): probes touch
-    #: only the operand keys' shard dirs, so point-lookup index I/O is
-    #: ~1/64 of the index regardless of table size
-    INDEX_SHARDS = 64
 
     def _write_record_index(self, instant: str, added: list[dict]) -> None:
         """Append this commit's (record key → file) mapping under
@@ -2301,17 +2327,23 @@ class LakeTable:
             rel_fp.alias("fp"),
             F.pmod(
                 F.xxhash64(F.col(RECORD_KEY_COL)),
-                F.lit(self.INDEX_SHARDS),
+                F.lit(self.index_shards),
             ).cast("int").alias("shard"),
         )
+        out_dir = os.path.join(self.index_dir, instant)
         (
             # hash-shuffle on the shard id: one task per shard ⇒ one
             # index file per shard dir, built in parallel
-            rows.repartition(self.INDEX_SHARDS, F.col("shard"))
+            rows.repartition(self.index_shards, F.col("shard"))
             .write.mode("overwrite")
             .partitionBy("shard")
-            .parquet(os.path.join(self.index_dir, instant))
+            .parquet(out_dir)
         )
+        # pin THIS commit's modulus next to its shards: probes must
+        # recompute operand shards per-instant or a table resized
+        # between commits would probe the wrong dirs and falsely prune
+        with open(os.path.join(out_dir, ".nshards"), "w") as fh:
+            fh.write(str(self.index_shards))
 
     def _rel_fp_expr(self):
         """``_metadata.file_path`` relativized against the table root.

@@ -29,8 +29,11 @@ WORK = "/tmp/sf1_spot"
 MULT = 10
 SHIFT = 10_000_000
 
-#: the round-7 top-cost set: streaming drains, medallion chain, PQ/ANN
-#: family, LSH eval, graph, bloom-index lake path
+#: the top-cost set: streaming drains, medallion chain, PQ/ANN family,
+#: LSH eval, graph, bloom-index lake path. r8: the LSH-eval and ANN
+#: bake-off legs are the SAMPLED graded recipes (the exact LSH eval
+#: OOMs at 10x clone density by design — recorded in BASELINE.md r7 —
+#: and the graded catalog now runs the sampled modes).
 QUERIES = [
     "pipe_dwd2dm_endstate",
     "pipe_stream_dedup_endstate",
@@ -38,7 +41,7 @@ QUERIES = [
     "graph_pagerank",
     "lake_bloom_index_prune",
     "sim_opq_topk",
-    "dedup_lsh_eval",
+    "dedup_lsh_eval_sampled",
     "sim_ivfpq_residual_topk",
     "sim_ann_compare",
     "dedup_cluster_groups",

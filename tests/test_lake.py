@@ -3276,3 +3276,44 @@ def test_record_index_read_prune_coverage_and_cleaner(spark, tmp_path):
     assert sorted(_os.listdir(u.index_dir)) == ["003"]
     out = u.snapshot(predicate=[("_record_key", "=", "8")])
     assert [(r["c_custkey"], r["ver"]) for r in out.collect()] == [(8, 3)]
+
+
+def test_record_index_shard_resize_probes_per_instant_modulus(
+    spark, tmp_path
+):
+    """A table resized between commits mixes shard moduli across
+    instant dirs; each dir's .nshards marker drives its own probe —
+    probing instant A's dirs with instant B's modulus would falsely
+    prune. Both vintages (and a marker-less dir) must answer exactly."""
+    import os as _os
+
+    base = cust(spark, ver=1)
+
+    def handle(n):
+        return LakeTable(
+            spark, str(tmp_path), "testdb", "rsz",
+            record_keys=["c_custkey"], precombine="ver",
+            record_index=True, index_shards=n,
+        )
+
+    handle(4).write(
+        base.filter(F.col("c_custkey") % 2 == 0).coalesce(1),
+        op="insert", instant="001",
+    )
+    t = handle(16)  # resized: commit 002 shards under a new modulus
+    t.write(
+        base.filter(F.col("c_custkey") % 2 == 1).coalesce(1),
+        op="insert", instant="002",
+    )
+    for inst, n in (("001", "4"), ("002", "16")):
+        with open(_os.path.join(t.index_dir, inst, ".nshards")) as fh:
+            assert fh.read() == n
+    # keys from BOTH vintages resolve exactly, each pruning the other
+    for k in ("8", "9"):
+        out = t.snapshot(predicate=[("_record_key", "=", k)])
+        assert [r["c_custkey"] for r in out.collect()] == [int(k)]
+        assert t.last_record_read_pruned == 1
+    # marker-less sharded dir: unpruned-but-exact fallback
+    _os.remove(_os.path.join(t.index_dir, "001", ".nshards"))
+    out = t.snapshot(predicate=[("_record_key", "=", "8")])
+    assert [r["c_custkey"] for r in out.collect()] == [8]

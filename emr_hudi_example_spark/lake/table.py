@@ -2166,18 +2166,80 @@ class LakeTable:
         """Probe the persistent record index: distinct batch keys join
         the (key, fp) index table; stale entries (replaced files) drop
         out because the result is intersected with the live candidate
-        set. One narrow shuffle join, bounded by index size — never a
-        scan of table data."""
-        idx = (
-            self.spark.read.option("recursiveFileLookup", "true")
-            .parquet(self.index_dir)
-        )
+        set. One narrow shuffle join — and only the batch keys' SHARD
+        dirs of each index commit are read (``_shard_index_paths``), so
+        planning I/O scales with keys touched, not index size."""
         keys = batch.select(
             F.col(RECORD_KEY_COL).alias("key")
         ).distinct()
+        paths = self._shard_index_paths(self._shard_set_fn(keys))
+        if not paths:
+            return []  # no index data ⇒ no candidate holds a batch key
+        idx = (
+            self.spark.read.option("recursiveFileLookup", "true")
+            .parquet(*paths)
+        )
         hits = idx.join(keys, "key").select("fp").distinct().collect()
         hit_paths = self._normalize_index_fps(fp for (fp,) in hits)
         return [f for f in candidates if f["path"] in hit_paths]
+
+    def _shard_set_fn(self, keys: DataFrame):
+        """``fn(n) -> {shard ids of keys under modulus n}`` with one
+        tiny Spark agg per DISTINCT modulus encountered (a resized
+        table mixes moduli across index commits); results cached."""
+        cache: dict[int, set[int]] = {}
+
+        def shards(n: int) -> set[int]:
+            if n not in cache:
+                cache[n] = {
+                    r[0]
+                    for r in keys.select(
+                        F.pmod(F.xxhash64("key"), F.lit(n))
+                        .cast("int")
+                        .alias("s")
+                    )
+                    .distinct()
+                    .collect()
+                }
+            return cache[n]
+
+        return shards
+
+    def _shard_index_paths(self, shards_for) -> list[str]:
+        """Index parquet paths to read for a probe whose operand keys
+        shard per ``shards_for(modulus)``: each instant dir contributes
+        its matching ``shard=`` subdirs under its own ``.nshards``
+        modulus; flat pre-sharding dirs and marker-less sharded dirs
+        contribute whole (unpruned but exact)."""
+        paths: list[str] = []
+        try:
+            instants = sorted(os.listdir(self.index_dir))
+        except FileNotFoundError:
+            return paths
+        for inst in instants:
+            d = os.path.join(self.index_dir, inst)
+            if not os.path.isdir(d):
+                continue
+            listing = os.listdir(d)
+            if not any(x.startswith("shard=") for x in listing):
+                paths.append(d)  # pre-sharding flat commit dir
+                continue
+            try:
+                with open(os.path.join(d, ".nshards")) as fh:
+                    n = int(fh.read().strip())
+            except (OSError, ValueError):
+                paths.extend(
+                    os.path.join(d, x)
+                    for x in listing
+                    if x.startswith("shard=")
+                )
+                continue
+            paths.extend(
+                p
+                for s in shards_for(n)
+                if os.path.isdir(p := os.path.join(d, f"shard={s}"))
+            )
+        return paths
 
     def _normalize_index_fps(self, fps) -> set[str]:
         """Index entries are table-root-relative (manifest-style) so
@@ -2234,56 +2296,7 @@ class LakeTable:
         probe = self.spark.createDataFrame(
             [(v,) for v in vals], "key string"
         )
-        shard_cache: dict[int, set[int]] = {}
-
-        def op_shards(n: int) -> set[int]:
-            # operand shards under modulus n — computed per DISTINCT
-            # modulus seen across instant dirs (a resized table mixes
-            # them; probing an instant with the wrong modulus would
-            # falsely prune)
-            if n not in shard_cache:
-                shard_cache[n] = {
-                    r[0]
-                    for r in probe.select(
-                        F.pmod(F.xxhash64("key"), F.lit(n))
-                        .cast("int")
-                        .alias("s")
-                    )
-                    .distinct()
-                    .collect()
-                }
-            return shard_cache[n]
-
-        paths: list[str] = []
-        try:
-            instants = sorted(os.listdir(self.index_dir))
-        except FileNotFoundError:
-            return files
-        for inst in instants:
-            d = os.path.join(self.index_dir, inst)
-            if not os.path.isdir(d):
-                continue
-            listing = os.listdir(d)
-            if not any(x.startswith("shard=") for x in listing):
-                paths.append(d)  # pre-sharding flat commit dir
-                continue
-            try:
-                with open(os.path.join(d, ".nshards")) as fh:
-                    n = int(fh.read().strip())
-            except (OSError, ValueError):
-                # sharded dir without a readable modulus marker: read
-                # every shard of this instant — unpruned but exact
-                paths.extend(
-                    os.path.join(d, x)
-                    for x in listing
-                    if x.startswith("shard=")
-                )
-                continue
-            paths.extend(
-                p
-                for s in op_shards(n)
-                if os.path.isdir(p := os.path.join(d, f"shard={s}"))
-            )
+        paths = self._shard_index_paths(self._shard_set_fn(probe))
         if not paths:
             return files  # operand shards empty ⇒ no key exists; but
             # an empty scan list can't express that — keep (read

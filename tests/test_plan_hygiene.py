@@ -200,3 +200,12 @@ def test_opq_adds_no_exchange_over_plain_pq(spark):
     assert "BroadcastHashJoin" in opq
     assert "CartesianProduct" not in opq
     assert opq.count("Exchange") <= pq.count("Exchange")
+
+
+def test_star_contraction_joins_are_shuffle_hash_or_smj(spark):
+    """dedup_cluster_groups (star-contraction CC): every per-round
+    star step is an equi-join + hash aggregate — no cartesian products,
+    no nested-loop joins, anywhere in the final labeling plan."""
+    plan = _plan(spark, "dedup_cluster_groups")
+    assert "CartesianProduct" not in plan
+    assert "BroadcastNestedLoopJoin" not in plan

@@ -772,6 +772,50 @@ def lake_bucket_index_pointread(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @query(
+    "lake_partial_update",
+    oracle="""
+    SELECT c_custkey, c_name, c_mktsegment,
+           CASE WHEN c_custkey % 10 = 0
+                THEN round(c_acctbal + 500.0, 2) ELSE round(c_acctbal, 2)
+           END AS bal,
+           CAST(CASE WHEN c_custkey % 10 = 0 THEN 2 ELSE 1 END AS BIGINT)
+             AS ver
+    FROM customer
+    """,
+)
+def lake_partial_update(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Partial-update merge payload — Hudi's
+    ``PartialUpdateAvroPayload``: per COLUMN the newest non-null
+    version wins, so a producer upserts a SPARSE patch (here: a new
+    balance with NULL name/segment) and the untouched columns inherit
+    the stored values instead of being nulled out. The fold is still
+    one hash aggregation (a ``max_by`` per column, map-side combined)
+    — the same single-shuffle shape as the default whole-row payload
+    at any scale. The end state must show patched balances, inherited
+    names/segments, and the winner's precombine."""
+    base = load(spark, sf_dir, "customer").withColumn(
+        "ver", F.lit(1).cast("long")
+    )
+    t = LakeTable(
+        spark, _tmp_base(), "q", "partial", ["c_custkey"], "ver",
+        payload="partial_update",
+    )
+    t.write(base, op="insert", instant="001")
+    patch = (
+        base.filter(F.col("c_custkey") % 10 == 0)
+        .withColumn("ver", F.lit(2).cast("long"))
+        .withColumn("c_acctbal", F.col("c_acctbal") + 500.0)
+        .withColumn("c_name", F.lit(None).cast("string"))
+        .withColumn("c_mktsegment", F.lit(None).cast("string"))
+    )
+    t.write(patch, op="upsert", instant="002")
+    return t.snapshot().select(
+        "c_custkey", "c_name", "c_mktsegment",
+        F.round("c_acctbal", 2).alias("bal"), "ver",
+    )
+
+
+@query(
     "lake_record_index_pointread",
     oracle="""
     SELECT c_custkey, c_name, c_acctbal,

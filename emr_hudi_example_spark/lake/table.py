@@ -145,9 +145,20 @@ class LakeTable:
         col_bloom_bits: int = 1 << 17,
         col_bloom_hashes: int = 5,
         bucket_index: int | None = None,
+        payload: str = "default",
     ) -> None:
         if table_type not in ("COPY_ON_WRITE", "MERGE_ON_READ"):
             raise ValueError(f"unknown table type: {table_type}")
+        if payload not in ("default", "partial_update"):
+            raise ValueError(f"unknown payload: {payload}")
+        if payload == "partial_update" and table_type != "COPY_ON_WRITE":
+            # the MOR read merge would need the same per-column ordered
+            # fold in every snapshot read; scoped to COW (where deletes
+            # materialize eagerly, so column inheritance can never look
+            # through a tombstone) until that lands
+            raise ValueError(
+                "payload='partial_update' requires COPY_ON_WRITE"
+            )
         self.spark = spark
         self.path = os.path.join(base_path, db, table)
         self.db = db
@@ -156,6 +167,13 @@ class LakeTable:
         self.precombine = precombine
         self.partition_keys = list(partition_keys or [])
         self.global_index = global_index
+        #: merge payload class (Hudi analog): "default" =
+        #: DefaultHoodieRecordPayload (larger precombine wins the whole
+        #: row); "partial_update" = PartialUpdateAvroPayload (per
+        #: COLUMN, the newest non-null version wins — null incoming
+        #: fields inherit stored values, so producers can send sparse
+        #: column patches). See :meth:`_merge`.
+        self.payload = payload
         #: COW rewrites key-hit files per upsert; MOR appends delta files
         #: and merges at read (the reference picks MOR for partitioned
         #: tables, SRC/package.scala:176, SRC/MSK2Hudi.scala:42).
@@ -2816,16 +2834,53 @@ class LakeTable:
             if self.global_index
             else [PARTITION_PATH_COL, RECORD_KEY_COL]
         )
-        winner = F.max_by(
-            F.struct(*union.columns),
-            F.struct(F.col(self.precombine), F.col("_is_new")),
-        ).alias("_r")
-        return (
-            union.groupBy(*part_cols)
-            .agg(winner)
-            .select("_r.*")
-            .drop("_is_new")
-        )
+        order = F.struct(F.col(self.precombine), F.col("_is_new"))
+        winner = F.max_by(F.struct(*union.columns), order).alias("_r")
+        if self.payload != "partial_update":
+            return (
+                union.groupBy(*part_cols)
+                .agg(winner)
+                .select("_r.*")
+                .drop("_is_new")
+            )
+        # partial_update (Hudi PartialUpdateAvroPayload): per COLUMN,
+        # the newest non-null version wins — a null incoming field
+        # inherits the stored value, so producers can upsert sparse
+        # column patches. Meta columns, the precombine and anything the
+        # fold can't see a non-null value for follow the overall winner.
+        # Still ONE hash aggregation (a max_by per column, all with
+        # map-side partial combine): same shuffle shape as the default
+        # payload at any scale. COW-only: deletes materialize eagerly
+        # there, so inheritance can never look through a tombstone.
+        whole_row = set(META_COLS) | {self.precombine, "_is_new"}
+        fold_cols = [
+            c
+            for c in union.columns
+            if c not in whole_row and c not in part_cols
+        ]
+        folds = [
+            F.max_by(
+                F.col(c), F.when(F.col(c).isNotNull(), order)
+            ).alias(c)
+            for c in fold_cols
+        ]
+        agged = union.groupBy(*part_cols).agg(winner, *folds)
+        outs = []
+        for c in union.columns:
+            if c == "_is_new":
+                continue
+            if c in part_cols:
+                outs.append(F.col(c))
+            elif c in whole_row:
+                outs.append(F.col(f"_r.{c}").alias(c))
+            else:
+                # fold value, falling back to the winner's (all-null
+                # column: max_by over an all-null ordering yields null
+                # anyway — coalesce keeps the intent explicit)
+                outs.append(
+                    F.coalesce(F.col(c), F.col(f"_r.{c}")).alias(c)
+                )
+        return agged.select(*outs)
 
     def _write_data_files(
         self, df: DataFrame, instant: str, kind: str = "base"

@@ -3317,3 +3317,78 @@ def test_record_index_shard_resize_probes_per_instant_modulus(
     _os.remove(_os.path.join(t.index_dir, "001", ".nshards"))
     out = t.snapshot(predicate=[("_record_key", "=", "8")])
     assert [r["c_custkey"] for r in out.collect()] == [8]
+
+
+def test_partial_update_payload_column_inheritance(spark, tmp_path):
+    """payload='partial_update' (Hudi PartialUpdateAvroPayload analog):
+    per column the newest non-null version wins, so sparse column
+    patches inherit stored values; the default payload is unchanged;
+    MOR construction refuses the payload; deletes reset history."""
+    import pytest as _pytest
+
+    with _pytest.raises(ValueError, match="COPY_ON_WRITE"):
+        LakeTable(
+            spark, str(tmp_path), "testdb", "pux",
+            record_keys=["c_custkey"], precombine="ver",
+            table_type="MERGE_ON_READ", payload="partial_update",
+        )
+    with _pytest.raises(ValueError, match="payload"):
+        LakeTable(
+            spark, str(tmp_path), "testdb", "puy",
+            record_keys=["c_custkey"], precombine="ver",
+            payload="nope",
+        )
+
+    t = LakeTable(
+        spark, str(tmp_path), "testdb", "pu",
+        record_keys=["c_custkey"], precombine="ver",
+        payload="partial_update",
+    )
+    base = cust(spark, ver=1)
+    t.write(base, op="insert", instant="001")
+    # sparse patch: new balance, NULL name (inherit), ver=2
+    patch = (
+        base.filter(F.col("c_custkey") == 8)
+        .withColumn("ver", F.lit(2).cast("long"))
+        .withColumn("c_acctbal", F.lit(999.5))
+        .withColumn("c_name", F.lit(None).cast("string"))
+    )
+    t.write(patch, op="upsert", instant="002")
+    row = t.snapshot().filter(F.col("c_custkey") == 8).collect()[0]
+    orig = base.filter(F.col("c_custkey") == 8).collect()[0]
+    assert row["c_acctbal"] == 999.5        # patched
+    assert row["c_name"] == orig["c_name"]  # inherited from ver 1
+    assert row["ver"] == 2                  # winner's precombine
+    # out-of-order patch: older ver with a non-null name variant loses
+    # per-column to the NEWER non-null... (newest non-null wins)
+    late = (
+        base.filter(F.col("c_custkey") == 8)
+        .withColumn("ver", F.lit(1).cast("long"))
+        .withColumn("c_name", F.lit("stale-name"))
+        .withColumn("c_acctbal", F.lit(None).cast("double"))
+    )
+    t.write(late, op="upsert", instant="003")
+    row = t.snapshot().filter(F.col("c_custkey") == 8).collect()[0]
+    assert row["c_acctbal"] == 999.5  # ver-2 non-null beats ver-1
+    assert row["ver"] == 2            # overall winner unchanged
+    # COW materializes the merged row, so the stored ver-2 row already
+    # CARRIES the inherited non-null name — the late ver-1 patch loses
+    # the per-column order to it ("newest non-null wins" composes
+    # across commits through materialization)
+    assert row["c_name"] == orig["c_name"]
+    # delete resets history: re-insert starts fresh, nothing inherited
+    t.write(
+        base.filter(F.col("c_custkey") == 8).select("c_custkey", "ver"),
+        op="delete", instant="004",
+    )
+    fresh = (
+        base.filter(F.col("c_custkey") == 8)
+        .withColumn("ver", F.lit(5).cast("long"))
+        .withColumn("c_name", F.lit(None).cast("string"))
+    )
+    t.write(fresh, op="upsert", instant="005")
+    row = t.snapshot().filter(F.col("c_custkey") == 8).collect()[0]
+    assert row["c_name"] is None  # tombstone wiped the inheritance
+    assert row["ver"] == 5
+    # untouched keys identical to the default-payload table end state
+    assert t.snapshot().count() == base.count()

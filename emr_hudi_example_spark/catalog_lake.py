@@ -772,6 +772,50 @@ def lake_bucket_index_pointread(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @query(
+    "lake_type_widening",
+    oracle="""
+    SELECT c_custkey, c_name,
+           CASE WHEN c_custkey % 10 = 0
+                THEN CAST(c_nationkey AS BIGINT) + 1099511627776
+                ELSE CAST(c_nationkey AS BIGINT) END AS n,
+           CAST(CASE WHEN c_custkey % 10 = 0 THEN 2 ELSE 1 END AS BIGINT)
+             AS ver
+    FROM customer
+    """,
+)
+def lake_type_widening(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Type-widening schema evolution (Hudi/Iceberg promotion rules):
+    an upsert whose ``n`` column arrives as LONG with values past the
+    int32 range widens the stored INT column in place — metadata-only
+    (old narrow parquet files serve under the widened schema at scan;
+    Spark 4 upcasts int32→long natively), where the previous
+    cast-to-stored behavior would have overflowed (ANSI: thrown).
+    End state: widened values on patched keys, intact narrow-file
+    values elsewhere, one schema for all of it."""
+    base = (
+        load(spark, sf_dir, "customer")
+        .select(
+            "c_custkey", "c_name",
+            F.col("c_nationkey").cast("int").alias("n"),
+        )
+        .withColumn("ver", F.lit(1).cast("long"))
+    )
+    t = LakeTable(
+        spark, _tmp_base(), "q", "widen", ["c_custkey"], "ver",
+    )
+    t.write(base, op="insert", instant="001")
+    wide = (
+        base.filter(F.col("c_custkey") % 10 == 0)
+        .withColumn(
+            "n", F.col("n").cast("long") + F.lit(1099511627776)
+        )
+        .withColumn("ver", F.lit(2).cast("long"))
+    )
+    t.write(wide, op="upsert", instant="002")
+    return t.snapshot().select("c_custkey", "c_name", "n", "ver")
+
+
+@query(
     "lake_partial_update",
     oracle="""
     SELECT c_custkey, c_name, c_mktsegment,

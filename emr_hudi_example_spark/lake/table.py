@@ -1987,15 +1987,43 @@ class LakeTable:
 
     # ------------------------------------------------------------ internals
 
+    #: value-preserving type promotions (Hudi/Iceberg type-widening
+    #: evolution): a batch column arriving WIDER than the stored type
+    #: widens the table schema instead of being cast down (a down-cast
+    #: would overflow-throw under ANSI the day a producer's id column
+    #: outgrows int32). Parquet reads serve OLD narrow files under the
+    #: widened schema natively (Spark 4 upcasts int32→long,
+    #: float→double at scan — probed, not assumed), so widening is
+    #: metadata-only: no history rewrite.
+    _WIDEN_RANK = {"tinyint": 0, "smallint": 1, "int": 2, "bigint": 3}
+
+    @classmethod
+    def _widen(cls, stored_dt, batch_dt):
+        """The column type to store when a batch brings ``batch_dt``
+        into a ``stored_dt`` column: the wider of the two along a safe
+        promotion chain, else the stored type (existing cast-to-stored
+        behavior)."""
+        s, b = stored_dt.simpleString(), batch_dt.simpleString()
+        if s == b:
+            return stored_dt
+        if s in cls._WIDEN_RANK and b in cls._WIDEN_RANK:
+            return batch_dt if cls._WIDEN_RANK[b] > cls._WIDEN_RANK[s] else stored_dt
+        if s == "float" and b == "double":
+            return batch_dt
+        return stored_dt
+
     def _align_schema(self, batch: DataFrame) -> DataFrame:
-        """Schema evolution on write, Hudi-style additive semantics:
-        batch columns missing from the table → null (the reference gets
-        this implicitly from ``from_json`` against the target schema,
-        ``SRC/cdc/CanalParser.scala:44-46``); NEW batch columns widen the
-        table schema — they are appended after the stored fields, the
+        """Schema evolution on write, Hudi-style semantics: batch
+        columns missing from the table → null (the reference gets this
+        implicitly from ``from_json`` against the target schema,
+        ``SRC/cdc/CanalParser.scala:44-46``); NEW batch columns widen
+        the table schema — appended after the stored fields, the
         commit's manifest records the widened schema, and older data
-        files (which lack the column) read back as null. No history
-        rewrite: evolution is metadata-only, exactly the COW-cheap path.
+        files (which lack the column) read back as null; an existing
+        column arriving at a WIDER primitive type (int→long,
+        float→double, …) widens the column in place (see
+        :meth:`_widen`). No history rewrite: evolution is
+        metadata-only, exactly the COW-cheap path.
         """
         stored = self._stored_schema()
         stored_names = [f.name for f in stored.fields]
@@ -2003,7 +2031,8 @@ class LakeTable:
         cols = []
         for f in stored.fields:
             if f.name in batch_fields:
-                cols.append(F.col(f.name).cast(f.dataType).alias(f.name))
+                dt = self._widen(f.dataType, batch_fields[f.name].dataType)
+                cols.append(F.col(f.name).cast(dt).alias(f.name))
             else:
                 cols.append(F.lit(None).cast(f.dataType).alias(f.name))
         for c in batch.columns:  # additive evolution, batch order

@@ -3392,3 +3392,54 @@ def test_partial_update_payload_column_inheritance(spark, tmp_path):
     assert row["ver"] == 5
     # untouched keys identical to the default-payload table end state
     assert t.snapshot().count() == base.count()
+
+
+def test_type_widening_schema_evolution(spark, tmp_path):
+    """A batch column arriving WIDER than the stored primitive widens
+    the table schema in place (int→long, float→double) — metadata-only
+    (old narrow parquet serves under the widened schema at scan), with
+    values a down-cast would have destroyed (or ANSI-thrown on)
+    surviving intact. Narrower batches still cast UP to the stored
+    type; time travel to a pre-widening instant keeps the old schema."""
+    t = LakeTable(
+        spark, str(tmp_path), "testdb", "widen",
+        record_keys=["k"], precombine="ver",
+    )
+    b1 = spark.createDataFrame(
+        [(1, 10, 1.5, 1), (2, 20, 2.5, 1)],
+        "k int, n int, x float, ver long",
+    )
+    t.write(b1, op="insert", instant="001")
+    assert dict(t.snapshot().dtypes)["n"] == "int"
+    big = 2**40  # does not fit int32: the down-cast this feature kills
+    b2 = spark.createDataFrame(
+        [(2, big, 9.25, 2), (3, big + 1, 3.5, 2)],
+        "k int, n long, x double, ver long",
+    )
+    t.write(b2, op="upsert", instant="002")
+    snap = t.snapshot()
+    assert dict(snap.dtypes)["n"] == "bigint"
+    assert dict(snap.dtypes)["x"] == "double"
+    rows = {r["k"]: (r["n"], r["x"], r["ver"]) for r in snap.collect()}
+    assert rows[1] == (10, 1.5, 1)          # old narrow file intact
+    assert rows[2] == (big, 9.25, 2)        # merged winner, wide value
+    assert rows[3] == (big + 1, 3.5, 2)     # insert with wide value
+    # manifest records the widened schema
+    import json as _json
+
+    m = t._manifest("002")
+    names = {f["name"]: f["type"] for f in m["schema"]["fields"]}
+    assert names["n"] == "long" and names["x"] == "double"
+    # a narrower batch after widening casts UP, never narrows back
+    b3 = spark.createDataFrame([(4, 40, 4.5, 3)], "k int, n int, x float, ver long")
+    t.write(b3, op="upsert", instant="003")
+    assert dict(t.snapshot().dtypes)["n"] == "bigint"
+    assert t.snapshot().count() == 4
+    # time travel: the pre-widening view keeps the narrow schema
+    old = t.snapshot(as_of="001")
+    assert dict(old.dtypes)["n"] == "int"
+    assert old.count() == 2
+    # incremental read over the widening commit returns wide values
+    inc = t.incremental("001", "002")
+    assert dict(inc.dtypes)["n"] == "bigint"
+    assert {r["k"] for r in inc.collect()} == {2, 3}

@@ -2862,8 +2862,14 @@ def test_thread_stress_writers_compactor_cleaner(spark, tmp_path):
     scheduled: list[str] = []
 
     def compactor() -> None:
+        # ≥4 ticks, then keep ticking (bounded) until one compaction
+        # lands — on a loaded box a fixed 4 tries can miss every
+        # window between slow writer publishes (observed full-suite
+        # flake), which is scheduler noise, not a kernel property
         t = handle()
-        for _ in range(4):
+        for tick in range(12):
+            if tick >= 4 and compacted:
+                return
             try:
                 pid = t.schedule_compaction()
                 if pid:

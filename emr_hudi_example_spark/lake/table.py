@@ -70,6 +70,8 @@ import os
 import re
 import shutil
 import time
+from concurrent.futures import ThreadPoolExecutor
+from typing import Callable
 from urllib.parse import unquote, urlparse
 
 from pyspark.sql import DataFrame, SparkSession
@@ -3075,20 +3077,45 @@ class LakeTable:
         # the planners fall back conservatively (record index requires
         # full coverage; bloom keeps unflagged files unconditionally).
         indexable = [f for f in added if not f.get("external")]
+        # Each enabled index runs its own Spark job over the SAME added
+        # files; the jobs are independent (disjoint output dirs, flag
+        # application deferred until every build succeeded), so submit
+        # them from concurrent threads and let the scheduler overlap
+        # them — profiling shows the sidecar builds otherwise serialize
+        # to roughly the cost of the data write itself per commit.
+        # Hudi's metadata-table indexes are likewise built off the
+        # critical write path (async metadata indexing).
+        builders: list[tuple[str, Callable[[], None]]] = []
         if self.record_index and indexable:
-            self._write_record_index(instant, indexable)
-            for f in indexable:
-                f["indexed"] = True  # same dicts enter the live set
-        if self.bloom_index and indexable:
-            self._write_bloom_sidecar(instant, indexable)
-            for f in indexable:
-                f["bloom"] = True  # probe-time flag; pre-bloom files
-                # (or tables that toggled the index on later) lack it
+            builders.append(
+                # "indexed"/"bloom"/"col_bloom" flags: probe-time
+                # markers; files that predate an index toggle lack them
                 # and are kept unconditionally — conservative fallback
+                ("indexed", lambda: self._write_record_index(instant, indexable))
+            )
+        if self.bloom_index and indexable:
+            builders.append(
+                ("bloom", lambda: self._write_bloom_sidecar(instant, indexable))
+            )
         if self.bloom_columns and indexable:
-            self._write_col_bloom_sidecar(instant, indexable, schema)
+            builders.append(
+                (
+                    "col_bloom",
+                    lambda: self._write_col_bloom_sidecar(
+                        instant, indexable, schema
+                    ),
+                )
+            )
+        if len(builders) == 1:
+            builders[0][1]()
+        elif builders:
+            with ThreadPoolExecutor(max_workers=len(builders)) as ex:
+                for fut in [ex.submit(fn) for _, fn in builders]:
+                    fut.result()  # re-raise the first failure: the
+                    # commit must not publish with a half-built index
+        for flag, _fn in builders:
             for f in indexable:
-                f["col_bloom"] = True  # same conservative-fallback flag
+                f[flag] = True  # same dicts enter the live set
         # roll the live set forward BEFORE the manifest lands (while
         # last_instant() still names the previous commit)
         prev = self._live_files()

@@ -3449,3 +3449,50 @@ def test_type_widening_schema_evolution(spark, tmp_path):
     inc = t.incremental("001", "002")
     assert dict(inc.dtypes)["n"] == "bigint"
     assert {r["k"] for r in inc.collect()} == {2, 3}
+
+
+def test_concurrent_index_builds_all_land_and_probe(spark, tmp_path):
+    """A table with ALL THREE index kinds enabled exercises the
+    thread-parallel sidecar-build path in ``_write_manifest`` (the
+    builders are submitted concurrently when more than one applies):
+    every commit must land its record-index shards, key bloom, AND
+    column blooms, and each index must still prune/probe correctly."""
+    t = LakeTable(
+        spark,
+        str(tmp_path),
+        "testdb",
+        "t_allidx",
+        record_keys=["c_custkey"],
+        precombine="ver",
+        record_index=True,
+        index_shards=8,
+        bloom_index=True,
+        bloom_columns=["c_name"],
+    )
+    t.write(cust(spark), op="insert", instant="001")
+    t.write(
+        cust(spark, ver=2).filter(F.col("c_custkey") <= 5),
+        op="upsert",
+        instant="002",
+    )
+    for inst in ("001", "002"):
+        assert os.path.isdir(os.path.join(t.index_dir, inst))
+        assert os.path.exists(os.path.join(t.bloom_dir, inst + ".json"))
+        assert os.path.exists(os.path.join(t.col_bloom_dir, inst + ".json"))
+    live = t._live_files()
+    assert all(
+        f.get("indexed") and f.get("bloom") and f.get("col_bloom")
+        for f in live
+    )
+    # snapshot correctness: 1500 distinct keys, upserted rows at ver=2
+    snap = t.snapshot()
+    assert snap.count() == cust(spark).count()
+    assert (
+        snap.filter(F.col("c_custkey") <= 5)
+        .agg(F.min("ver"), F.max("ver"))
+        .collect()[0][:]
+        == (2, 2)
+    )
+    # a point read under all three indexes returns the merged row
+    one = snap.filter(F.col("c_custkey") == 3).collect()
+    assert len(one) == 1 and one[0]["ver"] == 2

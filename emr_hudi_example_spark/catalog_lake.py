@@ -534,6 +534,60 @@ def lake_skipping_read(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @query(
+    "lake_partition_stats_prune",
+    oracle="""
+    SELECT o_orderkey, o_custkey, o_totalprice,
+           CAST((SELECT COUNT(DISTINCT substr(CAST(o_orderdate AS VARCHAR), 1, 4)) - 1
+                 FROM orders) AS INT) AS partitions_pruned
+    FROM orders
+    WHERE o_orderdate BETWEEN TIMESTAMP '1997-03-01 00:00:00'
+                          AND TIMESTAMP '1997-09-30 00:00:00'
+    """,
+)
+def lake_partition_stats_prune(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Partition-stats index (the Hudi 1.0 ``partition_stats`` metadata
+    index analog): per-partition aggregates of the manifest's file
+    stats let a predicate read prune WHOLE partitions in O(partitions)
+    before any per-file stats/bloom probe — at 100 TB, planning over
+    thousands of partitions instead of millions of file entries. The
+    table partitions orders by derived year (the canonical
+    time-correlated layout, ``SRC/util/SparkHelper.scala`` logday
+    derivation family); two interleaved insert commits land ≥2 files
+    per partition; a 1997 date-window predicate must wholesale-prune
+    every other year — the graded ``partitions_pruned`` column pins
+    the count (distinct years − 1) so a regression to per-file-only
+    planning fails the oracle."""
+    orders = load(spark, sf_dir, "orders").withColumn(
+        "ver", F.lit(1).cast("long")
+    ).withColumn(
+        "logyear", F.substring(F.col("o_orderdate").cast("string"), 1, 4)
+    )
+    t = LakeTable(
+        spark, _tmp_base(), "q", "pstatsprune", ["o_orderkey"], "ver",
+        partition_keys=["logyear"], stats_columns=["o_orderdate"],
+    )
+    t.write(
+        orders.filter(F.col("o_orderkey") % 2 == 0),
+        op="insert", instant="001",
+    )
+    t.write(
+        orders.filter(F.col("o_orderkey") % 2 == 1),
+        op="insert", instant="002",
+    )
+    out = t.snapshot(
+        predicate=[
+            ("o_orderdate", "between", ("1997-03-01", "1997-09-30"))
+        ]
+    )
+    return out.select(
+        "o_orderkey", "o_custkey", "o_totalprice",
+        F.lit(t.last_partitions_pruned).cast("int").alias(
+            "partitions_pruned"
+        ),
+    )
+
+
+@query(
     "lake_zorder_compact",
     oracle="""
     SELECT o_orderkey, o_custkey, o_totalprice,

@@ -103,6 +103,7 @@ class ConcurrentWriteConflict(RuntimeError):
 #: operand form vs the ' '-separated form _stat_json serializes
 _ISO_T = re.compile(r"^\d{4}-\d{2}-\d{2}T\d{2}:\d{2}")
 _DT_SPACE = re.compile(r"^\d{4}-\d{2}-\d{2} \d{2}:\d{2}")
+_DATE_ONLY = re.compile(r"^\d{4}-\d{2}-\d{2}$")
 
 
 def reference_table_type(partition_keys: list[str] | None) -> str:
@@ -201,6 +202,9 @@ class LakeTable:
         #: observability: files skipped by column-stats pruning in the
         #: most recent predicate read
         self.last_files_skipped = 0
+        #: observability: partitions wholesale-pruned by the
+        #: partition-stats index in the most recent predicate read
+        self.last_partitions_pruned = 0
         #: how long a writer waits on a held lock before failing (0 =
         #: fail fast); live contention (async compactor vs ingest) waits,
         #: stale locks from crashed writers still surface as errors
@@ -317,6 +321,11 @@ class LakeTable:
         #: in-session live-file cache: (instant, files) — rolled forward
         #: incrementally per commit so repeated planning is O(delta)
         self._live_cache: tuple[str, list[dict]] | None = None
+        #: instant → per-partition stats aggregate (see
+        #: :meth:`_partition_stats_at`); live sets are immutable per
+        #: instant so entries never go stale — only :meth:`restore`
+        #: (which re-allocates instant ids) clears it
+        self._pstats_cache: dict[str, dict[str, dict]] = {}
         #: lock-free writers (optimistic publish, async compaction fold)
         #: drop a marker under ``_commits/.inflight/`` before writing
         #: data files so a concurrent ``clean()`` never reaps an
@@ -765,13 +774,21 @@ class LakeTable:
                 # Spark's string comparison in the row filter).
                 if (
                     isinstance(v, str)
-                    and _ISO_T.match(v)
                     and isinstance(lo, str)
                     and isinstance(hi, str)
                     and _DT_SPACE.match(lo)
                     and _DT_SPACE.match(hi)
                 ):
-                    return v[:10] + " " + v[11:]
+                    if _ISO_T.match(v):
+                        return v[:10] + " " + v[11:]
+                    if _DATE_ONLY.match(v):
+                        # date-only operand vs timestamp stats: the row
+                        # filter coerces the string to MIDNIGHT of that
+                        # day, but lexicographically the bare date sorts
+                        # BEFORE "<date> 00:00:00" — an exact-midnight
+                        # file min would wrongly prune rows the filter
+                        # keeps. Normalize to the coerced instant.
+                        return v + " 00:00:00"
                 return v
 
             try:
@@ -805,11 +822,83 @@ class LakeTable:
                 continue  # operand/stat type mismatch: keep the file
         return True
 
+    def _partition_stats_at(self, instant: str) -> dict[str, dict]:
+        """Per-partition aggregate of the live files' footer stats as of
+        ``instant`` — the engine's PARTITION-STATS INDEX (the analog of
+        Hudi 1.0's ``partition_stats`` metadata index): one pseudo-file
+        per partition whose [min, max] covers every live file in it, so
+        a predicate that fails the aggregate provably fails every file
+        and :meth:`_stats_prune` drops the whole partition in
+        O(partitions) without touching its files' stats or bloom
+        sidecars. At 100 TB this is the difference between planning
+        over millions of file entries and thousands of partitions for
+        selective predicates.
+
+        Conservative by construction: a column (or the key range)
+        enters a partition's aggregate only when EVERY live non-empty
+        file in that partition carries usable stats for it — a
+        stat-less file would survive the per-file check, so its
+        partition must never wholesale-fail. Aggregating over a
+        SUPERSET of any later-subset view (partition_filter, bucket or
+        record-index pruning) only widens ranges, so a partition dead
+        under the full live set is dead for every subset. Cached per
+        instant (live sets are immutable per instant; :meth:`restore`
+        clears the cache along with the manifests it invalidates)."""
+        hit = self._pstats_cache.get(instant)
+        if hit is not None:
+            return hit
+        groups: dict[str, list[dict]] = {}
+        for f in self._live_files_at(instant):
+            if f.get("rows") == 0:
+                continue  # rowless files can't match; don't let their
+                # stat-less footers veto the partition aggregate
+            groups.setdefault(f.get("partition_path") or "", []).append(f)
+        out: dict[str, dict] = {}
+        for pp, fs in groups.items():
+            agg: dict = {}
+            kmins = [f.get("key_min") for f in fs]
+            kmaxs = [f.get("key_max") for f in fs]
+            if all(v is not None for v in kmins) and all(
+                v is not None for v in kmaxs
+            ):
+                try:
+                    agg["key_min"], agg["key_max"] = min(kmins), max(kmaxs)
+                except TypeError:
+                    pass  # mixed-type stats: leave unknown (unprunable)
+            cols: set[str] = set()
+            for f in fs:
+                cols.update(f.get("col_stats") or {})
+            col_stats: dict[str, list] = {}
+            for c in cols:
+                los: list = []
+                his: list = []
+                for f in fs:
+                    st = (f.get("col_stats") or {}).get(c) or (None, None)
+                    if st[0] is None or st[1] is None:
+                        los = []
+                        break
+                    los.append(st[0])
+                    his.append(st[1])
+                if los:
+                    try:
+                        col_stats[c] = [min(los), max(his)]
+                    except TypeError:
+                        pass
+            if col_stats:
+                agg["col_stats"] = col_stats
+            out[pp] = agg
+        if len(self._pstats_cache) >= 8:  # bound: as-of reads can name
+            # arbitrary instants; planning only ever needs a handful
+            self._pstats_cache.pop(next(iter(self._pstats_cache)))
+        self._pstats_cache[instant] = out
+        return out
+
     def _stats_prune(
         self,
         files: list[dict],
         predicate: list[tuple] | None,
         all_base: bool = False,
+        instant: str | None = None,
     ) -> list[dict]:
         """Driver-side file skipping on the manifest's column stats (the
         read-path analog of upsert planning's key-range prune). Updates
@@ -837,6 +926,7 @@ class LakeTable:
             self.last_col_bloom_pruned = 0
             self.last_bucket_read_pruned = 0
             self.last_record_read_pruned = 0
+            self.last_partitions_pruned = 0
             return files
         for col, op, _val in predicate:
             if op not in self._PRED_OPS:
@@ -845,11 +935,28 @@ class LakeTable:
                 )
         files = self._bucket_prune_reads(files, predicate)
         files = self._record_prune_reads(files, predicate)
+        # partition-stats index pass: wholesale-dead partitions (their
+        # aggregate stats prove no row can match) short-circuit the
+        # per-file checks below — identical verdicts, O(partitions)
+        # instead of O(files) work for selective predicates
+        dead_parts: set[str] = set()
+        if instant is not None:
+            dead_parts = {
+                pp
+                for pp, pf in self._partition_stats_at(instant).items()
+                if not self._stats_may_match(pf, predicate)
+            }
+        self.last_partitions_pruned = len(dead_parts)
+
+        def _may_match(f: dict) -> bool:
+            if dead_parts and (f.get("partition_path") or "") in dead_parts:
+                return False
+            return self._stats_may_match(f, predicate)
         mor_merge = self.is_mor and not all_base
         if not mor_merge:
             keep, skipped, bloom_skipped = [], 0, 0
             for f in files:
-                if not self._stats_may_match(f, predicate):
+                if not _may_match(f):
                     skipped += 1
                 elif not self._col_bloom_may_match(f, predicate):
                     skipped += 1  # stats passed, column bloom decided
@@ -870,7 +977,7 @@ class LakeTable:
                 empty_skipped += 1  # rowless: cannot win any merge
             elif f.get("kind", "base") != "base":
                 retained.append(f)
-            elif not self._stats_may_match(f, predicate):
+            elif not _may_match(f):
                 candidates.append(f)
             elif not self._col_bloom_may_match(f, predicate):
                 candidates.append(f)
@@ -988,21 +1095,25 @@ class LakeTable:
         self,
         partition_filter: dict[str, object] | None,
         as_of: str | None,
-    ) -> tuple[list[dict] | None, T.StructType | None]:
-        """The (files, as-of schema) a snapshot-style view reads:
-        time-travel resolution + driver-side partition pruning, shared
-        by :meth:`snapshot` and the metadata-only aggregates.
-        ``(None, None)`` means the as_of predates the table (empty
-        view); schema is None for the latest view (stored schema)."""
+    ) -> tuple[list[dict] | None, T.StructType | None, str | None]:
+        """The (files, as-of schema, resolved instant) a snapshot-style
+        view reads: time-travel resolution + driver-side partition
+        pruning, shared by :meth:`snapshot` and the metadata-only
+        aggregates. ``(None, None, None)`` means the as_of predates the
+        table (empty view); schema is None for the latest view (stored
+        schema). The resolved instant keys the partition-stats index
+        lookup in :meth:`_stats_prune`."""
         schema = None
         if as_of is not None:
             past = [i for i in self.timeline() if i <= as_of]
             if not past:
-                return None, None
-            m = self._manifest(past[-1])
-            files = self._live_files_at(past[-1])
+                return None, None, None
+            inst = past[-1]
+            m = self._manifest(inst)
+            files = self._live_files_at(inst)
             schema = T.StructType.fromJson(m["schema"])  # as-of schema
         else:
+            inst = self.last_instant()
             files = self._live_files()
         if partition_filter:
             want = {k: str(v) for k, v in partition_filter.items()}
@@ -1011,7 +1122,7 @@ class LakeTable:
                 for f in files
                 if all(f["partition"].get(k) == v for k, v in want.items())
             ]
-        return files, schema
+        return files, schema, inst
 
     def metadata_count(
         self,
@@ -1034,7 +1145,7 @@ class LakeTable:
         ``snapshot().count()`` scan and report
         ``from_metadata=False`` — correctness never depends on the
         shortcut."""
-        files, _ = self._view_files(partition_filter, as_of)
+        files, _, _ = self._view_files(partition_filter, as_of)
         if files is None:
             return 0, True
         if not self.is_mor and all(
@@ -1068,7 +1179,7 @@ class LakeTable:
         ``col`` (including all-NULL files — indistinguishable from
         stat-less), and for record-key stats absence. Empty files
         (``rows == 0``) are skipped, not a fallback trigger."""
-        files, _ = self._view_files(partition_filter, as_of)
+        files, _, _ = self._view_files(partition_filter, as_of)
         if files is None:
             return None, None, True
         if not self.is_mor:
@@ -1118,10 +1229,10 @@ class LakeTable:
         column stats (``stats_columns``) prove no row can match (Hudi
         0.11 data skipping); ``last_files_skipped`` records the count.
         """
-        files, schema = self._view_files(partition_filter, as_of)
+        files, schema, inst = self._view_files(partition_filter, as_of)
         if files is None:
             return self.spark.createDataFrame([], self._stored_schema())
-        files = self._stats_prune(files, predicate)
+        files = self._stats_prune(files, predicate, instant=inst)
         out = self._read_files([f["path"] for f in files], schema)
         if self.is_mor:
             out = self._merged_read(out)
@@ -1143,8 +1254,12 @@ class LakeTable:
         files = [f for f in self._live_files() if f.get("kind", "base") == "base"]
         # base-only read: no merge follows, so no delta can resurface a
         # skipped row — prune as if COW (all_base lifts the MOR rules
-        # while keeping op validation and the skip counter consistent)
-        files = self._stats_prune(files, predicate, all_base=True)
+        # while keeping op validation and the skip counter consistent).
+        # The partition-stats aggregate covers deltas too — a superset
+        # only widens ranges, so wholesale-prunes stay conservative.
+        files = self._stats_prune(
+            files, predicate, all_base=True, instant=self.last_instant()
+        )
         out = self._read_files([f["path"] for f in files]).drop(DELETED_COL)
         if predicate:
             out = out.filter(self._predicate_condition(predicate))
@@ -1198,7 +1313,11 @@ class LakeTable:
             for f in (self._live_files_at(in_range[-1]) if in_range else [])
         }
         fds = [f for f in added if f["path"] in live_at_end]
-        fds = self._stats_prune(fds, predicate)
+        # in-range files are a subset of the live set at the range end,
+        # so that instant's partition-stats aggregate applies (superset)
+        fds = self._stats_prune(
+            fds, predicate, instant=in_range[-1] if in_range else None
+        )
         df = self._read_files([f["path"] for f in fds])
         cond = F.lit(True)
         if begin is not None:
@@ -2943,7 +3062,7 @@ class LakeTable:
             w = w.partitionBy(*pt_cols)
         w.parquet(out_dir)
 
-        added: list[dict] = []
+        walked: list[tuple[str, str, dict, int | None, str]] = []
         for root, _dirs, files in os.walk(out_dir):
             for fn in files:
                 if not fn.endswith(".parquet"):
@@ -2959,40 +3078,68 @@ class LakeTable:
                     elif seg.startswith("__bk="):
                         bucket = int(seg[len("__bk="):])
                 pp = "/".join(f"{k}={partition[k]}" for k in self.partition_keys) if partition else ""
-                ranges = self._footer_column_ranges(
-                    full, [RECORD_KEY_COL] + self.stats_columns
-                )
-                nrows = ranges.pop("__rows__", None)
-                kmin, kmax = ranges.get(RECORD_KEY_COL) or (None, None)
-                col_stats = {
-                    c: [self._stat_json(r[0]), self._stat_json(r[1])]
-                    for c, r in ranges.items()
-                    if c != RECORD_KEY_COL
-                    and r is not None
-                    and self._stat_json(r[0]) is not None
-                    and self._stat_json(r[1]) is not None
-                }
-                entry = {
-                    "path": rel,
-                    "partition": partition,
-                    "partition_path": pp,
-                    "kind": kind,
-                    "key_min": kmin,
-                    "key_max": kmax,
-                    # driver-side size stat at write time: compaction
-                    # strategies select small files from the manifest
-                    # alone, no per-file stat storm at schedule time
-                    "bytes": os.path.getsize(full),
-                }
-                if nrows is not None:
-                    entry["rows"] = nrows[0]
-                if col_stats:
-                    entry["col_stats"] = col_stats
-                if bucket is not None:
-                    entry["bucket"] = bucket
-                    entry["bucket_n"] = self.bucket_index
-                added.append(entry)
+                walked.append((full, rel, partition, bucket, pp))
+        stats = self._file_stats_parallel(
+            [full for full, *_ in walked],
+            [RECORD_KEY_COL] + self.stats_columns,
+        )
+        added: list[dict] = []
+        for (full, rel, partition, bucket, pp), (ranges, nbytes) in zip(
+            walked, stats
+        ):
+            nrows = ranges.pop("__rows__", None)
+            kmin, kmax = ranges.get(RECORD_KEY_COL) or (None, None)
+            col_stats = {
+                c: [self._stat_json(r[0]), self._stat_json(r[1])]
+                for c, r in ranges.items()
+                if c != RECORD_KEY_COL
+                and r is not None
+                and self._stat_json(r[0]) is not None
+                and self._stat_json(r[1]) is not None
+            }
+            entry = {
+                "path": rel,
+                "partition": partition,
+                "partition_path": pp,
+                "kind": kind,
+                "key_min": kmin,
+                "key_max": kmax,
+                # driver-side size stat at write time: compaction
+                # strategies select small files from the manifest
+                # alone, no per-file stat storm at schedule time
+                "bytes": nbytes,
+            }
+            if nrows is not None:
+                entry["rows"] = nrows[0]
+            if col_stats:
+                entry["col_stats"] = col_stats
+            if bucket is not None:
+                entry["bucket"] = bucket
+                entry["bucket_n"] = self.bucket_index
+            added.append(entry)
         return sorted(added, key=lambda f: f["path"])
+
+    def _file_stats_parallel(
+        self, paths: list[str], cols: list[str]
+    ) -> list[tuple[dict, int]]:
+        """``[(footer_ranges, size_bytes)]`` aligned with ``paths``,
+        gathered from a thread pool. Each probe is pure metadata IO
+        (one parquet footer read + one stat call) — sequential probing
+        serializes the commit tail when a write lands hundreds of files
+        on an object-store-like mount where each round trip is tens of
+        milliseconds; threads overlap those round trips the same way
+        Hudi's metadata writer parallelizes its file-listing/stat RPCs."""
+
+        def one(full: str) -> tuple[dict, int]:
+            return (
+                self._footer_column_ranges(full, cols),
+                os.path.getsize(full),
+            )
+
+        if len(paths) <= 2:
+            return [one(p) for p in paths]
+        with ThreadPoolExecutor(max_workers=min(16, len(paths))) as ex:
+            return list(ex.map(one, paths))
 
     @staticmethod
     def _footer_column_ranges(
@@ -3292,7 +3439,7 @@ class LakeTable:
         )
         if string_key is not None and string_key not in want_stats:
             want_stats = want_stats + [string_key]
-        records: list[dict] = []
+        parts: list[tuple[str, dict, str]] = []
         for full in found:
             partition: dict[str, str] = {}
             rel_dir = os.path.relpath(os.path.dirname(full), base)
@@ -3312,7 +3459,13 @@ class LakeTable:
                 if partition
                 else ""
             )
-            ranges = self._footer_column_ranges(full, want_stats)
+            parts.append((full, partition, pp))
+        # adoption scans an EXTERNAL dataset — often the largest single
+        # listing the table ever sees — so the footer probes especially
+        # benefit from the thread pool (see _file_stats_parallel)
+        stats = self._file_stats_parallel(found, want_stats)
+        records: list[dict] = []
+        for (full, partition, pp), (ranges, nbytes) in zip(parts, stats):
             nrows = ranges.pop("__rows__", None)
             kmin = kmax = None
             if string_key is not None:
@@ -3340,7 +3493,7 @@ class LakeTable:
                 "kind": "base",
                 "key_min": kmin,
                 "key_max": kmax,
-                "bytes": os.path.getsize(full),
+                "bytes": nbytes,
                 "external": True,
             }
             if nrows is not None:
@@ -3458,8 +3611,10 @@ class LakeTable:
                     self.release_savepoint(sp)
             self._live_cache = None
             # a doomed instant id can be re-allocated by a later write
-            # (instants are dense) — drop its cached manifest with it
+            # (instants are dense) — drop its cached manifest and its
+            # partition-stats aggregate with it
             self._manifest_mem.clear()
+            self._pstats_cache.clear()
             return doomed
 
     # ----------------------------------------------------------- compaction

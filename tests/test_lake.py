@@ -3496,3 +3496,169 @@ def test_concurrent_index_builds_all_land_and_probe(spark, tmp_path):
     # a point read under all three indexes returns the merged row
     one = snap.filter(F.col("c_custkey") == 3).collect()
     assert len(one) == 1 and one[0]["ver"] == 2
+
+
+def _pstats_table(spark, tmp, name, **kw):
+    return LakeTable(
+        spark, str(tmp), "testdb", name,
+        record_keys=["k"], precombine="ver",
+        partition_keys=["p"], stats_columns=["price"], **kw,
+    )
+
+
+def _pstats_rows(spark, rows):
+    return spark.createDataFrame(
+        rows, "k STRING, p STRING, price DOUBLE, ver LONG"
+    )
+
+
+def test_partition_stats_index_prunes_whole_partitions(spark, tmp_path):
+    """The per-partition aggregate of file stats (the engine's analog
+    of Hudi 1.0's partition_stats metadata index) wholesale-prunes a
+    partition whose aggregate range disproves the predicate — every
+    file in it skips without a per-file stats/bloom probe — and the
+    result equals the exact row filter. Repeat reads at the same
+    instant hit the per-instant aggregate cache."""
+    t = _pstats_table(spark, tmp_path, "pstats1")
+    a = _pstats_rows(
+        spark, [(f"a{i}", "A", 10.0 + i, 1) for i in range(20)]
+    ).repartition(3)
+    b = _pstats_rows(
+        spark, [(f"b{i}", "B", 1000.0 + i, 1) for i in range(20)]
+    ).repartition(3)
+    t.write(a.unionByName(b), op="insert", instant="001")
+    t.write(
+        _pstats_rows(spark, [("a99", "A", 50.0, 1), ("b99", "B", 1050.0, 1)]),
+        op="insert",
+        instant="002",
+    )
+    n_a_files = len(
+        [f for f in t._live_files() if f["partition"] == {"p": "A"}]
+    )
+    assert n_a_files >= 2  # the point: MANY files die with one check
+    got = t.snapshot(predicate=[("price", ">=", 1000.0)])
+    assert t.last_partitions_pruned == 1  # partition A, wholesale
+    assert t.last_files_skipped == n_a_files
+    assert got.count() == 21
+    assert {r["p"] for r in got.collect()} == {"B"}
+    assert "002" in t._pstats_cache  # aggregate cached per instant
+    # cached plan, same verdicts
+    again = t.snapshot(predicate=[("price", ">=", 1000.0)])
+    assert t.last_partitions_pruned == 1 and again.count() == 21
+
+
+def test_partition_stats_statless_file_vetoes_wholesale_prune(spark, tmp_path):
+    """A file with no usable stats for the predicate column (all-NULL
+    price: parquet footers record no min/max) would survive the
+    per-file check, so its PARTITION must never wholesale-fail — the
+    aggregate drops the column and the partition stays; per-file
+    pruning still skips the provably-dead files and results stay
+    exact (NULL never satisfies a comparison)."""
+    t = _pstats_table(spark, tmp_path, "pstats2")
+    t.write(
+        _pstats_rows(spark, [(f"a{i}", "A", 10.0 + i, 1) for i in range(5)])
+        .coalesce(1),
+        op="insert",
+        instant="001",
+    )
+    t.write(
+        _pstats_rows(spark, [("anull", "A", None, 1)]).coalesce(1),
+        op="insert",
+        instant="002",
+    )
+    got = t.snapshot(predicate=[("price", ">=", 1000.0)])
+    assert t.last_partitions_pruned == 0  # stat-less file vetoed it
+    assert t.last_files_skipped == 1  # the 001 file still dies per-file
+    assert got.count() == 0
+    agg = t._partition_stats_at("002")["p=A"]
+    assert "price" not in agg.get("col_stats", {})
+
+
+def test_partition_stats_mor_dead_partition_keeps_merge_exact(spark, tmp_path):
+    """MOR: a wholesale-dead partition marks only BASE files as skip
+    candidates — deltas are retained before the partition check runs,
+    and key-overlapping bases are rescued by the key-disjointness rule
+    — so the merge stays exact even when the whole partition fails."""
+    t = _pstats_table(
+        spark, tmp_path, "pstats3", table_type="MERGE_ON_READ"
+    )
+    t.write(
+        _pstats_rows(spark, [(f"a{i}", "A", 5.0, 1) for i in range(5)]
+                     + [(f"b{i}", "B", 999999.0, 1) for i in range(5)])
+        .coalesce(1),
+        op="insert",
+        instant="001",
+    )
+    # delta rewrites a0 within partition A, still failing the predicate
+    t.write(
+        _pstats_rows(spark, [("a0", "A", 7.0, 2)]).coalesce(1),
+        op="upsert",
+        instant="002",
+    )
+    got = t.snapshot(predicate=[("price", "=", 999999.0)])
+    assert t.last_partitions_pruned == 1  # A: agg [5..7] disproves =
+    assert got.count() == 5 and {r["p"] for r in got.collect()} == {"B"}
+    # and the merged view (no predicate) still reflects the delta
+    assert t.snapshot().filter(F.col("k") == "a0").collect()[0]["ver"] == 2
+
+
+def test_partition_stats_as_of_keys_cache_per_instant(spark, tmp_path):
+    """Time-travel predicate reads resolve the partition aggregates AT
+    the as-of instant: a partition dead historically can be alive at
+    the latest view, and both reads are exact."""
+    t = _pstats_table(spark, tmp_path, "pstats4")
+    t.write(
+        _pstats_rows(spark, [(f"a{i}", "A", 10.0, 1) for i in range(3)]
+                     + [(f"b{i}", "B", 2000.0, 1) for i in range(3)])
+        .coalesce(1),
+        op="insert",
+        instant="001",
+    )
+    t.write(  # COW rewrite moves partition A's range above the bar
+        _pstats_rows(spark, [("a0", "A", 5000.0, 2)]).coalesce(1),
+        op="upsert",
+        instant="002",
+    )
+    pred = [("price", ">=", 1000.0)]
+    old = t.snapshot(predicate=pred, as_of="001")
+    assert t.last_partitions_pruned == 1  # A dead as of 001
+    assert old.count() == 3 and {r["p"] for r in old.collect()} == {"B"}
+    new = t.snapshot(predicate=pred)
+    assert t.last_partitions_pruned == 0  # A alive now (5000.0)
+    assert new.count() == 4
+    assert {"001", "002"} <= set(t._pstats_cache)
+
+
+def test_stats_prune_date_only_operand_midnight_boundary(spark, tmp_path):
+    """A date-only predicate operand against TIMESTAMP stats coerces to
+    MIDNIGHT in the row filter, but the bare date string sorts BEFORE
+    '<date> 00:00:00' — without normalization a file whose min is
+    exactly midnight of the upper-bound day would be pruned while the
+    filter keeps its rows (silent missing rows)."""
+    import datetime as dt
+
+    t = LakeTable(
+        spark, str(tmp_path), "testdb", "dateonly",
+        record_keys=["k"], precombine="ver", stats_columns=["ts"],
+    )
+    rows = spark.createDataFrame(
+        [("x1", dt.datetime(1997, 9, 30, 0, 0, 0), 1),
+         ("x2", dt.datetime(1997, 10, 2, 0, 0, 0), 1)],
+        "k STRING, ts TIMESTAMP_NTZ, ver LONG",
+    ).coalesce(1)
+    early = spark.createDataFrame(
+        [("y1", dt.datetime(1995, 1, 1, 0, 0, 0), 1)],
+        "k STRING, ts TIMESTAMP_NTZ, ver LONG",
+    ).coalesce(1)
+    t.write(rows, op="insert", instant="001")
+    t.write(early, op="insert", instant="002")
+    got = t.snapshot(
+        predicate=[("ts", "between", ("1997-03-01", "1997-09-30"))]
+    )
+    # row filter keeps the exact-midnight 09-30 row: its file must
+    # survive pruning (upper bound normalizes to '1997-09-30 00:00:00')
+    assert [r["k"] for r in got.collect()] == ["x1"]
+    assert t.last_files_skipped == 1  # the 1995 file still prunes
+    # single-sided ops get the same normalization
+    ge = t.snapshot(predicate=[("ts", ">=", "1997-10-02")])
+    assert [r["k"] for r in ge.collect()] == ["x2"]

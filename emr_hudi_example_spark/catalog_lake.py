@@ -534,6 +534,44 @@ def lake_skipping_read(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @query(
+    "lake_bulk_insert_sorted",
+    oracle="""
+    SELECT o_orderkey, o_custkey, o_totalprice,
+           CAST(1 AS INT) AS files_scanned
+    FROM orders
+    WHERE o_orderkey = (SELECT max(o_orderkey) FROM orders)
+    """,
+)
+def lake_bulk_insert_sorted(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Bulk insert with GLOBAL_SORT (Hudi's
+    ``hoodie.bulkinsert.sort.mode`` — the 100 TB initial-load path,
+    reference op surface ``SRC/package.scala:15-81``'s bulk_insert):
+    one range shuffle on the record key at load time gives every file
+    a tight DISJOINT key range, so a point read afterwards scans
+    exactly ONE file on manifest key ranges alone — no bloom, bucket,
+    or record index needed. The graded ``files_scanned`` column pins
+    that (live files − skipped = 1); an unsorted load would scan
+    every file containing the key's hash-arbitrary neighborhood."""
+    orders = load(spark, sf_dir, "orders").withColumn(
+        "ver", F.lit(1).cast("long")
+    )
+    t = LakeTable(
+        spark, _tmp_base(), "q", "bulksorted", ["o_orderkey"], "ver",
+    )
+    t.write(
+        orders, op="bulk_insert", instant="001",
+        sort_mode="GLOBAL_SORT", sort_files=8,
+    )
+    probe = str(orders.agg(F.max("o_orderkey")).collect()[0][0])
+    out = t.snapshot(predicate=[("_record_key", "=", probe)])
+    scanned = len(t._live_files()) - t.last_files_skipped
+    return out.select(
+        "o_orderkey", "o_custkey", "o_totalprice",
+        F.lit(scanned).cast("int").alias("files_scanned"),
+    )
+
+
+@query(
     "lake_partition_stats_prune",
     oracle="""
     SELECT o_orderkey, o_custkey, o_totalprice,

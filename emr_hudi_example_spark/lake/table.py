@@ -1476,10 +1476,24 @@ class LakeTable:
         op: str = "upsert",
         instant: str | None = None,
         checkpoint: dict | None = None,
+        sort_mode: str = "NONE",
+        sort_files: int | None = None,
     ) -> str | None:
         """The generic writer — engine analog of ``writeHudiTable``
         (``SRC/package.scala:15-81``). ``op`` ∈ {insert, bulk_insert,
         upsert, delete}. Returns the committed instant.
+
+        ``sort_mode`` (``bulk_insert`` only — Hudi's
+        ``hoodie.bulkinsert.sort.mode``): ``NONE`` writes the batch
+        as-is; ``GLOBAL_SORT`` range-partitions on (partition path,
+        record key) so every output file owns a TIGHT, DISJOINT key
+        range — the initial-load layout that makes later key-range
+        pruning, record-index builds, and upsert planning surgical at
+        100 TB (one extra shuffle, paid once at load);
+        ``PARTITION_SORT`` sorts within existing tasks (no shuffle,
+        locally ordered files). ``sort_files`` caps the GLOBAL_SORT
+        output file count (defaults to the session's shuffle
+        parallelism, Hudi's behavior).
 
         Held under a filesystem writer lock — the local-FS analog of the
         reference's ZooKeeper OCC lock (``SRC/package.scala:38-47``,
@@ -1495,6 +1509,10 @@ class LakeTable:
         commit atomically (Hudi records streaming checkpoints in commit
         metadata identically).
         """
+        if sort_mode != "NONE" and op != "bulk_insert":
+            raise ValueError(
+                f"sort_mode={sort_mode!r} applies only to bulk_insert"
+            )
         with self._writer_lock():
             if checkpoint is not None:
                 last = self.last_checkpoint(checkpoint["source_id"])
@@ -1503,7 +1521,10 @@ class LakeTable:
                 self._pending_checkpoint = dict(checkpoint)
             try:
                 if op in ("insert", "bulk_insert"):
-                    return self._commit_insert(df, instant)
+                    return self._commit_insert(
+                        df, instant, sort_mode=sort_mode,
+                        sort_files=sort_files,
+                    )
                 if op == "upsert":
                     return self._commit_upsert(df, instant)
                 if op == "delete":
@@ -1910,17 +1931,60 @@ class LakeTable:
             out = out.withColumn(DELETED_COL, F.lit(False))
         return out
 
-    def _commit_insert(self, df: DataFrame, instant: str | None) -> str:
-        """Append-only fast path (no key merge) — Hudi's ``insert`` op."""
+    def _commit_insert(
+        self,
+        df: DataFrame,
+        instant: str | None,
+        sort_mode: str = "NONE",
+        sort_files: int | None = None,
+    ) -> str:
+        """Append-only fast path (no key merge) — Hudi's ``insert`` op;
+        with a ``sort_mode`` it is the ``bulk_insert`` initial-load
+        path (see :meth:`write`)."""
         inst = self._next_instant(instant)
         batch = self._prepare_batch(df, inst)
         if self.exists():
             batch = self._align_schema(batch)
+        batch = self._apply_bulk_sort(batch, sort_mode, sort_files)
         # MOR inserts land as BASE files (Hudi routes inserts to parquet
         # base, only merges/deletes to the log)
         added = self._write_data_files(batch, inst, kind="base")
         self._write_manifest(inst, "insert", batch.schema, added, [])
         return inst
+
+    def _apply_bulk_sort(
+        self, batch: DataFrame, sort_mode: str, sort_files: int | None
+    ) -> DataFrame:
+        """Hudi ``hoodie.bulkinsert.sort.mode`` analog over the stamped
+        batch. GLOBAL_SORT range-shuffles on (partition path, record
+        key) — each task, and therefore each output file within a
+        partition dir, owns a disjoint key range, so the manifest's
+        ``key_min``/``key_max`` become maximally selective for every
+        later read and upsert plan. PARTITION_SORT only sorts within
+        the existing tasks (no shuffle). The sort key leads with the
+        partition path so GLOBAL_SORT tasks rarely straddle partition
+        dirs (Hudi sorts the same composite)."""
+        if sort_mode == "NONE":
+            return batch
+        keys = (
+            [PARTITION_PATH_COL, RECORD_KEY_COL]
+            if self.partition_keys
+            else [RECORD_KEY_COL]
+        )
+        if sort_mode == "GLOBAL_SORT":
+            cols = [F.col(k) for k in keys]
+            ranged = (
+                batch.repartitionByRange(sort_files, *cols)
+                if sort_files
+                else batch.repartitionByRange(*cols)
+            )
+            return ranged.sortWithinPartitions(*keys)
+        if sort_mode == "PARTITION_SORT":
+            return batch.sortWithinPartitions(*keys)
+        raise ValueError(
+            f"unknown sort_mode {sort_mode!r}; use NONE, GLOBAL_SORT, "
+            f"or PARTITION_SORT"
+        )
 
     def _commit_insert_overwrite(
         self, df: DataFrame, instant: str | None

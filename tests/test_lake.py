@@ -3662,3 +3662,71 @@ def test_stats_prune_date_only_operand_midnight_boundary(spark, tmp_path):
     # single-sided ops get the same normalization
     ge = t.snapshot(predicate=[("ts", ">=", "1997-10-02")])
     assert [r["k"] for r in ge.collect()] == ["x2"]
+
+
+def test_bulk_insert_global_sort_disjoint_key_ranges(spark, tmp_path):
+    """GLOBAL_SORT bulk insert range-shuffles on the record key: every
+    output file owns a disjoint key range, so a point read scans
+    exactly ONE file via manifest key-range pruning alone."""
+    t = make_table(spark, tmp_path)
+    t.write(
+        cust(spark), op="bulk_insert", instant="001",
+        sort_mode="GLOBAL_SORT", sort_files=6,
+    )
+    files = t._live_files()
+    assert len(files) >= 4
+    ranges = sorted((f["key_min"], f["key_max"]) for f in files)
+    assert all(r[0] is not None and r[1] >= r[0] for r in ranges)
+    for (_l1, h1), (l2, _h2) in zip(ranges, ranges[1:]):
+        assert h1 <= l2  # disjoint in record-key (string) order
+    assert t.snapshot().count() == cust(spark).count()
+    got = t.snapshot(predicate=[("_record_key", "=", "75")])
+    assert got.count() == 1 and got.collect()[0]["c_custkey"] == 75
+    assert t.last_files_skipped == len(files) - 1  # ONE file scanned
+
+
+def test_bulk_insert_partition_sort_and_validation(spark, tmp_path):
+    """PARTITION_SORT orders within tasks without a shuffle and
+    preserves content; sort_mode outside bulk_insert (or an unknown
+    mode) fails fast."""
+    t = make_table(spark, tmp_path, partition_keys=["c_mktsegment"])
+    t.write(
+        cust(spark).repartition(4), op="bulk_insert", instant="001",
+        sort_mode="PARTITION_SORT",
+    )
+    assert t.snapshot().count() == cust(spark).count()
+    with pytest.raises(ValueError, match="only to bulk_insert"):
+        t.write(cust(spark, ver=2), op="upsert", sort_mode="GLOBAL_SORT")
+    with pytest.raises(ValueError, match="unknown sort_mode"):
+        t.write(cust(spark, ver=2), op="bulk_insert", sort_mode="ZORDER")
+
+
+def test_bulk_insert_global_sort_partitioned(spark, tmp_path):
+    """Partitioned GLOBAL_SORT leads the sort key with the partition
+    path: files in each partition dir still carry tight disjoint key
+    ranges, and later upserts plan against them normally."""
+    t = make_table(spark, tmp_path, partition_keys=["c_mktsegment"])
+    t.write(
+        cust(spark), op="bulk_insert", instant="001",
+        sort_mode="GLOBAL_SORT", sort_files=10,
+    )
+    by_pp: dict = {}
+    for f in t._live_files():
+        by_pp.setdefault(f["partition_path"], []).append(
+            (f["key_min"], f["key_max"])
+        )
+    overlaps = 0
+    for rs in by_pp.values():
+        rs.sort()
+        for (_l1, h1), (l2, _h2) in zip(rs, rs[1:]):
+            if h1 > l2:
+                overlaps += 1
+    assert overlaps == 0  # disjoint within every partition dir
+    # the sorted layout composes with normal upserts
+    t.write(
+        cust(spark, ver=2).filter(F.col("c_custkey") <= 5),
+        op="upsert", instant="002",
+    )
+    assert t.snapshot().filter(F.col("c_custkey") <= 5).agg(
+        F.min("ver")
+    ).collect()[0][0] == 2

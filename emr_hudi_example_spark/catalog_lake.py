@@ -534,6 +534,48 @@ def lake_skipping_read(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @query(
+    "lake_functional_index_read",
+    oracle="""
+    SELECT o_orderkey, o_custkey, o_totalprice,
+           CAST(3 AS INT) AS files_skipped
+    FROM orders WHERE year(o_orderdate) = 1997
+    """,
+)
+def lake_functional_index_read(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Functional-index pruning (the Hudi 1.0 functional-index
+    capability, zero write-side cost): a ``year(col)`` predicate
+    prunes files on the TRANSFORM of their stored column stats —
+    year()/date() are monotone, so the expression's exact bounds
+    derive from the column bounds at plan time; no expression stats
+    are ever persisted. Four insert commits land disjoint date spans;
+    ``year(o_orderdate) = 1997`` must skip the three files whose
+    year-transformed ranges exclude 1997 (pinned by the graded
+    ``files_skipped`` column) and return exactly the expression
+    filter's rows."""
+    orders = load(spark, sf_dir, "orders").withColumn(
+        "ver", F.lit(1).cast("long")
+    )
+    t = LakeTable(
+        spark, _tmp_base(), "q", "fnidxread", ["o_orderkey"], "ver",
+        stats_columns=["o_orderdate"],
+    )
+    spans = [
+        ("1900-01-01", "1997-01-01"), ("1997-01-01", "1999-01-01"),
+        ("1999-01-01", "2000-01-01"), ("2000-01-01", "2100-01-01"),
+    ]
+    for i, (lo, hi) in enumerate(spans):
+        b = orders.filter(
+            (F.col("o_orderdate") >= lo) & (F.col("o_orderdate") < hi)
+        ).coalesce(1)
+        t.write(b, op="insert", instant=f"00{i + 1}")
+    out = t.snapshot(predicate=[("year(o_orderdate)", "=", 1997)])
+    return out.select(
+        "o_orderkey", "o_custkey", "o_totalprice",
+        F.lit(t.last_files_skipped).cast("int").alias("files_skipped"),
+    )
+
+
+@query(
     "lake_bulk_insert_sorted",
     oracle="""
     SELECT o_orderkey, o_custkey, o_totalprice,

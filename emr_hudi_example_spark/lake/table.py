@@ -104,6 +104,13 @@ class ConcurrentWriteConflict(RuntimeError):
 _ISO_T = re.compile(r"^\d{4}-\d{2}-\d{2}T\d{2}:\d{2}")
 _DT_SPACE = re.compile(r"^\d{4}-\d{2}-\d{2} \d{2}:\d{2}")
 _DATE_ONLY = re.compile(r"^\d{4}-\d{2}-\d{2}$")
+#: functional-index predicate columns — ``year(col)`` / ``date(col)``
+#: over a temporal column. Both are MONOTONE, so a file's expression
+#: bounds derive EXACTLY from its stored column stats at plan time:
+#: the Hudi 1.0 functional-index capability with zero write-side cost
+#: (no expression stats are ever persisted or maintained).
+_FN_COL = re.compile(r"^(year|date)\((\w+)\)$")
+_DATE_PREFIX = re.compile(r"^\d{4}-\d{2}-\d{2}")
 
 
 def reference_table_type(partition_keys: list[str] | None) -> str:
@@ -754,14 +761,34 @@ class LakeTable:
         if f.get("rows") == 0:
             return False  # empty part file: no row can match anything
         for col, op, val in predicate:
+            fncol = _FN_COL.match(col)
+            src = fncol.group(2) if fncol else col
             stats = (
                 (f.get("key_min"), f.get("key_max"))
-                if col == RECORD_KEY_COL
-                else tuple(f.get("col_stats", {}).get(col) or (None, None))
+                if src == RECORD_KEY_COL
+                else tuple(f.get("col_stats", {}).get(src) or (None, None))
             )
             lo, hi = stats
             if lo is None or hi is None:
                 continue  # no stats for this column in this file
+            if fncol:
+                # functional index: year()/date() are monotone, so the
+                # expression's exact bounds are the transform of the
+                # column bounds — but only when the stored stats are
+                # temporal-shaped strings (_stat_json's serialization);
+                # anything else (a string column with arbitrary
+                # content) stays unprunable
+                if not (
+                    isinstance(lo, str)
+                    and isinstance(hi, str)
+                    and _DATE_PREFIX.match(lo)
+                    and _DATE_PREFIX.match(hi)
+                ):
+                    continue
+                if fncol.group(1) == "year":
+                    lo, hi = int(lo[:4]), int(hi[:4])
+                else:  # date(): truncate to the day prefix
+                    lo, hi = lo[:10], hi[:10]
 
             def norm(v, lo=lo, hi=hi):
                 # an ISO-'T' predicate operand against TIMESTAMP stats
@@ -1072,7 +1099,14 @@ class LakeTable:
         optimization on top."""
         cond = F.lit(True)
         for col, op, val in predicate:
-            c = F.col(col)
+            fn = _FN_COL.match(col)
+            if fn:  # functional predicate: year(col) / date(col)
+                inner = F.col(fn.group(2))
+                c = F.year(inner) if fn.group(1) == "year" else F.to_date(
+                    inner
+                )
+            else:
+                c = F.col(col)
             if op == "between":
                 cond = cond & (c >= F.lit(val[0])) & (c <= F.lit(val[1]))
             elif op == "in":

@@ -3730,3 +3730,78 @@ def test_bulk_insert_global_sort_partitioned(spark, tmp_path):
     assert t.snapshot().filter(F.col("c_custkey") <= 5).agg(
         F.min("ver")
     ).collect()[0][0] == 2
+
+
+def test_functional_index_year_and_date_pruning(spark, tmp_path):
+    """``year(col)`` / ``date(col)`` predicates prune on the TRANSFORM
+    of the stored column stats (monotone ⇒ exact bounds, zero
+    write-side cost — the Hudi 1.0 functional-index capability) and
+    the row filter applies the same expression, so results are exact."""
+    import datetime as dt
+
+    t = LakeTable(
+        spark, str(tmp_path), "testdb", "fnidx",
+        record_keys=["k"], precombine="ver", stats_columns=["ts"],
+    )
+    def batch(year, tag):
+        return spark.createDataFrame(
+            [(f"{tag}{i}", dt.datetime(year, 3 + i, 15, 12, 30), 1)
+             for i in range(3)],
+            "k STRING, ts TIMESTAMP_NTZ, ver LONG",
+        ).coalesce(1)
+    t.write(batch(1995, "a"), op="insert", instant="001")
+    t.write(batch(1997, "b"), op="insert", instant="002")
+    t.write(batch(1999, "c"), op="insert", instant="003")
+
+    got = t.snapshot(predicate=[("year(ts)", "=", 1997)])
+    assert t.last_files_skipped == 2
+    assert sorted(r["k"] for r in got.collect()) == ["b0", "b1", "b2"]
+
+    got = t.snapshot(
+        predicate=[("date(ts)", "between", ("1999-04-01", "1999-12-31"))]
+    )
+    assert t.last_files_skipped == 2
+    assert sorted(r["k"] for r in got.collect()) == ["c1", "c2"]
+
+    # >= / < shapes work through the transform too
+    got = t.snapshot(predicate=[("year(ts)", ">=", 1999)])
+    assert t.last_files_skipped == 2
+    assert {r["k"][0] for r in got.collect()} == {"c"}
+
+
+def test_functional_index_statless_and_partition_stats(spark, tmp_path):
+    """A file without stats for the inner column never prunes on the
+    functional predicate, and the partition-stats index composes: a
+    whole partition wholesale-prunes on ``year(col)``."""
+    import datetime as dt
+
+    t = LakeTable(
+        spark, str(tmp_path), "testdb", "fnidx2",
+        record_keys=["k"], precombine="ver",
+        partition_keys=["p"], stats_columns=["ts"],
+    )
+    def pbatch(year, p, tag, n=2):
+        return spark.createDataFrame(
+            [(f"{tag}{i}", p, dt.datetime(year, 5, 1 + i), 1)
+             for i in range(n)],
+            "k STRING, p STRING, ts TIMESTAMP_NTZ, ver LONG",
+        )
+    t.write(
+        pbatch(1995, "old", "a").repartition(2)
+        .unionByName(pbatch(1999, "new", "b").repartition(2)),
+        op="insert", instant="001",
+    )
+    got = t.snapshot(predicate=[("year(ts)", "=", 1999)])
+    assert t.last_partitions_pruned == 1  # p=old dies wholesale
+    assert {r["k"][0] for r in got.collect()} == {"b"}
+    # stat-less inner column (all-NULL ts) vetoes pruning, rows exact
+    t.write(
+        spark.createDataFrame(
+            [("x0", "old", None, 1)],
+            "k STRING, p STRING, ts TIMESTAMP_NTZ, ver LONG",
+        ).coalesce(1),
+        op="insert", instant="002",
+    )
+    got = t.snapshot(predicate=[("year(ts)", "=", 1999)])
+    assert t.last_partitions_pruned == 0
+    assert {r["k"][0] for r in got.collect()} == {"b"}

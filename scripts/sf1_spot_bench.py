@@ -47,6 +47,13 @@ QUERIES = [
     "sim_ivfpq_residual_topk",
     "sim_ann_compare",
     "dedup_cluster_groups",
+    # r8-final additions: the new planner-index paths at 10x data —
+    # partition-stats prune (same partition count, 10x rows per file),
+    # GLOBAL_SORT bulk load (one range shuffle over 10x rows), and the
+    # sharded record-index write+probe workload
+    "lake_partition_stats_prune",
+    "lake_bulk_insert_sorted",
+    "lake_record_index_pointread",
 ]
 
 COPY_TABLES = ["region", "nation", "supplier", "part"]  # dims: verbatim

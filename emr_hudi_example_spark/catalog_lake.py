@@ -534,6 +534,54 @@ def lake_skipping_read(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @query(
+    "lake_metadata_aggregates",
+    oracle="""
+    SELECT count(*) AS cnt,
+           CAST(min(c_acctbal) AS DOUBLE) AS min_bal,
+           CAST(max(c_acctbal) AS DOUBLE) AS max_bal,
+           CAST(1 AS INT) AS from_metadata
+    FROM customer
+    """,
+)
+def lake_metadata_aggregates(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Metadata-only aggregates (the Iceberg/Hudi metadata-table
+    ``count(*)``/``min``/``max`` path): exact row count and column
+    extremes served from MANIFEST stats alone — zero scan, zero Spark
+    jobs, O(live files) driver-side arithmetic. At 100 TB this is
+    milliseconds instead of a full-corpus scan. Three insert commits
+    split customer by key band (multiple files, multiple commits —
+    the fold must aggregate ACROSS manifests); the graded
+    ``from_metadata`` column pins that BOTH fast paths actually served
+    from metadata (a fallback to a scan would still be value-correct,
+    so only the pinned flag catches a silent regression of the
+    shortcut itself). Parquet footer min/max exclude NULLs = SQL
+    aggregate semantics, and COW reads apply no merge that could drop
+    a file's extreme row."""
+    cust = load(spark, sf_dir, "customer").withColumn(
+        "ver", F.lit(1).cast("long")
+    )
+    t = LakeTable(
+        spark, _tmp_base(), "q", "metaagg", ["c_custkey"], "ver",
+        stats_columns=["c_acctbal"],
+    )
+    t.write(
+        cust.filter(F.col("c_custkey") % 3 == 0), op="insert", instant="001"
+    )
+    t.write(
+        cust.filter(F.col("c_custkey") % 3 == 1), op="insert", instant="002"
+    )
+    t.write(
+        cust.filter(F.col("c_custkey") % 3 == 2), op="insert", instant="003"
+    )
+    cnt, cnt_meta = t.metadata_count()
+    lo, hi, mm_meta = t.metadata_min_max("c_acctbal")
+    return spark.createDataFrame(
+        [(cnt, float(lo), float(hi), int(cnt_meta and mm_meta))],
+        "cnt BIGINT, min_bal DOUBLE, max_bal DOUBLE, from_metadata INT",
+    )
+
+
+@query(
     "lake_functional_index_read",
     oracle="""
     SELECT o_orderkey, o_custkey, o_totalprice,

@@ -2955,37 +2955,6 @@ _LSH_EVAL_TAIL = """,
     """
 
 
-@query(
-    "dedup_lsh_eval",
-    oracle=_lsh_verified_cte() + _LSH_EVAL_TAIL,
-)
-def dedup_lsh_eval(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Measure, don't guess — the LSH configuration's quality envelope
-    as a GRADED value: candidate-stage precision (how much of the
-    bucket-join survives exact verification) and recall against the
-    EXHAUSTIVE ground truth — exact Jaccard >= 0.2 over the uncapped
-    inverted index, computed by intersection COUNTING
-    (``operators/dedup.py ngram_jaccard_pairs_counted``) so no shingle
-    arrays ship through the pair join. Verified-LSH precision is 1.0
-    by construction (verify filters on exact Jaccard), so the graded
-    metrics are the candidate hit-rate (wasted verify work) and the
-    band-collision recall (missed near-dups) — exactly the two knobs
-    num_perm/band_size trade. Divisions are nullif-guarded on both
-    sides: a duplicate-free corpus yields NULL metrics, not an error.
-
-    Delegates to ``operators/dedup.py lsh_config_eval``, run here
-    EXACT (``sample_frac=None``) against the uncapped oracle. At
-    100 TB the exhaustive truth is intractable (O(Σ df²) pair
-    counting on a duplicate-saturated corpus): pass ``sample_frac`` to
-    evaluate the same configuration on a deterministic id-hash sample —
-    the 100 TB recipe, pinned by
-    ``tests/test_dedup.py::test_lsh_config_eval_sampled_slice``."""
-    docs = load(spark, sf_dir, "documents")
-    return D.lsh_config_eval(
-        docs, num_perm=_NUM_PERM, band_size=_BAND, k=3, threshold=0.2
-    )
-
-
 def _on_sampled_documents(sql: str, pred: str) -> str:
     """Rewrite an oracle CTE chain to run over the hash-sampled
     document slice: inject a ``documents_s`` CTE and repoint every
@@ -2999,10 +2968,50 @@ def _on_sampled_documents(sql: str, pred: str) -> str:
 
 
 @query(
+    "dedup_lsh_eval",
+    oracle=_on_sampled_documents(
+        _lsh_verified_cte() + _LSH_EVAL_TAIL,
+        D.hash_cap_sql("doc_id", 2000),
+    ),
+)
+def dedup_lsh_eval(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Measure, don't guess — the LSH configuration's quality envelope
+    as a GRADED value: candidate-stage precision (how much of the
+    bucket-join survives exact verification) and recall against the
+    exact ground truth — exact Jaccard >= 0.2 over the uncapped
+    inverted index, computed by intersection COUNTING
+    (``operators/dedup.py ngram_jaccard_pairs_counted``) so no shingle
+    arrays ship through the pair join. Verified-LSH precision is 1.0
+    by construction (verify filters on exact Jaccard), so the graded
+    metrics are the candidate hit-rate (wasted verify work) and the
+    band-collision recall (missed near-dups) — exactly the two knobs
+    num_perm/band_size trade. Divisions are nullif-guarded on both
+    sides: a duplicate-free corpus yields NULL metrics, not an error.
+
+    Delegates to ``operators/dedup.py lsh_config_eval`` with the
+    SIZE-DERIVED truth bound ``max_truth_docs=2000`` (r8 verdict #1):
+    at fixture scale (≤ 2000 docs) the eval stays EXACT and uncapped —
+    same values as before — while on any larger corpus the truth
+    join's input shrinks to a deterministic md5-hash slice of ~2000
+    docs, so the one graded plan that previously OOMed on the 10×
+    clone-dense probe is now scale-safe by construction. The oracle
+    replays the identical derivation (``hash_cap_sql`` — integer floor
+    division on both engines), so the entry stays value-gated at every
+    sf. Sampled-mode value-exactness is separately pinned by
+    ``dedup_lsh_eval_sampled`` and
+    ``tests/test_dedup.py::test_lsh_config_eval_sampled_slice``."""
+    docs = load(spark, sf_dir, "documents")
+    return D.lsh_config_eval(
+        docs, num_perm=_NUM_PERM, band_size=_BAND, k=3, threshold=0.2,
+        max_truth_docs=2000,
+    )
+
+
+@query(
     "dedup_lsh_eval_sampled",
     oracle=_on_sampled_documents(
         _lsh_verified_cte() + _LSH_EVAL_TAIL,
-        D.hash_sample_sql("doc_id", 0.5, 0),
+        D.hash_cap_sql("doc_id", 2000, base_frac=0.5),
     ),
 )
 def dedup_lsh_eval_sampled(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -3010,16 +3019,23 @@ def dedup_lsh_eval_sampled(spark: SparkSession, sf_dir: str) -> DataFrame:
     (r7 verdict #2): ``lsh_config_eval(sample_frac=0.5)`` — all three
     legs (signatures, candidates, exhaustive truth) computed on a
     deterministic md5-hash document slice, with the DuckDB oracle
-    replaying the identical slice via the same md5 predicate
-    (``hash_sample_sql``). This proves the sampled MODE is value-exact,
-    not just the exhaustive mode it stands in for: at 100 TB the
-    O(Σ df²) truth join is intractable on the full corpus, and this —
-    run at 0.01–0.05 — is the evaluation a real operator grades band
-    configurations with."""
+    replaying the identical slice via the same md5 predicate. This
+    proves the sampled MODE is value-exact, not just the exhaustive
+    mode it stands in for: at 100 TB the O(Σ df²) truth join is
+    intractable on the full corpus.
+
+    The fixed frac additionally composes with the size-derived bound
+    ``max_truth_docs=2000`` (r8 verdict #1 — a fixed 0.5 slice of a
+    10× clone-dense corpus still carried ~25% of the pair explosion
+    and OOMed the r8 spot-bench): both knobs cut the SAME md5 bucket,
+    so at fixture scale (slice ≤ 2000) the bound is inert and the
+    values are unchanged, while on a bigger corpus the tighter derived
+    cut wins. The oracle replays the composed derivation
+    (``hash_cap_sql(base_frac=0.5)``)."""
     docs = load(spark, sf_dir, "documents")
     return D.lsh_config_eval(
         docs, num_perm=_NUM_PERM, band_size=_BAND, k=3, threshold=0.2,
-        sample_frac=0.5,
+        sample_frac=0.5, max_truth_docs=2000,
     )
 
 

@@ -344,10 +344,12 @@ class LakeTable:
         #: exists and aborts with :class:`ConcurrentWriteConflict`.
         self.inflight_ttl_seconds: float = 900.0
         self.inflight_dir = os.path.join(self.commits_dir, ".inflight")
-        #: instant → stop-Event of its live heartbeat thread (see
-        #: :meth:`_mark_inflight`); crashed writers leave no entry —
-        #: their markers go stale exactly as before
-        self._inflight_heartbeats: dict[str, object] = {}
+        #: instant → (stop-Event, Thread) of its live heartbeat (see
+        #: :meth:`_mark_inflight`; the Thread is joined at clear so a
+        #: last beat can't resurrect the marker after the unlink);
+        #: crashed writers leave no entry — their markers go stale
+        #: exactly as before
+        self._inflight_heartbeats: dict[str, tuple] = {}
         #: instants cleared against the zombie fences (see
         #: :meth:`_zombie_instants`) — clean verdicts are immutable
         self._fence_ok: set[str] = set()
@@ -476,7 +478,16 @@ class LakeTable:
         watch item) and repeated planning walks into dict lookups.
         Bounded: evicted wholesale past 4096 entries (a table handle
         outliving that many commits is a long-lived daemon; correctness
-        is unaffected, the next read re-warms)."""
+        is unaffected, the next read re-warms).
+
+        INVARIANT — callers MUST treat the returned dict (and every
+        nested ``added`` file record) as frozen: the same objects are
+        shared by every later call AND by the live sets
+        ``_live_files_at`` assembles from ``m["added"]``. The only
+        in-place file-dict mutation in the codebase (``f[flag] = True``
+        during write assembly) happens on pre-publish records that have
+        never entered this cache; any new mutation site must copy
+        first."""
         cached = self._manifest_mem.get(instant)
         if cached is not None:
             return cached
@@ -533,7 +544,11 @@ class LakeTable:
         cache when that is newer) plus a forward replay of the ≤
         ``manifest_checkpoint_interval`` manifest deltas after it. Never
         O(commits) once a checkpoint exists. Legacy manifests that embed
-        a full ``live_files`` list act as materialized points too."""
+        a full ``live_files`` list act as materialized points too.
+
+        The returned list's dict entries are SHARED with the in-memory
+        manifest cache (``_manifest``) — read-only by contract; mutate a
+        copy, never in place (see the invariant note on ``_manifest``)."""
         if self._live_cache is not None and self._live_cache[0] == instant:
             return self._live_cache[1]
         target = self._manifest_any(instant)
@@ -3709,10 +3724,16 @@ class LakeTable:
                     self.release_savepoint(sp)
             self._live_cache = None
             # a doomed instant id can be re-allocated by a later write
-            # (instants are dense) — drop its cached manifest and its
-            # partition-stats aggregate with it
+            # (instants are dense) — drop EVERY instant-keyed cache with
+            # it: manifest, partition stats, bloom sidecars, and the
+            # column-type map that authorizes bloom pruning (a stale
+            # cached type for a re-allocated id could wrongly prune
+            # files under a different schema)
             self._manifest_mem.clear()
             self._pstats_cache.clear()
+            self._bloom_sidecars.clear()
+            self._col_bloom_sidecars.clear()
+            self._col_bloom_type_cache.clear()
             return doomed
 
     # ----------------------------------------------------------- compaction
@@ -4260,7 +4281,6 @@ class LakeTable:
         import threading
 
         stop = threading.Event()
-        self._inflight_heartbeats[instant] = stop
         interval = max(1.0, self.inflight_ttl_seconds / 3.0)
 
         def beat() -> None:
@@ -4270,9 +4290,11 @@ class LakeTable:
                 except OSError:
                     pass  # dir vanished (table dropped mid-write): moot
 
-        threading.Thread(
+        th = threading.Thread(
             target=beat, daemon=True, name=f"inflight-hb-{instant}"
-        ).start()
+        )
+        self._inflight_heartbeats[instant] = (stop, th)
+        th.start()
 
     def _write_inflight_marker(self, instant: str) -> None:
         os.makedirs(self.inflight_dir, exist_ok=True)
@@ -4287,7 +4309,15 @@ class LakeTable:
     def _clear_inflight(self, instant: str) -> None:
         hb = self._inflight_heartbeats.pop(instant, None)
         if hb is not None:
-            hb.set()  # stop the heartbeat before removing the marker
+            stop, th = hb
+            stop.set()
+            # JOIN before unlinking: a beat already past its stop check
+            # could os.replace the marker back after the unlink,
+            # resurrecting a fresh-timestamped marker for a completed
+            # commit (r8 advice). The thread spends its life in
+            # Event.wait, so the join returns in at most one marker
+            # write; the timeout only guards a wedged filesystem.
+            th.join(timeout=10.0)
         try:
             os.unlink(os.path.join(self.inflight_dir, instant + ".json"))
         except OSError:

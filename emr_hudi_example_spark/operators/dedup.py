@@ -600,6 +600,7 @@ def connected_components_star(
         .localCheckpoint(eager=True)
     )
     n_edges = edges.count()
+    converged = n_edges == 0
     for _ in range(max_iter):
         if n_edges == 0:
             break
@@ -635,8 +636,16 @@ def connected_components_star(
         new_n = small.count()
         if new_n == n_edges and small.exceptAll(edges).isEmpty():
             edges = small
+            converged = True
             break
         edges, n_edges = small, new_n
+    if not converged:
+        # max_iter exhausted before the fixed point: the edge set is
+        # NOT guaranteed to be a star forest, so reading labels off it
+        # could emit duplicate rows per vertex with non-minimal roots.
+        # Fall back to the diameter-bounded propagation variant — it is
+        # slower on deep chains but its labels are always valid.
+        return connected_components(pairs, vertices, id_col=id_col)
     labels = vertices.select(F.col(id_col).alias("v")).join(
         edges.select(F.col("a").alias("v"), F.col("b").alias("root")),
         "v",
@@ -1151,6 +1160,36 @@ def hash_sample_sql(
     )
 
 
+def _hash_bucket_sql(id_expr: str, seed: int = 0) -> str:
+    """The DuckDB expression for :func:`hash_sample`'s 16-bit bucket."""
+    return (
+        f"CAST(('0x' || substr(md5('{seed}:' || "
+        f"CAST({id_expr} AS VARCHAR)), 1, 4)) AS INTEGER)"
+    )
+
+
+def hash_cap_sql(
+    id_expr: str,
+    max_docs: int,
+    base_frac: float | None = None,
+    seed: int = 0,
+    src: str = "documents",
+) -> str:
+    """DuckDB predicate replaying the SIZE-DERIVED slice
+    :func:`lsh_config_eval` applies when ``max_truth_docs`` is set —
+    keep in lockstep with the Python derivation there. Integer-exact on
+    both engines: the cut is ``(base_cut * max_docs) // n`` (floor
+    division of positive ints, identical in Python and DuckDB ``//``),
+    computed from a scalar-subquery count of the base slice."""
+    base_cut = 65536 if base_frac is None else int(base_frac * 65536)
+    b = _hash_bucket_sql(id_expr, seed)
+    return (
+        f"{b} < (SELECT CASE WHEN count(*) <= {max_docs} THEN {base_cut} "
+        f"ELSE ({base_cut} * {max_docs}) // count(*) END "
+        f"FROM {src} WHERE {b} < {base_cut})"
+    )
+
+
 def lsh_config_eval(
     df: DataFrame,
     id_col: str = "doc_id",
@@ -1161,6 +1200,7 @@ def lsh_config_eval(
     threshold: float = 0.2,
     sample_frac: float | None = None,
     seed: int = 0,
+    max_truth_docs: int | None = None,
 ) -> DataFrame:
     """Quality envelope of an LSH band configuration as one scalar row:
     candidate count, verified count, exhaustive-truth count, candidate
@@ -1171,16 +1211,40 @@ def lsh_config_eval(
     (:func:`ngram_jaccard_pairs_counted`), whose posting self-join is
     O(sum over shingles of df^2) pairs — fine at fixture scale, but on a
     duplicate-saturated 100 TB corpus the hot-shingle blow-up makes the
-    exhaustive truth intractable. The 100 TB recipe is ``sample_frac``:
+    exhaustive truth intractable. The 100 TB recipe is sampling:
     evaluate the band configuration on a deterministic id-hash sample
     (:func:`hash_sample`) — ALL THREE legs (signatures, candidates,
     truth) run on the same slice, so precision/recall are unbiased
     estimates of the full-corpus metrics (Jaccard of a pair does not
     depend on the rest of the corpus; sampling ids only thins the pair
-    population). ``sample_frac=None`` is the exact, uncapped eval the
-    graded query runs at fixture scale."""
+    population).
+
+    Two sampling knobs compose (both over the SAME md5 bucket, so the
+    tighter cut subsumes the looser — one filter, one slice):
+
+    - ``sample_frac`` — a fixed fraction, chosen by the operator.
+    - ``max_truth_docs`` — a SIZE-DERIVED bound (r8 verdict #1): count
+      the base slice once, and if it exceeds the bound shrink the hash
+      cut to ``(base_cut * max_truth_docs) // n`` — floor division of
+      positive ints, so DuckDB can replay the derived slice bit-exactly
+      (:func:`hash_cap_sql`). This is what makes a GRADED eval safe on
+      any corpus: a fixed frac that is exact at fixture scale still
+      explodes on a 10× clone-dense corpus (the r8 spot-bench OOM),
+      while the derived cut holds the truth join's input near-constant
+      regardless of corpus size.
+
+    With both unset this is the exact, uncapped eval."""
+    base = df.select(id_col, text_col)
+    base_cut = 65536 if sample_frac is None else int(sample_frac * 65536)
+    cut = base_cut
+    if max_truth_docs is not None:
+        n = hash_sample(base, id_col, sample_frac, seed).count()
+        if n > max_truth_docs:
+            cut = (base_cut * max_truth_docs) // n
+    # cut/65536.0 is a dyadic rational (exact in double), so hash_sample's
+    # int(frac * 65536) recovers the integer cut bit-exactly
     docs = hash_sample(
-        df.select(id_col, text_col), id_col, sample_frac, seed
+        base, id_col, None if cut >= 65536 else cut / 65536.0, seed
     )
     sig = minhash_signatures(docs, num_perm=num_perm, k=k)
     # uncapped candidates: the eval grades the RAW band configuration

@@ -31,13 +31,15 @@ SHIFT = 10_000_000
 
 #: the top-cost set: streaming drains, medallion chain, PQ/ANN family,
 #: graph, bloom-index lake path. r8: the ANN bake-off legs run their
-#: graded SAMPLED query slices. The LSH evals are excluded here: the
-#: exhaustive truth OOMs at 10x clone density by design (BASELINE.md
-#: r7), and the graded `dedup_lsh_eval_sampled`'s fixture-scale
-#: sample_frac=0.5 still carries ~25% of that blown-up truth join —
-#: the knob's 10x setting is 0.01-0.05, probed separately
-#: (`lsh_config_eval(sample_frac=0.05)`, recorded in BASELINE.md).
+#: graded SAMPLED query slices. r9: the LSH evals are back IN — their
+#: graded configs now carry the size-derived truth bound
+#: (`max_truth_docs=2000`, r8 verdict #1), so the exact recipes that
+#: previously OOMed at 10x clone density are expected to run bounded
+#: here (the bound holds the truth join's input near-constant
+#: regardless of corpus size).
 QUERIES = [
+    "dedup_lsh_eval",
+    "dedup_lsh_eval_sampled",
     "pipe_dwd2dm_endstate",
     "pipe_stream_dedup_endstate",
     "pipe_stream_join_endstate",

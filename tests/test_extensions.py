@@ -883,6 +883,43 @@ def test_lsh_config_eval_sampled_slice(spark):
     assert D.hash_sample(docs, "doc_id", None).count() == 400
 
 
+def test_lsh_config_eval_size_derived_cap(spark):
+    """The size-derived truth bound (r8 verdict #1): with
+    ``max_truth_docs`` set, a corpus larger than the bound is cut to a
+    deterministic md5-hash slice of ~max_truth_docs docs — the eval
+    equals the full eval of that pre-filtered slice (same argument as
+    the fixed-frac test above) — while a corpus at or under the bound
+    runs EXACT (the graded config's fixture-scale behavior). The
+    derived cut is integer floor division, so ``hash_cap_sql`` can
+    replay it bit-exactly in DuckDB (pinned by the oracle gate)."""
+    from emr_hudi_example_spark.operators import dedup as D
+
+    docs = spark.read.parquet(f"{SF}/documents.parquet").limit(400)
+    kw = dict(num_perm=12, band_size=3, k=3, threshold=0.2)
+    # bound engaged: 400 docs > 100 → derived cut (65536*100)//400
+    capped = D.lsh_config_eval(docs, max_truth_docs=100, **kw)
+    cut = (65536 * 100) // 400
+    slice_ = D.hash_sample(docs, "doc_id", cut / 65536.0)
+    manual = D.lsh_config_eval(slice_, **kw)
+    assert capped.collect() == manual.collect()
+    n_slice = slice_.count()
+    assert 0 < n_slice < 400
+    # bound inert at fixture scale: 400 <= 1000 → identical to exact
+    exact = D.lsh_config_eval(docs, **kw)
+    inert = D.lsh_config_eval(docs, max_truth_docs=1000, **kw)
+    assert inert.collect() == exact.collect()
+    # composes with a fixed frac over the SAME bucket: tighter cut wins
+    both = D.lsh_config_eval(
+        docs, sample_frac=0.5, max_truth_docs=100, **kw
+    )
+    n_half = D.hash_sample(docs, "doc_id", 0.5).count()
+    cut2 = (32768 * 100) // n_half
+    manual2 = D.lsh_config_eval(
+        D.hash_sample(docs, "doc_id", cut2 / 65536.0), **kw
+    )
+    assert both.collect() == manual2.collect()
+
+
 def test_pagerank_weighted_vs_unweighted(spark):
     """use_weights=True (r5 advice): handoff multiplicity influences
     ranks. On a 3-node graph where a→b carries 9× the weight of a→c,

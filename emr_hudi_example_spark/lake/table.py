@@ -284,6 +284,10 @@ class LakeTable:
         #: :meth:`restore`, the one operation that can re-allocate an
         #: instant id
         self._manifest_mem: dict[str, dict] = {}
+        #: instant → per-partition key envelope for publish conflict
+        #: checks (see :meth:`_commit_summary`); instant-keyed, so
+        #: cleared on restore with the other caches
+        self._commit_summary_cache: dict[str, dict] = {}
         #: BUCKET index (Hudi's ``hoodie.index.type=BUCKET`` simple
         #: bucket engine): data files are written per
         #: ``pmod(xxhash64(record_key), n)`` bucket (one shuffle task →
@@ -1743,6 +1747,48 @@ class LakeTable:
             self._write_manifest(inst, action, schema, added, replaced)
             return inst
 
+    @staticmethod
+    def _key_summary(files: list[dict]) -> dict:
+        """Per-partition ``[key_min, key_max]`` envelope over file
+        records; a ``None`` envelope means at least one file in that
+        partition lacks key stats (the envelope is unknowable and any
+        check must fall back to the per-file proof)."""
+        out: dict = {}
+        for f in files:
+            pp = f.get("partition_path")
+            if pp in out and out[pp] is None:
+                continue
+            kmin, kmax = f.get("key_min"), f.get("key_max")
+            if kmin is None or kmax is None:
+                out[pp] = None
+            elif pp not in out:
+                out[pp] = [kmin, kmax]
+            else:
+                e = out[pp]
+                if kmin < e[0]:
+                    e[0] = kmin
+                if kmax > e[1]:
+                    e[1] = kmax
+        return out
+
+    def _commit_summary(self, instant: str, m: dict) -> dict:
+        """A commit's per-partition key envelope: read from the
+        manifest's ``key_summary`` (written since r9), derived once
+        from ``added`` for legacy manifests; memoized per instant
+        (manifests are immutable; cleared on restore with the other
+        instant-keyed caches)."""
+        cached = self._commit_summary_cache.get(instant)
+        if cached is not None:
+            return cached
+        raw = m.get("key_summary")
+        s = (
+            {e["pp"]: e["env"] for e in raw}
+            if raw is not None
+            else self._key_summary(m["added"])
+        )
+        self._commit_summary_cache[instant] = s
+        return s
+
     def _check_publish_conflicts(
         self,
         base: str | None,
@@ -1754,8 +1800,17 @@ class LakeTable:
         """Raise :class:`ConcurrentWriteConflict` unless publishing a
         commit computed at snapshot ``base`` is equivalent to SOME
         serial order (see :meth:`write_optimistic` for the rules).
-        Cost: O(commits since base × files per commit) manifest reads —
-        publish-window sized, driver-side."""
+
+        Cost (r8 verdict #5): O(commits since base) SUMMARY lookups —
+        the added-vs-added key-overlap proof compares per-partition
+        [min,max] envelopes recorded in each manifest (``key_summary``)
+        and only descends to the exact per-file pairwise proof for the
+        (commit, partition) pairs whose envelopes intersect, which for
+        disjoint-key writers (the normal optimistic-concurrency
+        workload) is none of them. Disjoint envelopes imply no file
+        pair can overlap, so the pruning is exact, never unsound. A
+        pathological 50-commit publish backlog therefore costs ~50
+        dict probes, not 50 × files comparisons."""
         tl = self.timeline()
         if tl and tl[-1] >= inst:
             raise ConcurrentWriteConflict(
@@ -1764,42 +1819,63 @@ class LakeTable:
         newer = [i for i in tl if base is None or i > base]
         if not newer:
             return
-        their_replaced: set[str] = set()
-        their_added: list[dict] = []
+        ours_replaced = set(replaced)
+        check_keys = not (op == "insert" or self.is_mor)
+        # inserts are not key-unique (Hudi semantics); MOR appends
+        # COMMUTE under the precombine read merge — neither needs
+        # the added-vs-added key-overlap proof
+        ours = self._key_summary(added) if check_keys else {}
+        our_by_pp: dict = {}
+        if check_keys:
+            for f in added:
+                our_by_pp.setdefault(f.get("partition_path"), []).append(f)
         for i in newer:
             m = self._manifest(i)
-            their_replaced |= set(m["replaced"])
-            their_added.extend(m["added"])
-        clash = their_replaced & set(replaced)
-        if clash:
-            raise ConcurrentWriteConflict(
-                f"read-set overlap on {sorted(clash)[:3]} with concurrent "
-                f"commits {newer}"
-            )
-        if op == "insert" or self.is_mor:
-            # inserts are not key-unique (Hudi semantics); MOR appends
-            # COMMUTE under the precombine read merge — neither needs
-            # the added-vs-added key-overlap proof
-            return
-        for f in added:
-            for g in their_added:
-                if f.get("partition_path") != g.get("partition_path"):
-                    continue
-                fmin, fmax = f.get("key_min"), f.get("key_max")
-                gmin, gmax = g.get("key_min"), g.get("key_max")
-                if None in (fmin, fmax, gmin, gmax):
-                    # missing key stats: cannot prove disjoint — abort
-                    # (conservative, never unsound)
-                    raise ConcurrentWriteConflict(
-                        f"no key stats to prove {f['path']} disjoint "
-                        f"from concurrent {g['path']}"
-                    )
-                if not (fmax < gmin or gmax < fmin):
-                    raise ConcurrentWriteConflict(
-                        f"key-range overlap: {f['path']} "
-                        f"[{fmin},{fmax}] vs concurrent {g['path']} "
-                        f"[{gmin},{gmax}]"
-                    )
+            clash = ours_replaced.intersection(m["replaced"])
+            if clash:
+                raise ConcurrentWriteConflict(
+                    f"read-set overlap on {sorted(clash)[:3]} with "
+                    f"concurrent commit {i}"
+                )
+            if not check_keys:
+                continue
+            theirs = self._commit_summary(i, m)
+            their_by_pp: dict | None = None
+            for pp, env in ours.items():
+                if pp not in theirs:
+                    continue  # commit i touched no files in pp
+                tenv = theirs[pp]
+                if (
+                    env is not None
+                    and tenv is not None
+                    and (env[1] < tenv[0] or tenv[1] < env[0])
+                ):
+                    continue  # disjoint envelopes: no pair can overlap
+                # envelopes intersect (or stats incomplete): exact
+                # per-file proof for THIS (commit, partition) only
+                if their_by_pp is None:
+                    their_by_pp = {}
+                    for g in m["added"]:
+                        their_by_pp.setdefault(
+                            g.get("partition_path"), []
+                        ).append(g)
+                for f in our_by_pp[pp]:
+                    for g in their_by_pp.get(pp, []):
+                        fmin, fmax = f.get("key_min"), f.get("key_max")
+                        gmin, gmax = g.get("key_min"), g.get("key_max")
+                        if None in (fmin, fmax, gmin, gmax):
+                            # missing key stats: cannot prove disjoint —
+                            # abort (conservative, never unsound)
+                            raise ConcurrentWriteConflict(
+                                f"no key stats to prove {f['path']} "
+                                f"disjoint from concurrent {g['path']}"
+                            )
+                        if not (fmax < gmin or gmax < fmin):
+                            raise ConcurrentWriteConflict(
+                                f"key-range overlap: {f['path']} "
+                                f"[{fmin},{fmax}] vs concurrent "
+                                f"{g['path']} [{gmin},{gmax}]"
+                            )
 
     def delete_partitions(
         self, partitions: list[dict], instant: str | None = None
@@ -3387,6 +3463,13 @@ class LakeTable:
             "schema": schema.jsonValue(),
             "added": added,
             "replaced": replaced,
+            # per-partition key envelope (r8 verdict #5): lets a later
+            # optimistic publish prove disjointness against this commit
+            # with one dict probe instead of a per-file pairwise walk
+            "key_summary": [
+                {"pp": pp, "env": env}
+                for pp, env in self._key_summary(added).items()
+            ],
             # writer's fencing token (lease providers; None for the
             # O_EXCL file lock) — lets read planning discard a zombie
             # manifest renamed into the timeline after a lease takeover
@@ -3734,6 +3817,7 @@ class LakeTable:
             self._bloom_sidecars.clear()
             self._col_bloom_sidecars.clear()
             self._col_bloom_type_cache.clear()
+            self._commit_summary_cache.clear()
             return doomed
 
     # ----------------------------------------------------------- compaction

@@ -161,14 +161,11 @@ class LakeTable:
             raise ValueError(f"unknown table type: {table_type}")
         if payload not in ("default", "partial_update"):
             raise ValueError(f"unknown payload: {payload}")
-        if payload == "partial_update" and table_type != "COPY_ON_WRITE":
-            # the MOR read merge would need the same per-column ordered
-            # fold in every snapshot read; scoped to COW (where deletes
-            # materialize eagerly, so column inheritance can never look
-            # through a tombstone) until that lands
-            raise ValueError(
-                "payload='partial_update' requires COPY_ON_WRITE"
-            )
+        # partial_update works on BOTH table types (r8 verdict #6): COW
+        # folds at write (:meth:`_merge`), MOR folds at read/compact
+        # (:meth:`_merged_read`) — the read-time tombstone filter gives
+        # MOR the same can't-inherit-through-a-delete guarantee COW
+        # gets from eager delete materialization.
         self.spark = spark
         self.path = os.path.join(base_path, db, table)
         self.db = db
@@ -182,7 +179,8 @@ class LakeTable:
         #: row); "partial_update" = PartialUpdateAvroPayload (per
         #: COLUMN, the newest non-null version wins — null incoming
         #: fields inherit stored values, so producers can send sparse
-        #: column patches). See :meth:`_merge`.
+        #: column patches). COW folds at write (:meth:`_merge`), MOR at
+        #: read/compact (:meth:`_merged_read`).
         self.payload = payload
         #: COW rewrites key-hit files per upsert; MOR appends delta files
         #: and merges at read (the reference picks MOR for partitioned
@@ -2262,7 +2260,21 @@ class LakeTable:
         committed before a key's newest tombstone are dead (matching the
         COW delete-then-reinsert semantics exactly); among the live rows
         the ``(precombine, _commit_time)`` max wins. Hash aggregations
-        with map-side partial combine — no sort."""
+        with map-side partial combine — no sort.
+
+        With ``payload='partial_update'`` the same single aggregation
+        additionally folds each data column to its newest NON-NULL
+        version (one ``max_by`` per column, identical shuffle shape) —
+        the MOR twin of :meth:`_merge`'s COW fold. Soundness of column
+        inheritance under deletes is the tombstone filter ABOVE the
+        fold: every version at or before a key's newest tombstone is
+        dropped first, so a patch can never inherit a column through a
+        delete — the exact property the COW path gets from eager delete
+        materialization. Note for :meth:`incremental` (which reuses
+        this merge over in-range files only): the fold sees in-range
+        versions, so a sparse patch surfaces with nulls for columns
+        last set before the range — Hudi's partial-update payload has
+        the same incremental-read caveat."""
         part_cols = (
             [RECORD_KEY_COL]
             if self.global_index
@@ -2285,10 +2297,33 @@ class LakeTable:
                 )
                 .drop("_tomb_ct")
             )
-        winner = F.max_by(
-            F.struct(*df.columns),
-            F.struct(F.col(self.precombine), F.col(COMMIT_TIME_COL)),
-        ).alias("_r")
+        order = F.struct(F.col(self.precombine), F.col(COMMIT_TIME_COL))
+        winner = F.max_by(F.struct(*df.columns), order).alias("_r")
+        if self.payload == "partial_update":
+            whole_row = set(META_COLS) | {self.precombine, DELETED_COL}
+            fold_cols = [
+                c
+                for c in df.columns
+                if c not in whole_row and c not in part_cols
+            ]
+            folds = [
+                F.max_by(
+                    F.col(c), F.when(F.col(c).isNotNull(), order)
+                ).alias(c)
+                for c in fold_cols
+            ]
+            agged = df.groupBy(*part_cols).agg(winner, *folds)
+            outs = []
+            for c in out_cols:
+                if c in part_cols:
+                    outs.append(F.col(c))
+                elif c in whole_row:
+                    outs.append(F.col(f"_r.{c}").alias(c))
+                else:
+                    outs.append(
+                        F.coalesce(F.col(c), F.col(f"_r.{c}")).alias(c)
+                    )
+            return agged.select(*outs)
         # the tombstone join moves its key columns to the front — restore
         # the stored column order
         return df.groupBy(*part_cols).agg(winner).select(
@@ -3189,8 +3224,11 @@ class LakeTable:
         # fold can't see a non-null value for follow the overall winner.
         # Still ONE hash aggregation (a max_by per column, all with
         # map-side partial combine): same shuffle shape as the default
-        # payload at any scale. COW-only: deletes materialize eagerly
-        # there, so inheritance can never look through a tombstone.
+        # payload at any scale. This is the COW (write-time) fold;
+        # deletes materialize eagerly here, so inheritance can never
+        # look through a tombstone. The MOR twin folds at read/compact
+        # (:meth:`_merged_read`), where the tombstone filter precedes
+        # the fold for the same guarantee.
         whole_row = set(META_COLS) | {self.precombine, "_is_new"}
         fold_cols = [
             c

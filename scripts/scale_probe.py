@@ -124,6 +124,98 @@ def run_probe(spark: SparkSession, mult: int) -> list[dict]:
         )
     )
 
+    # --- r9: the r8 planner-index paths at scale (r8 verdict #4) ---
+    # (a) sidecar builds under REAL file counts: one commit of 1024
+    # files with record index + key bloom + column bloom enabled — the
+    # thread-pooled footer harvesting and concurrent index builds, and
+    # the per-instant .nshards modulus, under a 1000+-file commit.
+    iroot = f"{WORK}/x{mult}/lake_idx"
+    shutil.rmtree(iroot, ignore_errors=True)
+    ti = LakeTable(
+        spark, iroot, "probe", "orders_idx", ["o_orderkey"], "ver",
+        record_index=True, index_shards=64,
+        bloom_index=True, bloom_columns=["o_custkey"],
+        stats_columns=["o_orderdate"],
+    )
+    recs.append(
+        timed(
+            "sidecar_build_1024files", mult,
+            lambda: ti.write(
+                orders.repartition(1024), op="insert", instant="001"
+            ),
+        )
+    )
+    probe_key = str(
+        orders.agg(F.max("o_orderkey")).collect()[0][0]
+    )
+
+    def _point_read():
+        out = ti.snapshot(predicate=[("_record_key", "=", probe_key)])
+        return {"rows": out.count(), "read_pruned": ti.last_record_read_pruned}
+
+    recs.append(timed("record_index_pointread_1024", mult, _point_read))
+
+    # (b) partition-stats wholesale pruning: orders partitioned by
+    # derived year, two interleaved commits, a 1997 window predicate —
+    # planning is O(partitions); partition count is FIXED across
+    # multipliers, so the read curve isolates the scan of one year.
+    proot = f"{WORK}/x{mult}/lake_pstats"
+    shutil.rmtree(proot, ignore_errors=True)
+    by_year = orders.withColumn(
+        "logyear", F.substring(F.col("o_orderdate").cast("string"), 1, 4)
+    )
+    tp = LakeTable(
+        spark, proot, "probe", "orders_py", ["o_orderkey"], "ver",
+        partition_keys=["logyear"], stats_columns=["o_orderdate"],
+    )
+    tp.write(
+        by_year.filter(F.col("o_orderkey") % 2 == 0),
+        op="insert", instant="001",
+    )
+    tp.write(
+        by_year.filter(F.col("o_orderkey") % 2 == 1),
+        op="insert", instant="002",
+    )
+
+    def _pstats_read():
+        out = tp.snapshot(
+            predicate=[
+                ("o_orderdate", "between", ("1997-03-01", "1997-09-30"))
+            ]
+        )
+        return {
+            "rows": out.count(),
+            "partitions_pruned": tp.last_partitions_pruned,
+        }
+
+    recs.append(timed("partition_stats_prune_read", mult, _pstats_read))
+
+    # (c) functional-index pruning: year() predicate over stored
+    # column stats — four disjoint date-span commits, read one year.
+    froot = f"{WORK}/x{mult}/lake_fn"
+    shutil.rmtree(froot, ignore_errors=True)
+    tf = LakeTable(
+        spark, froot, "probe", "orders_fn", ["o_orderkey"], "ver",
+        stats_columns=["o_orderdate"],
+    )
+    spans = [
+        ("1900-01-01", "1997-01-01"), ("1997-01-01", "1999-01-01"),
+        ("1999-01-01", "2000-01-01"), ("2000-01-01", "2100-01-01"),
+    ]
+    for i, (lo, hi) in enumerate(spans):
+        tf.write(
+            orders.filter(
+                (F.col("o_orderdate") >= lo) & (F.col("o_orderdate") < hi)
+            ).coalesce(4),
+            op="insert", instant=f"00{i + 1}",
+        )
+
+    def _fn_read():
+        out = tf.snapshot(predicate=[("year(o_orderdate)", "=", 1997)])
+        return {"rows": out.count(), "files_skipped": tf.last_files_skipped}
+
+    recs.append(timed("functional_index_read", mult, _fn_read))
+
     # materialization (checkpoint) INSIDE the timed block so pair-gen
     # cost lands in minhash_lsh_pairs, and cluster_groups below times
     # only label propagation over the already-materialized pairs

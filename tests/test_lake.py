@@ -3329,15 +3329,10 @@ def test_partial_update_payload_column_inheritance(spark, tmp_path):
     """payload='partial_update' (Hudi PartialUpdateAvroPayload analog):
     per column the newest non-null version wins, so sparse column
     patches inherit stored values; the default payload is unchanged;
-    MOR construction refuses the payload; deletes reset history."""
+    deletes reset history. (MOR accepts the payload since r9 — the MOR
+    matrix is test_partial_update_mor_matrix.)"""
     import pytest as _pytest
 
-    with _pytest.raises(ValueError, match="COPY_ON_WRITE"):
-        LakeTable(
-            spark, str(tmp_path), "testdb", "pux",
-            record_keys=["c_custkey"], precombine="ver",
-            table_type="MERGE_ON_READ", payload="partial_update",
-        )
     with _pytest.raises(ValueError, match="payload"):
         LakeTable(
             spark, str(tmp_path), "testdb", "puy",

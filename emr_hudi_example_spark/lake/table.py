@@ -2262,10 +2262,11 @@ class LakeTable:
         the ``(precombine, _commit_time)`` max wins. Hash aggregations
         with map-side partial combine — no sort.
 
-        With ``payload='partial_update'`` the same single aggregation
-        additionally folds each data column to its newest NON-NULL
-        version (one ``max_by`` per column, identical shuffle shape) —
-        the MOR twin of :meth:`_merge`'s COW fold. Soundness of column
+        With ``payload='partial_update'`` the aggregation additionally
+        folds each data column to its newest ELIGIBLE non-null version
+        (one ``max_by`` per column plus a running-max window for
+        eligibility — see the inline note) — the MOR twin of
+        :meth:`_merge`'s COW fold. Soundness of column
         inheritance under deletes is the tombstone filter ABOVE the
         fold: every version at or before a key's newest tombstone is
         dropped first, so a patch can never inherit a column through a
@@ -2300,7 +2301,35 @@ class LakeTable:
         order = F.struct(F.col(self.precombine), F.col(COMMIT_TIME_COL))
         winner = F.max_by(F.struct(*df.columns), order).alias("_r")
         if self.payload == "partial_update":
-            whole_row = set(META_COLS) | {self.precombine, DELETED_COL}
+            # Sequential-fold equivalence (matches the COW write-time
+            # fold composed across commits, and Hudi's log-merge order):
+            # a version's non-null columns are fold candidates iff its
+            # precombine equals the RUNNING max over the key's versions
+            # in commit order — a later patch with a lower precombine
+            # fills only nulls, exactly as if each commit had been
+            # materialized COW-style (where surviving column values are
+            # re-attributed the stored row's max precombine). Among
+            # eligible versions the newest (commit, precombine) wins
+            # per column. Costs one window sort over each key's
+            # versions — only on partial_update tables, and versions
+            # per key between compactions are few by design.
+            from pyspark.sql.window import Window
+
+            run_w = (
+                Window.partitionBy(*part_cols)
+                .orderBy(F.col(COMMIT_TIME_COL), F.col(self.precombine))
+                .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+            )
+            df = df.withColumn(
+                "_run_max", F.max(self.precombine).over(run_w)
+            )
+            elig = F.col(self.precombine) == F.col("_run_max")
+            fold_order = F.struct(
+                F.col(COMMIT_TIME_COL), F.col(self.precombine)
+            )
+            whole_row = set(META_COLS) | {
+                self.precombine, DELETED_COL, "_run_max"
+            }
             fold_cols = [
                 c
                 for c in df.columns
@@ -2308,7 +2337,8 @@ class LakeTable:
             ]
             folds = [
                 F.max_by(
-                    F.col(c), F.when(F.col(c).isNotNull(), order)
+                    F.col(c),
+                    F.when(elig & F.col(c).isNotNull(), fold_order),
                 ).alias(c)
                 for c in fold_cols
             ]

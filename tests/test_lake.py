@@ -3446,6 +3446,143 @@ def test_type_widening_schema_evolution(spark, tmp_path):
     assert {r["k"] for r in inc.collect()} == {2, 3}
 
 
+def test_partial_update_mor_matrix(spark, tmp_path):
+    """payload='partial_update' on MERGE_ON_READ (r8 verdict #6): the
+    read/compact-time fold must produce END STATES IDENTICAL to the
+    COW write-time fold for the same write sequence — including the
+    out-of-order-patch case, where eligibility is the running max of
+    the precombine in commit order (Hudi's log-merge order), and the
+    delete case, where the tombstone filter precedes the fold so
+    nothing inherits through a delete. Compaction mid-stream
+    materializes the fold and later patches compose against it."""
+    seq = [
+        # (instant, op, build): the shared write program
+        ("001", "insert", lambda b: b),
+        ("002", "upsert", lambda b: (  # sparse patch: bal set, name null
+            b.filter(F.col("c_custkey") == 8)
+            .withColumn("ver", F.lit(2).cast("long"))
+            .withColumn("c_acctbal", F.lit(999.5))
+            .withColumn("c_name", F.lit(None).cast("string"))
+        )),
+        ("003", "upsert", lambda b: (  # out-of-order: older ver patch
+            b.filter(F.col("c_custkey") == 8)
+            .withColumn("ver", F.lit(1).cast("long"))
+            .withColumn("c_name", F.lit("stale-name"))
+            .withColumn("c_acctbal", F.lit(None).cast("double"))
+        )),
+    ]
+    base = cust(spark, ver=1)
+    ends = {}
+    for tt in ("COPY_ON_WRITE", "MERGE_ON_READ"):
+        t = LakeTable(
+            spark, str(tmp_path), "testdb", f"pum_{tt[:3].lower()}",
+            record_keys=["c_custkey"], precombine="ver",
+            table_type=tt, payload="partial_update",
+        )
+        for inst, op, build in seq:
+            t.write(build(base), op=op, instant=inst)
+        row = t.snapshot().filter(F.col("c_custkey") == 8).collect()[0]
+        ends[tt] = (row["c_name"], row["c_acctbal"], row["ver"])
+        assert t.snapshot().count() == base.count()
+    orig_name = base.filter(F.col("c_custkey") == 8).collect()[0]["c_name"]
+    # COW materialization re-attributes the inherited name to ver 2, so
+    # the late ver-1 "stale-name" loses; MOR must agree READ-TIME
+    assert ends["COPY_ON_WRITE"] == (orig_name, 999.5, 2)
+    assert ends["MERGE_ON_READ"] == ends["COPY_ON_WRITE"]
+
+    # MOR continuation: compact (materializes the fold), patch again,
+    # delete, re-insert — inheritance resets at the tombstone
+    t = LakeTable(
+        spark, str(tmp_path), "testdb", "pum_mer",
+        record_keys=["c_custkey"], precombine="ver",
+        table_type="MERGE_ON_READ", payload="partial_update",
+    )
+    t.compact(instant="004")
+    row = t.snapshot().filter(F.col("c_custkey") == 8).collect()[0]
+    assert (row["c_name"], row["c_acctbal"], row["ver"]) == (
+        orig_name, 999.5, 2,
+    )
+    # read-optimized view (base files only) serves the compacted fold
+    ro = t.read_optimized().filter(F.col("c_custkey") == 8).collect()[0]
+    assert (ro["c_name"], ro["c_acctbal"]) == (orig_name, 999.5)
+    t.write(  # post-compact sparse patch folds against materialized row
+        base.filter(F.col("c_custkey") == 8)
+        .withColumn("ver", F.lit(3).cast("long"))
+        .withColumn("c_acctbal", F.lit(111.25))
+        .withColumn("c_name", F.lit(None).cast("string")),
+        op="upsert", instant="005",
+    )
+    row = t.snapshot().filter(F.col("c_custkey") == 8).collect()[0]
+    assert (row["c_name"], row["c_acctbal"], row["ver"]) == (
+        orig_name, 111.25, 3,
+    )
+    t.write(
+        base.filter(F.col("c_custkey") == 8).select("c_custkey", "ver"),
+        op="delete", instant="006",
+    )
+    assert t.snapshot().filter(F.col("c_custkey") == 8).count() == 0
+    t.write(
+        base.filter(F.col("c_custkey") == 8)
+        .withColumn("ver", F.lit(9).cast("long"))
+        .withColumn("c_name", F.lit(None).cast("string")),
+        op="upsert", instant="007",
+    )
+    row = t.snapshot().filter(F.col("c_custkey") == 8).collect()[0]
+    assert row["c_name"] is None  # tombstone wiped the inheritance
+    assert row["c_acctbal"] is not None  # re-insert's own non-null value
+    assert row["ver"] == 9
+
+
+def test_type_widening_mor_compaction(spark, tmp_path):
+    """Type widening mid-stream on MERGE_ON_READ (r8 verdict #6): a
+    delta commit arriving with a wider column type widens the stored
+    schema while narrow base/delta parquet keeps serving (scan-time
+    upcast); compaction then folds mixed-width files into wide base
+    files; post-compact reads, read-optimized reads, and further
+    narrow batches all see the widened schema with values intact."""
+    t = LakeTable(
+        spark, str(tmp_path), "testdb", "widen_mor",
+        record_keys=["k"], precombine="ver",
+        table_type="MERGE_ON_READ",
+    )
+    b1 = spark.createDataFrame(
+        [(1, 10, 1.5, 1), (2, 20, 2.5, 1)],
+        "k int, n int, x float, ver long",
+    )
+    t.write(b1, op="insert", instant="001")
+    big = 2**40
+    b2 = spark.createDataFrame(  # widening DELTA commit (MOR append)
+        [(2, big, 9.25, 2), (3, big + 1, 3.5, 2)],
+        "k int, n long, x double, ver long",
+    )
+    t.write(b2, op="upsert", instant="002")
+    snap = t.snapshot()
+    assert dict(snap.dtypes)["n"] == "bigint"
+    assert dict(snap.dtypes)["x"] == "double"
+    rows = {r["k"]: (r["n"], r["x"], r["ver"]) for r in snap.collect()}
+    assert rows == {
+        1: (10, 1.5, 1), 2: (big, 9.25, 2), 3: (big + 1, 3.5, 2),
+    }
+    # compaction folds the narrow base + wide delta into wide bases
+    t.compact(instant="003")
+    assert not any(
+        f.get("kind") == "delta" for f in t._live_files()
+    )
+    snap = t.snapshot()
+    assert dict(snap.dtypes)["n"] == "bigint"
+    assert {
+        r["k"]: (r["n"], r["x"], r["ver"]) for r in snap.collect()
+    } == rows
+    ro = t.read_optimized()
+    assert dict(ro.dtypes)["n"] == "bigint"
+    assert ro.count() == 3
+    # a narrower post-compact delta casts UP, never narrows back
+    b3 = spark.createDataFrame([(4, 40, 4.5, 3)], "k int, n int, x float, ver long")
+    t.write(b3, op="upsert", instant="004")
+    assert dict(t.snapshot().dtypes)["n"] == "bigint"
+    assert t.snapshot().count() == 4
+
+
 def test_concurrent_index_builds_all_land_and_probe(spark, tmp_path):
     """A table with ALL THREE index kinds enabled exercises the
     thread-parallel sidecar-build path in ``_write_manifest`` (the

@@ -38,11 +38,11 @@ from emr_hudi_example_spark.catalog import ORACLE, Q
 
 #: name prefixes of the subsystems whose substrate changed most this
 #: round, in priority order — used only as a TIE-BREAK within the same
-#: staleness group. Round 8: the dedup kernel (star-contraction CC,
-#: md5 hash_sample) and similarity evals (sampled-slice bake-offs)
-#: changed, plus the lake kernel (bloom type gating, bucket-MOR read,
-#: plan-carried clustering, inflight heartbeat).
-_SUBSTRATE_HINTS: list[str] = ["dedup_", "sim_", "lake_"]
+#: staleness group. Round 9: the lake kernel (MOR partial-update fold,
+#: key-summary conflict bound, restore cache clears, heartbeat join),
+#: pipelines (multitable DELETE routing, MOR table specs), and the
+#: dedup kernel (size-derived LSH truth bound, star-CC fallback).
+_SUBSTRATE_HINTS: list[str] = ["lake_", "pipe_", "dedup_"]
 
 
 def latest_driver_rows(root: str | None = None) -> dict[str, tuple[int, bool]]:

@@ -34,6 +34,10 @@ class TableSpec:
     record_keys: list[str]
     partition_keys: list[str] = field(default_factory=list)
     schema: str | None = None
+    #: lake table type for this target — the reference's streaming
+    #: tables are MERGE_ON_READ (SRC/package.scala:176); COW default
+    #: preserved for existing callers
+    table_type: str = "COPY_ON_WRITE"
 
     @property
     def effective_record_keys(self) -> list[str]:
@@ -65,6 +69,7 @@ class TableRegistry:
             record_keys=spec.effective_record_keys,
             precombine="created_ts",
             partition_keys=spec.partition_keys,
+            table_type=spec.table_type,
         )
 
 

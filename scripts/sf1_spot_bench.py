@@ -56,6 +56,10 @@ QUERIES = [
     "lake_partition_stats_prune",
     "lake_bulk_insert_sorted",
     "lake_record_index_pointread",
+    # r9 additions: the MOR partial-update fold (window cost over each
+    # key's few versions) and DELETE fan-out onto MOR targets
+    "lake_partial_update_mor",
+    "pipe_multitable_delete_endstate",
 ]
 
 COPY_TABLES = ["region", "nation", "supplier", "part"]  # dims: verbatim

@@ -78,6 +78,30 @@ def topic_to_table(topic: str) -> str:
     return topic.split(".")[-1]
 
 
+def _materialize_for_fanout(df: DataFrame, max_workers: int | None) -> DataFrame:
+    """Truncate the shared batch's lineage before a thread-pooled
+    fan-out. Two reasons, one mechanism (eager ``localCheckpoint``):
+
+    - THREAD SAFETY: the per-table threads each trigger optimization of
+      plans embedding the caller's SHARED expression tree; Catalyst's
+      constant folding evaluates expressions driver-side on the shared
+      instances, and stateful evaluators (``StructsToJsonEvaluator``'s
+      Jackson generator) are not thread-safe — observed as a flaky
+      ``JsonGenerationException: Can not start an object`` when two
+      tables plan concurrently over a ``to_json``-built batch. A
+      checkpointed batch is a LogicalRDD scan: nothing left to fold.
+    - COST: the batch is consumed once per (table, op); checkpointing
+      parses/reads the source exactly once instead of per consumer —
+      the same reason the reference persists its micro-batches (M1).
+
+    Skipped for sequential fan-out (``max_workers in (None, 1)``):
+    no concurrent planning, and single-table batches are the common
+    case there."""
+    if max_workers is not None and max_workers > 1:
+        return df.localCheckpoint(eager=True)
+    return df
+
+
 def _parallel_by_table(work: list, fn, max_workers: int | None):
     """Run ``fn`` over independent per-table work items, concurrently
     when ``max_workers`` allows. Tables are independent single-writer
@@ -112,6 +136,7 @@ def fanout_batch(
     tables commit concurrently on a thread pool (``max_workers``;
     ``None``/1 = the reference's sequential order).
     """
+    batch_df = _materialize_for_fanout(batch_df, max_workers)
     topics = [
         r[0] for r in batch_df.select("topic").distinct().collect()
     ]  # A3+M3, SRC/package.scala:148
@@ -185,6 +210,7 @@ def apply_changes_batch(
     naturally idempotent and carry no checkpoint, so a replay that was
     interrupted mid-batch still completes its remaining tables.
     """
+    parsed = _materialize_for_fanout(parsed, max_workers)
     combos = [
         (r["table"], r["operation_type"])
         for r in parsed.select("table", "operation_type").distinct().collect()

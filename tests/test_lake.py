@@ -3599,6 +3599,80 @@ def test_partial_update_mor_matrix(spark, tmp_path):
     assert row["ver"] == 9
 
 
+def test_partial_update_mor_fold_matches_sequential_model(spark, tmp_path):
+    """Property pin for the MOR partial-update fold: against randomized
+    version histories (out-of-order precombines, sparse null patches,
+    same-commit multi-key batches), the window-based fold in
+    ``_merged_read`` must equal an INDEPENDENT pure-Python sequential
+    model of COW materialization — process versions in (commit,
+    precombine) order; a version patches a column iff its precombine
+    ties-or-beats the running row max and the value is non-null; the
+    row's precombine becomes that running max. Seeded random (not
+    hypothesis) so the suite stays deterministic and fast."""
+    import random
+
+    from emr_hudi_example_spark.lake.table import (
+        COMMIT_TIME_COL, PARTITION_PATH_COL, RECORD_KEY_COL,
+    )
+
+    t = LakeTable(
+        spark, str(tmp_path), "testdb", "pufold",
+        record_keys=["k"], precombine="ver",
+        table_type="MERGE_ON_READ", payload="partial_update",
+    )
+    rng = random.Random(20260815)
+    for example in range(8):
+        keys = [f"k{i}" for i in range(rng.randint(1, 4))]
+        rows = []
+        for ct in [f"{c:03d}" for c in range(1, rng.randint(3, 7))]:
+            for k in rng.sample(keys, rng.randint(1, len(keys))):
+                rows.append(
+                    {
+                        COMMIT_TIME_COL: ct,
+                        RECORD_KEY_COL: k,
+                        PARTITION_PATH_COL: "",
+                        "k": k,
+                        "ver": rng.randint(1, 4),
+                        "a": rng.choice([None, rng.randint(0, 9)]),
+                        "b": rng.choice([None, rng.randint(0, 9)]),
+                    }
+                )
+        # reference: sequential COW-materialization fold per key
+        expected = {}
+        for r in sorted(
+            rows, key=lambda r: (r[COMMIT_TIME_COL], r["ver"])
+        ):
+            st = expected.get(r["k"])
+            if st is None:
+                expected[r["k"]] = dict(r)
+                continue
+            if r["ver"] >= st["ver"]:  # ties -> newer version wins
+                for c in ("a", "b"):
+                    if r[c] is not None:
+                        st[c] = r[c]
+                st["ver"] = r["ver"]
+        df = spark.createDataFrame(
+            [
+                (
+                    r[COMMIT_TIME_COL], r["k"], r[PARTITION_PATH_COL],
+                    r["k"], r["ver"], r["a"], r["b"],
+                )
+                for r in rows
+            ],
+            f"{COMMIT_TIME_COL} string, {RECORD_KEY_COL} string, "
+            f"{PARTITION_PATH_COL} string, k string, ver long, "
+            "a long, b long",
+        )
+        got = {
+            r["k"]: (r["ver"], r["a"], r["b"])
+            for r in t._merged_read(df).collect()
+        }
+        want = {
+            k: (st["ver"], st["a"], st["b"]) for k, st in expected.items()
+        }
+        assert got == want, (example, rows, got, want)
+
+
 def test_type_widening_mor_compaction(spark, tmp_path):
     """Type widening mid-stream on MERGE_ON_READ (r8 verdict #6): a
     delta commit arriving with a wider column type widens the stored

@@ -209,3 +209,42 @@ def test_star_contraction_joins_are_shuffle_hash_or_smj(spark):
     plan = _plan(spark, "dedup_cluster_groups")
     assert "CartesianProduct" not in plan
     assert "BroadcastNestedLoopJoin" not in plan
+
+
+def test_mor_partial_fold_single_data_shuffle(spark):
+    """The MOR partial-update fold (r9): the running-max eligibility
+    window and the per-column max_by aggregation both key on
+    (partition_path, record_key), so the data path must plan exactly
+    ONE hash exchange — the window's sort output feeds the aggregate
+    without re-shuffling. The tombstone branch may broadcast; nothing
+    may cartesian. A second data-side hashpartitioning on the key pair
+    means someone broke the shared-partitioning shape."""
+    import tempfile
+
+    from pyspark.sql import functions as F
+
+    from emr_hudi_example_spark.lake import LakeTable
+
+    base = (
+        spark.read.parquet(f"{SF_CORRECT}/customer.parquet")
+        .withColumn("ver", F.lit(1).cast("long"))
+    )
+    t = LakeTable(
+        spark, tempfile.mkdtemp(), "d", "pufoldplan", ["c_custkey"],
+        "ver", table_type="MERGE_ON_READ", payload="partial_update",
+    )
+    t.write(base, op="insert", instant="001")
+    t.write(
+        base.filter(F.col("c_custkey") % 10 == 0)
+        .withColumn("ver", F.lit(2).cast("long"))
+        .withColumn("c_name", F.lit(None).cast("string")),
+        op="upsert", instant="002",
+    )
+    plan = t.snapshot()._jdf.queryExecution().executedPlan().toString()
+    assert "CartesianProduct" not in plan
+    assert plan.count("Window") == 1
+    # data-path shuffles keyed on (_partition_path, _record_key): the
+    # window's one; the groupBy reuses its partitioning. (The tiny
+    # tombstone-side aggregate contributes one more hash exchange on
+    # its own branch; data rows never traverse it twice.)
+    assert plan.count("Exchange hashpartitioning(_partition_path") <= 2

@@ -1,0 +1,170 @@
+"""Model-based fuzz of the lake table's operation lattice.
+
+The reference exercises each Hudi operation in isolation (one pipeline
+per entry point); real tables see them INTERLEAVED — upserts racing
+stale producers, deletes between compactions, cleans and restores mid
+stream. This drives deterministic pseudo-random op sequences through
+:class:`LakeTable` on BOTH table types and checks the committed state
+against a sequential Python model after every commit, then pins the
+cross-view invariants (time travel, incremental-vs-snapshot) at the
+end. Semantics under test are the reference's write path
+(``SRC/package.scala:15-81``: upsert precombine, delete, compaction)
+plus the timeline services (clean/restore) the reference delegates to
+Hudi.
+
+Model semantics (DefaultHoodieRecordPayload, as in
+test_merge_properties): an incoming row replaces the stored row iff
+its precombine is >= the stored one. Batches are generated with unique
+keys, so there is no within-batch arbitrariness and the model is
+exact, not a set of admissible outcomes.
+"""
+from __future__ import annotations
+
+import random
+
+import pytest
+
+SCHEMA = "k INT, ver INT, payload INT, part INT"
+
+
+def _part(k: int) -> int:
+    return k % 3
+
+
+def _batch(rng: random.Random, ver: int, stale: bool) -> list[tuple]:
+    keys = rng.sample(range(40), rng.randint(1, 12))
+    rows = []
+    for k in keys:
+        v = rng.randint(0, ver - 1) if stale else ver
+        rows.append((k, v, rng.randint(0, 999), _part(k)))
+    return rows
+
+
+def _apply_upsert(model: dict, rows: list[tuple]) -> None:
+    for k, v, p, part in rows:
+        if k not in model or v >= model[k][0]:
+            model[k] = (v, p, part)
+
+
+def _apply_delete(model: dict, keys: list[int]) -> None:
+    for k in keys:
+        model.pop(k, None)
+
+
+def _snap_rows(df) -> set:
+    return {
+        (r["k"], r["ver"], r["payload"], r["part"]) for r in df.collect()
+    }
+
+
+def _model_rows(model: dict) -> set:
+    return {(k, v, p, part) for k, (v, p, part) in model.items()}
+
+
+@pytest.mark.parametrize(
+    "table_type,inline",
+    [("COPY_ON_WRITE", None), ("MERGE_ON_READ", 4)],
+)
+@pytest.mark.parametrize("seed", [0, 1])
+def test_op_sequence_matches_model(
+    spark, tmp_path_factory, table_type, inline, seed
+):
+    from emr_hudi_example_spark.lake import LakeTable
+
+    rng = random.Random(1000 * seed + (table_type == "MERGE_ON_READ"))
+    tmp = tmp_path_factory.mktemp("fuzz")
+    t = LakeTable(
+        spark, str(tmp), "f", "t", ["k"], "ver",
+        partition_keys=["part"], table_type=table_type,
+        inline_compact_deltas=inline,
+    )
+
+    model: dict[int, tuple] = {}
+    # committed history: list of (instant, frozen model) in commit order
+    history: list[tuple[str, dict]] = []
+    # oldest history index still time-travelable (clean moves it up)
+    horizon = 0
+    counter = 0
+
+    def commit(rows_or_keys, op: str) -> None:
+        nonlocal counter
+        counter += 1
+        # instants auto-allocate (timestamp format) so they stay
+        # monotonic across compact()'s own allocations
+        if op == "delete":
+            df = spark.createDataFrame(
+                [(k, 0, 0, _part(k)) for k in rows_or_keys], SCHEMA
+            )
+            t.write(df, op="delete")
+            _apply_delete(model, rows_or_keys)
+        else:
+            df = spark.createDataFrame(rows_or_keys, SCHEMA)
+            t.write(df, op="upsert")
+            _apply_upsert(model, rows_or_keys)
+        history.append((t.last_instant(), dict(model)))
+
+    # seed the table so every op has something to chew on
+    commit(_batch(rng, ver=counter + 1, stale=False), "upsert")
+
+    for _ in range(14):
+        roll = rng.random()
+        if roll < 0.45:
+            commit(_batch(rng, ver=counter + 1, stale=False), "upsert")
+        elif roll < 0.60:
+            # stale producer: strictly-older precombine must LOSE
+            commit(_batch(rng, ver=counter + 1, stale=True), "upsert")
+        elif roll < 0.75:
+            keys = rng.sample(range(40), rng.randint(1, 8))
+            commit(keys, "delete")
+        elif roll < 0.85:
+            t.compact()
+            # compaction is a commit but changes no row values
+            history.append((t.last_instant(), dict(model)))
+        elif roll < 0.93 and len(history) - horizon > 3:
+            t.clean(retain_commits=2)
+            horizon = len(history) - 2
+        elif len(history) - horizon > 2:
+            # restore to a random still-materialized past instant
+            idx = rng.randrange(horizon, len(history) - 1)
+            inst, frozen = history[idx]
+            t.restore(inst)
+            model.clear()
+            model.update(frozen)
+            del history[idx + 1:]
+        assert _snap_rows(t.snapshot()) == _model_rows(model), (
+            f"divergence after op {counter} ({table_type}, seed {seed})"
+        )
+
+    # deterministic tail: the random mix can under-sample the rare
+    # ops — force one compact → restore → write so every sequence
+    # exercises them at least once
+    t.compact()
+    history.append((t.last_instant(), dict(model)))
+    commit(_batch(rng, ver=counter + 1, stale=False), "upsert")
+    idx = max(horizon, len(history) - 2)
+    inst, frozen = history[idx]
+    t.restore(inst)
+    model.clear()
+    model.update(frozen)
+    del history[idx + 1:]
+    assert _snap_rows(t.snapshot()) == _model_rows(model)
+    commit(_batch(rng, ver=counter + 1, stale=False), "upsert")
+    assert _snap_rows(t.snapshot()) == _model_rows(model)
+
+    # time travel: every still-materialized commit replays its model
+    for inst, frozen in history[horizon:]:
+        assert _snap_rows(t.snapshot(as_of=inst)) == _model_rows(
+            {k: v for k, v in frozen.items()}
+        ), f"as_of {inst} diverged ({table_type}, seed {seed})"
+
+    # full-range incremental == snapshot (deletes absent, carried-over
+    # rows commit-time-filtered, MOR merged within range)
+    inc = t.incremental(None, t.last_instant()).select(
+        "k", "ver", "payload", "part"
+    )
+    assert _snap_rows(inc) == _model_rows(model)
+
+    # partition_filter prunes to exactly the model's slice
+    got = _snap_rows(t.snapshot(partition_filter={"part": 1}))
+    want = {r for r in _model_rows(model) if r[3] == 1}
+    assert got == want

@@ -397,6 +397,40 @@ def lake_restore_endstate(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @query(
+    "lake_savepoint_endstate",
+    oracle=f"""
+    SELECT c_custkey, c_acctbal, ver FROM ({_B1_SQL})
+    """,
+)
+def lake_savepoint_endstate(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Savepoint vs cleaner (Hudi savepoint semantics — the audit /
+    reproducibility pin behind ``hoodie savepoint create``; the
+    reference delegates it to Hudi's timeline services alongside the
+    cleaner policy it does set, ``SRC/package.scala:28-30``): commit
+    001 is savepointed, commits 002/003 rewrite the same key set, then
+    an aggressive ``clean(retain_commits=1)`` runs. The cleaner MUST
+    reclaim commit 002's files (replaced at 003, pinned by nothing) —
+    gated below — while the savepointed time-travel read of 001 keeps
+    serving bit-exactly even though 001 is far behind the retention
+    horizon. Without the savepoint pin this read would lose every file
+    the 002/003 rewrites replaced."""
+    t = LakeTable(spark, _tmp_base(), "q", "sp", ["c_custkey"], "ver")
+    t.write(_batch1(spark, sf_dir), op="upsert", instant="001")
+    t.write(_batch2(spark, sf_dir), op="upsert", instant="002")
+    b3 = _batch2(spark, sf_dir).withColumn("ver", F.lit(3).cast("long"))
+    t.write(b3, op="upsert", instant="003")
+    t.savepoint("001")
+    deleted = t.clean(retain_commits=1)
+    # the clean must have TEETH for the savepoint pin to prove anything:
+    # 002's rewrite files are live at neither 003 nor savepointed 001
+    if not any(p.replace(os.sep, "/").startswith("data/002/") for p in deleted):
+        raise RuntimeError(
+            f"cleaner reclaimed nothing from commit 002: {deleted!r}"
+        )
+    return t.snapshot(as_of="001").select("c_custkey", "c_acctbal", "ver")
+
+
+@query(
     "lake_insert_append",
     oracle="""
     WITH u AS (

@@ -77,6 +77,7 @@ def test_op_sequence_matches_model(
         spark, str(tmp), "f", "t", ["k"], "ver",
         partition_keys=["part"], table_type=table_type,
         inline_compact_deltas=inline,
+        stats_columns=["ver", "payload"],
     )
 
     model: dict[int, tuple] = {}
@@ -168,3 +169,82 @@ def test_op_sequence_matches_model(
     got = _snap_rows(t.snapshot(partition_filter={"part": 1}))
     want = {r for r in _model_rows(model) if r[3] == 1}
     assert got == want
+
+    # stats-pruned predicate reads: file skipping on the randomized
+    # column ranges must never drop a matching row (skipping is an
+    # OPTIMIZATION; the exact row filter re-applies after the prune)
+    for pred, cond in [
+        ([("payload", "<=", 500)], lambda r: r[2] <= 500),
+        ([("ver", ">", 5)], lambda r: r[1] > 5),
+        (
+            [("payload", "between", (100, 800))],
+            lambda r: 100 <= r[2] <= 800,
+        ),
+    ]:
+        got = _snap_rows(t.snapshot(predicate=pred))
+        assert got == {r for r in _model_rows(model) if cond(r)}, (
+            f"predicate {pred} diverged ({table_type}, seed {seed})"
+        )
+
+
+@pytest.mark.parametrize("seed", [0, 1])
+def test_global_index_drift_matches_model(spark, tmp_path_factory, seed):
+    """Global-index fuzz: the PARTITION of a key changes between
+    writes (Hudi global index + update-partition-path semantics,
+    ``lake_global_index_move``'s path under randomized interleaving).
+    An accepted upsert must MOVE the row — exactly one copy, in the
+    newest accepted partition; a stale producer's write (older
+    precombine, possibly a different partition) must change nothing,
+    including no resurrection in its stale partition."""
+    from emr_hudi_example_spark.lake import LakeTable
+
+    rng = random.Random(7 + seed)
+    tmp = tmp_path_factory.mktemp("gfuzz")
+    t = LakeTable(
+        spark, str(tmp), "f", "g", ["k"], "ver",
+        partition_keys=["part"], global_index=True,
+    )
+    model: dict[int, tuple] = {}
+
+    def drift_batch(ver: int, stale: bool) -> list[tuple]:
+        keys = rng.sample(range(25), rng.randint(1, 10))
+        return [
+            (
+                k,
+                rng.randint(0, ver - 1) if stale else ver,
+                rng.randint(0, 999),
+                rng.randint(0, 3),  # partition re-rolled every write
+            )
+            for k in keys
+        ]
+
+    counter = 0
+    for _ in range(10):
+        counter += 1
+        roll = rng.random()
+        if roll < 0.55:
+            rows = drift_batch(counter, stale=False)
+            t.write(spark.createDataFrame(rows, SCHEMA), op="upsert")
+            _apply_upsert(model, rows)
+        elif roll < 0.75:
+            rows = drift_batch(counter, stale=True)
+            t.write(spark.createDataFrame(rows, SCHEMA), op="upsert")
+            _apply_upsert(model, rows)
+        elif roll < 0.9:
+            keys = rng.sample(range(25), rng.randint(1, 6))
+            # global delete: key alone identifies the row, whatever
+            # partition it currently lives in
+            df = spark.createDataFrame(
+                [(k, 0, 0, rng.randint(0, 3)) for k in keys], SCHEMA
+            )
+            t.write(df, op="delete")
+            _apply_delete(model, keys)
+        else:
+            t.compact()
+        snap = t.snapshot()
+        rows = snap.collect()
+        keys = [r["k"] for r in rows]
+        assert len(keys) == len(set(keys)), "key duplicated across partitions"
+        assert {
+            (r["k"], r["ver"], r["payload"], r["part"]) for r in rows
+        } == _model_rows(model), f"divergence after op {counter} (seed {seed})"

@@ -78,9 +78,12 @@ from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 from pyspark.sql import types as T
 
+import pyarrow.parquet as pa_pq
+
 from emr_hudi_example_spark.functions.core import now_instant, pk_not_null_condition
 from emr_hudi_example_spark.lake import bloom as bloom_mod
 from emr_hudi_example_spark.lake.locks import FileLockProvider, LockProvider
+from emr_hudi_example_spark.lake.xxh import shard_of as xxh_shard
 
 COMMIT_TIME_COL = "_commit_time"
 RECORD_KEY_COL = "_record_key"
@@ -2582,6 +2585,48 @@ class LakeTable:
         self.last_bucket_pruned = len(candidates) - len(kept)
         return kept
 
+    #: driver-probe gates: a probe whose DISTINCT operand keys fit
+    #: under ``max_keys`` AND whose matched shard files total under
+    #: ``max_bytes`` is served driver-side (pure pyarrow seeks, zero
+    #: Spark jobs — the Hudi HFile-seek analog for point lookups);
+    #: anything bigger takes the Spark shuffle-join path below. Class
+    #: attrs so tests can force either path.
+    driver_probe_max_keys = 1024
+    driver_probe_max_bytes = 32 << 20
+
+    def _driver_probe_fps(self, keys: list[str]) -> set[str] | None:
+        """Serve an index probe for literal ``keys`` driver-side:
+        shard ids via the Python XXH64 twin of the writer's
+        ``pmod(xxhash64(key), n)`` expression (parity pinned by
+        ``tests/test_xxh.py``), then pyarrow-read ONLY the matched
+        shard files. Returns None when the size gate trips — the
+        caller must then run the Spark join path. An empty set is a
+        REAL answer: no index shard holds any operand key."""
+        paths = self._shard_index_paths(
+            lambda n: {xxh_shard(k, n) for k in keys}
+        )
+        files: list[str] = []
+        total = 0
+        for p in paths:
+            for root, _dirs, fns in os.walk(p):
+                for fn in fns:
+                    if fn.endswith(".parquet"):
+                        full = os.path.join(root, fn)
+                        total += os.path.getsize(full)
+                        files.append(full)
+        if total > self.driver_probe_max_bytes:
+            return None
+        ks = set(keys)
+        fps: set[str] = set()
+        for f in files:
+            tbl = pa_pq.read_table(f, columns=["key", "fp"])
+            for k, fp in zip(
+                tbl.column("key").to_pylist(), tbl.column("fp").to_pylist()
+            ):
+                if k in ks:
+                    fps.add(fp)
+        return fps
+
     def _index_hit_files(
         self, candidates: list[dict], batch: DataFrame
     ) -> list[dict]:
@@ -2590,10 +2635,23 @@ class LakeTable:
         out because the result is intersected with the live candidate
         set. One narrow shuffle join — and only the batch keys' SHARD
         dirs of each index commit are read (``_shard_index_paths``), so
-        planning I/O scales with keys touched, not index size."""
+        planning I/O scales with keys touched, not index size.
+
+        Point-sized batches skip Spark entirely: if the distinct keys
+        fit under ``driver_probe_max_keys`` (one capped collect on the
+        persisted batch — for larger batches this costs one extra
+        partial-agg pass, noise next to their merge/write) and the
+        matched shard bytes fit the gate, the probe is pure driver-side
+        pyarrow (:meth:`_driver_probe_fps`)."""
         keys = batch.select(
             F.col(RECORD_KEY_COL).alias("key")
         ).distinct()
+        collected = keys.limit(self.driver_probe_max_keys + 1).collect()
+        if len(collected) <= self.driver_probe_max_keys:
+            fast = self._driver_probe_fps([r["key"] for r in collected])
+            if fast is not None:
+                hit_paths = self._normalize_index_fps(fast)
+                return [f for f in candidates if f["path"] in hit_paths]
         paths = self._shard_index_paths(self._shard_set_fn(keys))
         if not paths:
             return []  # no index data ⇒ no candidate holds a batch key
@@ -2715,6 +2773,18 @@ class LakeTable:
                 break
         if not vals:
             return files
+        # point-lookup fast path: operand keys are LITERALS, so the
+        # probe needs no Spark job at all — Python-side shard ids
+        # (XXH64 parity, tests/test_xxh.py) + pyarrow seeks into the
+        # matched shard files, under the same size gate as the write
+        # probe. This is what makes an indexed point read point-COST:
+        # the only Spark job left is the single-file data scan.
+        fast = self._driver_probe_fps(vals)
+        if fast is not None:
+            hit_paths = self._normalize_index_fps(fast)
+            kept = [f for f in files if f["path"] in hit_paths]
+            self.last_record_read_pruned = len(files) - len(kept)
+            return kept
         probe = self.spark.createDataFrame(
             [(v,) for v in vals], "key string"
         )

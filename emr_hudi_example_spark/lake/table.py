@@ -2818,6 +2818,46 @@ class LakeTable:
         never disagree; readers that don't care about shards
         (``_index_hit_files``) use recursiveFileLookup and see a flat
         (key, fp) table either way."""
+        # point-sized commits build the sidecar driver-side: pyarrow
+        # reads of the added files' key column + the Python XXH64 twin
+        # of the shard expression (parity: tests/test_xxh.py), one
+        # parquet per non-empty shard — byte-compatible with the Spark
+        # layout both probe paths read. Saves a Spark job per commit on
+        # the streaming-upsert hot path; big or many-file commits take
+        # the parallel Spark build below (the 1024-files-per-commit
+        # scale shape).
+        sizes = [f.get("bytes") for f in added]
+        if (
+            len(added) <= 64
+            and all(isinstance(s, int) for s in sizes)
+            and sum(sizes) <= self.driver_probe_max_bytes
+        ):
+            out_dir = os.path.join(self.index_dir, instant)
+            by_shard: dict[int, tuple[list[str], list[str]]] = {}
+            for f in added:
+                tbl = pa_pq.read_table(
+                    os.path.join(self.path, f["path"]),
+                    columns=[RECORD_KEY_COL],
+                )
+                for k in tbl.column(RECORD_KEY_COL).to_pylist():
+                    ks, fs = by_shard.setdefault(
+                        xxh_shard(k, self.index_shards), ([], [])
+                    )
+                    ks.append(k)
+                    fs.append(f["path"])
+            import pyarrow as pa
+
+            for shard, (ks, fs) in by_shard.items():
+                d = os.path.join(out_dir, f"shard={shard}")
+                os.makedirs(d, exist_ok=True)
+                pa_pq.write_table(
+                    pa.table({"key": ks, "fp": fs}),
+                    os.path.join(d, "part-driver.parquet"),
+                )
+            os.makedirs(out_dir, exist_ok=True)
+            with open(os.path.join(out_dir, ".nshards"), "w") as fh:
+                fh.write(str(self.index_shards))
+            return
         # explicit key-only schema: the creating commit indexes before
         # its own manifest exists, so the stored schema isn't readable
         # yet — and the index never needs more than the key column
@@ -2879,6 +2919,30 @@ class LakeTable:
         driver only ever sees file-count rows of ~``nbits/8`` bytes.
         Matches where Hudi computes blooms: in the writer, once, at
         file-write time."""
+        nbits, k = self.bloom_bits, self.bloom_hashes
+        # point-sized commits build driver-side with the SAME
+        # lake/bloom.py functions the Arrow kernel is parity-pinned
+        # against (test_bloom_kernel_matches_module) — bit-identical
+        # sidecars, no Spark job. Gate as in _write_record_index.
+        sizes = [f.get("bytes") for f in added]
+        if (
+            len(added) <= 64
+            and all(isinstance(s, int) for s in sizes)
+            and sum(sizes) <= self.driver_probe_max_bytes
+        ):
+            sidecar = {}
+            for f in added:
+                tbl = pa_pq.read_table(
+                    os.path.join(self.path, f["path"]),
+                    columns=[RECORD_KEY_COL],
+                )
+                sidecar[f["path"]] = bloom_mod.bloom_to_b64(
+                    bloom_mod.build_bloom(
+                        tbl.column(RECORD_KEY_COL).to_pylist(), nbits, k
+                    )
+                )
+            self._persist_bloom_sidecar(instant, sidecar)
+            return
         key_schema = T.StructType(
             [T.StructField(RECORD_KEY_COL, T.StringType())]
         )
@@ -2888,7 +2952,6 @@ class LakeTable:
             self._rel_fp_expr().alias("fp"),
             F.col(RECORD_KEY_COL).alias("key"),
         )
-        nbits, k = self.bloom_bits, self.bloom_hashes
 
         # SELF-CONTAINED kernel (imports inside, no package globals):
         # cloudpickle ships it by value, so Python workers never need
@@ -2941,6 +3004,9 @@ class LakeTable:
                         bloom_mod.build_bloom([], nbits, k)
                     )
                 sidecar[f["path"]] = empty
+        self._persist_bloom_sidecar(instant, sidecar)
+
+    def _persist_bloom_sidecar(self, instant: str, sidecar: dict) -> None:
         os.makedirs(self.bloom_dir, exist_ok=True)
         tmp = os.path.join(self.bloom_dir, f".{instant}.json.tmp")
         with open(tmp, "w") as fh:

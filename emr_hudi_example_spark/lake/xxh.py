@@ -89,7 +89,12 @@ def xxh64(data: bytes, seed: int = SPARK_SEED) -> int:
     return h - (1 << 64) if h >= (1 << 63) else h
 
 
-def shard_of(key: str, nshards: int) -> int:
+def shard_of(key: str | None, nshards: int) -> int:
     """``pmod(xxhash64(key), nshards)`` — the exact shard id the
-    writer's Spark expression assigns ``key`` (pmod is non-negative)."""
+    writer's Spark expression assigns ``key`` (pmod is non-negative).
+    A null key leaves Spark's hash at the seed (XxHash64 skips null
+    fields), mirrored here; record keys are non-null by construction,
+    this is defense in depth."""
+    if key is None:
+        return SPARK_SEED % nshards
     return xxh64(key.encode("utf-8")) % nshards

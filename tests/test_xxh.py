@@ -102,3 +102,35 @@ def test_driver_probe_matches_spark_join_path(spark, tmp_path):
     t.driver_probe_max_bytes = LakeTable.driver_probe_max_bytes
     rows, _ = pointread("7")
     assert rows[0]["ver"] == 3
+
+
+def test_driver_bloom_sidecar_bit_identical(spark, tmp_path):
+    """The driver-side bloom build must emit the SAME bitsets the
+    distributed Arrow-kernel build does (both call through
+    lake/bloom.py's blake2b double hashing — this pins the pyarrow
+    read + str() canonicalization path end to end)."""
+    import json as _json
+    import os
+
+    from pyspark.sql import functions as F
+
+    from emr_hudi_example_spark.lake import LakeTable
+
+    base = spark.range(0, 300).select(
+        F.col("id").cast("int").alias("k"),
+        F.lit(1).cast("long").alias("ver"),
+    )
+    blooms = {}
+    for mode, gate in (("driver", None), ("spark", -1)):
+        t = LakeTable(
+            spark, str(tmp_path / mode), "x", "b", ["k"], "ver",
+            bloom_index=True,
+        )
+        if gate is not None:
+            t.driver_probe_max_bytes = gate
+        t.write(base.coalesce(1), op="insert", instant="001")
+        with open(os.path.join(t.bloom_dir, "001.json")) as fh:
+            vals = sorted(_json.load(fh).values())
+        assert len(vals) == 1
+        blooms[mode] = vals[0]
+    assert blooms["driver"] == blooms["spark"]

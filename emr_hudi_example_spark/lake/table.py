@@ -1092,15 +1092,10 @@ class LakeTable:
             for f in files
         ):
             return files
-        probe = self.spark.createDataFrame(
-            [(v,) for v in sorted(set(vals))], f"{RECORD_KEY_COL} string"
-        )
-        op_buckets = {
-            r[0]
-            for r in probe.select(self._bucket_expr().alias("b"))
-            .distinct()
-            .collect()
-        }
+        # literal operand keys: bucket ids are pure arithmetic — the
+        # Python XXH64 twin (parity pinned, tests/test_xxh.py) replaces
+        # the createDataFrame+agg Spark job a point read paid here
+        op_buckets = {xxh_shard(v, n) for v in set(vals)}
         kept = [
             f
             for f in files
@@ -2545,9 +2540,10 @@ class LakeTable:
 
     def _bucket_expr(self):
         """A record key's bucket id: ``pmod(xxhash64(key), n)``.
-        Computed ONLY Spark-side (write layout, planning, read-probe
-        jobs) — never re-implemented in Python, so there is no second
-        hash implementation to drift from the files on disk."""
+        The write layout and batch planning compute it Spark-side;
+        literal-key point probes use the Python XXH64 twin
+        (``lake/xxh.py`` — drift is impossible while the parity test
+        pins both implementations to the same values)."""
         return F.pmod(
             F.xxhash64(F.col(RECORD_KEY_COL)), F.lit(self.bucket_index)
         ).cast("int")

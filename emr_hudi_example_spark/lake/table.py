@@ -2461,19 +2461,50 @@ class LakeTable:
         self.last_range_pruned = 0
         self.last_bloom_pruned = 0
         self.last_bucket_pruned = 0
+        join_cols = (
+            [RECORD_KEY_COL]
+            if self.global_index
+            else [PARTITION_PATH_COL, RECORD_KEY_COL]
+        )
+        # ONE capped collect of the batch's distinct join pairs turns
+        # every probe below into driver-side arithmetic for point-sized
+        # batches (bucket ids and index shards via the XXH64 twin,
+        # min/max and bloom positions in Python, the exact key scan as
+        # pyarrow seeks) — the planning analog of the read-side fast
+        # path. Oversized batches leave ``pairs`` None and take the
+        # original Spark jobs; the collect then cost one extra
+        # partial-agg pass over the (persisted) batch. Null-key pairs
+        # are dropped to match join semantics (null matches nothing).
+        pairs: list[tuple] | None = None
+        rows = (
+            batch.select(*join_cols)
+            .distinct()
+            .limit(self.driver_probe_max_keys + 1)
+            .collect()
+        )
+        if len(rows) <= self.driver_probe_max_keys:
+            pairs = [
+                t
+                for r in rows
+                if None not in (t := tuple(r[c] for c in join_cols))
+            ]
+        keys = sorted({p[-1] for p in pairs}) if pairs is not None else None
         if self.bucket_index and len(candidates) > 1:
-            candidates = self._bucket_hit_files(candidates, batch)
+            candidates = self._bucket_hit_files(candidates, batch, keys=keys)
             if not candidates:
                 return []
         if self.record_index and candidates and all(
             f.get("indexed") for f in candidates
         ):
-            return self._index_hit_files(candidates, batch)
-        lo, hi = (
-            batch.agg(
-                F.min(RECORD_KEY_COL), F.max(RECORD_KEY_COL)
-            ).collect()[0]
-        )
+            return self._index_hit_files(candidates, batch, keys=keys)
+        if keys is not None:
+            lo, hi = (keys[0], keys[-1]) if keys else (None, None)
+        else:
+            lo, hi = (
+                batch.agg(
+                    F.min(RECORD_KEY_COL), F.max(RECORD_KEY_COL)
+                ).collect()[0]
+            )
         if lo is not None:
             pruned = [
                 f
@@ -2486,16 +2517,29 @@ class LakeTable:
             if not candidates:
                 return []
         if self.bloom_index and len(candidates) > 1:
-            candidates = self._bloom_hit_files(candidates, batch)
+            candidates = self._bloom_hit_files(candidates, batch, keys=keys)
             if not candidates:
                 return []
-        join_cols = (
-            [RECORD_KEY_COL]
-            if self.global_index
-            else [PARTITION_PATH_COL, RECORD_KEY_COL]
-        )
         internal_c = [f for f in candidates if not os.path.isabs(f["path"])]
         external_c = [f for f in candidates if os.path.isabs(f["path"])]
+        if pairs is not None and not external_c:
+            sizes = [f.get("bytes") for f in internal_c]
+            if all(isinstance(s, int) for s in sizes) and sum(
+                sizes
+            ) <= self.driver_probe_max_bytes:
+                # exact scan as pyarrow seeks: small survivors × small
+                # batch — read only the join columns of each candidate
+                want = set(pairs)
+                kept = []
+                for f in internal_c:
+                    tbl = pa_pq.read_table(
+                        os.path.join(self.path, f["path"]),
+                        columns=join_cols,
+                    )
+                    cols = [tbl.column(c).to_pylist() for c in join_cols]
+                    if any(t in want for t in zip(*cols)):
+                        kept.append(f)
+                return kept
         scans = []
         if internal_c:
             scans.append(
@@ -2517,8 +2561,18 @@ class LakeTable:
         scan = scans[0]
         for s in scans[1:]:
             scan = scan.unionByName(s)
+        if pairs is not None:
+            # pairs already collected: broadcast them back instead of
+            # re-shuffling the batch's distinct (externals / big files)
+            probe = F.broadcast(
+                self.spark.createDataFrame(
+                    pairs, ", ".join(f"{c} string" for c in join_cols)
+                )
+            )
+        else:
+            probe = batch.select(*join_cols).distinct()
         hits = (
-            scan.join(batch.select(*join_cols).distinct(), join_cols, "left_semi")
+            scan.join(probe, join_cols, "left_semi")
             .select("_fp")
             .distinct()
             .collect()
@@ -2549,7 +2603,10 @@ class LakeTable:
         ).cast("int")
 
     def _bucket_hit_files(
-        self, candidates: list[dict], batch: DataFrame
+        self,
+        candidates: list[dict],
+        batch: DataFrame,
+        keys: list[str] | None = None,
     ) -> list[dict]:
         """Bucket-index candidate targeting: one tiny agg job derives
         the batch's distinct bucket ids (≤ n ints to the driver) and
@@ -2565,12 +2622,16 @@ class LakeTable:
             for f in candidates
         ):
             return candidates
-        batch_buckets = {
-            r[0]
-            for r in batch.select(self._bucket_expr().alias("b"))
-            .distinct()
-            .collect()
-        }
+        if keys is not None:
+            # precollected point batch: bucket ids via the XXH64 twin
+            batch_buckets = {xxh_shard(k, n) for k in keys}
+        else:
+            batch_buckets = {
+                r[0]
+                for r in batch.select(self._bucket_expr().alias("b"))
+                .distinct()
+                .collect()
+            }
         kept = [
             f
             for f in candidates
@@ -2624,7 +2685,10 @@ class LakeTable:
         return fps
 
     def _index_hit_files(
-        self, candidates: list[dict], batch: DataFrame
+        self,
+        candidates: list[dict],
+        batch: DataFrame,
+        keys: list[str] | None = None,
     ) -> list[dict]:
         """Probe the persistent record index: distinct batch keys join
         the (key, fp) index table; stale entries (replaced files) drop
@@ -2639,23 +2703,35 @@ class LakeTable:
         partial-agg pass, noise next to their merge/write) and the
         matched shard bytes fit the gate, the probe is pure driver-side
         pyarrow (:meth:`_driver_probe_fps`)."""
-        keys = batch.select(
-            F.col(RECORD_KEY_COL).alias("key")
-        ).distinct()
-        collected = keys.limit(self.driver_probe_max_keys + 1).collect()
-        if len(collected) <= self.driver_probe_max_keys:
-            fast = self._driver_probe_fps([r["key"] for r in collected])
+        if keys is not None:
+            fast = self._driver_probe_fps(keys)
             if fast is not None:
                 hit_paths = self._normalize_index_fps(fast)
                 return [f for f in candidates if f["path"] in hit_paths]
-        paths = self._shard_index_paths(self._shard_set_fn(keys))
+        key_df = batch.select(
+            F.col(RECORD_KEY_COL).alias("key")
+        ).distinct()
+        if keys is None:
+            collected = key_df.limit(
+                self.driver_probe_max_keys + 1
+            ).collect()
+            if len(collected) <= self.driver_probe_max_keys:
+                fast = self._driver_probe_fps(
+                    [r["key"] for r in collected]
+                )
+                if fast is not None:
+                    hit_paths = self._normalize_index_fps(fast)
+                    return [
+                        f for f in candidates if f["path"] in hit_paths
+                    ]
+        paths = self._shard_index_paths(self._shard_set_fn(key_df))
         if not paths:
             return []  # no index data ⇒ no candidate holds a batch key
         idx = (
             self.spark.read.option("recursiveFileLookup", "true")
             .parquet(*paths)
         )
-        hits = idx.join(keys, "key").select("fp").distinct().collect()
+        hits = idx.join(key_df, "key").select("fp").distinct().collect()
         hit_paths = self._normalize_index_fps(fp for (fp,) in hits)
         return [f for f in candidates if f["path"] in hit_paths]
 
@@ -3031,7 +3107,10 @@ class LakeTable:
         return self._bloom_sidecars[instant].get(f["path"])
 
     def _bloom_hit_files(
-        self, candidates: list[dict], batch: DataFrame
+        self,
+        candidates: list[dict],
+        batch: DataFrame,
+        keys: list[str] | None = None,
     ) -> list[dict]:
         """Bloom probe between range-pruning and the exact key scan:
         drop candidate files whose bloom definitely excludes EVERY
@@ -3059,6 +3138,30 @@ class LakeTable:
         if not with_bloom:
             return candidates
         nbits, k = self.bloom_bits, self.bloom_hashes
+        if keys is not None:
+            # precollected point batch: hash the k positions once in
+            # Python (same lake/bloom.py functions the kernel mirrors)
+            # and test each candidate bitset vectorized — no job, no
+            # broadcast
+            pos = bloom_mod.key_positions(keys, nbits, k)
+            hit_paths = {
+                f["path"]
+                for f, b in with_bloom
+                if len(keys)
+                and bool(
+                    bloom_mod.might_contain(
+                        bloom_mod.bloom_from_b64(b), pos
+                    ).any()
+                )
+            }
+            without_ids = {id(f) for f in without}
+            kept = [
+                f
+                for f in candidates
+                if id(f) in without_ids or f["path"] in hit_paths
+            ]
+            self.last_bloom_pruned = len(candidates) - len(kept)
+            return kept
         payload = [(f["path"], b) for f, b in with_bloom]
         bc = self.spark.sparkContext.broadcast(payload)
         key_col = RECORD_KEY_COL

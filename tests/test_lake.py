@@ -928,7 +928,7 @@ def test_record_index_equals_key_scan_and_is_used(spark, tmp_path):
     )
     used = []
     orig = t._index_hit_files
-    t._index_hit_files = lambda c, b: (used.append(1), orig(c, b))[1]
+    t._index_hit_files = lambda c, b, **kw: (used.append(1), orig(c, b, **kw))[1]
     for x in (t, twin):
         x.write(b1, op="upsert", instant="001")
         x.write(movers, op="upsert", instant="002")
@@ -958,7 +958,7 @@ def test_record_index_falls_back_without_coverage(spark, tmp_path):
     )
     probed = []
     orig = t1._index_hit_files
-    t1._index_hit_files = lambda c, b: (probed.append(1), orig(c, b))[1]
+    t1._index_hit_files = lambda c, b, **kw: (probed.append(1), orig(c, b, **kw))[1]
     upd = cust(spark, ver=2).limit(7)
     t1.write(upd, op="upsert", instant="002")
     assert not probed  # un-covered live files → scan fallback
@@ -1876,7 +1876,7 @@ def test_record_index_survives_table_move(spark, tmp_path):
     )
     probed = []
     orig = t2._index_hit_files
-    t2._index_hit_files = lambda c, b: (probed.append(1), orig(c, b))[1]
+    t2._index_hit_files = lambda c, b, **kw: (probed.append(1), orig(c, b, **kw))[1]
     upd = (
         b1.filter(F.col("c_custkey") <= 10)
         .withColumn("ver", F.lit(2).cast("long"))

@@ -1,0 +1,93 @@
+"""Write-planning driver fast path ⟷ Spark-path equivalence.
+
+``_key_hit_files`` serves point-sized batches driver-side (one capped
+collect, then bucket/index/range/bloom probes and the exact key scan as
+Python/pyarrow). Selecting too MANY files only costs; selecting too FEW
+silently drops merges. These tests pin A/B equality of the *selected
+file set* between the fast path and the unchanged Spark path
+(``driver_probe_max_keys = 0`` forces the fallback) across every index
+regime, on the same table state.
+"""
+
+from __future__ import annotations
+
+import pytest
+from pyspark.sql import functions as F
+
+from emr_hudi_example_spark.lake import LakeTable
+
+SF = "/root/testdata/sf0.001"
+
+
+def cust(spark, ver=1):
+    return (
+        spark.read.parquet(f"{SF}/customer.parquet")
+        .withColumn("ver", F.lit(ver).cast("long"))
+    )
+
+
+def build(spark, tmp, **kw):
+    t = LakeTable(
+        spark,
+        str(tmp),
+        "testdb",
+        "t",
+        record_keys=["c_custkey"],
+        precombine="ver",
+        partition_keys=kw.pop("partition_keys", ["c_mktsegment"]),
+        **kw,
+    )
+    # two commits so several files exist per partition
+    t.write(cust(spark).filter("c_custkey % 2 = 0"), op="insert", instant="001")
+    t.write(cust(spark).filter("c_custkey % 2 = 1"), op="insert", instant="002")
+    return t
+
+
+def selected(t, batch) -> set[str]:
+    live = t._live_files()
+    return {f["path"] for f in t._key_hit_files(live, batch)}
+
+
+REGIMES = [
+    {},
+    {"bloom_index": True},
+    {"bucket_index": 8},
+    {"record_index": True},
+    {"global_index": True, "partition_keys": []},
+]
+
+
+@pytest.mark.parametrize("regime", REGIMES, ids=lambda r: "+".join(r) or "plain")
+def test_fastpath_selects_same_files(spark, tmp_path, regime):
+    t = build(spark, tmp_path, **dict(regime))
+    batch = t._stamp(
+        cust(spark, ver=2).filter(F.col("c_custkey").isin(3, 77, 1401)),
+        "003",
+    )
+    fast = selected(t, batch)
+    t.driver_probe_max_keys = 0  # force every probe down the Spark path
+    slow = selected(t, batch)
+    assert fast == slow
+    assert fast  # the point batch genuinely hits files
+
+
+def test_fastpath_empty_batch_hits_nothing(spark, tmp_path):
+    t = build(spark, tmp_path)
+    batch = t._stamp(cust(spark, ver=2).filter("c_custkey < 0"), "003")
+    assert selected(t, batch) == set()
+
+
+def test_fastpath_upsert_data_equivalence(spark, tmp_path):
+    """End-to-end: a point upsert through the fast path lands the same
+    snapshot as the same upsert with the fast path disabled."""
+    a = build(spark, tmp_path / "a", bloom_index=True)
+    b = build(spark, tmp_path / "b", bloom_index=True)
+    b.driver_probe_max_keys = 0
+    upd = cust(spark, ver=2).filter(F.col("c_custkey").isin(3, 77, 1401))
+    a.write(upd, op="upsert", instant="003")
+    b.write(upd, op="upsert", instant="003")
+    cols = [c for c in a.logical().columns]
+    assert (
+        a.snapshot().select(cols).exceptAll(b.snapshot().select(cols)).isEmpty()
+        and b.snapshot().select(cols).exceptAll(a.snapshot().select(cols)).isEmpty()
+    )

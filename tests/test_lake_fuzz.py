@@ -62,12 +62,22 @@ def _model_rows(model: dict) -> set:
 
 
 @pytest.mark.parametrize(
-    "table_type,inline",
-    [("COPY_ON_WRITE", None), ("MERGE_ON_READ", 4)],
+    "table_type,inline,indexes",
+    [
+        ("COPY_ON_WRITE", None, {}),
+        ("MERGE_ON_READ", 4, {}),
+        # index-enabled variants: the fuzz batches are point-sized
+        # (1-12 keys), so every write plans through the driver-side
+        # fast paths (capped pair collect → XXH64 shards, bloom bit
+        # tests, pyarrow key scans) — the model check guards those
+        # shortcuts against the sequential truth after every commit
+        ("COPY_ON_WRITE", None, {"record_index": True, "bloom_index": True}),
+        ("MERGE_ON_READ", 4, {"record_index": True, "bloom_index": True}),
+    ],
 )
 @pytest.mark.parametrize("seed", [0, 1])
 def test_op_sequence_matches_model(
-    spark, tmp_path_factory, table_type, inline, seed
+    spark, tmp_path_factory, table_type, inline, seed, indexes
 ):
     from emr_hudi_example_spark.lake import LakeTable
 
@@ -78,6 +88,7 @@ def test_op_sequence_matches_model(
         partition_keys=["part"], table_type=table_type,
         inline_compact_deltas=inline,
         stats_columns=["ver", "payload"],
+        **indexes,
     )
 
     model: dict[int, tuple] = {}

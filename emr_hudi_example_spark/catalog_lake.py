@@ -940,6 +940,64 @@ def lake_col_bloom_skipping(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @query(
+    "lake_secondary_index_read",
+    oracle="""
+    SELECT c_custkey, c_name, c_acctbal,
+           md5(CAST(c_custkey AS VARCHAR)) AS tag,
+           CAST(3 AS INT) AS sec_pruned,
+           CAST(4 AS INT) AS miss_pruned
+    FROM customer
+    WHERE md5(CAST(c_custkey AS VARCHAR)) = md5('8')
+    """,
+)
+def lake_secondary_index_read(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """EXACT secondary index on a NON-KEY column — Hudi 1.0's
+    metadata-table secondary index (RFC-52), the exact sibling of
+    ``lake_col_bloom_skipping``'s blooms (the reference's index family
+    is key-side ``hoodie.index.type=GLOBAL_BLOOM``,
+    ``SRC/Log2Hudi.scala:78-79``; this is the non-key generalization).
+
+    Same bloom-proof workload — point lookups on a high-cardinality
+    DATA column (``tag`` = md5(custkey)) across four interleaved
+    commits where every file spans the full value range — but the
+    index stores the DISTINCT (value → file) pairs per commit, sharded
+    by ``pmod(xxhash64(val), 64)``, so the probe touches ~1/64 of one
+    column's index and its verdict is exact: the hit probe prunes the
+    three files that provably lack the value (pinned ``sec_pruned =
+    3``), and a needle-free probe prunes ALL FOUR (pinned
+    ``miss_pruned = 4``) — zero data I/O for absent values, which a
+    bloom can only promise modulo its false-positive rate. Rows are
+    the exact filter result (``=`` never matches NULL). At 100 TB this
+    serves "find the document with this content hash" at point cost
+    regardless of corpus size."""
+    import hashlib
+
+    base = (
+        load(spark, sf_dir, "customer")
+        .withColumn("tag", F.md5(F.col("c_custkey").cast("string")))
+        .withColumn("ver", F.lit(1).cast("long"))
+    )
+    t = LakeTable(
+        spark, _tmp_base(), "q", "secidx", ["c_custkey"], "ver",
+        secondary_index_columns=["tag"],
+    )
+    for i in range(4):
+        t.write(
+            base.filter(F.col("c_custkey") % 4 == i).coalesce(1),
+            op="insert", instant=f"00{i + 1}",
+        )
+    t.snapshot(predicate=[("tag", "=", "no-such-value")]).count()
+    miss_pruned = t.last_sec_index_pruned
+    probe = hashlib.md5(b"8").hexdigest()  # custkey 8 -> file 001
+    out = t.snapshot(predicate=[("tag", "=", probe)])
+    return out.select(
+        "c_custkey", "c_name", "c_acctbal", "tag",
+        F.lit(t.last_sec_index_pruned).cast("int").alias("sec_pruned"),
+        F.lit(miss_pruned).cast("int").alias("miss_pruned"),
+    )
+
+
+@query(
     "lake_bucket_index_pointread",
     oracle="""
     SELECT c_custkey, c_name, c_acctbal,

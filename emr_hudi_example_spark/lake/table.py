@@ -159,6 +159,7 @@ class LakeTable:
         col_bloom_hashes: int = 5,
         bucket_index: int | None = None,
         payload: str = "default",
+        secondary_index_columns: list[str] | None = None,
     ) -> None:
         if table_type not in ("COPY_ON_WRITE", "MERGE_ON_READ"):
             raise ValueError(f"unknown table type: {table_type}")
@@ -281,6 +282,33 @@ class LakeTable:
         #: (bloom values decoded lazily from b64 to unpacked bit arrays)
         self._col_bloom_sidecars: dict[str, dict] = {}
         self._col_bloom_type_cache: dict[str, dict] = {}
+        #: EXACT secondary index on non-key columns (Hudi 1.0's
+        #: secondary index, RFC-52 analog — the exact sibling of the
+        #: column blooms above): per commit, the DISTINCT (canonical
+        #: string value, file) pairs of each listed column land under
+        #: ``_index_sec/<instant>/col=<c>/shard=<pmod(xxhash64(val),
+        #: index_shards)>/``. Predicate reads probe it for ``=``/``in``
+        #: conditions and drop covered files the index maps NO operand
+        #: value to — exact (zero false positives), so unlike the bloom
+        #: it also serves needle-free scans at zero data I/O. Coverage
+        #: is per (file, column): the indexed column LIST is stamped
+        #: into each manifest entry (``sec_cols``, like the bucket
+        #: index's ``bucket_n``), so growing the config never
+        #: mis-prunes files written under the old list. Operand
+        #: canonicalization shares the column-bloom gate
+        #: (:meth:`_bloom_operand`): only (stored type, operand type)
+        #: pairings that provably render identically probe; anything
+        #: else keeps the file.
+        self.secondary_index_columns = list(secondary_index_columns or [])
+        self.sec_index_dir = os.path.join(self.path, "_index_sec")
+        #: observability: files skipped where the secondary index (not
+        #: stats / blooms) was the decider in the most recent predicate
+        #: read
+        self.last_sec_index_pruned = 0
+        #: instant -> {col: simple type} for the secondary-indexed
+        #: columns (the schema the index build's cast("string") ran
+        #: under); instant-keyed ⇒ cleared on restore
+        self._sec_type_cache: dict[str, dict] = {}
         #: immutable-manifest cache (see :meth:`_manifest`); cleared on
         #: :meth:`restore`, the one operation that can re-allocate an
         #: instant id
@@ -974,6 +1002,7 @@ class LakeTable:
             self.last_bucket_read_pruned = 0
             self.last_record_read_pruned = 0
             self.last_partitions_pruned = 0
+            self.last_sec_index_pruned = 0
             return files
         for col, op, _val in predicate:
             if op not in self._PRED_OPS:
@@ -999,12 +1028,21 @@ class LakeTable:
             if dead_parts and (f.get("partition_path") or "") in dead_parts:
                 return False
             return self._stats_may_match(f, predicate)
+        # exact secondary-index verdicts, computed ONCE per read (the
+        # per-file check below is a set probe); feeds the same pipeline
+        # as the bloom verdicts, so the MOR key-disjointness guard
+        # applies before any skip
+        sec_miss = self._sec_miss_paths(files, predicate)
+        self.last_sec_index_pruned = 0
         mor_merge = self.is_mor and not all_base
         if not mor_merge:
-            keep, skipped, bloom_skipped = [], 0, 0
+            keep, skipped, bloom_skipped, sec_skipped = [], 0, 0, 0
             for f in files:
                 if not _may_match(f):
                     skipped += 1
+                elif f["path"] in sec_miss:
+                    skipped += 1  # stats passed, exact index decided
+                    sec_skipped += 1
                 elif not self._col_bloom_may_match(f, predicate):
                     skipped += 1  # stats passed, column bloom decided
                     bloom_skipped += 1
@@ -1012,11 +1050,13 @@ class LakeTable:
                     keep.append(f)
             self.last_files_skipped = skipped
             self.last_col_bloom_pruned = bloom_skipped
+            self.last_sec_index_pruned = sec_skipped
             return keep
 
         # pass 1: stats verdict per file; deltas are always retained
         candidates: list[dict] = []  # stats-failing, non-empty base files
         bloom_decided: set[int] = set()  # candidates the col bloom failed
+        sec_decided: set[int] = set()  # candidates the exact index failed
         retained: list[dict] = []
         empty_skipped = 0
         for f in files:
@@ -1026,6 +1066,9 @@ class LakeTable:
                 retained.append(f)
             elif not _may_match(f):
                 candidates.append(f)
+            elif f["path"] in sec_miss:
+                candidates.append(f)
+                sec_decided.add(id(f))
             elif not self._col_bloom_may_match(f, predicate):
                 candidates.append(f)
                 bloom_decided.add(id(f))
@@ -1048,7 +1091,9 @@ class LakeTable:
                     return True
             return False
 
-        keep, skipped, bloom_skipped = list(retained), empty_skipped, 0
+        keep, skipped, bloom_skipped, sec_skipped = (
+            list(retained), empty_skipped, 0, 0,
+        )
         for f in candidates:
             if overlaps_retained(f):
                 keep.append(f)
@@ -1056,8 +1101,11 @@ class LakeTable:
                 skipped += 1
                 if id(f) in bloom_decided:
                     bloom_skipped += 1
+                if id(f) in sec_decided:
+                    sec_skipped += 1
         self.last_files_skipped = skipped
         self.last_col_bloom_pruned = bloom_skipped
+        self.last_sec_index_pruned = sec_skipped
         # preserve input order (manifest order) for deterministic scans
         kept_paths = {f["path"] for f in keep}
         return [f for f in files if f["path"] in kept_paths]
@@ -3451,6 +3499,283 @@ class LakeTable:
                 return False  # every operand definitely absent
         return True
 
+    # ------------------------------- exact secondary index (non-key cols)
+
+    def _write_sec_index(
+        self, instant: str, added: list[dict], schema: T.StructType
+    ) -> None:
+        """Append this commit's (column value → file) mappings under
+        ``_index_sec/<instant>/col=<c>/shard=<pmod(xxhash64(val),
+        index_shards)>/`` — the exact sibling of the column blooms and
+        the non-key twin of :meth:`_write_record_index` (Hudi 1.0's
+        metadata-table secondary index). Values are canonicalized by
+        Spark's ``cast("string")`` (same convention as the column
+        blooms, so the probe reuses :meth:`_bloom_operand`); NULLs are
+        excluded (``=``/``in`` never match NULL). One row per DISTINCT
+        (value, file) pair, so index size scales with per-file distinct
+        counts, not row counts. A listed column absent from this
+        commit's schema writes no rows — correct, because those files
+        hold only NULL for it, and the probe's no-hit verdict (file
+        provably holds no operand value) is exactly right.
+
+        100 TB shape: one distributed column-pruned pass over the
+        commit's files, hash-shuffled on (col, shard) so each shard dir
+        gets one file; probes touch only the operands' shard dirs
+        (~1/``index_shards`` of a column's index per point lookup).
+        The per-instant ``.nshards`` marker makes resized tables probe
+        correctly, as with the record index."""
+        names = {f.name for f in schema.fields}
+        present = [c for c in self.secondary_index_columns if c in names]
+        out_dir = os.path.join(self.sec_index_dir, instant)
+        # point-sized commits with ALL-STRING indexed columns build the
+        # sidecar driver-side (``cast("string")`` is the identity on
+        # strings, so Python values match the Spark canonical form
+        # exactly; non-string columns always take the Spark build —
+        # reproducing Spark's numeric/temporal string rendering in
+        # Python is where parity would get risky). Same gate as the
+        # record-index driver build; saves a 64-task job per commit on
+        # the streaming-upsert hot path.
+        sizes = [f.get("bytes") for f in added]
+        all_string = all(
+            isinstance(fld.dataType, T.StringType)
+            for fld in schema.fields
+            if fld.name in present
+        )
+        simple_names = all(
+            c.replace("_", "").isalnum() for c in present
+        )
+        if (
+            present
+            and all_string
+            and simple_names
+            and len(added) <= 64
+            and all(isinstance(s, int) for s in sizes)
+            and sum(sizes) <= self.driver_probe_max_bytes
+        ):
+            import pyarrow as pa
+
+            by_dir: dict[tuple, tuple[list[str], list[str]]] = {}
+            for f in added:
+                want = [c for c in present]
+                tbl = pa_pq.read_table(
+                    os.path.join(self.path, f["path"]),
+                    columns=want,
+                )
+                for c in want:
+                    seen: set[str] = set()
+                    for v in tbl.column(c).to_pylist():
+                        if v is None or v in seen:
+                            continue
+                        seen.add(v)
+                        vs, fs = by_dir.setdefault(
+                            (c, xxh_shard(v, self.index_shards)),
+                            ([], []),
+                        )
+                        vs.append(v)
+                        fs.append(f["path"])
+            for (c, shard), (vs, fs) in by_dir.items():
+                d = os.path.join(out_dir, f"col={c}", f"shard={shard}")
+                os.makedirs(d, exist_ok=True)
+                pa_pq.write_table(
+                    pa.table({"val": vs, "fp": fs}),
+                    os.path.join(d, "part-driver.parquet"),
+                )
+            os.makedirs(out_dir, exist_ok=True)
+            with open(os.path.join(out_dir, ".nshards"), "w") as fh:
+                fh.write(str(self.index_shards))
+            return
+        if present:
+            read_schema = T.StructType(
+                [f for f in schema.fields if f.name in present]
+            )
+            pairs = F.explode(
+                F.array(
+                    *[
+                        F.struct(
+                            F.lit(c).alias("col"),
+                            F.col(c).cast("string").alias("val"),
+                        )
+                        for c in present
+                    ]
+                )
+            )
+            rows = (
+                self._read_files(
+                    [f["path"] for f in added], schema=read_schema
+                )
+                .select(self._rel_fp_expr().alias("fp"), pairs.alias("p"))
+                .select(
+                    "fp",
+                    F.col("p.col").alias("col"),
+                    F.col("p.val").alias("val"),
+                )
+                .filter(F.col("val").isNotNull())
+                .distinct()
+                .withColumn(
+                    "shard",
+                    F.pmod(
+                        F.xxhash64(F.col("val")),
+                        F.lit(self.index_shards),
+                    ).cast("int"),
+                )
+            )
+            (
+                rows.repartition(self.index_shards, "col", "shard")
+                .write.mode("overwrite")
+                .partitionBy("col", "shard")
+                .parquet(out_dir)
+            )
+        os.makedirs(out_dir, exist_ok=True)
+        with open(os.path.join(out_dir, ".nshards"), "w") as fh:
+            fh.write(str(self.index_shards))
+
+    def _sec_col_types(self, instant: str) -> dict | None:
+        """{col: simple type name} for the secondary-indexed columns as
+        of ``instant`` (the schema the index build's ``cast("string")``
+        ran under), lazily cached. ``None`` when the manifest is
+        unreadable (probe keeps the instant's files, conservative); a
+        column MISSING from the returned dict was absent from the
+        commit's schema — its files provably hold only NULL for it."""
+        if instant in self._sec_type_cache:
+            return self._sec_type_cache[instant]
+        types: dict[str, str] | None = None
+        try:
+            schema = T.StructType.fromJson(
+                self._manifest_any(instant)["schema"]
+            )
+            types = {
+                fld.name: fld.dataType.simpleString()
+                for fld in schema.fields
+                if fld.name in self.secondary_index_columns
+            }
+        except (FileNotFoundError, KeyError, ValueError):
+            pass
+        self._sec_type_cache[instant] = types
+        return types
+
+    def _sec_miss_paths(
+        self, files: list[dict], predicate: list[tuple]
+    ) -> set[str]:
+        """Paths of files the secondary index PROVES hold no operand
+        value for some ``=``/``in`` conjunct on an indexed column —
+        the definite-miss set :meth:`_stats_prune` feeds into the same
+        verdict pipeline as the column blooms (so the MOR
+        key-disjointness guard applies before any skip).
+
+        Per conjunct: covered files (queried column ∈ the file's
+        stamped ``sec_cols``) group by creating instant; each instant
+        canonicalizes the operands under ITS stored column type
+        (:meth:`_bloom_operand` — un-reproducible pairings drop the
+        instant from the probe, keeping its files) and contributes its
+        matched ``col=<c>/shard=<s>`` dirs. All matched dirs are read
+        in ONE pass — driver-side pyarrow when the matched bytes fit
+        the fast-path gate (operands are always literals here), else a
+        single Spark scan — filtered to the UNION of canonical forms
+        (a superset filter can only shrink the miss set: safe), and
+        covered files absent from the hit fps are misses."""
+        if not self.secondary_index_columns:
+            return set()
+        misses: set[str] = set()
+        for col, op, val in predicate:
+            if op not in ("=", "in") or col not in self.secondary_index_columns:
+                continue
+            covered = [
+                f
+                for f in files
+                if isinstance(f.get("sec_cols"), list)
+                and col in f["sec_cols"]
+            ]
+            if not covered:
+                continue
+            operands = list(val) if op == "in" else [val]
+            by_inst: dict[str, list[dict]] = {}
+            for f in covered:
+                parts = f["path"].replace(os.sep, "/").split("/")
+                inst = parts[1] if len(parts) >= 2 else ""
+                by_inst.setdefault(inst, []).append(f)
+            probeable: list[dict] = []
+            shard_dirs: list[str] = []
+            all_canon: set[str] = set()
+            for inst, fl in by_inst.items():
+                types = self._sec_col_types(inst)
+                if types is None:
+                    continue  # unknown schema: keep these files
+                ct = types.get(col)
+                if ct is None:
+                    # column absent from this instant's schema: its
+                    # files hold only NULL for it, and ``=``/``in``
+                    # never match NULL — definite miss, no probe needed
+                    misses.update(f["path"] for f in fl)
+                    continue
+                canon = [self._bloom_operand(v, ct) for v in operands]
+                if any(c is None for c in canon):
+                    continue  # unreproducible form: keep these files
+                d = os.path.join(self.sec_index_dir, inst)
+                try:
+                    with open(os.path.join(d, ".nshards")) as fh:
+                        n = int(fh.read().strip())
+                except (OSError, ValueError):
+                    continue  # no index data for this instant: keep
+                all_canon.update(canon)
+                probeable.extend(fl)
+                shard_dirs.extend(
+                    p
+                    for s in sorted({xxh_shard(c, n) for c in canon})
+                    if os.path.isdir(
+                        p := os.path.join(d, f"col={col}", f"shard={s}")
+                    )
+                )
+            if not probeable:
+                continue
+            hit_paths = self._normalize_index_fps(
+                self._sec_probe_dirs(shard_dirs, all_canon)
+            )
+            misses |= {
+                f["path"] for f in probeable if f["path"] not in hit_paths
+            }
+        return misses
+
+    def _sec_probe_dirs(
+        self, shard_dirs: list[str], canon: set[str]
+    ) -> set[str]:
+        """fps of index rows in ``shard_dirs`` whose val ∈ ``canon``.
+        Driver-side pyarrow under the fast-path gate (a point lookup's
+        matched shards are KB-sized at any table size); one Spark scan
+        past it."""
+        if not shard_dirs:
+            return set()
+        part_files: list[str] = []
+        total = 0
+        for d in shard_dirs:
+            for fn in os.listdir(d):
+                if fn.endswith(".parquet"):
+                    p = os.path.join(d, fn)
+                    part_files.append(p)
+                    total += os.path.getsize(p)
+        if (
+            len(part_files) <= 64
+            and total <= self.driver_probe_max_bytes
+        ):
+            hits: set[str] = set()
+            for p in part_files:
+                tbl = pa_pq.read_table(p, columns=["val", "fp"])
+                vals = tbl.column("val").to_pylist()
+                fps = tbl.column("fp").to_pylist()
+                hits.update(fp for v, fp in zip(vals, fps) if v in canon)
+            return hits
+        idx = self.spark.read.option(
+            "recursiveFileLookup", "true"
+        ).parquet(*shard_dirs)
+        return {
+            fp
+            for (fp,) in idx.filter(
+                F.col("val").isin(*sorted(canon))
+            )
+            .select("fp")
+            .distinct()
+            .collect()
+        }
+
     def _merge(self, old: DataFrame, batch: DataFrame) -> DataFrame:
         """Larger-precombine-wins merge, ties → incoming row — exactly
         ``DefaultHoodieRecordPayload`` (``SRC/package.scala:25,35``):
@@ -3745,6 +4070,15 @@ class LakeTable:
                     ),
                 )
             )
+        if self.secondary_index_columns and indexable:
+            builders.append(
+                (
+                    "sec_cols",
+                    lambda: self._write_sec_index(
+                        instant, indexable, schema
+                    ),
+                )
+            )
         if len(builders) == 1:
             builders[0][1]()
         elif builders:
@@ -3753,8 +4087,17 @@ class LakeTable:
                     fut.result()  # re-raise the first failure: the
                     # commit must not publish with a half-built index
         for flag, _fn in builders:
+            # "sec_cols" stamps the column LIST indexed for the file
+            # (probes require the queried column ∈ the file's list, so
+            # a later config growth can't mis-prune old files); the
+            # other flags are booleans
+            val = (
+                list(self.secondary_index_columns)
+                if flag == "sec_cols"
+                else True
+            )
             for f in indexable:
-                f[flag] = True  # same dicts enter the live set
+                f[flag] = val  # same dicts enter the live set
         # roll the live set forward BEFORE the manifest lands (while
         # last_instant() still names the previous commit)
         prev = self._live_files()
@@ -4120,6 +4463,7 @@ class LakeTable:
             self._bloom_sidecars.clear()
             self._col_bloom_sidecars.clear()
             self._col_bloom_type_cache.clear()
+            self._sec_type_cache.clear()
             self._commit_summary_cache.clear()
             return doomed
 
@@ -4811,9 +5155,11 @@ class LakeTable:
         # none of them is live every mapping in the dir is dead weight
         # (lookups intersect with live files either way — this bounds
         # index GROWTH, not correctness)
-        if os.path.isdir(self.index_dir):
-            for d in os.listdir(self.index_dir):
-                full = os.path.join(self.index_dir, d)
+        for idx_root in (self.index_dir, self.sec_index_dir):
+            if not os.path.isdir(idx_root):
+                continue
+            for d in os.listdir(idx_root):
+                full = os.path.join(idx_root, d)
                 if os.path.isdir(full) and d not in live_instants:
                     shutil.rmtree(full)
         return sorted(deleted)

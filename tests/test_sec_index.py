@@ -1,0 +1,300 @@
+"""Exact secondary index on non-key columns (Hudi 1.0's metadata-table
+secondary index, RFC-52 analog; the exact sibling of the column blooms).
+
+Safety invariants pinned here:
+- pruning never changes results (exact vs ``df.filter``)
+- MOR: an index-missing base file key-overlapping a retained file is
+  never pruned (same stale-winner-leak guard as stats/bloom pruning)
+- unprobeable operand/type pairings disable pruning, never corrupt it
+- coverage is per (file, column): files written before the column was
+  indexed — or before the index existed at all — are always kept
+- the driver-side build (all-string point commits) and the Spark build
+  serve identical probe verdicts
+- cleaner removes dead instants' index dirs
+"""
+
+from __future__ import annotations
+
+import os
+
+from pyspark.sql import functions as F
+
+from emr_hudi_example_spark.lake import LakeTable
+
+SF = "/root/testdata/sf0.001"
+
+
+def tagged_cust(spark, ver=1):
+    """Customer rows with a high-cardinality string column ``tag`` =
+    md5(custkey) and a long column ``num``: interleaved writes give
+    every file full-range min/max — stats prune nothing."""
+    return (
+        spark.read.parquet(f"{SF}/customer.parquet")
+        .withColumn("tag", F.md5(F.col("c_custkey").cast("string")))
+        .withColumn("num", (F.col("c_custkey") * 7).cast("long"))
+        .withColumn("ver", F.lit(ver).cast("long"))
+    )
+
+
+def sec_table(spark, tmp, name="sx", **kw):
+    kw.setdefault("secondary_index_columns", ["tag"])
+    return LakeTable(
+        spark, str(tmp), "testdb", name,
+        record_keys=["c_custkey"], precombine="ver", **kw,
+    )
+
+
+def write_four_interleaved(t, spark):
+    base = tagged_cust(spark)
+    for i in range(4):
+        t.write(
+            base.filter(F.col("c_custkey") % 4 == i).coalesce(1),
+            op="insert", instant=f"00{i + 1}",
+        )
+    return base
+
+
+def tag_of(spark, custkey: int) -> str:
+    return (
+        tagged_cust(spark)
+        .filter(F.col("c_custkey") == custkey)
+        .select("tag")
+        .collect()[0][0]
+    )
+
+
+def test_sec_index_prunes_equality_read(spark, tmp_path):
+    """Four interleaved files; ``tag = <one value>`` reads ONE file
+    (3 pruned by the exact index) and returns exactly the filtered
+    row; a needle-free value prunes everything — EXACTLY (the bloom
+    can only do this probabilistically)."""
+    t = sec_table(spark, tmp_path)
+    base = write_four_interleaved(t, spark)
+    v = tag_of(spark, 8)  # custkey 8 lives in file 001 (8 % 4 == 0)
+    out = t.snapshot(predicate=[("tag", "=", v)])
+    rows = out.select("c_custkey", "tag").collect()
+    assert [(r["c_custkey"], r["tag"]) for r in rows] == [(8, v)]
+    assert t.last_sec_index_pruned == 3
+    assert t.last_files_skipped == 3
+    out = t.snapshot(predicate=[("tag", "=", "no-such-hash")])
+    assert out.count() == 0
+    assert t.last_sec_index_pruned == 4
+    assert t.snapshot().count() == base.count()
+    assert t.last_sec_index_pruned == 0  # predicate-free read resets
+
+
+def test_sec_index_in_predicate_prunes_union(spark, tmp_path):
+    t = sec_table(spark, tmp_path, name="inq")
+    write_four_interleaved(t, spark)
+    v0, v1 = tag_of(spark, 4), tag_of(spark, 5)  # files 001 and 002
+    out = t.snapshot(predicate=[("tag", "in", (v0, v1))])
+    assert sorted(r["c_custkey"] for r in out.collect()) == [4, 5]
+    assert t.last_sec_index_pruned == 2
+
+
+def test_sec_index_spark_build_matches_driver_build(spark, tmp_path):
+    """A long column forces the Spark build (driver build is
+    string-only); verdicts must match a same-data string-column probe
+    and results stay exact."""
+    t = sec_table(
+        spark, tmp_path, name="spk",
+        secondary_index_columns=["num"],
+    )
+    write_four_interleaved(t, spark)
+    # int operand on a bigint column: canonical form is reproducible
+    out = t.snapshot(predicate=[("num", "=", 8 * 7)])
+    assert [r["c_custkey"] for r in out.select("c_custkey").collect()] == [8]
+    assert t.last_sec_index_pruned == 3
+    # Spark (not driver) build artifacts exist
+    inst_dir = os.path.join(t.sec_index_dir, "001", "col=num")
+    assert os.path.isdir(inst_dir)
+    assert not any(
+        "part-driver" in fn
+        for _r, _d, fns in os.walk(inst_dir)
+        for fn in fns
+    )
+
+
+def test_sec_index_unprobeable_operand_keeps_files(spark, tmp_path):
+    """A float operand has no reproducible canonical form against any
+    column type: pruning must disable (keep all), results stay exact
+    via the row filter."""
+    t = sec_table(
+        spark, tmp_path, name="unp",
+        secondary_index_columns=["num"],
+    )
+    write_four_interleaved(t, spark)
+    out = t.snapshot(predicate=[("num", "=", float(8 * 7))])
+    assert [r["c_custkey"] for r in out.select("c_custkey").collect()] == [8]
+    assert t.last_sec_index_pruned == 0
+    # str operand on a numeric column: same conservative keep
+    t.snapshot(predicate=[("num", "=", "56")]).count()
+    assert t.last_sec_index_pruned == 0
+
+
+def test_sec_index_mor_stale_winner_guard(spark, tmp_path):
+    """MOR: the merged winner for a key lives in the BASE file; a
+    predicate matching only the LOSING delta row's value makes the
+    base file index-miss — but pruning it would let the stale delta
+    row win the merge unopposed. The key-overlap guard must keep it."""
+    t = sec_table(
+        spark, tmp_path, name="mor", table_type="MERGE_ON_READ"
+    )
+    base = tagged_cust(spark, ver=2).withColumn(
+        "tag", F.lit("winner-value")
+    )
+    t.write(base.coalesce(1), op="insert", instant="001")
+    stale = (
+        tagged_cust(spark, ver=1)
+        .filter(F.col("c_custkey") == 8)
+        .withColumn("tag", F.lit("stale-value"))
+    )
+    t.write(stale, op="upsert", instant="002")  # MOR: appends a delta
+    out = t.snapshot(predicate=[("tag", "=", "stale-value")])
+    assert out.count() == 0  # ver=2 base row wins; filter drops it
+    assert t.last_sec_index_pruned == 0  # base kept: key-overlaps delta
+    # read-optimized (base-only, no merge follows): pruning is free
+    ro = t.read_optimized(predicate=[("tag", "=", "stale-value")])
+    assert ro.count() == 0
+    assert t.last_sec_index_pruned == 1
+
+
+def test_sec_index_pre_index_files_kept(spark, tmp_path):
+    """Files written before the index was configured lack the
+    ``sec_cols`` stamp: reads keep them unconditionally and stay
+    exact."""
+    plain = LakeTable(
+        spark, str(tmp_path), "testdb", "pre",
+        record_keys=["c_custkey"], precombine="ver",
+    )
+    base = tagged_cust(spark)
+    plain.write(
+        base.filter("c_custkey % 2 = 0").coalesce(1),
+        op="insert", instant="001",
+    )
+    t = sec_table(spark, tmp_path, name="pre")  # same dir, index ON
+    t.write(
+        base.filter("c_custkey % 2 = 1").coalesce(1),
+        op="insert", instant="002",
+    )
+    v = tag_of(spark, 8)  # lives in the UN-indexed file 001
+    out = t.snapshot(predicate=[("tag", "=", v)])
+    assert [r["c_custkey"] for r in out.select("c_custkey").collect()] == [8]
+    # only the indexed file 002 was prunable
+    assert t.last_sec_index_pruned == 1
+
+
+def test_sec_index_config_growth_no_misprune(spark, tmp_path):
+    """Growing the indexed column list must not prune old files by the
+    NEW column (their stamp lists only the old columns)."""
+    t1 = sec_table(spark, tmp_path, name="grow")
+    base = tagged_cust(spark)
+    t1.write(
+        base.filter("c_custkey % 2 = 0").coalesce(1),
+        op="insert", instant="001",
+    )
+    t2 = sec_table(
+        spark, tmp_path, name="grow",
+        secondary_index_columns=["tag", "num"],
+    )
+    t2.write(
+        base.filter("c_custkey % 2 = 1").coalesce(1),
+        op="insert", instant="002",
+    )
+    out = t2.snapshot(predicate=[("num", "=", 8 * 7)])  # even key: file 001
+    assert [r["c_custkey"] for r in out.select("c_custkey").collect()] == [8]
+    # file 001 is NOT covered for num (kept); file 002 is and misses
+    assert t2.last_sec_index_pruned == 1
+    # the old column stays fully covered: both files probeable
+    v = tag_of(spark, 8)
+    out = t2.snapshot(predicate=[("tag", "=", v)])
+    assert out.count() == 1
+    assert t2.last_sec_index_pruned == 1
+
+
+def test_sec_index_absent_column_is_definite_miss(spark, tmp_path):
+    """A commit whose schema lacks the indexed column holds only NULL
+    for it under additive evolution — the index prunes those files
+    without any probe I/O, and the result is exact."""
+    t = sec_table(spark, tmp_path, name="abs")
+    plain = (
+        spark.read.parquet(f"{SF}/customer.parquet")
+        .withColumn("ver", F.lit(1).cast("long"))
+    )
+    t.write(
+        plain.filter("c_custkey % 2 = 0").coalesce(1),
+        op="insert", instant="001",  # no ``tag`` column at all
+    )
+    t.write(
+        tagged_cust(spark).filter("c_custkey % 2 = 1")
+        .drop("num").coalesce(1),
+        op="insert", instant="002",
+    )
+    v = tag_of(spark, 9)
+    out = t.snapshot(predicate=[("tag", "=", v)])
+    assert [r["c_custkey"] for r in out.select("c_custkey").collect()] == [9]
+    assert t.last_sec_index_pruned == 1  # the tag-less file 001
+
+
+def test_sec_index_survives_compaction_and_clean(spark, tmp_path):
+    """Compaction outputs are indexed through the same publish path;
+    the cleaner removes dead instants' index dirs and live reads stay
+    exact afterwards."""
+    t = sec_table(spark, tmp_path, name="cln")
+    base = write_four_interleaved(t, spark)
+    t.compact()  # folds the four files into one
+    upd = tagged_cust(spark, ver=2).filter(F.col("c_custkey") <= 4)
+    t.write(upd, op="upsert")
+    # a second live file with disjoint tags, so the point read below
+    # has something to prune (post-compact the table is one file)
+    extra = tagged_cust(spark).withColumn(
+        "c_custkey", F.col("c_custkey") + 100000
+    ).withColumn("tag", F.md5(F.col("c_custkey").cast("string")))
+    t.write(extra.coalesce(1), op="insert")
+    t.clean(retain_commits=1)
+    live_instants = {
+        f["path"].split(os.sep)[1].split("/")[0]
+        for f in t._live_files()
+    }
+    for d in os.listdir(t.sec_index_dir):
+        assert d in live_instants  # dead index dirs reclaimed
+    v = tag_of(spark, 8)
+    out = t.snapshot(predicate=[("tag", "=", v)])
+    assert out.count() == 1
+    assert t.last_sec_index_pruned >= 1
+
+
+def test_sec_index_equivalence_sweep(spark, tmp_path):
+    """Pruned reads equal plain filters for a sweep of predicates on
+    both table types."""
+    for ttype in ("COPY_ON_WRITE", "MERGE_ON_READ"):
+        t = sec_table(
+            spark, tmp_path / ttype, name="eq",
+            secondary_index_columns=["tag", "num"],
+            table_type=ttype,
+        )
+        base = write_four_interleaved(t, spark)
+        t.write(
+            tagged_cust(spark, ver=2).filter("c_custkey <= 6"),
+            op="upsert", instant="005",
+        )
+        merged = t.snapshot()
+        for pred, cond in [
+            ([("tag", "=", tag_of(spark, 8))], F.col("tag") == tag_of(spark, 8)),
+            ([("num", "=", 21)], F.col("num") == 21),
+            (
+                [("tag", "in", (tag_of(spark, 4), tag_of(spark, 7)))],
+                F.col("tag").isin(tag_of(spark, 4), tag_of(spark, 7)),
+            ),
+        ]:
+            got = {
+                tuple(r)
+                for r in t.snapshot(predicate=pred)
+                .select("c_custkey", "tag", "num", "ver").collect()
+            }
+            want = {
+                tuple(r)
+                for r in merged.filter(cond)
+                .select("c_custkey", "tag", "num", "ver").collect()
+            }
+            assert got == want, (ttype, pred)

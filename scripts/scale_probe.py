@@ -216,6 +216,45 @@ def run_probe(spark: SparkSession, mult: int) -> list[dict]:
 
     recs.append(timed("functional_index_read", mult, _fn_read))
 
+    # (d) r9: exact secondary index at scale — the content-hash
+    # point-lookup workload (``tag`` = md5(orderkey), one row per
+    # value, index cardinality scales WITH the multiplier). A 128-file
+    # commit takes the Spark build (distinct (val, fp) pairs
+    # hash-shuffled on (col, shard)); the hit probe then reads exactly
+    # ONE file (127 pruned) and the needle-free probe prunes ALL 128
+    # at zero data I/O — probe cost is the matched shard dirs,
+    # ~1/64 of one column's index, at any table size.
+    sroot = f"{WORK}/x{mult}/lake_sec"
+    shutil.rmtree(sroot, ignore_errors=True)
+    tagged = orders.withColumn(
+        "tag", F.md5(F.col("o_orderkey").cast("string"))
+    )
+    ts = LakeTable(
+        spark, sroot, "probe", "orders_sec", ["o_orderkey"], "ver",
+        secondary_index_columns=["tag"],
+    )
+    recs.append(
+        timed(
+            "sec_index_build_128files", mult,
+            lambda: ts.write(
+                tagged.repartition(128), op="insert", instant="001"
+            ),
+        )
+    )
+    one_tag = tagged.select("tag").first()[0]
+
+    def _sec_miss():
+        out = ts.snapshot(predicate=[("tag", "=", "no-such-hash")])
+        return {"rows": out.count(), "sec_pruned": ts.last_sec_index_pruned}
+
+    recs.append(timed("sec_index_missing_read", mult, _sec_miss))
+
+    def _sec_hit():
+        out = ts.snapshot(predicate=[("tag", "=", one_tag)])
+        return {"rows": out.count(), "sec_pruned": ts.last_sec_index_pruned}
+
+    recs.append(timed("sec_index_hit_read", mult, _sec_hit))
+
     # materialization (checkpoint) INSIDE the timed block so pair-gen
     # cost lands in minhash_lsh_pairs, and cluster_groups below times
     # only label propagation over the already-materialized pairs

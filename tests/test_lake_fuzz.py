@@ -71,8 +71,24 @@ def _model_rows(model: dict) -> set:
         # fast paths (capped pair collect → XXH64 shards, bloom bit
         # tests, pyarrow key scans) — the model check guards those
         # shortcuts against the sequential truth after every commit
-        ("COPY_ON_WRITE", None, {"record_index": True, "bloom_index": True}),
-        ("MERGE_ON_READ", 4, {"record_index": True, "bloom_index": True}),
+        (
+            "COPY_ON_WRITE",
+            None,
+            {
+                "record_index": True,
+                "bloom_index": True,
+                "secondary_index_columns": ["payload"],
+            },
+        ),
+        (
+            "MERGE_ON_READ",
+            4,
+            {
+                "record_index": True,
+                "bloom_index": True,
+                "secondary_index_columns": ["payload"],
+            },
+        ),
     ],
 )
 @pytest.mark.parametrize("seed", [0, 1])
@@ -184,6 +200,9 @@ def test_op_sequence_matches_model(
     # stats-pruned predicate reads: file skipping on the randomized
     # column ranges must never drop a matching row (skipping is an
     # OPTIMIZATION; the exact row filter re-applies after the prune)
+    some_payload = next(
+        (p for _v, p, _part in model.values()), 0
+    )
     for pred, cond in [
         ([("payload", "<=", 500)], lambda r: r[2] <= 500),
         ([("ver", ">", 5)], lambda r: r[1] > 5),
@@ -191,6 +210,14 @@ def test_op_sequence_matches_model(
             [("payload", "between", (100, 800))],
             lambda r: 100 <= r[2] <= 800,
         ),
+        # equality probes: on the indexed variants these exercise the
+        # exact secondary index (incl. the MOR stale-winner guard)
+        # against the model; on the plain variants, stats pruning
+        (
+            [("payload", "=", some_payload)],
+            lambda r: r[2] == some_payload,
+        ),
+        ([("payload", "=", -1)], lambda r: False),  # needle-free
     ]:
         got = _snap_rows(t.snapshot(predicate=pred))
         assert got == {r for r in _model_rows(model) if cond(r)}, (

@@ -998,6 +998,65 @@ def lake_secondary_index_read(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @query(
+    "lake_index_backfill_endstate",
+    oracle="""
+    SELECT c_custkey, c_name, c_acctbal,
+           md5(CAST(c_custkey AS VARCHAR)) AS tag,
+           CAST(0 AS INT) AS pre_pruned,
+           CAST(3 AS INT) AS post_pruned
+    FROM customer
+    WHERE md5(CAST(c_custkey AS VARCHAR)) = md5('8')
+    """,
+)
+def lake_index_backfill_endstate(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Async metadata indexing (Hudi's async indexer /
+    ``hoodie.metadata.index.async`` analog): four commits land BEFORE
+    the secondary index exists; re-opening the table with
+    ``secondary_index_columns`` and calling
+    ``backfill_secondary_index()`` builds coverage with one metadata-
+    only commit — index rows appended into each file's creating-instant
+    dir, coverage stamped by re-adding the same file records with
+    upgraded ``sec_cols`` (NO data file rewritten; at 100 TB this is
+    one column-pruned index scan instead of rewriting the table).
+
+    Graded pins: the same point probe prunes 0 files before the
+    backfill (un-covered files are conservatively kept) and 3 of 4
+    after (``pre_pruned = 0``, ``post_pruned = 3``); rows are the exact
+    filter result either way — the backfill changes I/O, never
+    answers."""
+    import hashlib
+
+    base = (
+        load(spark, sf_dir, "customer")
+        .withColumn("tag", F.md5(F.col("c_custkey").cast("string")))
+        .withColumn("ver", F.lit(1).cast("long"))
+    )
+    root = _tmp_base()
+    plain = LakeTable(
+        spark, root, "q", "backfill", ["c_custkey"], "ver",
+    )
+    for i in range(4):
+        plain.write(
+            base.filter(F.col("c_custkey") % 4 == i).coalesce(1),
+            op="insert", instant=f"00{i + 1}",
+        )
+    t = LakeTable(
+        spark, root, "q", "backfill", ["c_custkey"], "ver",
+        secondary_index_columns=["tag"],
+    )
+    probe = hashlib.md5(b"8").hexdigest()  # custkey 8 -> file 001
+    t.snapshot(predicate=[("tag", "=", probe)]).count()
+    pre_pruned = t.last_sec_index_pruned
+    t.backfill_secondary_index()
+    out = t.snapshot(predicate=[("tag", "=", probe)])
+    return out.select(
+        "c_custkey", "c_name", "c_acctbal", "tag",
+        F.lit(pre_pruned).cast("int").alias("pre_pruned"),
+        F.lit(t.last_sec_index_pruned).cast("int").alias("post_pruned"),
+    )
+
+
+@query(
     "lake_bucket_index_pointread",
     oracle="""
     SELECT c_custkey, c_name, c_acctbal,

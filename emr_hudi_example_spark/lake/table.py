@@ -3585,49 +3585,235 @@ class LakeTable:
                 fh.write(str(self.index_shards))
             return
         if present:
-            read_schema = T.StructType(
-                [f for f in schema.fields if f.name in present]
-            )
-            pairs = F.explode(
-                F.array(
-                    *[
-                        F.struct(
-                            F.lit(c).alias("col"),
-                            F.col(c).cast("string").alias("val"),
-                        )
-                        for c in present
-                    ]
-                )
-            )
-            rows = (
-                self._read_files(
-                    [f["path"] for f in added], schema=read_schema
-                )
-                .select(self._rel_fp_expr().alias("fp"), pairs.alias("p"))
-                .select(
-                    "fp",
-                    F.col("p.col").alias("col"),
-                    F.col("p.val").alias("val"),
-                )
-                .filter(F.col("val").isNotNull())
-                .distinct()
-                .withColumn(
-                    "shard",
-                    F.pmod(
-                        F.xxhash64(F.col("val")),
-                        F.lit(self.index_shards),
-                    ).cast("int"),
-                )
-            )
-            (
-                rows.repartition(self.index_shards, "col", "shard")
-                .write.mode("overwrite")
-                .partitionBy("col", "shard")
-                .parquet(out_dir)
+            self._sec_spark_build(
+                added, present, schema, out_dir, self.index_shards,
+                mode="overwrite",
             )
         os.makedirs(out_dir, exist_ok=True)
         with open(os.path.join(out_dir, ".nshards"), "w") as fh:
             fh.write(str(self.index_shards))
+
+    def _sec_spark_build(
+        self,
+        files: list[dict],
+        present: list[str],
+        schema: T.StructType,
+        out_dir: str,
+        nshards: int,
+        mode: str,
+    ) -> None:
+        """One distributed column-pruned pass over ``files`` producing
+        the distinct (col, val, fp) index rows, hash-shuffled on
+        (col, shard) and written ``partitionBy`` under ``out_dir``.
+        ``mode="append"`` lets the backfill add rows to an instant dir
+        that already indexes other columns."""
+        read_schema = T.StructType(
+            [f for f in schema.fields if f.name in present]
+        )
+        pairs = F.explode(
+            F.array(
+                *[
+                    F.struct(
+                        F.lit(c).alias("col"),
+                        F.col(c).cast("string").alias("val"),
+                    )
+                    for c in present
+                ]
+            )
+        )
+        rows = (
+            self._read_files(
+                [f["path"] for f in files], schema=read_schema
+            )
+            .select(self._rel_fp_expr().alias("fp"), pairs.alias("p"))
+            .select(
+                "fp",
+                F.col("p.col").alias("col"),
+                F.col("p.val").alias("val"),
+            )
+            .filter(F.col("val").isNotNull())
+            .distinct()
+            .withColumn(
+                "shard",
+                F.pmod(
+                    F.xxhash64(F.col("val")),
+                    F.lit(nshards),
+                ).cast("int"),
+            )
+        )
+        (
+            rows.repartition(nshards, "col", "shard")
+            .write.mode(mode)
+            .partitionBy("col", "shard")
+            .parquet(out_dir)
+        )
+
+    def backfill_record_index(self) -> str | None:
+        """Async metadata indexing for the RECORD index (Hudi's async
+        indexer building the metadata-table ``record_index`` partition
+        for an existing table): the record index only probes under FULL
+        coverage, so enabling it mid-life leaves planning on the scan
+        path until every pre-index file happens to be rewritten. This
+        builds (key → file) rows for the un-covered live files into
+        their creating-instant dirs (honoring each dir's ``.nshards``
+        modulus; probes enumerate all on-disk instant dirs, and the
+        cleaner protects a dir while its instant owns live files) and
+        records coverage with one metadata-only ``index_backfill``
+        commit — same mechanics as :meth:`backfill_secondary_index`,
+        no data file rewritten. Idempotent."""
+        if not self.record_index:
+            return None
+        with self._writer_lock():
+            live = self._live_files()
+            todo = [
+                f
+                for f in live
+                if not f.get("external") and not f.get("indexed")
+            ]
+            if not todo:
+                return None
+            by_inst: dict[str, list[dict]] = {}
+            for f in todo:
+                parts = f["path"].replace(os.sep, "/").split("/")
+                inst = parts[1] if len(parts) >= 2 else ""
+                by_inst.setdefault(inst, []).append(f)
+            key_schema = T.StructType(
+                [T.StructField(RECORD_KEY_COL, T.StringType())]
+            )
+            for inst, fl in sorted(by_inst.items()):
+                out_dir = os.path.join(self.index_dir, inst)
+                nshards = self.index_shards
+                marker = os.path.join(out_dir, ".nshards")
+                try:
+                    with open(marker) as fh:
+                        nshards = int(fh.read().strip())
+                except (OSError, ValueError):
+                    pass
+                rows = self._read_files(
+                    [f["path"] for f in fl], schema=key_schema
+                ).select(
+                    F.col(RECORD_KEY_COL).alias("key"),
+                    self._rel_fp_expr().alias("fp"),
+                    F.pmod(
+                        F.xxhash64(F.col(RECORD_KEY_COL)),
+                        F.lit(nshards),
+                    ).cast("int").alias("shard"),
+                )
+                (
+                    rows.repartition(nshards, "shard")
+                    .write.mode("append")
+                    .partitionBy("shard")
+                    .parquet(out_dir)
+                )
+                if not os.path.exists(marker):
+                    with open(marker, "w") as fh:
+                        fh.write(str(nshards))
+            inst = self._next_instant(None)
+            upgraded = [{**f, "indexed": True} for f in todo]
+            self._write_manifest(
+                inst,
+                "index_backfill",
+                self._stored_schema(),
+                upgraded,
+                [f["path"] for f in todo],
+            )
+            return inst
+
+    def backfill_secondary_index(self) -> str | None:
+        """Async metadata indexing (Hudi's async indexer /
+        ``hoodie.metadata.index.async`` analog): build secondary-index
+        coverage for live files written BEFORE the index was enabled —
+        or before a column joined the config — WITHOUT rewriting any
+        data. At 100 TB this is the difference between "index the
+        table" costing one column-pruned index scan versus a full
+        rewrite of every file.
+
+        Mechanics: index rows land in each file's CREATING-instant dir
+        (where probes look — the dir the cleaner already protects while
+        the file is live), honoring that dir's existing ``.nshards``
+        modulus; coverage is then recorded by one metadata-only
+        ``index_backfill`` commit that re-adds the same file records
+        with upgraded ``sec_cols`` stamps (the ordinary replaced+added
+        replay applies them — no new timeline semantics). Data files
+        are untouched; incremental/CDC readers are unaffected because
+        their row filters use the rows' original ``_commit_time``.
+        Files whose origin manifest is unreadable are left un-covered
+        (conservative keep-all, exactly as before the backfill). Runs
+        under the writer lock; a racing optimistic writer that touched
+        the same files will see a (false but safe) publish conflict and
+        retry. Idempotent: returns None when every live file is already
+        covered."""
+        if not self.secondary_index_columns:
+            return None
+        want = set(self.secondary_index_columns)
+        with self._writer_lock():
+            live = self._live_files()
+            todo = [
+                f
+                for f in live
+                if not f.get("external")
+                and not want <= set(f.get("sec_cols") or ())
+            ]
+            if not todo:
+                return None
+            groups: dict[tuple, list[dict]] = {}
+            for f in todo:
+                parts = f["path"].replace(os.sep, "/").split("/")
+                inst = parts[1] if len(parts) >= 2 else ""
+                missing = tuple(
+                    c
+                    for c in self.secondary_index_columns
+                    if c not in (f.get("sec_cols") or ())
+                )
+                groups.setdefault((inst, missing), []).append(f)
+            stamped: list[dict] = []
+            for (inst, missing), fl in sorted(groups.items()):
+                try:
+                    schema = T.StructType.fromJson(
+                        self._manifest_any(inst)["schema"]
+                    )
+                except (FileNotFoundError, KeyError, ValueError):
+                    continue  # unreadable origin schema: stay un-covered
+                out_dir = os.path.join(self.sec_index_dir, inst)
+                nshards = self.index_shards
+                marker = os.path.join(out_dir, ".nshards")
+                try:
+                    with open(marker) as fh:
+                        nshards = int(fh.read().strip())
+                except (OSError, ValueError):
+                    pass
+                names = {x.name for x in schema.fields}
+                present = [c for c in missing if c in names]
+                if present:
+                    self._sec_spark_build(
+                        fl, present, schema, out_dir, nshards,
+                        mode="append",
+                    )
+                os.makedirs(out_dir, exist_ok=True)
+                if not os.path.exists(marker):
+                    with open(marker, "w") as fh:
+                        fh.write(str(nshards))
+                stamped.extend(fl)
+            if not stamped:
+                return None
+            inst = self._next_instant(None)
+            upgraded = [
+                {
+                    **f,
+                    "sec_cols": sorted(
+                        set(f.get("sec_cols") or ()) | want
+                    ),
+                }
+                for f in stamped
+            ]
+            self._write_manifest(
+                inst,
+                "index_backfill",
+                self._stored_schema(),
+                upgraded,
+                [f["path"] for f in stamped],
+            )
+            return inst
 
     def _sec_col_types(self, instant: str) -> dict | None:
         """{col: simple type name} for the secondary-indexed columns as
@@ -4040,7 +4226,15 @@ class LakeTable:
         # engine meta columns the builders read. Unflagged files make
         # the planners fall back conservatively (record index requires
         # full coverage; bloom keeps unflagged files unconditionally).
-        indexable = [f for f in added if not f.get("external")]
+        # An index_backfill commit re-adds EXISTING files purely to
+        # upgrade their coverage stamps — its sidecar rows were already
+        # built into the files' creating-instant dirs (where probes
+        # look), so the per-commit builders must not run.
+        indexable = (
+            []
+            if action == "index_backfill"
+            else [f for f in added if not f.get("external")]
+        )
         # Each enabled index runs its own Spark job over the SAME added
         # files; the jobs are independent (disjoint output dirs, flag
         # application deferred until every build succeeded), so submit

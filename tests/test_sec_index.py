@@ -298,3 +298,152 @@ def test_sec_index_equivalence_sweep(spark, tmp_path):
                 .select("c_custkey", "tag", "num", "ver").collect()
             }
             assert got == want, (ttype, pred)
+
+
+def test_backfill_enables_pruning_without_rewrites(spark, tmp_path):
+    """Files written before the index existed become covered by one
+    metadata-only backfill commit: no data file is rewritten, pruning
+    turns on, results stay exact, and the call is idempotent."""
+    plain = LakeTable(
+        spark, str(tmp_path), "testdb", "bf",
+        record_keys=["c_custkey"], precombine="ver",
+    )
+    base = tagged_cust(spark)
+    for i in range(4):
+        plain.write(
+            base.filter(F.col("c_custkey") % 4 == i).coalesce(1),
+            op="insert", instant=f"00{i + 1}",
+        )
+    data_files = {f["path"] for f in plain._live_files()}
+    t = sec_table(spark, tmp_path, name="bf")
+    v = tag_of(spark, 8)
+    t.snapshot(predicate=[("tag", "=", v)]).count()
+    assert t.last_sec_index_pruned == 0  # nothing covered yet
+    inst = t.backfill_secondary_index()
+    assert inst is not None
+    assert {f["path"] for f in t._live_files()} == data_files  # no rewrite
+    out = t.snapshot(predicate=[("tag", "=", v)])
+    assert [r["c_custkey"] for r in out.select("c_custkey").collect()] == [8]
+    assert t.last_sec_index_pruned == 3
+    assert t.backfill_secondary_index() is None  # idempotent
+    assert t.snapshot().count() == base.count()
+
+
+def test_backfill_config_growth_honors_existing_shards(spark, tmp_path):
+    """Backfilling a NEWLY-listed column appends into instant dirs that
+    already index the old column, under THEIR recorded ``.nshards``."""
+    t1 = sec_table(spark, tmp_path, name="bfg")
+    base = tagged_cust(spark)
+    for i in range(2):
+        t1.write(
+            base.filter(F.col("c_custkey") % 2 == i).coalesce(1),
+            op="insert", instant=f"00{i + 1}",
+        )
+    t2 = sec_table(
+        spark, tmp_path, name="bfg",
+        secondary_index_columns=["tag", "num"],
+    )
+    assert t2.backfill_secondary_index() is not None
+    out = t2.snapshot(predicate=[("num", "=", 8 * 7)])
+    assert [r["c_custkey"] for r in out.select("c_custkey").collect()] == [8]
+    assert t2.last_sec_index_pruned == 1
+    # the old column's coverage is intact too
+    out = t2.snapshot(predicate=[("tag", "=", tag_of(spark, 9))])
+    assert out.count() == 1
+    assert t2.last_sec_index_pruned == 1
+
+
+def test_backfill_timeline_semantics(spark, tmp_path):
+    """The backfill commit must be invisible to row-level consumers:
+    time travel to a pre-backfill instant still serves, incremental
+    across the backfill yields zero rows, and restore across it leaves
+    the data intact (re-added paths are protected)."""
+    plain = LakeTable(
+        spark, str(tmp_path), "testdb", "bft",
+        record_keys=["c_custkey"], precombine="ver",
+    )
+    base = tagged_cust(spark)
+    plain.write(base.coalesce(2), op="insert", instant="001")
+    t = sec_table(spark, tmp_path, name="bft")
+    inst = t.backfill_secondary_index()
+    assert t.snapshot(as_of="001").count() == base.count()
+    assert t.incremental("001", inst).count() == 0
+    t.restore("001")
+    assert t.snapshot().count() == base.count()  # data files survive
+    # post-restore the files are un-covered again: conservative keep
+    t.snapshot(predicate=[("tag", "=", tag_of(spark, 8))]).count()
+    assert t.last_sec_index_pruned == 0
+
+
+def test_backfill_mor_with_deltas(spark, tmp_path):
+    """MOR backfill covers base AND delta files; the stale-winner
+    key-overlap guard still applies after coverage lands."""
+    plain = LakeTable(
+        spark, str(tmp_path), "testdb", "bfm",
+        record_keys=["c_custkey"], precombine="ver",
+        table_type="MERGE_ON_READ",
+    )
+    base = tagged_cust(spark, ver=2).withColumn("tag", F.lit("winner"))
+    plain.write(base.coalesce(1), op="insert", instant="001")
+    stale = (
+        tagged_cust(spark, ver=1)
+        .filter(F.col("c_custkey") == 8)
+        .withColumn("tag", F.lit("stale"))
+    )
+    plain.write(stale, op="upsert", instant="002")  # delta
+    t = sec_table(
+        spark, tmp_path, name="bfm", table_type="MERGE_ON_READ"
+    )
+    assert t.backfill_secondary_index() is not None
+    out = t.snapshot(predicate=[("tag", "=", "stale")])
+    assert out.count() == 0  # ver=2 base wins; guard kept the base file
+    assert t.last_sec_index_pruned == 0
+    ro = t.read_optimized(predicate=[("tag", "=", "stale")])
+    assert ro.count() == 0
+    assert t.last_sec_index_pruned == 1
+
+
+def test_backfill_record_index_enables_point_planning(spark, tmp_path):
+    """The record index needs FULL coverage to probe; files written
+    before it existed strand it on the scan path. One metadata-only
+    backfill commit covers them: write planning probes the index, the
+    read-side point lookup prunes, and upsert results stay exact."""
+    plain = LakeTable(
+        spark, str(tmp_path), "testdb", "bri",
+        record_keys=["c_custkey"], precombine="ver",
+    )
+    base = tagged_cust(spark)
+    for i in range(4):
+        plain.write(
+            base.filter(F.col("c_custkey") % 4 == i).coalesce(1),
+            op="insert", instant=f"00{i + 1}",
+        )
+    t = LakeTable(
+        spark, str(tmp_path), "testdb", "bri",
+        record_keys=["c_custkey"], precombine="ver",
+        record_index=True,
+    )
+    probed = []
+    orig = t._index_hit_files
+    t._index_hit_files = lambda c, b, **kw: (probed.append(1), orig(c, b, **kw))[1]
+    upd = base.filter(F.col("c_custkey") == 8).withColumn(
+        "ver", F.lit(2).cast("long")
+    )
+    t.write(upd, op="upsert", instant="005")
+    assert not probed  # un-covered files: scan-path fallback
+    assert t.backfill_record_index() is not None
+    # NOTE: instant 005's own file was index-built at write; the four
+    # pre-index files were backfilled; coverage is now full
+    t.write(
+        base.filter(F.col("c_custkey") == 9).withColumn(
+            "ver", F.lit(2).cast("long")
+        ),
+        op="upsert",
+    )
+    assert probed  # planning now probes the persistent index
+    assert t.backfill_record_index() is None  # idempotent
+    out = t.snapshot(predicate=[("_record_key", "=", "8")])
+    assert [r["ver"] for r in out.select("ver").collect()] == [2]
+    assert t.last_record_read_pruned >= 3
+    # every row still present exactly once
+    assert t.snapshot().count() == base.count()

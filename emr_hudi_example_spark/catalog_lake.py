@@ -998,6 +998,110 @@ def lake_secondary_index_read(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @query(
+    "lake_secondary_index_churn",
+    oracle="""
+    SELECT c_custkey, c_name,
+           CASE WHEN c_custkey % 20 = 0
+                THEN md5(CAST(c_custkey AS VARCHAR) || 'y')
+                WHEN c_custkey % 10 = 0
+                THEN md5(CAST(c_custkey AS VARCHAR) || 'x')
+                ELSE md5(CAST(c_custkey AS VARCHAR)) END AS tag,
+           CAST(CASE WHEN c_custkey % 20 = 0 THEN 3
+                     WHEN c_custkey % 10 = 0 THEN 2
+                     ELSE 1 END AS BIGINT) AS ver,
+           CAST(0 AS INT) AS stale_rows,
+           TRUE AS all_pruned_on_miss
+    FROM customer WHERE c_custkey IN (7, 10, 20)
+    """,
+)
+def lake_secondary_index_churn(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Secondary index under UPDATE CHURN on MERGE_ON_READ (r9 verdict
+    #4 — the insert-only ``lake_secondary_index_read`` never changes an
+    indexed value): the indexed column ``tag`` CHANGES for existing
+    keys across two delta upserts, then compaction.
+
+    The hazards this grades, in commit order:
+
+    - pre-compaction, the OLD value's (value → base-file) index pair is
+      stale while key-overlapping deltas hold the new value — the MOR
+      stale-winner guard must keep the deltas, so probing the
+      superseded value returns ZERO rows (``stale_rows``; a mis-prune
+      of the deltas would resurrect the ver-1 row);
+    - post-compaction, the compacted file's rebuilt index holds only
+      live values: both superseded generations (original and the
+      intermediate ``…x``) match nothing, and a guaranteed-absent
+      needle prunes EVERY live file at zero data I/O
+      (``all_pruned_on_miss``);
+    - the three current-value point probes return exactly the newest
+      fold per key (never-churned / churned-once / churned-twice).
+
+    At 100 TB this is the "content hash changed on re-crawl" shape:
+    the index must keep serving point reads mid-churn without either
+    resurrecting stale documents or scanning the corpus."""
+    import hashlib
+
+    base = (
+        load(spark, sf_dir, "customer")
+        .withColumn("tag", F.md5(F.col("c_custkey").cast("string")))
+        .withColumn("ver", F.lit(1).cast("long"))
+    )
+    t = LakeTable(
+        spark, _tmp_base(), "q", "secchurn", ["c_custkey"], "ver",
+        table_type="MERGE_ON_READ",
+        secondary_index_columns=["tag"],
+    )
+    for i in range(4):
+        t.write(
+            base.filter(F.col("c_custkey") % 4 == i).coalesce(1),
+            op="insert", instant=f"00{i + 1}",
+        )
+    t.write(
+        base.filter(F.col("c_custkey") % 10 == 0)
+        .withColumn(
+            "tag",
+            F.md5(F.concat(F.col("c_custkey").cast("string"), F.lit("x"))),
+        )
+        .withColumn("ver", F.lit(2).cast("long"))
+        .coalesce(1),
+        op="upsert", instant="005",
+    )
+    t.write(
+        base.filter(F.col("c_custkey") % 20 == 0)
+        .withColumn(
+            "tag",
+            F.md5(F.concat(F.col("c_custkey").cast("string"), F.lit("y"))),
+        )
+        .withColumn("ver", F.lit(3).cast("long"))
+        .coalesce(1),
+        op="upsert", instant="006",
+    )
+    old20 = hashlib.md5(b"20").hexdigest()
+    mid20 = hashlib.md5(b"20x").hexdigest()
+    pre_stale = t.snapshot(predicate=[("tag", "=", old20)]).count()
+    t.compact(instant="007")
+    post_stale = t.snapshot(
+        predicate=[("tag", "in", [old20, mid20])]
+    ).count()
+    # hex-shaped absent needle: stays inside the column's min/max so
+    # the SEC INDEX (not range stats) must be the decider
+    t.snapshot(
+        predicate=[("tag", "=", hashlib.md5(b"absent-needle").hexdigest())]
+    ).count()
+    all_pruned = t.last_sec_index_pruned == len(t._live_files())
+    probes = [
+        hashlib.md5(b"7").hexdigest(),
+        hashlib.md5(b"10x").hexdigest(),
+        hashlib.md5(b"20y").hexdigest(),
+    ]
+    out = t.snapshot(predicate=[("tag", "in", probes)])
+    return out.select(
+        "c_custkey", "c_name", "tag", "ver",
+        F.lit(pre_stale + post_stale).cast("int").alias("stale_rows"),
+        F.lit(all_pruned).alias("all_pruned_on_miss"),
+    )
+
+
+@query(
     "lake_index_backfill_endstate",
     oracle="""
     SELECT c_custkey, c_name, c_acctbal,

@@ -171,6 +171,15 @@ class LakeTable:
         # MOR the same can't-inherit-through-a-delete guarantee COW
         # gets from eager delete materialization.
         self.spark = spark
+        #: the driver fast paths (pyarrow seeks into data/index files,
+        #: driver-side sidecar builds) assume ``base_path`` is a
+        #: POSIX-local directory. On an object-store/remote URI
+        #: (s3://, s3a://, hdfs://, …) they must disable themselves so
+        #: the Spark route — which resolves the scheme through Hadoop
+        #: FileSystem — remains the only path (r9 verdict watch item).
+        #: A one-char scheme is a Windows drive letter, still local.
+        _scheme = urlparse(str(base_path)).scheme
+        self.driver_io_local = _scheme in ("", "file") or len(_scheme) == 1
         self.path = os.path.join(base_path, db, table)
         self.db = db
         self.table = table
@@ -300,6 +309,23 @@ class LakeTable:
         #: pairings that provably render identically probe; anything
         #: else keeps the file.
         self.secondary_index_columns = list(secondary_index_columns or [])
+        # The sidecar layout uses the column NAME as a hive-style
+        # partition value (``col=<name>/shard=<s>``). Spark's partition
+        # writer escapes special chars (escapePathName: ':', '=', '%',
+        # '#', …) while the probe joins the RAW name — a mismatch would
+        # make every covered file a silent definite miss. Reject such
+        # names up front instead of guessing both escapings stay in
+        # sync (same character class as the driver-build gate).
+        bad = [
+            c
+            for c in self.secondary_index_columns
+            if not re.fullmatch(r"[A-Za-z0-9_]+", c or "")
+        ]
+        if bad:
+            raise ValueError(
+                "secondary_index_columns must match [A-Za-z0-9_]+ "
+                f"(hive partition-dir safety); rejected: {bad!r}"
+            )
         self.sec_index_dir = os.path.join(self.path, "_index_sec")
         #: observability: files skipped where the secondary index (not
         #: stats / blooms) was the decider in the most recent predicate
@@ -1399,8 +1425,20 @@ class LakeTable:
             i for i in tl if (begin is None or i > begin) and (end is None or i <= end)
         ]
         added: list[dict] = []
+        seen_paths: set[str] = set()
         for inst in in_range:
-            added.extend(self._manifest(inst)["added"])
+            m = self._manifest(inst)
+            if m.get("action") == "index_backfill":
+                # metadata-only commit: it re-lists EXISTING files purely
+                # to upgrade their index-coverage stamps and adds no rows.
+                # Including its "added" would scan a file twice whenever
+                # the range also contains the file's creating commit —
+                # exact duplicate rows on COW (the MOR merge masked it).
+                continue
+            for f in m["added"]:
+                if f["path"] not in seen_paths:
+                    seen_paths.add(f["path"])
+                    added.append(f)
         # a file added in-range may have been replaced by a later in-range
         # commit; restrict to files still live OR added by the newest
         # in-range commit chain. Simplest correct rule: scan files added in
@@ -2492,6 +2530,37 @@ class LakeTable:
             candidates = self._key_hit_files(candidates, batch)
         return candidates, self._read_files([f["path"] for f in candidates])
 
+    def _point_probe_plausible(self, batch: DataFrame) -> bool:
+        """Cheap driver-side pre-check for the capped distinct-keys
+        collect below: skip the probe when Catalyst's plan-size
+        estimate PROVES the batch is far beyond point-sized, so large
+        batches (which would overflow the key cap and fall back to the
+        Spark path anyway) no longer pay an extra pass per commit.
+        Unknown or default-inflated estimates keep the probe — only
+        confident evidence disables a fast path, so point batches from
+        any source keep their r9 planning wins.
+        ``driver_probe_max_keys=0`` disables the probe outright."""
+        if self.driver_probe_max_keys <= 0:
+            return False
+        try:
+            size = int(
+                str(
+                    batch._jdf.queryExecution()
+                    .optimizedPlan()
+                    .stats()
+                    .sizeInBytes()
+                )
+            )
+        except Exception:
+            return True
+        # sane, known estimate far above point scale → clearly not a
+        # point batch (1 << 61 guards the Long.MaxValue "unknown"
+        # default and join-inflated garbage)
+        return not (
+            0 < size < (1 << 61)
+            and size > 8 * self.driver_probe_max_bytes
+        )
+
     def _key_hit_files(
         self, candidates: list[dict], batch: DataFrame
     ) -> list[dict]:
@@ -2524,18 +2593,19 @@ class LakeTable:
         # partial-agg pass over the (persisted) batch. Null-key pairs
         # are dropped to match join semantics (null matches nothing).
         pairs: list[tuple] | None = None
-        rows = (
-            batch.select(*join_cols)
-            .distinct()
-            .limit(self.driver_probe_max_keys + 1)
-            .collect()
-        )
-        if len(rows) <= self.driver_probe_max_keys:
-            pairs = [
-                t
-                for r in rows
-                if None not in (t := tuple(r[c] for c in join_cols))
-            ]
+        if self._point_probe_plausible(batch):
+            rows = (
+                batch.select(*join_cols)
+                .distinct()
+                .limit(self.driver_probe_max_keys + 1)
+                .collect()
+            )
+            if len(rows) <= self.driver_probe_max_keys:
+                pairs = [
+                    t
+                    for r in rows
+                    if None not in (t := tuple(r[c] for c in join_cols))
+                ]
         keys = sorted({p[-1] for p in pairs}) if pairs is not None else None
         if self.bucket_index and len(candidates) > 1:
             candidates = self._bucket_hit_files(candidates, batch, keys=keys)
@@ -2570,7 +2640,7 @@ class LakeTable:
                 return []
         internal_c = [f for f in candidates if not os.path.isabs(f["path"])]
         external_c = [f for f in candidates if os.path.isabs(f["path"])]
-        if pairs is not None and not external_c:
+        if pairs is not None and not external_c and self.driver_io_local:
             sizes = [f.get("bytes") for f in internal_c]
             if all(isinstance(s, int) for s in sizes) and sum(
                 sizes
@@ -2707,6 +2777,8 @@ class LakeTable:
         shard files. Returns None when the size gate trips — the
         caller must then run the Spark join path. An empty set is a
         REAL answer: no index shard holds any operand key."""
+        if not self.driver_io_local:
+            return None  # object-store base_path: Spark route only
         paths = self._shard_index_paths(
             lambda n: {xxh_shard(k, n) for k in keys}
         )
@@ -2759,7 +2831,7 @@ class LakeTable:
         key_df = batch.select(
             F.col(RECORD_KEY_COL).alias("key")
         ).distinct()
-        if keys is None:
+        if keys is None and self._point_probe_plausible(batch):
             collected = key_df.limit(
                 self.driver_probe_max_keys + 1
             ).collect()
@@ -2948,7 +3020,8 @@ class LakeTable:
         # scale shape).
         sizes = [f.get("bytes") for f in added]
         if (
-            len(added) <= 64
+            self.driver_io_local
+            and len(added) <= 64
             and all(isinstance(s, int) for s in sizes)
             and sum(sizes) <= self.driver_probe_max_bytes
         ):
@@ -3046,7 +3119,8 @@ class LakeTable:
         # sidecars, no Spark job. Gate as in _write_record_index.
         sizes = [f.get("bytes") for f in added]
         if (
-            len(added) <= 64
+            self.driver_io_local
+            and len(added) <= 64
             and all(isinstance(s, int) for s in sizes)
             and sum(sizes) <= self.driver_probe_max_bytes
         ):
@@ -3548,6 +3622,7 @@ class LakeTable:
             present
             and all_string
             and simple_names
+            and self.driver_io_local
             and len(added) <= 64
             and all(isinstance(s, int) for s in sizes)
             and sum(sizes) <= self.driver_probe_max_bytes
@@ -3939,7 +4014,8 @@ class LakeTable:
                     part_files.append(p)
                     total += os.path.getsize(p)
         if (
-            len(part_files) <= 64
+            self.driver_io_local
+            and len(part_files) <= 64
             and total <= self.driver_probe_max_bytes
         ):
             hits: set[str] = set()

@@ -1,0 +1,217 @@
+"""Multi-PROCESS optimistic-concurrency probe (r9 verdict #3).
+
+Every lock/OCC stress before r10 ran in ONE process (thread-stress in
+``tests/test_lock_providers.py``, in-process interleaving in
+``lake_optimistic_writers_endstate``). This spawns two real OS
+processes — each with its own JVM-backed SparkSession — writing the
+SAME table path through the lease + key-summary publish path
+(``LakeTable.write_optimistic``), which is the reference's ZooKeeper-
+arbitrated multi-writer story end-to-end (``SRC/util/HudiConfig.scala:
+50-56``) minus only the broker: the FileLockProvider's O_EXCL lock file
+and the manifest key-summary envelopes are both plain-filesystem
+artifacts, so cross-process arbitration exercises exactly the code a
+multi-driver cluster deployment would.
+
+Phases:
+
+- **disjoint**: A upserts partition 0, B upserts partition 1, three
+  optimistic commits each, simultaneously (filesystem barrier).
+  Instant-order aborts are EXPECTED under collision (the loser
+  retries); every commit must eventually land and the end state must
+  equal the serialized model (all keys at the final version).
+- **adversarial**: both writers upsert the SAME key range in the same
+  partition, compute phases deliberately overlapped via a second
+  barrier. The overlapping (partition, key-range) addition rule must
+  abort at least one publish with ``ConcurrentWriteConflict`` (no
+  retry in this phase). Values are identical on both sides, so the
+  end state is deterministic regardless of which writer wins.
+
+Run: python scripts/occ_multiprocess_probe.py
+Worker mode (internal): python scripts/occ_multiprocess_probe.py \
+    --worker <role> <base> <barrier_dir>
+"""
+
+from __future__ import annotations
+
+import json
+import os
+import shutil
+import subprocess
+import sys
+import tempfile
+import time
+
+REPO = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
+sys.path.insert(0, REPO)
+
+KEYS = 200  # keys 0..199, partition = k % 2
+DISJOINT_COMMITS = 3
+SCHEMA = "k INT, ver INT, payload INT, part INT"
+
+
+def _session(role: str):
+    from pyspark.sql import SparkSession
+
+    return (
+        SparkSession.builder.master("local[8]")
+        .appName(f"occ-probe-{role}")
+        .config("spark.sql.shuffle.partitions", "8")
+        .config("spark.ui.enabled", "false")
+        .getOrCreate()
+    )
+
+
+def _table(spark, base: str):
+    from emr_hudi_example_spark.lake import LakeTable
+
+    return LakeTable(
+        spark, base, "occ", "t", ["k"], "ver", partition_keys=["part"]
+    )
+
+
+def _rows(part: int, ver: int, keys=None):
+    ks = keys if keys is not None else [k for k in range(KEYS) if k % 2 == part]
+    return [(k, ver, ver * 1000 + k, k % 2) for k in ks]
+
+
+def _barrier(barrier_dir: str, name: str, role: str, timeout: float = 120.0):
+    """Both processes block here until each has announced arrival."""
+    mine = os.path.join(barrier_dir, f"{name}.{role}")
+    other = os.path.join(
+        barrier_dir, f"{name}.{'b' if role == 'a' else 'a'}"
+    )
+    with open(mine, "w") as fh:
+        fh.write(str(os.getpid()))
+    deadline = time.monotonic() + timeout
+    while not os.path.exists(other):
+        if time.monotonic() > deadline:
+            raise TimeoutError(f"barrier {name}: peer never arrived")
+        time.sleep(0.02)
+
+
+def worker(role: str, base: str, barrier_dir: str) -> None:
+    from emr_hudi_example_spark.lake import ConcurrentWriteConflict
+
+    spark = _session(role)
+    spark.sparkContext.setLogLevel("ERROR")
+    t = _table(spark, base)
+    part = 0 if role == "a" else 1
+    out = {"role": role, "disjoint_retries": 0, "adversarial_conflict": 0}
+
+    _barrier(barrier_dir, "disjoint", role)
+    t0 = time.monotonic()
+    for ver in range(2, 2 + DISJOINT_COMMITS):
+        df = spark.createDataFrame(_rows(part, ver), SCHEMA)
+        for _attempt in range(25):
+            try:
+                t.write_optimistic(df, op="upsert")
+                break
+            except ConcurrentWriteConflict:
+                # expected under publish collision: instant out-run by
+                # the other process — refresh base and retry
+                out["disjoint_retries"] += 1
+                time.sleep(0.05)
+        else:
+            raise RuntimeError(f"{role}: disjoint commit never landed")
+    out["disjoint_sec"] = round(time.monotonic() - t0, 3)
+
+    # adversarial: SAME keys (0..19, all in partition 0), same values —
+    # compute windows overlapped by the barrier, publishes must
+    # serialize with at least one abort
+    hot = [k for k in range(40) if k % 2 == 0][:20]
+    df = spark.createDataFrame(
+        _rows(0, 9, keys=hot), SCHEMA
+    )
+    _barrier(barrier_dir, "adversarial", role)
+    try:
+        t.write_optimistic(df, op="upsert")
+    except ConcurrentWriteConflict:
+        out["adversarial_conflict"] = 1
+    print("WORKER_RESULT " + json.dumps(out), flush=True)
+    spark.stop()
+
+
+def main() -> None:
+    base = tempfile.mkdtemp(prefix="occ-probe-")
+    barrier_dir = tempfile.mkdtemp(prefix="occ-barrier-")
+    try:
+        # seed the creating commit from a short-lived parent session
+        spark = _session("seed")
+        spark.sparkContext.setLogLevel("ERROR")
+        t = _table(spark, base)
+        t.write(
+            spark.createDataFrame(
+                _rows(0, 1) + _rows(1, 1), SCHEMA
+            ),
+            op="insert",
+            instant="001",
+        )
+        spark.stop()
+
+        env = dict(os.environ, PYTHONPATH=REPO)
+        procs = {
+            role: subprocess.Popen(
+                [sys.executable, os.path.abspath(__file__), "--worker",
+                 role, base, barrier_dir],
+                stdout=subprocess.PIPE, stderr=subprocess.DEVNULL,
+                text=True, env=env, cwd=tempfile.gettempdir(),
+            )
+            for role in ("a", "b")
+        }
+        results = {}
+        for role, p in procs.items():
+            stdout, _ = p.communicate(timeout=600)
+            if p.returncode != 0:
+                raise RuntimeError(f"worker {role} failed:\n{stdout}")
+            line = next(
+                ln for ln in stdout.splitlines()
+                if ln.startswith("WORKER_RESULT ")
+            )
+            results[role] = json.loads(line[len("WORKER_RESULT "):])
+
+        conflicts = sum(r["adversarial_conflict"] for r in results.values())
+        # verify the end state against the sequential model
+        spark = _session("verify")
+        spark.sparkContext.setLogLevel("ERROR")
+        t = _table(spark, base)
+        snap = {
+            (r["k"], r["ver"]) for r in t.snapshot().select("k", "ver").collect()
+        }
+        final_ver = 2 + DISJOINT_COMMITS - 1
+        hot = set([k for k in range(40) if k % 2 == 0][:20])
+        model = set()
+        for k in range(KEYS):
+            if k in hot:
+                model.add((k, 9))  # at least one adversarial write won
+            else:
+                model.add((k, final_ver))
+        ok_state = snap == model
+        ok_commits = len(t.timeline()) == (
+            1 + 2 * DISJOINT_COMMITS + (2 - conflicts)
+        )
+        spark.stop()
+        print(json.dumps({
+            "probe": "occ_multiprocess",
+            "disjoint_commits_per_writer": DISJOINT_COMMITS,
+            "disjoint_retries": {
+                r: results[r]["disjoint_retries"] for r in results
+            },
+            "disjoint_sec": {r: results[r]["disjoint_sec"] for r in results},
+            "adversarial_aborts": conflicts,
+            "adversarial_abort_expected": conflicts >= 1,
+            "end_state_matches_model": ok_state,
+            "timeline_length_consistent": ok_commits,
+            "ok": bool(ok_state and ok_commits and conflicts >= 1),
+        }, indent=2))
+        if not (ok_state and ok_commits and conflicts >= 1):
+            sys.exit(1)
+    finally:
+        shutil.rmtree(base, ignore_errors=True)
+        shutil.rmtree(barrier_dir, ignore_errors=True)
+
+
+if __name__ == "__main__":
+    if len(sys.argv) > 1 and sys.argv[1] == "--worker":
+        worker(sys.argv[2], sys.argv[3], sys.argv[4])
+    else:
+        main()

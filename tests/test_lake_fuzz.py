@@ -162,6 +162,23 @@ def test_op_sequence_matches_model(
         assert _snap_rows(t.snapshot()) == _model_rows(model), (
             f"divergence after op {counter} ({table_type}, seed {seed})"
         )
+        if indexes:
+            # sec-index read after EVERY op (r9 verdict #4): _batch
+            # re-rolls ``payload`` on each upsert, so the indexed
+            # value CHANGES for existing keys across the sequence —
+            # stale (value→file) pairs must never mis-prune, incl.
+            # right after compact/clean/restore on MOR
+            probe = next((p for _v, p, _p2 in model.values()), 0)
+            for val in (probe, -1):
+                got = _snap_rows(
+                    t.snapshot(predicate=[("payload", "=", val)])
+                )
+                assert got == {
+                    r for r in _model_rows(model) if r[2] == val
+                }, (
+                    f"sec-index probe {val} diverged after op "
+                    f"{counter} ({table_type}, seed {seed})"
+                )
 
     # deterministic tail: the random mix can under-sample the rare
     # ops — force one compact → restore → write so every sequence

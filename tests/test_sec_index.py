@@ -447,3 +447,77 @@ def test_backfill_record_index_enables_point_planning(spark, tmp_path):
     assert t.last_record_read_pruned >= 3
     # every row still present exactly once
     assert t.snapshot().count() == base.count()
+
+
+def test_incremental_not_duplicated_by_backfill(spark, tmp_path):
+    """r10 ADVICE (high): an ``index_backfill`` commit re-lists existing
+    file paths in its ``added``; an incremental range containing BOTH a
+    file's creating commit and the backfill must not scan the file
+    twice. COW surfaces exact duplicates (the MOR merge masks them)."""
+    plain = LakeTable(
+        spark, str(tmp_path), "testdb", "incdup",
+        record_keys=["c_custkey"], precombine="ver",
+    )
+    base = tagged_cust(spark)
+    plain.write(base.coalesce(2), op="insert", instant="001")
+    t = sec_table(spark, tmp_path, name="incdup")
+    assert t.backfill_secondary_index() is not None
+    n = base.count()
+    assert t.incremental(None, None).count() == n  # was 2n pre-fix
+    assert t.snapshot().count() == n
+    # record-index backfill publishes the same action — same guard
+    t2 = LakeTable(
+        spark, str(tmp_path), "testdb", "incdup",
+        record_keys=["c_custkey"], precombine="ver",
+        record_index=True,
+    )
+    assert t2.backfill_record_index() is not None
+    assert t2.incremental(None, None).count() == n
+    # and the range beginning at the creating commit still yields zero
+    assert t2.incremental("001", None).count() == 0
+
+
+def test_secondary_index_rejects_unsafe_column_names(spark, tmp_path):
+    """r10 ADVICE (medium): the sidecar layout stores the column NAME
+    as a hive partition value; Spark's writer escapes special chars
+    while the probe joins the raw name — so names outside
+    ``[A-Za-z0-9_]+`` are rejected at construction instead of silently
+    marking every covered file a definite miss."""
+    import pytest
+
+    for bad in ("a:b", "a=b", "a#b", "a%b", "", "col name", "naïve"):
+        with pytest.raises(ValueError, match="secondary_index_columns"):
+            LakeTable(
+                spark, str(tmp_path), "testdb", f"badsec",
+                record_keys=["c_custkey"], precombine="ver",
+                secondary_index_columns=[bad],
+            )
+    # safe names still construct
+    sec_table(spark, tmp_path, name="oksec")
+
+
+def test_point_probe_gate(spark, tmp_path):
+    """r10 ADVICE (low): the capped distinct-keys collect in write
+    planning is (a) disabled outright by ``driver_probe_max_keys=0``
+    and (b) skipped when Catalyst's size estimate proves the batch is
+    far beyond point-sized; unknown estimates keep the probe."""
+    t = sec_table(spark, tmp_path, name="gate")
+    # (b) plan-size evidence: spark.range gives an exact estimate
+    huge = spark.range(200_000_000).selectExpr(
+        "cast(id as string) as c_custkey"
+    )
+    assert not t._point_probe_plausible(huge)
+    small = spark.createDataFrame([("1",)], "c_custkey string")
+    assert t._point_probe_plausible(small)
+    # (a) the kill switch, end-to-end: results stay exact on the
+    # Spark-only planning path
+    base = write_four_interleaved(t, spark)
+    t.driver_probe_max_keys = 0
+    upd = (
+        tagged_cust(spark, ver=2)
+        .filter(F.col("c_custkey") == 8)
+    )
+    t.write(upd, op="upsert", instant="005")
+    out = t.snapshot().filter(F.col("c_custkey") == 8).collect()
+    assert [r["ver"] for r in out] == [2]
+    assert t.snapshot().count() == base.count()

@@ -91,3 +91,38 @@ def test_fastpath_upsert_data_equivalence(spark, tmp_path):
         a.snapshot().select(cols).exceptAll(b.snapshot().select(cols)).isEmpty()
         and b.snapshot().select(cols).exceptAll(a.snapshot().select(cols)).isEmpty()
     )
+
+
+def test_nonlocal_base_path_disables_driver_fastpaths(spark, tmp_path):
+    """r9 verdict watch item: the driver fast paths assume a
+    POSIX-local ``base_path`` for pyarrow seeks — an object-store URI
+    must route every probe/build through Spark. Pin the gate itself
+    (flag + probe refusal); end-to-end equality on a local path is the
+    A/B suite above."""
+    remote = LakeTable(
+        spark, "s3://bucket/warehouse", "testdb", "t",
+        record_keys=["c_custkey"], precombine="ver",
+        record_index=True,
+    )
+    assert remote.driver_io_local is False
+    assert remote._driver_probe_fps(["42"]) is None  # Spark route only
+    for scheme_path in ("s3a://b/w", "hdfs://nn:8020/w", "gs://b/w"):
+        assert (
+            LakeTable(
+                spark, scheme_path, "testdb", "t",
+                record_keys=["c_custkey"], precombine="ver",
+            ).driver_io_local
+            is False
+        )
+    local = LakeTable(
+        spark, str(tmp_path), "testdb", "t",
+        record_keys=["c_custkey"], precombine="ver",
+    )
+    assert local.driver_io_local is True
+    assert (
+        LakeTable(
+            spark, f"file://{tmp_path}", "testdb", "t",
+            record_keys=["c_custkey"], precombine="ver",
+        ).driver_io_local
+        is True
+    )

@@ -38,11 +38,13 @@ from emr_hudi_example_spark.catalog import ORACLE, Q
 
 #: name prefixes of the subsystems whose substrate changed most this
 #: round, in priority order — used only as a TIE-BREAK within the same
-#: staleness group. Round 9: the lake kernel (MOR partial-update fold,
-#: key-summary conflict bound, restore cache clears, heartbeat join),
-#: pipelines (multitable DELETE routing, MOR table specs), and the
-#: dedup kernel (size-derived LSH truth bound, star-CC fallback).
-_SUBSTRATE_HINTS: list[str] = ["lake_", "pipe_", "dedup_"]
+#: staleness group. Round 10: the lake kernel again (incremental-read
+#: backfill dedup, secondary-index name guard + update-churn coverage,
+#: plan-size-gated point probes, path-locality gates on every driver
+#: fast path), then dedup (the two r6-stale substrate-changed rows the
+#: r9 verdict wants re-graded: dedup_lsh_eval, dedup_cluster_groups),
+#: then pipelines.
+_SUBSTRATE_HINTS: list[str] = ["lake_", "dedup_", "pipe_"]
 
 
 def latest_driver_rows(root: str | None = None) -> dict[str, tuple[int, bool]]:

@@ -11,7 +11,10 @@ cluster. Documents are key-shifted WITHOUT text perturbation, matching
 the round-1 probe: the resulting clone clusters are a worst-case
 duplicate-heavy corpus and exercise the LSH skew caps for real.
 
-Usage: python scripts/scale_probe.py [mult ...]   (default: 1 5 25)
+Usage: python scripts/scale_probe.py [--lake-only] [mult ...]
+(default mults: 1 5 25; ``--lake-only`` runs just the lake-kernel
+legs — point reads, index/sidecar builds, bucket MOR — for the deep
+100× runs where the corpus operators would dominate wall-clock)
 Writes scaled parquet under /tmp/scale_probe/ and prints one JSON line
 per (multiplier, operator) plus a summary table; results are recorded
 in BASELINE.md.
@@ -41,17 +44,26 @@ def scaled(df: DataFrame, key: str, mult: int, shift: int) -> DataFrame:
     return out
 
 
-def build_inputs(spark: SparkSession, mult: int) -> dict[str, str]:
+def build_inputs(
+    spark: SparkSession, mult: int, lake_only: bool = False
+) -> dict[str, str]:
     paths = {}
-    for tbl, key, shift in (
-        ("orders", "o_orderkey", 10_000_000),
-        ("documents", "doc_id", 10_000_000),
-        ("embeddings", "vec_id", 10_000_000),
-    ):
+    wanted = (
+        (("orders", "o_orderkey", 10_000_000),)
+        if lake_only
+        else (
+            ("orders", "o_orderkey", 10_000_000),
+            ("documents", "doc_id", 10_000_000),
+            ("embeddings", "vec_id", 10_000_000),
+        )
+    )
+    for tbl, key, shift in wanted:
         dst = f"{WORK}/x{mult}/{tbl}"
         df = spark.read.parquet(f"{SF_DIR}/{tbl}.parquet")
         scaled(df, key, mult, shift).write.mode("overwrite").parquet(dst)
         paths[tbl] = dst
+    if lake_only:
+        return paths
     # events: shift BOTH user_id (graph nodes) and event_id (the window
     # tiebreak must stay unique); copies share timestamps, so per-type
     # timelines interleave across copies — a DENSER handoff graph, the
@@ -82,17 +94,20 @@ def timed(label: str, mult: int, fn) -> dict:
     return rec
 
 
-def run_probe(spark: SparkSession, mult: int) -> list[dict]:
+def run_probe(
+    spark: SparkSession, mult: int, lake_only: bool = False
+) -> list[dict]:
     from emr_hudi_example_spark.lake import LakeTable
     from emr_hudi_example_spark.operators import dedup as D
     from emr_hudi_example_spark.operators import similarity as S
 
-    paths = build_inputs(spark, mult)
+    paths = build_inputs(spark, mult, lake_only=lake_only)
     orders = spark.read.parquet(paths["orders"]).withColumn(
         "ver", F.lit(1).cast("long")
     )
-    docs = spark.read.parquet(paths["documents"])
-    emb = spark.read.parquet(paths["embeddings"])
+    if not lake_only:
+        docs = spark.read.parquet(paths["documents"])
+        emb = spark.read.parquet(paths["embeddings"])
     recs = []
 
     troot = f"{WORK}/x{mult}/lake"
@@ -154,6 +169,72 @@ def run_probe(spark: SparkSession, mult: int) -> list[dict]:
         return {"rows": out.count(), "read_pruned": ti.last_record_read_pruned}
 
     recs.append(timed("record_index_pointread_1024", mult, _point_read))
+
+    # (a2) r10: 4096-files-per-commit sidecar build — 4× the r9 leg,
+    # driving the per-instant ``.nshards`` modulus, the thread-pooled
+    # footer harvest and the concurrent index builds at metadata-table
+    # file counts a 100 TB commit actually produces; the point read
+    # must stay flat regardless.
+    i4root = f"{WORK}/x{mult}/lake_idx4k"
+    shutil.rmtree(i4root, ignore_errors=True)
+    ti4 = LakeTable(
+        spark, i4root, "probe", "orders_idx4k", ["o_orderkey"], "ver",
+        record_index=True, index_shards=64,
+        bloom_index=True, bloom_columns=["o_custkey"],
+        stats_columns=["o_orderdate"],
+    )
+    recs.append(
+        timed(
+            "sidecar_build_4096files", mult,
+            lambda: ti4.write(
+                orders.repartition(4096), op="insert", instant="001"
+            ),
+        )
+    )
+
+    def _point_read_4k():
+        out = ti4.snapshot(predicate=[("_record_key", "=", probe_key)])
+        return {
+            "rows": out.count(),
+            "read_pruned": ti4.last_record_read_pruned,
+        }
+
+    recs.append(timed("record_index_pointread_4096", mult, _point_read_4k))
+
+    # (a3) r10: bucket-index MOR point read at scale — 64 buckets,
+    # one superseding + one out-of-order delta on the probed key; the
+    # read keeps exactly the key's bucket (base + its deltas merge as
+    # a unit) and prunes the other 63 at any data size.
+    buroot = f"{WORK}/x{mult}/lake_bmor"
+    shutil.rmtree(buroot, ignore_errors=True)
+    tb = LakeTable(
+        spark, buroot, "probe", "orders_bmor", ["o_orderkey"], "ver",
+        bucket_index=64, table_type="MERGE_ON_READ",
+    )
+    recs.append(
+        timed(
+            "bucket_mor_insert_64buckets", mult,
+            lambda: tb.write(orders, op="insert", instant="001"),
+        )
+    )
+    key_df = orders.filter(F.col("o_orderkey") == int(probe_key))
+    tb.write(
+        key_df.withColumn("ver", F.lit(3).cast("long")),
+        op="upsert", instant="002",
+    )
+    tb.write(
+        key_df.withColumn("ver", F.lit(2).cast("long")),
+        op="upsert", instant="003",
+    )
+
+    def _bucket_point():
+        out = tb.snapshot(predicate=[("_record_key", "=", probe_key)])
+        return {
+            "rows": out.count(),
+            "bucket_pruned": tb.last_bucket_read_pruned,
+        }
+
+    recs.append(timed("bucket_mor_pointread", mult, _bucket_point))
 
     # (b) partition-stats wholesale pruning: orders partitioned by
     # derived year, two interleaved commits, a 1997 window predicate —
@@ -255,6 +336,9 @@ def run_probe(spark: SparkSession, mult: int) -> list[dict]:
 
     recs.append(timed("sec_index_hit_read", mult, _sec_hit))
 
+    if lake_only:
+        return recs
+
     # materialization (checkpoint) INSIDE the timed block so pair-gen
     # cost lands in minhash_lsh_pairs, and cluster_groups below times
     # only label propagation over the already-materialized pairs
@@ -311,7 +395,9 @@ def run_probe(spark: SparkSession, mult: int) -> list[dict]:
 
 
 def main() -> None:
-    mults = [int(a) for a in sys.argv[1:]] or [1, 5, 25]
+    args = sys.argv[1:]
+    lake_only = "--lake-only" in args
+    mults = [int(a) for a in args if a != "--lake-only"] or [1, 5, 25]
     sys.path.insert(0, "/root/repo")
     spark = (
         SparkSession.builder.master("local[32]")
@@ -324,7 +410,7 @@ def main() -> None:
     spark.sparkContext.setLogLevel("ERROR")
     all_recs = []
     for m in mults:
-        all_recs.extend(run_probe(spark, m))
+        all_recs.extend(run_probe(spark, m, lake_only=lake_only))
     by_op: dict[str, dict[int, dict]] = {}
     for r in all_recs:
         by_op.setdefault(r["op"], {})[r["mult"]] = r

@@ -91,6 +91,11 @@ PARTITION_PATH_COL = "_partition_path"
 #: MOR tombstone marker (delete delta records); never present in COW files
 DELETED_COL = "_deleted"
 META_COLS = [COMMIT_TIME_COL, RECORD_KEY_COL, PARTITION_PATH_COL]
+#: row-group size for index sidecar parquet (both the record index and
+#: the secondary index): shards are written as SORTED runs, so a point
+#: probe footer-plans the read and touches ~one row group of this size
+#: at any table scale (Hudi HFile-seek analog; see _planned_probe_read)
+INDEX_ROW_GROUP_BYTES = 1 << 20
 
 _PT_PREFIX = "__pt_"
 
@@ -2646,16 +2651,44 @@ class LakeTable:
                 sizes
             ) <= self.driver_probe_max_bytes:
                 # exact scan as pyarrow seeks: small survivors × small
-                # batch — read only the join columns of each candidate
+                # batch — read only the join columns of each candidate.
+                # Vectorized per-column is_in narrows first (Arrow C++,
+                # no per-row Python); the exact tuple check then runs
+                # only on the surviving rows (composite keys: the
+                # per-column masks are a superset of the tuple match).
+                import pyarrow as pa
+                import pyarrow.compute as pc
+
+                if not pairs:
+                    return []  # no non-null batch keys ⇒ no key hits
                 want = set(pairs)
+                per_col = [
+                    pa.array(sorted({p[i] for p in pairs}))
+                    for i in range(len(join_cols))
+                ]
                 kept = []
                 for f in internal_c:
                     tbl = pa_pq.read_table(
                         os.path.join(self.path, f["path"]),
                         columns=join_cols,
                     )
-                    cols = [tbl.column(c).to_pylist() for c in join_cols]
-                    if any(t in want for t in zip(*cols)):
+                    mask = None
+                    for c, vs in zip(join_cols, per_col):
+                        m = pc.is_in(tbl.column(c), value_set=vs)
+                        mask = m if mask is None else pc.and_(mask, m)
+                    sub = tbl.filter(mask)
+                    if sub.num_rows and (
+                        len(join_cols) == 1
+                        or any(
+                            t in want
+                            for t in zip(
+                                *[
+                                    sub.column(c).to_pylist()
+                                    for c in join_cols
+                                ]
+                            )
+                        )
+                    ):
                         kept.append(f)
                 return kept
         scans = []
@@ -2773,36 +2806,96 @@ class LakeTable:
         """Serve an index probe for literal ``keys`` driver-side:
         shard ids via the Python XXH64 twin of the writer's
         ``pmod(xxhash64(key), n)`` expression (parity pinned by
-        ``tests/test_xxh.py``), then pyarrow-read ONLY the matched
-        shard files. Returns None when the size gate trips — the
-        caller must then run the Spark join path. An empty set is a
-        REAL answer: no index shard holds any operand key."""
+        ``tests/test_xxh.py``), then a footer-planned pyarrow read of
+        ONLY the matched shard files' stats-matched row groups
+        (:meth:`_planned_probe_read`). Returns None when the gate
+        trips — the caller must then run the Spark join path. An empty
+        set is a REAL answer: no index shard holds any operand key."""
         if not self.driver_io_local:
             return None  # object-store base_path: Spark route only
         paths = self._shard_index_paths(
             lambda n: {xxh_shard(k, n) for k in keys}
         )
         files: list[str] = []
-        total = 0
         for p in paths:
             for root, _dirs, fns in os.walk(p):
-                for fn in fns:
-                    if fn.endswith(".parquet"):
-                        full = os.path.join(root, fn)
-                        total += os.path.getsize(full)
-                        files.append(full)
-        if total > self.driver_probe_max_bytes:
+                files.extend(
+                    os.path.join(root, fn)
+                    for fn in fns
+                    if fn.endswith(".parquet")
+                )
+        return self._planned_probe_read(files, "key", set(keys), "fp")
+
+    def _planned_probe_read(
+        self,
+        part_files: list[str],
+        col: str,
+        operands: set[str],
+        out_col: str,
+    ) -> set[str] | None:
+        """Point-probe a set of index shard files for ``operands``:
+        values of ``out_col`` in rows whose ``col`` ∈ ``operands``.
+
+        100 TB shape: shards are written as SORTED runs in
+        ``INDEX_ROW_GROUP_BYTES`` row groups, so the parquet FOOTERS
+        (KB each) tell us which row groups can hold an operand at all
+        ([min, max] interval test against the sorted operands) — the
+        data read is ~one row group per operand per instant at ANY
+        shard size, and the driver gate compares MATCHED bytes, not
+        file bytes (the r10 100× legs caught whole-shard reads growing
+        linearly with table size). The filter itself is vectorized
+        Arrow compute, never per-row Python. Row groups without stats
+        count as matched — pre-r10 unsorted sidecars degrade to the
+        old whole-file read, still exact. Returns None when matched
+        bytes exceed the gate (caller runs the Spark path)."""
+        from bisect import bisect_left
+
+        import pyarrow as pa
+        import pyarrow.compute as pc
+
+        if len(part_files) > 1024:
+            return None  # bound driver-side footer reads
+        if not operands:
+            return set()
+        ops = sorted(operands)
+        plans: list[tuple[object, list[int]]] = []
+        matched_bytes = 0
+        for p in part_files:
+            pf = pa_pq.ParquetFile(p)
+            md = pf.metadata
+            ci = next(
+                (
+                    i
+                    for i in range(md.num_columns)
+                    if md.schema.column(i).name == col
+                ),
+                None,
+            )
+            rgs: list[int] = []
+            for ri in range(md.num_row_groups):
+                rg = md.row_group(ri)
+                take = True
+                if ci is not None:
+                    st = rg.column(ci).statistics
+                    if st is not None and st.has_min_max:
+                        # any operand inside [min, max]? (ops sorted;
+                        # parquet UTF8 stats order == str order)
+                        j = bisect_left(ops, st.min)
+                        take = j < len(ops) and ops[j] <= st.max
+                if take:
+                    rgs.append(ri)
+                    matched_bytes += rg.total_byte_size
+            if rgs:
+                plans.append((pf, rgs))
+        if matched_bytes > self.driver_probe_max_bytes:
             return None
-        ks = set(keys)
-        fps: set[str] = set()
-        for f in files:
-            tbl = pa_pq.read_table(f, columns=["key", "fp"])
-            for k, fp in zip(
-                tbl.column("key").to_pylist(), tbl.column("fp").to_pylist()
-            ):
-                if k in ks:
-                    fps.add(fp)
-        return fps
+        hits: set[str] = set()
+        op_arr = pa.array(ops)
+        for pf, rgs in plans:
+            tbl = pf.read_row_groups(rgs, columns=[col, out_col])
+            mask = pc.is_in(tbl.column(col), value_set=op_arr)
+            hits.update(tbl.column(out_col).filter(mask).to_pylist())
+        return hits
 
     def _index_hit_files(
         self,
@@ -3043,6 +3136,9 @@ class LakeTable:
             for shard, (ks, fs) in by_shard.items():
                 d = os.path.join(out_dir, f"shard={shard}")
                 os.makedirs(d, exist_ok=True)
+                ks, fs = map(
+                    list, zip(*sorted(zip(ks, fs)))
+                )  # sorted run, as in the Spark build
                 pa_pq.write_table(
                     pa.table({"key": ks, "fp": fs}),
                     os.path.join(d, "part-driver.parquet"),
@@ -3072,8 +3168,21 @@ class LakeTable:
         (
             # hash-shuffle on the shard id: one task per shard ⇒ one
             # index file per shard dir, built in parallel
+            # SORTED RUNS: keys clustered within each shard file into
+            # small row groups (Hudi's HFile analog — sorted key-value
+            # files seekable by footer stats). Point probes then read
+            # only the row groups whose [min,max] intersects the
+            # operand keys (_planned_probe_read), so probe I/O stays
+            # ~one row group at ANY table size instead of the whole
+            # shard (the r10 100× legs caught the whole-shard read
+            # growing linearly with data volume).
             rows.repartition(self.index_shards, F.col("shard"))
+            # partition cols lead the sort: the dynamic-partition
+            # writer requires shard-ordering and would otherwise
+            # re-sort (unstably), destroying the key runs
+            .sortWithinPartitions("shard", "key")
             .write.mode("overwrite")
+            .option("parquet.block.size", str(INDEX_ROW_GROUP_BYTES))
             .partitionBy("shard")
             .parquet(out_dir)
         )
@@ -3651,6 +3760,9 @@ class LakeTable:
             for (c, shard), (vs, fs) in by_dir.items():
                 d = os.path.join(out_dir, f"col={c}", f"shard={shard}")
                 os.makedirs(d, exist_ok=True)
+                vs, fs = map(
+                    list, zip(*sorted(zip(vs, fs)))
+                )  # sorted run, as in the Spark build
                 pa_pq.write_table(
                     pa.table({"val": vs, "fp": fs}),
                     os.path.join(d, "part-driver.parquet"),
@@ -3717,8 +3829,12 @@ class LakeTable:
             )
         )
         (
+            # sorted runs + small row groups: see _write_record_index —
+            # probes read only the stats-matched row groups
             rows.repartition(nshards, "col", "shard")
+            .sortWithinPartitions("col", "shard", "val")
             .write.mode(mode)
+            .option("parquet.block.size", str(INDEX_ROW_GROUP_BYTES))
             .partitionBy("col", "shard")
             .parquet(out_dir)
         )
@@ -3776,7 +3892,9 @@ class LakeTable:
                 )
                 (
                     rows.repartition(nshards, "shard")
+                    .sortWithinPartitions("shard", "key")
                     .write.mode("append")
+                    .option("parquet.block.size", str(INDEX_ROW_GROUP_BYTES))
                     .partitionBy("shard")
                     .parquet(out_dir)
                 )
@@ -4000,31 +4118,23 @@ class LakeTable:
         self, shard_dirs: list[str], canon: set[str]
     ) -> set[str]:
         """fps of index rows in ``shard_dirs`` whose val ∈ ``canon``.
-        Driver-side pyarrow under the fast-path gate (a point lookup's
-        matched shards are KB-sized at any table size); one Spark scan
+        Driver-side footer-planned pyarrow read under the matched-bytes
+        gate (:meth:`_planned_probe_read` — a point lookup touches ~one
+        sorted row group per operand at any table size); one Spark scan
         past it."""
         if not shard_dirs:
             return set()
         part_files: list[str] = []
-        total = 0
         for d in shard_dirs:
-            for fn in os.listdir(d):
-                if fn.endswith(".parquet"):
-                    p = os.path.join(d, fn)
-                    part_files.append(p)
-                    total += os.path.getsize(p)
-        if (
-            self.driver_io_local
-            and len(part_files) <= 64
-            and total <= self.driver_probe_max_bytes
-        ):
-            hits: set[str] = set()
-            for p in part_files:
-                tbl = pa_pq.read_table(p, columns=["val", "fp"])
-                vals = tbl.column("val").to_pylist()
-                fps = tbl.column("fp").to_pylist()
-                hits.update(fp for v, fp in zip(vals, fps) if v in canon)
-            return hits
+            part_files.extend(
+                os.path.join(d, fn)
+                for fn in os.listdir(d)
+                if fn.endswith(".parquet")
+            )
+        if self.driver_io_local:
+            hits = self._planned_probe_read(part_files, "val", canon, "fp")
+            if hits is not None:
+                return hits
         idx = self.spark.read.option(
             "recursiveFileLookup", "true"
         ).parquet(*shard_dirs)

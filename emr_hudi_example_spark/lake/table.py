@@ -100,6 +100,20 @@ INDEX_ROW_GROUP_BYTES = 1 << 20
 _PT_PREFIX = "__pt_"
 
 
+def _empty_df(spark: SparkSession, schema: T.StructType) -> DataFrame:
+    """Schema-typed EMPTY DataFrame as a LOCAL relation: Catalyst's
+    empty-relation propagation folds it, so downstream actions cost no
+    real job. ``createDataFrame([], schema)`` instead builds a
+    LogicalRDD whose every action schedules a full round of empty
+    parallelize tasks (~0.4 s per count on local[32]) — the
+    fully-index-pruned point-read shape paid that on every miss (r10
+    100× legs). Columns come back nullable; no engine path depends on
+    nullability."""
+    return spark.range(0).select(
+        *[F.lit(None).cast(f.dataType).alias(f.name) for f in schema.fields]
+    )
+
+
 class ConcurrentWriteConflict(RuntimeError):
     """Optimistic commit aborted: a concurrent commit invalidated this
     writer's read set, or out-ran its instant. The write published
@@ -711,7 +725,7 @@ class LakeTable:
         synthesized at read time from the bootstrap registry."""
         schema = schema or self._stored_schema()
         if not files:
-            return self.spark.createDataFrame([], schema)
+            return _empty_df(self.spark, schema)
         internal = [f for f in files if not os.path.isabs(f)]
         external = [f for f in files if os.path.isabs(f)]
         parts: list[DataFrame] = []
@@ -1359,10 +1373,24 @@ class LakeTable:
         """
         files, schema, inst = self._view_files(partition_filter, as_of)
         if files is None:
-            return self.spark.createDataFrame([], self._stored_schema())
+            return _empty_df(self.spark, self._stored_schema())
         files = self._stats_prune(files, predicate, instant=inst)
         out = self._read_files([f["path"] for f in files], schema)
         if self.is_mor:
+            # merge-group-stable conjuncts push BELOW the merge:
+            # ``_record_key`` is constant within a merge unit, so
+            # pre-filtering selects whole groups and can never surface
+            # a stale version (general columns must stay post-merge —
+            # a newer non-matching version must still beat an older
+            # matching one). Catalyst then pushes the key filter into
+            # the parquet scan, where the r10 key-sorted data files
+            # serve it from row-group/page stats — the point-read
+            # plan at any file size.
+            stable = [
+                p for p in (predicate or []) if p[0] == RECORD_KEY_COL
+            ]
+            if stable:
+                out = out.filter(self._predicate_condition(stable))
             out = self._merged_read(out)
         if predicate:
             out = out.filter(self._predicate_condition(predicate))
@@ -1470,8 +1498,16 @@ class LakeTable:
             # produced; tombstones drop out in the merge. The predicate
             # row filter applies AFTER the merge — filtering versions
             # first could surface a stale matching version whose newest
-            # (non-matching) successor the filter removed.
-            out = self._merged_read(df.filter(cond))
+            # (non-matching) successor the filter removed. EXCEPT
+            # ``_record_key`` conjuncts: constant within a merge unit,
+            # they select whole groups and push below (see snapshot).
+            pre = df.filter(cond)
+            stable = [
+                p for p in (predicate or []) if p[0] == RECORD_KEY_COL
+            ]
+            if stable:
+                pre = pre.filter(self._predicate_condition(stable))
+            out = self._merged_read(pre)
             if predicate:
                 out = out.filter(self._predicate_condition(predicate))
             return out
@@ -1503,6 +1539,12 @@ class LakeTable:
         touched: list[str] = []
         for inst in in_range:
             m = self._manifest(inst)
+            if m.get("action") == "index_backfill":
+                # metadata-only: re-lists every covered file but
+                # changes no row — including it would key-scan the
+                # whole table for a no-op commit (full-corpus I/O at
+                # 100 TB); same skip as incremental()
+                continue
             touched.extend(f["path"] for f in m["added"])
             touched.extend(m["replaced"])
         key_cols = (
@@ -1525,7 +1567,7 @@ class LakeTable:
 
         def image(as_of: str | None) -> DataFrame:
             if as_of is None:
-                snap = self.spark.createDataFrame([], stored)
+                snap = _empty_df(self.spark, stored)
             else:
                 snap = self.snapshot(as_of=as_of)
             for c in data_cols:  # pre-evolution snapshots lack new columns
@@ -2159,8 +2201,12 @@ class LakeTable:
             batch = self._align_schema(batch)
         batch = self._apply_bulk_sort(batch, sort_mode, sort_files)
         # MOR inserts land as BASE files (Hudi routes inserts to parquet
-        # base, only merges/deletes to the log)
-        added = self._write_data_files(batch, inst, kind="base")
+        # base, only merges/deletes to the log). sort_mode=NONE is the
+        # explicit cheapest-write contract — no key sort either; the
+        # sorted modes already ordered by (partition, key).
+        added = self._write_data_files(
+            batch, inst, kind="base", key_sort=sort_mode != "NONE"
+        )
         self._write_manifest(inst, "insert", batch.schema, added, [])
         return inst
 
@@ -2259,7 +2305,7 @@ class LakeTable:
         if not self.exists():
             # intra-batch dedup still applies on the creating commit
             deduped = self._merge(
-                self.spark.createDataFrame([], batch.schema), batch
+                _empty_df(self.spark, batch.schema), batch
             )
             added = self._write_data_files(deduped, inst)
             self._write_manifest(inst, "upsert", batch.schema, added, [])
@@ -4222,7 +4268,11 @@ class LakeTable:
         return agged.select(*outs)
 
     def _write_data_files(
-        self, df: DataFrame, instant: str, kind: str = "base"
+        self,
+        df: DataFrame,
+        instant: str,
+        kind: str = "base",
+        key_sort: bool = True,
     ) -> list[dict]:
         """Write one commit's data files under ``data/<instant>/`` with
         hive-style ``__pt_<col>=<val>`` layout; returns file records
@@ -4246,6 +4296,19 @@ class LakeTable:
             writer = writer.withColumn("__bk", self._bucket_expr())
             writer = writer.repartition(self.bucket_index, F.col("__bk"))
             pt_cols = pt_cols + ["__bk"]
+        # KEY-SORTED data files (r10): rows sorted by record key within
+        # each task — file assignment is untouched (local sort), but
+        # parquet row-group/page stats on the key become selective, so
+        # key-equality reads (record-index/bucket point reads, the MOR
+        # merge's pushed-down key filter) skip pages instead of
+        # scanning the whole file. The sort leads with the dynamic
+        # partition columns, pre-satisfying the writer's required
+        # ordering (it would otherwise re-sort by them anyway,
+        # unstably) — same trick that halved the sidecar builds.
+        # Callers with their OWN clustering (compact sort_by /
+        # bulk-insert sort modes) pass key_sort=False and keep it.
+        if key_sort:
+            writer = writer.sortWithinPartitions(*pt_cols, RECORD_KEY_COL)
         w = writer.write.mode("overwrite")
         if pt_cols:
             w = w.partitionBy(*pt_cols)
@@ -4927,7 +4990,9 @@ class LakeTable:
         df = self._cluster_for_compact(
             df, live, target_files_per_partition, sort_by
         )
-        added = self._write_data_files(df, inst)  # kind=base: folds deltas
+        # kind=base: folds deltas; sort_by clustering (when given) owns
+        # the row order — default compaction keeps the key sort
+        added = self._write_data_files(df, inst, key_sort=not sort_by)
         self._write_manifest(
             inst,
             "compact",

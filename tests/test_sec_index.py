@@ -475,6 +475,10 @@ def test_incremental_not_duplicated_by_backfill(spark, tmp_path):
     assert t2.incremental(None, None).count() == n
     # and the range beginning at the creating commit still yields zero
     assert t2.incremental("001", None).count() == 0
+    # changes() must also skip the metadata-only commits: a range
+    # containing only backfills is a no-op feed, NOT a full-corpus
+    # key scan of every re-listed file
+    assert t2.changes("001", None).count() == 0
 
 
 def test_secondary_index_rejects_unsafe_column_names(spark, tmp_path):

@@ -2925,9 +2925,17 @@ class LakeTable:
                     st = rg.column(ci).statistics
                     if st is not None and st.has_min_max:
                         # any operand inside [min, max]? (ops sorted;
-                        # parquet UTF8 stats order == str order)
-                        j = bisect_left(ops, st.min)
-                        take = j < len(ops) and ops[j] <= st.max
+                        # parquet UTF8 stats order == str order, and
+                        # writer-side truncation keeps min/max valid
+                        # BOUNDS). Odd stats types (e.g. undecoded
+                        # bytes from a foreign writer) degrade to
+                        # "matched" — pruning is an optimization,
+                        # never a correctness dependency.
+                        try:
+                            j = bisect_left(ops, st.min)
+                            take = j < len(ops) and ops[j] <= st.max
+                        except TypeError:
+                            take = True
                 if take:
                     rgs.append(ri)
                     matched_bytes += rg.total_byte_size

@@ -25,6 +25,12 @@ Phases:
   abort at least one publish with ``ConcurrentWriteConflict`` (no
   retry in this phase). Values are identical on both sides, so the
   end state is deterministic regardless of which writer wins.
+- **mor-commute**: same adversarial shape on a MERGE_ON_READ table —
+  optimistic MOR writes are APPENDS and appends commute (the read
+  merge resolves overlapping keys identically in either publish
+  order), so BOTH writers must succeed with zero data aborts
+  (instant-order collisions may still retry), and the merged end
+  state must show each hot key's precombine winner exactly once.
 
 Run: python scripts/occ_multiprocess_probe.py
 Worker mode (internal): python scripts/occ_multiprocess_probe.py \
@@ -66,6 +72,15 @@ def _table(spark, base: str):
 
     return LakeTable(
         spark, base, "occ", "t", ["k"], "ver", partition_keys=["part"]
+    )
+
+
+def _mor_table(spark, base: str):
+    from emr_hudi_example_spark.lake import LakeTable
+
+    return LakeTable(
+        spark, base, "occ", "m", ["k"], "ver",
+        partition_keys=["part"], table_type="MERGE_ON_READ",
     )
 
 
@@ -127,6 +142,27 @@ def worker(role: str, base: str, barrier_dir: str) -> None:
         t.write_optimistic(df, op="upsert")
     except ConcurrentWriteConflict:
         out["adversarial_conflict"] = 1
+
+    # mor-commute: SAME hot keys, MOR appends — data conflicts are
+    # impossible (appends commute under the read merge); only
+    # instant-order collisions may retry. Writer a stamps ver 20,
+    # writer b ver 21 — the merged winner must be ver 21 everywhere.
+    tm = _mor_table(spark, base)
+    my_ver = 20 if role == "a" else 21
+    dfm = spark.createDataFrame(
+        [(k, my_ver, my_ver * 1000 + k, k % 2) for k in hot], SCHEMA
+    )
+    out["mor_retries"] = 0
+    _barrier(barrier_dir, "mor", role)
+    for _attempt in range(25):
+        try:
+            tm.write_optimistic(dfm, op="upsert")
+            break
+        except ConcurrentWriteConflict:
+            out["mor_retries"] += 1
+            time.sleep(0.05)
+    else:
+        raise RuntimeError(f"{role}: MOR commute commit never landed")
     print("WORKER_RESULT " + json.dumps(out), flush=True)
     spark.stop()
 
@@ -142,6 +178,14 @@ def main() -> None:
         t.write(
             spark.createDataFrame(
                 _rows(0, 1) + _rows(1, 1), SCHEMA
+            ),
+            op="insert",
+            instant="001",
+        )
+        hot_seed = [k for k in range(40) if k % 2 == 0][:20]
+        _mor_table(spark, base).write(
+            spark.createDataFrame(
+                [(k, 1, 1000 + k, k % 2) for k in hot_seed], SCHEMA
             ),
             op="insert",
             instant="001",
@@ -189,6 +233,16 @@ def main() -> None:
         ok_commits = len(t.timeline()) == (
             1 + 2 * DISJOINT_COMMITS + (2 - conflicts)
         )
+        # MOR commute: BOTH writers' appends landed (3 commits total)
+        # and the merged view shows ver 21 (the larger precombine)
+        # exactly once per hot key, whatever the publish order was
+        tm = _mor_table(spark, base)
+        mor_snap = {
+            (r["k"], r["ver"])
+            for r in tm.snapshot().select("k", "ver").collect()
+        }
+        ok_mor_state = mor_snap == {(k, 21) for k in hot}
+        ok_mor_commits = len(tm.timeline()) == 3
         spark.stop()
         print(json.dumps({
             "probe": "occ_multiprocess",
@@ -201,9 +255,20 @@ def main() -> None:
             "adversarial_abort_expected": conflicts >= 1,
             "end_state_matches_model": ok_state,
             "timeline_length_consistent": ok_commits,
-            "ok": bool(ok_state and ok_commits and conflicts >= 1),
+            "mor_commute_retries": {
+                r: results[r].get("mor_retries") for r in results
+            },
+            "mor_both_writers_landed": ok_mor_commits,
+            "mor_merged_state_exact": ok_mor_state,
+            "ok": bool(
+                ok_state and ok_commits and conflicts >= 1
+                and ok_mor_commits and ok_mor_state
+            ),
         }, indent=2))
-        if not (ok_state and ok_commits and conflicts >= 1):
+        if not (
+            ok_state and ok_commits and conflicts >= 1
+            and ok_mor_commits and ok_mor_state
+        ):
             sys.exit(1)
     finally:
         shutil.rmtree(base, ignore_errors=True)

@@ -197,8 +197,15 @@ class LakeTable:
         #: the Spark route — which resolves the scheme through Hadoop
         #: FileSystem — remains the only path (r9 verdict watch item).
         #: A one-char scheme is a Windows drive letter, still local.
+        #: ``file://`` IS local — but the scheme must be STRIPPED, or
+        #: every os-path operation (manifest open, os.walk) would
+        #: resolve a relative "file:/…" path and silently see an empty
+        #: table (r10 self-review finding).
         _scheme = urlparse(str(base_path)).scheme
-        self.driver_io_local = _scheme in ("", "file") or len(_scheme) == 1
+        if _scheme == "file":
+            base_path = unquote(urlparse(str(base_path)).path)
+            _scheme = ""
+        self.driver_io_local = _scheme == "" or len(_scheme) == 1
         self.path = os.path.join(base_path, db, table)
         self.db = db
         self.table = table
@@ -2594,21 +2601,26 @@ class LakeTable:
         if self.driver_probe_max_keys <= 0:
             return False
         try:
-            size = int(
-                str(
-                    batch._jdf.queryExecution()
-                    .optimizedPlan()
-                    .stats()
-                    .sizeInBytes()
-                )
+            plan = batch._jdf.queryExecution().optimizedPlan()
+            size = int(str(plan.stats().sizeInBytes()))
+            # Without CBO, Filter/Join nodes pass the CHILD's size
+            # through unchanged — a 1-row point batch filtered out of
+            # a 300 MB source estimates 300 MB. Such estimates are an
+            # upper bound, not evidence; keep the probe (r10
+            # self-review finding — the gate must only fire on
+            # trustworthy "clearly huge" verdicts).
+            shrinkable = any(
+                tok in plan.toString()
+                for tok in ("Filter ", "Join ", "Aggregate ")
             )
         except Exception:
             return True
         # sane, known estimate far above point scale → clearly not a
         # point batch (1 << 61 guards the Long.MaxValue "unknown"
-        # default and join-inflated garbage)
+        # default and inflated garbage)
         return not (
-            0 < size < (1 << 61)
+            not shrinkable
+            and 0 < size < (1 << 61)
             and size > 8 * self.driver_probe_max_bytes
         )
 
@@ -2899,7 +2911,7 @@ class LakeTable:
         import pyarrow as pa
         import pyarrow.compute as pc
 
-        if len(part_files) > 1024:
+        if len(part_files) > 4096:
             return None  # bound driver-side footer reads
         if not operands:
             return set()
@@ -2909,14 +2921,19 @@ class LakeTable:
         for p in part_files:
             pf = pa_pq.ParquetFile(p)
             md = pf.metadata
-            ci = next(
-                (
-                    i
-                    for i in range(md.num_columns)
-                    if md.schema.column(i).name == col
-                ),
-                None,
-            )
+            col_idx = {
+                md.schema.column(i).name: i for i in range(md.num_columns)
+            }
+            ci = col_idx.get(col)
+            # gate on the COMPRESSED bytes of only the two columns the
+            # read touches — the honest I/O cost. Uncompressed
+            # whole-row-group sizes (total_byte_size) overstate by the
+            # codec ratio × column count and would push legacy shards
+            # that r9 served driver-side onto the Spark path (r10
+            # self-review finding).
+            read_cols = [
+                j for j in (ci, col_idx.get(out_col)) if j is not None
+            ]
             rgs: list[int] = []
             for ri in range(md.num_row_groups):
                 rg = md.row_group(ri)
@@ -2938,7 +2955,10 @@ class LakeTable:
                             take = True
                 if take:
                     rgs.append(ri)
-                    matched_bytes += rg.total_byte_size
+                    matched_bytes += sum(
+                        rg.column(j).total_compressed_size
+                        for j in read_cols
+                    ) or rg.total_byte_size
             if rgs:
                 plans.append((pf, rgs))
         if matched_bytes > self.driver_probe_max_bytes:
@@ -4313,8 +4333,13 @@ class LakeTable:
         # partition columns, pre-satisfying the writer's required
         # ordering (it would otherwise re-sort by them anyway,
         # unstably) — same trick that halved the sidecar builds.
-        # Callers with their OWN clustering (compact sort_by /
-        # bulk-insert sort modes) pass key_sort=False and keep it.
+        # key_sort=False callers: compact(sort_by=...) — its custom
+        # clustering owns the row order (a key re-sort would destroy
+        # it) — and bulk-insert sort_mode=NONE (the explicit
+        # cheapest-write contract). Bulk GLOBAL/PARTITION_SORT pass
+        # True: they already ordered by (partition, key), Catalyst
+        # elides the redundant sort, and True keeps the writer-sort
+        # protection if those modes ever change their key.
         if key_sort:
             writer = writer.sortWithinPartitions(*pt_cols, RECORD_KEY_COL)
         w = writer.write.mode("overwrite")

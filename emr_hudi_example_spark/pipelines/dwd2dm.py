@@ -62,10 +62,14 @@ def dm_increment(
         if dm.exists():
             snapshot = dm.logical().select(*group_cols, sum_alias)
         else:
-            # unseeded mart: the increment IS the seed (fresh empty DF,
-            # not a derived one — a self-join would be ambiguous)
+            # unseeded mart: the increment IS the seed (fresh empty
+            # LOCAL relation, not a derived one — a self-join would be
+            # ambiguous, and createDataFrame([], schema) is a
+            # LogicalRDD that costs a round of empty tasks per action)
+            from emr_hudi_example_spark.lake.table import _empty_df
+
             sel = inc_agg.select(*group_cols, sum_alias)
-            snapshot = inc_agg.sparkSession.createDataFrame([], sel.schema)
+            snapshot = _empty_df(inc_agg.sparkSession, sel.schema)
         merged = delta_merge_running_agg(
             inc_agg, snapshot, keys=group_cols, sum_col=sum_alias
         ).withColumn("created_ts", created_ts_expr(created_ts_millis))

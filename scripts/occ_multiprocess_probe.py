@@ -137,11 +137,25 @@ def worker(role: str, base: str, barrier_dir: str) -> None:
     df = spark.createDataFrame(
         _rows(0, 9, keys=hot), SCHEMA
     )
+    # guarantee a TRUE overlap (not just aligned starts, which can
+    # still serialize cleanly under unlucky scheduling): each writer's
+    # publish blocks at the lock until the PEER has finished computing
+    # — then both read sets provably predate both commits, and exactly
+    # one publish must abort.
+    orig_lock = t._writer_lock
+
+    def _lock_after_peer_computed():
+        _barrier(barrier_dir, "adv_computed", role)
+        return orig_lock()
+
+    t._writer_lock = _lock_after_peer_computed
     _barrier(barrier_dir, "adversarial", role)
     try:
         t.write_optimistic(df, op="upsert")
     except ConcurrentWriteConflict:
         out["adversarial_conflict"] = 1
+    finally:
+        t._writer_lock = orig_lock
 
     # mor-commute: SAME hot keys, MOR appends — data conflicts are
     # impossible (appends commute under the read merge); only

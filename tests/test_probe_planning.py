@@ -83,7 +83,7 @@ def test_planned_probe_legacy_unsorted_shard_still_exact(spark, tmp_path):
 
 def test_planned_probe_file_count_bound(spark, tmp_path):
     t = _table(spark, tmp_path)
-    fake = [str(tmp_path / f"f{i}.parquet") for i in range(1025)]
+    fake = [str(tmp_path / f"f{i}.parquet") for i in range(4097)]
     assert t._planned_probe_read(fake, "key", {"x"}, "fp") is None
 
 

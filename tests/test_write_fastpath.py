@@ -119,10 +119,18 @@ def test_nonlocal_base_path_disables_driver_fastpaths(spark, tmp_path):
         record_keys=["c_custkey"], precombine="ver",
     )
     assert local.driver_io_local is True
-    assert (
-        LakeTable(
-            spark, f"file://{tmp_path}", "testdb", "t",
-            record_keys=["c_custkey"], precombine="ver",
-        ).driver_io_local
-        is True
+    # file:// is local but the scheme must be STRIPPED — os-path
+    # operations on a literal "file://…" string resolve a relative
+    # "file:/…" path and silently see an empty table
+    via_uri = LakeTable(
+        spark, f"file://{tmp_path}", "testdb", "t",
+        record_keys=["c_custkey"], precombine="ver",
     )
+    assert via_uri.driver_io_local is True
+    assert via_uri.path == local.path
+    # and the table actually WORKS end-to-end through the URI handle
+    via_uri.write(
+        cust(spark).limit(5).coalesce(1), op="insert", instant="001"
+    )
+    assert via_uri.snapshot().count() == 5
+    assert local.snapshot().count() == 5  # same physical table

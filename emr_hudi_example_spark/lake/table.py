@@ -200,11 +200,17 @@ class LakeTable:
         #: ``file://`` IS local — but the scheme must be STRIPPED, or
         #: every os-path operation (manifest open, os.walk) would
         #: resolve a relative "file:/…" path and silently see an empty
-        #: table (r10 self-review finding).
-        _scheme = urlparse(str(base_path)).scheme
+        #: table (r10 self-review finding). Only strip when the netloc
+        #: is empty or localhost: ``file://server/share`` names a REMOTE
+        #: share — keeping just ``/share`` would silently point every
+        #: driver-side read at the wrong (likely empty) local directory,
+        #: so a non-local netloc stays non-local (r10 ADVICE).
+        _parsed = urlparse(str(base_path))
+        _scheme = _parsed.scheme
         if _scheme == "file":
-            base_path = unquote(urlparse(str(base_path)).path)
-            _scheme = ""
+            if _parsed.netloc in ("", "localhost"):
+                base_path = unquote(_parsed.path)
+                _scheme = ""
         self.driver_io_local = _scheme == "" or len(_scheme) == 1
         self.path = os.path.join(base_path, db, table)
         self.db = db
@@ -2588,6 +2594,28 @@ class LakeTable:
             candidates = self._key_hit_files(candidates, batch)
         return candidates, self._read_files([f["path"] for f in candidates])
 
+    @staticmethod
+    def _plan_has_node(plan, names: tuple[str, ...], cap: int = 512) -> bool:
+        """BFS a Catalyst logical plan (py4j TreeNode) for a node whose
+        ``nodeName()`` contains any of ``names`` — e.g. "Join" matches
+        both ``Join`` and any version-renamed ``*Join`` variant.
+        ``cap`` bounds the walk; an over-cap plan counts as a match
+        (size-estimate distrust is the SAFE direction: the probe stays
+        on and the key cap still bounds its cost)."""
+        queue = [plan]
+        seen = 0
+        while queue:
+            node = queue.pop()
+            seen += 1
+            if seen > cap:
+                return True
+            nn = str(node.nodeName())
+            if any(t in nn for t in names):
+                return True
+            kids = node.children()
+            queue.extend(kids.apply(i) for i in range(kids.size()))
+        return False
+
     def _point_probe_plausible(self, batch: DataFrame) -> bool:
         """Cheap driver-side pre-check for the capped distinct-keys
         collect below: skip the probe when Catalyst's plan-size
@@ -2608,10 +2636,14 @@ class LakeTable:
             # a 300 MB source estimates 300 MB. Such estimates are an
             # upper bound, not evidence; keep the probe (r10
             # self-review finding — the gate must only fire on
-            # trustworthy "clearly huge" verdicts).
-            shrinkable = any(
-                tok in plan.toString()
-                for tok in ("Filter ", "Join ", "Aggregate ")
+            # trustworthy "clearly huge" verdicts). Detection walks the
+            # tree's ``nodeName()`` (derived from the operator CLASS
+            # name, stable across Spark's string-rendering changes)
+            # instead of substring-matching ``plan.toString()`` (r10
+            # ADVICE); ``tests/test_write_fastpath.py`` pins the names
+            # against the running Spark.
+            shrinkable = self._plan_has_node(
+                plan, ("Filter", "Join", "Aggregate")
             )
         except Exception:
             return True
@@ -2916,11 +2948,16 @@ class LakeTable:
         if not operands:
             return set()
         ops = sorted(operands)
-        plans: list[tuple[object, list[int]]] = []
+        # plans hold (path, row-group ids), never open handles: keeping
+        # up to 4096 ParquetFiles open across the loop (including the
+        # gate's early None return) risks fd exhaustion under low
+        # ulimits (r10 ADVICE). Footers are KB-sized, so the reopen in
+        # the read loop is noise next to the row-group read itself.
+        plans: list[tuple[str, list[int]]] = []
         matched_bytes = 0
         for p in part_files:
-            pf = pa_pq.ParquetFile(p)
-            md = pf.metadata
+            with pa_pq.ParquetFile(p) as pf:
+                md = pf.metadata
             col_idx = {
                 md.schema.column(i).name: i for i in range(md.num_columns)
             }
@@ -2960,13 +2997,14 @@ class LakeTable:
                         for j in read_cols
                     ) or rg.total_byte_size
             if rgs:
-                plans.append((pf, rgs))
+                plans.append((p, rgs))
         if matched_bytes > self.driver_probe_max_bytes:
             return None
         hits: set[str] = set()
         op_arr = pa.array(ops)
-        for pf, rgs in plans:
-            tbl = pf.read_row_groups(rgs, columns=[col, out_col])
+        for p, rgs in plans:
+            with pa_pq.ParquetFile(p) as pf:
+                tbl = pf.read_row_groups(rgs, columns=[col, out_col])
             mask = pc.is_in(tbl.column(col), value_set=op_arr)
             hits.update(tbl.column(out_col).filter(mask).to_pylist())
         return hits
@@ -4198,14 +4236,19 @@ class LakeTable:
         past it."""
         if not shard_dirs:
             return set()
-        part_files: list[str] = []
-        for d in shard_dirs:
-            part_files.extend(
-                os.path.join(d, fn)
-                for fn in os.listdir(d)
-                if fn.endswith(".parquet")
-            )
+        # the os.listdir shard enumeration only makes sense (and only
+        # works) on a driver-local base_path — on a remote URI it would
+        # raise instead of falling through to the Spark scan the
+        # locality gate promises (r10 ADVICE), so it lives INSIDE the
+        # gate.
         if self.driver_io_local:
+            part_files: list[str] = []
+            for d in shard_dirs:
+                part_files.extend(
+                    os.path.join(d, fn)
+                    for fn in os.listdir(d)
+                    if fn.endswith(".parquet")
+                )
             hits = self._planned_probe_read(part_files, "val", canon, "fp")
             if hits is not None:
                 return hits

@@ -134,3 +134,43 @@ def test_nonlocal_base_path_disables_driver_fastpaths(spark, tmp_path):
     )
     assert via_uri.snapshot().count() == 5
     assert local.snapshot().count() == 5  # same physical table
+    # file://SERVER/share names a REMOTE share: stripping the scheme
+    # would silently point driver IO at local "/share" (r10 ADVICE) —
+    # a non-local netloc must stay non-local
+    remote_share = LakeTable(
+        spark, "file://fileserver/share/warehouse", "testdb", "t",
+        record_keys=["c_custkey"], precombine="ver",
+    )
+    assert remote_share.driver_io_local is False
+    # …while the RFC-8089 localhost spelling is still local
+    via_localhost = LakeTable(
+        spark, f"file://localhost{tmp_path}", "testdb", "t",
+        record_keys=["c_custkey"], precombine="ver",
+    )
+    assert via_localhost.driver_io_local is True
+    assert via_localhost.path == local.path
+
+
+def test_plan_has_node_pins_nodenames_on_running_spark(spark):
+    """r10 ADVICE: the point-probe gate classifies plans by Catalyst
+    ``nodeName()``. Pin that the running Spark still names its
+    optimized-plan operators Filter/Join/Aggregate — if a Spark
+    upgrade renames them, THIS fails loudly instead of the gate
+    silently re-enabling the extra collect pass."""
+    df = spark.range(100).withColumnRenamed("id", "k")
+    other = spark.range(10).withColumnRenamed("id", "k")
+    cases = [
+        (df.filter(F.col("k") > 5), True),          # Filter
+        (df.join(other, "k"), True),                # Join
+        (df.groupBy("k").count(), True),            # Aggregate
+        (spark.range(7), False),                    # bare Range: none
+    ]
+    for frame, expect in cases:
+        plan = frame._jdf.queryExecution().optimizedPlan()
+        assert (
+            LakeTable._plan_has_node(plan, ("Filter", "Join", "Aggregate"))
+            is expect
+        ), frame._jdf.queryExecution().optimizedPlan().toString()
+    # over-cap walks distrust the estimate (safe direction: probe on)
+    plan = df.filter(F.col("k") > 5)._jdf.queryExecution().optimizedPlan()
+    assert LakeTable._plan_has_node(plan, ("NoSuchNode",), cap=0) is True

@@ -3463,12 +3463,17 @@ def sim_opq_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     return S.opq_adc_topk(emb, q, k=5, dim=_PQ_M * _PQ_SUB)
 
 
-def _adc_chain_sql(sfx: str, src: str, qpred: str = "") -> str:
+def _adc_chain_sql(
+    sfx: str, src: str, qpred: str = "", qlimit: int | None = None
+) -> str:
     """ADC serving chain over a codes{sfx}/seeds{sfx} pair (from
     ``_pq_codes_cte``): per-query LUT, LUT-sum distances, ranked
-    neighbors in ``top{sfx}``. ``src`` supplies the query vectors;
+    neighbors in ``top{sfx}`` (adc carried through for variants that
+    grade the distance itself). ``src`` supplies the query vectors;
     ``qpred`` ANDs an extra query-set restriction (the sampled-eval
-    slice) onto the ``% 50`` selector."""
+    slice) onto the ``% 50`` selector; ``qlimit`` bounds the panel to
+    the ``qlimit`` smallest ids — the fixed-size query panel whose
+    serving cost stays O(corpus) at any |Q| population."""
     lut_union = " UNION ALL ".join(
         f"SELECT query_id, cid, {m} AS m, d_{m} AS d FROM lutw{sfx}"
         for m in range(_PQ_M)
@@ -3481,9 +3486,10 @@ def _adc_chain_sql(sfx: str, src: str, qpred: str = "") -> str:
         f"{_pq_dist_sql(m, 'q', 's')} AS d_{m}" for m in range(_PQ_M)
     )
     qcond = f"vec_id % 50 = 0{' AND ' + qpred if qpred else ''}"
+    qtail = f" ORDER BY vec_id LIMIT {qlimit}" if qlimit is not None else ""
     return f""",
     q{sfx} AS (SELECT vec_id AS query_id, embedding FROM {src}
-               WHERE {qcond}),
+               WHERE {qcond}{qtail}),
     lutw{sfx} AS (SELECT q.query_id, s.cid, {dists}
                   FROM q{sfx} q CROSS JOIN seeds{sfx} s),
     lut{sfx} AS ({lut_union}),
@@ -3494,7 +3500,7 @@ def _adc_chain_sql(sfx: str, src: str, qpred: str = "") -> str:
                  FROM cl{sfx} c JOIN lut{sfx} l
                    ON c.m = l.m AND c.code = l.cid
                  GROUP BY 1, 2),
-    top{sfx} AS (SELECT query_id, vec_id,
+    top{sfx} AS (SELECT query_id, vec_id, adc,
                         row_number() OVER (PARTITION BY query_id
                                            ORDER BY adc, vec_id) AS rank
                  FROM adc{sfx} WHERE query_id <> vec_id)"""
@@ -3635,4 +3641,79 @@ def sim_ann_recall_sampled(spark: SparkSession, sf_dir: str) -> DataFrame:
         .groupBy("query_id")
         .agg(F.count("hit").cast("int").alias("hits"))
         .select("query_id", "hits", F.lit(5).cast("int").alias("k"))
+    )
+
+
+# ------------------------------------------- OPQ: the 100 TB sampled recipe
+
+#: the bounded-training knobs of the 100 TB OPQ recipe (r10 verdict #2 —
+#: promote the documented mitigation for the only >2x data-cost bench
+#: rows into oracle-gated code). _OPQ_STATS_FRAC bounds the energy-
+#: statistics pass to a deterministic md5 id-hash slice (the ranking is
+#: an average-like statistic; the slice is engine-replayable, so the
+#: oracle stays exact); _OPQ_SAMPLED_NQ fixes the query panel to the NQ
+#: smallest % 50 ids, so the ADC join is O(corpus), never O(|Q|·corpus)
+#: with |Q| growing alongside the data.
+_OPQ_STATS_FRAC = 0.25
+_OPQ_SAMPLED_NQ = 16
+
+_OPQ_SAMPLED_PERM_CTES = f"""emb_s AS (
+      SELECT vec_id, embedding FROM embeddings
+      WHERE {D.hash_sample_sql("vec_id", _OPQ_STATS_FRAC, 0)}),
+    ener_os AS (
+      SELECT i AS d,
+             sum(CAST(embedding[i+1]::DOUBLE * embedding[i+1]::DOUBLE
+                      AS DECIMAL(38,12))) AS e
+      FROM emb_s, range({_PQ_M * _PQ_SUB}) t(i)
+      GROUP BY i),
+    perm_os AS (
+      SELECT d,
+             (CASE WHEN (rn // {_PQ_M}) % 2 = 0 THEN rn % {_PQ_M}
+                   ELSE {_PQ_M - 1} - (rn % {_PQ_M}) END) * {_PQ_SUB}
+               + (rn // {_PQ_M}) AS new_pos
+      FROM (SELECT d, row_number() OVER (ORDER BY e DESC, d) - 1 AS rn
+            FROM ener_os)),
+    emb_ps AS (
+      SELECT e.vec_id,
+             list(e.embedding[p.d + 1]::DOUBLE ORDER BY p.new_pos)
+               AS embedding
+      FROM embeddings e CROSS JOIN perm_os p
+      GROUP BY e.vec_id),
+    """
+
+
+@query(
+    "sim_opq_topk_sampled",
+    oracle=_pq_codes_cte(src="emb_ps", sfx="_os", pre=_OPQ_SAMPLED_PERM_CTES)
+    + _adc_chain_sql("_os", "emb_ps", qlimit=_OPQ_SAMPLED_NQ)
+    + """
+    SELECT query_id, vec_id AS neighbor_id, round(adc, 6) AS adc_dist,
+           CAST(rank AS INT) AS rank
+    FROM top_os WHERE rank <= 5
+    """,
+)
+def sim_opq_topk_sampled(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """OPQ ADC top-k under the BOUNDED-training 100 TB recipe (r10
+    verdict #2): the energy-permutation statistics come from a
+    deterministic md5 id-hash slice of the corpus
+    (``opq_adc_topk(stats_sample_frac=…)`` — the oracle replays the
+    identical slice), the PQ codebook is the fixed ``_PQ_K``
+    smallest-id vectors as always, the query panel is the fixed
+    ``_OPQ_SAMPLED_NQ`` smallest ``% 50`` ids, and only the ENCODE pass
+    touches every corpus vector — one broadcast-codebook scan. Unlike
+    ``sim_opq_topk`` (whose graded |Q| is a fraction, so ADC work grows
+    as |corpus|·|Q| ~ quadratically with data), every stage here is
+    O(corpus) with a small constant: the shape whose 10x spot-bench leg
+    must stay ≤2x (``scripts/sf1_spot_bench.py``). Recall of the
+    sampled-stats permutation vs full-stats OPQ is pytest-pinned
+    (``tests/test_extensions.py``)."""
+    emb = load(spark, sf_dir, "embeddings")
+    q = (
+        emb.filter(F.col("vec_id") % 50 == 0)
+        .orderBy("vec_id")
+        .limit(_OPQ_SAMPLED_NQ)
+    )
+    return S.opq_adc_topk(
+        emb, q, k=5, dim=_PQ_M * _PQ_SUB,
+        stats_sample_frac=_OPQ_STATS_FRAC,
     )

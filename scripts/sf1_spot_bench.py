@@ -46,6 +46,10 @@ QUERIES = [
     "graph_pagerank",
     "lake_bloom_index_prune",
     "sim_opq_topk",
+    # r11: the bounded-training OPQ recipe (sampled stats + fixed query
+    # panel) — the graded form of the 100 TB mitigation for the two
+    # data-cost rows above; its leg must stay ≤2x at 10x data
+    "sim_opq_topk_sampled",
     "sim_ivfpq_residual_topk",
     "sim_ann_compare",
     "dedup_cluster_groups",

@@ -1139,3 +1139,52 @@ def test_star_contraction_matches_label_propagation(spark):
     # empty edge set: every vertex is its own group
     labels = run([(0, 0)], 5)  # lone self-loop ≡ no edges
     assert labels == {(i, i) for i in range(5)}
+
+
+def test_opq_sampled_stats_recall_matches_full_stats(spark):
+    """The bounded-training OPQ recipe (r10 verdict #2 —
+    ``sim_opq_topk_sampled``) must not degrade serving quality: the
+    energy RANKING is an average-like statistic, so a deterministic
+    25% id-hash slice should produce a permutation whose recall@5
+    against the exact L2 truth is within one hit-per-query of the
+    full-statistics permutation. Also pins panel boundedness: the
+    sampled variant serves exactly the NQ smallest %50 ids."""
+    from emr_hudi_example_spark.catalog import load
+    from emr_hudi_example_spark.catalog_ext import (
+        _OPQ_SAMPLED_NQ,
+        _OPQ_STATS_FRAC,
+        sim_opq_topk_sampled,
+    )
+    from emr_hudi_example_spark.operators import similarity as S
+    from tests.conftest import SF_CORRECT
+
+    emb = load(spark, SF_CORRECT, "embeddings")
+    panel = (
+        emb.filter(F.col("vec_id") % 50 == 0)
+        .orderBy("vec_id")
+        .limit(_OPQ_SAMPLED_NQ)
+    )
+    exact = {
+        (r["query_id"], r["neighbor_id"])
+        for r in S.l2_topk(emb, panel, k=5).collect()
+    }
+    full = {
+        (r["query_id"], r["neighbor_id"])
+        for r in S.opq_adc_topk(emb, panel, k=5, dim=64).collect()
+    }
+    sampled_rows = sim_opq_topk_sampled(spark, SF_CORRECT).collect()
+    sampled = {(r["query_id"], r["neighbor_id"]) for r in sampled_rows}
+    n_q = panel.count()
+    assert n_q > 0
+    recall_full = len(exact & full) / len(exact)
+    recall_sampled = len(exact & sampled) / len(exact)
+    # within one hit per query of the full-stats permutation
+    assert recall_sampled >= recall_full - n_q / len(exact), (
+        recall_sampled,
+        recall_full,
+    )
+    # bounded panel: every served query id is one of the panel's
+    assert {r["query_id"] for r in sampled_rows} <= {
+        r["vec_id"] for r in panel.collect()
+    }
+    assert _OPQ_STATS_FRAC < 1.0  # the stats pass really is sampled

@@ -31,6 +31,17 @@ Phases:
   order), so BOTH writers must succeed with zero data aborts
   (instant-order collisions may still retry), and the merged end
   state must show each hot key's precombine winner exactly once.
+- **compact-race** (r10 verdict #4): process A ingests MOR delta
+  commits on a third table while process B loops
+  ``schedule_compaction`` → ``run_compaction`` → ``clean`` — the
+  reference's ASYNC compaction story (``SRC/KDS2Hudi.scala:131,133``)
+  as a real cross-process writer/compactor/cleaner race. The fold
+  holds no lock (appends never invalidate a plan; only replacements
+  do) and the cleaner honors live cross-process ``.inflight`` markers,
+  so every ingest commit must land, at least one mid-ingest fold must
+  commit, and after B's final drain the snapshot, the read-optimized
+  view, and the full-range incremental read must all equal the
+  serialized model.
 
 Run: python scripts/occ_multiprocess_probe.py
 Worker mode (internal): python scripts/occ_multiprocess_probe.py \
@@ -52,6 +63,7 @@ sys.path.insert(0, REPO)
 
 KEYS = 200  # keys 0..199, partition = k % 2
 DISJOINT_COMMITS = 3
+RACE_COMMITS = 6  # ingester commits racing the compactor/cleaner
 SCHEMA = "k INT, ver INT, payload INT, part INT"
 
 
@@ -81,6 +93,18 @@ def _mor_table(spark, base: str):
     return LakeTable(
         spark, base, "occ", "m", ["k"], "ver",
         partition_keys=["part"], table_type="MERGE_ON_READ",
+    )
+
+
+def _race_table(spark, base: str):
+    from emr_hudi_example_spark.lake import LakeTable
+
+    # inline compaction OFF: the ASYNC compactor process is the only
+    # folder, so every fold in the race is B's schedule/run pair
+    return LakeTable(
+        spark, base, "occ", "c", ["k"], "ver",
+        partition_keys=["part"], table_type="MERGE_ON_READ",
+        inline_compact_deltas=None,
     )
 
 
@@ -177,6 +201,52 @@ def worker(role: str, base: str, barrier_dir: str) -> None:
             time.sleep(0.05)
     else:
         raise RuntimeError(f"{role}: MOR commute commit never landed")
+
+    # compact-race: A ingests RACE_COMMITS optimistic MOR deltas while
+    # B loops schedule → run → clean against the same table. A's
+    # appends never invalidate B's plans (only replacements do); B's
+    # fold/clean commits may out-run A's instants, so A retries.
+    tc = _race_table(spark, base)
+    done_flag = os.path.join(barrier_dir, "race_done.a")
+    _barrier(barrier_dir, "compact_race", role)
+    if role == "a":
+        out["race_ingest_retries"] = 0
+        for ver in range(2, 2 + RACE_COMMITS):
+            dfc = spark.createDataFrame(
+                [(k, ver, ver * 1000 + k, k % 2) for k in hot], SCHEMA
+            )
+            for _attempt in range(50):
+                try:
+                    tc.write_optimistic(dfc, op="upsert")
+                    break
+                except ConcurrentWriteConflict:
+                    out["race_ingest_retries"] += 1
+                    time.sleep(0.05)
+            else:
+                raise RuntimeError("a: race ingest commit never landed")
+        with open(done_flag, "w") as fh:
+            fh.write("done")
+    else:
+        folds = stale = 0
+        cleaned = 0
+        while True:
+            ingest_done = os.path.exists(done_flag)
+            pid = tc.schedule_compaction()
+            if pid is not None:
+                inst = tc.run_compaction(pid)
+                if inst is None:
+                    stale += 1
+                else:
+                    folds += 1
+            cleaned += len(tc.clean(retain_commits=2))
+            if ingest_done:
+                # one full drain pass ran AFTER the last ingest commit:
+                # every delta is folded, the table is fully compacted
+                break
+            time.sleep(0.02)
+        out["race_folds"] = folds
+        out["race_stale_plans"] = stale
+        out["race_cleaned_files"] = cleaned
     print("WORKER_RESULT " + json.dumps(out), flush=True)
     spark.stop()
 
@@ -198,6 +268,13 @@ def main() -> None:
         )
         hot_seed = [k for k in range(40) if k % 2 == 0][:20]
         _mor_table(spark, base).write(
+            spark.createDataFrame(
+                [(k, 1, 1000 + k, k % 2) for k in hot_seed], SCHEMA
+            ),
+            op="insert",
+            instant="001",
+        )
+        _race_table(spark, base).write(
             spark.createDataFrame(
                 [(k, 1, 1000 + k, k % 2) for k in hot_seed], SCHEMA
             ),
@@ -257,6 +334,32 @@ def main() -> None:
         }
         ok_mor_state = mor_snap == {(k, 21) for k in hot}
         ok_mor_commits = len(tm.timeline()) == 3
+
+        # compact-race: all RACE_COMMITS ingest commits landed under
+        # the racing compactor/cleaner; after B's final drain the
+        # snapshot, the base-files-only read-optimized view, and the
+        # full-range incremental read all equal the serialized model
+        tc = _race_table(spark, base)
+        race_model = {(k, 2 + RACE_COMMITS - 1) for k in hot}
+        race_snap = {
+            (r["k"], r["ver"])
+            for r in tc.snapshot().select("k", "ver").collect()
+        }
+        ok_race_state = race_snap == race_model
+        race_ro = {
+            (r["k"], r["ver"])
+            for r in tc.read_optimized().select("k", "ver").collect()
+        }
+        ok_race_ro = race_ro == race_model
+        race_inc = {
+            (r["k"], r["ver"])
+            for r in tc.incremental(None, tc.last_instant())
+            .select("k", "ver")
+            .collect()
+        }
+        ok_race_inc = race_inc == race_model
+        race_folds = results["b"].get("race_folds", 0)
+        ok_race_folds = race_folds >= 1
         spark.stop()
         print(json.dumps({
             "probe": "occ_multiprocess",
@@ -274,14 +377,27 @@ def main() -> None:
             },
             "mor_both_writers_landed": ok_mor_commits,
             "mor_merged_state_exact": ok_mor_state,
+            "race_ingest_commits": RACE_COMMITS,
+            "race_ingest_retries": results["a"].get("race_ingest_retries"),
+            "race_folds_committed": race_folds,
+            "race_stale_plans": results["b"].get("race_stale_plans"),
+            "race_cleaned_files": results["b"].get("race_cleaned_files"),
+            "race_mid_ingest_fold": ok_race_folds,
+            "race_snapshot_matches_model": ok_race_state,
+            "race_read_optimized_matches_model": ok_race_ro,
+            "race_incremental_matches_model": ok_race_inc,
             "ok": bool(
                 ok_state and ok_commits and conflicts >= 1
                 and ok_mor_commits and ok_mor_state
+                and ok_race_folds and ok_race_state
+                and ok_race_ro and ok_race_inc
             ),
         }, indent=2))
         if not (
             ok_state and ok_commits and conflicts >= 1
             and ok_mor_commits and ok_mor_state
+            and ok_race_folds and ok_race_state
+            and ok_race_ro and ok_race_inc
         ):
             sys.exit(1)
     finally:

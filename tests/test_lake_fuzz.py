@@ -61,39 +61,38 @@ def _model_rows(model: dict) -> set:
     return {(k, v, p, part) for k, (v, p, part) in model.items()}
 
 
+_FUZZ_INDEXES = {
+    "record_index": True,
+    "bloom_index": True,
+    "secondary_index_columns": ["payload"],
+}
+
+
 @pytest.mark.parametrize(
-    "table_type,inline,indexes",
+    "table_type,inline,indexes,spark_only",
     [
-        ("COPY_ON_WRITE", None, {}),
-        ("MERGE_ON_READ", 4, {}),
+        ("COPY_ON_WRITE", None, {}, False),
+        ("MERGE_ON_READ", 4, {}, False),
         # index-enabled variants: the fuzz batches are point-sized
         # (1-12 keys), so every write plans through the driver-side
         # fast paths (capped pair collect → XXH64 shards, bloom bit
         # tests, pyarrow key scans) — the model check guards those
         # shortcuts against the sequential truth after every commit
-        (
-            "COPY_ON_WRITE",
-            None,
-            {
-                "record_index": True,
-                "bloom_index": True,
-                "secondary_index_columns": ["payload"],
-            },
-        ),
-        (
-            "MERGE_ON_READ",
-            4,
-            {
-                "record_index": True,
-                "bloom_index": True,
-                "secondary_index_columns": ["payload"],
-            },
-        ),
+        ("COPY_ON_WRITE", None, _FUZZ_INDEXES, False),
+        ("MERGE_ON_READ", 4, _FUZZ_INDEXES, False),
+        # spark_only: the SAME indexed lattice with the driver fast
+        # paths forced off (``driver_io_local=False`` — what an
+        # object-store base_path sets), so the Spark-only route — the
+        # actual 100 TB path behind all 8 gate sites — is proven
+        # against the sequential model across the whole lattice, not
+        # just the A/B point checks (r10 verdict #3)
+        ("COPY_ON_WRITE", None, _FUZZ_INDEXES, True),
+        ("MERGE_ON_READ", 4, _FUZZ_INDEXES, True),
     ],
 )
 @pytest.mark.parametrize("seed", [0, 1])
 def test_op_sequence_matches_model(
-    spark, tmp_path_factory, table_type, inline, seed, indexes
+    spark, tmp_path_factory, table_type, inline, seed, indexes, spark_only
 ):
     from emr_hudi_example_spark.lake import LakeTable
 
@@ -106,6 +105,8 @@ def test_op_sequence_matches_model(
         stats_columns=["ver", "payload"],
         **indexes,
     )
+    if spark_only:
+        t.driver_io_local = False
 
     model: dict[int, tuple] = {}
     # committed history: list of (instant, frozen model) in commit order
@@ -240,6 +241,10 @@ def test_op_sequence_matches_model(
         assert got == {r for r in _model_rows(model) if cond(r)}, (
             f"predicate {pred} diverged ({table_type}, seed {seed})"
         )
+
+    if spark_only:
+        # no code path may silently re-enable the driver fast paths
+        assert t.driver_io_local is False
 
 
 @pytest.mark.parametrize("seed", [0, 1])

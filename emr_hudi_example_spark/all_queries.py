@@ -38,13 +38,12 @@ from emr_hudi_example_spark.catalog import ORACLE, Q
 
 #: name prefixes of the subsystems whose substrate changed most this
 #: round, in priority order — used only as a TIE-BREAK within the same
-#: staleness group. Round 10: the lake kernel again (incremental-read
-#: backfill dedup, secondary-index name guard + update-churn coverage,
-#: plan-size-gated point probes, path-locality gates on every driver
-#: fast path), then dedup (the two r6-stale substrate-changed rows the
-#: r9 verdict wants re-graded: dedup_lsh_eval, dedup_cluster_groups),
-#: then pipelines.
-_SUBSTRATE_HINTS: list[str] = ["lake_", "dedup_", "pipe_"]
+#: staleness group. Round 11: the lake kernel (fast-path gate
+#: hardening — file:// netloc locality, listdir inside the gate,
+#: handle-free probe plans, nodeName-based plan classification), then
+#: the similarity family (bounded-training OPQ recipe, shared ADC
+#: chain carrying adc), then pipelines.
+_SUBSTRATE_HINTS: list[str] = ["lake_", "sim_", "pipe_"]
 
 
 def latest_driver_rows(root: str | None = None) -> dict[str, tuple[int, bool]]:

@@ -224,6 +224,21 @@ def assign_cells(
             / (F.col("_norm") * F.col("cen_norm"))
         ).alias("cen_cos"),
     )
+    if n_assign == 1:
+        # the corpus-side case (every IVF composition assigns the BIG
+        # side to exactly one cell): hash aggregation, not a
+        # sort-window — the map-side partial min_by collapses each
+        # vector's n_cells candidate rows before the exchange, so the
+        # shuffle carries ~one row per vector instead of n_cells per
+        # vector (same argmin policy as ``pq_codes``). Ordering
+        # matches the window branch exactly: highest cosine wins,
+        # ties to the smaller cell_id.
+        return scored.groupBy(id_col).agg(
+            F.min_by(
+                "cell_id",
+                F.struct((-F.col("cen_cos")).alias("_neg"), F.col("cell_id")),
+            ).alias("cell_id")
+        )
     w = Window.partitionBy(id_col).orderBy(
         F.col("cen_cos").desc(), F.col("cell_id").asc()
     )
@@ -1187,11 +1202,21 @@ def ivfpq_residual_topk(
             F.zip_with("_v", "_c", lambda x, y: x - y).alias("_r"),
         )
     )
-    # residual codebook: residuals of the n_codes smallest-id vectors
+    # residual codebook: residuals of the n_codes smallest-id vectors.
+    # Derived from the n_codes-vector SLICE, not from ``res`` — a
+    # residual is a pure per-row function of (vector, its cell), so
+    # ``res.orderBy(id).limit(n)`` would force one full-corpus
+    # assign+join pass just to TakeOrdered 16 rows; slicing first
+    # computes the identical seeds from 16 rows of work.
+    seed_vecs = corpus.orderBy(id_col).limit(n_codes)
     rseeds = (
-        res.orderBy(id_col)
-        .limit(n_codes)
-        .select(F.col(id_col).alias("_sid"), F.col("_r").alias("_sv"))
+        seed_vecs.select(F.col(id_col), _as_double(vec_col).alias("_v"))
+        .join(assign_cells(seed_vecs, centroids, id_col, vec_col, 1), id_col)
+        .join(F.broadcast(cen), "cell_id")
+        .select(
+            F.col(id_col).alias("_sid"),
+            F.zip_with("_v", "_c", lambda x, y: x - y).alias("_sv"),
+        )
     )
     rseeds = rseeds.withColumn(
         "cid", F.row_number().over(Window.orderBy("_sid")) - 1

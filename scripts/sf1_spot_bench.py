@@ -51,6 +51,7 @@ QUERIES = [
     # data-cost rows above; its leg must stay ≤2x at 10x data
     "sim_opq_topk_sampled",
     "sim_ivfpq_residual_topk",
+    "sim_ivfpq_residual_topk_sampled",
     "sim_ann_compare",
     "dedup_cluster_groups",
     # r8-final additions: the new planner-index paths at 10x data —

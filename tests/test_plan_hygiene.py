@@ -248,3 +248,27 @@ def test_mor_partial_fold_single_data_shuffle(spark):
     # tombstone-side aggregate contributes one more hash exchange on
     # its own branch; data rows never traverse it twice.)
     assert plan.count("Exchange hashpartitioning(_partition_path") <= 2
+
+
+def test_corpus_cell_assign_partial_agg_not_window(spark):
+    """assign_cells(n_assign=1) — the corpus side of every IVF
+    composition — must plan as an aggregation with a map-side
+    partial: a sort-window here shuffles n_cells candidate rows per
+    vector at 100 TB instead of ~one pre-reduced row per vector."""
+    from pyspark.sql import functions as F
+
+    from emr_hudi_example_spark.catalog import load
+    from emr_hudi_example_spark.operators import similarity as S
+
+    emb = load(spark, SF_CORRECT, "embeddings")
+    cen = emb.filter(F.col("vec_id") % 37 == 0)
+    df = S.assign_cells(emb, cen)
+    plan = df._jdf.queryExecution().executedPlan().toString()
+    assert "Window" not in plan
+    # struct-ordered min_by plans as SortAggregate; the scale property
+    # is the MAP-SIDE PARTIAL below the exchange, not the agg flavor
+    assert "partial_min_by" in plan
+    assert plan.index("partial_min_by") > plan.index("Exchange")
+    # the multi-probe query side keeps the ranked window
+    q3 = S.assign_cells(emb, cen, n_assign=3)
+    assert "Window" in q3._jdf.queryExecution().executedPlan().toString()

@@ -3369,26 +3369,39 @@ def sim_ivfpq_residual_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 # --------------------------------------------------------------- OPQ-lite
 
-_OPQ_PERM_CTES = f"""ener_o AS (
+def _opq_perm_ctes(
+    ener: str, perm: str, emb_out: str,
+    stats_rel: str = "embeddings", pre: str = "",
+) -> str:
+    """Energy-ranking → snake-deal permutation → permuted-embedding CTE
+    chain (the oracle twin of ``opq_dim_permutation`` +
+    ``apply_dim_permutation``). One builder for both the full-stats and
+    sampled-stats OPQ oracles so the formula cannot drift between them;
+    ``stats_rel`` is the relation the energy statistics read (the full
+    corpus, or a hash-sampled slice injected via ``pre``)."""
+    return f"""{pre}{ener} AS (
       SELECT i AS d,
              sum(CAST(embedding[i+1]::DOUBLE * embedding[i+1]::DOUBLE
                       AS DECIMAL(38,12))) AS e
-      FROM embeddings, range({_PQ_M * _PQ_SUB}) t(i)
+      FROM {stats_rel}, range({_PQ_M * _PQ_SUB}) t(i)
       GROUP BY i),
-    perm_o AS (
+    {perm} AS (
       SELECT d,
              (CASE WHEN (rn // {_PQ_M}) % 2 = 0 THEN rn % {_PQ_M}
                    ELSE {_PQ_M - 1} - (rn % {_PQ_M}) END) * {_PQ_SUB}
                + (rn // {_PQ_M}) AS new_pos
       FROM (SELECT d, row_number() OVER (ORDER BY e DESC, d) - 1 AS rn
-            FROM ener_o)),
-    emb_p AS (
+            FROM {ener})),
+    {emb_out} AS (
       SELECT e.vec_id,
              list(e.embedding[p.d + 1]::DOUBLE ORDER BY p.new_pos)
                AS embedding
-      FROM embeddings e CROSS JOIN perm_o p
+      FROM embeddings e CROSS JOIN {perm} p
       GROUP BY e.vec_id),
     """
+
+
+_OPQ_PERM_CTES = _opq_perm_ctes("ener_o", "perm_o", "emb_p")
 
 _OPQ_LUT_UNION = " UNION ALL ".join(
     f"SELECT query_id, cid, {m} AS m, d_{m} AS d FROM lutw_o"
@@ -3662,29 +3675,14 @@ def sim_ann_recall_sampled(spark: SparkSession, sf_dir: str) -> DataFrame:
 _OPQ_STATS_FRAC = 0.25
 _OPQ_SAMPLED_NQ = 16
 
-_OPQ_SAMPLED_PERM_CTES = f"""emb_s AS (
+_OPQ_SAMPLED_PERM_CTES = _opq_perm_ctes(
+    "ener_os", "perm_os", "emb_ps",
+    stats_rel="emb_s",
+    pre=f"""emb_s AS (
       SELECT vec_id, embedding FROM embeddings
       WHERE {D.hash_sample_sql("vec_id", _OPQ_STATS_FRAC, 0)}),
-    ener_os AS (
-      SELECT i AS d,
-             sum(CAST(embedding[i+1]::DOUBLE * embedding[i+1]::DOUBLE
-                      AS DECIMAL(38,12))) AS e
-      FROM emb_s, range({_PQ_M * _PQ_SUB}) t(i)
-      GROUP BY i),
-    perm_os AS (
-      SELECT d,
-             (CASE WHEN (rn // {_PQ_M}) % 2 = 0 THEN rn % {_PQ_M}
-                   ELSE {_PQ_M - 1} - (rn % {_PQ_M}) END) * {_PQ_SUB}
-               + (rn // {_PQ_M}) AS new_pos
-      FROM (SELECT d, row_number() OVER (ORDER BY e DESC, d) - 1 AS rn
-            FROM ener_os)),
-    emb_ps AS (
-      SELECT e.vec_id,
-             list(e.embedding[p.d + 1]::DOUBLE ORDER BY p.new_pos)
-               AS embedding
-      FROM embeddings e CROSS JOIN perm_os p
-      GROUP BY e.vec_id),
-    """
+    """,
+)
 
 
 @query(

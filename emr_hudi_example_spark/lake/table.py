@@ -202,15 +202,24 @@ class LakeTable:
         #: resolve a relative "file:/…" path and silently see an empty
         #: table (r10 self-review finding). Only strip when the netloc
         #: is empty or localhost: ``file://server/share`` names a REMOTE
-        #: share — keeping just ``/share`` would silently point every
-        #: driver-side read at the wrong (likely empty) local directory,
-        #: so a non-local netloc stays non-local (r10 ADVICE).
+        #: share that NO route can serve — the driver paths would read
+        #: local "/share", and Hadoop's LocalFileSystem either drops the
+        #: authority (same silent wrong-directory read) or throws
+        #: "Wrong FS" mid-job — so it is rejected at construction
+        #: instead of merely de-gated (r10 ADVICE + r11 self-review).
         _parsed = urlparse(str(base_path))
         _scheme = _parsed.scheme
         if _scheme == "file":
-            if _parsed.netloc in ("", "localhost"):
-                base_path = unquote(_parsed.path)
-                _scheme = ""
+            if _parsed.netloc not in ("", "localhost"):
+                raise ValueError(
+                    f"file:// base_path with remote authority "
+                    f"{_parsed.netloc!r} is unsupported: neither the "
+                    "driver fast paths nor Hadoop's local filesystem "
+                    "can address a remote file share — mount it and "
+                    "pass the mount point, or use a real remote scheme"
+                )
+            base_path = unquote(_parsed.path)
+            _scheme = ""
         self.driver_io_local = _scheme == "" or len(_scheme) == 1
         self.path = os.path.join(base_path, db, table)
         self.db = db
@@ -2596,7 +2605,7 @@ class LakeTable:
 
     @staticmethod
     def _plan_has_node(plan, names: tuple[str, ...], cap: int = 512) -> bool:
-        """BFS a Catalyst logical plan (py4j TreeNode) for a node whose
+        """Walk a Catalyst logical plan (py4j TreeNode) for a node whose
         ``nodeName()`` contains any of ``names`` — e.g. "Join" matches
         both ``Join`` and any version-renamed ``*Join`` variant.
         ``cap`` bounds the walk; an over-cap plan counts as a match
@@ -3003,8 +3012,16 @@ class LakeTable:
         hits: set[str] = set()
         op_arr = pa.array(ops)
         for p, rgs in plans:
-            with pa_pq.ParquetFile(p) as pf:
-                tbl = pf.read_row_groups(rgs, columns=[col, out_col])
+            try:
+                with pa_pq.ParquetFile(p) as pf:
+                    tbl = pf.read_row_groups(rgs, columns=[col, out_col])
+            except OSError:
+                # a cross-process cleaner may remove a replaced shard
+                # file between the footer pass and this reopen (the
+                # handle-free plans traded that immunity for bounded
+                # fds) — trip the gate and let the caller re-plan on
+                # the Spark path against the then-current live set
+                return None
             mask = pc.is_in(tbl.column(col), value_set=op_arr)
             hits.update(tbl.column(out_col).filter(mask).to_pylist())
         return hits

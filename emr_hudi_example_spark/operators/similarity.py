@@ -231,12 +231,20 @@ def assign_cells(
         # vector's n_cells candidate rows before the exchange, so the
         # shuffle carries ~one row per vector instead of n_cells per
         # vector (same argmin policy as ``pq_codes``). Ordering
-        # matches the window branch exactly: highest cosine wins,
-        # ties to the smaller cell_id.
+        # matches the window branch (and the DuckDB oracles'
+        # ``ORDER BY cos DESC`` default): highest cosine wins, ties to
+        # the smaller cell_id, NULL cosines rank LAST — struct
+        # comparison ranks null lowest, so a raw ``-cen_cos`` would
+        # invert that for a zero-norm (dead) centroid and assign every
+        # vector to it; +inf restores nulls-last under MIN. (NaN
+        # embeddings are out of contract on every branch.)
+        nulls_last = F.when(
+            F.col("cen_cos").isNotNull(), -F.col("cen_cos")
+        ).otherwise(F.lit(float("inf")))
         return scored.groupBy(id_col).agg(
             F.min_by(
                 "cell_id",
-                F.struct((-F.col("cen_cos")).alias("_neg"), F.col("cell_id")),
+                F.struct(nulls_last.alias("_neg"), F.col("cell_id")),
             ).alias("cell_id")
         )
     w = Window.partitionBy(id_col).orderBy(
@@ -1383,9 +1391,20 @@ def apply_dim_permutation(
 
 def collect_dim_permutation(perm_df: DataFrame, dim: int) -> list[int]:
     """Materialize ``opq_dim_permutation`` output as the new_pos-indexed
-    list ``apply_dim_permutation`` consumes (dim rows — metadata)."""
+    list ``apply_dim_permutation`` consumes (dim rows — metadata).
+    Raises on an incomplete permutation: an empty statistics source
+    (e.g. a sampling fraction that keeps no ids) yields zero rows, and
+    silently defaulting to ``[0]*dim`` would serve every query from
+    dimension 0 repeated — fail loudly instead (r11 self-review)."""
+    rows = perm_df.collect()
+    if len(rows) != dim:
+        raise ValueError(
+            f"dimension permutation has {len(rows)} rows, expected {dim} "
+            "— empty/partial energy statistics (is the stats sample "
+            "fraction keeping any rows?)"
+        )
     arr: list[int] = [0] * dim
-    for r in perm_df.collect():
+    for r in rows:
         arr[r["new_pos"]] = r["d"]
     return arr
 

@@ -210,6 +210,12 @@ def worker(role: str, base: str, barrier_dir: str) -> None:
     done_flag = os.path.join(barrier_dir, "race_done.a")
     _barrier(barrier_dir, "compact_race", role)
     if role == "a":
+        # race_warm: B finishes one warm-up scheduler pass before A's
+        # first commit, so B provably LOOPS while A commits — without
+        # it a slow B start could see ingest_done on its first
+        # iteration and the "mid-ingest fold" evidence would really be
+        # the guaranteed post-ingest drain (r11 self-review).
+        _barrier(barrier_dir, "race_warm", role)
         out["race_ingest_retries"] = 0
         for ver in range(2, 2 + RACE_COMMITS):
             dfc = spark.createDataFrame(
@@ -227,7 +233,12 @@ def worker(role: str, base: str, barrier_dir: str) -> None:
         with open(done_flag, "w") as fh:
             fh.write("done")
     else:
-        folds = stale = 0
+        # warm-up pass against the seed commit (no deltas: schedule is
+        # a no-op) so the scheduler codepath is JIT-warm, then sync
+        tc.schedule_compaction()
+        tc.clean(retain_commits=2)
+        _barrier(barrier_dir, "race_warm", role)
+        folds = folds_mid = stale = 0
         cleaned = 0
         while True:
             ingest_done = os.path.exists(done_flag)
@@ -238,6 +249,10 @@ def worker(role: str, base: str, barrier_dir: str) -> None:
                     stale += 1
                 else:
                     folds += 1
+                    if not ingest_done:
+                        # the flag was absent when this plan was cut:
+                        # the fold raced a still-active writer
+                        folds_mid += 1
             cleaned += len(tc.clean(retain_commits=2))
             if ingest_done:
                 # one full drain pass ran AFTER the last ingest commit:
@@ -245,6 +260,7 @@ def worker(role: str, base: str, barrier_dir: str) -> None:
                 break
             time.sleep(0.02)
         out["race_folds"] = folds
+        out["race_folds_during_ingest"] = folds_mid
         out["race_stale_plans"] = stale
         out["race_cleaned_files"] = cleaned
     print("WORKER_RESULT " + json.dumps(out), flush=True)
@@ -359,7 +375,10 @@ def main() -> None:
         }
         ok_race_inc = race_inc == race_model
         race_folds = results["b"].get("race_folds", 0)
-        ok_race_folds = race_folds >= 1
+        race_folds_mid = results["b"].get("race_folds_during_ingest", 0)
+        # the evidence claim is a fold that RACED an active writer —
+        # the post-ingest drain fold alone doesn't count
+        ok_race_folds = race_folds_mid >= 1
         spark.stop()
         print(json.dumps({
             "probe": "occ_multiprocess",
@@ -380,6 +399,7 @@ def main() -> None:
             "race_ingest_commits": RACE_COMMITS,
             "race_ingest_retries": results["a"].get("race_ingest_retries"),
             "race_folds_committed": race_folds,
+            "race_folds_during_ingest": race_folds_mid,
             "race_stale_plans": results["b"].get("race_stale_plans"),
             "race_cleaned_files": results["b"].get("race_cleaned_files"),
             "race_mid_ingest_fold": ok_race_folds,

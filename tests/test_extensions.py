@@ -1188,3 +1188,51 @@ def test_opq_sampled_stats_recall_matches_full_stats(spark):
         r["vec_id"] for r in panel.collect()
     }
     assert _OPQ_STATS_FRAC < 1.0  # the stats pass really is sampled
+
+
+def test_assign_cells_agg_branch_nulls_last_on_dead_centroid(spark):
+    """A zero-norm (dead) centroid divides by zero in the cosine.
+    Under the session default (ANSI on, Spark 4) BOTH branches fail
+    loudly — pinned first. Under ansi=false the cosine is NULL and the
+    n_assign=1 aggregation branch must rank NULLs LAST, matching the
+    window branch's DESC ordering and the DuckDB oracles — a raw
+    negated-cosine struct would rank null lowest and assign every
+    vector to the dead cell."""
+    import math
+
+    vecs = [(i, [float(i + 1), float(2 * i + 1)]) for i in range(20)]
+    cens = [(100, [0.0, 0.0]), (101, [1.0, 0.0]), (102, [0.0, 1.0])]
+    emb = spark.createDataFrame(vecs, "vec_id LONG, embedding ARRAY<DOUBLE>")
+    cen = spark.createDataFrame(cens, "vec_id LONG, embedding ARRAY<DOUBLE>")
+
+    with pytest.raises(Exception, match="DIVIDE_BY_ZERO"):
+        S.assign_cells(emb, cen, n_assign=1).collect()
+
+    def cos(a, b):
+        na, nb = math.hypot(*a), math.hypot(*b)
+        if na == 0 or nb == 0:
+            return None  # ansi=false: x/0.0 -> NULL
+        return (a[0] * b[0] + a[1] * b[1]) / (na * nb)
+
+    expected = set()
+    for vid, v in vecs:
+        best = min(
+            ((cid, cos(v, c)) for cid, c in cens if cos(v, c) is not None),
+            key=lambda t: (-t[1], t[0]),
+        )
+        expected.add((vid, best[0]))
+
+    prev = spark.conf.get("spark.sql.ansi.enabled", None)
+    spark.conf.set("spark.sql.ansi.enabled", "false")
+    try:
+        got = {
+            (r["vec_id"], r["cell_id"])
+            for r in S.assign_cells(emb, cen, n_assign=1).collect()
+        }
+    finally:
+        if prev is None:
+            spark.conf.unset("spark.sql.ansi.enabled")
+        else:
+            spark.conf.set("spark.sql.ansi.enabled", prev)
+    assert got == expected
+    assert 100 not in {c for _v, c in got}, "dead centroid won a vector"

@@ -135,13 +135,14 @@ def test_nonlocal_base_path_disables_driver_fastpaths(spark, tmp_path):
     assert via_uri.snapshot().count() == 5
     assert local.snapshot().count() == 5  # same physical table
     # file://SERVER/share names a REMOTE share: stripping the scheme
-    # would silently point driver IO at local "/share" (r10 ADVICE) —
-    # a non-local netloc must stay non-local
-    remote_share = LakeTable(
-        spark, "file://fileserver/share/warehouse", "testdb", "t",
-        record_keys=["c_custkey"], precombine="ver",
-    )
-    assert remote_share.driver_io_local is False
+    # would silently point driver IO at local "/share" (r10 ADVICE),
+    # and the Spark route can't address it either (Hadoop LocalFS drops
+    # the authority or throws mid-job) — reject at construction
+    with pytest.raises(ValueError, match="remote authority"):
+        LakeTable(
+            spark, "file://fileserver/share/warehouse", "testdb", "t",
+            record_keys=["c_custkey"], precombine="ver",
+        )
     # …while the RFC-8089 localhost spelling is still local
     via_localhost = LakeTable(
         spark, f"file://localhost{tmp_path}", "testdb", "t",

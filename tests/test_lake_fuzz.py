@@ -247,15 +247,20 @@ def test_op_sequence_matches_model(
         assert t.driver_io_local is False
 
 
+@pytest.mark.parametrize("spark_only", [False, True])
 @pytest.mark.parametrize("seed", [0, 1])
-def test_global_index_drift_matches_model(spark, tmp_path_factory, seed):
+def test_global_index_drift_matches_model(
+    spark, tmp_path_factory, seed, spark_only
+):
     """Global-index fuzz: the PARTITION of a key changes between
     writes (Hudi global index + update-partition-path semantics,
     ``lake_global_index_move``'s path under randomized interleaving).
     An accepted upsert must MOVE the row — exactly one copy, in the
     newest accepted partition; a stale producer's write (older
     precombine, possibly a different partition) must change nothing,
-    including no resurrection in its stale partition."""
+    including no resurrection in its stale partition. ``spark_only``
+    re-runs the lattice with the driver fast paths forced off (the
+    object-store route), matching the indexed-lattice axis above."""
     from emr_hudi_example_spark.lake import LakeTable
 
     rng = random.Random(7 + seed)
@@ -264,6 +269,8 @@ def test_global_index_drift_matches_model(spark, tmp_path_factory, seed):
         spark, str(tmp), "f", "g", ["k"], "ver",
         partition_keys=["part"], global_index=True,
     )
+    if spark_only:
+        t.driver_io_local = False
     model: dict[int, tuple] = {}
 
     def drift_batch(ver: int, stale: bool) -> list[tuple]:

@@ -3711,10 +3711,11 @@ def sim_opq_topk_sampled(spark: SparkSession, sf_dir: str) -> DataFrame:
     sampled-stats permutation vs full-stats OPQ is pytest-pinned
     (``tests/test_extensions.py``)."""
     emb = load(spark, sf_dir, "embeddings")
-    q = (
+    q = S.local_bounded(
         emb.filter(F.col("vec_id") % 50 == 0)
         .orderBy("vec_id")
-        .limit(_OPQ_SAMPLED_NQ)
+        .limit(_OPQ_SAMPLED_NQ),
+        _OPQ_SAMPLED_NQ,
     )
     return S.opq_adc_topk(
         emb, q, k=5, dim=_PQ_M * _PQ_SUB,
@@ -3755,14 +3756,19 @@ def sim_ivfpq_residual_topk_sampled(
     residual encode that IS the recipe — where the full configuration
     measures 9× in the same session)."""
     emb = load(spark, sf_dir, "embeddings")
-    cen = (
+    # the fixed nlist and panel are ≤32/16 rows by construction —
+    # localize so the many consumers (two assigns, residual joins,
+    # LUTs) don't each re-run a TakeOrdered corpus scan
+    cen = S.local_bounded(
         emb.filter(F.col("vec_id") % 37 == 0)
         .orderBy("vec_id")
-        .limit(_RIVF_SAMPLED_NCELLS)
+        .limit(_RIVF_SAMPLED_NCELLS),
+        _RIVF_SAMPLED_NCELLS,
     )
-    q = (
+    q = S.local_bounded(
         emb.filter(F.col("vec_id") % 50 == 0)
         .orderBy("vec_id")
-        .limit(_OPQ_SAMPLED_NQ)
+        .limit(_OPQ_SAMPLED_NQ),
+        _OPQ_SAMPLED_NQ,
     )
     return S.ivfpq_residual_topk(emb, q, cen, k=5, nprobe=3)

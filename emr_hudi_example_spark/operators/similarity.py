@@ -855,6 +855,25 @@ def _sub_sqdist(a: Column, b: Column, m: int, sub_dim: int) -> Column:
     )
 
 
+def local_bounded(df: DataFrame, max_rows: int) -> DataFrame:
+    """Materialize a PROVABLY bounded frame (codebooks, query panels,
+    fixed centroid sets — metadata-sized by construction) as a
+    LocalRelation: one driver collect, after which every downstream
+    branch reuses the rows instead of re-running the bounding scan per
+    reference (each lazy re-evaluation of an ``orderBy().limit(n)``
+    costs a full TakeOrdered pass over its source — the r11 plan audit
+    counted seven such corpus scans in one residual-IVF-PQ query).
+    The M3 driver-collect pattern, applied to constant-size plan
+    inputs; raises if the claimed bound is violated."""
+    rows = df.limit(max_rows + 1).collect()
+    if len(rows) > max_rows:
+        raise ValueError(
+            f"local_bounded: frame exceeds its claimed bound "
+            f"({len(rows)} > {max_rows} rows)"
+        )
+    return df.sparkSession.createDataFrame(rows, df.schema)
+
+
 def _pq_seeds(
     vectors: DataFrame,
     id_col: str,
@@ -864,15 +883,19 @@ def _pq_seeds(
     """THE PQ codebook: sub-vectors of the ``n_codes`` smallest-id
     vectors, with dense codeword ids. Single source of truth — the
     encode pass and every ADC LUT must derive their codebook from this
-    one function, or codes and LUTs silently desynchronize."""
+    one function, or codes and LUTs silently desynchronize. Returned
+    as a LocalRelation (``local_bounded``): the codebook is n_codes
+    rows by construction, and lazily re-deriving it per consumer costs
+    a TakeOrdered corpus pass each time."""
     seeds = (
         vectors.orderBy(id_col)
         .limit(n_codes)
         .select(F.col(id_col).alias("_sid"), _as_double(vec_col).alias("_sv"))
     )
-    return seeds.withColumn(
+    seeds = seeds.withColumn(
         "cid", F.row_number().over(Window.orderBy("_sid")) - 1
     ).drop("_sid")
+    return local_bounded(seeds, n_codes)
 
 
 def pq_codes(
@@ -882,6 +905,7 @@ def pq_codes(
     n_subspaces: int = 8,
     sub_dim: int = 8,
     n_codes: int = 16,
+    seeds: DataFrame | None = None,
 ) -> DataFrame:
     """Product-quantization encoding (Jégou et al. 2011, public): split
     each D-dim vector into ``n_subspaces`` blocks of ``sub_dim`` dims
@@ -904,7 +928,8 @@ def pq_codes(
     declarative plan).
     """
     v = vectors.select(F.col(id_col), _as_double(vec_col).alias("_v"))
-    seeds = _pq_seeds(vectors, id_col, vec_col, n_codes)
+    if seeds is None:
+        seeds = _pq_seeds(vectors, id_col, vec_col, n_codes)
     scored = v.crossJoin(F.broadcast(seeds))
     for m in range(n_subspaces):
         scored = scored.withColumn(
@@ -944,10 +969,11 @@ def pq_adc_topk(
     streams once as its (already tiny) code rows; the per-query top-k
     is the same window-over-scored-stream shape as ``cosine_topk``.
     """
-    codes = pq_codes(
-        vectors, id_col, vec_col, n_subspaces, sub_dim, n_codes
-    )
     seeds = _pq_seeds(vectors, id_col, vec_col, n_codes)
+    codes = pq_codes(
+        vectors, id_col, vec_col, n_subspaces, sub_dim, n_codes,
+        seeds=seeds,
+    )
     q = queries.select(
         F.col(id_col).alias("query_id"), _as_double(vec_col).alias("_q")
     )
@@ -1099,10 +1125,11 @@ def ivfpq_adc_topk(
     """
     corpus_cells = assign_cells(corpus, centroids, id_col, vec_col, 1)
     query_cells = assign_cells(queries, centroids, id_col, vec_col, nprobe)
-    codes = pq_codes(
-        corpus, id_col, vec_col, n_subspaces, sub_dim, n_codes
-    )
     seeds = _pq_seeds(corpus, id_col, vec_col, n_codes)
+    codes = pq_codes(
+        corpus, id_col, vec_col, n_subspaces, sub_dim, n_codes,
+        seeds=seeds,
+    )
     q = queries.select(
         F.col(id_col).alias("query_id"), _as_double(vec_col).alias("_q")
     )
@@ -1216,7 +1243,9 @@ def ivfpq_residual_topk(
     # ``res.orderBy(id).limit(n)`` would force one full-corpus
     # assign+join pass just to TakeOrdered 16 rows; slicing first
     # computes the identical seeds from 16 rows of work.
-    seed_vecs = corpus.orderBy(id_col).limit(n_codes)
+    seed_vecs = local_bounded(
+        corpus.orderBy(id_col).limit(n_codes), n_codes
+    )
     rseeds = (
         seed_vecs.select(F.col(id_col), _as_double(vec_col).alias("_v"))
         .join(assign_cells(seed_vecs, centroids, id_col, vec_col, 1), id_col)
@@ -1229,6 +1258,10 @@ def ivfpq_residual_topk(
     rseeds = rseeds.withColumn(
         "cid", F.row_number().over(Window.orderBy("_sid")) - 1
     ).drop("_sid")
+    # n_codes rows by construction; without localization both consumers
+    # (encode scored + query LUT) re-run the seed derivation, incl. its
+    # centroid-norm scan — in the full recipe that scan is corpus-sized
+    rseeds = local_bounded(rseeds, n_codes)
     scored = res.crossJoin(F.broadcast(rseeds))
     for m in range(n_subspaces):
         scored = scored.withColumn(

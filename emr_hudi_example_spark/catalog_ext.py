@@ -3752,23 +3752,32 @@ def sim_ivfpq_residual_topk_sampled(
     members — O(corpus) with small constants. Shares
     ``sim_ivfpq_residual_topk``'s oracle body via ``_rivf_oracle`` so
     the recipes cannot drift; the 10× leg is recorded in BASELINE.md
-    (2.9× — bounded by the one remaining linear pass, the full-corpus
-    residual encode that IS the recipe — where the full configuration
-    measures 9× in the same session)."""
+    (1.68× after the bounded-frame localization below — bounded by the
+    one remaining linear pass, the full-corpus residual encode that IS
+    the recipe — where the full configuration measures 6.7× in the
+    same session)."""
     emb = load(spark, sf_dir, "embeddings")
-    # the fixed nlist and panel are ≤32/16 rows by construction —
-    # localize so the many consumers (two assigns, residual joins,
-    # LUTs) don't each re-run a TakeOrdered corpus scan
-    cen = S.local_bounded(
-        emb.filter(F.col("vec_id") % 37 == 0)
-        .orderBy("vec_id")
-        .limit(_RIVF_SAMPLED_NCELLS),
-        _RIVF_SAMPLED_NCELLS,
+    # the fixed nlist, panel, and codebook seed slice are ≤32/16/16
+    # rows by construction — localize so the many consumers (two
+    # assigns, residual joins, LUTs) don't each re-run a TakeOrdered
+    # corpus scan; the three bounding scans are independent, so
+    # collect them CONCURRENTLY in ONE scan-round (serial driver
+    # collects were most of the small-scale localization overhead)
+    cen, q, seed16 = S.local_bounded_many(
+        (
+            emb.filter(F.col("vec_id") % 37 == 0)
+            .orderBy("vec_id")
+            .limit(_RIVF_SAMPLED_NCELLS),
+            _RIVF_SAMPLED_NCELLS,
+        ),
+        (
+            emb.filter(F.col("vec_id") % 50 == 0)
+            .orderBy("vec_id")
+            .limit(_OPQ_SAMPLED_NQ),
+            _OPQ_SAMPLED_NQ,
+        ),
+        (emb.orderBy("vec_id").limit(16), 16),
     )
-    q = S.local_bounded(
-        emb.filter(F.col("vec_id") % 50 == 0)
-        .orderBy("vec_id")
-        .limit(_OPQ_SAMPLED_NQ),
-        _OPQ_SAMPLED_NQ,
+    return S.ivfpq_residual_topk(
+        emb, q, cen, k=5, nprobe=3, seed_vecs=seed16
     )
-    return S.ivfpq_residual_topk(emb, q, cen, k=5, nprobe=3)

@@ -864,7 +864,17 @@ def local_bounded(df: DataFrame, max_rows: int) -> DataFrame:
     costs a full TakeOrdered pass over its source — the r11 plan audit
     counted seven such corpus scans in one residual-IVF-PQ query).
     The M3 driver-collect pattern, applied to constant-size plan
-    inputs; raises if the claimed bound is violated."""
+    inputs; raises if the claimed bound is violated.
+
+    CONTRACT NOTE: this makes the recipes that use it (``pq_codes``,
+    ``pq_adc_topk``, ``ivfpq_*_topk``, ``opq_adc_topk``) evaluate
+    their codebook / panel / nlist inputs EAGERLY, at DataFrame-BUILD
+    time — like FAISS's train(), the quantizer is trained when the
+    index is constructed, not when it is queried. A plan built before
+    new corpus rows land serves the codebook trained at build; rebuild
+    the plan to retrain. (Fully-lazy codebooks would instead re-run a
+    TakeOrdered corpus scan per consumer — seven per residual query —
+    and could desynchronize encode vs LUT under the same drift.)"""
     rows = df.limit(max_rows + 1).collect()
     if len(rows) > max_rows:
         raise ValueError(
@@ -874,19 +884,44 @@ def local_bounded(df: DataFrame, max_rows: int) -> DataFrame:
     return df.sparkSession.createDataFrame(rows, df.schema)
 
 
+def local_bounded_many(
+    *frames: tuple[DataFrame, int],
+) -> list[DataFrame]:
+    """``local_bounded`` over several INDEPENDENT bounded frames,
+    collected concurrently (one Python thread per frame — Spark
+    schedules concurrent jobs fairly, so k bounding scans overlap
+    instead of serializing k driver round-trips in front of the main
+    job; the r11 follow-up found the serial collects were most of the
+    localization's small-scale overhead). Order of results matches the
+    argument order. Falls back to sequential for a single frame."""
+    if len(frames) == 1:
+        df, n = frames[0]
+        return [local_bounded(df, n)]
+    from concurrent.futures import ThreadPoolExecutor
+
+    with ThreadPoolExecutor(max_workers=len(frames)) as ex:
+        futs = [ex.submit(local_bounded, df, n) for df, n in frames]
+        return [f.result() for f in futs]
+
+
 def _pq_seeds(
     vectors: DataFrame,
     id_col: str,
     vec_col: str,
     n_codes: int,
+    localize: bool = True,
 ) -> DataFrame:
     """THE PQ codebook: sub-vectors of the ``n_codes`` smallest-id
     vectors, with dense codeword ids. Single source of truth — the
     encode pass and every ADC LUT must derive their codebook from this
-    one function, or codes and LUTs silently desynchronize. Returned
-    as a LocalRelation (``local_bounded``): the codebook is n_codes
-    rows by construction, and lazily re-deriving it per consumer costs
-    a TakeOrdered corpus pass each time."""
+    one function, or codes and LUTs silently desynchronize.
+    ``localize=True`` returns a LocalRelation (``local_bounded``): the
+    codebook is n_codes rows by construction, and lazily re-deriving
+    it per consumer costs a TakeOrdered corpus pass each time — right
+    when MULTIPLE consumers share the frame. A SINGLE-consumer caller
+    (standalone ``pq_codes``) passes ``localize=False``: there the
+    lazy broadcast build computes the identical scan in-flight, and an
+    eager collect would only serialize it in front of the main job."""
     seeds = (
         vectors.orderBy(id_col)
         .limit(n_codes)
@@ -895,7 +930,7 @@ def _pq_seeds(
     seeds = seeds.withColumn(
         "cid", F.row_number().over(Window.orderBy("_sid")) - 1
     ).drop("_sid")
-    return local_bounded(seeds, n_codes)
+    return local_bounded(seeds, n_codes) if localize else seeds
 
 
 def pq_codes(
@@ -929,7 +964,10 @@ def pq_codes(
     """
     v = vectors.select(F.col(id_col), _as_double(vec_col).alias("_v"))
     if seeds is None:
-        seeds = _pq_seeds(vectors, id_col, vec_col, n_codes)
+        # single consumer: the broadcast build computes the codebook
+        # scan in-flight; localizing here would serialize an extra
+        # driver job in front of the encode (r11 follow-up finding)
+        seeds = _pq_seeds(vectors, id_col, vec_col, n_codes, localize=False)
     scored = v.crossJoin(F.broadcast(seeds))
     for m in range(n_subspaces):
         scored = scored.withColumn(
@@ -954,6 +992,8 @@ def pq_adc_topk(
     n_subspaces: int = 8,
     sub_dim: int = 8,
     n_codes: int = 16,
+    localize_seeds: bool = True,
+    seeds: DataFrame | None = None,
 ) -> DataFrame:
     """Asymmetric distance computation over PQ codes: each query builds
     a lookup table of its exact distance to every sub-codeword
@@ -969,7 +1009,10 @@ def pq_adc_topk(
     streams once as its (already tiny) code rows; the per-query top-k
     is the same window-over-scored-stream shape as ``cosine_topk``.
     """
-    seeds = _pq_seeds(vectors, id_col, vec_col, n_codes)
+    if seeds is None:
+        seeds = _pq_seeds(
+            vectors, id_col, vec_col, n_codes, localize=localize_seeds
+        )
     codes = pq_codes(
         vectors, id_col, vec_col, n_subspaces, sub_dim, n_codes,
         seeds=seeds,
@@ -1108,6 +1151,7 @@ def ivfpq_adc_topk(
     n_subspaces: int = 8,
     sub_dim: int = 8,
     n_codes: int = 16,
+    localize_seeds: bool = True,
 ) -> DataFrame:
     """IVF-PQ — the composed billion-scale ANN architecture (FAISS's
     default): the coarse IVF quantizer restricts each query to its
@@ -1125,7 +1169,9 @@ def ivfpq_adc_topk(
     """
     corpus_cells = assign_cells(corpus, centroids, id_col, vec_col, 1)
     query_cells = assign_cells(queries, centroids, id_col, vec_col, nprobe)
-    seeds = _pq_seeds(corpus, id_col, vec_col, n_codes)
+    seeds = _pq_seeds(
+        corpus, id_col, vec_col, n_codes, localize=localize_seeds
+    )
     codes = pq_codes(
         corpus, id_col, vec_col, n_subspaces, sub_dim, n_codes,
         seeds=seeds,
@@ -1205,6 +1251,7 @@ def ivfpq_residual_topk(
     n_subspaces: int = 8,
     sub_dim: int = 8,
     n_codes: int = 16,
+    seed_vecs: DataFrame | None = None,
 ) -> DataFrame:
     """RESIDUAL IVF-PQ — the full production recipe (FAISS
     ``IVFPQ``): each corpus vector is PQ-encoded as its RESIDUAL
@@ -1243,9 +1290,14 @@ def ivfpq_residual_topk(
     # ``res.orderBy(id).limit(n)`` would force one full-corpus
     # assign+join pass just to TakeOrdered 16 rows; slicing first
     # computes the identical seeds from 16 rows of work.
-    seed_vecs = local_bounded(
-        corpus.orderBy(id_col).limit(n_codes), n_codes
-    )
+    # ``seed_vecs`` may be passed in pre-localized so the caller can
+    # collect it CONCURRENTLY with its other bounding scans (the
+    # sampled catalog recipe batches cen/panel/seeds into one
+    # scan-round via ``local_bounded_many``)
+    if seed_vecs is None:
+        seed_vecs = local_bounded(
+            corpus.orderBy(id_col).limit(n_codes), n_codes
+        )
     rseeds = (
         seed_vecs.select(F.col(id_col), _as_double(vec_col).alias("_v"))
         .join(assign_cells(seed_vecs, centroids, id_col, vec_col, 1), id_col)
@@ -1477,13 +1529,34 @@ def opq_adc_topk(
         from emr_hudi_example_spark.operators.dedup import hash_sample
 
         stats_src = hash_sample(vectors, id_col, stats_sample_frac)
-    perm = collect_dim_permutation(
-        opq_dim_permutation(stats_src, vec_col, dim, n_subspaces), dim
-    )
+    # the energy-statistics pass and the codebook seed slice are both
+    # full-corpus scans and mutually INDEPENDENT — run their driver
+    # collects concurrently (one scan-round instead of two serialized:
+    # the permuted-corpus top-N the old path took AFTER the permutation
+    # equals the raw top-N permuted row-locally, since the permutation
+    # is a per-row bijection on the vector and leaves ids untouched)
+    from concurrent.futures import ThreadPoolExecutor
+
+    with ThreadPoolExecutor(max_workers=2) as ex:
+        f_perm = ex.submit(
+            collect_dim_permutation,
+            opq_dim_permutation(stats_src, vec_col, dim, n_subspaces),
+            dim,
+        )
+        f_seed = ex.submit(
+            local_bounded, vectors.orderBy(id_col).limit(n_codes), n_codes
+        )
+        perm = f_perm.result()
+        seed_slice = f_seed.result()
     vp = apply_dim_permutation(vectors, perm, id_col, vec_col)
     qp = apply_dim_permutation(queries, perm, id_col, vec_col)
+    seeds = _pq_seeds(
+        apply_dim_permutation(seed_slice, perm, id_col, vec_col),
+        id_col, vec_col, n_codes,
+    )
     return pq_adc_topk(
-        vp, qp, k, id_col, vec_col, n_subspaces, sub_dim, n_codes
+        vp, qp, k, id_col, vec_col, n_subspaces, sub_dim, n_codes,
+        seeds=seeds,
     )
 
 

@@ -315,3 +315,10 @@ def test_global_index_drift_matches_model(
         assert {
             (r["k"], r["ver"], r["payload"], r["part"]) for r in rows
         } == _model_rows(model), f"divergence after op {counter} (seed {seed})"
+
+    if spark_only:
+        # no code path may silently re-enable the driver fast paths
+        # (mirrors the indexed-lattice guard above) — otherwise the
+        # axis would quietly re-test the driver route it exists to
+        # exclude
+        assert t.driver_io_local is False

@@ -191,6 +191,19 @@ def test_ivfpq_broadcasts_lut_and_joins_on_cell(spark):
     assert keyed, "no equi-join keyed on cell_id in:\n" + plan
 
 
+def test_pq_seeds_localization_matches_consumer_count(spark):
+    # shared-consumer recipes (encode + LUT) localize the codebook —
+    # their plans carry ZERO TakeOrdered codebook scans (one driver
+    # collect serves both); the single-consumer standalone encode
+    # stays LAZY — exactly ONE TakeOrdered, fused into the broadcast
+    # build instead of serialized as a separate driver job (r11
+    # follow-up: AQE does NOT reuse the identical codebook exchanges,
+    # so lazy sharing would scan the corpus once per consumer)
+    assert _plan(spark, "sim_pq_adc_topk").count("TakeOrdered") == 0
+    assert _plan(spark, "sim_ivfpq_topk").count("TakeOrdered") == 0
+    assert _plan(spark, "sim_pq_codes").count("TakeOrdered") == 1
+
+
 def test_opq_adds_no_exchange_over_plain_pq(spark):
     # the OPQ permutation must be a free narrow projection: same
     # broadcast-LUT shape as plain PQ-ADC, and NO additional shuffle

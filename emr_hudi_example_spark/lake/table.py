@@ -2459,17 +2459,29 @@ class LakeTable:
         winner = F.max_by(F.struct(*df.columns), order).alias("_r")
         if self.payload == "partial_update":
             # Sequential-fold equivalence (matches the COW write-time
-            # fold composed across commits, and Hudi's log-merge order):
-            # a version's non-null columns are fold candidates iff its
-            # precombine equals the RUNNING max over the key's versions
-            # in commit order — a later patch with a lower precombine
-            # fills only nulls, exactly as if each commit had been
-            # materialized COW-style (where surviving column values are
-            # re-attributed the stored row's max precombine). Among
-            # eligible versions the newest (commit, precombine) wins
-            # per column. Costs one window sort over each key's
-            # versions — only on partial_update tables, and versions
-            # per key between compactions are few by design.
+            # fold composed across commits, and Hudi's
+            # PartialUpdateAvroPayload pairwise log merge): replaying
+            # the versions in (commit, precombine) order against a
+            # COW-materialized row — where surviving column values are
+            # re-attributed the stored row's max precombine — a version
+            # OVERWRITES a column iff its precombine ties-or-beats the
+            # running max (eligibility below), and FILLS a still-null
+            # column unconditionally (Hudi's payload takes the losing
+            # record's field whenever the winner's is null — a stale
+            # sparse patch still lands in columns nobody has set). The
+            # closed form per column: the newest ELIGIBLE non-null
+            # version if any — each eligible non-null overwrite
+            # supersedes everything before it — else the FIRST non-null
+            # version ever (it filled the null owner, and later
+            # non-eligible versions can never overwrite a non-null).
+            # Two hash aggs per column + one running-max window; the
+            # window only on partial_update tables, and versions per
+            # key between compactions are few by design. (The
+            # fill-from-stale leg was missing before r11: MOR read
+            # folds diverged from the COW write fold — and from the
+            # Hudi payload — exactly on stale sparse patches;
+            # tests/test_lake_fuzz.py now pins COW ≡ MOR ≡ model over
+            # randomized histories.)
             from pyspark.sql.window import Window
 
             run_w = (
@@ -2498,6 +2510,12 @@ class LakeTable:
                     F.when(elig & F.col(c).isNotNull(), fold_order),
                 ).alias(c)
                 for c in fold_cols
+            ] + [
+                F.min_by(
+                    F.col(c),
+                    F.when(F.col(c).isNotNull(), fold_order),
+                ).alias(f"_ff_{c}")
+                for c in fold_cols
             ]
             agged = df.groupBy(*part_cols).agg(winner, *folds)
             outs = []
@@ -2508,7 +2526,9 @@ class LakeTable:
                     outs.append(F.col(f"_r.{c}").alias(c))
                 else:
                     outs.append(
-                        F.coalesce(F.col(c), F.col(f"_r.{c}")).alias(c)
+                        F.coalesce(
+                            F.col(c), F.col(f"_ff_{c}"), F.col(f"_r.{c}")
+                        ).alias(c)
                     )
             return agged.select(*outs)
         # the tombstone join moves its key columns to the front — restore

@@ -3602,12 +3602,15 @@ def test_partial_update_mor_matrix(spark, tmp_path):
 def test_partial_update_mor_fold_matches_sequential_model(spark, tmp_path):
     """Property pin for the MOR partial-update fold: against randomized
     version histories (out-of-order precombines, sparse null patches,
-    same-commit multi-key batches), the window-based fold in
-    ``_merged_read`` must equal an INDEPENDENT pure-Python sequential
-    model of COW materialization — process versions in (commit,
-    precombine) order; a version patches a column iff its precombine
-    ties-or-beats the running row max and the value is non-null; the
-    row's precombine becomes that running max. Seeded random (not
+    same-commit multi-key batches), the fold in ``_merged_read`` must
+    equal an INDEPENDENT pure-Python sequential model of COW
+    materialization — process versions in (commit, precombine) order;
+    a version OVERWRITES a column iff its precombine ties-or-beats the
+    running row max and the value is non-null, and FILLS a still-null
+    column with any non-null value regardless of staleness (Hudi's
+    PartialUpdateAvroPayload takes the losing record's field when the
+    winner's is null — the fill leg the pre-r11 fold missed); the
+    row's precombine becomes the running max. Seeded random (not
     hypothesis) so the suite stays deterministic and fast."""
     import random
 
@@ -3651,6 +3654,13 @@ def test_partial_update_mor_fold_matches_sequential_model(spark, tmp_path):
                     if r[c] is not None:
                         st[c] = r[c]
                 st["ver"] = r["ver"]
+            else:
+                # stale patch: fills still-null columns, never
+                # overwrites (the COW fold's max_by sees no stored
+                # candidate for a null column, so any non-null wins)
+                for c in ("a", "b"):
+                    if st[c] is None and r[c] is not None:
+                        st[c] = r[c]
         df = spark.createDataFrame(
             [
                 (

@@ -322,3 +322,148 @@ def test_global_index_drift_matches_model(
         # axis would quietly re-test the driver route it exists to
         # exclude
         assert t.driver_io_local is False
+
+
+PU_SCHEMA = "k INT, ver INT, a INT, b INT"
+
+
+def _pu_apply(model: dict, rows: list[tuple]) -> None:
+    """Sequential COW-materialization fold (the partial_update payload
+    contract, pinned at the unit level by
+    test_partial_update_mor_fold_matches_sequential_model): a version
+    with precombine >= the stored (re-attributed) max OVERWRITES the
+    columns it carries non-null; a STALE version FILLS still-null
+    columns only — Hudi's PartialUpdateAvroPayload takes the losing
+    record's field whenever the winner's is null."""
+    for k, v, a, b in rows:
+        st = model.get(k)
+        if st is None:
+            model[k] = (v, a, b)
+        elif v >= st[0]:
+            model[k] = (
+                v,
+                a if a is not None else st[1],
+                b if b is not None else st[2],
+            )
+        else:
+            model[k] = (
+                st[0],
+                st[1] if st[1] is not None else a,
+                st[2] if st[2] is not None else b,
+            )
+
+
+def _pu_batch(rng: random.Random, ver: int, stale: bool) -> list[tuple]:
+    keys = rng.sample(range(25), rng.randint(1, 8))
+    rows = []
+    for k in keys:
+        v = rng.randint(0, ver - 1) if stale else ver
+        rows.append(
+            (
+                k,
+                v,
+                rng.choice([None, rng.randint(0, 9)]),
+                rng.choice([None, rng.randint(0, 9)]),
+            )
+        )
+    return rows
+
+
+@pytest.mark.parametrize(
+    "table_type", ["COPY_ON_WRITE", "MERGE_ON_READ"]
+)
+@pytest.mark.parametrize("seed", [0, 1])
+def test_partial_update_sequence_matches_model(
+    spark, tmp_path_factory, table_type, seed
+):
+    """End-to-end partial_update op lattice: sparse null patches (fresh
+    AND stale), deletes, compactions, and restores interleaved, checked
+    against the sequential fold model after every commit — on BOTH
+    table types, so COW's write-time fold and MOR's read-time fold are
+    pinned EQUAL through the whole history, including across the
+    compaction boundary. This is the lattice that exposes the r11 fold
+    divergence (a stale sparse patch must fill a still-null column on
+    MOR exactly as the COW max_by fold does) which the per-op tests
+    missed; delete interaction pins the can't-inherit-through-a-
+    tombstone property under arbitrary interleaving."""
+    from emr_hudi_example_spark.lake import LakeTable
+
+    rng = random.Random(42 + seed)
+    tmp = tmp_path_factory.mktemp("pufuzz")
+    t = LakeTable(
+        spark, str(tmp), "f", "pu", ["k"], "ver",
+        table_type=table_type, payload="partial_update",
+    )
+    model: dict[int, tuple] = {}
+    history: list[tuple[str, dict]] = []
+    horizon = 0
+    counter = 0
+
+    def pu_rows(df) -> set:
+        return {
+            (r["k"], r["ver"], r["a"], r["b"]) for r in df.collect()
+        }
+
+    def model_rows() -> set:
+        return {(k, v, a, b) for k, (v, a, b) in model.items()}
+
+    def commit_upsert(stale: bool) -> None:
+        nonlocal counter
+        counter += 1
+        rows = _pu_batch(rng, counter, stale)
+        t.write(spark.createDataFrame(rows, PU_SCHEMA), op="upsert")
+        _pu_apply(model, rows)
+        history.append((t.last_instant(), dict(model)))
+
+    commit_upsert(stale=False)
+    for _ in range(12):
+        roll = rng.random()
+        if roll < 0.40:
+            commit_upsert(stale=False)
+        elif roll < 0.65:
+            # stale sparse patch: may only fill nulls, never overwrite
+            commit_upsert(stale=True)
+        elif roll < 0.78:
+            keys = rng.sample(range(25), rng.randint(1, 5))
+            counter_df = spark.createDataFrame(
+                [(k, 0, None, None) for k in keys], PU_SCHEMA
+            )
+            t.write(counter_df, op="delete")
+            _apply_delete(model, keys)
+            history.append((t.last_instant(), dict(model)))
+        elif roll < 0.90:
+            t.compact()
+            history.append((t.last_instant(), dict(model)))
+        elif len(history) - horizon > 2:
+            idx = rng.randrange(horizon, len(history) - 1)
+            inst, frozen = history[idx]
+            t.restore(inst)
+            model.clear()
+            model.update(frozen)
+            del history[idx + 1:]
+        assert pu_rows(
+            t.snapshot().select("k", "ver", "a", "b")
+        ) == model_rows(), (
+            f"fold divergence after op {counter} "
+            f"({table_type}, seed {seed})"
+        )
+
+    # compaction must not change the folded state, and the fold must
+    # keep composing across the compaction boundary (post-compact base
+    # rows re-attribute their columns to the folded precombine)
+    t.compact()
+    assert pu_rows(
+        t.snapshot().select("k", "ver", "a", "b")
+    ) == model_rows()
+    commit_upsert(stale=True)
+    assert pu_rows(
+        t.snapshot().select("k", "ver", "a", "b")
+    ) == model_rows()
+
+    # time travel replays the fold at every still-materialized instant
+    for inst, frozen in history[horizon:]:
+        assert pu_rows(
+            t.snapshot(as_of=inst).select("k", "ver", "a", "b")
+        ) == {(k, v, a, b) for k, (v, a, b) in frozen.items()}, (
+            f"as_of {inst} fold diverged ({table_type}, seed {seed})"
+        )

@@ -2216,7 +2216,21 @@ class LakeTable:
     ) -> str:
         """Append-only fast path (no key merge) — Hudi's ``insert`` op;
         with a ``sort_mode`` it is the ``bulk_insert`` initial-load
-        path (see :meth:`write`)."""
+        path (see :meth:`write`).
+
+        DUPLICATE-KEY CONTRACT (pinned by
+        ``tests/test_lake.py::test_insert_duplicate_key_contract``):
+        like Hudi, ``insert`` never checks the key — inserting an
+        existing key creates a physical duplicate. What a READER then
+        sees is table-type-dependent but DETERMINISTIC (stronger than
+        Hudi, whose duplicate handling across file groups is
+        explicitly undefined): COPY_ON_WRITE snapshots surface every
+        duplicate as-is (merge-free reads are COW's contract) until
+        the key's next upsert/delete collapses them via the standard
+        max-precombine merge; MERGE_ON_READ snapshots fold duplicates
+        immediately, because the MOR read merge is a global
+        per-key fold — the same rule that collapses them, so the
+        POST-upsert state is identical on both table types."""
         inst = self._next_instant(instant)
         batch = self._prepare_batch(df, inst)
         if self.exists():

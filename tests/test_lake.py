@@ -55,6 +55,57 @@ def test_insert_allows_duplicate_keys(spark, tmp_path):
     assert t.snapshot().count() == 2 * cust(spark).count()
 
 
+def test_insert_duplicate_key_contract(spark, tmp_path):
+    """The duplicate-key insert contract (see ``_commit_insert``):
+    insert never checks the key (Hudi-faithful append fast path), and
+    what a reader sees is table-type-dependent but DETERMINISTIC —
+    COW snapshots surface both physical rows (merge-free reads) until
+    the key's next upsert collapses them through the standard
+    max-precombine merge; MOR's global per-key read fold collapses
+    them immediately with the SAME rule, so post-upsert both table
+    types converge on the identical row (Hudi leaves cross-file-group
+    duplicate behavior undefined; this engine defines it)."""
+    from emr_hudi_example_spark.lake import LakeTable
+
+    sch = "k string, ver long, v long"
+    ends = {}
+    for tt in ("COPY_ON_WRITE", "MERGE_ON_READ"):
+        t = LakeTable(
+            spark, str(tmp_path), "d", f"ins_{tt}", ["k"], "ver",
+            table_type=tt,
+        )
+        t.write(
+            spark.createDataFrame([("k1", 5, 10)], sch),
+            op="insert", instant="001",
+        )
+        t.write(
+            spark.createDataFrame([("k1", 2, 11)], sch),
+            op="insert", instant="002",
+        )
+        dup_view = sorted(
+            tuple(r)
+            for r in t.snapshot().select("k", "ver", "v").collect()
+        )
+        if tt == "COPY_ON_WRITE":
+            assert dup_view == [("k1", 2, 11), ("k1", 5, 10)]
+        else:
+            # MOR read fold: max precombine wins immediately
+            assert dup_view == [("k1", 5, 10)]
+        # a STALE upsert still collapses the duplicates, and the
+        # max-precombine row (not the upsert's) survives — the same
+        # merge rule on both table types
+        t.write(
+            spark.createDataFrame([("k1", 3, 12)], sch),
+            op="upsert", instant="003",
+        )
+        ends[tt] = sorted(
+            tuple(r)
+            for r in t.snapshot().select("k", "ver", "v").collect()
+        )
+        assert ends[tt] == [("k1", 5, 10)], ends[tt]
+    assert ends["COPY_ON_WRITE"] == ends["MERGE_ON_READ"]
+
+
 def test_upsert_larger_precombine_wins(spark, tmp_path):
     t = make_table(spark, tmp_path)
     base = cust(spark, ver=1)

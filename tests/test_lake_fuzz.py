@@ -467,3 +467,106 @@ def test_partial_update_sequence_matches_model(
         ) == {(k, v, a, b) for k, (v, a, b) in frozen.items()}, (
             f"as_of {inst} fold diverged ({table_type}, seed {seed})"
         )
+
+
+def test_cow_mor_seam_consistency(spark, tmp_path_factory):
+    """Cross-type consistency on the seams where COW (write-time
+    semantics) and MOR (read-time semantics) implement the same
+    contract twice — the probe set that exposed the r11 partial-update
+    fold divergence, kept as regression guards. Each block runs the
+    SAME history on both table types and asserts identical end states.
+    """
+    from emr_hudi_example_spark.lake import LakeTable
+
+    def both(name, build):
+        ends = []
+        for tt in ("COPY_ON_WRITE", "MERGE_ON_READ"):
+            tmp = tmp_path_factory.mktemp(f"seam_{name}_{tt[:3]}")
+            t = build(str(tmp), tt)
+            ends.append(
+                sorted(
+                    tuple(r)
+                    for r in t.snapshot()
+                    .drop(
+                        *[c for c in t.snapshot().columns
+                          if c.startswith("_")]
+                    )
+                    .collect()
+                )
+            )
+        assert ends[0] == ends[1], (name, ends)
+        return ends[0]
+
+    # 1. global-index partition move under partial_update: the move
+    #    wins, untouched columns travel with the row, the stale patch
+    #    aimed at the OLD partition is a no-op (no resurrection)
+    sch_m = "k string, ver long, part string, a long, b long"
+
+    def move(base, tt):
+        t = LakeTable(
+            spark, base, "d", "t", ["k"], "ver",
+            partition_keys=["part"], global_index=True,
+            table_type=tt, payload="partial_update",
+        )
+        t.write(spark.createDataFrame(
+            [("k1", 1, "p1", None, 7)], sch_m), op="upsert")
+        t.write(spark.createDataFrame(
+            [("k1", 2, "p2", 5, None)], sch_m), op="upsert")
+        t.write(spark.createDataFrame(
+            [("k1", 0, "p1", None, None)], sch_m), op="upsert")
+        return t
+
+    assert both("gi_move", move) == [("k1", 2, "p2", 5, 7)]
+
+    # 2. insert_overwrite over pending MOR deltas: the replaced set
+    #    must cover delta files too — no resurrection of the pre-
+    #    overwrite patch, on read OR after compaction
+    sch_o = "k string, ver long, part string, v long"
+
+    def overwrite(base, tt):
+        t = LakeTable(
+            spark, base, "d", "t", ["k"], "ver",
+            partition_keys=["part"], table_type=tt,
+        )
+        t.write(spark.createDataFrame(
+            [("k1", 1, "p1", 10), ("k2", 1, "p2", 20)], sch_o),
+            op="upsert")
+        t.write(spark.createDataFrame(
+            [("k1", 2, "p1", 11)], sch_o), op="upsert")
+        t.write(spark.createDataFrame(
+            [("k9", 1, "p1", 99)], sch_o), op="insert_overwrite")
+        t.delete_partitions([{"part": "p2"}])
+        t.compact()
+        # full-range incremental must agree with the snapshot
+        inc = sorted(
+            tuple(r)
+            for r in t.incremental(None, t.last_instant())
+            .select("k", "ver", "part", "v")
+            .collect()
+        )
+        assert inc == [("k9", 1, "p1", 99)], (tt, inc)
+        return t
+
+    assert both("overwrite", overwrite) == [("k9", 1, "p1", 99)]
+
+    # 3. schema widening mid-history + restore: the widened column
+    #    reverts with the timeline, and writes with the original
+    #    schema still land afterwards
+    def widen(base, tt):
+        t = LakeTable(
+            spark, base, "d", "t", ["k"], "ver", table_type=tt
+        )
+        t.write(spark.createDataFrame(
+            [("k1", 1, 10)], "k string, ver long, v long"),
+            op="upsert", instant="001")
+        t.write(spark.createDataFrame(
+            [("k2", 1, 20, 5)], "k string, ver long, v long, c long"),
+            op="upsert", instant="002")
+        t.restore("001")
+        cols = [c for c in t.snapshot().columns if not c.startswith("_")]
+        assert cols == ["k", "ver", "v"], (tt, cols)
+        t.write(spark.createDataFrame(
+            [("k3", 1, 30)], "k string, ver long, v long"), op="upsert")
+        return t
+
+    assert both("widen_restore", widen) == [("k1", 1, 10), ("k3", 1, 30)]

@@ -370,11 +370,21 @@ def _pu_batch(rng: random.Random, ver: int, stale: bool) -> list[tuple]:
 
 
 @pytest.mark.parametrize(
-    "table_type", ["COPY_ON_WRITE", "MERGE_ON_READ"]
+    "table_type,spark_only",
+    [
+        ("COPY_ON_WRITE", False),
+        ("MERGE_ON_READ", False),
+        # the object-store route: COW partial_update writes plan
+        # through the same driver fast-path gates as the main lattice;
+        # force them off so the Spark-only planning path is proven
+        # against the fold model too (MOR's fold is read-side and
+        # identical on both routes — one axis on COW suffices)
+        ("COPY_ON_WRITE", True),
+    ],
 )
 @pytest.mark.parametrize("seed", [0, 1])
 def test_partial_update_sequence_matches_model(
-    spark, tmp_path_factory, table_type, seed
+    spark, tmp_path_factory, table_type, seed, spark_only
 ):
     """End-to-end partial_update op lattice: sparse null patches (fresh
     AND stale), deletes, compactions, and restores interleaved, checked
@@ -394,6 +404,8 @@ def test_partial_update_sequence_matches_model(
         spark, str(tmp), "f", "pu", ["k"], "ver",
         table_type=table_type, payload="partial_update",
     )
+    if spark_only:
+        t.driver_io_local = False
     model: dict[int, tuple] = {}
     history: list[tuple[str, dict]] = []
     horizon = 0
@@ -467,6 +479,10 @@ def test_partial_update_sequence_matches_model(
         ) == {(k, v, a, b) for k, (v, a, b) in frozen.items()}, (
             f"as_of {inst} fold diverged ({table_type}, seed {seed})"
         )
+
+    if spark_only:
+        # the gate must never silently re-enable the driver fast paths
+        assert t.driver_io_local is False
 
 
 def test_cow_mor_seam_consistency(spark, tmp_path_factory):

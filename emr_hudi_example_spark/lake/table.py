@@ -2203,9 +2203,68 @@ class LakeTable:
             df.drop(*[c for c in META_COLS + [DELETED_COL] if c in df.columns]),
             instant,
         )
+        if self.payload == "partial_update":
+            out = self._precombine_batch(out)
         if self.is_mor:
             out = out.withColumn(DELETED_COL, F.lit(False))
         return out
+
+    def _precombine_batch(self, batch: DataFrame) -> DataFrame:
+        """Within-batch preCombine for ``payload='partial_update'`` —
+        Hudi's combine-before-write, specialized to the partial-update
+        payload's PAIRWISE merge: same-key rows in one batch collapse
+        to a single unit whose precombine is the batch max and whose
+        data columns each take the highest-precombine NON-NULL version
+        (the closed form of reducing ``PartialUpdateAvroPayload.
+        preCombine`` over the duplicates — associative given distinct
+        precombine values; ties are unspecified, as in Hudi). Runs on
+        EVERY partial_update write path via :meth:`_prepare_batch`, so
+        one version per (key, commit) is a table invariant. That
+        invariant is what keeps the COW union fold (:meth:`_merge`) and
+        the MOR read fold (:meth:`_merged_read`) equal to the
+        sequential pairwise model on histories with duplicate keys in
+        a batch: without it the two folds disagree — e.g. stored
+        ``(ver=5, c=null)`` + one batch ``{(3,B),(4,C)}`` read ``C`` on
+        COW but fill-first ``B`` on MOR (the r12 ADVICE finding, pinned
+        by ``tests/test_lake.py::
+        test_partial_update_duplicate_keys_in_batch``). One hash
+        aggregation over the batch (map-side combinable, batch-sized —
+        the same shuffle Hudi's combine-before-upsert pays). The
+        default payload is untouched: there the whole-row max-by folds
+        already collapse in-batch duplicates identically on both table
+        types, and the insert duplicate-key contract stays as
+        documented on :meth:`_commit_insert`."""
+        part_cols = (
+            [RECORD_KEY_COL]
+            if self.global_index
+            else [PARTITION_PATH_COL, RECORD_KEY_COL]
+        )
+        order = F.col(self.precombine)
+        winner = F.max_by(F.struct(*batch.columns), order).alias("_r")
+        whole_row = set(META_COLS) | {self.precombine}
+        fold_cols = [
+            c
+            for c in batch.columns
+            if c not in whole_row and c not in part_cols
+        ]
+        folds = [
+            F.max_by(
+                F.col(c), F.when(F.col(c).isNotNull(), order)
+            ).alias(c)
+            for c in fold_cols
+        ]
+        agged = batch.groupBy(*part_cols).agg(winner, *folds)
+        outs = []
+        for c in batch.columns:
+            if c in part_cols:
+                outs.append(F.col(c))
+            elif c in whole_row:
+                outs.append(F.col(f"_r.{c}").alias(c))
+            else:
+                outs.append(
+                    F.coalesce(F.col(c), F.col(f"_r.{c}")).alias(c)
+                )
+        return agged.select(*outs)
 
     def _commit_insert(
         self,
@@ -2230,7 +2289,15 @@ class LakeTable:
         max-precombine merge; MERGE_ON_READ snapshots fold duplicates
         immediately, because the MOR read merge is a global
         per-key fold — the same rule that collapses them, so the
-        POST-upsert state is identical on both table types."""
+        POST-upsert state is identical on both table types.
+
+        ``payload='partial_update'`` is the one carve-out: there EVERY
+        write path (insert included) pre-combines the batch
+        (:meth:`_precombine_batch` — Hudi's combine-before-write, which
+        partial-update payloads require), so a duplicate-key insert
+        lands as ONE pairwise-merged row on both table types and the
+        one-version-per-(key, commit) invariant the fold equivalence
+        rests on always holds."""
         inst = self._next_instant(instant)
         batch = self._prepare_batch(df, inst)
         if self.exists():
@@ -2446,7 +2513,14 @@ class LakeTable:
         this merge over in-range files only): the fold sees in-range
         versions, so a sparse patch surfaces with nulls for columns
         last set before the range — Hudi's partial-update payload has
-        the same incremental-read caveat."""
+        the same incremental-read caveat.
+
+        The fold's row-level (commit, precombine) replay equals the
+        commit-unit pairwise model because partial_update write paths
+        pre-combine every batch (:meth:`_precombine_batch`): one
+        version per (key, commit) is a table invariant. The only way
+        to violate it is adopting foreign files via bootstrap, where
+        the fold degrades to row-level replay of the duplicates."""
         part_cols = (
             [RECORD_KEY_COL]
             if self.global_index

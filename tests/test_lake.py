@@ -106,6 +106,78 @@ def test_insert_duplicate_key_contract(spark, tmp_path):
     assert ends["COPY_ON_WRITE"] == ends["MERGE_ON_READ"]
 
 
+def test_partial_update_duplicate_keys_in_batch(spark, tmp_path):
+    """Within-batch duplicate keys under ``payload='partial_update'``
+    (the r12 ADVICE divergence): every write path pre-combines the
+    batch pairwise (``_precombine_batch`` — Hudi's
+    combine-before-write), so COW and MOR read IDENTICAL folds.
+    Legs: (1) the ADVICE example — stored ``(ver=5, c=null)``, one
+    upsert batch ``{(3,B),(4,C)}`` → the batch pre-merges to the unit
+    ``(4,C)`` and the stale unit FILLS the null column: both types
+    read ``(5, C)`` (the un-pre-combined MOR replay filled ``B``);
+    (2) the fill-through case — stored ``(5, X)``, batch
+    ``{(3,B),(6,null),(4,C)}`` pre-merges to ``(6, C)`` (the fresh
+    null field takes the losing record's value) which OVERWRITES:
+    both read ``(6, C)`` (the raw COW union fold kept ``X``);
+    (3) duplicate-key INSERT pre-combines too (the documented
+    partial_update carve-out from the insert duplicate contract):
+    one physical row on both table types."""
+    sch = "k string, ver long, c string"
+    ends: dict[int, dict] = {1: {}, 3: {}}
+    for tt in ("COPY_ON_WRITE", "MERGE_ON_READ"):
+        t = LakeTable(
+            spark, str(tmp_path), "d", f"pudup_{tt}", ["k"], "ver",
+            table_type=tt, payload="partial_update",
+        )
+        t.write(
+            spark.createDataFrame(
+                [("k1", 5, None), ("k2", 5, "X")], sch
+            ),
+            op="upsert", instant="001",
+        )
+        t.write(
+            spark.createDataFrame(
+                [
+                    ("k1", 3, "B"), ("k1", 4, "C"),
+                    ("k2", 3, "B"), ("k2", 6, None), ("k2", 4, "C"),
+                ],
+                sch,
+            ),
+            op="upsert", instant="002",
+        )
+        rows = sorted(
+            tuple(r) for r in t.snapshot().select("k", "ver", "c").collect()
+        )
+        assert rows == [("k1", 5, "C"), ("k2", 6, "C")], (tt, rows)
+        ends[1][tt] = rows
+        # leg 3: insert with duplicates pre-combines to ONE row
+        t2 = LakeTable(
+            spark, str(tmp_path), "d", f"pudup_ins_{tt}", ["k"], "ver",
+            table_type=tt, payload="partial_update",
+        )
+        t2.write(
+            spark.createDataFrame(
+                [("k1", 2, "old"), ("k1", 7, None)], sch
+            ),
+            op="insert", instant="001",
+        )
+        ins = sorted(
+            tuple(r)
+            for r in t2.snapshot().select("k", "ver", "c").collect()
+        )
+        assert ins == [("k1", 7, "old")], (tt, ins)
+        ends[3][tt] = ins
+        # the fold must survive compaction on MOR unchanged
+        if tt == "MERGE_ON_READ":
+            t.compact()
+            assert sorted(
+                tuple(r)
+                for r in t.snapshot().select("k", "ver", "c").collect()
+            ) == rows
+    assert ends[1]["COPY_ON_WRITE"] == ends[1]["MERGE_ON_READ"]
+    assert ends[3]["COPY_ON_WRITE"] == ends[3]["MERGE_ON_READ"]
+
+
 def test_upsert_larger_precombine_wins(spark, tmp_path):
     t = make_table(spark, tmp_path)
     base = cust(spark, ver=1)

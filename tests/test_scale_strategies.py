@@ -212,3 +212,56 @@ def test_zorder_key_rejects_long_overflow(spark):
     with _pytest.raises(ValueError, match="bits\\*len\\(cols\\) <= 63"):
         zorder_key(["a", "b", "c", "d"], bits=16)
     zorder_key(["a", "b", "c", "d"], bits=15)  # 60 bits: fine
+
+
+def test_lsh_skew_guard_default_preserves_genuine_keep_list(spark):
+    """r11 verdict watch item, pinned: the mega-bucket skew guard is
+    DEFAULT-ON in the end-to-end corpus entry points
+    (``minhash_lsh_dedup`` / ``minhash_dedup_corpus``,
+    max_bucket_size=256 — a static per-bucket cap bounds the pair
+    blow-up at B²/2 per bucket INDEPENDENT of corpus size, which a
+    corpus-derived cap would not), and dropping a hot bucket must not
+    perturb the keep/drop decisions for genuine near-dup content that
+    lives in healthy buckets. Corpus = 300 identical boilerplate docs
+    (one mega bucket per band, over the default cap) + distinct docs
+    with one genuine near-dup pair: the boilerplate pairs are
+    suppressed (all boilerplate ids KEPT — their dedup is exact
+    dedup's job), the genuine pair still drops its higher id, and with
+    the guard explicitly off (None) the boilerplate collapses to its
+    smallest id."""
+    from emr_hudi_example_spark.operators import dedup as D
+
+    n_boiler = 300  # > default max_bucket_size=256
+    rows = [
+        (i, "the same boilerplate text repeated everywhere forever")
+        for i in range(n_boiler)
+    ]
+    rows += [
+        (1000, "a genuinely unique document about spark partitioning"),
+        (1001, "a genuinely unique document about spark partitioning!"),
+        (1002, "completely different content with nothing shared here"),
+    ]
+    docs = spark.createDataFrame(rows, "doc_id LONG, text STRING")
+
+    kept_default = {
+        r["doc_id"]
+        for r in D.minhash_dedup_corpus(docs, threshold=0.3).collect()
+    }
+    # every boilerplate id survives (mega-bucket dropped whole), the
+    # genuine near-dup pair drops its higher id, the loner survives
+    assert set(range(n_boiler)) <= kept_default
+    assert 1000 in kept_default and 1002 in kept_default
+    assert 1001 not in kept_default
+
+    kept_off = {
+        r["doc_id"]
+        for r in D.minhash_dedup_corpus(
+            docs, threshold=0.3, max_bucket_size=None
+        ).collect()
+    }
+    # guard off: boilerplate collapses to its smallest id; the genuine
+    # decisions are IDENTICAL either way
+    assert kept_off & set(range(n_boiler)) == {0}
+    assert kept_off - set(range(n_boiler)) == kept_default - set(
+        range(n_boiler)
+    )

@@ -63,6 +63,22 @@ def _run_medallion(spark: SparkSession, sf_dir: str):
     base = _tmp_base()
     _orders, b1, b2 = _orders_batches(spark, sf_dir)
     cust = load(spark, sf_dir, "customer").select("c_custkey", "c_mktsegment")
+    # Commit parallelism sized to the TICK BATCH, not the session (r12
+    # profile: the row is six ~1 s commits of per-commit fixed job cost;
+    # 32 shuffle partitions over a 75k-row tick means 32 tiny tasks per
+    # fold/sort/write — 8 cuts the pipeline 6.0 -> 5.0 s and is the same
+    # policy as T6 ensure_parallelism, applied downward: a real deploy
+    # sizes micro-batch write parallelism to batch volume, not cluster
+    # width). Scoped via try/finally so the session default is restored.
+    prev_parts = spark.conf.get("spark.sql.shuffle.partitions")
+    spark.conf.set("spark.sql.shuffle.partitions", "8")
+    try:
+        return _run_medallion_ticks(spark, base, b1, b2, cust, cache_key)
+    finally:
+        spark.conf.set("spark.sql.shuffle.partitions", prev_parts)
+
+
+def _run_medallion_ticks(spark, base, b1, b2, cust, cache_key):
     # ODS/DWD are MERGE_ON_READ: each tick appends delta files instead of
     # COW-rewriting key-hit files — halves the per-commit Spark jobs (no
     # key-hit scan, no rewrite) and is the reference's own table type for
@@ -766,27 +782,29 @@ def pipe_stream_dedup_endstate(spark: SparkSession, sf_dir: str) -> DataFrame:
         .parquet(ind)
     )
     outd = os.path.join(base, "out")
-    prev_parts = spark.conf.get("spark.sql.shuffle.partitions")
-    try:
-        spark.conf.set("spark.sql.shuffle.partitions", "8")
-        out = streaming_first_seen(stream, ["fp"], order_col="_ord")
+    # State shuffle at SESSION parallelism, not scoped down (r12 profile,
+    # scripts/profile_slow_rows.py + knob sweep in BASELINE.md): the
+    # pandas-state operator is PYTHON-compute-bound, so fewer state
+    # partitions serialize the per-batch work onto fewer workers —
+    # 2 parts 13 s, 8 parts 4.8 s, 24-32 parts 2.8-3.3 s on local[32].
+    # State partitions ~= executor cores is also the at-scale sizing
+    # (state files per partition are tiny; the store scales with keys).
+    out = streaming_first_seen(stream, ["fp"], order_col="_ord")
 
-        def land(bdf, bid):
-            bdf.withColumn(
-                "first_batch", F.lit(bid).cast("int")
-            ).write.mode("append").parquet(outd)
+    def land(bdf, bid):
+        bdf.withColumn(
+            "first_batch", F.lit(bid).cast("int")
+        ).write.mode("append").parquet(outd)
 
-        q = (
-            out.writeStream.outputMode("update")
-            .option("checkpointLocation", os.path.join(base, "ckpt"))
-            .foreachBatch(land)
-            .start()
-        )
-        q.processAllAvailable()
-        q.stop()
-        q.awaitTermination()
-    finally:
-        spark.conf.set("spark.sql.shuffle.partitions", prev_parts)
+    q = (
+        out.writeStream.outputMode("update")
+        .option("checkpointLocation", os.path.join(base, "ckpt"))
+        .foreachBatch(land)
+        .start()
+    )
+    q.processAllAvailable()
+    q.stop()
+    q.awaitTermination()
     return spark.read.parquet(outd).select(
         "fp",
         F.col("doc_id").alias("keep_id"),

@@ -554,6 +554,13 @@ def connected_components(
     )
 
 
+#: rounds the most recent ``connected_components_star`` call took to
+#: reach its fixed point — observability for the O(log n) claim (the
+#: r12 scale probe records it against corpus multipliers). Driver-side
+#: diagnostic only, same pattern as LakeTable's ``last_*_pruned``.
+LAST_STAR_ROUNDS = 0
+
+
 def connected_components_star(
     pairs: DataFrame,
     vertices: DataFrame,
@@ -587,6 +594,8 @@ def connected_components_star(
     isn't worth the correctness argument). ``localCheckpoint``
     truncates lineage per round as in the propagation variant.
     """
+    global LAST_STAR_ROUNDS
+    LAST_STAR_ROUNDS = 0
     fwd = (
         pairs.select(F.col("id_a").alias("a"), F.col("id_b").alias("b"))
         .filter(F.col("a") != F.col("b"))
@@ -633,6 +642,7 @@ def connected_components_star(
             .distinct()
             .localCheckpoint(eager=True)
         )
+        LAST_STAR_ROUNDS += 1
         new_n = small.count()
         if new_n == n_edges and small.exceptAll(edges).isEmpty():
             edges = small

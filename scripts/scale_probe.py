@@ -394,10 +394,112 @@ def run_probe(
     return recs
 
 
+def run_ext_probe(spark: SparkSession, mult: int) -> list[dict]:
+    """The r12 extension-family deep-scale legs (verdict #3): the
+    dedup and sampled-ANN shapes whose curves previously stopped at
+    10–25×, run standalone so the lake legs don't dominate wall-clock
+    at 100×. Key-shifted cloning means every distinct document gains
+    ``mult`` exact clones — a worst-case boilerplate-saturated corpus:
+
+    - ``minhash_lsh_pairs_guarded``: the graded end-to-end near-dup
+      pipeline with ``max_bucket_size=64`` (< the 100× clone density),
+      so the 100× leg exercises the skew guard actually DROPPING the
+      clone mega-buckets — the at-scale configuration of item #4.
+    - ``cluster_groups_star``: star contraction over the UNGUARDED
+      candidate pairs (cap 256 keeps the 100-clone cliques intact —
+      ~C(mult,2)·n_docs edges), recording LAST_STAR_ROUNDS to pin the
+      O(log n) round-count claim against the edge blow-up.
+    - the two graded sampled-ANN recipes' operator bodies with their
+      fixed panels/nlist (panel ids live in the base copy, so the
+      panel is IDENTICAL across multipliers — the curve isolates the
+      corpus-size term: encode + probe fan-out).
+    """
+    from emr_hudi_example_spark.operators import dedup as D
+    from emr_hudi_example_spark.operators import similarity as S
+
+    recs: list[dict] = []
+    paths = {}
+    for tbl, key in (("documents", "doc_id"), ("embeddings", "vec_id")):
+        dst = f"{WORK}/x{mult}/{tbl}"
+        df = spark.read.parquet(f"{SF_DIR}/{tbl}.parquet")
+        scaled(df, key, mult, 10_000_000).write.mode("overwrite").parquet(dst)
+        paths[tbl] = dst
+    docs = spark.read.parquet(paths["documents"])
+    emb = spark.read.parquet(paths["embeddings"])
+
+    recs.append(
+        timed(
+            "minhash_lsh_pairs_guarded", mult,
+            lambda: {
+                "rows": D.minhash_lsh_dedup(
+                    docs, max_bucket_size=64
+                ).count()
+            },
+        )
+    )
+
+    state: dict = {}
+
+    def _cand_pairs():
+        sig = D.minhash_signatures(docs)
+        state["pairs"] = D.lsh_candidate_pairs(
+            sig, max_bucket_size=256
+        ).localCheckpoint()
+        return {"rows": state["pairs"].count()}
+
+    recs.append(timed("lsh_candidate_pairs_cap256", mult, _cand_pairs))
+
+    def _cc():
+        out = D.connected_components_star(
+            state["pairs"], docs.select("doc_id")
+        )
+        return {"rows": out.count(), "rounds": D.LAST_STAR_ROUNDS}
+
+    recs.append(timed("cluster_groups_star", mult, _cc))
+
+    def _panel():
+        return S.local_bounded(
+            emb.filter(F.col("vec_id") % 50 == 0)
+            .orderBy("vec_id")
+            .limit(16),
+            16,
+        )
+
+    recs.append(
+        timed(
+            "opq_topk_sampled", mult,
+            lambda: {
+                "rows": S.opq_adc_topk(
+                    emb, _panel(), k=5, dim=64, stats_sample_frac=0.25
+                ).count()
+            },
+        )
+    )
+
+    def _rivf():
+        cen = S.local_bounded(
+            emb.filter(F.col("vec_id") % 37 == 0)
+            .orderBy("vec_id")
+            .limit(32),
+            32,
+        )
+        return {
+            "rows": S.ivfpq_residual_topk(
+                emb, _panel(), cen, k=5, nprobe=3
+            ).count()
+        }
+
+    recs.append(timed("rivf_topk_sampled", mult, _rivf))
+    return recs
+
+
 def main() -> None:
     args = sys.argv[1:]
     lake_only = "--lake-only" in args
-    mults = [int(a) for a in args if a != "--lake-only"] or [1, 5, 25]
+    ext_only = "--ext-only" in args
+    mults = [
+        int(a) for a in args if a not in ("--lake-only", "--ext-only")
+    ] or [1, 5, 25]
     sys.path.insert(0, "/root/repo")
     spark = (
         SparkSession.builder.master("local[32]")
@@ -410,7 +512,11 @@ def main() -> None:
     spark.sparkContext.setLogLevel("ERROR")
     all_recs = []
     for m in mults:
-        all_recs.extend(run_probe(spark, m, lake_only=lake_only))
+        all_recs.extend(
+            run_ext_probe(spark, m)
+            if ext_only
+            else run_probe(spark, m, lake_only=lake_only)
+        )
     by_op: dict[str, dict[int, dict]] = {}
     for r in all_recs:
         by_op.setdefault(r["op"], {})[r["mult"]] = r

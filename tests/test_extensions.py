@@ -1280,3 +1280,51 @@ def test_ivfpq_residual_seed_size_validated(spark):
             sub_dim=1,
             seed_vecs=bad_seed,
         )
+
+
+def test_ann_codebook_retrains_on_rebuild(spark):
+    """The eager-codebook contract (README "ANN recipes", r11 verdict
+    watch item): a codebook localized via ``local_bounded`` /
+    ``_pq_seeds(localize=True)`` is trained at BUILD time — corpus rows
+    added after the build do not change it, so an encode plan holding
+    it keeps serving the stale quantizer — and REBUILDING the recipe
+    retrains against the drifted corpus. Codebook = n_codes smallest-id
+    vectors: after a new smallest id lands, the held codebook still
+    encodes the new vector against the OLD codewords, while the rebuilt
+    recipe assigns it codeword 0 (it IS the new seed 0)."""
+    import pyspark.sql.functions as F
+
+    base = spark.createDataFrame(
+        [(i + 10, [float(i), 1.0]) for i in range(30)],
+        "vec_id LONG, embedding ARRAY<DOUBLE>",
+    )
+    path = "/tmp/ann_retrain_probe"
+    base.write.mode("overwrite").parquet(path)
+
+    # BUILD: codebook trained eagerly (LocalRelation) on the pre-drift
+    # corpus — sub-vectors of the 4 smallest ids (10..13)
+    held_seeds = S._pq_seeds(
+        spark.read.parquet(path), "vec_id", "embedding", 4, localize=True
+    )
+
+    # DRIFT: a new smallest-id vector lands after the build
+    spark.createDataFrame(
+        [(1, [99.0, 99.0])], "vec_id LONG, embedding ARRAY<DOUBLE>"
+    ).write.mode("append").parquet(path)
+    drifted = spark.read.parquet(path)
+
+    # a plan holding the built codebook serves the STALE quantizer:
+    # vec 1 ([99, 99]) encodes against codewords from ids 10..13 —
+    # nearest dim-0 codeword is seed 3 (value 3.0), dim-1 all tie -> 0
+    stale = S.pq_codes(
+        drifted, n_subspaces=2, sub_dim=1, n_codes=4, seeds=held_seeds
+    )
+    row = stale.filter(F.col("vec_id") == 1).collect()[0]
+    assert (row["code_0"], row["code_1"]) == (3, 0)
+
+    # REBUILD retrains: vec 1 joins the codebook as seed 0 and encodes
+    # to codeword 0 in every subspace
+    rebuilt = S.pq_codes(drifted, n_subspaces=2, sub_dim=1, n_codes=4)
+    row = rebuilt.filter(F.col("vec_id") == 1).collect()[0]
+    assert (row["code_0"], row["code_1"]) == (0, 0)
+    assert rebuilt.count() == 31

@@ -782,29 +782,39 @@ def pipe_stream_dedup_endstate(spark: SparkSession, sf_dir: str) -> DataFrame:
         .parquet(ind)
     )
     outd = os.path.join(base, "out")
-    # State shuffle at SESSION parallelism, not scoped down (r12 profile,
+    # State shuffle sized to CORES, not scoped down to 8 (r12 profile,
     # scripts/profile_slow_rows.py + knob sweep in BASELINE.md): the
     # pandas-state operator is PYTHON-compute-bound, so fewer state
     # partitions serialize the per-batch work onto fewer workers —
     # 2 parts 13 s, 8 parts 4.8 s, 24-32 parts 2.8-3.3 s on local[32].
-    # State partitions ~= executor cores is also the at-scale sizing
-    # (state files per partition are tiny; the store scales with keys).
-    out = streaming_first_seen(stream, ["fp"], order_col="_ord")
+    # defaultParallelism (= executor cores) is also the at-scale sizing
+    # (state files per partition are tiny; the store scales with keys)
+    # and keeps a vanilla 200-partition session from planning 200 tiny
+    # state tasks per micro-batch.
+    prev_parts = spark.conf.get("spark.sql.shuffle.partitions")
+    try:
+        spark.conf.set(
+            "spark.sql.shuffle.partitions",
+            str(spark.sparkContext.defaultParallelism),
+        )
+        out = streaming_first_seen(stream, ["fp"], order_col="_ord")
 
-    def land(bdf, bid):
-        bdf.withColumn(
-            "first_batch", F.lit(bid).cast("int")
-        ).write.mode("append").parquet(outd)
+        def land(bdf, bid):
+            bdf.withColumn(
+                "first_batch", F.lit(bid).cast("int")
+            ).write.mode("append").parquet(outd)
 
-    q = (
-        out.writeStream.outputMode("update")
-        .option("checkpointLocation", os.path.join(base, "ckpt"))
-        .foreachBatch(land)
-        .start()
-    )
-    q.processAllAvailable()
-    q.stop()
-    q.awaitTermination()
+        q = (
+            out.writeStream.outputMode("update")
+            .option("checkpointLocation", os.path.join(base, "ckpt"))
+            .foreachBatch(land)
+            .start()
+        )
+        q.processAllAvailable()
+        q.stop()
+        q.awaitTermination()
+    finally:
+        spark.conf.set("spark.sql.shuffle.partitions", prev_parts)
     return spark.read.parquet(outd).select(
         "fp",
         F.col("doc_id").alias("keep_id"),

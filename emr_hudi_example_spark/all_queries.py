@@ -38,11 +38,12 @@ from emr_hudi_example_spark.catalog import ORACLE, Q
 
 #: name prefixes of the subsystems whose substrate changed most this
 #: round, in priority order — used only as a TIE-BREAK within the same
-#: staleness group. Round 11: the lake kernel (fast-path gate
-#: hardening — file:// netloc locality, listdir inside the gate,
-#: handle-free probe plans, nodeName-based plan classification), then
-#: the similarity family (bounded-training OPQ recipe, shared ADC
-#: chain carrying adc), then pipelines.
+#: staleness group. Round 12: the lake kernel (partial_update
+#: write-time preCombine — every partial_update write path now
+#: pre-merges its batch), then the similarity family (fixed serving
+#: panels on all full ADC recipes, seed/n_codes coupling,
+#: InheritableThread localization), then pipelines (state-shuffle and
+#: medallion parallelism sizing).
 _SUBSTRATE_HINTS: list[str] = ["lake_", "sim_", "pipe_"]
 
 

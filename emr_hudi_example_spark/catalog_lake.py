@@ -1369,6 +1369,79 @@ def lake_partial_update_mor(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @query(
+    "lake_partial_update_dupbatch",
+    oracle="""
+    SELECT tt, c_custkey, c_name,
+           CASE WHEN c_custkey % 10 = 0
+                THEN 'PATCHED' ELSE c_mktsegment END AS seg,
+           CASE WHEN c_custkey % 10 = 0
+                THEN round(c_acctbal + 500.0, 2) ELSE round(c_acctbal, 2)
+           END AS bal,
+           CAST(CASE WHEN c_custkey % 10 = 0 THEN 3 ELSE 1 END AS BIGINT)
+             AS ver
+    FROM customer
+    CROSS JOIN (VALUES ('COW'), ('MOR')) AS t(tt)
+    """,
+)
+def lake_partial_update_dupbatch(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    """Within-batch duplicate keys under ``payload='partial_update'``
+    (the r12 write-time preCombine, ``lake/table.py
+    _precombine_batch`` — Hudi's combine-before-write): ONE upsert
+    batch carries TWO versions of each %10 key — a fresh sparse patch
+    (ver 3: new balance, null name/segment) and a STALE twin (ver 2:
+    only the segment, null balance/name). The batch pre-merges
+    pairwise per key before hitting either table type, so the stale
+    twin's segment rides inside the fresh unit (the losing record's
+    field fills the winner's null — ``PartialUpdateAvroPayload``
+    semantics), the unit overwrites the stored row's balance/segment,
+    and the untouched name inherits. Both table types run the SAME
+    history and are graded in ONE row (``tt`` column): before the r12
+    fix the MOR read fold replayed the duplicates row-wise and COW's
+    union fold could resurrect stored values over in-batch winners —
+    the ADVICE divergence this row keeps driver-graded."""
+    base = load(spark, sf_dir, "customer").withColumn(
+        "ver", F.lit(1).cast("long")
+    )
+    fresh = (
+        base.filter(F.col("c_custkey") % 10 == 0)
+        .withColumn("ver", F.lit(3).cast("long"))
+        .withColumn("c_acctbal", F.col("c_acctbal") + 500.0)
+        .withColumn("c_name", F.lit(None).cast("string"))
+        .withColumn("c_mktsegment", F.lit(None).cast("string"))
+    )
+    stale_twin = (
+        base.filter(F.col("c_custkey") % 10 == 0)
+        .withColumn("ver", F.lit(2).cast("long"))
+        .withColumn("c_acctbal", F.lit(None).cast("double"))
+        .withColumn("c_name", F.lit(None).cast("string"))
+        .withColumn("c_mktsegment", F.lit("PATCHED"))
+    )
+    dup_batch = fresh.unionByName(stale_twin)
+    outs = []
+    for tt in ("COW", "MOR"):
+        t = LakeTable(
+            spark, _tmp_base(), "q", f"pud_{tt}", ["c_custkey"], "ver",
+            table_type=(
+                "MERGE_ON_READ" if tt == "MOR" else "COPY_ON_WRITE"
+            ),
+            payload="partial_update",
+        )
+        t.write(base, op="insert", instant="001")
+        t.write(dup_batch, op="upsert", instant="002")
+        outs.append(
+            t.snapshot().select(
+                F.lit(tt).alias("tt"),
+                "c_custkey", "c_name",
+                F.col("c_mktsegment").alias("seg"),
+                F.round("c_acctbal", 2).alias("bal"), "ver",
+            )
+        )
+    return outs[0].unionByName(outs[1])
+
+
+@query(
     "lake_record_index_pointread",
     oracle="""
     SELECT c_custkey, c_name, c_acctbal,

@@ -3118,6 +3118,22 @@ def sim_pq_codes(spark: SparkSession, sf_dir: str) -> DataFrame:
 #: harnesses, annotated in README "ANN recipes").
 _ANN_PANEL_NQ = 16
 
+
+def _ann_panel(emb: DataFrame, n: int = _ANN_PANEL_NQ) -> DataFrame:
+    """THE fixed serving panel, localized: the ``n`` smallest ``% 50``
+    ids as a LocalRelation. Single constructor for every graded ADC
+    recipe (and the scale probe) so a panel change cannot desynchronize
+    some recipes from the others or from their oracles' shared
+    ``ORDER BY vec_id LIMIT`` tails. Recipes that batch the panel
+    collect with other bounded frames (``local_bounded_many``) inline
+    the same selector instead — keep those textually identical to
+    this."""
+    return S.local_bounded(
+        emb.filter(F.col("vec_id") % 50 == 0).orderBy("vec_id").limit(n),
+        n,
+    )
+
+
 _PQ_LUT_UNION = " UNION ALL ".join(
     f"SELECT query_id, cid, {m} AS m, d_{m} AS d FROM lutw"
     for m in range(_PQ_M)
@@ -3169,12 +3185,7 @@ def sim_pq_adc_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     harnesses that need exhaustive ground truth (README "ANN
     recipes")."""
     emb = load(spark, sf_dir, "embeddings")
-    panel = S.local_bounded(
-        emb.filter(F.col("vec_id") % 50 == 0)
-        .orderBy("vec_id")
-        .limit(_ANN_PANEL_NQ),
-        _ANN_PANEL_NQ,
-    )
+    panel = _ann_panel(emb)
     return S.pq_adc_topk(emb, panel, k=5)
 
 
@@ -3280,12 +3291,7 @@ def sim_ivfpq_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     documented data cost (the fixed-nlist at-scale shape is
     ``sim_ivfpq_residual_topk_sampled``)."""
     emb = load(spark, sf_dir, "embeddings")
-    panel = S.local_bounded(
-        emb.filter(F.col("vec_id") % 50 == 0)
-        .orderBy("vec_id")
-        .limit(_ANN_PANEL_NQ),
-        _ANN_PANEL_NQ,
-    )
+    panel = _ann_panel(emb)
     return S.ivfpq_adc_topk(
         emb,
         panel,
@@ -3410,12 +3416,7 @@ def sim_ivfpq_residual_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     ``_sampled`` twin), so the corpus×cells assign pass remains this
     recipe's documented data cost."""
     emb = load(spark, sf_dir, "embeddings")
-    panel = S.local_bounded(
-        emb.filter(F.col("vec_id") % 50 == 0)
-        .orderBy("vec_id")
-        .limit(_ANN_PANEL_NQ),
-        _ANN_PANEL_NQ,
-    )
+    panel = _ann_panel(emb)
     return S.ivfpq_residual_topk(
         emb,
         panel,
@@ -3534,12 +3535,7 @@ def sim_opq_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     Production pairs ADC with IVF cells (``sim_ivfpq_topk``) so
     per-query work never scans the whole corpus."""
     emb = load(spark, sf_dir, "embeddings")
-    panel = S.local_bounded(
-        emb.filter(F.col("vec_id") % 50 == 0)
-        .orderBy("vec_id")
-        .limit(_ANN_PANEL_NQ),
-        _ANN_PANEL_NQ,
-    )
+    panel = _ann_panel(emb)
     return S.opq_adc_topk(emb, panel, k=5, dim=_PQ_M * _PQ_SUB)
 
 
@@ -3765,20 +3761,16 @@ def sim_opq_topk_sampled(spark: SparkSession, sf_dir: str) -> DataFrame:
     identical slice), the PQ codebook is the fixed ``_PQ_K``
     smallest-id vectors as always, the query panel is the fixed
     ``_OPQ_SAMPLED_NQ`` smallest ``% 50`` ids, and only the ENCODE pass
-    touches every corpus vector — one broadcast-codebook scan. Unlike
-    ``sim_opq_topk`` (whose graded |Q| is a fraction, so ADC work grows
-    as |corpus|·|Q| ~ quadratically with data), every stage here is
-    O(corpus) with a small constant: the shape whose 10x spot-bench leg
-    must stay ≤2x (``scripts/sf1_spot_bench.py``). Recall of the
-    sampled-stats permutation vs full-stats OPQ is pytest-pinned
-    (``tests/test_extensions.py``)."""
+    touches every corpus vector — one broadcast-codebook scan. Since
+    r12 ``sim_opq_topk`` shares the fixed panel (r11 verdict #2); what
+    remains distinct here is the BOUNDED TRAINING — the stats pass
+    reads the hash slice instead of the full corpus, so every stage is
+    O(corpus) with the smallest constant: the shape whose 10x
+    spot-bench leg must stay ≤2x (``scripts/sf1_spot_bench.py``).
+    Recall of the sampled-stats permutation vs full-stats OPQ is
+    pytest-pinned (``tests/test_extensions.py``)."""
     emb = load(spark, sf_dir, "embeddings")
-    q = S.local_bounded(
-        emb.filter(F.col("vec_id") % 50 == 0)
-        .orderBy("vec_id")
-        .limit(_OPQ_SAMPLED_NQ),
-        _OPQ_SAMPLED_NQ,
-    )
+    q = _ann_panel(emb, _OPQ_SAMPLED_NQ)
     return S.opq_adc_topk(
         emb, q, k=5, dim=_PQ_M * _PQ_SUB,
         stats_sample_frac=_OPQ_STATS_FRAC,

@@ -2097,6 +2097,23 @@ class LakeTable:
         precombine without a same-instant tombstone killing its own
         row).
 
+        AMBIGUOUS MATCHES RAISE (ANSI MERGE / Delta semantics, pinned by
+        ``tests/test_lake.py::test_merge_into_duplicate_match_raises``):
+        if more than one row matches for a record key — a duplicate-key
+        source hitting one target row, or one source row hitting
+        duplicate target rows from prior inserts — the merge raises
+        instead of committing. Silent resolution is unsound here: a
+        duplicate source routing one row to the delete clause and
+        another to the update clause would commit a same-instant
+        tombstone + data row whose visibility is table-type-dependent
+        (the MOR read merge kills same-commit data at or before a
+        tombstone; COW applies delete-then-update eagerly) — a COW/MOR
+        seam no precombine can arbitrate. Pre-aggregate the source to
+        one row per key (e.g. the a5 precombine-dedup shape) first, as
+        Delta requires. Unmatched duplicate-key INSERTS are not
+        ambiguous and flow through the upsert path's standard
+        precombine resolution.
+
         Scale shape: matched/unmatched classification is ONE shuffle
         join of source against the snapshot on the record key; the
         commit then reuses the upsert path's two-level file pruning
@@ -2115,6 +2132,28 @@ class LakeTable:
             c = F.col(f"s.{k}") == F.col(f"t.{k}")
             cond = c if cond is None else (cond & c)
         matched = s.join(t, cond, "inner")
+        # ambiguity gate (one extra agg over the matched join — the
+        # price Delta pays for the same check): >1 matched row per key
+        # means duplicate source keys or duplicate target rows; any
+        # silent resolution is a COW/MOR seam (see docstring)
+        dup = (
+            matched.groupBy(*[F.col(f"s.{k}") for k in self.record_keys])
+            .count()
+            .filter(F.col("count") > 1)
+            .limit(1)
+            .collect()
+        )
+        if dup:
+            key_desc = ", ".join(
+                f"{k}={dup[0][k]!r}" for k in self.record_keys
+            )
+            raise ValueError(
+                f"merge_into: multiple rows matched for record key "
+                f"({key_desc}) — duplicate keys in the source (or "
+                f"duplicate target rows from prior inserts) make MERGE "
+                f"ambiguous; pre-aggregate the source to one row per "
+                f"key first (ANSI MERGE / Delta raise here too)"
+            )
         if delete_condition:
             del_rows = matched.filter(F.expr(delete_condition))
             upd_base = matched.filter(
@@ -2215,9 +2254,15 @@ class LakeTable:
         payload's PAIRWISE merge: same-key rows in one batch collapse
         to a single unit whose precombine is the batch max and whose
         data columns each take the highest-precombine NON-NULL version
-        (the closed form of reducing ``PartialUpdateAvroPayload.
-        preCombine`` over the duplicates — associative given distinct
-        precombine values; ties are unspecified, as in Hudi). Runs on
+        — the closed form of reducing ``PartialUpdateAvroPayload.
+        preCombine`` pairwise in ASCENDING precombine order. The
+        pairwise merge is NOT associative (fold order matters when a
+        higher-precombine null sits between non-null versions:
+        ``[(6,null),(3,B),(4,C)]`` row-order-folds to ``B`` but
+        ascending-folds to ``C``), so this engine DEFINES the
+        reduction order — ascending precombine — where Hudi's
+        arbitrary-order reduce is nondeterministic on such batches;
+        ties on the precombine are unspecified, as in Hudi. Runs on
         EVERY partial_update write path via :meth:`_prepare_batch`, so
         one version per (key, commit) is a table invariant. That
         invariant is what keeps the COW union fold (:meth:`_merge`) and
@@ -2239,12 +2284,39 @@ class LakeTable:
             if self.global_index
             else [PARTITION_PATH_COL, RECORD_KEY_COL]
         )
-        order = F.col(self.precombine)
-        winner = F.max_by(F.struct(*batch.columns), order).alias("_r")
-        whole_row = set(META_COLS) | {self.precombine}
+        return self._partial_fold(batch, part_cols, F.col(self.precombine))
+
+    def _partial_fold(
+        self,
+        df: DataFrame,
+        part_cols: list[str],
+        order,
+        extra_whole: tuple[str, ...] = (),
+        drop: tuple[str, ...] = (),
+    ) -> DataFrame:
+        """The ONE per-column partial_update fold, shared by the COW
+        union merge (:meth:`_merge`) and the within-batch preCombine
+        (:meth:`_precombine_batch`) — r11 and r12 both fixed bugs in
+        exactly this fold shape, so it must exist once. Per key
+        (``part_cols`` group): whole-row columns (meta, precombine,
+        tombstone flag, ``extra_whole``) follow the max-``order`` row;
+        every data column takes its max-``order`` NON-NULL version,
+        falling back to the winner's (all-null) value. One hash
+        aggregation, map-side combinable. (:meth:`_merged_read` is the
+        read-side twin with commit-time eligibility — a different
+        contract, intentionally not unified.)"""
+        winner = F.max_by(F.struct(*df.columns), order).alias("_r")
+        # DELETED_COL is whole-row defensively: absent on today's
+        # callers (tombstones never reach these folds), but a future
+        # caller must not have the flag folded per-column like data
+        whole_row = (
+            set(META_COLS)
+            | {self.precombine, DELETED_COL}
+            | set(extra_whole)
+        )
         fold_cols = [
             c
-            for c in batch.columns
+            for c in df.columns
             if c not in whole_row and c not in part_cols
         ]
         folds = [
@@ -2253,9 +2325,11 @@ class LakeTable:
             ).alias(c)
             for c in fold_cols
         ]
-        agged = batch.groupBy(*part_cols).agg(winner, *folds)
+        agged = df.groupBy(*part_cols).agg(winner, *folds)
         outs = []
-        for c in batch.columns:
+        for c in df.columns:
+            if c in drop:
+                continue
             if c in part_cols:
                 outs.append(F.col(c))
             elif c in whole_row:
@@ -2518,9 +2592,13 @@ class LakeTable:
         The fold's row-level (commit, precombine) replay equals the
         commit-unit pairwise model because partial_update write paths
         pre-combine every batch (:meth:`_precombine_batch`): one
-        version per (key, commit) is a table invariant. The only way
-        to violate it is adopting foreign files via bootstrap, where
-        the fold degrades to row-level replay of the duplicates."""
+        version per (key, commit) is a table invariant. The remaining
+        ways to violate it are adopting foreign files via bootstrap
+        (where the fold degrades to row-level replay of the
+        duplicates) and a same-commit tombstone + data row for one
+        key, which only an ambiguous MERGE could produce — and
+        :meth:`merge_into` raises on ambiguous matches instead of
+        committing one."""
         part_cols = (
             [RECORD_KEY_COL]
             if self.global_index
@@ -4433,35 +4511,10 @@ class LakeTable:
         # look through a tombstone. The MOR twin folds at read/compact
         # (:meth:`_merged_read`), where the tombstone filter precedes
         # the fold for the same guarantee.
-        whole_row = set(META_COLS) | {self.precombine, "_is_new"}
-        fold_cols = [
-            c
-            for c in union.columns
-            if c not in whole_row and c not in part_cols
-        ]
-        folds = [
-            F.max_by(
-                F.col(c), F.when(F.col(c).isNotNull(), order)
-            ).alias(c)
-            for c in fold_cols
-        ]
-        agged = union.groupBy(*part_cols).agg(winner, *folds)
-        outs = []
-        for c in union.columns:
-            if c == "_is_new":
-                continue
-            if c in part_cols:
-                outs.append(F.col(c))
-            elif c in whole_row:
-                outs.append(F.col(f"_r.{c}").alias(c))
-            else:
-                # fold value, falling back to the winner's (all-null
-                # column: max_by over an all-null ordering yields null
-                # anyway — coalesce keeps the intent explicit)
-                outs.append(
-                    F.coalesce(F.col(c), F.col(f"_r.{c}")).alias(c)
-                )
-        return agged.select(*outs)
+        return self._partial_fold(
+            union, part_cols, order,
+            extra_whole=("_is_new",), drop=("_is_new",),
+        )
 
     def _write_data_files(
         self,

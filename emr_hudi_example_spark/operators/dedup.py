@@ -557,7 +557,9 @@ def connected_components(
 #: rounds the most recent ``connected_components_star`` call took to
 #: reach its fixed point — observability for the O(log n) claim (the
 #: r12 scale probe records it against corpus multipliers). Driver-side
-#: diagnostic only, same pattern as LakeTable's ``last_*_pruned``.
+#: SINGLE-THREADED diagnostic only (a module global, reset per call —
+#: concurrent calls from driver threads would interleave it; read it
+#: only right after a call you own, as the probes do).
 LAST_STAR_ROUNDS = 0
 
 

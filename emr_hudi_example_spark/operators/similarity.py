@@ -938,6 +938,24 @@ def local_bounded_many(
     return results
 
 
+def _validate_seed_count(
+    seeds: DataFrame, n_codes: int, fn: str, arg: str = "seeds"
+) -> None:
+    """Every entry point accepting an INJECTED codebook seed frame must
+    agree with its ``n_codes`` — a drifted caller-side slice bound
+    would otherwise train/encode against a wrong-sized codebook with no
+    error (size the slice with ``PQ_N_CODES``, or pass ``n_codes``
+    explicitly next to it). Injected frames are pre-localized
+    LocalRelations by contract, so the count is driver-cheap."""
+    n_seed = seeds.count()
+    if n_seed != n_codes:
+        raise ValueError(
+            f"{fn}: {arg} has {n_seed} rows but n_codes={n_codes} — "
+            f"size the seed slice with PQ_N_CODES or pass a matching "
+            f"n_codes"
+        )
+
+
 def _pq_seeds(
     vectors: DataFrame,
     id_col: str,
@@ -1002,6 +1020,8 @@ def pq_codes(
         # scan in-flight; localizing here would serialize an extra
         # driver job in front of the encode (r11 follow-up finding)
         seeds = _pq_seeds(vectors, id_col, vec_col, n_codes, localize=False)
+    else:
+        _validate_seed_count(seeds, n_codes, "pq_codes")
     scored = v.crossJoin(F.broadcast(seeds))
     for m in range(n_subspaces):
         scored = scored.withColumn(
@@ -1047,6 +1067,8 @@ def pq_adc_topk(
         seeds = _pq_seeds(
             vectors, id_col, vec_col, n_codes, localize=localize_seeds
         )
+    else:
+        _validate_seed_count(seeds, n_codes, "pq_adc_topk")
     codes = pq_codes(
         vectors, id_col, vec_col, n_subspaces, sub_dim, n_codes,
         seeds=seeds,
@@ -1333,18 +1355,9 @@ def ivfpq_residual_topk(
             corpus.orderBy(id_col).limit(n_codes), n_codes
         )
     else:
-        # an injected seed slice sized by the CALLER must agree with
-        # n_codes — a drifted bound would silently train a wrong-sized
-        # codebook (size the slice with PQ_N_CODES, or pass n_codes
-        # explicitly next to it); injected frames are pre-localized
-        # LocalRelations by contract, so the count is driver-cheap
-        n_seed = seed_vecs.count()
-        if n_seed != n_codes:
-            raise ValueError(
-                f"ivfpq_residual_topk: seed_vecs has {n_seed} rows but "
-                f"n_codes={n_codes} — size the seed slice with "
-                f"PQ_N_CODES or pass a matching n_codes"
-            )
+        _validate_seed_count(
+            seed_vecs, n_codes, "ivfpq_residual_topk", arg="seed_vecs"
+        )
     rseeds = (
         seed_vecs.select(F.col(id_col), _as_double(vec_col).alias("_v"))
         .join(assign_cells(seed_vecs, centroids, id_col, vec_col, 1), id_col)

@@ -91,7 +91,12 @@ def profile_stream_dedup(spark, sf_dir: str) -> None:
     prev = spark.conf.get("spark.sql.shuffle.partitions")
 
     def _run_stream():
-        spark.conf.set("spark.sql.shuffle.partitions", "8")
+        # mirror the catalog body: state shuffle sized to cores (the
+        # r12 fix; re-pinning 8 here would profile the rejected config)
+        spark.conf.set(
+            "spark.sql.shuffle.partitions",
+            str(spark.sparkContext.defaultParallelism),
+        )
         try:
             stream = (
                 spark.readStream.schema(stream_schema)

@@ -44,25 +44,35 @@ def scaled(df: DataFrame, key: str, mult: int, shift: int) -> DataFrame:
     return out
 
 
+#: (table, shift key) for every scalable input — ONE source of truth
+#: for the key-shifted cloning scheme, shared by the main probe and the
+#: --ext-only legs so they can never measure differently-built inputs
+_SCALABLE = {
+    "orders": "o_orderkey",
+    "documents": "doc_id",
+    "embeddings": "vec_id",
+}
+
+
 def build_inputs(
-    spark: SparkSession, mult: int, lake_only: bool = False
+    spark: SparkSession,
+    mult: int,
+    lake_only: bool = False,
+    tables: tuple[str, ...] | None = None,
 ) -> dict[str, str]:
     paths = {}
-    wanted = (
-        (("orders", "o_orderkey", 10_000_000),)
-        if lake_only
-        else (
-            ("orders", "o_orderkey", 10_000_000),
-            ("documents", "doc_id", 10_000_000),
-            ("embeddings", "vec_id", 10_000_000),
-        )
+    wanted = tables if tables is not None else (
+        ("orders",) if lake_only
+        else ("orders", "documents", "embeddings")
     )
-    for tbl, key, shift in wanted:
+    for tbl in wanted:
         dst = f"{WORK}/x{mult}/{tbl}"
         df = spark.read.parquet(f"{SF_DIR}/{tbl}.parquet")
-        scaled(df, key, mult, shift).write.mode("overwrite").parquet(dst)
+        scaled(df, _SCALABLE[tbl], mult, 10_000_000).write.mode(
+            "overwrite"
+        ).parquet(dst)
         paths[tbl] = dst
-    if lake_only:
+    if lake_only or tables is not None:
         return paths
     # events: shift BOTH user_id (graph nodes) and event_id (the window
     # tiebreak must stay unique); copies share timestamps, so per-type
@@ -418,12 +428,9 @@ def run_ext_probe(spark: SparkSession, mult: int) -> list[dict]:
     from emr_hudi_example_spark.operators import similarity as S
 
     recs: list[dict] = []
-    paths = {}
-    for tbl, key in (("documents", "doc_id"), ("embeddings", "vec_id")):
-        dst = f"{WORK}/x{mult}/{tbl}"
-        df = spark.read.parquet(f"{SF_DIR}/{tbl}.parquet")
-        scaled(df, key, mult, 10_000_000).write.mode("overwrite").parquet(dst)
-        paths[tbl] = dst
+    paths = build_inputs(
+        spark, mult, tables=("documents", "embeddings")
+    )
     docs = spark.read.parquet(paths["documents"])
     emb = spark.read.parquet(paths["embeddings"])
 
@@ -457,13 +464,12 @@ def run_ext_probe(spark: SparkSession, mult: int) -> list[dict]:
 
     recs.append(timed("cluster_groups_star", mult, _cc))
 
+    # the graded recipes' own panel constructor — a probe measuring a
+    # different panel would not measure the graded shapes
+    from emr_hudi_example_spark.catalog_ext import _ann_panel
+
     def _panel():
-        return S.local_bounded(
-            emb.filter(F.col("vec_id") % 50 == 0)
-            .orderBy("vec_id")
-            .limit(16),
-            16,
-        )
+        return _ann_panel(emb)
 
     recs.append(
         timed(

@@ -52,6 +52,11 @@ QUERIES = [
     "sim_opq_topk_sampled",
     "sim_ivfpq_residual_topk",
     "sim_ivfpq_residual_topk_sampled",
+    # r12: the other two full ADC recipes, now on the FIXED 16-query
+    # serving panel (r11 verdict #2 made structural) — their 10x legs
+    # must drop from the 9-25x |Q|-growth regime to the O(corpus) band
+    "sim_pq_adc_topk",
+    "sim_ivfpq_topk",
     "sim_ann_compare",
     "dedup_cluster_groups",
     # r8-final additions: the new planner-index paths at 10x data —

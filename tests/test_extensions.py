@@ -1282,7 +1282,7 @@ def test_ivfpq_residual_seed_size_validated(spark):
         )
 
 
-def test_ann_codebook_retrains_on_rebuild(spark):
+def test_ann_codebook_retrains_on_rebuild(spark, tmp_path):
     """The eager-codebook contract (README "ANN recipes", r11 verdict
     watch item): a codebook localized via ``local_bounded`` /
     ``_pq_seeds(localize=True)`` is trained at BUILD time — corpus rows
@@ -1298,7 +1298,7 @@ def test_ann_codebook_retrains_on_rebuild(spark):
         [(i + 10, [float(i), 1.0]) for i in range(30)],
         "vec_id LONG, embedding ARRAY<DOUBLE>",
     )
-    path = "/tmp/ann_retrain_probe"
+    path = str(tmp_path / "ann_retrain_probe")
     base.write.mode("overwrite").parquet(path)
 
     # BUILD: codebook trained eagerly (LocalRelation) on the pre-drift

@@ -2674,6 +2674,59 @@ def test_merge_into_cow_mor_parity(spark, tmp_path):
     assert any(k > 1000000 and v == 5 for (k, _, v, _) in ends["cow"])
 
 
+def test_merge_into_duplicate_match_raises(spark, tmp_path):
+    """Ambiguous MERGE matches raise (ANSI MERGE / Delta semantics, the
+    r12 review finding): a duplicate-key source routing one row to the
+    delete clause and another to the update clause would otherwise
+    commit a same-instant tombstone + data row whose visibility is
+    table-type-dependent — verified divergence before the gate: COW
+    kept the update, MOR's read merge killed it. Both table types must
+    refuse identically, and a duplicate TARGET row (legal via the
+    insert duplicate contract) hit by one source row must refuse
+    too."""
+    sch = "k string, ver long, c string"
+    for tt in ("COPY_ON_WRITE", "MERGE_ON_READ"):
+        t = LakeTable(
+            spark, str(tmp_path), "m", f"dupmerge_{tt}", ["k"], "ver",
+            table_type=tt,
+        )
+        t.write(
+            spark.createDataFrame([("k1", 1, "orig")], sch),
+            op="insert", instant="001",
+        )
+        dup_src = spark.createDataFrame(
+            [("k1", 2, "DELME"), ("k1", 3, "updated")], sch
+        )
+        with pytest.raises(ValueError, match="multiple rows matched"):
+            t.merge_into(
+                dup_src,
+                update_set={"c": "s.c", "ver": "s.ver"},
+                delete_condition="s.c = 'DELME'",
+            )
+        # nothing committed; the table still reads its pre-merge state
+        assert t.timeline() == ["001"]
+        assert [tuple(r) for r in t.snapshot().select(
+            "k", "ver", "c").collect()] == [("k1", 1, "orig")]
+        # duplicate TARGET rows (insert contract) hit by ONE source row
+        t.write(
+            spark.createDataFrame([("k1", 2, "dup")], sch),
+            op="insert", instant="002",
+        )
+        one_src = spark.createDataFrame([("k1", 9, "upd")], sch)
+        if tt == "COPY_ON_WRITE":
+            # COW physically stores both duplicates -> ambiguous
+            with pytest.raises(ValueError, match="multiple rows matched"):
+                t.merge_into(one_src, update_set={"c": "s.c"})
+        else:
+            # MOR's read fold collapses duplicates before the join, so
+            # exactly one row matches and the merge proceeds
+            t.merge_into(
+                one_src, update_set={"c": "s.c", "ver": "s.ver"}
+            )
+            assert [tuple(r) for r in t.snapshot().select(
+                "k", "ver", "c").collect()] == [("k1", 9, "upd")]
+
+
 def test_merge_into_requires_existing_table(spark, tmp_path):
     t = make_table(spark, tmp_path)
     with pytest.raises(ValueError, match="non-existent"):

@@ -331,16 +331,17 @@ def _pu_apply(model: dict, rows: list[tuple]) -> None:
     """Sequential COW-materialization fold (the partial_update payload
     contract, pinned at the unit level by
     test_partial_update_mor_fold_matches_sequential_model): the batch
-    first pre-combines pairwise per key (the write-path
-    ``_precombine_batch`` — rows within ONE batch merge exactly like a
-    stored-row merge, so the same fold runs twice), then each unit
-    merges into the store: a unit with precombine >= the stored
+    first pre-combines pairwise per key IN ASCENDING PRECOMBINE ORDER
+    (the write-path ``_precombine_batch``'s defined reduction order —
+    the pairwise merge is not associative, so a row-order fold would
+    diverge from the engine's closed form on 3+ duplicates), then each
+    unit merges into the store: a unit with precombine >= the stored
     (re-attributed) max OVERWRITES the columns it carries non-null; a
     STALE unit FILLS still-null columns only — Hudi's
     PartialUpdateAvroPayload takes the losing record's field whenever
     the winner's is null."""
     units: dict = {}
-    for k, v, a, b in rows:
+    for k, v, a, b in sorted(rows, key=lambda r: r[1]):
         u = units.get(k)
         if u is None:
             units[k] = (v, a, b)
@@ -376,12 +377,15 @@ def _pu_apply(model: dict, rows: list[tuple]) -> None:
 
 def _pu_batch(rng: random.Random, ver: int, stale: bool) -> list[tuple]:
     """Batch generator: sparse null patches, plus (r12, per ADVICE)
-    WITHIN-BATCH DUPLICATE KEYS — a fraction of keys get a second row
-    with a DISTINCT precombine (ties within a batch are unspecified,
-    as in Hudi's preCombine), exercising the write-path pairwise
-    pre-merge that keeps COW ≡ MOR on such batches. A fresh batch's
-    duplicate is always a STALE twin (v < ver) — exactly the
-    fill-vs-overwrite seam the r12 fold divergence lived on."""
+    WITHIN-BATCH DUPLICATE KEYS — some keys get up to TWO extra rows
+    with DISTINCT precombines (ties within a batch are unspecified, as
+    in Hudi's preCombine; 3 versions of one key exercise the
+    non-associativity of the pairwise merge, where the engine's
+    defined ascending-precombine fold and a naive row-order fold
+    disagree), exercising the write-path pairwise pre-merge that keeps
+    COW ≡ MOR on such batches. A fresh batch's duplicates are always
+    STALE twins (v < ver) — exactly the fill-vs-overwrite seam the r12
+    fold divergence lived on."""
     keys = rng.sample(range(25), rng.randint(1, 8))
     rows = []
     used: dict[int, set] = {}
@@ -396,24 +400,26 @@ def _pu_batch(rng: random.Random, ver: int, stale: bool) -> list[tuple]:
                 rng.choice([None, rng.randint(0, 9)]),
             )
         )
-    for k in rng.sample(keys, rng.randint(0, max(1, len(keys) // 3))):
-        pool = [
-            v
-            for v in range(ver if stale else ver + 1)
-            if v not in used[k]
-        ]
-        if not pool:
-            continue
-        v = rng.choice(pool)
-        used[k].add(v)
-        rows.append(
-            (
-                k,
-                v,
-                rng.choice([None, rng.randint(0, 9)]),
-                rng.choice([None, rng.randint(0, 9)]),
+    dup_keys = rng.sample(keys, rng.randint(0, max(1, len(keys) // 3)))
+    for k in dup_keys:
+        for _extra in range(rng.randint(1, 2)):
+            pool = [
+                v
+                for v in range(ver if stale else ver + 1)
+                if v not in used[k]
+            ]
+            if not pool:
+                break
+            v = rng.choice(pool)
+            used[k].add(v)
+            rows.append(
+                (
+                    k,
+                    v,
+                    rng.choice([None, rng.randint(0, 9)]),
+                    rng.choice([None, rng.randint(0, 9)]),
+                )
             )
-        )
     rng.shuffle(rows)
     return rows
 

@@ -3118,6 +3118,11 @@ def sim_pq_codes(spark: SparkSession, sf_dir: str) -> DataFrame:
 #: harnesses, annotated in README "ANN recipes").
 _ANN_PANEL_NQ = 16
 
+#: The fixed coarse-quantizer size (FAISS's nlist) for graded IVF
+#: serving shapes — shared with the residual recipe's bounded variant
+#: (`_RIVF_SAMPLED_NCELLS` aliases this) so the two cannot drift.
+_ANN_NLIST = 32
+
 
 def _ann_panel(emb: DataFrame, n: int = _ANN_PANEL_NQ) -> DataFrame:
     """THE fixed serving panel, localized: the ``n`` smallest ``% 50``
@@ -3235,7 +3240,8 @@ def sim_pq_refined_codes(spark: SparkSession, sf_dir: str) -> DataFrame:
     + f""",
     v AS (SELECT vec_id, embedding, {_NORM_SQL} AS nrm FROM embeddings),
     cen AS (SELECT vec_id AS cell_id, embedding, nrm FROM v
-            WHERE vec_id % 37 = 0),
+            WHERE vec_id % 37 = 0
+            ORDER BY vec_id LIMIT {_ANN_NLIST}),
     q AS (SELECT * FROM v WHERE vec_id % 50 = 0
           ORDER BY vec_id LIMIT {_ANN_PANEL_NQ}),
     corpus_cells AS (
@@ -3284,18 +3290,37 @@ def sim_ivfpq_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     and a broadcast per-query LUT — the FAISS architecture as a pure
     DataFrame program (``operators/similarity.py ivfpq_adc_topk``).
 
-    GRADED configuration (r12): fixed ``_ANN_PANEL_NQ`` query panel
-    (serving is O(corpus)·|panel|); the coarse quantizer stays the
-    corpus-proportional ``% 37`` population — the recall-realistic
-    nlist whose one corpus×cells assign pass is this recipe's
-    documented data cost (the fixed-nlist at-scale shape is
-    ``sim_ivfpq_residual_topk_sampled``)."""
+    GRADED configuration (r12): the full SERVING shape — fixed
+    ``_ANN_PANEL_NQ`` query panel AND fixed ``_ANN_NLIST`` coarse
+    quantizer (FAISS trains a fixed nlist), so every stage is
+    O(corpus): one broadcast cell-assign pass, one encode, a
+    cell-keyed probe join. With the ``% 37`` POPULATION as nlist the
+    assign pass was corpus×cells — 8.7x at the 10x leg; the
+    corpus-proportional-nlist configuration remains graded as
+    ``sim_ivfpq_residual_topk`` (the annotated data-cost row, with its
+    bounded ``_sampled`` twin). Panel + nlist collect CONCURRENTLY in
+    one scan-round (``local_bounded_many``; the inlined selectors must
+    stay textually identical to ``_ann_panel`` / the residual
+    recipes')."""
     emb = load(spark, sf_dir, "embeddings")
-    panel = _ann_panel(emb)
+    panel, cen = S.local_bounded_many(
+        (
+            emb.filter(F.col("vec_id") % 50 == 0)
+            .orderBy("vec_id")
+            .limit(_ANN_PANEL_NQ),
+            _ANN_PANEL_NQ,
+        ),
+        (
+            emb.filter(F.col("vec_id") % 37 == 0)
+            .orderBy("vec_id")
+            .limit(_ANN_NLIST),
+            _ANN_NLIST,
+        ),
+    )
     return S.ivfpq_adc_topk(
         emb,
         panel,
-        emb.filter(F.col("vec_id") % 37 == 0),
+        cen,
         k=5,
         nprobe=3,
     )
@@ -3782,7 +3807,7 @@ def sim_opq_topk_sampled(spark: SparkSession, sf_dir: str) -> DataFrame:
 #: centroid per 37 corpus ids, so BOTH the cell-assign join and the
 #: candidate fan-out grow with the corpus; production picks a fixed
 #: nlist and a fixed evaluation panel instead.
-_RIVF_SAMPLED_NCELLS = 32
+_RIVF_SAMPLED_NCELLS = _ANN_NLIST
 
 
 @query(

@@ -3124,19 +3124,28 @@ _ANN_PANEL_NQ = 16
 _ANN_NLIST = 32
 
 
+def _ann_panel_frame(emb: DataFrame, n: int = _ANN_PANEL_NQ) -> DataFrame:
+    """The fixed serving panel SELECTOR (lazy): the ``n`` smallest
+    ``% 50`` ids. Single constructor for every graded ADC recipe (and
+    the scale probe) so a panel change cannot desynchronize some
+    recipes from the others or from their oracles' shared ``ORDER BY
+    vec_id LIMIT`` tails. Recipes that batch the panel collect with
+    other bounded frames pass ``(_ann_panel_frame(emb, n), n)`` into
+    ``local_bounded_many``; single-frame consumers use
+    :func:`_ann_panel`."""
+    return emb.filter(F.col("vec_id") % 50 == 0).orderBy("vec_id").limit(n)
+
+
+def _ann_nlist_frame(emb: DataFrame, n: int = _ANN_NLIST) -> DataFrame:
+    """The fixed coarse-quantizer SELECTOR (lazy): the ``n`` smallest
+    ``% 37`` ids — same single-constructor rationale as
+    :func:`_ann_panel_frame`."""
+    return emb.filter(F.col("vec_id") % 37 == 0).orderBy("vec_id").limit(n)
+
+
 def _ann_panel(emb: DataFrame, n: int = _ANN_PANEL_NQ) -> DataFrame:
-    """THE fixed serving panel, localized: the ``n`` smallest ``% 50``
-    ids as a LocalRelation. Single constructor for every graded ADC
-    recipe (and the scale probe) so a panel change cannot desynchronize
-    some recipes from the others or from their oracles' shared
-    ``ORDER BY vec_id LIMIT`` tails. Recipes that batch the panel
-    collect with other bounded frames (``local_bounded_many``) inline
-    the same selector instead — keep those textually identical to
-    this."""
-    return S.local_bounded(
-        emb.filter(F.col("vec_id") % 50 == 0).orderBy("vec_id").limit(n),
-        n,
-    )
+    """:func:`_ann_panel_frame`, localized (one driver collect)."""
+    return S.local_bounded(_ann_panel_frame(emb, n), n)
 
 
 _PQ_LUT_UNION = " UNION ALL ".join(
@@ -3298,24 +3307,15 @@ def sim_ivfpq_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     assign pass was corpus×cells — 8.7x at the 10x leg; the
     corpus-proportional-nlist configuration remains graded as
     ``sim_ivfpq_residual_topk`` (the annotated data-cost row, with its
-    bounded ``_sampled`` twin). Panel + nlist collect CONCURRENTLY in
-    one scan-round (``local_bounded_many``; the inlined selectors must
-    stay textually identical to ``_ann_panel`` / the residual
-    recipes')."""
+    bounded ``_sampled`` twin). Panel + nlist + PQ seed slice collect
+    CONCURRENTLY in ONE ``local_bounded_many`` scan-round (injected
+    via ``seed_vecs`` — no serialized third TakeOrdered corpus
+    collect)."""
     emb = load(spark, sf_dir, "embeddings")
-    panel, cen = S.local_bounded_many(
-        (
-            emb.filter(F.col("vec_id") % 50 == 0)
-            .orderBy("vec_id")
-            .limit(_ANN_PANEL_NQ),
-            _ANN_PANEL_NQ,
-        ),
-        (
-            emb.filter(F.col("vec_id") % 37 == 0)
-            .orderBy("vec_id")
-            .limit(_ANN_NLIST),
-            _ANN_NLIST,
-        ),
+    panel, cen, seed16 = S.local_bounded_many(
+        (_ann_panel_frame(emb), _ANN_PANEL_NQ),
+        (_ann_nlist_frame(emb), _ANN_NLIST),
+        (emb.orderBy("vec_id").limit(S.PQ_N_CODES), S.PQ_N_CODES),
     )
     return S.ivfpq_adc_topk(
         emb,
@@ -3323,6 +3323,8 @@ def sim_ivfpq_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
         cen,
         k=5,
         nprobe=3,
+        n_codes=S.PQ_N_CODES,
+        seed_vecs=seed16,
     )
 
 
@@ -3843,18 +3845,8 @@ def sim_ivfpq_residual_topk_sampled(
     # collect them CONCURRENTLY in ONE scan-round (serial driver
     # collects were most of the small-scale localization overhead)
     cen, q, seed16 = S.local_bounded_many(
-        (
-            emb.filter(F.col("vec_id") % 37 == 0)
-            .orderBy("vec_id")
-            .limit(_RIVF_SAMPLED_NCELLS),
-            _RIVF_SAMPLED_NCELLS,
-        ),
-        (
-            emb.filter(F.col("vec_id") % 50 == 0)
-            .orderBy("vec_id")
-            .limit(_OPQ_SAMPLED_NQ),
-            _OPQ_SAMPLED_NQ,
-        ),
+        (_ann_nlist_frame(emb, _RIVF_SAMPLED_NCELLS), _RIVF_SAMPLED_NCELLS),
+        (_ann_panel_frame(emb, _OPQ_SAMPLED_NQ), _OPQ_SAMPLED_NQ),
         (emb.orderBy("vec_id").limit(S.PQ_N_CODES), S.PQ_N_CODES),
     )
     return S.ivfpq_residual_topk(

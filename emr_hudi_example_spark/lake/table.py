@@ -2112,7 +2112,11 @@ class LakeTable:
         one row per key (e.g. the a5 precombine-dedup shape) first, as
         Delta requires. Unmatched duplicate-key INSERTS are not
         ambiguous and flow through the upsert path's standard
-        precombine resolution.
+        precombine resolution; an INSERT-ONLY merge (no ``update_set``,
+        no ``delete_condition``) skips the gate — matched rows are
+        deliberately ignored there, so duplicates among them modify
+        nothing (ANSI's cardinality rule likewise applies only to
+        update/delete clauses).
 
         Scale shape: matched/unmatched classification is ONE shuffle
         join of source against the snapshot on the record key; the
@@ -2135,25 +2139,34 @@ class LakeTable:
         # ambiguity gate (one extra agg over the matched join — the
         # price Delta pays for the same check): >1 matched row per key
         # means duplicate source keys or duplicate target rows; any
-        # silent resolution is a COW/MOR seam (see docstring)
-        dup = (
-            matched.groupBy(*[F.col(f"s.{k}") for k in self.record_keys])
-            .count()
-            .filter(F.col("count") > 1)
-            .limit(1)
-            .collect()
-        )
-        if dup:
-            key_desc = ", ".join(
-                f"{k}={dup[0][k]!r}" for k in self.record_keys
+        # silent resolution is a COW/MOR seam (see docstring). Scoped
+        # to merges WITH matched clauses — ANSI's cardinality violation
+        # only applies when a matched row would be updated or deleted,
+        # so an insert-only merge (both clauses None) skips the gate
+        # and its extra action. Aggregate aliased (never .count()): a
+        # record key literally named "count" must not collide.
+        if update_set or delete_condition:
+            dup = (
+                matched.groupBy(
+                    *[F.col(f"s.{k}") for k in self.record_keys]
+                )
+                .agg(F.count(F.lit(1)).alias("_match_cnt"))
+                .filter(F.col("_match_cnt") > 1)
+                .limit(1)
+                .collect()
             )
-            raise ValueError(
-                f"merge_into: multiple rows matched for record key "
-                f"({key_desc}) — duplicate keys in the source (or "
-                f"duplicate target rows from prior inserts) make MERGE "
-                f"ambiguous; pre-aggregate the source to one row per "
-                f"key first (ANSI MERGE / Delta raise here too)"
-            )
+            if dup:
+                key_desc = ", ".join(
+                    f"{k}={dup[0][k]!r}" for k in self.record_keys
+                )
+                raise ValueError(
+                    f"merge_into: multiple rows matched for record key "
+                    f"({key_desc}) — duplicate keys in the source (or "
+                    f"duplicate target rows from prior inserts) make "
+                    f"MERGE ambiguous; pre-aggregate the source to one "
+                    f"row per key first (ANSI MERGE / Delta raise here "
+                    f"too)"
+                )
         if delete_condition:
             del_rows = matched.filter(F.expr(delete_condition))
             upd_base = matched.filter(
@@ -2284,7 +2297,16 @@ class LakeTable:
             if self.global_index
             else [PARTITION_PATH_COL, RECORD_KEY_COL]
         )
-        return self._partial_fold(batch, part_cols, F.col(self.precombine))
+        # struct-wrapped order, never null: a bare column order would
+        # make max_by SKIP null-precombine rows entirely — a key whose
+        # only batch row has a null precombine would fold to a ghost
+        # row of all-null columns. Wrapped, null precombine simply
+        # ranks lowest (loses to any non-null), matching _merge's
+        # discipline and the r12 review pin
+        # (tests/test_lake.py::test_partial_update_null_precombine).
+        return self._partial_fold(
+            batch, part_cols, F.struct(F.col(self.precombine))
+        )
 
     def _partial_fold(
         self,

@@ -974,15 +974,26 @@ def _pq_seeds(
     (standalone ``pq_codes``) passes ``localize=False``: there the
     lazy broadcast build computes the identical scan in-flight, and an
     eager collect would only serialize it in front of the main job."""
-    seeds = (
-        vectors.orderBy(id_col)
-        .limit(n_codes)
-        .select(F.col(id_col).alias("_sid"), _as_double(vec_col).alias("_sv"))
+    seeds = _seed_codebook(
+        vectors.orderBy(id_col).limit(n_codes), id_col, vec_col
     )
-    seeds = seeds.withColumn(
+    return local_bounded(seeds, n_codes) if localize else seeds
+
+
+def _seed_codebook(
+    seed_slice: DataFrame, id_col: str, vec_col: str
+) -> DataFrame:
+    """Seed-slice rows → codebook frame (``cid``, ``_sv``): the ONE
+    transform from raw seed vectors to dense codeword ids, shared by
+    :func:`_pq_seeds` and the pre-collected ``seed_vecs`` injection
+    seams so the two can never derive different codebooks from the
+    same slice."""
+    seeds = seed_slice.select(
+        F.col(id_col).alias("_sid"), _as_double(vec_col).alias("_sv")
+    )
+    return seeds.withColumn(
         "cid", F.row_number().over(Window.orderBy("_sid")) - 1
     ).drop("_sid")
-    return local_bounded(seeds, n_codes) if localize else seeds
 
 
 def pq_codes(
@@ -993,6 +1004,7 @@ def pq_codes(
     sub_dim: int = 8,
     n_codes: int = PQ_N_CODES,
     seeds: DataFrame | None = None,
+    validate_seeds: bool = True,
 ) -> DataFrame:
     """Product-quantization encoding (Jégou et al. 2011, public): split
     each D-dim vector into ``n_subspaces`` blocks of ``sub_dim`` dims
@@ -1020,7 +1032,12 @@ def pq_codes(
         # scan in-flight; localizing here would serialize an extra
         # driver job in front of the encode (r11 follow-up finding)
         seeds = _pq_seeds(vectors, id_col, vec_col, n_codes, localize=False)
-    else:
+    elif validate_seeds:
+        # caller-injected frames only (pre-localized by contract);
+        # internal callers pass validate_seeds=False — they derived
+        # the frame from n_codes themselves, and counting a LAZY
+        # internal seeds frame (localize_seeds=False paths) would
+        # serialize a TakeOrdered corpus pass in front of the encode
         _validate_seed_count(seeds, n_codes, "pq_codes")
     scored = v.crossJoin(F.broadcast(seeds))
     for m in range(n_subspaces):
@@ -1071,7 +1088,7 @@ def pq_adc_topk(
         _validate_seed_count(seeds, n_codes, "pq_adc_topk")
     codes = pq_codes(
         vectors, id_col, vec_col, n_subspaces, sub_dim, n_codes,
-        seeds=seeds,
+        seeds=seeds, validate_seeds=False,  # validated above / internal
     )
     q = queries.select(
         F.col(id_col).alias("query_id"), _as_double(vec_col).alias("_q")
@@ -1208,6 +1225,7 @@ def ivfpq_adc_topk(
     sub_dim: int = 8,
     n_codes: int = PQ_N_CODES,
     localize_seeds: bool = True,
+    seed_vecs: DataFrame | None = None,
 ) -> DataFrame:
     """IVF-PQ — the composed billion-scale ANN architecture (FAISS's
     default): the coarse IVF quantizer restricts each query to its
@@ -1225,12 +1243,24 @@ def ivfpq_adc_topk(
     """
     corpus_cells = assign_cells(corpus, centroids, id_col, vec_col, 1)
     query_cells = assign_cells(queries, centroids, id_col, vec_col, nprobe)
-    seeds = _pq_seeds(
-        corpus, id_col, vec_col, n_codes, localize=localize_seeds
-    )
+    # ``seed_vecs`` may be passed in pre-localized so the caller can
+    # collect it CONCURRENTLY with its panel/centroid bounding scans
+    # (one local_bounded_many scan-round instead of a third serialized
+    # TakeOrdered corpus collect — the same injection seam the
+    # residual recipe has); the injected frame is the n_codes
+    # smallest-id CORPUS vectors, i.e. exactly _pq_seeds' input slice
+    if seed_vecs is None:
+        seeds = _pq_seeds(
+            corpus, id_col, vec_col, n_codes, localize=localize_seeds
+        )
+    else:
+        _validate_seed_count(
+            seed_vecs, n_codes, "ivfpq_adc_topk", arg="seed_vecs"
+        )
+        seeds = _seed_codebook(seed_vecs, id_col, vec_col)
     codes = pq_codes(
         corpus, id_col, vec_col, n_subspaces, sub_dim, n_codes,
-        seeds=seeds,
+        seeds=seeds, validate_seeds=False,  # validated/derived above
     )
     q = queries.select(
         F.col(id_col).alias("query_id"), _as_double(vec_col).alias("_q")

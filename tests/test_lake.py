@@ -2727,6 +2727,68 @@ def test_merge_into_duplicate_match_raises(spark, tmp_path):
                 "k", "ver", "c").collect()] == [("k1", 9, "upd")]
 
 
+def test_partial_update_null_precombine(spark, tmp_path):
+    """NULL precombine through the partial_update write fold (r12
+    review pin): max_by over a BARE column order skips null-ordered
+    rows, which would fold a null-precombine-only key to a ghost row
+    of all-null columns — the struct-wrapped order must instead rank
+    null lowest (loses to any non-null), matching _merge's discipline.
+    Legs: a key whose ONLY row has null precombine survives intact; a
+    mixed null/non-null duplicate pair in ONE batch keeps the non-null
+    version's precombine while the null twin's field fills; identical
+    on both table types."""
+    sch = "k string, ver long, c string, d string"
+    ends = {}
+    for tt in ("COPY_ON_WRITE", "MERGE_ON_READ"):
+        t = LakeTable(
+            spark, str(tmp_path), "d", f"punull_{tt}", ["k"], "ver",
+            table_type=tt, payload="partial_update",
+        )
+        t.write(
+            spark.createDataFrame(
+                [("solo", None, "A", None),
+                 ("mix", 5, None, "D5"),
+                 ("mix", None, "B", None)],
+                sch,
+            ),
+            op="upsert", instant="001",
+        )
+        rows = sorted(
+            tuple(r)
+            for r in t.snapshot().select("k", "ver", "c", "d").collect()
+        )
+        # solo: the null-precombine row IS the unit, fully intact;
+        # mix: unit precombine = 5 (non-null beats null), c fills from
+        # the null twin, d carried by the winner
+        assert rows == [
+            ("mix", 5, "B", "D5"),
+            ("solo", None, "A", None),
+        ], (tt, rows)
+        ends[tt] = rows
+    assert ends["COPY_ON_WRITE"] == ends["MERGE_ON_READ"]
+
+
+def test_merge_into_insert_only_skips_ambiguity_gate(spark, tmp_path):
+    """An INSERT-ONLY merge (no update_set, no delete_condition)
+    ignores matched rows entirely, so duplicate matches modify nothing
+    and must NOT raise (ANSI's cardinality rule applies only to
+    update/delete clauses — r12 review pin): the unmatched rows insert,
+    the matched duplicates are dropped."""
+    sch = "k string, ver long, c string"
+    t = LakeTable(spark, str(tmp_path), "m", "insonly", ["k"], "ver")
+    t.write(
+        spark.createDataFrame([("k1", 1, "orig")], sch),
+        op="insert", instant="001",
+    )
+    src = spark.createDataFrame(
+        [("k1", 2, "dupA"), ("k1", 3, "dupB"), ("k2", 1, "new")], sch
+    )
+    t.merge_into(src)  # insert-only: must not raise on the k1 dups
+    assert sorted(
+        tuple(r) for r in t.snapshot().select("k", "ver", "c").collect()
+    ) == [("k1", 1, "orig"), ("k2", 1, "new")]
+
+
 def test_merge_into_requires_existing_table(spark, tmp_path):
     t = make_table(spark, tmp_path)
     with pytest.raises(ValueError, match="non-existent"):

@@ -3758,7 +3758,7 @@ def sim_ann_recall_sampled(spark: SparkSession, sf_dir: str) -> DataFrame:
 #: smallest % 50 ids, so the ADC join is O(corpus), never O(|Q|·corpus)
 #: with |Q| growing alongside the data.
 _OPQ_STATS_FRAC = 0.25
-_OPQ_SAMPLED_NQ = 16
+_OPQ_SAMPLED_NQ = _ANN_PANEL_NQ  # same fixed serving panel
 
 _OPQ_SAMPLED_PERM_CTES = _opq_perm_ctes(
     "ener_os", "perm_os", "emb_ps",

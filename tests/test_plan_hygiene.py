@@ -263,6 +263,48 @@ def test_mor_partial_fold_single_data_shuffle(spark):
     assert plan.count("Exchange hashpartitioning(_partition_path") <= 2
 
 
+def test_precombine_batch_fold_is_one_hash_agg(spark):
+    """The r12 write-time batch preCombine (_precombine_batch /
+    _partial_fold): the pairwise closed form must plan as ONE hash
+    aggregation with map-side partial combine on the key — no Window,
+    no Sort, no second data shuffle. A window- or sort-based rewrite
+    would put a per-key sort on EVERY partial_update write's hot
+    path."""
+    import tempfile
+
+    from pyspark.sql import functions as F
+
+    from emr_hudi_example_spark.lake import LakeTable
+
+    base = (
+        spark.read.parquet(f"{SF_CORRECT}/customer.parquet")
+        .withColumn("ver", F.lit(1).cast("long"))
+    )
+    t = LakeTable(
+        spark, tempfile.mkdtemp(), "d", "pcbplan", ["c_custkey"],
+        "ver", payload="partial_update",
+    )
+    folded = t._precombine_batch(t._stamp(base, "001"))
+    plan = folded._jdf.queryExecution().executedPlan().toString()
+    assert "Window" not in plan
+    assert plan.count("Exchange") == 1, plan
+    assert "partial_max_by" in plan or "HashAggregate" in plan
+    # and the fold is value-correct for a 3-version duplicate batch
+    # (the non-associativity example from the ADVICE/review round)
+    dup = spark.createDataFrame(
+        [("k", 6, None), ("k", 3, "B"), ("k", 4, "C")],
+        "k string, ver long, c string",
+    )
+    t2 = LakeTable(
+        spark, tempfile.mkdtemp(), "d", "pcbval", ["k"], "ver",
+        payload="partial_update",
+    )
+    out = t2._precombine_batch(t2._stamp(dup, "001"))
+    assert [
+        tuple(r) for r in out.select("k", "ver", "c").collect()
+    ] == [("k", 6, "C")]
+
+
 def test_corpus_cell_assign_partial_agg_not_window(spark):
     """assign_cells(n_assign=1) — the corpus side of every IVF
     composition — must plan as an aggregation with a map-side

@@ -2677,10 +2677,22 @@ class LakeTable:
                 .orderBy(F.col(COMMIT_TIME_COL), F.col(self.precombine))
                 .rowsBetween(Window.unboundedPreceding, Window.currentRow)
             )
+            # struct-wrapped running max + null-safe equality: a bare
+            # max() ignores null precombines and bare == yields SQL
+            # NULL on them, so an all-null-precombine key had NO
+            # eligible version and fell through to the fill-first leg
+            # — oldest non-null won on MOR while COW's ties->incoming
+            # order let the newest win (r12 review find, live COW/MOR
+            # divergence). Wrapped, a null precombine simply ranks
+            # lowest and null ties null, so ties resolve by commit
+            # order exactly like _merge's (precombine, _is_new).
             df = df.withColumn(
-                "_run_max", F.max(self.precombine).over(run_w)
+                "_run_max",
+                F.max(F.struct(F.col(self.precombine))).over(run_w),
             )
-            elig = F.col(self.precombine) == F.col("_run_max")
+            elig = F.struct(F.col(self.precombine)).eqNullSafe(
+                F.col("_run_max")
+            )
             fold_order = F.struct(
                 F.col(COMMIT_TIME_COL), F.col(self.precombine)
             )

@@ -946,7 +946,14 @@ def _validate_seed_count(
     would otherwise train/encode against a wrong-sized codebook with no
     error (size the slice with ``PQ_N_CODES``, or pass ``n_codes``
     explicitly next to it). Injected frames are pre-localized
-    LocalRelations by contract, so the count is driver-cheap."""
+    LocalRelations by contract, so the count is driver-cheap. This is
+    deliberately STRICTER than the derived-seeds path on degenerate
+    corpora: a corpus with fewer than ``n_codes`` vectors shrinks the
+    derived codebook silently, while an injected short slice raises —
+    pass the matching smaller ``n_codes`` explicitly there (the raise
+    cannot distinguish a short corpus from a drifted slice bound, and
+    silent acceptance would mask the drift bug this guard exists
+    for)."""
     n_seed = seeds.count()
     if n_seed != n_codes:
         raise ValueError(

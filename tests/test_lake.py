@@ -2765,7 +2765,53 @@ def test_partial_update_null_precombine(spark, tmp_path):
             ("solo", None, "A", None),
         ], (tt, rows)
         ends[tt] = rows
+
+        # CROSS-COMMIT null precombines (r12 review find, live COW/MOR
+        # divergence before the null-safe eligibility fix): null ties
+        # null -> the NEWER commit overwrites (exactly _merge's
+        # ties-to-incoming); a later null loses to a stored non-null
+        # (fills only); a later non-null beats a stored null
+        t2 = LakeTable(
+            spark, str(tmp_path), "d", f"punullx_{tt}", ["k"], "ver",
+            table_type=tt, payload="partial_update",
+        )
+        t2.write(
+            spark.createDataFrame(
+                [("nn", None, "B", None),
+                 ("up", None, "B", None),
+                 ("dn", 5, "X", None)],
+                sch,
+            ),
+            op="upsert", instant="001",
+        )
+        t2.write(
+            spark.createDataFrame(
+                [("nn", None, "C", None),   # null ties null: overwrite
+                 ("up", 3, "C", None),      # non-null beats null
+                 ("dn", None, None, "D")],  # null loses: fill only
+                sch,
+            ),
+            op="upsert", instant="002",
+        )
+        rows2 = sorted(
+            tuple(r)
+            for r in t2.snapshot().select("k", "ver", "c", "d").collect()
+        )
+        assert rows2 == [
+            ("dn", 5, "X", "D"),
+            ("nn", None, "C", None),
+            ("up", 3, "C", None),
+        ], (tt, rows2)
+        if tt == "MERGE_ON_READ":
+            t2.compact()
+            assert sorted(
+                tuple(r)
+                for r in t2.snapshot()
+                .select("k", "ver", "c", "d").collect()
+            ) == rows2
+        ends[("x", tt)] = rows2
     assert ends["COPY_ON_WRITE"] == ends["MERGE_ON_READ"]
+    assert ends[("x", "COPY_ON_WRITE")] == ends[("x", "MERGE_ON_READ")]
 
 
 def test_merge_into_insert_only_skips_ambiguity_gate(spark, tmp_path):

@@ -339,13 +339,17 @@ def _pu_apply(model: dict, rows: list[tuple]) -> None:
     (re-attributed) max OVERWRITES the columns it carries non-null; a
     STALE unit FILLS still-null columns only — Hudi's
     PartialUpdateAvroPayload takes the losing record's field whenever
-    the winner's is null."""
+    the winner's is null. Null precombines rank LOWEST and null ties
+    null (ties resolve toward the newer row — _merge's ties-to-incoming
+    and the MOR fold's null-safe eligibility, r12)."""
     units: dict = {}
-    for k, v, a, b in sorted(rows, key=lambda r: r[1]):
+    for k, v, a, b in sorted(
+        rows, key=lambda r: (r[1] is not None, r[1] if r[1] is not None else 0)
+    ):
         u = units.get(k)
         if u is None:
             units[k] = (v, a, b)
-        elif v >= u[0]:
+        elif _pu_wins(v, u[0]):
             units[k] = (
                 v,
                 a if a is not None else u[1],
@@ -361,7 +365,7 @@ def _pu_apply(model: dict, rows: list[tuple]) -> None:
         st = model.get(k)
         if st is None:
             model[k] = (v, a, b)
-        elif v >= st[0]:
+        elif _pu_wins(v, st[0]):
             model[k] = (
                 v,
                 a if a is not None else st[1],
@@ -373,6 +377,17 @@ def _pu_apply(model: dict, rows: list[tuple]) -> None:
                 st[1] if st[1] is not None else a,
                 st[2] if st[2] is not None else b,
             )
+
+
+def _pu_wins(v, prior) -> bool:
+    """Ties-or-beats under null-ranks-lowest / null-ties-null: the
+    incoming version overwrites iff this holds (ties go to the newer
+    row on both engines' folds)."""
+    if v is None:
+        return prior is None
+    if prior is None:
+        return True
+    return v >= prior
 
 
 def _pu_batch(rng: random.Random, ver: int, stale: bool) -> list[tuple]:
@@ -390,7 +405,10 @@ def _pu_batch(rng: random.Random, ver: int, stale: bool) -> list[tuple]:
     rows = []
     used: dict[int, set] = {}
     for k in keys:
-        v = rng.randint(0, ver - 1) if stale else ver
+        if stale and rng.random() < 0.15:
+            v = None  # null precombine: ranks lowest (r12 null-safety)
+        else:
+            v = rng.randint(0, ver - 1) if stale else ver
         used[k] = {v}
         rows.append(
             (
@@ -405,7 +423,7 @@ def _pu_batch(rng: random.Random, ver: int, stale: bool) -> list[tuple]:
         for _extra in range(rng.randint(1, 2)):
             pool = [
                 v
-                for v in range(ver if stale else ver + 1)
+                for v in [None, *range(ver if stale else ver + 1)]
                 if v not in used[k]
             ]
             if not pool:

@@ -2118,6 +2118,18 @@ class LakeTable:
         nothing (ANSI's cardinality rule likewise applies only to
         update/delete clauses).
 
+        Known concurrency window (by design, matching this method's
+        compute-outside-lock shape): the ambiguity gate and the
+        matched/unmatched classification read a snapshot taken BEFORE
+        the writer lock is acquired, so a concurrent writer that
+        commits duplicate target rows between the gate passing and the
+        merge committing is not re-detected — the same optimistic
+        window every compute-then-publish path here has (see
+        :meth:`write_optimistic`). Single-writer-per-table (the
+        reference's ZooKeeper-lock deployment model) makes the gate
+        exact; under multi-writer OCC, re-derive the match under the
+        lock if strict ANSI cardinality is required.
+
         Scale shape: matched/unmatched classification is ONE shuffle
         join of source against the snapshot on the record key; the
         commit then reuses the upsert path's two-level file pruning
@@ -2197,7 +2209,11 @@ class LakeTable:
         with self._writer_lock():
             inst = self._next_instant(instant)
             up = self._prepare_batch(upserts, inst)
-            dl = self._prepare_batch(del_full, inst)
+            # delete leg: combine=False — the ambiguity gate above
+            # already guarantees one matched row per key, so a
+            # preCombine over del_full is a pure no-op aggregation
+            # (and delete batches never combine, see _prepare_batch)
+            dl = self._prepare_batch(del_full, inst, combine=False)
             if self.is_mor:
                 batch = up.unionByName(
                     dl.withColumn(DELETED_COL, F.lit(True))
@@ -2247,7 +2263,9 @@ class LakeTable:
         os.makedirs(self.path, exist_ok=True)
         return self.lock_provider.held(self.lock_wait_seconds)
 
-    def _prepare_batch(self, df: DataFrame, instant: str) -> DataFrame:
+    def _prepare_batch(
+        self, df: DataFrame, instant: str, combine: bool = True
+    ) -> DataFrame:
         # PK-not-null gate, applied on every write path
         # (genPrimaryKeyFilter, SRC/package.scala:185-188).
         df = df.filter(pk_not_null_condition(self.record_keys))
@@ -2255,7 +2273,14 @@ class LakeTable:
             df.drop(*[c for c in META_COLS + [DELETED_COL] if c in df.columns]),
             instant,
         )
-        if self.payload == "partial_update":
+        # combine=False on DELETE paths: Hudi's combine-before-write
+        # applies to insert/upsert payload merging, not delete-key
+        # batches — a keys-only delete frame (the documented
+        # _commit_delete contract) carries no precombine column to
+        # fold on, and tombstones have no data columns to pairwise
+        # fill (the r13 ADVICE finding: preCombining a MOR keys-only
+        # delete raised UNRESOLVED_COLUMN on the precombine).
+        if self.payload == "partial_update" and combine:
             out = self._precombine_batch(out)
         if self.is_mor:
             out = out.withColumn(DELETED_COL, F.lit(False))
@@ -2276,8 +2301,11 @@ class LakeTable:
         reduction order — ascending precombine — where Hudi's
         arbitrary-order reduce is nondeterministic on such batches;
         ties on the precombine are unspecified, as in Hudi. Runs on
-        EVERY partial_update write path via :meth:`_prepare_batch`, so
-        one version per (key, commit) is a table invariant. That
+        EVERY partial_update insert/upsert path via
+        :meth:`_prepare_batch` (delete-key batches skip it — they
+        carry no payload to combine and may be keys-only frames with
+        no precombine column at all), so one version per (key, commit)
+        is a table invariant for data rows. That
         invariant is what keeps the COW union fold (:meth:`_merge`) and
         the MOR read fold (:meth:`_merged_read`) equal to the
         sequential pairwise model on histories with duplicate keys in
@@ -2532,7 +2560,7 @@ class LakeTable:
             # tombstone delta: stored-schema row with _deleted=true; the
             # read merge kills every data row committed before it
             tomb = self._align_schema(
-                self._prepare_batch(df, inst).withColumn(
+                self._prepare_batch(df, inst, combine=False).withColumn(
                     DELETED_COL, F.lit(True)
                 )
             )

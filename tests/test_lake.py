@@ -178,6 +178,52 @@ def test_partial_update_duplicate_keys_in_batch(spark, tmp_path):
     assert ends[3]["COPY_ON_WRITE"] == ends[3]["MERGE_ON_READ"]
 
 
+def test_partial_update_keys_only_delete(spark, tmp_path):
+    """Keys-only delete batches on ``payload='partial_update'`` tables
+    (the r13 ADVICE high finding): ``_commit_delete``'s documented
+    contract — 'the delete batch only needs the key columns' — must
+    hold on BOTH table types. The r12 within-batch preCombine ran on
+    every write path including MOR tombstones, so a keys-only frame
+    (no precombine column) raised UNRESOLVED_COLUMN before anything
+    committed. Delete batches now skip the combine (Hudi's
+    combine-before-write applies to insert/upsert payload merging,
+    not delete keys). Also pins: duplicate keys in a delete batch are
+    harmless (identical tombstones fold to one), and a delete batch
+    that DOES carry extra columns still works."""
+    sch = "k string, ver long, c string"
+    for tt in ("COPY_ON_WRITE", "MERGE_ON_READ"):
+        t = LakeTable(
+            spark, str(tmp_path), "d", f"pudel_{tt}", ["k"], "ver",
+            table_type=tt, payload="partial_update",
+        )
+        t.write(
+            spark.createDataFrame(
+                [("k1", 5, "A"), ("k2", 3, "B"), ("k3", 1, "C")], sch
+            ),
+            op="upsert", instant="001",
+        )
+        # keys-only frame — no precombine, no data columns; with a
+        # duplicate key to pin that tombstones need no combine
+        t.write(
+            spark.createDataFrame([("k1",), ("k1",), ("k3",)], "k string"),
+            op="delete", instant="002",
+        )
+        rows = sorted(
+            tuple(r) for r in t.snapshot().select("k", "ver", "c").collect()
+        )
+        assert rows == [("k2", 3, "B")], (tt, rows)
+        # full-schema delete frame still works too
+        t.write(
+            spark.createDataFrame([("k2", 99, None)], sch),
+            op="delete", instant="003",
+        )
+        assert t.snapshot().count() == 0, tt
+        # and on MOR the tombstones survive compaction
+        if tt == "MERGE_ON_READ":
+            t.compact()
+            assert t.snapshot().count() == 0
+
+
 def test_upsert_larger_precombine_wins(spark, tmp_path):
     t = make_table(spark, tmp_path)
     base = cust(spark, ver=1)

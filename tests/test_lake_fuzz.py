@@ -14,7 +14,10 @@ Hudi.
 
 Model semantics (DefaultHoodieRecordPayload, as in
 test_merge_properties): an incoming row replaces the stored row iff
-its precombine is >= the stored one. Batches are generated with unique
+its precombine ties-or-beats the stored one under null-ranks-lowest /
+null-ties-null ordering (r13: the lattice generates NULL precombines
+on the default payload too — the r12 divergence class lived exactly
+in the fold the fuzz didn't reach). Batches are generated with unique
 keys, so there is no within-batch arbitrariness and the model is
 exact, not a set of admissible outcomes.
 """
@@ -35,14 +38,28 @@ def _batch(rng: random.Random, ver: int, stale: bool) -> list[tuple]:
     keys = rng.sample(range(40), rng.randint(1, 12))
     rows = []
     for k in keys:
-        v = rng.randint(0, ver - 1) if stale else ver
+        if stale and rng.random() < 0.2:
+            # null precombine on the DEFAULT payload (r13, VERDICT #5
+            # — the r12 null-safety fix and fuzz axis were
+            # partial_update-scoped; the bug class was "the fold the
+            # fuzz didn't reach"): ranks lowest, null ties null with
+            # ties-to-incoming — see _apply_upsert
+            v = None
+        else:
+            v = rng.randint(0, ver - 1) if stale else ver
         rows.append((k, v, rng.randint(0, 999), _part(k)))
     return rows
 
 
 def _apply_upsert(model: dict, rows: list[tuple]) -> None:
+    # DefaultHoodieRecordPayload order under nulls, the engine's
+    # DEFINED semantics on both table types (struct-wrapped orders in
+    # _merge / _merged_read): null precombine ranks LOWEST, null ties
+    # null, and ties resolve toward the newer row (_merge's
+    # (precombine, _is_new) / the MOR fold's (precombine, commit_time))
+    # — the same _pu_wins predicate the partial_update model uses.
     for k, v, p, part in rows:
-        if k not in model or v >= model[k][0]:
+        if k not in model or _pu_wins(v, model[k][0]):
             model[k] = (v, p, part)
 
 
@@ -221,9 +238,12 @@ def test_op_sequence_matches_model(
     some_payload = next(
         (p for _v, p, _part in model.values()), 0
     )
+    # SQL three-valued logic on the model side: a NULL ver (the r13
+    # null-precombine axis) fails every range predicate, exactly as the
+    # engine's Spark-side row filter drops it
     for pred, cond in [
         ([("payload", "<=", 500)], lambda r: r[2] <= 500),
-        ([("ver", ">", 5)], lambda r: r[1] > 5),
+        ([("ver", ">", 5)], lambda r: r[1] is not None and r[1] > 5),
         (
             [("payload", "between", (100, 800))],
             lambda r: 100 <= r[2] <= 800,

@@ -71,6 +71,30 @@ def query(name: str, oracle: str | None = None):
     return deco
 
 
+#: Exact-truth measurement harnesses retired from the GRADED catalog
+#: (r13, per the r12 verdict): their work is corpus-proportional BY
+#: CONSTRUCTION (exhaustive recall truth, corpus-proportional nlist) —
+#: they are the instruments that MEASURE the bounded serving recipes'
+#: quality, not serving paths themselves, and their bounded ``_sampled``
+#: twins already grade the serving shapes. They stay value-verified
+#: against their DuckDB oracles at fixture scale every session
+#: (``tests/test_catalog_oracle.py::test_retired_eval_match``) — the
+#: same compare, just not in the driver's 10x-graded window.
+RETIRED_Q: dict = {}
+RETIRED_ORACLE: dict = {}
+
+
+def retired_query(name: str, oracle: str):
+    """Register a pytest-pinned (non-graded) eval harness."""
+
+    def deco(fn):
+        RETIRED_Q[name] = fn
+        RETIRED_ORACLE[name] = oracle
+        return fn
+
+    return deco
+
+
 # =========================================================================
 # Flagship — the reference's full medallion chain in one plan:
 # ODS (lineitem) → DWD (dim-enrich left join, SRC/ODS2DWD.scala:58-62)

@@ -126,6 +126,7 @@ def main() -> None:
     sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
     from emr_hudi_example_spark import all_queries as catalog
     from emr_hudi_example_spark import catalog_pipelines as _cp
+    from emr_hudi_example_spark.catalog import RETIRED_Q as _retired
     from emr_hudi_example_spark.session import get_spark_session
 
     spark = get_spark_session(app_name="sf1-spot")
@@ -139,7 +140,10 @@ def main() -> None:
             for _ in range(runs):
                 _cp._MEDALLION_CACHE.clear()
                 t0 = time.perf_counter()
-                n = catalog.Q[name](spark, sf_dir).count()
+                # retired eval harnesses (r13) live outside the graded
+                # registry but keep their scale legs measurable here
+                fn = catalog.Q.get(name) or _retired[name]
+                n = fn(spark, sf_dir).count()
                 el = time.perf_counter() - t0
                 best = el if best is None else min(best, el)
             results.setdefault(name, {})[label] = round(best, 2)

@@ -6,6 +6,7 @@ from __future__ import annotations
 import pytest
 
 from emr_hudi_example_spark import all_queries as catalog
+from emr_hudi_example_spark import catalog as _cat
 from tests.conftest import SF_CORRECT
 from tests.harness import compare
 
@@ -13,6 +14,18 @@ from tests.harness import compare
 @pytest.mark.parametrize("name", sorted(catalog.ORACLE))
 def test_oracle_match(spark, name):
     compare(spark, name, catalog.Q[name], catalog.ORACLE[name], SF_CORRECT)
+
+
+@pytest.mark.parametrize("name", sorted(_cat.RETIRED_ORACLE))
+def test_retired_eval_match(spark, name):
+    """The retired exact-truth eval harnesses (r13: corpus-proportional
+    measurement instruments moved out of the driver-graded window —
+    their bounded twins grade the serving shapes) keep EXACTLY the
+    same value gate here: Spark vs DuckDB oracle at fixture scale."""
+    compare(
+        spark, name, _cat.RETIRED_Q[name], _cat.RETIRED_ORACLE[name],
+        SF_CORRECT,
+    )
 
 
 def test_all_queries_return_rows_with_scalar_columns(spark):

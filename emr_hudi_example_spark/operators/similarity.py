@@ -1061,6 +1061,54 @@ def pq_codes(
     )
 
 
+def _adc_lut_arrays(
+    lut_wide: DataFrame, key_cols: list[str], n_subspaces: int
+) -> DataFrame:
+    """Fold per-(key, codeword) sub-distance rows into per-key LUT
+    ARRAYS — one ``array<double>`` per subspace, indexed by codeword
+    id (cids are dense 0..n_codes-1 by construction, row_number-derived
+    in every codebook builder). This is FAISS's actual ADC layout: the
+    LUT is a contiguous array the scan indexes by code byte, not a
+    relation it joins on. One tiny aggregation (|keys|·n_codes input
+    rows — keys are the broadcast query panel), after which the ADC
+    sum is a ROW-WISE expression over the wide code columns
+    (:func:`_adc_expr`): no stack to n_subspaces× rows, no (m, code)
+    join, no corpus×|Q| re-aggregation shuffle — the r13 rewrite that
+    removed two corpus-sized exchanges from every ADC serving plan."""
+    aggs = [
+        F.transform(
+            F.array_sort(
+                F.collect_list(
+                    F.struct(
+                        F.col("cid").alias("c"),
+                        F.col(f"d_{m}").alias("d"),
+                    )
+                )
+            ),
+            lambda s: s["d"],
+        ).alias(f"_lut_{m}")
+        for m in range(n_subspaces)
+    ]
+    return lut_wide.groupBy(*key_cols).agg(*aggs)
+
+
+def _adc_expr(n_subspaces: int) -> Column:
+    """Row-wise ADC distance: ``Σ_m lut_m[code_m]`` with each term cast
+    to DECIMAL(27,12) so the fixed-order 8-term sum is exact (decimal
+    addition is associative — bit-identical to the former
+    ``sum(decimal)`` aggregation under any partitioning)."""
+    terms = [
+        F.element_at(F.col(f"_lut_{m}"), F.col(f"code_{m}") + 1).cast(
+            "decimal(27,12)"
+        )
+        for m in range(n_subspaces)
+    ]
+    s = terms[0]
+    for t in terms[1:]:
+        s = s + t
+    return s.cast("double")
+
+
 def pq_adc_topk(
     vectors: DataFrame,
     queries: DataFrame,
@@ -1105,26 +1153,18 @@ def pq_adc_topk(
         lut_wide = lut_wide.withColumn(
             f"d_{m}", _sub_sqdist(F.col("_q"), F.col("_sv"), m, sub_dim)
         )
-    stack_lut = ", ".join(f"{m}, d_{m}" for m in range(n_subspaces))
-    lut = lut_wide.selectExpr(
-        "query_id", "cid", f"stack({n_subspaces}, {stack_lut}) AS (m, d)"
-    )
-    stack_codes = ", ".join(f"{m}, code_{m}" for m in range(n_subspaces))
-    codes_long = codes.selectExpr(
-        id_col, f"stack({n_subspaces}, {stack_codes}) AS (m, code)"
-    )
-    joined = codes_long.join(
-        F.broadcast(lut),
-        (codes_long["m"] == lut["m"]) & (codes_long["code"] == lut["cid"]),
-    ).select("query_id", id_col, "d")
+    # per-query LUT arrays + row-wise sum (r13): the scan streams the
+    # corpus's wide code rows once against the broadcast LUT arrays —
+    # no stack to n_subspaces× rows, no (m, code) join, no
+    # corpus×|Q| re-aggregation shuffle (FAISS's array-indexed ADC)
+    lut_arr = _adc_lut_arrays(lut_wide, ["query_id"], n_subspaces)
     adc = (
-        joined.groupBy("query_id", id_col)
-        .agg(F.sum(F.col("d").cast("decimal(27,12)")).alias("s"))
+        codes.crossJoin(F.broadcast(lut_arr))
         .filter(F.col("query_id") != F.col(id_col))
         .select(
             "query_id",
             F.col(id_col).alias("neighbor_id"),
-            F.col("s").cast("double").alias("adc"),
+            _adc_expr(n_subspaces).alias("adc"),
         )
     )
     w = Window.partitionBy("query_id").orderBy(
@@ -1277,14 +1317,17 @@ def ivfpq_adc_topk(
         lut_wide = lut_wide.withColumn(
             f"d_{m}", _sub_sqdist(F.col("_q"), F.col("_sv"), m, sub_dim)
         )
-    stack_lut = ", ".join(f"{m}, d_{m}" for m in range(n_subspaces))
-    lut = lut_wide.selectExpr(
-        "query_id", "cid", f"stack({n_subspaces}, {stack_lut}) AS (m, d)"
-    )
-    stack_codes = ", ".join(f"{m}, code_{m}" for m in range(n_subspaces))
-    codes_long = codes.selectExpr(
-        id_col, f"stack({n_subspaces}, {stack_codes}) AS (m, code)"
-    )
+    # per-query LUT arrays (r13, see _adc_lut_arrays): the probe join
+    # attaches each candidate's wide code row, the broadcast LUT
+    # arrays ride in on query_id, and the ADC sum is a row-wise
+    # expression — the former stack/(m,code)-join/re-aggregate shape
+    # paid a corpus×8 shuffle plus a cand-sized agg exchange.
+    # No distinct() on the candidate pairs: the corpus side is
+    # assigned to exactly ONE cell (n_assign=1) and a query's nprobe
+    # cells are distinct, so (query, neighbor) pairs are unique by
+    # construction — the old distinct was a full extra shuffle for a
+    # no-op.
+    lut_arr = _adc_lut_arrays(lut_wide, ["query_id"], n_subspaces)
     cand = (
         query_cells.select(
             F.col(id_col).alias("query_id"), "cell_id"
@@ -1297,25 +1340,14 @@ def ivfpq_adc_topk(
         )
         .filter(F.col("query_id") != F.col("neighbor_id"))
         .select("query_id", "neighbor_id")
-        .distinct()
     )
     adc = (
-        cand.join(
-            codes_long, cand["neighbor_id"] == codes_long[id_col]
-        )
-        .join(
-            F.broadcast(lut),
-            (cand["query_id"] == lut["query_id"])
-            & (codes_long["m"] == lut["m"])
-            & (codes_long["code"] == lut["cid"]),
-        )
-        .select(cand["query_id"], "neighbor_id", "d")
-        .groupBy("query_id", "neighbor_id")
-        .agg(F.sum(F.col("d").cast("decimal(27,12)")).alias("s"))
+        cand.join(codes, cand["neighbor_id"] == codes[id_col])
+        .join(F.broadcast(lut_arr), "query_id")
         .select(
             "query_id",
             "neighbor_id",
-            F.col("s").cast("double").alias("adc"),
+            _adc_expr(n_subspaces).alias("adc"),
         )
     )
     w = Window.partitionBy("query_id").orderBy(
@@ -1447,16 +1479,11 @@ def ivfpq_residual_topk(
         lut_wide = lut_wide.withColumn(
             f"d_{m}", _sub_sqdist(F.col("_qr"), F.col("_sv"), m, sub_dim)
         )
-    stack_lut = ", ".join(f"{m}, d_{m}" for m in range(n_subspaces))
-    lut = lut_wide.selectExpr(
-        "query_id",
-        "cell_id",
-        "cid",
-        f"stack({n_subspaces}, {stack_lut}) AS (m, d)",
-    )
-    stack_codes = ", ".join(f"{m}, code_{m}" for m in range(n_subspaces))
-    codes_long = codes.selectExpr(
-        id_col, f"stack({n_subspaces}, {stack_codes}) AS (m, code)"
+    # per-(query, probed cell) LUT arrays + row-wise ADC (r13, see
+    # _adc_lut_arrays); no distinct() — corpus n_assign=1 makes
+    # (query, neighbor, cell) unique by construction
+    lut_arr = _adc_lut_arrays(
+        lut_wide, ["query_id", "cell_id"], n_subspaces
     )
     cand = (
         query_cells.select(F.col(id_col).alias("query_id"), "cell_id")
@@ -1468,26 +1495,14 @@ def ivfpq_residual_topk(
         )
         .filter(F.col("query_id") != F.col("neighbor_id"))
         .select("query_id", "neighbor_id", "cell_id")
-        .distinct()
     )
     adc = (
-        cand.join(
-            codes_long, cand["neighbor_id"] == codes_long[id_col]
-        )
-        .join(
-            F.broadcast(lut),
-            (cand["query_id"] == lut["query_id"])
-            & (cand["cell_id"] == lut["cell_id"])
-            & (codes_long["m"] == lut["m"])
-            & (codes_long["code"] == lut["cid"]),
-        )
-        .select(cand["query_id"], "neighbor_id", "d")
-        .groupBy("query_id", "neighbor_id")
-        .agg(F.sum(F.col("d").cast("decimal(27,12)")).alias("s"))
+        cand.join(codes, cand["neighbor_id"] == codes[id_col])
+        .join(F.broadcast(lut_arr), ["query_id", "cell_id"])
         .select(
             "query_id",
             "neighbor_id",
-            F.col("s").cast("double").alias("adc"),
+            _adc_expr(n_subspaces).alias("adc"),
         )
     )
     w = Window.partitionBy("query_id").orderBy(

@@ -166,11 +166,20 @@ def test_semi_anti_plans_use_existence_joins(spark):
 
 
 def test_pq_adc_broadcasts_lut(spark):
-    # the per-query distance LUT must broadcast — a shuffled LUT join
-    # would re-shuffle the code stream per query batch
+    # the per-query LUT-ARRAY relation must broadcast (r13: full-scan
+    # ADC pairs every corpus code row with every panel query by
+    # DESIGN, so the pairing is a BroadcastNestedLoopJoin against the
+    # |panel|-row broadcast — what FAISS's array-indexed ADC scan is
+    # relationally); an unhinted CartesianProduct would shuffle the
+    # code stream instead
     plan = _plan(spark, "sim_pq_adc_topk")
-    assert "BroadcastHashJoin" in plan
+    assert "BroadcastNestedLoopJoin" in plan
     assert "CartesianProduct" not in plan
+    # and the ADC sum is row-wise — no (query, neighbor)-keyed
+    # re-aggregation shuffle: the only aggregates left are the encode
+    # argmin (keyed on vec_id) and the tiny LUT-array fold (keyed on
+    # query_id); each HashAggregate appears twice (partial + final)
+    assert plan.count("HashAggregate") <= 4, plan
 
 
 def test_ivfpq_broadcasts_lut_and_joins_on_cell(spark):
@@ -206,11 +215,12 @@ def test_pq_seeds_localization_matches_consumer_count(spark):
 
 def test_opq_adds_no_exchange_over_plain_pq(spark):
     # the OPQ permutation must be a free narrow projection: same
-    # broadcast-LUT shape as plain PQ-ADC, and NO additional shuffle
-    # beyond the (driver-collected, dim-row) statistics pass
+    # broadcast-LUT-array shape as plain PQ-ADC (r13), and NO
+    # additional shuffle beyond the (driver-collected, dim-row)
+    # statistics pass
     pq = _plan(spark, "sim_pq_adc_topk")
     opq = _plan(spark, "sim_opq_topk")
-    assert "BroadcastHashJoin" in opq
+    assert "BroadcastNestedLoopJoin" in opq
     assert "CartesianProduct" not in opq
     assert opq.count("Exchange") <= pq.count("Exchange")
 

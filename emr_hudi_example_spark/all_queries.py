@@ -38,13 +38,12 @@ from emr_hudi_example_spark.catalog import ORACLE, Q
 
 #: name prefixes of the subsystems whose substrate changed most this
 #: round, in priority order — used only as a TIE-BREAK within the same
-#: staleness group. Round 12: the lake kernel (partial_update
-#: write-time preCombine — every partial_update write path now
-#: pre-merges its batch), then the similarity family (fixed serving
-#: panels on all full ADC recipes, seed/n_codes coupling,
-#: InheritableThread localization), then pipelines (state-shuffle and
-#: medallion parallelism sizing).
-_SUBSTRATE_HINTS: list[str] = ["lake_", "sim_", "pipe_"]
+#: staleness group. Round 13: the similarity family first (the ADC
+#: serving rewrite — LUT arrays + row-wise sums on every PQ/IVF-PQ/
+#: OPQ path — and the adaptive sqrt nlist), then the lake kernel
+#: (delete-path preCombine skip, MERGE ambiguity row), then
+#: pipelines.
+_SUBSTRATE_HINTS: list[str] = ["sim_", "lake_", "pipe_"]
 
 
 def latest_driver_rows(root: str | None = None) -> dict[str, tuple[int, bool]]:

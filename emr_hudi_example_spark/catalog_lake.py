@@ -1674,6 +1674,82 @@ def lake_merge_endstate(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @query(
+    "lake_merge_ambiguity_contract",
+    oracle="""
+    SELECT tt, c_custkey, c_name, round(bal, 2) AS bal, ver,
+           CAST(1 AS INT) AS ambiguous_raises
+    FROM (
+      SELECT c_custkey, c_name,
+             CASE WHEN c_custkey % 10 = 0 THEN c_acctbal + 100.0
+                  ELSE c_acctbal END AS bal,
+             CAST(CASE WHEN c_custkey % 10 = 0 THEN 2 ELSE 1 END
+                  AS BIGINT) AS ver
+      FROM customer WHERE c_custkey % 20 <> 0)
+    CROSS JOIN (VALUES ('COW'), ('MOR')) AS t(tt)
+    """,
+)
+def lake_merge_ambiguity_contract(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    """MERGE cardinality contract under the driver's value gate (the
+    r12 review fix, ``lake/table.py merge_into``): a valid dup-free
+    MERGE (update + delete clauses, one source row per key) commits on
+    BOTH table types, then the AMBIGUOUS variant — a duplicate-key
+    source whose rows would route one version to update and another to
+    a second update of the same matched key — must raise BEFORE
+    committing (ANSI MERGE / Delta cardinality-violation semantics;
+    silent resolution is a COW/MOR seam — a same-instant tombstone +
+    data row reads differently through the MOR fold than through COW's
+    eager delete). Graded as VALUES: ``ambiguous_raises`` is 1 only if
+    the engine raised, and the row set itself proves the failed merge
+    left the committed end state untouched (raise-before-commit).
+    Duplicate UNMATCHED source keys (the deleted %20 slice re-offered
+    twice) are NOT ambiguous and flow through the upsert path's
+    precombine — the gate is scoped exactly to ANSI's matched-row
+    rule."""
+    base = (
+        load(spark, sf_dir, "customer")
+        .select("c_custkey", "c_name", "c_acctbal")
+        .withColumn("ver", F.lit(1).cast("long"))
+    )
+    outs = []
+    for tt in ("COW", "MOR"):
+        t = LakeTable(
+            spark, _tmp_base(), "q", f"mrgamb_{tt}", ["c_custkey"], "ver",
+            table_type=(
+                "MERGE_ON_READ" if tt == "MOR" else "COPY_ON_WRITE"
+            ),
+        )
+        t.write(base, op="insert", instant="001")
+        src = base.filter(F.col("c_custkey") % 10 == 0).withColumn(
+            "ver", F.lit(2).cast("long")
+        )
+        t.merge_into(
+            src,
+            update_set={"c_acctbal": "t.c_acctbal + 100.0", "ver": "s.ver"},
+            delete_condition="s.c_custkey % 20 = 0",
+            instant="002",
+        )
+        dup_src = src.unionByName(
+            src.withColumn("ver", F.lit(3).cast("long"))
+        )
+        raised = 0
+        try:
+            t.merge_into(dup_src, update_set={"ver": "s.ver"}, instant="003")
+        except ValueError:
+            raised = 1
+        outs.append(
+            t.snapshot().select(
+                F.lit(tt).alias("tt"),
+                "c_custkey", "c_name",
+                F.round("c_acctbal", 2).alias("bal"), "ver",
+                F.lit(raised).cast("int").alias("ambiguous_raises"),
+            )
+        )
+    return outs[0].unionByName(outs[1])
+
+
+@query(
     "lake_cleaner_endstate",
     oracle=f"""
     WITH u AS ({_B1_SQL} UNION ALL {_B2_SQL}

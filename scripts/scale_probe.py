@@ -11,10 +11,12 @@ cluster. Documents are key-shifted WITHOUT text perturbation, matching
 the round-1 probe: the resulting clone clusters are a worst-case
 duplicate-heavy corpus and exercise the LSH skew caps for real.
 
-Usage: python scripts/scale_probe.py [--lake-only] [mult ...]
-(default mults: 1 5 25; ``--lake-only`` runs just the lake-kernel
-legs — point reads, index/sidecar builds, bucket MOR — for the deep
-100× runs where the corpus operators would dominate wall-clock)
+Usage: python scripts/scale_probe.py [--lake-only|--ext-only|--pipe-only]
+[mult ...] (default mults: 1 5 25; ``--lake-only`` runs just the
+lake-kernel legs — point reads, index/sidecar builds, bucket MOR — for
+the deep 100× runs where the corpus operators would dominate
+wall-clock; ``--ext-only`` the dedup/ANN extension legs;
+``--pipe-only`` the streaming-state + medallion legs, r13)
 Writes scaled parquet under /tmp/scale_probe/ and prints one JSON line
 per (multiplier, operator) plus a summary table; results are recorded
 in BASELINE.md.
@@ -499,12 +501,74 @@ def run_ext_probe(spark: SparkSession, mult: int) -> list[dict]:
     return recs
 
 
+def run_pipe_probe(spark: SparkSession, mult: int) -> list[dict]:
+    """r13 deep-scale legs (r12 verdict #4) for the streaming-state and
+    medallion families, whose curves previously stopped at 10x. Builds
+    a ``<table>.parquet``-shaped scaled directory so the GRADED catalog
+    bodies run completely unmodified — the probe measures the graded
+    shapes, not probe-local rewrites. Clone construction matches the
+    other probes (key-shifted copies; event clones shift user_id too,
+    so per-user timelines — and therefore stream-join state per key —
+    stay fixture-dense while the KEY COUNT scales ×mult: exactly the
+    "state rows ∝ keys" claim under test)."""
+    import os
+
+    from emr_hudi_example_spark import all_queries as catalog
+    from emr_hudi_example_spark import catalog_pipelines as _cp
+
+    pdir = f"{WORK}/pipe_x{mult}"
+    shutil.rmtree(pdir, ignore_errors=True)
+    os.makedirs(pdir, exist_ok=True)
+    docs = spark.read.parquet(f"{SF_DIR}/documents.parquet")
+    scaled(docs, "doc_id", mult, 10_000_000).write.mode(
+        "overwrite"
+    ).parquet(f"{pdir}/documents.parquet")
+    orders = spark.read.parquet(f"{SF_DIR}/orders.parquet")
+    scaled(orders, "o_orderkey", mult, 10_000_000).write.mode(
+        "overwrite"
+    ).parquet(f"{pdir}/orders.parquet")
+    spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+    ev = spark.read.parquet(f"{SF_DIR}/events.parquet")
+    if dict(ev.dtypes).get("ts") == "bigint":  # TIMESTAMP(NANOS) fixture
+        ev = ev.withColumn("ts", F.timestamp_micros(F.expr("ts div 1000")))
+    out = ev
+    for i in range(1, mult):
+        out = out.unionByName(
+            ev.withColumn("user_id", F.col("user_id") + F.lit(i * 10_000_000))
+            .withColumn("event_id", F.col("event_id") + F.lit(i * 10_000_000))
+        )
+    out.write.mode("overwrite").parquet(f"{pdir}/events.parquet")
+    # dims verbatim: the medallion's customer join fan-out per order is
+    # scale-invariant (clones reuse the fixture custkeys)
+    spark.read.parquet(f"{SF_DIR}/customer.parquet").write.mode(
+        "overwrite"
+    ).parquet(f"{pdir}/customer.parquet")
+
+    recs = []
+    for name in (
+        "pipe_stream_dedup_endstate",
+        "pipe_stream_join_endstate",
+        "pipe_dwd2dm_endstate",
+    ):
+        _cp._MEDALLION_CACHE.clear()
+        recs.append(
+            timed(
+                name, mult,
+                lambda n=name: {"rows": catalog.Q[n](spark, pdir).count()},
+            )
+        )
+    return recs
+
+
 def main() -> None:
     args = sys.argv[1:]
     lake_only = "--lake-only" in args
     ext_only = "--ext-only" in args
+    pipe_only = "--pipe-only" in args
     mults = [
-        int(a) for a in args if a not in ("--lake-only", "--ext-only")
+        int(a)
+        for a in args
+        if a not in ("--lake-only", "--ext-only", "--pipe-only")
     ] or [1, 5, 25]
     sys.path.insert(0, "/root/repo")
     spark = (
@@ -518,11 +582,12 @@ def main() -> None:
     spark.sparkContext.setLogLevel("ERROR")
     all_recs = []
     for m in mults:
-        all_recs.extend(
-            run_ext_probe(spark, m)
-            if ext_only
-            else run_probe(spark, m, lake_only=lake_only)
-        )
+        if pipe_only:
+            all_recs.extend(run_pipe_probe(spark, m))
+        elif ext_only:
+            all_recs.extend(run_ext_probe(spark, m))
+        else:
+            all_recs.extend(run_probe(spark, m, lake_only=lake_only))
     by_op: dict[str, dict[int, dict]] = {}
     for r in all_recs:
         by_op.setdefault(r["op"], {})[r["mult"]] = r

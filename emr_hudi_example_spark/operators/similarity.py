@@ -62,6 +62,46 @@ def with_norm(df: DataFrame, vec_col: str = "embedding") -> DataFrame:
     )
 
 
+#: salt fan-out for the two-phase top-k — 32 buckets turns a 16-query
+#: serving panel's ranking shuffle into ~512 reducer partitions
+_TOPK_SALT = 32
+
+
+def _ranked_topk(
+    scored: DataFrame,
+    k: int,
+    order_cols: list[Column],
+    key: str = "query_id",
+    tie_col: str = "neighbor_id",
+) -> DataFrame:
+    """Skew-safe per-key top-k (r13): the SALTED two-phase window every
+    serving recipe ranks through. A single window partitioned by the
+    query id shuffles the whole scored stream into |queries| reducer
+    partitions — with a FIXED 16-query serving panel that is a
+    16-reducer bottleneck at any corpus size, the one non-scalable
+    stage left in the ADC plans. Phase 1 ranks within (key, salt) —
+    ``_TOPK_SALT`` deterministic xxhash64 buckets of the tie column —
+    keeping ≤k survivors per bucket (any global top-k row is top-k in
+    its own bucket, so no survivor is lost); phase 2 re-ranks the
+    ≤ salt·k rows per key, assigning EXACTLY the ranks the single
+    window would (the ordering is total: metric then unique tie id).
+    Adds one tiny exchange over ≤ |keys|·salt·k rows; the corpus-sized
+    exchange gains salt× parallelism."""
+    w1 = Window.partitionBy(key, "_tk_salt").orderBy(*order_cols)
+    w2 = Window.partitionBy(key).orderBy(*order_cols)
+    return (
+        scored.withColumn(
+            "_tk_salt",
+            F.pmod(F.xxhash64(F.col(tie_col)), F.lit(_TOPK_SALT)),
+        )
+        .withColumn("_r1", F.row_number().over(w1))
+        .filter(F.col("_r1") <= k)
+        .withColumn("rank", F.row_number().over(w2))
+        .filter(F.col("rank") <= k)
+        .drop("_tk_salt", "_r1")
+    )
+
+
 def quantize_embeddings(
     df: DataFrame,
     id_col: str = "vec_id",
@@ -125,15 +165,10 @@ def cosine_topk(
             ).alias("cos"),
         )
     )
-    w = Window.partitionBy("query_id").orderBy(
-        F.col("cos").desc(), F.col("neighbor_id").asc()
-    )
-    return (
-        scored.withColumn("rank", F.row_number().over(w))
-        .filter(F.col("rank") <= k)
-        .select(
-            "query_id", "neighbor_id", F.round("cos", 6).alias("cos"), "rank"
-        )
+    return _ranked_topk(
+        scored, k, [F.col("cos").desc(), F.col("neighbor_id").asc()]
+    ).select(
+        "query_id", "neighbor_id", F.round("cos", 6).alias("cos"), "rank"
     )
 
 
@@ -196,15 +231,10 @@ def quantized_cosine_topk(
             .alias("cos"),
         )
     )
-    w = Window.partitionBy("query_id").orderBy(
-        F.col("cos").desc(), F.col("neighbor_id").asc()
-    )
-    return (
-        scored.withColumn("rank", F.row_number().over(w))
-        .filter(F.col("rank") <= k)
-        .select(
-            "query_id", "neighbor_id", F.round("cos", 6).alias("cos"), "rank"
-        )
+    return _ranked_topk(
+        scored, k, [F.col("cos").desc(), F.col("neighbor_id").asc()]
+    ).select(
+        "query_id", "neighbor_id", F.round("cos", 6).alias("cos"), "rank"
     )
 
 
@@ -214,9 +244,23 @@ def assign_cells(
     id_col: str = "vec_id",
     vec_col: str = "embedding",
     n_assign: int = 1,
+    emit_residual: bool = False,
+    emit_vec: bool = False,
 ) -> DataFrame:
     """Assign each vector to its ``n_assign`` nearest centroids by cosine
-    (broadcast argmin — one narrow pass over the corpus)."""
+    (broadcast argmin — one narrow pass over the corpus).
+
+    ``emit_residual`` (``n_assign=1`` only): additionally return the
+    vector's residual against its WINNING centroid as ``_r`` — the
+    winning centroid's vector rides through the same ``min_by``
+    aggregation, so assignment + residual is ONE corpus pass (FAISS
+    computes both in its assign scan too). ``emit_vec`` (same
+    constraint): carry the vector and its norm (``_vec``/``_norm``)
+    through the aggregation instead. Without these the IVF recipes
+    re-joined the corpus against its own assignment — a corpus-sized
+    self-join exchange the fused aggregation makes unnecessary (r13)."""
+    if emit_residual and emit_vec:
+        raise ValueError("emit_residual and emit_vec are exclusive")
     v = with_norm(vectors, vec_col).select(
         F.col(id_col), F.col("_vec"), F.col("_norm")
     )
@@ -225,6 +269,11 @@ def assign_cells(
         F.col("_vec").alias("cen_vec"),
         F.col("_norm").alias("cen_norm"),
     )
+    keep = (
+        ["_vec", "cen_vec"]
+        if emit_residual
+        else (["_vec", "_norm"] if emit_vec else [])
+    )
     scored = v.crossJoin(F.broadcast(cen)).select(
         id_col,
         "cell_id",
@@ -232,7 +281,10 @@ def assign_cells(
             _dot(F.col("_vec"), F.col("cen_vec"))
             / (F.col("_norm") * F.col("cen_norm"))
         ).alias("cen_cos"),
+        *keep,
     )
+    if emit_residual and n_assign != 1:
+        raise ValueError("emit_residual requires n_assign=1")
     if n_assign == 1:
         # the corpus-side case (every IVF composition assigns the BIG
         # side to exactly one cell): hash aggregation, not a
@@ -250,11 +302,36 @@ def assign_cells(
         nulls_last = F.when(
             F.col("cen_cos").isNotNull(), -F.col("cen_cos")
         ).otherwise(F.lit(float("inf")))
+        order = F.struct(nulls_last.alias("_neg"), F.col("cell_id"))
+        if emit_residual:
+            # the vector and the winning centroid ride the same
+            # min_by (every candidate row carries the identical _vec,
+            # so min_by over the same order is just a deterministic
+            # carry); residual computed post-agg — one subtraction per
+            # vector, not per (vector, cell)
+            return (
+                scored.groupBy(id_col)
+                .agg(
+                    F.min_by("cell_id", order).alias("cell_id"),
+                    F.min_by("_vec", order).alias("_wv"),
+                    F.min_by("cen_vec", order).alias("_wc"),
+                )
+                .select(
+                    id_col,
+                    "cell_id",
+                    F.zip_with(
+                        "_wv", "_wc", lambda x, y: x - y
+                    ).alias("_r"),
+                )
+            )
+        if emit_vec:
+            return scored.groupBy(id_col).agg(
+                F.min_by("cell_id", order).alias("cell_id"),
+                F.min_by("_vec", order).alias("_vec"),
+                F.min_by("_norm", order).alias("_norm"),
+            )
         return scored.groupBy(id_col).agg(
-            F.min_by(
-                "cell_id",
-                F.struct(nulls_last.alias("_neg"), F.col("cell_id")),
-            ).alias("cell_id")
+            F.min_by("cell_id", order).alias("cell_id")
         )
     w = Window.partitionBy(id_col).orderBy(
         F.col("cen_cos").desc(), F.col("cell_id").asc()
@@ -262,7 +339,7 @@ def assign_cells(
     return (
         scored.withColumn("crank", F.row_number().over(w))
         .filter(F.col("crank") <= n_assign)
-        .select(id_col, "cell_id")
+        .select(id_col, "cell_id", *(keep if emit_vec else []))
     )
 
 
@@ -278,18 +355,19 @@ def ivf_cosine_topk(
     """IVF approximate top-k: corpus vectors live in their single nearest
     cell; each query probes its ``nprobe`` nearest cells and runs exact
     cosine only there."""
-    corpus_cells = assign_cells(corpus, centroids, id_col, vec_col, 1)
-    query_cells = assign_cells(queries, centroids, id_col, vec_col, nprobe)
-    c = with_norm(corpus, vec_col).select(
+    # fused assign+carry (r13): the corpus vector and norm ride the
+    # assignment aggregation, so the probe side is ONE corpus pass —
+    # the previous shape re-joined the corpus against its own
+    # assignment (a corpus-sized self-join exchange)
+    c = assign_cells(
+        corpus, centroids, id_col, vec_col, 1, emit_vec=True
+    ).select(
         F.col(id_col).alias("neighbor_id"),
+        "cell_id",
         F.col("_vec").alias("c_vec"),
         F.col("_norm").alias("c_norm"),
-    ).join(
-        corpus_cells.select(
-            F.col(id_col).alias("neighbor_id"), "cell_id"
-        ),
-        "neighbor_id",
     )
+    query_cells = assign_cells(queries, centroids, id_col, vec_col, nprobe)
     q = with_norm(queries, vec_col).select(
         F.col(id_col).alias("query_id"),
         F.col("_vec").alias("q_vec"),
@@ -309,18 +387,14 @@ def ivf_cosine_topk(
                 / (F.col("q_norm") * F.col("c_norm"))
             ).alias("cos"),
         )
-        .distinct()  # a neighbor can reach a query via ≤1 cell (corpus
-        # vectors live in one cell) — distinct guards n_assign>1 reuse
+        # no distinct: corpus vectors live in exactly ONE cell
+        # (n_assign=1), so each (query, neighbor) pair arrives once —
+        # the old guard was a full shuffle for a no-op
     )
-    w = Window.partitionBy("query_id").orderBy(
-        F.col("cos").desc(), F.col("neighbor_id").asc()
-    )
-    return (
-        scored.withColumn("rank", F.row_number().over(w))
-        .filter(F.col("rank") <= k)
-        .select(
-            "query_id", "neighbor_id", F.round("cos", 6).alias("cos"), "rank"
-        )
+    return _ranked_topk(
+        scored, k, [F.col("cos").desc(), F.col("neighbor_id").asc()]
+    ).select(
+        "query_id", "neighbor_id", F.round("cos", 6).alias("cos"), "rank"
     )
 
 
@@ -497,11 +571,14 @@ def cell_near_dup_pairs(
     ``n_assign`` (near-dups at high τ almost always share a nearest
     centroid). Results are deduplicated across shared cells.
     """
-    cells = assign_cells(vectors, centroids, id_col, vec_col, n_assign)
-    tagged = vectors.join(cells, id_col).select(
+    # fused assign+carry (r13): the vector rides the assignment pass —
+    # no corpus self-join against the cell mapping
+    tagged = assign_cells(
+        vectors, centroids, id_col, vec_col, n_assign, emit_vec=True
+    ).select(
         F.col("cell_id"),
         F.col(id_col).cast("long").alias("_id"),
-        F.col(vec_col).alias("_vec"),
+        F.col("_vec"),
     )
     thr = float(threshold)
 
@@ -563,10 +640,14 @@ def kmeans_refine(
     step. Loop it for more iterations; curation pipelines typically run
     a handful over a sampled corpus, then one final assignment pass.
     """
-    assign0 = assign_cells(vectors, centroids, id_col, vec_col, 1)
-    vals = vectors.join(assign0, id_col).select(
+    # fused assign+carry (r13): the vector rides the assignment pass —
+    # the mean recompute explodes straight off it, no corpus self-join
+    assign0 = assign_cells(
+        vectors, centroids, id_col, vec_col, 1, emit_vec=True
+    )
+    vals = assign0.select(
         F.col("cell_id").alias("cluster"),
-        F.posexplode(_as_double(vec_col)).alias("dim", "val"),
+        F.posexplode("_vec").alias("dim", "val"),
     )
     means = (
         vals.groupBy("cluster", "dim")
@@ -759,20 +840,15 @@ def hard_negatives(
             ).alias("cos"),
         )
     )
-    w = Window.partitionBy("query_id").orderBy(
-        F.col("cos").desc(), F.col("neighbor_id").asc()
-    )
-    return (
-        scored.withColumn("rank", F.row_number().over(w))
-        .filter(F.col("rank") <= k)
-        .select(
-            "query_id",
-            "query_label",
-            "neighbor_id",
-            "neighbor_label",
-            F.round("cos", 6).alias("cos"),
-            "rank",
-        )
+    return _ranked_topk(
+        scored, k, [F.col("cos").desc(), F.col("neighbor_id").asc()]
+    ).select(
+        "query_id",
+        "query_label",
+        "neighbor_id",
+        "neighbor_label",
+        F.round("cos", 6).alias("cos"),
+        "rank",
     )
 
 
@@ -1167,18 +1243,13 @@ def pq_adc_topk(
             _adc_expr(n_subspaces).alias("adc"),
         )
     )
-    w = Window.partitionBy("query_id").orderBy(
-        F.col("adc").asc(), F.col("neighbor_id").asc()
-    )
-    return (
-        adc.withColumn("rank", F.row_number().over(w))
-        .filter(F.col("rank") <= k)
-        .select(
-            "query_id",
-            "neighbor_id",
-            F.round("adc", 6).alias("adc_dist"),
-            "rank",
-        )
+    return _ranked_topk(
+        adc, k, [F.col("adc").asc(), F.col("neighbor_id").asc()]
+    ).select(
+        "query_id",
+        "neighbor_id",
+        F.round("adc", 6).alias("adc_dist"),
+        "rank",
     )
 
 
@@ -1350,18 +1421,13 @@ def ivfpq_adc_topk(
             _adc_expr(n_subspaces).alias("adc"),
         )
     )
-    w = Window.partitionBy("query_id").orderBy(
-        F.col("adc").asc(), F.col("neighbor_id").asc()
-    )
-    return (
-        adc.withColumn("rank", F.row_number().over(w))
-        .filter(F.col("rank") <= k)
-        .select(
-            "query_id",
-            "neighbor_id",
-            F.round("adc", 6).alias("adc_dist"),
-            "rank",
-        )
+    return _ranked_topk(
+        adc, k, [F.col("adc").asc(), F.col("neighbor_id").asc()]
+    ).select(
+        "query_id",
+        "neighbor_id",
+        F.round("adc", 6).alias("adc_dist"),
+        "rank",
     )
 
 
@@ -1393,21 +1459,18 @@ def ivfpq_residual_topk(
     subtraction is a narrow ``zip_with`` fused into the encode and
     LUT passes.
     """
-    corpus_cells = assign_cells(corpus, centroids, id_col, vec_col, 1)
+    # fused assign+residual (r13): the winning centroid rides the
+    # argmin aggregation, so corpus cell ids AND residuals come out of
+    # ONE broadcast pass — the previous shape re-joined the corpus
+    # against its own assignment plus the broadcast centroids (a
+    # corpus-sized self-join exchange)
+    res = assign_cells(
+        corpus, centroids, id_col, vec_col, 1, emit_residual=True
+    )
+    corpus_cells = res.select(id_col, "cell_id")
     query_cells = assign_cells(queries, centroids, id_col, vec_col, nprobe)
     cen = centroids.select(
         F.col(id_col).alias("cell_id"), _as_double(vec_col).alias("_c")
-    )
-    # corpus residuals
-    res = (
-        corpus.select(F.col(id_col), _as_double(vec_col).alias("_v"))
-        .join(corpus_cells, id_col)
-        .join(F.broadcast(cen), "cell_id")
-        .select(
-            id_col,
-            "cell_id",
-            F.zip_with("_v", "_c", lambda x, y: x - y).alias("_r"),
-        )
     )
     # residual codebook: residuals of the n_codes smallest-id vectors.
     # Derived from the n_codes-vector SLICE, not from ``res`` — a
@@ -1427,15 +1490,9 @@ def ivfpq_residual_topk(
         _validate_seed_count(
             seed_vecs, n_codes, "ivfpq_residual_topk", arg="seed_vecs"
         )
-    rseeds = (
-        seed_vecs.select(F.col(id_col), _as_double(vec_col).alias("_v"))
-        .join(assign_cells(seed_vecs, centroids, id_col, vec_col, 1), id_col)
-        .join(F.broadcast(cen), "cell_id")
-        .select(
-            F.col(id_col).alias("_sid"),
-            F.zip_with("_v", "_c", lambda x, y: x - y).alias("_sv"),
-        )
-    )
+    rseeds = assign_cells(
+        seed_vecs, centroids, id_col, vec_col, 1, emit_residual=True
+    ).select(F.col(id_col).alias("_sid"), F.col("_r").alias("_sv"))
     rseeds = rseeds.withColumn(
         "cid", F.row_number().over(Window.orderBy("_sid")) - 1
     ).drop("_sid")
@@ -1505,18 +1562,13 @@ def ivfpq_residual_topk(
             _adc_expr(n_subspaces).alias("adc"),
         )
     )
-    w = Window.partitionBy("query_id").orderBy(
-        F.col("adc").asc(), F.col("neighbor_id").asc()
-    )
-    return (
-        adc.withColumn("rank", F.row_number().over(w))
-        .filter(F.col("rank") <= k)
-        .select(
-            "query_id",
-            "neighbor_id",
-            F.round("adc", 6).alias("adc_dist"),
-            "rank",
-        )
+    return _ranked_topk(
+        adc, k, [F.col("adc").asc(), F.col("neighbor_id").asc()]
+    ).select(
+        "query_id",
+        "neighbor_id",
+        F.round("adc", 6).alias("adc_dist"),
+        "rank",
     )
 
 
@@ -1723,16 +1775,11 @@ def l2_topk(
             ).alias("sq"),
         )
     )
-    w = Window.partitionBy("query_id").orderBy(
-        F.col("sq").asc(), F.col("neighbor_id").asc()
-    )
-    return (
-        scored.withColumn("rank", F.row_number().over(w))
-        .filter(F.col("rank") <= k)
-        .select(
-            "query_id",
-            "neighbor_id",
-            F.round("sq", 6).alias("sq_dist"),
-            "rank",
-        )
+    return _ranked_topk(
+        scored, k, [F.col("sq").asc(), F.col("neighbor_id").asc()]
+    ).select(
+        "query_id",
+        "neighbor_id",
+        F.round("sq", 6).alias("sq_dist"),
+        "rank",
     )

@@ -550,13 +550,18 @@ def run_pipe_probe(spark: SparkSession, mult: int) -> list[dict]:
         "pipe_stream_join_endstate",
         "pipe_dwd2dm_endstate",
     ):
-        _cp._MEDALLION_CACHE.clear()
-        recs.append(
-            timed(
-                name, mult,
-                lambda n=name: {"rows": catalog.Q[n](spark, pdir).count()},
-            )
-        )
+        # min-of-2: the first leg of a fresh session otherwise carries
+        # JVM/codegen warmup (measured 13 s vs 5.5 s warm at 1x)
+        best = None
+        for _ in range(2):
+            _cp._MEDALLION_CACHE.clear()
+            t0 = time.perf_counter()
+            rows = catalog.Q[name](spark, pdir).count()
+            wall = round(time.perf_counter() - t0, 2)
+            best = wall if best is None or wall < best else best
+        rec = {"op": name, "mult": mult, "wall_sec": best, "rows": rows}
+        print(json.dumps(rec), flush=True)
+        recs.append(rec)
     return recs
 
 

@@ -3143,7 +3143,7 @@ def _ann_nlist_frame(emb: DataFrame, n: int = _ANN_NLIST) -> DataFrame:
     return emb.filter(F.col("vec_id") % 37 == 0).orderBy("vec_id").limit(n)
 
 
-def _ann_adaptive_nlist(emb: DataFrame) -> int:
+def _ann_adaptive_nlist(sf_dir: str) -> int:
     """FAISS-style coarse-quantizer sizing (r12 verdict #3): ``nlist =
     max(_ANN_NLIST, floor(sqrt(n_vectors)))`` — FAISS recommends
     nlist ~ sqrt(n), so per-cell membership and the probe join's
@@ -3153,11 +3153,17 @@ def _ann_adaptive_nlist(emb: DataFrame) -> int:
     degenerating to a handful of cells. DETERMINISTIC in both engines:
     IEEE-double sqrt of the exact corpus count here, ``greatest(N,
     CAST(floor(sqrt(count(*))) AS BIGINT))`` in the DuckDB oracle.
-    One scalar count() — a metadata-sized driver collect (M3-parity),
-    the same corpus statistic FAISS's index factory needs up front."""
+    The count reads the parquet FOOTER (zero Spark jobs, exact — the
+    same row count DuckDB's count(*) compiles to a metadata lookup
+    for); a table-format source would take it from commit stats the
+    same way. FAISS's index factory needs exactly this statistic up
+    front to size the quantizer it trains."""
     import math
 
-    return max(_ANN_NLIST, int(math.floor(math.sqrt(emb.count()))))
+    import pyarrow.parquet as pq
+
+    n = pq.ParquetFile(f"{sf_dir}/embeddings.parquet").metadata.num_rows
+    return max(_ANN_NLIST, int(math.floor(math.sqrt(n))))
 
 
 #: the oracle-side twin of :func:`_ann_adaptive_nlist` — inline this
@@ -3342,7 +3348,7 @@ def sim_ivfpq_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     (injected via ``seed_vecs`` — no serialized third TakeOrdered
     corpus collect)."""
     emb = load(spark, sf_dir, "embeddings")
-    nlist = _ann_adaptive_nlist(emb)
+    nlist = _ann_adaptive_nlist(sf_dir)
     panel, cen, seed16 = S.local_bounded_many(
         (_ann_panel_frame(emb), _ANN_PANEL_NQ),
         (_ann_nlist_frame(emb, nlist), nlist),

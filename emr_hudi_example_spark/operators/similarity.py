@@ -244,23 +244,20 @@ def assign_cells(
     id_col: str = "vec_id",
     vec_col: str = "embedding",
     n_assign: int = 1,
-    emit_residual: bool = False,
-    emit_vec: bool = False,
 ) -> DataFrame:
     """Assign each vector to its ``n_assign`` nearest centroids by cosine
     (broadcast argmin — one narrow pass over the corpus).
 
-    ``emit_residual`` (``n_assign=1`` only): additionally return the
-    vector's residual against its WINNING centroid as ``_r`` — the
-    winning centroid's vector rides through the same ``min_by``
-    aggregation, so assignment + residual is ONE corpus pass (FAISS
-    computes both in its assign scan too). ``emit_vec`` (same
-    constraint): carry the vector and its norm (``_vec``/``_norm``)
-    through the aggregation instead. Without these the IVF recipes
-    re-joined the corpus against its own assignment — a corpus-sized
-    self-join exchange the fused aggregation makes unnecessary (r13)."""
-    if emit_residual and emit_vec:
-        raise ValueError("emit_residual and emit_vec are exclusive")
+    Deliberately emits ONLY ``(id, cell_id)``: consumers that need the
+    vector alongside its cell join back on the id (a 1:1 join whose
+    agg side is already hash-partitioned on the key). An r13 attempt
+    to fuse the carry into this pass — vector columns riding the
+    ``×n_cells`` crossJoin and the argmin buffers — was measured and
+    REJECTED: the join-output duplication is corpus bytes × n_cells
+    (at nlist≈√n=31k cells that is a 31,000× byte blowup; even the
+    540-cell 10× fixture leg OOMed a 10-minute-healthy run), while
+    the self-join it saves costs one corpus exchange. Keep the
+    scored stream narrow."""
     v = with_norm(vectors, vec_col).select(
         F.col(id_col), F.col("_vec"), F.col("_norm")
     )
@@ -269,11 +266,6 @@ def assign_cells(
         F.col("_vec").alias("cen_vec"),
         F.col("_norm").alias("cen_norm"),
     )
-    keep = (
-        ["_vec", "cen_vec"]
-        if emit_residual
-        else (["_vec", "_norm"] if emit_vec else [])
-    )
     scored = v.crossJoin(F.broadcast(cen)).select(
         id_col,
         "cell_id",
@@ -281,10 +273,7 @@ def assign_cells(
             _dot(F.col("_vec"), F.col("cen_vec"))
             / (F.col("_norm") * F.col("cen_norm"))
         ).alias("cen_cos"),
-        *keep,
     )
-    if emit_residual and n_assign != 1:
-        raise ValueError("emit_residual requires n_assign=1")
     if n_assign == 1:
         # the corpus-side case (every IVF composition assigns the BIG
         # side to exactly one cell): hash aggregation, not a
@@ -303,33 +292,6 @@ def assign_cells(
             F.col("cen_cos").isNotNull(), -F.col("cen_cos")
         ).otherwise(F.lit(float("inf")))
         order = F.struct(nulls_last.alias("_neg"), F.col("cell_id"))
-        if emit_residual:
-            # the vector and the winning centroid ride the same
-            # min_by (every candidate row carries the identical _vec,
-            # so min_by over the same order is just a deterministic
-            # carry); residual computed post-agg — one subtraction per
-            # vector, not per (vector, cell)
-            return (
-                scored.groupBy(id_col)
-                .agg(
-                    F.min_by("cell_id", order).alias("cell_id"),
-                    F.min_by("_vec", order).alias("_wv"),
-                    F.min_by("cen_vec", order).alias("_wc"),
-                )
-                .select(
-                    id_col,
-                    "cell_id",
-                    F.zip_with(
-                        "_wv", "_wc", lambda x, y: x - y
-                    ).alias("_r"),
-                )
-            )
-        if emit_vec:
-            return scored.groupBy(id_col).agg(
-                F.min_by("cell_id", order).alias("cell_id"),
-                F.min_by("_vec", order).alias("_vec"),
-                F.min_by("_norm", order).alias("_norm"),
-            )
         return scored.groupBy(id_col).agg(
             F.min_by("cell_id", order).alias("cell_id")
         )
@@ -339,7 +301,7 @@ def assign_cells(
     return (
         scored.withColumn("crank", F.row_number().over(w))
         .filter(F.col("crank") <= n_assign)
-        .select(id_col, "cell_id", *(keep if emit_vec else []))
+        .select(id_col, "cell_id")
     )
 
 
@@ -355,19 +317,18 @@ def ivf_cosine_topk(
     """IVF approximate top-k: corpus vectors live in their single nearest
     cell; each query probes its ``nprobe`` nearest cells and runs exact
     cosine only there."""
-    # fused assign+carry (r13): the corpus vector and norm ride the
-    # assignment aggregation, so the probe side is ONE corpus pass —
-    # the previous shape re-joined the corpus against its own
-    # assignment (a corpus-sized self-join exchange)
-    c = assign_cells(
-        corpus, centroids, id_col, vec_col, 1, emit_vec=True
-    ).select(
+    corpus_cells = assign_cells(corpus, centroids, id_col, vec_col, 1)
+    query_cells = assign_cells(queries, centroids, id_col, vec_col, nprobe)
+    c = with_norm(corpus, vec_col).select(
         F.col(id_col).alias("neighbor_id"),
-        "cell_id",
         F.col("_vec").alias("c_vec"),
         F.col("_norm").alias("c_norm"),
+    ).join(
+        corpus_cells.select(
+            F.col(id_col).alias("neighbor_id"), "cell_id"
+        ),
+        "neighbor_id",
     )
-    query_cells = assign_cells(queries, centroids, id_col, vec_col, nprobe)
     q = with_norm(queries, vec_col).select(
         F.col(id_col).alias("query_id"),
         F.col("_vec").alias("q_vec"),
@@ -571,14 +532,11 @@ def cell_near_dup_pairs(
     ``n_assign`` (near-dups at high τ almost always share a nearest
     centroid). Results are deduplicated across shared cells.
     """
-    # fused assign+carry (r13): the vector rides the assignment pass —
-    # no corpus self-join against the cell mapping
-    tagged = assign_cells(
-        vectors, centroids, id_col, vec_col, n_assign, emit_vec=True
-    ).select(
+    cells = assign_cells(vectors, centroids, id_col, vec_col, n_assign)
+    tagged = vectors.join(cells, id_col).select(
         F.col("cell_id"),
         F.col(id_col).cast("long").alias("_id"),
-        F.col("_vec"),
+        F.col(vec_col).alias("_vec"),
     )
     thr = float(threshold)
 
@@ -640,14 +598,10 @@ def kmeans_refine(
     step. Loop it for more iterations; curation pipelines typically run
     a handful over a sampled corpus, then one final assignment pass.
     """
-    # fused assign+carry (r13): the vector rides the assignment pass —
-    # the mean recompute explodes straight off it, no corpus self-join
-    assign0 = assign_cells(
-        vectors, centroids, id_col, vec_col, 1, emit_vec=True
-    )
-    vals = assign0.select(
+    assign0 = assign_cells(vectors, centroids, id_col, vec_col, 1)
+    vals = vectors.join(assign0, id_col).select(
         F.col("cell_id").alias("cluster"),
-        F.posexplode("_vec").alias("dim", "val"),
+        F.posexplode(_as_double(vec_col)).alias("dim", "val"),
     )
     means = (
         vals.groupBy("cluster", "dim")
@@ -1459,18 +1413,23 @@ def ivfpq_residual_topk(
     subtraction is a narrow ``zip_with`` fused into the encode and
     LUT passes.
     """
-    # fused assign+residual (r13): the winning centroid rides the
-    # argmin aggregation, so corpus cell ids AND residuals come out of
-    # ONE broadcast pass — the previous shape re-joined the corpus
-    # against its own assignment plus the broadcast centroids (a
-    # corpus-sized self-join exchange)
-    res = assign_cells(
-        corpus, centroids, id_col, vec_col, 1, emit_residual=True
-    )
-    corpus_cells = res.select(id_col, "cell_id")
+    corpus_cells = assign_cells(corpus, centroids, id_col, vec_col, 1)
     query_cells = assign_cells(queries, centroids, id_col, vec_col, nprobe)
     cen = centroids.select(
         F.col(id_col).alias("cell_id"), _as_double(vec_col).alias("_c")
+    )
+    # corpus residuals: a 1:1 join back on the id (the assignment side
+    # is already hash-partitioned on it) — NOT fused into the assign
+    # crossJoin; see assign_cells' docstring for the measured rejection
+    res = (
+        corpus.select(F.col(id_col), _as_double(vec_col).alias("_v"))
+        .join(corpus_cells, id_col)
+        .join(F.broadcast(cen), "cell_id")
+        .select(
+            id_col,
+            "cell_id",
+            F.zip_with("_v", "_c", lambda x, y: x - y).alias("_r"),
+        )
     )
     # residual codebook: residuals of the n_codes smallest-id vectors.
     # Derived from the n_codes-vector SLICE, not from ``res`` — a
@@ -1490,9 +1449,15 @@ def ivfpq_residual_topk(
         _validate_seed_count(
             seed_vecs, n_codes, "ivfpq_residual_topk", arg="seed_vecs"
         )
-    rseeds = assign_cells(
-        seed_vecs, centroids, id_col, vec_col, 1, emit_residual=True
-    ).select(F.col(id_col).alias("_sid"), F.col("_r").alias("_sv"))
+    rseeds = (
+        seed_vecs.select(F.col(id_col), _as_double(vec_col).alias("_v"))
+        .join(assign_cells(seed_vecs, centroids, id_col, vec_col, 1), id_col)
+        .join(F.broadcast(cen), "cell_id")
+        .select(
+            F.col(id_col).alias("_sid"),
+            F.zip_with("_v", "_c", lambda x, y: x - y).alias("_sv"),
+        )
+    )
     rseeds = rseeds.withColumn(
         "cid", F.row_number().over(Window.orderBy("_sid")) - 1
     ).drop("_sid")

@@ -122,7 +122,19 @@ def build(spark: SparkSession) -> str:
 
 
 def main() -> None:
-    runs = int(sys.argv[1]) if len(sys.argv) > 1 else 2
+    # usage: sf1_spot_bench.py [runs] [--only prefix1,prefix2]
+    # --only filters QUERIES by name prefix for targeted A/Bs
+    args = [a for a in sys.argv[1:]]
+    only: list[str] | None = None
+    if "--only" in args:
+        i = args.index("--only")
+        only = args[i + 1].split(",")
+        del args[i:i + 2]
+    if only is not None:
+        QUERIES[:] = [
+            q for q in QUERIES if any(q.startswith(p) for p in only)
+        ]
+    runs = int(args[0]) if args else 2
     sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
     from emr_hudi_example_spark import all_queries as catalog
     from emr_hudi_example_spark import catalog_pipelines as _cp

@@ -1238,6 +1238,45 @@ def test_assign_cells_agg_branch_nulls_last_on_dead_centroid(spark):
     assert 100 not in {c for _v, c in got}, "dead centroid won a vector"
 
 
+def test_ranked_topk_equals_single_window(spark):
+    """The salted two-phase top-k (r13, `_ranked_topk`) must assign
+    EXACTLY the rows and ranks of the single query_id window it
+    replaces — including at k boundaries and under metric ties broken
+    by the unique tie id. Randomized scored stream: 7 queries x 400
+    neighbors with heavily-colliding metric values (ties across salt
+    buckets are the interesting case)."""
+    import random
+
+    from pyspark.sql.window import Window
+
+    rng = random.Random(7)
+    rows = [
+        (q, n, float(rng.randint(0, 25)))
+        for q in range(7)
+        for n in rng.sample(range(10_000), 400)
+    ]
+    scored = spark.createDataFrame(
+        rows, "query_id LONG, neighbor_id LONG, cos DOUBLE"
+    )
+    order = [F.col("cos").desc(), F.col("neighbor_id").asc()]
+    for k in (1, 5, 32, 33, 400, 500):
+        got = {
+            tuple(r)
+            for r in S._ranked_topk(scored, k, order)
+            .select("query_id", "neighbor_id", "rank")
+            .collect()
+        }
+        w = Window.partitionBy("query_id").orderBy(*order)
+        want = {
+            tuple(r)
+            for r in scored.withColumn("rank", F.row_number().over(w))
+            .filter(F.col("rank") <= k)
+            .select("query_id", "neighbor_id", "rank")
+            .collect()
+        }
+        assert got == want, f"k={k}: diverged"
+
+
 def test_local_bounded_many_guards_and_inheritance(spark):
     """r12 ADVICE pins: zero frames is an explicit no-op (the old
     ThreadPoolExecutor(max_workers=0) raised an opaque ValueError);

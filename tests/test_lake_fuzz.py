@@ -138,9 +138,19 @@ def test_op_sequence_matches_model(
         # instants auto-allocate (timestamp format) so they stay
         # monotonic across compact()'s own allocations
         if op == "delete":
-            df = spark.createDataFrame(
-                [(k, 0, 0, _part(k)) for k in rows_or_keys], SCHEMA
-            )
+            if rng.random() < 0.5:
+                # keys+partition-only delete frame (the documented
+                # _commit_delete contract — a partitioned non-global
+                # table needs the partition column for scoping, and
+                # nothing else; r13 lattice axis)
+                df = spark.createDataFrame(
+                    [(k, _part(k)) for k in rows_or_keys],
+                    "k INT, part INT",
+                )
+            else:
+                df = spark.createDataFrame(
+                    [(k, 0, 0, _part(k)) for k in rows_or_keys], SCHEMA
+                )
             t.write(df, op="delete")
             _apply_delete(model, rows_or_keys)
         else:
@@ -530,9 +540,18 @@ def test_partial_update_sequence_matches_model(
             commit_upsert(stale=True)
         elif roll < 0.78:
             keys = rng.sample(range(25), rng.randint(1, 5))
-            counter_df = spark.createDataFrame(
-                [(k, 0, None, None) for k in keys], PU_SCHEMA
-            )
+            if rng.random() < 0.5:
+                # keys-only delete frame — the documented
+                # _commit_delete contract and the r13 ADVICE path:
+                # no precombine column for the write-time combine to
+                # even reference (delete batches skip it)
+                counter_df = spark.createDataFrame(
+                    [(k,) for k in keys], "k INT"
+                )
+            else:
+                counter_df = spark.createDataFrame(
+                    [(k, 0, None, None) for k in keys], PU_SCHEMA
+                )
             t.write(counter_df, op="delete")
             _apply_delete(model, keys)
             history.append((t.last_instant(), dict(model)))

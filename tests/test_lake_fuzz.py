@@ -20,6 +20,14 @@ on the default payload too — the r12 divergence class lived exactly
 in the fold the fuzz didn't reach). Batches are generated with unique
 keys, so there is no within-batch arbitrariness and the model is
 exact, not a set of admissible outcomes.
+
+r13 adds a MERGE INTO axis: dup-free merges (update/delete/insert
+clauses in one commit, stale/null update precombines, gated inserts)
+ride the lattice alongside upserts/deletes/compactions/restores, and
+an ambiguity probe asserts the ANSI cardinality gate raises without
+committing whenever a duplicate-key source hits a matched row — and
+that the SAME source commits through the insert leg's in-batch
+precombine when unmatched.
 """
 from __future__ import annotations
 
@@ -66,6 +74,49 @@ def _apply_upsert(model: dict, rows: list[tuple]) -> None:
 def _apply_delete(model: dict, keys: list[int]) -> None:
     for k in keys:
         model.pop(k, None)
+
+
+def _merge_batch(rng: random.Random, ver: int) -> list[tuple]:
+    """Dup-free MERGE source: negative payload routes matched rows to
+    the delete clause; ver mixes fresh / stale / NULL so the update leg
+    exercises the full precombine order (stale and null updates must
+    LOSE to the stored row — merge_into routes updates through the
+    standard ``(precombine, _commit_time)`` merge on both table
+    types)."""
+    keys = rng.sample(range(40), rng.randint(2, 10))
+    rows = []
+    for k in keys:
+        pay = (
+            -rng.randint(1, 100)
+            if rng.random() < 0.18
+            else rng.randint(0, 999)
+        )
+        roll = rng.random()
+        if roll < 0.12:
+            v = None
+        elif roll < 0.35:
+            v = rng.randint(0, max(0, ver - 1))
+        else:
+            v = ver
+        rows.append((k, v, pay, _part(k)))
+    return rows
+
+
+def _apply_merge(model: dict, rows: list[tuple], gated: bool) -> None:
+    """Sequential MERGE model: matched + negative payload → delete
+    (unconditional — the tombstone carries the target's own precombine,
+    so ties-to-incoming kills it on both folds); matched otherwise →
+    update iff the incoming precombine ties-or-beats (_pu_wins);
+    unmatched → insert, unless ``gated`` drops negative-payload inserts
+    (the ``insert_condition`` leg)."""
+    for k, v, p, part in rows:
+        if k in model:
+            if p < 0:
+                model.pop(k)
+            elif _pu_wins(v, model[k][0]):
+                model[k] = (v, p, part)
+        elif not (gated and p < 0):
+            model[k] = (v, p, part)
 
 
 def _snap_rows(df) -> set:
@@ -153,6 +204,21 @@ def test_op_sequence_matches_model(
                 )
             t.write(df, op="delete")
             _apply_delete(model, rows_or_keys)
+        elif op in ("merge", "merge_gated"):
+            # MERGE INTO rides the lattice (r13): update/delete/insert
+            # clauses in ONE commit, interleaved with everything else —
+            # the newest write path (ambiguity gate + delete-combine
+            # skip) probed under arbitrary table states
+            src = spark.createDataFrame(rows_or_keys, SCHEMA)
+            t.merge_into(
+                src,
+                update_set={"ver": "s.ver", "payload": "s.payload"},
+                delete_condition="s.payload < 0",
+                insert_condition=(
+                    "s.payload >= 0" if op == "merge_gated" else None
+                ),
+            )
+            _apply_merge(model, rows_or_keys, gated=op == "merge_gated")
         else:
             df = spark.createDataFrame(rows_or_keys, SCHEMA)
             t.write(df, op="upsert")
@@ -164,11 +230,46 @@ def test_op_sequence_matches_model(
 
     for _ in range(14):
         roll = rng.random()
-        if roll < 0.45:
+        if roll < 0.33:
             commit(_batch(rng, ver=counter + 1, stale=False), "upsert")
-        elif roll < 0.60:
+        elif roll < 0.45:
             # stale producer: strictly-older precombine must LOSE
             commit(_batch(rng, ver=counter + 1, stale=True), "upsert")
+        elif roll < 0.57:
+            commit(
+                _merge_batch(rng, ver=counter + 1),
+                "merge_gated" if rng.random() < 0.5 else "merge",
+            )
+        elif roll < 0.63:
+            # ambiguity probe: a duplicate-key source against a merge
+            # WITH matched clauses. Matched → the cardinality gate must
+            # raise BEFORE anything commits (state untouched);
+            # unmatched → NOT ambiguous, both rows flow through the
+            # insert leg's standard in-batch precombine (higher ver
+            # wins) and the merge commits
+            k0 = rng.randrange(40)
+            dup = spark.createDataFrame(
+                [
+                    (k0, counter + 1, 111, _part(k0)),
+                    (k0, counter + 2, 222, _part(k0)),
+                ],
+                SCHEMA,
+            )
+            if k0 in model:
+                before = t.last_instant()
+                with pytest.raises(ValueError, match="multiple rows"):
+                    t.merge_into(
+                        dup, update_set={"payload": "s.payload"}
+                    )
+                assert t.last_instant() == before, (
+                    f"ambiguous merge committed ({table_type}, "
+                    f"seed {seed})"
+                )
+            else:
+                counter += 2
+                t.merge_into(dup, update_set={"payload": "s.payload"})
+                model[k0] = (counter, 222, _part(k0))
+                history.append((t.last_instant(), dict(model)))
         elif roll < 0.75:
             keys = rng.sample(range(40), rng.randint(1, 8))
             commit(keys, "delete")
@@ -222,6 +323,10 @@ def test_op_sequence_matches_model(
     del history[idx + 1:]
     assert _snap_rows(t.snapshot()) == _model_rows(model)
     commit(_batch(rng, ver=counter + 1, stale=False), "upsert")
+    assert _snap_rows(t.snapshot()) == _model_rows(model)
+    # forced MERGE (the random mix can under-sample it): update +
+    # delete + insert clauses in one commit after the restore tail
+    commit(_merge_batch(rng, ver=counter + 1), "merge")
     assert _snap_rows(t.snapshot()) == _model_rows(model)
 
     # time travel: every still-materialized commit replays its model

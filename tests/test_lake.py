@@ -2881,6 +2881,60 @@ def test_merge_into_insert_only_skips_ambiguity_gate(spark, tmp_path):
     ) == [("k1", 1, "orig"), ("k2", 1, "new")]
 
 
+def test_merge_into_partial_update_parity(spark, tmp_path):
+    """MERGE INTO on a ``payload='partial_update'`` table: the update
+    leg is a PATCH — an explicit NULL in ``update_set`` keeps the
+    stored value (PartialUpdateAvroPayload semantics; on the default
+    payload it would overwrite with NULL), a stale-precombine update
+    loses wholesale, matched deletes and unmatched inserts behave as
+    on the default payload, and COW == MOR."""
+    sch = "k long, ver long, a long, b long"
+    base = spark.createDataFrame(
+        [(1, 1, 10, 100), (2, 1, 20, 200), (3, 1, 30, 300)], sch
+    )
+    src = spark.createDataFrame(
+        [
+            (1, 5, 77, None),    # fresh patch: a updates, b KEEPS 100
+            (2, 0, 99, 999),     # stale (ver 0 < 1): no effect
+            (3, 5, -1, None),    # routes to the delete clause
+            (9, 5, 90, None),    # unmatched: inserts with b NULL
+        ],
+        sch,
+    )
+    ends = {}
+    for kind in ("cow", "mor"):
+        kw = {"table_type": "MERGE_ON_READ"} if kind == "mor" else {}
+        t = LakeTable(
+            spark, str(tmp_path / kind), "m", f"pu_{kind}", ["k"],
+            "ver", payload="partial_update", **kw,
+        )
+        t.write(base, op="insert", instant="001")
+        t.merge_into(
+            src,
+            update_set={"ver": "s.ver", "a": "s.a", "b": "s.b"},
+            delete_condition="s.a < 0",
+            instant="002",
+        )
+        assert t.timeline()[-1] == "002"
+        ends[kind] = sorted(
+            tuple(r)
+            for r in t.snapshot().select("k", "ver", "a", "b").collect()
+        )
+        if kind == "mor":
+            # the patch must survive the fold materializing, too
+            t.compact()
+            assert sorted(
+                tuple(r)
+                for r in t.snapshot().select("k", "ver", "a", "b").collect()
+            ) == ends[kind]
+    assert ends["cow"] == ends["mor"]
+    assert ends["cow"] == [
+        (1, 5, 77, 100),   # patched a, kept b
+        (2, 1, 20, 200),   # stale update lost wholesale
+        (9, 5, 90, None),  # inserted; no prior to fill the NULL
+    ]
+
+
 def test_merge_into_requires_existing_table(spark, tmp_path):
     t = make_table(spark, tmp_path)
     with pytest.raises(ValueError, match="non-existent"):

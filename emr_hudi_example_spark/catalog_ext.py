@@ -3159,10 +3159,22 @@ def _ann_adaptive_nlist(sf_dir: str) -> int:
     same way. FAISS's index factory needs exactly this statistic up
     front to size the quantizer it trains."""
     import math
+    import os
 
     import pyarrow.parquet as pq
 
-    n = pq.ParquetFile(f"{sf_dir}/embeddings.parquet").metadata.num_rows
+    path = f"{sf_dir}/embeddings.parquet"
+    if os.path.isdir(path):
+        # directory-layout dataset (Spark/Hudi tables are directories;
+        # sf1_spot_bench writes its scaled inputs this way): sum the
+        # per-file footer counts — still zero data reads
+        n = sum(
+            pq.ParquetFile(os.path.join(path, f)).metadata.num_rows
+            for f in os.listdir(path)
+            if f.endswith(".parquet")
+        )
+    else:
+        n = pq.ParquetFile(path).metadata.num_rows
     return max(_ANN_NLIST, int(math.floor(math.sqrt(n))))
 
 

@@ -1822,8 +1822,12 @@ class LakeTable:
         # twins _commit_insert/_commit_upsert_inner/_commit_delete)
         if self.is_mor and op != "insert":
             # append-only: delta (upsert) or tombstone delta (delete);
-            # commutes with every concurrent append under the read merge
-            batch = self._prepare_batch(df, inst)
+            # commutes with every concurrent append under the read merge.
+            # Delete batches skip the within-batch preCombine like every
+            # other delete leg (combine=False): a keys-only tombstone
+            # frame carries no precombine column to combine on — the
+            # same r13 contract _commit_delete and merge_into pin
+            batch = self._prepare_batch(df, inst, combine=op != "delete")
             if op == "delete":
                 batch = batch.withColumn(DELETED_COL, F.lit(True))
             batch = self._align_schema(batch)

@@ -76,10 +76,20 @@ def build_inputs(
         paths[tbl] = dst
     if lake_only or tables is not None:
         return paths
-    # events: shift BOTH user_id (graph nodes) and event_id (the window
-    # tiebreak must stay unique); copies share timestamps, so per-type
-    # timelines interleave across copies — a DENSER handoff graph, the
-    # adversarial case for PageRank's join+agg iterations
+    dst = f"{WORK}/x{mult}/events"
+    _clone_events(spark, mult).write.mode("overwrite").parquet(dst)
+    paths["events"] = dst
+    return paths
+
+
+def _clone_events(spark: SparkSession, mult: int):
+    """Key-shifted events clones — the ONE construction both probe
+    families measure (build_inputs for the operator legs,
+    run_pipe_probe for the streaming/medallion legs): shift BOTH
+    user_id (graph nodes) and event_id (the window tiebreak must stay
+    unique); copies share timestamps, so per-type timelines interleave
+    across copies — a DENSER handoff graph, the adversarial case for
+    PageRank's join+agg iterations."""
     spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
     ev = spark.read.parquet(f"{SF_DIR}/events.parquet")
     if dict(ev.dtypes).get("ts") == "bigint":  # TIMESTAMP(NANOS) fixture
@@ -90,10 +100,7 @@ def build_inputs(
             ev.withColumn("user_id", F.col("user_id") + F.lit(i * 10_000_000))
             .withColumn("event_id", F.col("event_id") + F.lit(i * 10_000_000))
         )
-    dst = f"{WORK}/x{mult}/events"
-    out.write.mode("overwrite").parquet(dst)
-    paths["events"] = dst
-    return paths
+    return out
 
 
 def timed(label: str, mult: int, fn) -> dict:
@@ -527,17 +534,9 @@ def run_pipe_probe(spark: SparkSession, mult: int) -> list[dict]:
     scaled(orders, "o_orderkey", mult, 10_000_000).write.mode(
         "overwrite"
     ).parquet(f"{pdir}/orders.parquet")
-    spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
-    ev = spark.read.parquet(f"{SF_DIR}/events.parquet")
-    if dict(ev.dtypes).get("ts") == "bigint":  # TIMESTAMP(NANOS) fixture
-        ev = ev.withColumn("ts", F.timestamp_micros(F.expr("ts div 1000")))
-    out = ev
-    for i in range(1, mult):
-        out = out.unionByName(
-            ev.withColumn("user_id", F.col("user_id") + F.lit(i * 10_000_000))
-            .withColumn("event_id", F.col("event_id") + F.lit(i * 10_000_000))
-        )
-    out.write.mode("overwrite").parquet(f"{pdir}/events.parquet")
+    _clone_events(spark, mult).write.mode("overwrite").parquet(
+        f"{pdir}/events.parquet"
+    )
     # dims verbatim: the medallion's customer join fan-out per order is
     # scale-invariant (clones reuse the fixture custkeys)
     spark.read.parquet(f"{SF_DIR}/customer.parquet").write.mode(

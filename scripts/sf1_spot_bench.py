@@ -128,6 +128,8 @@ def main() -> None:
     only: list[str] | None = None
     if "--only" in args:
         i = args.index("--only")
+        if i + 1 >= len(args):
+            sys.exit("usage: sf1_spot_bench.py [runs] [--only p1,p2]")
         only = args[i + 1].split(",")
         del args[i:i + 2]
     if only is not None:

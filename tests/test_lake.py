@@ -224,6 +224,34 @@ def test_partial_update_keys_only_delete(spark, tmp_path):
             assert t.snapshot().count() == 0
 
 
+def test_partial_update_keys_only_delete_optimistic(spark, tmp_path):
+    """The THIRD delete leg: ``write_optimistic`` must honor the same
+    keys-only delete contract as ``write``/``merge_into`` (found by the
+    r13 review — the MOR optimistic tombstone path still ran the
+    within-batch preCombine, raising UNRESOLVED_COLUMN on the missing
+    precombine column before anything committed)."""
+    sch = "k string, ver long, c string"
+    for tt in ("COPY_ON_WRITE", "MERGE_ON_READ"):
+        t = LakeTable(
+            spark, str(tmp_path), "d", f"puopt_{tt}", ["k"], "ver",
+            table_type=tt, payload="partial_update",
+        )
+        t.write_optimistic(
+            spark.createDataFrame([("k1", 5, "A"), ("k2", 3, "B")], sch),
+            op="upsert",
+        )
+        t.write_optimistic(
+            spark.createDataFrame([("k1",)], "k string"), op="delete"
+        )
+        rows = sorted(
+            tuple(r) for r in t.snapshot().select("k", "ver", "c").collect()
+        )
+        assert rows == [("k2", 3, "B")], (tt, rows)
+        if tt == "MERGE_ON_READ":
+            t.compact()
+            assert t.snapshot().count() == 1
+
+
 def test_upsert_larger_precombine_wins(spark, tmp_path):
     t = make_table(spark, tmp_path)
     base = cust(spark, ver=1)

@@ -186,6 +186,13 @@ def test_op_sequence_matches_model(
     def commit(rows_or_keys, op: str) -> None:
         nonlocal counter
         counter += 1
+        # a third of the write commits route through write_optimistic
+        # (r13: the round's review bug lived exactly on the optimistic
+        # delete leg — the one writer the lattice didn't drive); the
+        # end state must be writer-path-independent
+        write = (
+            t.write_optimistic if rng.random() < 0.35 else t.write
+        )
         # instants auto-allocate (timestamp format) so they stay
         # monotonic across compact()'s own allocations
         if op == "delete":
@@ -202,7 +209,7 @@ def test_op_sequence_matches_model(
                 df = spark.createDataFrame(
                     [(k, 0, 0, _part(k)) for k in rows_or_keys], SCHEMA
                 )
-            t.write(df, op="delete")
+            write(df, op="delete")
             _apply_delete(model, rows_or_keys)
         elif op in ("merge", "merge_gated"):
             # MERGE INTO rides the lattice (r13): update/delete/insert
@@ -221,7 +228,7 @@ def test_op_sequence_matches_model(
             _apply_merge(model, rows_or_keys, gated=op == "merge_gated")
         else:
             df = spark.createDataFrame(rows_or_keys, SCHEMA)
-            t.write(df, op="upsert")
+            write(df, op="upsert")
             _apply_upsert(model, rows_or_keys)
         history.append((t.last_instant(), dict(model)))
 
@@ -627,11 +634,18 @@ def test_partial_update_sequence_matches_model(
     def model_rows() -> set:
         return {(k, v, a, b) for k, (v, a, b) in model.items()}
 
+    def writer():
+        # r13: a third of commits route through write_optimistic — the
+        # round's review bug was the OPTIMISTIC partial_update delete
+        # leg still running the write-time preCombine; end states must
+        # be writer-path-independent on this lattice too
+        return t.write_optimistic if rng.random() < 0.35 else t.write
+
     def commit_upsert(stale: bool) -> None:
         nonlocal counter
         counter += 1
         rows = _pu_batch(rng, counter, stale)
-        t.write(spark.createDataFrame(rows, PU_SCHEMA), op="upsert")
+        writer()(spark.createDataFrame(rows, PU_SCHEMA), op="upsert")
         _pu_apply(model, rows)
         history.append((t.last_instant(), dict(model)))
 
@@ -657,7 +671,7 @@ def test_partial_update_sequence_matches_model(
                 counter_df = spark.createDataFrame(
                     [(k, 0, None, None) for k in keys], PU_SCHEMA
                 )
-            t.write(counter_df, op="delete")
+            writer()(counter_df, op="delete")
             _apply_delete(model, keys)
             history.append((t.last_instant(), dict(model)))
         elif roll < 0.90:

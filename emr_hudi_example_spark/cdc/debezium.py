@@ -50,14 +50,19 @@ def parse_debezium(
     df: DataFrame, row_schema: T.StructType, value_col: str = "value"
 ) -> DataFrame:
     """P2 over the Debezium dialect: ``from_json`` against the declared
-    envelope schema; rows whose envelope fails to parse or carries no
-    ``op`` (tombstones, foreign junk) are dropped — the same F4
-    struct-not-null guard the DMS path applies."""
+    envelope schema; rows whose envelope fails to parse or carries an
+    absent or UNRECOGNIZED ``op`` (tombstones, foreign junk, ops this
+    flatten has no defined image for) are dropped — the same F4
+    struct-not-null guard the DMS path applies, tightened to the four
+    ops Debezium defines (r13 review: a non-null junk op with a
+    populated ``after`` must not silently upsert)."""
     parsed = df.select(
         F.from_json(F.col(value_col), debezium_envelope_schema(row_schema))
         .alias("e")
     )
-    return parsed.filter(F.col("e.op").isNotNull()).select("e.*")
+    return parsed.filter(
+        F.col("e.op").isin("c", "u", "d", "r")
+    ).select("e.*")
 
 
 def debezium_to_upserts(parsed: DataFrame) -> DataFrame:
@@ -71,7 +76,26 @@ def debezium_to_upserts(parsed: DataFrame) -> DataFrame:
 
     Scale shape: narrow projection (one CASE over two struct columns),
     pipeline-fused with the stream scan — no shuffle until the lake
-    write plans its own."""
+    write plans its own.
+
+    ``ts_ms`` and ``_cdc_deleted`` are RESERVED output names (the
+    envelope timestamp and the tombstone flag). A row schema carrying
+    either raises up front (r13 review) — the star-expansion would
+    otherwise emit two same-named columns and every downstream
+    reference (including the documented ``precombine='ts_ms'``) would
+    die with AMBIGUOUS_REFERENCE at some later, harder-to-place point.
+    Rename the source column upstream (Debezium's own
+    ``ExtractNewRecordState`` transform has the same reservation)."""
+    row_fields = [
+        f.name for f in parsed.schema["after"].dataType.fields
+    ]
+    clash = {"ts_ms", "_cdc_deleted"} & set(row_fields)
+    if clash:
+        raise ValueError(
+            f"debezium_to_upserts: row schema column(s) {sorted(clash)} "
+            f"collide with the reserved envelope output names; rename "
+            f"them upstream (e.g. in the connector's transforms)"
+        )
     img = F.when(F.col("op") == "d", F.col("before")).otherwise(
         F.col("after")
     )

@@ -27,6 +27,12 @@ TAXI_DATA_SCHEMA = T.StructType(
         T.StructField("driverName", T.StringType()),
         T.StructField("driverRegisterDate", T.StringType()),
         T.StructField("score", T.DecimalType(4, 2)),
+        # DecimalType(9,7) is VERBATIM reference parity
+        # (SRC/KDS2Hudi.scala:54-57) and is part of the fixture
+        # contract — note it only represents |coordinate| < 100, so a
+        # real-world longitude in the 100..180 band parses to NULL
+        # under from_json's overflow-to-null; widen to (10,7) when
+        # adapting this schema to a real feed
         T.StructField("startLatitude", T.DecimalType(9, 7)),
         T.StructField("startLongitude", T.DecimalType(9, 7)),
         T.StructField("endLatitude", T.DecimalType(9, 7)),

@@ -64,6 +64,20 @@ class AsyncCompactor:
     def _abandon(self, plan_id: str, exc: Exception) -> None:
         self._abandoned.add(plan_id)
         self.failed.append((plan_id, exc))
+        # discard the plan FILE too (r13 review): the in-memory
+        # _abandoned set dies with this process, so leaving the .json
+        # would (a) keep pending_compactions() reporting it forever and
+        # (b) make every fresh AsyncCompactor after a restart re-spin
+        # its max_attempts_per_plan on a plan already judged dead. The
+        # abandonment stays observable in ``failed``; an operator
+        # re-schedules if the intent still matters.
+        import os
+
+        self.table._discard_plan(
+            os.path.join(
+                self.table.commits_dir, "_compaction", plan_id + ".json"
+            )
+        )
 
     def _drain_once(self) -> bool:
         """Execute one pending plan; True if progress was made (executed,
@@ -101,12 +115,24 @@ class AsyncCompactor:
             if not self._drain_once():
                 self._stop.wait(self.poll_seconds)
 
-    def stop(self, drain: bool = True, timeout: float = 60.0) -> None:
+    def stop(self, drain: bool = True, timeout: float = 60.0) -> bool:
         """Stop the executor; with ``drain`` (default), finish any
-        still-pending plans first so shutdown leaves no orphan plans."""
+        still-pending plans first so shutdown leaves no orphan plans.
+
+        Returns True when the daemon exited and the drain completed
+        within ``timeout``. If the daemon is still mid-fold when the
+        join times out (a fold is minutes of I/O at scale and cannot
+        be interrupted), stop() returns False WITHOUT draining on the
+        caller thread — two unsynchronized executors folding the same
+        pinned plan would waste one whole fold at publish and mutate
+        the attempt/result lists from two threads (r13 review). The
+        daemon re-checks ``_stop`` after its in-flight plan and exits;
+        call stop() again to finish the drain."""
         self._stop.set()
         if self._thread is not None:
             self._thread.join(timeout)
+            if self._thread.is_alive():
+                return False
         if drain:
             deadline = time.monotonic() + timeout
             while (
@@ -117,3 +143,4 @@ class AsyncCompactor:
                 and time.monotonic() < deadline
             ):
                 self._drain_once()
+        return True

@@ -69,6 +69,7 @@ import json
 import os
 import re
 import shutil
+import threading
 import time
 from concurrent.futures import ThreadPoolExecutor
 from typing import Callable
@@ -418,8 +419,13 @@ class LakeTable:
         )
         self._pending_checkpoint: dict | None = None
         #: streaming source offsets armed by OffsetCommitListener —
-        #: embedded in the next manifest (see record_stream_offsets)
+        #: embedded in the next manifest (see record_stream_offsets).
+        #: The lock makes the writer's read-and-clear atomic against
+        #: the LISTENER thread's writes (Spark delivers progress events
+        #: on its own thread; an unguarded read→clear could discard a
+        #: payload written in between — r13 review)
         self._pending_offsets: dict | None = None
+        self._offsets_lock = threading.Lock()
         #: full live-file checkpoint every N commits (the Iceberg-style
         #: log+checkpoint evolution of the manifest); None/0 disables —
         #: then the live set replays the whole manifest log (legacy mode)
@@ -4890,13 +4896,19 @@ class LakeTable:
             # the atomic manifest write makes data+cursor one transaction
             manifest["checkpoint"] = self._pending_checkpoint
             self._pending_checkpoint = None
-        if self._pending_offsets is not None:
-            # per-source streaming offsets (OffsetCommitListener) — the
-            # engine-native analog of the reference's Kafka offset
-            # commit-back (SRC/Log2Hudi.scala:47-48); one batch behind
-            # by construction (progress fires after the batch's commit)
-            manifest["stream_offsets"] = self._pending_offsets
-            self._pending_offsets = None
+        # per-source streaming offsets (OffsetCommitListener) — the
+        # engine-native analog of the reference's Kafka offset
+        # commit-back (SRC/Log2Hudi.scala:47-48); at least one batch
+        # behind by construction (progress events fire asynchronously
+        # after the batch's commit). Atomic swap-out under the lock: a
+        # payload the listener writes between read and clear stays
+        # armed for the NEXT manifest instead of being discarded
+        with self._offsets_lock:
+            pending_offsets, self._pending_offsets = (
+                self._pending_offsets, None
+            )
+        if pending_offsets is not None:
+            manifest["stream_offsets"] = pending_offsets
         tmp = os.path.join(self.commits_dir, f".{instant}.json.tmp")
         with open(tmp, "w") as fh:
             json.dump(manifest, fh)
@@ -4972,7 +4984,8 @@ class LakeTable:
         with open(tmp, "w") as fh:
             json.dump(payload, fh)
         os.replace(tmp, os.path.join(d, f"{safe}.json"))
-        self._pending_offsets = payload
+        with self._offsets_lock:
+            self._pending_offsets = payload
 
     def stream_offsets(self, query_name: str) -> dict | None:
         """Newest recorded offsets for ``query_name`` (durable

@@ -86,6 +86,9 @@ def test_debezium_envelope_to_upserts(spark):
         {"before": {"id": 3, "v": "gone"}, "op": "d", "ts_ms": 30},
         {"foo": 1},                      # junk: no op
         {"op": "d", "ts_ms": 40},        # d with no before image: dropped
+        # junk with a POPULATED after image but an op this flatten has
+        # no defined image for — must drop, not silently upsert (r13)
+        {"after": {"id": 7, "v": "junk"}, "op": "x", "ts_ms": 50},
     ]
     df = spark.createDataFrame(
         [(_json.dumps(m),) for m in msgs], "value STRING"
@@ -99,3 +102,31 @@ def test_debezium_envelope_to_upserts(spark):
         2: ("upd", False, 20),
         3: ("gone", True, 30),
     }
+
+
+def test_debezium_reserved_names_raise(spark):
+    """A row schema carrying ``ts_ms`` (or ``_cdc_deleted``) must raise
+    up front (r13 review): the star-expansion would otherwise emit two
+    same-named columns and the documented ``precombine='ts_ms'`` dies
+    later with AMBIGUOUS_REFERENCE."""
+    import json as _json
+
+    import pytest as _pytest
+    from pyspark.sql import types as T
+
+    from emr_hudi_example_spark.cdc import (
+        debezium_to_upserts,
+        parse_debezium,
+    )
+
+    row_schema = T.StructType(
+        [T.StructField("id", T.LongType()),
+         T.StructField("ts_ms", T.LongType())]
+    )
+    df = spark.createDataFrame(
+        [(_json.dumps({"after": {"id": 1, "ts_ms": 5}, "op": "c",
+                       "ts_ms": 10}),)],
+        "value STRING",
+    )
+    with _pytest.raises(ValueError, match="reserved"):
+        debezium_to_upserts(parse_debezium(df, row_schema))

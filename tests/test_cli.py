@@ -205,6 +205,10 @@ def test_kafka_reader_option_surface(spark):
         "startingOffsets": "earliest",
         "failOnDataLoss": "false",
         "kafka.consumer.commit.groupid": "cg1",
+        # r13: the group id ALSO lands on Spark's own option so the
+        # group is broker-registered (the commit.groupid key only ever
+        # fed the reference's external committer)
+        "kafka.group.id": "cg1",
     }
     assert "kafka.consumer.commit.groupid" not in kafka_reader_options(
         "b:9092", "t"
@@ -269,6 +273,7 @@ def test_kafka_source_options_land_on_stream_df(spark):
         "startingOffsets": "earliest",
         "failOnDataLoss": "false",
         "kafka.consumer.commit.groupid": "cg1",
+        "kafka.group.id": "cg1",
     }
     # downstream envelope: (topic, value:string), repartitioned
     assert df.columns == ["topic", "value"]

@@ -1321,8 +1321,13 @@ def test_async_compactor_abandons_corrupt_plan(spark, tmp_path):
     c = AsyncCompactor(t)
     assert c._drain_once() is True  # abandoned = progress
     assert [p for (p, _) in c.failed] == [pid]
+    # the plan FILE goes too (r13 review): pending_compactions() must
+    # stop reporting it, and a fresh compactor after a process restart
+    # must not re-spin on a plan already judged dead
+    assert not os.path.exists(pfile)
+    assert pid not in t.pending_compactions()
     start = _time.monotonic()
-    c.stop(drain=True, timeout=30.0)
+    assert c.stop(drain=True, timeout=30.0) is True
     assert _time.monotonic() - start < 5.0  # no timeout burn
     assert not c.executed
     # sanity: a VALID later schedule still executes
@@ -1333,6 +1338,44 @@ def test_async_compactor_abandons_corrupt_plan(spark, tmp_path):
     _json.load(open(os.path.join(t.commits_dir, "003.json")))
     pid2 = t.schedule_compaction()
     assert t.run_compaction(pid2) is not None
+
+
+def test_async_compactor_stop_never_drains_beside_live_daemon():
+    """``stop()`` with a daemon still mid-fold (a fold is minutes of
+    uninterruptible I/O at scale) must return False WITHOUT draining on
+    the caller thread — two unsynchronized executors on the same plan
+    would discard one whole fold at publish and mutate the result lists
+    from two threads (r13 review). Once the fold finishes, a second
+    stop() completes the drain."""
+    import threading as _th
+
+    from emr_hudi_example_spark.lake.compactor import AsyncCompactor
+
+    folding = _th.Event()
+    release = _th.Event()
+    runs: list[str] = []
+
+    class StubTable:
+        table = "stub"
+        commits_dir = "/nonexistent"
+
+        def pending_compactions(self):
+            return ["p1"] if not runs else []
+
+        def run_compaction(self, plan_id):
+            folding.set()
+            assert release.wait(30.0)
+            runs.append(plan_id)
+            return "inst1"
+
+    c = AsyncCompactor(StubTable(), poll_seconds=0.05)
+    c.start()
+    assert folding.wait(10.0)  # daemon is mid-fold
+    assert c.stop(drain=True, timeout=0.3) is False
+    assert runs == []  # and stop() did NOT run the plan concurrently
+    release.set()
+    assert c.stop(drain=True, timeout=30.0) is True
+    assert runs == ["p1"] and c.executed == ["inst1"]
 
 
 def _hold_lease(table_path, lease_seconds, acquired_evt, release_evt, crash):

@@ -1935,7 +1935,7 @@ def lake_fenced_writer_endstate(spark: SparkSession, sf_dir: str) -> DataFrame:
             real_validate()  # pre-publish check passes (still newest)
             # the stall: back-date a's lease so it is expired, as a
             # GC/SIGSTOP pause past the lease would leave it
-            a._rewrite_own(expires_at=_time.time() - 1.0)
+            a._rewrite_own(a.token, expires_at=_time.time() - 1.0)
             b.acquire(wait_seconds=5.0)  # fenced takeover, snapshot=001
             b.release()
         else:

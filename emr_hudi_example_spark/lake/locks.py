@@ -22,6 +22,7 @@ locks (crashed writer) still fail loudly with the lock path surfaced.
 from __future__ import annotations
 
 import os
+import threading
 import time
 from contextlib import contextmanager
 
@@ -373,6 +374,16 @@ class LeaseLockProvider(LockProvider):
         self.holder = holder or f"pid-{os.getpid()}"
         self.token: int | None = None
         self.store: PutIfAbsentStore = store or LocalFSStore(self.lease_dir)
+        #: guards ``token`` transitions — one provider instance may be
+        #: shared by the ingest thread and the AsyncCompactor daemon
+        #: (both lock through table._writer_lock), and an unguarded
+        #: release()-vs-acquire() interleaving could clobber the other
+        #: thread's freshly-won token with None (r13 review)
+        self._tlock = threading.Lock()
+        #: first-seen monotonic time per UNREADABLE newest token — see
+        #: acquire(): a claim body that never becomes readable has no
+        #: expires_at, so liveness is bounded by a grace window instead
+        self._unreadable_seen: dict[int, float] = {}
 
     # ------------------------------------------------------------ state
 
@@ -415,8 +426,23 @@ class LeaseLockProvider(LockProvider):
             token, claim = self._newest()
             # token 0 = no claims at all (fresh table) — free. With
             # claims present, an unreadable newest (mid-replace torn
-            # read) is conservatively LIVE until expiry clears it.
-            if token == 0 or not self._is_live(claim):
+            # read) is conservatively LIVE — but only for a bounded
+            # grace of lease_seconds from first observation (r13
+            # review): a body that NEVER becomes readable (writer died
+            # between the O_EXCL create and the write on a no-hardlink
+            # fallback, or a persistently unreadable object) carries no
+            # expires_at, and treating it live forever would make
+            # takeover impossible without manual deletion.
+            live = self._is_live(claim)
+            if claim is None and token > 0 and live:
+                first = self._unreadable_seen.setdefault(
+                    token, time.monotonic()
+                )
+                if time.monotonic() - first > self.lease_seconds:
+                    live = False
+            elif claim is not None:
+                self._unreadable_seen.pop(token, None)
+            if token == 0 or not live:
                 # a live-unreleased prior claim means the holder CRASHED
                 # or stalled: this is a takeover, which must be fenced
                 takeover = token > 0 and not (
@@ -450,7 +476,8 @@ class LeaseLockProvider(LockProvider):
         }
         if not self.store.put_if_absent(self._key(token), json.dumps(body)):
             return False
-        self.token = token
+        with self._tlock:
+            self.token = token
         if fenced_takeover:
             self._record_fence(token)
         # bound the lease log: only the newest token is authoritative,
@@ -535,40 +562,55 @@ class LeaseLockProvider(LockProvider):
         return out
 
     def validate(self) -> None:
-        if self.token is None:
+        with self._tlock:
+            tok = self.token
+        if tok is None:
             raise LockFenced("validate() without a held lease")
         newest, claim = self._newest()
-        if newest != self.token:
+        if newest != tok:
             raise LockFenced(
-                f"fencing token advanced {self.token} -> {newest}: "
+                f"fencing token advanced {tok} -> {newest}: "
                 f"lease lost to {claim.get('holder') if claim else '?'}; "
                 f"commit must not publish"
             )
-        own = self._read_claim(f"{self.PREFIX}{self.token:020d}")
+        own = self._read_claim(f"{self.PREFIX}{tok:020d}")
         if own is not None and not self._is_live(own):
             raise LockFenced(
-                f"own lease token {self.token} expired before commit"
+                f"own lease token {tok} expired before commit"
             )
 
     def renew(self) -> None:
         """Extend the held lease (holder-only atomic rewrite). Re-checks
         the token first so a superseded holder fails here, loudly."""
         self.validate()
-        self._rewrite_own(expires_at=time.time() + self.lease_seconds)
+        with self._tlock:
+            tok = self.token
+        if tok is None:  # released between validate and here
+            raise LockFenced("renew() without a held lease")
+        self._rewrite_own(tok, expires_at=time.time() + self.lease_seconds)
 
     def release(self) -> None:
-        if self.token is None:
+        # swap the token out ATOMICALLY before touching the store: a
+        # second thread sharing this provider (ingest + AsyncCompactor
+        # both lock through table._writer_lock) may win a fresh claim
+        # the moment released=True lands, and an unguarded trailing
+        # `self.token = None` here would clobber its new token —
+        # leaving that thread's validate() raising LockFenced at its
+        # commit point and its lease unreleased for the full
+        # lease_seconds (r13 review)
+        with self._tlock:
+            tok, self.token = self.token, None
+        if tok is None:
             return
         try:
-            self._rewrite_own(released=True)
+            self._rewrite_own(tok, released=True)
         except FileNotFoundError:
             pass  # pruned/superseded — nothing to release
-        self.token = None
 
-    def _rewrite_own(self, **updates) -> None:
+    def _rewrite_own(self, token: int, **updates) -> None:
         import json
 
-        key = self._key(self.token)
+        key = self._key(token)
         claim = self._read_claim(key)
         if claim is None:
             # Lease object pruned (superseded long ago) — recreating it
@@ -622,11 +664,14 @@ def retry_on_contention(
     compaction retries instead of terminating the whole streaming query;
     a lock held beyond every retry (stale/crashed writer) still raises.
     """
+    if attempts <= 0:  # degenerate config: run once, no retry wrapper
+        return fn()
     last: LockContention | None = None
     for i in range(attempts):
         try:
             return fn()
         except LockContention as exc:
             last = exc
-            time.sleep(backoff_seconds * (i + 1))
+            if i + 1 < attempts:  # no pointless sleep after the LAST
+                time.sleep(backoff_seconds * (i + 1))
     raise last  # type: ignore[misc]

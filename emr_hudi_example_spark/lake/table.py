@@ -1659,16 +1659,25 @@ class LakeTable:
     # --------------------------------------------------------------- writes
 
     def last_checkpoint(self, source_id: str) -> int | None:
-        """Newest committed checkpoint value for ``source_id``, scanning
-        the timeline backwards (the exactly-once replay guard's read
-        side). Falls back to archived manifests: ``archive_timeline``
-        may have moved the newest checkpoint-bearing commit out of the
-        active timeline, and losing sight of it would silently re-apply
-        a replayed batch."""
+        """Newest committed checkpoint value for ``source_id`` (the
+        exactly-once replay guard's read side)."""
+        cp = self.last_checkpoint_entry(source_id)
+        return cp.get("batch_id") if cp else None
+
+    def last_checkpoint_entry(self, source_id: str) -> dict | None:
+        """Newest committed checkpoint DICT for ``source_id``, scanning
+        the timeline backwards. Besides the replay-guard ``batch_id``,
+        callers may ride extra keys in the checkpoint (e.g. the
+        medallion pipelines' source-slice ``cursor`` — r13) and recover
+        them here on restart, atomic with the data they describe. Falls
+        back to archived manifests: ``archive_timeline`` may have moved
+        the newest checkpoint-bearing commit out of the active
+        timeline, and losing sight of it would silently re-apply a
+        replayed batch."""
         for i in reversed(self.timeline()):
             cp = self._manifest(i).get("checkpoint")
             if cp and cp.get("source_id") == source_id:
-                return cp.get("batch_id")
+                return cp
         arch = os.path.join(self.commits_dir, "_archived")
         if os.path.isdir(arch):
             for f in sorted(os.listdir(arch), reverse=True):
@@ -1677,7 +1686,7 @@ class LakeTable:
                 with open(os.path.join(arch, f)) as fh:
                     cp = json.load(fh).get("checkpoint")
                 if cp and cp.get("source_id") == source_id:
-                    return cp.get("batch_id")
+                    return cp
         return None
 
     def write(

@@ -3,6 +3,7 @@ engine's lakehouse kernel."""
 
 from emr_hudi_example_spark.pipelines.bootstrap import bootstrap_parquet
 from emr_hudi_example_spark.pipelines.dwd2dm import dm_init, dm_increment
+from emr_hudi_example_spark.pipelines.kds2lake import dms2lake_batch, run_kds2lake
 from emr_hudi_example_spark.pipelines.lake2stream import lake_to_json_lines
 from emr_hudi_example_spark.pipelines.log2lake import log2lake_batch, run_log2lake
 from emr_hudi_example_spark.pipelines.multitable import TableRegistry, fanout_batch
@@ -15,6 +16,8 @@ __all__ = [
     "run_log2lake",
     "stream2ods_batch",
     "run_stream2ods",
+    "dms2lake_batch",
+    "run_kds2lake",
     "init_cursor",
     "dwd_increment",
     "dm_init",

@@ -96,10 +96,18 @@ def run_dwd2dm_loop(
     source commits landed between slice end and sink commit — pass
     ``cursor_file`` to persist the true slice-end cursor and close both
     (for the delta-merge, skipping is data loss AND replaying is
-    double-add, so the durable cursor matters here most)."""
+    double-add, so the durable cursor matters here most).
+
+    Slice end = the source's newest PUBLISHED instant, never the wall
+    clock (r13 review): a DWD commit allocates its instant before its
+    (possibly minutes-long) write job publishes, so a wall-clock end
+    taken inside that window would exclude the commit from this slice
+    AND from every later one (``begin`` moves past it) — for a running
+    SUM that skip is a permanent silent undercount. ``last_instant()``
+    is closed under the publish-order invariant (see
+    ``ods2dwd.dwd_increment``), making each slice final when read."""
     import time as _time
 
-    from emr_hudi_example_spark.functions.core import now_instant
     from emr_hudi_example_spark.pipelines.ods2dwd import (
         _read_cursor,
         _write_cursor,
@@ -111,7 +119,10 @@ def run_dwd2dm_loop(
     while max_ticks is None or ticks < max_ticks:
         if interval_seconds:
             _time.sleep(interval_seconds)
-        end = now_instant()
+        end = dwd.last_instant() if dwd.exists() else None
+        if end is None or (begin is not None and end <= begin):
+            ticks += 1  # nothing published since the cursor — idle
+            continue
         dm_increment(
             dwd, dm, begin, end, group_cols, value_col, sum_alias,
             created_ts_millis=created_ts_millis,

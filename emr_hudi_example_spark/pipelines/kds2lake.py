@@ -91,7 +91,16 @@ def run_kds2lake(
             and bid > 0
             and bid % async_compact_every == 0
         ):
-            table.schedule_compaction()
+            # same contention guard as the write (r13 review):
+            # schedule_compaction takes the SAME writer lock, and an
+            # unguarded LockContention here would kill the whole
+            # streaming query at a batch boundary — the exact
+            # crash-the-ingest mode retry_on_contention exists for
+            from emr_hudi_example_spark.lake.locks import (
+                retry_on_contention,
+            )
+
+            retry_on_contention(table.schedule_compaction)
 
     q = start_foreach_batch(
         stream_df,

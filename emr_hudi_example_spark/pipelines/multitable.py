@@ -57,10 +57,22 @@ class TableRegistry:
         self._specs[table] = spec
 
     def spec(self, table: str) -> TableSpec:
+        # friendly failure (r13 review): a stray topic on the fan-out
+        # subscription (a table added upstream before registration)
+        # must surface as actionable configuration guidance, not a
+        # bare KeyError that aborts every table's write in the batch
+        if table not in self._specs:
+            raise ValueError(
+                f"multitable fan-out: no TableSpec registered for "
+                f"table {table!r} (registered: "
+                f"{sorted(self._specs) or 'none'}); register it with "
+                f"TableRegistry.register(TableSpec(...)) or drop its "
+                f"topic from the subscription"
+            )
         return self._specs[table]
 
     def lake_table(self, table: str) -> LakeTable:
-        spec = self._specs[table]
+        spec = self.spec(table)
         return LakeTable(
             self.spark,
             self.base_path,

@@ -57,10 +57,24 @@ def dwd_increment(
     ``item`` (nvl(i_brand,'N/A')); the driver fixtures map this to
     ``lineitem`` enriched with ``part`` (FIXTURES.md §2) — keys are
     parameters so both shapes run.
+
+    ``end`` defaults to the source's newest PUBLISHED instant, not the
+    wall clock (r13 review): a source commit allocates its instant at
+    write start and publishes the manifest only after the whole write
+    job, so a wall-clock ``end`` can land inside that window — the
+    slice misses the still-unpublished commit, and the next tick's
+    ``begin = end`` skips it FOREVER. ``last_instant()`` is closed
+    under the engine's publish-order invariant (no instant ≤ an
+    already-published one can publish later — the locked path holds
+    the lock from allocation to publish, and the optimistic path
+    aborts on instant-order violation), so the slice (begin, end] is
+    final the moment it is read.
     """
-    end = end or now_instant()
     if not ods.exists():  # cold start: source not yet seeded — idle tick
-        return begin if begin is not None else end
+        return begin if begin is not None else (end or now_instant())
+    end = end or ods.last_instant() or now_instant()
+    if begin is not None and end <= begin:
+        return begin  # nothing published since the cursor — idle tick
     inc = ods.incremental(begin, end)
     defaults = enrich_cols or {"p_brand": "N/A"}
     enriched = dim_enrich_left_join(
@@ -111,7 +125,7 @@ def run_ods2dwd_loop(
         if interval_seconds:
             _time.sleep(interval_seconds)
         begin = dwd_increment(
-            ods, dim_df, dwd, begin=begin, end=now_instant(),
+            ods, dim_df, dwd, begin=begin,  # end: newest published
             fact_key=fact_key, dim_key=dim_key, enrich_cols=enrich_cols,
             created_ts_millis=created_ts_millis,
         )
@@ -150,15 +164,27 @@ def run_ods2dwd_streaming(
     """T5 fully re-platformed: Structured Streaming over the ODS commit
     log (``LakeTable.stream``) replaces the sleep-poll loop — new ODS
     commits arrive as micro-batches, each applies the same enrichment
-    tick. A session cursor (bootstrapped from DWD on restart, advanced
-    per batch) drops rows a COW rewrite re-emitted, and the keyed upsert
-    keeps replays idempotent. Returns the StreamingQuery."""
+    tick. A session cursor (advanced per batch) drops rows a COW
+    rewrite re-emitted, and the keyed upsert keeps replays idempotent.
+    Returns the StreamingQuery.
+
+    Restart safety (r13 review): the cursor RIDES IN the DWD commit's
+    checkpoint metadata (``write(checkpoint={..., "cursor": mx})``) and
+    is recovered from ``last_checkpoint_entry`` on restart — atomic
+    with the data it describes. The previous bootstrap (DWD's own last
+    instant) could exceed the last PROCESSED source commit — a source
+    commit that landed during the DWD write and crashed before its
+    micro-batch ran would be filtered out of its checkpoint replay and
+    lost. The sink-instant bootstrap survives only as the legacy
+    fallback for tables written before cursors rode the manifest."""
     from emr_hudi_example_spark.streaming.sources import start_foreach_batch
 
-    state = {"cur": init_cursor(dwd)}
+    query_name = "ODS2DWDStream"
+    cp = dwd.last_checkpoint_entry(query_name) if dwd.exists() else None
+    state = {"cur": (cp or {}).get("cursor") or init_cursor(dwd)}
     defaults = enrich_cols or {}
 
-    def tick(batch_df, _id):
+    def tick(batch_df, batch_id):
         cur = state["cur"]
         rows = (
             batch_df
@@ -170,6 +196,7 @@ def run_ods2dwd_streaming(
             if rows.isEmpty():
                 return
             mx = rows.agg(F.max(COMMIT_TIME_COL)).collect()[0][0]
+            new_cur = mx if cur is None else max(cur, mx)
             enriched = dim_enrich_left_join(
                 rows.drop(*[c for c in rows.columns if c.startswith("_")]),
                 dim_df,
@@ -178,11 +205,21 @@ def run_ods2dwd_streaming(
             ).drop(dim_key).withColumn(
                 "created_ts", created_ts_expr(created_ts_millis)
             )
-            dwd.write(enriched, op="upsert")
-            state["cur"] = mx if cur is None else max(cur, mx)
+            # cursor + replay guard ride the commit manifest (a
+            # replayed batch returns None — already committed WITH its
+            # cursor, so advancing the session cursor stays correct)
+            dwd.write(
+                enriched, op="upsert",
+                checkpoint={
+                    "source_id": query_name,
+                    "batch_id": batch_id,
+                    "cursor": new_cur,
+                },
+            )
+            state["cur"] = new_cur
         finally:
             rows.unpersist()
 
     return start_foreach_batch(
-        ods.stream(), tick, checkpoint_dir, query_name="ODS2DWDStream"
+        ods.stream(), tick, checkpoint_dir, query_name=query_name
     )

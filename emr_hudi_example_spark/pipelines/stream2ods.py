@@ -20,9 +20,18 @@ from emr_hudi_example_spark.streaming.sources import start_foreach_batch
 
 def target_schema(table: LakeTable):
     """Logical schema of the target (drops engine meta cols) minus the
-    write-time ``created_ts`` stamp — the schema used for ``from_json``."""
-    schema = table.logical().schema
-    return type(schema)([f for f in schema.fields if f.name != "created_ts"])
+    write-time ``created_ts`` stamp — the schema used for ``from_json``.
+
+    Read from the newest commit manifest (one small JSON), NOT by
+    building a snapshot read plan: this runs once per micro-batch, and
+    ``logical()``'s timeline walk + manifest prune + DataFrame build
+    is per-batch driver I/O that grows with the table's commit count
+    (r13 review)."""
+    from emr_hudi_example_spark.lake.table import DELETED_COL, META_COLS
+
+    drop = set(META_COLS) | {DELETED_COL, "created_ts"}
+    schema = table._stored_schema()
+    return type(schema)([f for f in schema.fields if f.name not in drop])
 
 
 def stream2ods_batch(

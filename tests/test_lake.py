@@ -1617,7 +1617,7 @@ def test_zombie_crash_after_publish_is_fenced_at_read_planning(
             real_validate()  # pre-rename check passes: still newest
             # GC/SIGSTOP pause during which a's lease runs out —
             # simulated by back-dating the claim's expiry...
-            a._rewrite_own(expires_at=_t.time() - 1.0)
+            a._rewrite_own(a.token, expires_at=_t.time() - 1.0)
             b.acquire(wait_seconds=5.0)  # ...b takes over, records fence
             calls["b_token"] = b.token
             b.release()  # b's tick ends; the fence record persists
@@ -2025,7 +2025,7 @@ def test_two_successive_takeovers_fence_both_zombies(spark, tmp_path):
             calls["n"] += 1
             if calls["n"] == 1:
                 real()
-                p._rewrite_own(expires_at=_t.time() - 1.0)
+                p._rewrite_own(p.token, expires_at=_t.time() - 1.0)
                 successor.acquire(wait_seconds=5.0)
                 successor.release()
             else:
@@ -3161,7 +3161,7 @@ def test_file_lock_commits_survive_on_fenced_table(spark, tmp_path):
     import time as _t
 
     a.acquire(5.0)
-    a._rewrite_own(expires_at=_t.time() - 1.0)
+    a._rewrite_own(a.token, expires_at=_t.time() - 1.0)
     b = LeaseLockProvider(tpath, lease_seconds=60.0, holder="b")
     b.acquire(5.0)
     b.release()

@@ -56,7 +56,7 @@ def test_expired_lease_takeover_records_fence(tmp_path, backend):
     make = _factories(tmp_path)[backend]
     a, b = make("a"), make("b")
     a.acquire(1.0)
-    a._rewrite_own(expires_at=time.time() - 1.0)  # a crashes/stalls
+    a._rewrite_own(a.token, expires_at=time.time() - 1.0)  # a crashes/stalls
     b.acquire(1.0)  # takeover of an unreleased lease: fenced
     assert b.token == 2
     fences = b.fences()
@@ -137,7 +137,7 @@ def test_zombie_fenced_at_read_planning_over_memory_store(spark, tmp_path):
         calls["n"] += 1
         if calls["n"] == 1:
             real_validate()
-            a._rewrite_own(expires_at=time.time() - 1.0)
+            a._rewrite_own(a.token, expires_at=time.time() - 1.0)
             b.acquire(5.0)  # takeover records the fence in the store
             b.release()
         else:
@@ -196,3 +196,58 @@ def test_s3_store_documents_the_calls():
         s.put_if_absent("lease-1", "{}")
     with pytest.raises(NotImplementedError, match="list_objects_v2"):
         s.list()
+
+
+def test_unreadable_lease_body_expires_after_grace(tmp_path):
+    """A lease file whose body NEVER becomes readable (writer died
+    between the O_EXCL create and the write on the no-hardlink
+    fallback, torn write at ENOSPC) carries no expires_at — before r13
+    it was treated live FOREVER and every acquire() on every host
+    livelocked to its deadline. Liveness of an unreadable newest claim
+    is now bounded by lease_seconds from first observation; the
+    takeover is fenced like any crash takeover."""
+    import os as _os
+
+    from emr_hudi_example_spark.lake.locks import (
+        LeaseLockProvider,
+        LockContention,
+    )
+
+    p = LeaseLockProvider(
+        str(tmp_path / "tbl"), lease_seconds=0.4, holder="taker"
+    )
+    p.store.ensure()
+    # simulate the torn claim: lease-1 exists with an EMPTY body
+    open(_os.path.join(p.lease_dir, p._key(1)), "w").close()
+    # within the grace window the claim is conservatively live
+    with pytest.raises(LockContention):
+        p.acquire(wait_seconds=0.15)
+    # past the grace the takeover must succeed without manual deletion
+    p.acquire(wait_seconds=5.0)
+    assert p.token == 2
+    # the takeover was fenced (unreleased prior claim)
+    assert any(f["token"] == 2 for f in p.fences())
+    p.release()
+
+
+def test_retry_on_contention_no_trailing_sleep():
+    """The terminal failure surfaces immediately — no pointless backoff
+    sleep AFTER the last attempt (r13 review); attempts<=0 degrades to
+    running fn once with no wrapper."""
+    import time as _time
+
+    from emr_hudi_example_spark.lake.locks import (
+        LockContention,
+        retry_on_contention,
+    )
+
+    def always():
+        raise LockContention("held")
+
+    t0 = _time.monotonic()
+    with pytest.raises(LockContention):
+        retry_on_contention(always, attempts=1, backoff_seconds=5.0)
+    assert _time.monotonic() - t0 < 1.0  # no 5 s sleep before the raise
+    with pytest.raises(LockContention):
+        retry_on_contention(always, attempts=0)
+    assert retry_on_contention(lambda: 42, attempts=0) == 42

@@ -680,6 +680,38 @@ def test_streaming_medallion_ods2dwd(spark, tmp_path):
         (r["n_nationkey"], r["r_name"]) for r in snap.collect()
     ) == sorted((r["n_nationkey"], r["r_name"]) for r in joined.collect())
 
+    # r13: the source cursor rides the DWD commit manifest, atomic
+    # with the data — the restart bootstrap recovers the exact last
+    # PROCESSED source commit instead of over-filtering via DWD's own
+    # (later) instant, which could drop an unprocessed ODS commit from
+    # its checkpoint replay
+    cp = dwd.last_checkpoint_entry("ODS2DWDStream")
+    assert cp is not None and cp["cursor"] is not None
+    ods_max = ods.snapshot().agg(
+        F.max("_commit_time")
+    ).collect()[0][0]
+    assert cp["cursor"] == ods_max
+    # restart: a fresh query on the same checkpoint continues exactly
+    ods.write(
+        nation.filter(F.col("n_nationkey") % 2 == 1)
+        .withColumn("created_ts", F.lit(9).cast("long")),
+        op="upsert",
+    )
+    q2 = run_ods2dwd_streaming(
+        ods, region, dwd, fact_key="n_regionkey", dim_key="r_regionkey",
+        checkpoint_dir=str(tmp_path / "ckpt"),
+        enrich_cols={"r_name": "N/A"}, created_ts_millis=3,
+    )
+    try:
+        q2.processAllAvailable()
+    finally:
+        q2.stop()
+        q2.awaitTermination()
+    snap2 = dwd.snapshot()
+    assert snap2.count() == nation.count()  # upsert replaced, no dupes
+    odd = snap2.filter(F.col("n_nationkey") % 2 == 1)
+    assert odd.filter(F.col("created_ts") == 3).count() == odd.count()
+
 
 def test_parse_keys_from_ddl():
     """Golden Kudu-style DDL → key metadata (SRC/package.scala:85-115)."""
@@ -1099,3 +1131,53 @@ def test_offset_commit_to_group_receives_persisted_offsets(spark, tmp_path):
         assert t.stream_offsets("GroupCommit")["batch_id"] >= rec["batch_id"]
     finally:
         listener.detach(spark)
+
+
+def test_registry_unregistered_table_friendly_error(spark, tmp_path):
+    """A stray topic on the fan-out subscription surfaces as actionable
+    configuration guidance, not a bare KeyError that aborts the batch
+    (r13 review)."""
+    import pytest
+
+    from emr_hudi_example_spark.pipelines.multitable import TableRegistry
+
+    reg = TableRegistry(spark, str(tmp_path), "db")
+    with pytest.raises(ValueError, match="no TableSpec registered"):
+        reg.lake_table("call_center")
+    with pytest.raises(ValueError, match="register it"):
+        reg.spec("call_center")
+
+
+def test_dwd_increment_cursor_is_published_instant(spark, tmp_path):
+    """The tick's default slice end is the source's newest PUBLISHED
+    instant, never the wall clock (r13 review): a wall-clock end can
+    land inside another writer's allocate→publish window and skip that
+    commit forever. The returned cursor must therefore be an instant
+    the source timeline actually contains, and an idle tick (nothing
+    published past the cursor) must not advance it."""
+    nation = spark.read.parquet(f"{SF}/nation.parquet").withColumn(
+        "created_ts", F.lit(1).cast("long")
+    )
+    region = spark.read.parquet(f"{SF}/region.parquet").select(
+        "r_regionkey", "r_name"
+    )
+    ods = LakeTable(spark, str(tmp_path), "p", "odsc", ["n_nationkey"],
+                    "created_ts")
+    dwd = LakeTable(spark, str(tmp_path), "p", "dwdc", ["n_nationkey"],
+                    "created_ts")
+    ods.write(nation, op="upsert")
+    cur = dwd_increment(
+        ods, region, dwd, begin=None,
+        fact_key="n_regionkey", dim_key="r_regionkey",
+        enrich_cols={"r_name": "N/A"}, created_ts_millis=2,
+    )
+    assert cur == ods.last_instant()  # a published instant, not now()
+    assert dwd.snapshot().count() == nation.count()
+    # idle tick: no new source commit — cursor unchanged, no write
+    before = dwd.last_instant()
+    assert dwd_increment(
+        ods, region, dwd, begin=cur,
+        fact_key="n_regionkey", dim_key="r_regionkey",
+        enrich_cols={"r_name": "N/A"}, created_ts_millis=3,
+    ) == cur
+    assert dwd.last_instant() == before

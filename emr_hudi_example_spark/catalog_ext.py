@@ -1531,7 +1531,10 @@ def dedup_paragraphs(spark: SparkSession, sf_dir: str) -> DataFrame:
                               ORDER BY para_idx) AS clean_text,
                    count(*) AS n_kept
             FROM kept GROUP BY 1),
-    tot AS (SELECT doc_id, count(*) AS n_paras FROM f GROUP BY 1)
+    -- anchor on every input doc (r13): a paragraph-less doc survives
+    -- with empty clean_text, mirroring strip_duplicate_paragraphs
+    tot AS (SELECT t.doc_id, count(f.doc_id) AS n_paras
+            FROM t LEFT JOIN f USING (doc_id) GROUP BY 1)
     SELECT tot.doc_id,
            coalesce(reb.clean_text, '') AS clean_text,
            CAST(coalesce(reb.n_kept, 0) AS BIGINT) AS n_kept,
@@ -1892,16 +1895,23 @@ def corpus_length_histogram(spark: SparkSession, sf_dir: str) -> DataFrame:
            WHERE dfreq >= 3),
     fl AS (SELECT f.doc_id, f.line_idx, f.line,
                   (bp.fp IS NOT NULL) AS is_bp
-           FROM f LEFT JOIN bp ON f.fp = bp.fp)
-    SELECT doc_id,
-           coalesce(string_agg(CASE WHEN NOT is_bp THEN line END,
-                               chr(10) ORDER BY line_idx), '')
-             AS clean_text,
-           CAST(sum(CASE WHEN is_bp THEN 0 ELSE 1 END) AS BIGINT)
-             AS n_kept,
-           CAST(sum(CASE WHEN is_bp THEN 1 ELSE 0 END) AS BIGINT)
-             AS n_dropped
-    FROM fl GROUP BY 1
+           FROM f LEFT JOIN bp ON f.fp = bp.fp),
+    reb AS (SELECT doc_id,
+                   coalesce(string_agg(CASE WHEN NOT is_bp THEN line END,
+                                       chr(10) ORDER BY line_idx), '')
+                     AS clean_text,
+                   CAST(sum(CASE WHEN is_bp THEN 0 ELSE 1 END) AS BIGINT)
+                     AS n_kept,
+                   CAST(sum(CASE WHEN is_bp THEN 1 ELSE 0 END) AS BIGINT)
+                     AS n_dropped
+            FROM fl GROUP BY 1)
+    -- anchor on every input doc (r13): an all-whitespace doc survives
+    -- with empty clean_text, mirroring strip_boilerplate_lines
+    SELECT t.doc_id,
+           coalesce(reb.clean_text, '') AS clean_text,
+           CAST(coalesce(reb.n_kept, 0) AS BIGINT) AS n_kept,
+           CAST(coalesce(reb.n_dropped, 0) AS BIGINT) AS n_dropped
+    FROM t LEFT JOIN reb USING (doc_id)
     """,
 )
 def dedup_line_boilerplate(spark: SparkSession, sf_dir: str) -> DataFrame:

@@ -42,6 +42,27 @@ def exact_dedup_groups(
     )
 
 
+def _cap_key_freq(df: DataFrame, key_cols: list[str], cap: int | None) -> DataFrame:
+    """Skew guard shared by every shingle/bucket self-join (r13 review:
+    this block was copy-pasted three times and had started to drift in
+    comments): drop keys whose row count exceeds ``cap`` — degenerate
+    mega-buckets / boilerplate shingles whose pair fan-out is quadratic
+    in the bucket size. A WINDOW count over ``key_cols`` — not a
+    groupBy + join-back — shuffles on exactly the key the following
+    self-join joins on, so the exchange is planned once and reused;
+    the guard costs no extra shuffle. ``cap=None`` is a no-op."""
+    if cap is None:
+        return df
+    from pyspark.sql.window import Window
+
+    w = Window.partitionBy(*key_cols)
+    return (
+        df.withColumn("_keyfreq", F.count(F.lit(1)).over(w))
+        .filter(F.col("_keyfreq") <= cap)
+        .drop("_keyfreq")
+    )
+
+
 def _perm_hash(shingle: Column, perm: int) -> Column:
     """Deterministic hash family: md5 of a per-permutation salt + shingle.
     Fixed-width hex strings order like the underlying 128-bit integers,
@@ -106,20 +127,7 @@ def lsh_candidate_pairs(
     buckets = sig.select(
         F.col(id_col), F.explode(bands).alias("bb")
     ).select(id_col, "bb.band", "bb.bucket")
-    if max_bucket_size is not None:
-        # skew guard: drop degenerate mega-buckets (boilerplate content).
-        # A window count over (band, bucket) — NOT a groupBy+join-back —
-        # shuffles on exactly the key the self-join below joins on, so
-        # the exchange is planned once and reused; the guard costs no
-        # extra shuffle.
-        from pyspark.sql.window import Window
-
-        w = Window.partitionBy("band", "bucket")
-        buckets = (
-            buckets.withColumn("_bc", F.count(F.lit(1)).over(w))
-            .filter(F.col("_bc") <= max_bucket_size)
-            .drop("_bc")
-        )
+    buckets = _cap_key_freq(buckets, ["band", "bucket"], max_bucket_size)
     a = buckets.alias("a")
     b = buckets.alias("b")
     return (
@@ -260,21 +268,10 @@ def ngram_jaccard_pairs(
         F.col(id_col),
         F.explode(F.array_distinct(shingles(text_col, k))).alias("sh"),
     )
-    if max_doc_freq is not None:
-        # document-frequency cap: posting lists longer than the cap are
-        # cut before the self-join (shingles are distinct per doc, so
-        # count(*) per shingle IS the document frequency). Window count
-        # over the shingle — the same key the self-join shuffles on —
-        # so the guard rides the join's own exchange instead of adding
-        # a groupBy+join-back.
-        from pyspark.sql.window import Window
-
-        w = Window.partitionBy("sh")
-        sh = (
-            sh.withColumn("_df", F.count(F.lit(1)).over(w))
-            .filter(F.col("_df") <= max_doc_freq)
-            .drop("_df")
-        )
+    # document-frequency cap: posting lists longer than the cap are cut
+    # before the self-join (shingles are distinct per doc, so count(*)
+    # per shingle IS the document frequency)
+    sh = _cap_key_freq(sh, ["sh"], max_doc_freq)
     pairs = (
         sh.alias("a")
         .join(
@@ -311,15 +308,7 @@ def ngram_containment_pairs(
         F.col(id_col),
         F.explode(F.array_distinct(shingles(text_col, k))).alias("sh"),
     )
-    if max_doc_freq is not None:
-        from pyspark.sql.window import Window
-
-        w = Window.partitionBy("sh")
-        sh = (
-            sh.withColumn("_df", F.count(F.lit(1)).over(w))
-            .filter(F.col("_df") <= max_doc_freq)
-            .drop("_df")
-        )
+    sh = _cap_key_freq(sh, ["sh"], max_doc_freq)
     pairs = (
         sh.alias("a")
         .join(
@@ -406,6 +395,16 @@ def simhash(
     (duplicates weighted). Returns (id, simhash as long)."""
     from emr_hudi_example_spark.operators.text import tokens
 
+    if bits > 32:
+        # the token hash is 32 bits — shiftright(h, j>=32) is constant
+        # 0, so higher result bits would be all-zero padding with NO
+        # signal (silently doubling band collision rates downstream
+        # for the width the caller asked for; r13 review)
+        raise ValueError(
+            f"simhash: bits={bits} exceeds the 32-bit token hash; use "
+            f"bits <= 32 (or widen the token hash first)"
+        )
+
     tok = ensure_parallelism(df.select(id_col, text_col)).select(
         F.col(id_col), F.explode(tokens(text_col)).alias("t")
     )
@@ -436,10 +435,27 @@ def simhash_near_pairs(
     max_hamming: int = 6,
 ) -> DataFrame:
     """Near-dup pairs by SimHash: band the ``bits``-bit hash into
-    ``bits/band_bits`` chunks; pairs sharing any chunk are candidates
-    (pigeonhole: hamming ≤ bands-1 guaranteed findable), verified by
-    exact popcount of the XOR. Returns (id_a, id_b, hamming)."""
+    ``bits/band_bits`` chunks; pairs sharing any chunk are candidates,
+    verified by exact popcount of the XOR. Returns
+    (id_a, id_b, hamming).
+
+    RECALL CONTRACT (r13 review): the pigeonhole guarantee covers only
+    ``hamming ≤ n_bands - 1`` (defaults: 4 bands → ≤ 3) — a pair whose
+    differing bits spread across EVERY band shares no chunk and is
+    missed, so with ``max_hamming`` above that bound the result is a
+    high-recall candidate set, not an exhaustive list (same trade as
+    MinHash-LSH banding). Use ``simhash_hamming_pairs``-style exact
+    verification over an all-pairs join if completeness at higher
+    distances is required."""
     sim = simhash(df, id_col, text_col, bits)
+    if bits % band_bits != 0:
+        # a ragged split would silently ignore the top bits % band_bits
+        # bits during banding — same guard as lsh_candidate_pairs'
+        # num_perm/band_size check (r13 review)
+        raise ValueError(
+            f"simhash_near_pairs: bits={bits} not divisible by "
+            f"band_bits={band_bits}"
+        )
     n_bands = bits // band_bits
     chunks = F.array(
         *[
@@ -508,6 +524,13 @@ def connected_components(
     the worst case is ``check_every - 1`` idempotent extra rounds in
     exchange for one fewer job submission per skipped round — at scale
     per-job scheduling overhead dominates those tiny probe scans.
+
+    NON-CONVERGENCE RAISES (r13 review): a component with diameter >
+    ``max_iter`` would otherwise return PARTIAL labels — one duplicate
+    cluster silently split into several, so the cluster-then-keep
+    consumer retains extra duplicates. Exactly the clone-chain shape
+    :func:`connected_components_star` exists for — switch to it (O(log
+    n) rounds, diameter-independent) or raise ``max_iter``.
     """
     if check_every < 1:
         raise ValueError("check_every must be >= 1")
@@ -548,7 +571,18 @@ def connected_components(
                 .count()
             )
             if changed == 0:
+                converged = True
                 break
+    else:
+        converged = max_iter < 1  # zero-round call on any graph
+    if not converged:
+        raise ValueError(
+            f"connected_components: not converged after {max_iter} "
+            f"rounds (a component's diameter exceeds max_iter) — "
+            f"partial labels would split duplicate clusters; use "
+            f"connected_components_star (diameter-independent) or "
+            f"raise max_iter"
+        )
     return labels.select(
         F.col("v").alias(id_col), F.col("lbl").alias("group_id")
     )
@@ -779,8 +813,24 @@ def strip_duplicate_paragraphs(
         ).alias("clean_text"),
         F.count(F.lit(1)).alias("n_kept"),
     )
-    totals = paras.groupBy(id_col).agg(
-        F.count(F.lit(1)).alias("n_paras")
+    # anchor on EVERY input document, not just those with a non-empty
+    # paragraph (r13 review): a doc whose text is empty/whitespace has
+    # no rows in ``paras`` and would vanish from the corpus instead of
+    # surviving with empty clean_text as the contract above promises
+    totals = (
+        docs.select(id_col)
+        .distinct()
+        .join(
+            paras.groupBy(id_col).agg(
+                F.count(F.lit(1)).alias("n_paras")
+            ),
+            id_col,
+            "left",
+        )
+        .select(
+            id_col,
+            F.coalesce("n_paras", F.lit(0).cast("long")).alias("n_paras"),
+        )
     )
     return totals.join(rebuilt, id_col, "left").select(
         id_col,
@@ -880,7 +930,7 @@ def strip_boilerplate_lines(
         "fp",
         "left",
     ).withColumn("is_bp", F.coalesce("_bp", F.lit(False)))
-    return flagged.groupBy(id_col).agg(
+    rebuilt = flagged.groupBy(id_col).agg(
         F.array_join(
             F.transform(
                 F.filter(
@@ -901,6 +951,22 @@ def strip_boilerplate_lines(
         F.sum(F.when(F.col("is_bp"), 1).otherwise(0))
         .cast("long")
         .alias("n_dropped"),
+    )
+    # anchor on EVERY input document (r13 review, same contract as
+    # strip_duplicate_paragraphs): an all-whitespace doc has no rows in
+    # ``lines`` and must survive with empty clean_text, not vanish
+    return (
+        docs.select(id_col)
+        .distinct()
+        .join(rebuilt, id_col, "left")
+        .select(
+            id_col,
+            F.coalesce("clean_text", F.lit("")).alias("clean_text"),
+            F.coalesce("n_kept", F.lit(0).cast("long")).alias("n_kept"),
+            F.coalesce("n_dropped", F.lit(0).cast("long")).alias(
+                "n_dropped"
+            ),
+        )
     )
 
 
@@ -1258,13 +1324,23 @@ def lsh_config_eval(
     docs = hash_sample(
         base, id_col, None if cut >= 65536 else cut / 65536.0, seed
     )
-    sig = minhash_signatures(docs, num_perm=num_perm, k=k)
+    # forward id_col/text_col to every leg (r13 review: only the
+    # hash_sample honored them before — non-default names crashed)
+    sig = minhash_signatures(
+        docs, id_col=id_col, text_col=text_col, num_perm=num_perm, k=k
+    )
     # uncapped candidates: the eval grades the RAW band configuration
     cand = lsh_candidate_pairs(
-        sig, num_perm=num_perm, band_size=band_size, max_bucket_size=None
+        sig, id_col=id_col, num_perm=num_perm, band_size=band_size,
+        max_bucket_size=None,
     )
-    verified = jaccard_verify(docs, cand, k=k, threshold=threshold)
-    truth = ngram_jaccard_pairs_counted(docs, k=k, threshold=threshold)
+    verified = jaccard_verify(
+        docs, cand, id_col=id_col, text_col=text_col, k=k,
+        threshold=threshold,
+    )
+    truth = ngram_jaccard_pairs_counted(
+        docs, id_col=id_col, text_col=text_col, k=k, threshold=threshold
+    )
     out = (
         cand.agg(F.count(F.lit(1)).cast("long").alias("n_candidates"))
         .crossJoin(

@@ -506,9 +506,13 @@ def embedding_near_dup_pairs(
             lo = _np.minimum(a_ids[ai], b_ids[bi_])
             hi = _np.maximum(a_ids[ai], b_ids[bi_])
             id_a, id_b, cos = lo, hi, sims[ai, bi_]
-        return _pd.DataFrame(
-            {"id_a": id_a, "id_b": id_b, "cos": _np.round(cos, 6)}
+        # round half-AWAY-FROM-ZERO like Spark's F.round (np.round is
+        # banker's half-to-even — a cosine landing exactly on a 1e-6
+        # tie would diverge from the impl='sql' twin; r13 review)
+        cos6 = _np.copysign(
+            _np.floor(_np.abs(cos) * 1e6 + 0.5) / 1e6, cos
         )
+        return _pd.DataFrame({"id_a": id_a, "id_b": id_b, "cos": cos6})
 
     return tagged.groupBy("_bi", "_bj").applyInPandas(
         gemm_block, schema="id_a LONG, id_b LONG, cos DOUBLE"
@@ -532,6 +536,22 @@ def cell_near_dup_pairs(
     ``n_assign`` (near-dups at high τ almost always share a nearest
     centroid). Results are deduplicated across shared cells.
     """
+    from pyspark.sql import types as T
+
+    id_type = vectors.schema[id_col].dataType
+    if not isinstance(id_type, (T.ByteType, T.ShortType, T.IntegerType,
+                                T.LongType)):
+        # same guard as embedding_near_dup_pairs (r13 review): the GEMM
+        # kernel's output schema is integral ids — a string id would
+        # cast to NULL here and crash the pandas kernel mid-job with an
+        # opaque executor PythonException instead of a clear build-time
+        # contract error
+        raise ValueError(
+            f"cell_near_dup_pairs: id_col {id_col!r} must be an "
+            f"integral type (got {id_type.simpleString()}); map ids to "
+            f"longs first, or use embedding_near_dup_pairs(impl='sql') "
+            f"for string ids"
+        )
     cells = assign_cells(vectors, centroids, id_col, vec_col, n_assign)
     tagged = vectors.join(cells, id_col).select(
         F.col("cell_id"),
@@ -555,8 +575,11 @@ def cell_near_dup_pairs(
         mat /= _np.linalg.norm(mat, axis=1, keepdims=True)
         sims = mat @ mat.T
         ai, bi_ = _np.nonzero((sims >= thr) & (ids[:, None] < ids[None, :]))
+        c = sims[ai, bi_]
+        # half-away-from-zero, matching F.round (see gemm_block)
+        c6 = _np.copysign(_np.floor(_np.abs(c) * 1e6 + 0.5) / 1e6, c)
         return _pd.DataFrame(
-            {"id_a": ids[ai], "id_b": ids[bi_], "cos": _np.round(sims[ai, bi_], 6)}
+            {"id_a": ids[ai], "id_b": ids[bi_], "cos": c6}
         )
 
     pairs = tagged.groupBy("cell_id").applyInPandas(
@@ -1565,6 +1588,18 @@ def opq_dim_permutation(
     (``new_pos = bucket * sub_dim + round``). Pure relational program
     over ``dim`` rows; the statistics pass is one corpus scan.
     """
+    if dim % n_subspaces != 0:
+        # the snake-deal position formula is a bijection ONLY for a
+        # divisible split; a ragged split would silently collide
+        # new_pos values (two dims mapped to one slot, others never
+        # assigned) and corrupt every downstream OPQ distance (r13
+        # review) — same guard shape as lsh_candidate_pairs'
+        # num_perm/band_size check
+        raise ValueError(
+            f"opq_dim_permutation: dim={dim} not divisible by "
+            f"n_subspaces={n_subspaces}; pad the vectors or pick a "
+            f"divisor (FAISS's OPQ has the same constraint)"
+        )
     sub_dim = dim // n_subspaces
     x = vectors.select(
         F.posexplode(_as_double(vec_col)).alias("d", "x")
@@ -1664,19 +1699,45 @@ def opq_adc_topk(
     # the permuted-corpus top-N the old path took AFTER the permutation
     # equals the raw top-N permuted row-locally, since the permutation
     # is a per-row bijection on the vector and leaves ids untouched)
-    from concurrent.futures import ThreadPoolExecutor
+    # InheritableThreads, not a plain ThreadPoolExecutor (r13 review):
+    # plain threads drop the caller's Spark local properties, running
+    # the collects outside its job group / fair-scheduler pool — the
+    # exact detachment local_bounded_many's r12 fix removed
+    from pyspark import InheritableThread
 
-    with ThreadPoolExecutor(max_workers=2) as ex:
-        f_perm = ex.submit(
-            collect_dim_permutation,
-            opq_dim_permutation(stats_src, vec_col, dim, n_subspaces),
-            dim,
-        )
-        f_seed = ex.submit(
-            local_bounded, vectors.orderBy(id_col).limit(n_codes), n_codes
-        )
-        perm = f_perm.result()
-        seed_slice = f_seed.result()
+    res: dict = {}
+    errs: list = []
+
+    def _run(key, fn, *a):
+        try:
+            res[key] = fn(*a)
+        except BaseException as e:  # surfaced below, never swallowed
+            errs.append(e)
+
+    threads = [
+        InheritableThread(
+            target=_run,
+            args=(
+                "perm", collect_dim_permutation,
+                opq_dim_permutation(stats_src, vec_col, dim, n_subspaces),
+                dim,
+            ),
+        ),
+        InheritableThread(
+            target=_run,
+            args=(
+                "seed", local_bounded,
+                vectors.orderBy(id_col).limit(n_codes), n_codes,
+            ),
+        ),
+    ]
+    for t in threads:
+        t.start()
+    for t in threads:
+        t.join()
+    if errs:
+        raise errs[0]
+    perm, seed_slice = res["perm"], res["seed"]
     vp = apply_dim_permutation(vectors, perm, id_col, vec_col)
     qp = apply_dim_permutation(queries, perm, id_col, vec_col)
     seeds = _pq_seeds(

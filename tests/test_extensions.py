@@ -386,6 +386,117 @@ def test_paragraph_dedup_and_strip_invariants(spark):
     assert again.filter(F.col("n_dropped") > 0).count() == 0
 
 
+def test_strip_passes_keep_degenerate_docs(spark):
+    """Docs with no non-empty paragraph/line must SURVIVE with empty
+    clean_text — the documented contract; before r13 they silently
+    vanished from both strip passes, shrinking the corpus."""
+    from emr_hudi_example_spark.operators.dedup import (
+        strip_boilerplate_lines,
+        strip_duplicate_paragraphs,
+    )
+
+    docs = spark.createDataFrame(
+        [
+            (1, "alpha\n\nbeta"),
+            (2, ""),                 # empty text
+            (3, "\n\n   \n\n"),      # whitespace-only paragraphs
+        ],
+        "doc_id LONG, text STRING",
+    )
+    out = {r["doc_id"]: r for r in strip_duplicate_paragraphs(docs).collect()}
+    assert set(out) == {1, 2, 3}
+    for d in (2, 3):
+        assert out[d]["clean_text"] == ""
+        assert out[d]["n_kept"] == 0 and out[d]["n_dropped"] == 0
+    lines = {r["doc_id"]: r for r in strip_boilerplate_lines(
+        docs.withColumn("text", F.regexp_replace("text", r"\n\n", "\n")),
+        min_docs=2,
+    ).collect()}
+    assert set(lines) == {1, 2, 3}
+    assert lines[2]["clean_text"] == "" and lines[2]["n_kept"] == 0
+
+
+def test_operator_config_guards_raise(spark):
+    """r13 review: invalid configurations raise up front instead of
+    silently corrupting results — OPQ's ragged subspace split (the
+    snake-deal is a bijection only for a divisible dim), simhash widths
+    beyond the 32-bit token hash, ragged simhash banding, and
+    non-integral ids into the cell GEMM kernel."""
+    import pytest
+
+    from emr_hudi_example_spark.operators.dedup import (
+        simhash,
+        simhash_near_pairs,
+    )
+    from emr_hudi_example_spark.operators.similarity import (
+        cell_near_dup_pairs,
+        opq_dim_permutation,
+    )
+
+    docs = spark.createDataFrame(
+        [(1, "a b c"), (2, "a b d")], "doc_id LONG, text STRING"
+    )
+    vecs = spark.createDataFrame(
+        [("a", [1.0, 0.0]), ("b", [0.0, 1.0])],
+        "vec_id STRING, embedding ARRAY<DOUBLE>",
+    )
+    cents = spark.createDataFrame(
+        [(0, [1.0, 0.0])], "vec_id LONG, embedding ARRAY<DOUBLE>"
+    )
+    with pytest.raises(ValueError, match="not divisible"):
+        opq_dim_permutation(vecs, dim=10, n_subspaces=4)
+    with pytest.raises(ValueError, match="32-bit token hash"):
+        simhash(docs, bits=64)
+    with pytest.raises(ValueError, match="not divisible"):
+        simhash_near_pairs(docs, bits=32, band_bits=7)
+    with pytest.raises(ValueError, match="integral type"):
+        cell_near_dup_pairs(vecs, cents)
+
+
+def test_connected_components_raises_on_non_convergence(spark):
+    """A chain longer than max_iter rounds must RAISE, not return
+    partial labels that split one duplicate cluster (r13 review); the
+    star variant finishes the same graph in O(log n) rounds."""
+    import pytest
+
+    from emr_hudi_example_spark.operators.dedup import (
+        connected_components,
+        connected_components_star,
+    )
+
+    n = 8  # path graph 0-1-2-...-7: diameter 7 > max_iter=2
+    pairs = spark.createDataFrame(
+        [(i, i + 1) for i in range(n - 1)], "id_a LONG, id_b LONG"
+    )
+    verts = spark.createDataFrame([(i,) for i in range(n)], "doc_id LONG")
+    with pytest.raises(ValueError, match="not converged"):
+        connected_components(pairs, verts, max_iter=2, check_every=1)
+    # enough rounds: one component labeled by its min
+    ok = connected_components(pairs, verts, max_iter=10, check_every=1)
+    assert {r["group_id"] for r in ok.collect()} == {0}
+    star = connected_components_star(pairs, verts)
+    assert {r["group_id"] for r in star.collect()} == {0}
+
+
+def test_lsh_config_eval_honors_column_names(spark):
+    """r13 review: id_col/text_col were accepted but not forwarded —
+    non-default names crashed every leg past the sample."""
+    from emr_hudi_example_spark.operators.dedup import lsh_config_eval
+
+    docs = spark.createDataFrame(
+        [(1, "the quick brown fox jumps"), (2, "the quick brown fox leaps"),
+         (3, "совершенно other text entirely now")],
+        "id LONG, body STRING",
+    )
+    row = lsh_config_eval(
+        docs, id_col="id", text_col="body", num_perm=12, band_size=3,
+    ).collect()[0]
+    # the crash was UNRESOLVED_COLUMN before any row came back; the
+    # exact-truth leg finds the near-identical pair regardless of
+    # whether this tiny signature config happens to band them together
+    assert row["n_truth"] >= 1 and row["n_candidates"] >= 0
+
+
 def test_leakage_safe_split_co_travel(spark):
     """Exact duplicates must land in the same split, whatever their doc
     ids; fractions roughly follow (90, 5, 5) on the fixture corpus."""

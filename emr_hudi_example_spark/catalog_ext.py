@@ -46,7 +46,7 @@ _EN_STOPS = ", ".join(f"'{w}'" for w in TX.LANG_STOPWORDS["en"])
            len(tk) AS n_tokens,
            len(list_filter(list_transform(
                  string_split_regex(regexp_replace(trim(text),
-                   '([^\\w\\s])', ' \\1 ', 'g'), '\\s+'), x -> x),
+                   '([^\\p{{L}}\\p{{N}}_\\s])', ' \\1 ', 'g'), '\\s+'), x -> x),
                x -> x != '')) AS n_word_tokens,
            len(list_distinct(tk)) AS n_unique,
            len(list_filter(tk, x -> list_contains([{_EN_STOPS}], lower(x))))
@@ -75,7 +75,7 @@ def text_token_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
       SELECT doc_id,
              len(tk)::DOUBLE AS n,
              len(list_distinct(tk))::DOUBLE AS uniq,
-             length(regexp_replace(text, '[\\w\\s]', '', 'g'))::DOUBLE
+             length(regexp_replace(text, '[\\p{{L}}\\p{{N}}_\\s]', '', 'g'))::DOUBLE
                / greatest(length(text)::DOUBLE, 1.0) AS punct,
              len(list_filter(tk, x -> list_contains([{_EN_STOPS}], lower(x))))::DOUBLE
                / greatest(len(tk)::DOUBLE, 1.0) AS stop
@@ -143,8 +143,13 @@ def text_lang_id(spark: SparkSession, sf_dir: str) -> DataFrame:
                FROM documents)
     SELECT doc_id,
            md5(regexp_replace(lower(trim(text)), '\\s+', ' ', 'g')) AS fp,
-           list_min(list_transform({_shingles_sql(5, "ltk")}, s -> md5(s)))
-             AS rolling_fp
+           -- short docs (< k tokens) fall back to the exact-content
+           -- fingerprint (r13, lockstep with rolling_fingerprint)
+           coalesce(
+             list_min(list_transform({_shingles_sql(5, "ltk")},
+                                     s -> md5(s))),
+             md5(regexp_replace(lower(trim(text)), '\\s+', ' ', 'g'))
+           ) AS rolling_fp
     FROM t
     """,
 )
@@ -439,7 +444,7 @@ def dedup_embedding_cells(spark: SparkSession, sf_dir: str) -> DataFrame:
       SELECT doc_id, text,
              len(tk)::DOUBLE AS n,
              len(list_distinct(tk))::DOUBLE AS uniq,
-             length(regexp_replace(text, '[\\w\\s]', '', 'g'))::DOUBLE
+             length(regexp_replace(text, '[\\p{{L}}\\p{{N}}_\\s]', '', 'g'))::DOUBLE
                / greatest(length(text)::DOUBLE, 1.0) AS punct,
              len(list_filter(tk, x -> list_contains([{_EN_STOPS}],
                lower(x))))::DOUBLE / greatest(len(tk)::DOUBLE, 1.0) AS stop,
@@ -756,7 +761,9 @@ def corpus_hash_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
     oracle=f"""
     WITH t AS (SELECT {_TOKS} AS tk FROM documents),
     c AS (SELECT lower(unnest(tk)) AS token FROM t),
-    f AS (SELECT token, count(*) AS freq FROM c GROUP BY token)
+    -- phantom '' of empty docs dropped (r13, lockstep with vocab_topk)
+    f AS (SELECT token, count(*) AS freq FROM c
+          WHERE length(token) > 0 GROUP BY token)
     SELECT token, freq,
            CAST(row_number() OVER (ORDER BY freq DESC, token) AS INT) AS rank
     FROM f QUALIFY rank <= 50
@@ -1029,8 +1036,10 @@ def dedup_cluster_groups(spark: SparkSession, sf_dir: str) -> DataFrame:
     oracle=f"""
     WITH t AS (SELECT doc_id, list_transform({_TOKS}, x -> lower(x)) AS tk
                FROM documents),
-    toks AS (SELECT doc_id, unnest(tk) AS token FROM t),
-    tf AS (SELECT doc_id, token, count(*) AS tf FROM toks GROUP BY 1, 2),
+    toks AS (SELECT doc_id, unnest(tk) AS token FROM t
+             ),
+    tf AS (SELECT doc_id, token, count(*) AS tf FROM toks
+           WHERE length(token) > 0 GROUP BY 1, 2),
     dfreq AS (SELECT token, count(*) AS df FROM tf GROUP BY 1),
     n AS (SELECT count(DISTINCT doc_id) AS n_docs FROM documents),
     scored AS (
@@ -1077,7 +1086,9 @@ def corpus_mixture_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
     oracle=f"""
     WITH t AS (SELECT {_TOKS} AS tk FROM documents),
     uni AS (SELECT unnest(tk) AS w FROM t),
-    uc AS (SELECT w, count(*) AS c_w FROM uni GROUP BY 1),
+    -- phantom '' of empty docs dropped (r13, lockstep with the engine)
+    uc AS (SELECT w, count(*) AS c_w FROM uni
+           WHERE length(w) > 0 GROUP BY 1),
     bg AS (SELECT tk[i] || ' ' || tk[i+1] AS bigram
            FROM (SELECT tk, unnest(range(1, len(tk))) AS i FROM t)),
     bc AS (SELECT bigram, count(*) AS c_xy FROM bg GROUP BY 1
@@ -1589,6 +1600,9 @@ def corpus_split_leakage_safe(spark: SparkSession, sf_dir: str) -> DataFrame:
     WHERE CAST(concat('0x', substr(md5('im0:' || CAST(doc_id AS VARCHAR)),
                                    1, 4)) AS BIGINT) * wmax
           < n_chars * 65536
+       -- max-weight ties kept unconditionally (r13, lockstep with
+       -- importance_sample's degenerate-weight clause)
+       OR (n_chars IS NOT NULL AND n_chars = wmax)
     """,
 )
 def corpus_importance_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -1629,8 +1643,9 @@ def corpus_chunk_windows(spark: SparkSession, sf_dir: str) -> DataFrame:
 @query(
     "text_unigram_quality",
     oracle=f"""
-    WITH toks AS (SELECT doc_id, lower(unnest({_TOKS})) AS token
-                  FROM documents),
+    WITH tx AS (SELECT doc_id, lower(unnest({_TOKS})) AS token
+                FROM documents),
+    toks AS (SELECT doc_id, token FROM tx WHERE length(token) > 0),
     c AS (SELECT token, count(*) AS cnt FROM toks GROUP BY 1),
     j AS (SELECT t.doc_id, c.cnt FROM toks t JOIN c USING (token))
     SELECT doc_id, count(*) AS n_tok,
@@ -2385,21 +2400,25 @@ _GQ_STOPS_SQL = " + ".join(
                    AS alpha_ratio,
                  stop_hits::INT AS stop_hits
           FROM m)
+    -- flags coalesce NULL ratios (empty docs) to 0 = FAIL (r13,
+    -- lockstep with gopher_quality's per-rule 0/1 contract)
     SELECT doc_id, n_words, mean_word_len, symbol_ratio, bullet_ratio,
            ellipsis_line_ratio, alpha_ratio, stop_hits,
-           (n_words >= 50 AND n_words <= 100000)::INT AS pass_word_count,
-           (mean_word_len >= 3 AND mean_word_len <= 10)::INT
+           coalesce((n_words >= 50 AND n_words <= 100000)::INT, 0)
+             AS pass_word_count,
+           coalesce((mean_word_len >= 3 AND mean_word_len <= 10)::INT, 0)
              AS pass_mean_word_len,
-           (symbol_ratio <= 0.1)::INT AS pass_symbol_ratio,
-           (bullet_ratio <= 0.9)::INT AS pass_bullet_lines,
-           (ellipsis_line_ratio <= 0.3)::INT AS pass_ellipsis_lines,
-           (alpha_ratio >= 0.8)::INT AS pass_alpha_words,
-           (stop_hits >= 2)::INT AS pass_stopwords,
-           (n_words >= 50 AND n_words <= 100000
+           coalesce((symbol_ratio <= 0.1)::INT, 0) AS pass_symbol_ratio,
+           coalesce((bullet_ratio <= 0.9)::INT, 0) AS pass_bullet_lines,
+           coalesce((ellipsis_line_ratio <= 0.3)::INT, 0)
+             AS pass_ellipsis_lines,
+           coalesce((alpha_ratio >= 0.8)::INT, 0) AS pass_alpha_words,
+           coalesce((stop_hits >= 2)::INT, 0) AS pass_stopwords,
+           coalesce((n_words >= 50 AND n_words <= 100000
             AND mean_word_len >= 3 AND mean_word_len <= 10
             AND symbol_ratio <= 0.1 AND bullet_ratio <= 0.9
             AND ellipsis_line_ratio <= 0.3 AND alpha_ratio >= 0.8
-            AND stop_hits >= 2)::INT AS pass_gopher
+            AND stop_hits >= 2)::INT, 0) AS pass_gopher
     FROM r
     """,
 )

@@ -90,6 +90,8 @@ def vocab_topk(
     corpus-stats pipeline runs."""
     counts = (
         df.select(F.explode(tokens(text_col)).alias("tok"))
+        # drop the phantom '' token of empty/whitespace-only docs (r13)
+        .filter(F.length("tok") > 0)
         .select(F.lower(F.col("tok")).alias("token"))
         .groupBy("token")
         .agg(F.count(F.lit(1)).alias("freq"))
@@ -206,6 +208,13 @@ def importance_sample(
     1-row cross join, then a narrow filter that pipelines with the
     scan — the Catalyst plan is scan → BroadcastNestedLoopJoin(1 row) →
     filter, no shuffle of the corpus itself.
+
+    Degenerate weights (r13 review): a row tied with the max weight is
+    kept UNCONDITIONALLY — the strict-inequality form alone emptied an
+    all-zero-weight corpus, while proportional sampling at all-equal
+    weights means probability 1 (the positive-weight path already
+    keeps every row when all weights tie). Rows with NULL weight are
+    dropped (the contract is non-negative integers).
     """
     wmax = df.agg(F.max(weight_col).alias("_wmax"))
     bucket = F.conv(
@@ -217,7 +226,13 @@ def importance_sample(
     ).cast("long")
     return (
         df.crossJoin(F.broadcast(wmax))
-        .filter(bucket * F.col("_wmax") < F.col(weight_col) * 65536)
+        .filter(
+            (bucket * F.col("_wmax") < F.col(weight_col) * 65536)
+            | (
+                F.col(weight_col).isNotNull()
+                & (F.col(weight_col) == F.col("_wmax"))
+            )
+        )
         .drop("_wmax")
     )
 
@@ -308,6 +323,21 @@ def mixture_stats(
     corpus total; shares are one exact-integer division per domain
     (identical double op on both engines) rounded to 6 dp so the DuckDB
     oracle matches bit-for-bit."""
+    return _domain_token_shares(df, domain_col, text_col).select(
+        "domain",
+        "n_docs",
+        "total_tokens",
+        F.round("p", 6).alias("token_share"),
+    )
+
+
+def _domain_token_shares(
+    df: DataFrame, domain_col: str, text_col: str
+) -> DataFrame:
+    """Shared per-domain aggregation (r13 review: mixture_stats and
+    mixture_temperature carried verbatim copies that could drift):
+    ``(domain, n_docs, total_tokens, corpus_tokens, p)`` where ``p`` is
+    the domain's exact-integer-derived token share."""
     per_dom = df.select(
         F.col(domain_col).alias("domain"),
         token_count(text_col).cast("long").alias("n_tok"),
@@ -318,13 +348,8 @@ def mixture_stats(
     corpus = per_dom.select(
         F.sum("total_tokens").cast("double").alias("corpus_tokens")
     )
-    return per_dom.crossJoin(F.broadcast(corpus)).select(
-        "domain",
-        "n_docs",
-        "total_tokens",
-        F.round(
-            F.col("total_tokens").cast("double") / F.col("corpus_tokens"), 6
-        ).alias("token_share"),
+    return per_dom.crossJoin(F.broadcast(corpus)).withColumn(
+        "p", F.col("total_tokens").cast("double") / F.col("corpus_tokens")
     )
 
 
@@ -349,22 +374,8 @@ def mixture_temperature(
     two 1-row broadcasts (corpus total, normalizer) — the corpus
     streams through once regardless of domain count.
     """
-    per_dom = df.select(
-        F.col(domain_col).alias("domain"),
-        token_count(text_col).cast("long").alias("n_tok"),
-    ).groupBy("domain").agg(
-        F.count(F.lit(1)).alias("n_docs"),
-        F.sum("n_tok").alias("total_tokens"),
-    )
-    corpus = per_dom.select(
-        F.sum("total_tokens").cast("double").alias("corpus_tokens")
-    )
-    base = (
-        per_dom.crossJoin(F.broadcast(corpus))
-        .withColumn(
-            "p", F.col("total_tokens").cast("double") / F.col("corpus_tokens")
-        )
-        .withColumn("flat", F.sqrt("p"))
+    base = _domain_token_shares(df, domain_col, text_col).withColumn(
+        "flat", F.sqrt("p")
     )
     z = base.select(
         F.sum(F.col("flat").cast("decimal(27,18)"))
@@ -457,9 +468,14 @@ def chunk_windows(
     ~``n_tokens/stride`` rows per doc, the same blow-up any chunker
     pays.
     """
-    toks = df.select(
-        F.col(id_col), tokens(text_col).alias("_tk")
-    ).withColumn("_n", F.size("_tk"))
+    # NULL-text docs emit no chunks (r13 review: least() ignores the
+    # NULL size operand, so a NULL doc produced one phantom chunk
+    # claiming chunk_len=size around an empty chunk_text)
+    toks = (
+        df.filter(F.col(text_col).isNotNull())
+        .select(F.col(id_col), tokens(text_col).alias("_tk"))
+        .withColumn("_n", F.size("_tk"))
+    )
     starts = F.sequence(F.lit(1), F.greatest(F.col("_n"), F.lit(1)),
                         F.lit(stride))
     return toks.select(
@@ -773,13 +789,29 @@ def shard_manifest(
     Scale shape: the shard id is a narrow expression; ONE hash-agg on
     the (bounded, small) shard key with map-side combine — the manifest
     is n_shards rows no matter the corpus size.
+
+    Id-range columns: for integral id columns ``min_id``/``max_id`` are
+    longs; for string/other ids (UUIDs, URLs — the md5 shard assignment
+    handles them fine) the range is reported in the ID'S OWN TYPE
+    (r13 review: the unconditional long cast crashed under ANSI with
+    CAST_INVALID_INPUT, or silently nulled the range with ANSI off).
     """
+    from pyspark.sql import types as T
+
     shard = (
         F.conv(
             F.substring(F.md5(F.col(id_col).cast("string")), 1, 13), 16, 10
         ).cast("long")
         % n_shards
     ).cast("int")
+    integral_id = isinstance(
+        df.schema[id_col].dataType,
+        (T.ByteType, T.ShortType, T.IntegerType, T.LongType),
+    )
+    min_id = F.min("_id")
+    max_id = F.max("_id")
+    if integral_id:
+        min_id, max_id = min_id.cast("long"), max_id.cast("long")
     return (
         df.select(
             shard.alias("shard"),
@@ -792,8 +824,8 @@ def shard_manifest(
             F.count(F.lit(1)).cast("long").alias("n_docs"),
             F.sum("_ntok").cast("long").alias("n_tokens"),
             F.sum("_nchr").cast("long").alias("n_chars"),
-            F.min("_id").cast("long").alias("min_id"),
-            F.max("_id").cast("long").alias("max_id"),
+            min_id.alias("min_id"),
+            max_id.alias("max_id"),
         )
     )
 

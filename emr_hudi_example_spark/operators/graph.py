@@ -158,6 +158,11 @@ def pagerank(
     if use_weights and "weight" not in edges.columns:
         raise ValueError("use_weights=True requires a 'weight' column")
     dec = f"decimal(38,{scale})"
+    # checkpoint the EDGE LIST itself first (r13 review): nodes scans
+    # it twice and deg/edged once each, so an expensive upstream
+    # derivation (e.g. the session-window edge builder) would run 4×
+    # during setup before any downstream checkpoint materialized
+    edges = edges.localCheckpoint()
     # nodes and deg are re-read every iteration — checkpoint them once so
     # the (possibly expensive) upstream edge derivation never re-executes
     nodes = (
@@ -175,9 +180,18 @@ def pagerank(
     wcol = (
         F.coalesce(F.col("weight"), F.lit(1)) if use_weights else F.lit(1)
     )
-    deg = edges.groupBy("src").agg(
-        F.sum(wcol).alias("deg")
-    ).localCheckpoint()
+    # deg <= 0 (every out-edge weighted 0) would divide the share by
+    # zero — ANSI raises, non-ANSI NULLs the contribution and silently
+    # LEAKS that source's rank mass (r13 review). Dropping the row
+    # makes such a source DANGLING: its edges contribute nothing (the
+    # 0-weight semantics) and its mass redistributes globally, exactly
+    # like a node with no out-edges.
+    deg = (
+        edges.groupBy("src")
+        .agg(F.sum(wcol).alias("deg"))
+        .filter(F.col("deg") > 0)
+        .localCheckpoint()
+    )
     # out-degree (weighted: Σ weight) joined once onto the edge list —
     # reused every iteration; w/deg is each edge's contribution share
     edged = (

@@ -51,7 +51,7 @@ def word_token_count(text: Column | str) -> Column:
     c = F.col(text) if isinstance(text, str) else text
     return F.size(
         F.filter(
-            F.split(F.regexp_replace(F.trim(c), r"([^\w\s])", r" $1 "), r"\s+"),
+            F.split(F.regexp_replace(F.trim(c), r"([^\p{L}\p{N}_\s])", r" $1 "), r"\s+"),
             lambda t: t != "",
         )
     )
@@ -75,7 +75,7 @@ def quality_score(text: Column | str) -> Column:
     n = F.size(toks).cast("double")
     uniq = F.size(F.array_distinct(toks)).cast("double")
     punct = (
-        F.length(F.regexp_replace(c, r"[\w\s]", "")).cast("double")
+        F.length(F.regexp_replace(c, r"[\p{L}\p{N}_\s]", "")).cast("double")
         / F.greatest(F.length(c).cast("double"), F.lit(1.0))
     )
     stop = stopword_hits(c, LANG_STOPWORDS["en"]).cast("double") / F.greatest(
@@ -121,9 +121,19 @@ def rolling_fingerprint(text: Column | str, k: int = 5) -> Column:
     """Content-defined fingerprint robust to local edits: the MINIMUM md5
     over all ``k``-word shingles (a 1-permutation MinHash). Two documents
     sharing their rarest shingle collide — the rolling-hash winnowing
-    idea in one aggregate."""
+    idea in one aggregate.
+
+    Documents SHORTER than ``k`` tokens have no shingle to take the min
+    over; they fall back to the md5 of the whitespace-normalized text
+    (r13 review: the bare ``array_min`` returned NULL, and a
+    groupBy-fingerprint consumer clusters NULL keys — every short doc
+    became one spurious duplicate group). Short docs therefore match
+    only on exact content, which is the right granularity below the
+    shingle width."""
     sh = shingles(text, k)
-    return F.array_min(F.transform(sh, F.md5))
+    return F.coalesce(
+        F.array_min(F.transform(sh, F.md5)), fingerprint(text)
+    )
 
 
 def repetition_score(text: Column | str, k: int = 3) -> Column:
@@ -197,9 +207,16 @@ def tfidf_topk(
     |doc| rows. The df table is term-keyed — skew capped by language
     zipfiness, the same profile as vocab_topk.
     """
-    toks = df.select(
-        F.col(id_col), F.explode(tokens(text_col)).alias("tok")
-    ).select(id_col, F.lower(F.col("tok")).alias("token"))
+    toks = (
+        df.select(
+            F.col(id_col), F.explode(tokens(text_col)).alias("tok")
+        )
+        # drop the phantom '' token an empty/whitespace-only doc emits
+        # (r13 review: the sibling operators filter it — unfiltered it
+        # ranked as a keyword and inflated vocabulary counts)
+        .filter(F.length("tok") > 0)
+        .select(id_col, F.lower(F.col("tok")).alias("token"))
+    )
     tf = toks.groupBy(id_col, "token").agg(
         F.count(F.lit(1)).alias("tf")
     )
@@ -263,9 +280,16 @@ def unigram_quality(
     aggregate — at 100 TB broadcast it instead (vocabularies are tiny
     relative to corpora) to skip the skewed shuffle entirely.
     """
-    toks = df.select(
-        F.col(id_col), F.explode(tokens(text_col)).alias("tok")
-    ).select(id_col, F.lower(F.col("tok")).alias("token"))
+    toks = (
+        df.select(
+            F.col(id_col), F.explode(tokens(text_col)).alias("tok")
+        )
+        # drop the phantom '' token an empty/whitespace-only doc emits
+        # (r13 review: the sibling operators filter it — unfiltered it
+        # ranked as a keyword and inflated vocabulary counts)
+        .filter(F.length("tok") > 0)
+        .select(id_col, F.lower(F.col("tok")).alias("token"))
+    )
     counts = toks.groupBy("token").agg(F.count(F.lit(1)).alias("cnt"))
     return (
         toks.join(counts, "token")
@@ -322,6 +346,7 @@ def bigram_collocations(
     tk = tokens(text_col)
     uni = (
         df.select(F.explode(tk).alias("w"))
+        .filter(F.length("w") > 0)  # phantom '' of empty docs (r13)
         .groupBy("w")
         .agg(F.count(F.lit(1)).alias("c_w"))
     )
@@ -568,19 +593,26 @@ def gopher_quality(
     f_ellipsis = F.col("ellipsis_line_ratio") <= 0.3
     f_alpha = F.col("alpha_ratio") >= 0.8
     f_stop = F.col("stop_hits") >= 2
+    # empty docs have NULL ratio metrics; their flags coalesce to 0 —
+    # a doc with no measurable words FAILS a ratio rule, it does not
+    # vanish from flag sums / re-threshold filters (r13 review: the
+    # contract is per-rule 0/1, never NULL)
+    def _flag(cond):
+        return F.coalesce(cond.cast("int"), F.lit(0))
+
     return m.select(
         "*",
-        f_words.cast("int").alias("pass_word_count"),
-        f_meanlen.cast("int").alias("pass_mean_word_len"),
-        f_symbol.cast("int").alias("pass_symbol_ratio"),
-        f_bullet.cast("int").alias("pass_bullet_lines"),
-        f_ellipsis.cast("int").alias("pass_ellipsis_lines"),
-        f_alpha.cast("int").alias("pass_alpha_words"),
-        f_stop.cast("int").alias("pass_stopwords"),
-        (
+        _flag(f_words).alias("pass_word_count"),
+        _flag(f_meanlen).alias("pass_mean_word_len"),
+        _flag(f_symbol).alias("pass_symbol_ratio"),
+        _flag(f_bullet).alias("pass_bullet_lines"),
+        _flag(f_ellipsis).alias("pass_ellipsis_lines"),
+        _flag(f_alpha).alias("pass_alpha_words"),
+        _flag(f_stop).alias("pass_stopwords"),
+        _flag(
             f_words & f_meanlen & f_symbol & f_bullet & f_ellipsis
             & f_alpha & f_stop
-        ).cast("int").alias("pass_gopher"),
+        ).alias("pass_gopher"),
     )
 
 

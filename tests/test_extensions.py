@@ -1478,3 +1478,76 @@ def test_ann_codebook_retrains_on_rebuild(spark, tmp_path):
     row = rebuilt.filter(F.col("vec_id") == 1).collect()[0]
     assert (row["code_0"], row["code_1"]) == (0, 0)
     assert rebuilt.count() == 31
+
+
+def test_text_corpus_degenerate_input_contracts(spark):
+    """r13 review batch: Unicode word chars counted as words (not
+    punctuation), short docs keep a defined rolling fingerprint, empty
+    docs emit no phantom tokens/chunks and FAIL (not NULL) gopher
+    ratio flags, zero-weight corpora keep max-weight ties, NULL-text
+    docs emit no chunks, and pagerank survives zero-out-weight
+    sources."""
+    from emr_hudi_example_spark.operators.corpus import (
+        chunk_windows,
+        importance_sample,
+        shard_manifest,
+        vocab_topk,
+    )
+    from emr_hudi_example_spark.operators.graph import pagerank
+    from emr_hudi_example_spark.operators.text import (
+        gopher_quality,
+        rolling_fingerprint,
+        word_token_count,
+    )
+
+    docs = spark.createDataFrame(
+        [(1, "café au lait déjà vu"), (2, ""), (3, "tiny doc"),
+         (4, None)],
+        "doc_id LONG, text STRING",
+    )
+    # Unicode-aware word class: 5 words, not 9 ASCII fragments
+    n = docs.filter("doc_id = 1").select(
+        word_token_count("text").alias("n")
+    ).collect()[0]["n"]
+    assert n == 5
+    # short/empty docs: defined (non-NULL) rolling fingerprint
+    fps = docs.filter("doc_id IN (2, 3)").select(
+        rolling_fingerprint("text").alias("rfp")
+    ).collect()
+    assert all(r["rfp"] is not None for r in fps)
+    # empty doc contributes no '' token to the vocabulary
+    vocab = vocab_topk(docs.filter("text IS NOT NULL"), k=50)
+    assert vocab.filter("token = ''").count() == 0
+    # NULL-text doc emits no chunks; empty doc emits nothing real
+    chunks = chunk_windows(docs, size=4, stride=2)
+    assert chunks.filter("doc_id = 4").count() == 0
+    # gopher flags are 0/1, never NULL, on empty docs
+    g = gopher_quality(docs.filter("text IS NOT NULL")).filter(
+        "doc_id = 2"
+    ).collect()[0]
+    for c in ("pass_mean_word_len", "pass_symbol_ratio",
+              "pass_alpha_words", "pass_gopher"):
+        assert g[c] == 0
+    # all-zero weights: max-weight ties keep every row
+    wz = spark.createDataFrame(
+        [(1, 0), (2, 0)], "doc_id LONG, w LONG"
+    )
+    assert importance_sample(wz, weight_col="w").count() == 2
+    # string ids: shard_manifest reports the range in the id's own type
+    sm = shard_manifest(
+        spark.createDataFrame(
+            [("u-1", "a b"), ("u-2", "c d")], "doc_id STRING, text STRING"
+        ),
+        n_shards=2,
+    )
+    assert dict(sm.dtypes)["min_id"] == "string"
+    assert sm.agg(F.sum("n_docs")).collect()[0][0] == 2
+    # weighted pagerank: a zero-out-weight source becomes dangling
+    edges = spark.createDataFrame(
+        [("a", "b", 0), ("b", "a", 1)],
+        "src STRING, dst STRING, weight LONG",
+    )
+    pr = {r["node"]: r["rank"] for r in pagerank(
+        edges, iterations=3, use_weights=True
+    ).collect()}
+    assert abs(sum(pr.values()) - 1.0) < 1e-6  # mass conserved

@@ -38,12 +38,16 @@ from emr_hudi_example_spark.catalog import ORACLE, Q
 
 #: name prefixes of the subsystems whose substrate changed most this
 #: round, in priority order — used only as a TIE-BREAK within the same
-#: staleness group. Round 13: the similarity family first (the ADC
-#: serving rewrite — LUT arrays + row-wise sums on every PQ/IVF-PQ/
-#: OPQ path — and the adaptive sqrt nlist), then the lake kernel
-#: (delete-path preCombine skip, MERGE ambiguity row), then
-#: pipelines.
-_SUBSTRATE_HINTS: list[str] = ["sim_", "lake_", "pipe_"]
+#: staleness group. Round 13 (late-session review passes): the
+#: dedup/graph/text/corpus operator families (connected-components
+#: non-convergence contract, strip-pass degenerate-doc anchoring,
+#: Unicode word class, phantom-token filters, pagerank dangling
+#: zero-weight sources), then similarity (ADC rewrite + the cell-GEMM
+#: and OPQ guards), then the lake kernel and pipelines (optimistic
+#: delete leg, medallion cursors).
+_SUBSTRATE_HINTS: list[str] = [
+    "dedup_", "graph_", "text_", "corpus_", "sim_", "lake_", "pipe_",
+]
 
 
 def latest_driver_rows(root: str | None = None) -> dict[str, tuple[int, bool]]:

@@ -767,6 +767,54 @@ class LakeTable:
             out = out.unionByName(p)
         return out
 
+    def _require_active_horizon(
+        self, begin: str | None, tl: list[str], what: str
+    ) -> None:
+        """Archival-horizon gate shared by the history reads: once
+        :meth:`archive_timeline` moved manifests out of the active
+        timeline, a range starting before the first active instant can
+        no longer enumerate the archived commits' files — serving it
+        would silently drop rows (``incremental``) or misclassify
+        updates as inserts against an empty before-image (``changes``,
+        whose ``snapshot(as_of=begin)`` resolves to nothing). Fail like
+        Hudi does and point at the remedy."""
+        arch = os.path.join(self.commits_dir, "_archived")
+        if (
+            os.path.isdir(arch)
+            and os.listdir(arch)
+            and tl
+            and (begin is None or begin < tl[0])
+        ):
+            raise ValueError(
+                f"{what} starts before the archived horizon "
+                f"(first active instant {tl[0]!r}); use snapshot() or a "
+                f"begin >= {tl[0]!r}"
+            )
+
+    def _require_live_paths(self, paths: list[str], what: str) -> None:
+        """Existence gate for HISTORY reads (time travel, incremental,
+        CDC changes): a path a retained manifest lists but the cleaner
+        physically removed would otherwise surface as Spark's
+        ``PATH_NOT_FOUND`` mid-analysis — raise the engine's contract
+        error with the remedy instead (Hudi likewise refuses history
+        reads past its retention/archival horizon). Driver-side and
+        metadata-sized: one existence probe per candidate file, on
+        history reads ONLY — the latest-view serving path never pays it
+        (its files are live by the cleaner's keep-set invariant)."""
+        gone = [
+            p for p in paths
+            if not os.path.exists(
+                p if os.path.isabs(p) else os.path.join(self.path, p)
+            )
+        ]
+        if gone:
+            raise ValueError(
+                f"{what} references {len(gone)} cleaned data file(s) "
+                f"(e.g. {gone[0]!r}): the cleaner's retention horizon "
+                f"has passed this range — pin instants with savepoint() "
+                f"before clean(), or raise clean(retain_commits=...)"
+            )
+
     def _stored_schema(self) -> T.StructType:
         last = self.last_instant()
         if last is None:
@@ -1277,6 +1325,13 @@ class LakeTable:
         if as_of is not None:
             past = [i for i in self.timeline() if i <= as_of]
             if not past:
+                # distinguish "predates the table" (empty view, by
+                # contract) from "predates the ARCHIVAL horizon" (the
+                # view existed — silently serving empty would corrupt
+                # any consumer diffing against it)
+                self._require_active_horizon(
+                    as_of, self.timeline(), f"as_of {as_of!r}"
+                )
                 return None, None, None
             inst = past[-1]
             m = self._manifest(inst)
@@ -1314,7 +1369,14 @@ class LakeTable:
         a ``rows`` stat. Those fall back to an exact
         ``snapshot().count()`` scan and report
         ``from_metadata=False`` — correctness never depends on the
-        shortcut."""
+        shortcut.
+
+        Retention interplay (deliberate): the metadata fast path needs
+        only the MANIFEST, so a COW ``as_of`` count keeps serving even
+        after the cleaner reaped that view's files; the scan fallback
+        (MOR / missing stats) inherits :meth:`snapshot`'s cleaned-files
+        contract error, and an as_of past the ARCHIVAL horizon raises
+        in :meth:`_view_files` like every history read."""
         files, _, _ = self._view_files(partition_filter, as_of)
         if files is None:
             return 0, True
@@ -1392,7 +1454,10 @@ class LakeTable:
         before any scan (the 100 TB path) — e.g. ``{"logday": "20260813"}``.
         ``as_of`` time-travels: the view as of the newest commit ≤ that
         instant (Hudi's ``as.of.instant`` read), served purely from that
-        commit's manifest — old files must not have been cleaned yet.
+        commit's manifest. Files the cleaner already reaped raise the
+        contract error up front (:meth:`_require_live_paths`) — pin
+        instants with :meth:`savepoint` to time-travel past the
+        retention horizon.
         ``predicate`` — conjunction of ``(col, op, operand)`` with op in
         ``=, <, <=, >, >=, between, in`` — returns exactly
         ``snapshot().filter(pred)`` but first SKIPS files whose manifest
@@ -1403,6 +1468,12 @@ class LakeTable:
         if files is None:
             return _empty_df(self.spark, self._stored_schema())
         files = self._stats_prune(files, predicate, instant=inst)
+        if as_of is not None and inst != self.last_instant():
+            # time travel only — the latest view's files are live by
+            # the cleaner's keep-set invariant
+            self._require_live_paths(
+                [f["path"] for f in files], f"snapshot(as_of={as_of!r})"
+            )
         out = self._read_files([f["path"] for f in files], schema)
         if self.is_mor:
             # merge-group-stable conjuncts push BELOW the merge:
@@ -1467,21 +1538,10 @@ class LakeTable:
         filter.
         """
         tl = self.timeline()
-        arch = os.path.join(self.commits_dir, "_archived")
-        if (
-            os.path.isdir(arch)
-            and os.listdir(arch)
-            and tl
-            and (begin is None or begin < tl[0])
-        ):
-            # commits before the archival horizon are no longer in the
-            # active timeline; serving a partial increment would silently
-            # drop their rows — fail like Hudi does and point at snapshot
-            raise ValueError(
-                f"incremental range starts before the archived horizon "
-                f"(first active instant {tl[0]!r}); use snapshot() or a "
-                f"begin >= {tl[0]!r}"
-            )
+        # commits before the archival horizon are no longer in the
+        # active timeline; serving a partial increment would silently
+        # drop their rows — fail like Hudi does and point at snapshot
+        self._require_active_horizon(begin, tl, "incremental range")
         in_range = [
             i for i in tl if (begin is None or i > begin) and (end is None or i <= end)
         ]
@@ -1513,6 +1573,13 @@ class LakeTable:
         # so that instant's partition-stats aggregate applies (superset)
         fds = self._stats_prune(
             fds, predicate, instant=in_range[-1] if in_range else None
+        )
+        # an in-range file live at `end` can still be cleaned once the
+        # retention horizon moves past `end` — fail with the contract
+        # error, not PATH_NOT_FOUND mid-scan
+        self._require_live_paths(
+            [f["path"] for f in fds],
+            f"incremental({begin!r}, {end!r})",
         )
         df = self._read_files([f["path"] for f in fds])
         cond = F.lit(True)
@@ -1560,6 +1627,10 @@ class LakeTable:
         the same retention contract Hudi's CDC read has.
         """
         tl = self.timeline()
+        # same horizon rule as incremental(): an archived begin would
+        # silently misclassify updates as inserts (empty before-image)
+        # and, on MOR, drop archived commits' changes outright
+        self._require_active_horizon(begin, tl, "changes range")
         in_range = [
             i for i in tl
             if (begin is None or i > begin) and (end is None or i <= end)
@@ -1582,6 +1653,11 @@ class LakeTable:
         )
         key_schema = T.StructType(
             [T.StructField(c, T.StringType()) for c in key_cols]
+        )
+        # replaced files must still exist (the docstring's retention
+        # contract) — surface its violation as the contract error
+        self._require_live_paths(
+            sorted(set(touched)), f"changes({begin!r}, {end!r})"
         )
         affected = self._read_files(
             sorted(set(touched)), schema=key_schema
@@ -5954,9 +6030,18 @@ class LakeTable:
     def archive_timeline(self, keep_commits: int = 4) -> list[str]:
         """Move manifests older than the last ``keep_commits`` into
         ``_commits/_archived/`` (timeline archival,
-        ``SRC/package.scala:26-27``: min 3 / max 4)."""
+        ``SRC/package.scala:26-27``: min 3 / max 4).
+
+        Archival stops at the earliest savepointed instant (Hudi's
+        rule): a savepoint promises a reproducible ``as_of`` read, and
+        archiving its manifest would turn that read into the
+        archived-horizon error while the pinned files still exist."""
         tl = self.timeline()
         to_archive = tl[:-keep_commits] if len(tl) > keep_commits else []
+        sps = self.savepoints()
+        if sps:
+            first_sp = min(sps)
+            to_archive = [i for i in to_archive if i < first_sp]
         if not to_archive:
             return []
         # pin a checkpoint at the archival horizon so live-set replays of

@@ -18,7 +18,9 @@ from emr_hudi_example_spark.lake import (
 SF = "/root/testdata/sf0.001"
 
 
-def make_table(spark, tmp, name="t1", partition_keys=None, global_index=False):
+def make_table(
+    spark, tmp, name="t1", partition_keys=None, global_index=False, **kw
+):
     return LakeTable(
         spark,
         str(tmp),
@@ -28,6 +30,7 @@ def make_table(spark, tmp, name="t1", partition_keys=None, global_index=False):
         precombine="ver",
         partition_keys=partition_keys or [],
         global_index=global_index,
+        **kw,
     )
 
 
@@ -406,6 +409,66 @@ def test_cleaner_and_archival(spark, tmp_path):
     archived = t.archive_timeline(keep_commits=4)
     assert archived == ["001"]
     assert t.timeline() == ["002", "003", "004", "005"]
+
+
+def test_history_reads_past_archival_horizon_raise(spark, tmp_path):
+    """The archival-horizon rule `incremental()` always had now covers
+    the WHOLE history-read surface: `changes()` with an archived begin
+    silently misclassified updates as inserts (its before-image
+    `snapshot(as_of=begin)` resolved to an empty view) and on MOR would
+    drop archived commits' changes outright; `snapshot(as_of=<archived
+    instant>)` silently returned an EMPTY table, indistinguishable from
+    'predates the table'. All three now raise the horizon error;
+    in-horizon ranges and true pre-table as_of (no archive) keep their
+    semantics."""
+    t = make_table(spark, tmp_path, name="arch")
+    for i in range(1, 7):
+        t.write(
+            cust(spark, ver=i).filter(F.col("c_custkey") <= 3),
+            op="upsert", instant=f"00{i}",
+        )
+    # pre-archive: as_of before the table is an empty view by contract
+    assert t.snapshot(as_of="000").count() == 0
+    pre = t.changes("001", "006")
+    assert {r["op"] for r in pre.collect()} == {"update"}
+    assert t.archive_timeline(keep_commits=2) == [
+        "001", "002", "003", "004"
+    ]
+    for bad in (
+        lambda: t.changes("001", "006"),
+        lambda: t.changes(None, None),
+        lambda: t.incremental("001", "006"),
+        lambda: t.snapshot(as_of="003"),
+    ):
+        with pytest.raises(ValueError, match="archived horizon"):
+            bad()
+    # in-horizon reads unaffected
+    assert t.changes("005", "006").count() > 0
+    assert t.incremental("005", "006").count() > 0
+    assert t.snapshot(as_of="005").count() > 0
+
+
+def test_archival_stops_at_earliest_savepoint(spark, tmp_path):
+    """Hudi's rule: archival cannot proceed past a savepointed commit —
+    the savepoint's reproducible `as_of` read must keep working, not
+    collapse into the archived-horizon error while its pinned files
+    still exist."""
+    t = make_table(spark, tmp_path, name="archsp")
+    for i in range(1, 7):
+        t.write(
+            cust(spark, ver=i).filter(F.col("c_custkey") <= 3),
+            op="upsert", instant=f"00{i}",
+        )
+    t.savepoint("003")
+    assert t.archive_timeline(keep_commits=2) == ["001", "002"]
+    assert t.timeline() == ["003", "004", "005", "006"]
+    assert t.clean(retain_commits=1)
+    # the savepointed read survives both archival and an aggressive clean
+    assert {
+        r["ver"] for r in t.snapshot(as_of="003").collect()
+    } == {3}
+    t.release_savepoint("003")
+    assert t.archive_timeline(keep_commits=2) == ["003", "004"]
 
 
 def test_schema_align_missing_and_extra(spark, tmp_path):
@@ -2696,6 +2759,42 @@ def test_savepoint_pins_files_against_cleaner(spark, tmp_path):
     assert t.snapshot().filter(F.col("ver") == 3).count() == t.snapshot().count()
     with pytest.raises(ValueError, match="unknown instant"):
         t.savepoint("999")
+
+
+def test_history_reads_past_cleaner_horizon_raise_clearly(spark, tmp_path):
+    """Time travel / incremental / CDC changes over files the cleaner
+    reaped raise the engine's contract error (naming the cleaner and
+    the savepoint/retain_commits remedy) BEFORE any scan — not Spark's
+    PATH_NOT_FOUND mid-analysis. The latest view and savepoint-pinned
+    history stay readable; the guard never runs on the latest-view
+    serving path."""
+    for tt in ("COPY_ON_WRITE", "MERGE_ON_READ"):
+        t = make_table(
+            spark, tmp_path, name=f"hist_{tt[:3]}", table_type=tt
+        )
+        t.write(cust(spark, ver=1), op="insert", instant="001")
+        t.write(cust(spark, ver=2), op="upsert", instant="002")
+        t.write(cust(spark, ver=3), op="upsert", instant="003")
+        if tt == "MERGE_ON_READ":
+            t.compact()  # fold deltas so 001/002 output is reapable
+        assert t.clean(retain_commits=1), "cleaner reaped nothing"
+        with pytest.raises(ValueError, match="cleaned.*savepoint"):
+            t.snapshot(as_of="001").collect()
+        with pytest.raises(ValueError, match="cleaned.*retain_commits"):
+            t.incremental("001", "002").collect()
+        with pytest.raises(ValueError, match="cleaned"):
+            t.changes("001", "002").collect()
+        # latest view unaffected; full-range incremental from the last
+        # retained commit still serves
+        assert t.snapshot().filter(F.col("ver") == 3).count() > 0
+    # savepoint pins → the SAME as_of read passes the guard
+    s = make_table(spark, tmp_path, name="hist_sp")
+    s.write(cust(spark, ver=1), op="insert", instant="001")
+    s.savepoint("001")
+    s.write(cust(spark, ver=2), op="upsert", instant="002")
+    s.write(cust(spark, ver=3), op="upsert", instant="003")
+    s.clean(retain_commits=1)
+    assert s.snapshot(as_of="001").filter(F.col("ver") == 1).count() > 0
 
 
 def test_insert_overwrite_partitioned_and_whole_table(spark, tmp_path):

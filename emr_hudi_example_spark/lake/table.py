@@ -5288,13 +5288,30 @@ class LakeTable:
             doomed = [i for i in tl if i > instant]
             # data paths are instant-scoped (data/<instant>/...), so a
             # pre-restore commit can never reference a doomed commit's
-            # files — protect only against manifest anomalies
+            # files — but a doomed METADATA-ONLY commit (index_backfill)
+            # re-lists LIVE files from arbitrarily old creating commits,
+            # so the keep-set must cover the whole pre-restore history,
+            # not just the active timeline: the restore-point LIVE SET
+            # (checkpoint-replayed, so it sees through the archival
+            # horizon) plus every active and ARCHIVED pre-restore
+            # manifest. Active manifests alone lost data when creating
+            # commits had been archived (r13: restore deleted live
+            # data/001 files re-listed by a doomed backfill).
             keep_files = {
                 f["path"]
                 for i in tl
                 if i <= instant
                 for f in self._manifest(i)["added"]
             }
+            keep_files |= {f["path"] for f in self._live_files_at(instant)}
+            arch = os.path.join(self.commits_dir, "_archived")
+            if os.path.isdir(arch):
+                for fn in os.listdir(arch):
+                    if fn.endswith(".json"):
+                        with open(os.path.join(arch, fn)) as fh:
+                            keep_files |= {
+                                f["path"] for f in json.load(fh)["added"]
+                            }
             for i in doomed:
                 for f in self._manifest(i)["added"]:
                     if f["path"] in keep_files or f.get("external"):

@@ -448,6 +448,45 @@ def test_history_reads_past_archival_horizon_raise(spark, tmp_path):
     assert t.snapshot(as_of="005").count() > 0
 
 
+def test_restore_over_backfill_keeps_archived_commit_files(spark, tmp_path):
+    """Data-loss regression (r13): restore()'s keep-set was built from
+    ACTIVE manifests only, but a doomed metadata-only index_backfill
+    commit re-lists LIVE files from arbitrarily old creating commits —
+    when those commits had been archived, restore physically deleted
+    their live data files (the snapshot then died with PATH_NOT_FOUND
+    and the rows were gone). The keep-set now unions the restore-point
+    live set (checkpoint-replayed through the archival horizon) and
+    archived manifests."""
+    t = LakeTable(
+        spark, str(tmp_path), "testdb", "rb", record_keys=["k"],
+        precombine="ver", partition_keys=["part"],
+    )
+    sch = "k string, ver long, part string, v long"
+    for i in range(1, 7):
+        t.write(
+            spark.createDataFrame([(f"k{i}", 1, f"p{i}", i * 10)], sch),
+            op="upsert", instant=f"00{i}",
+        )
+    assert t.archive_timeline(keep_commits=4) == ["001", "002"]
+    # enable the record index mid-life; backfill re-lists every live
+    # file — including data/001, data/002 whose manifests are archived
+    t2 = LakeTable(
+        spark, str(tmp_path), "testdb", "rb", record_keys=["k"],
+        precombine="ver", partition_keys=["part"], record_index=True,
+    )
+    backfill = t2.backfill_record_index()
+    assert backfill is not None
+    assert t2.restore("006") == [backfill]
+    rows = sorted(
+        tuple(r) for r in t2.snapshot().select("k", "ver", "v").collect()
+    )
+    assert rows == [(f"k{i}", 1, i * 10) for i in range(1, 7)]
+    # index point reads stay sane after the backfill commit was undone
+    assert [
+        r["v"] for r in t2.snapshot(predicate=[("k", "=", "k2")]).collect()
+    ] == [20]
+
+
 def test_archival_stops_at_earliest_savepoint(spark, tmp_path):
     """Hudi's rule: archival cannot proceed past a savepointed commit —
     the savepoint's reproducible `as_of` read must keep working, not

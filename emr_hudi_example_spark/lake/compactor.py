@@ -28,11 +28,20 @@ class AsyncCompactor:
         compactor.stop()   # drains pending plans, then joins
 
     ``executed`` collects the committed compaction instants, ``failed``
-    the (plan_id, error) pairs of plans abandoned after a non-lock
-    failure or too many lock-contention rounds (for tests /
-    observability). Only :class:`LockContention` is retried — a plan
-    that genuinely fails (e.g. corrupt plan JSON) is abandoned after
-    ``max_attempts_per_plan`` instead of spinning the daemon forever.
+    the (plan_id, error) pairs of plans abandoned after repeated
+    failures or too many lock-contention rounds (for tests /
+    observability). :class:`LockContention` is retried up to
+    ``max_attempts_per_plan`` rounds; any other exception is retried up
+    to ``max_generic_attempts`` times (a transient executor loss / OOM
+    must not discard the compaction intent on first sight — r14 review)
+    before the plan is abandoned. Abandonment MOVES the plan file to a
+    durable ``_compaction/_abandoned/`` sidecar (with the error recorded
+    in the JSON) rather than unlinking it: the in-process ``failed``
+    list dies with the daemon, and a silently-vanished plan would leave
+    MOR read amplification growing with nothing flagging the drop. An
+    operator inspects the sidecar and re-schedules if the intent still
+    matters; fresh compactors never pick sidecar plans up (not listed by
+    ``pending_compactions``), so restarts don't re-spin dead plans.
     """
 
     def __init__(
@@ -41,11 +50,13 @@ class AsyncCompactor:
         poll_seconds: float = 0.2,
         lock_backoff_seconds: float = 0.2,
         max_attempts_per_plan: int = 300,
+        max_generic_attempts: int = 3,
     ) -> None:
         self.table = table
         self.poll_seconds = poll_seconds
         self.lock_backoff_seconds = lock_backoff_seconds
         self.max_attempts_per_plan = max_attempts_per_plan
+        self.max_generic_attempts = max_generic_attempts
         self.executed: list[str] = []
         self.failed: list[tuple[str, Exception]] = []
         self._attempts: dict[str, int] = {}
@@ -62,22 +73,32 @@ class AsyncCompactor:
         return self
 
     def _abandon(self, plan_id: str, exc: Exception) -> None:
-        self._abandoned.add(plan_id)
-        self.failed.append((plan_id, exc))
-        # discard the plan FILE too (r13 review): the in-memory
-        # _abandoned set dies with this process, so leaving the .json
-        # would (a) keep pending_compactions() reporting it forever and
-        # (b) make every fresh AsyncCompactor after a restart re-spin
-        # its max_attempts_per_plan on a plan already judged dead. The
-        # abandonment stays observable in ``failed``; an operator
-        # re-schedules if the intent still matters.
+        """Move the plan to the durable ``_abandoned/`` sidecar (error
+        recorded inside) instead of unlinking (r14 review): removes it
+        from ``pending_compactions()`` — no restart re-spin, exactly as
+        the r13 unlink achieved — while keeping a durable record of the
+        dropped intent that survives the process."""
+        import json
         import os
 
-        self.table._discard_plan(
-            os.path.join(
-                self.table.commits_dir, "_compaction", plan_id + ".json"
-            )
-        )
+        self._abandoned.add(plan_id)
+        self.failed.append((plan_id, exc))
+        pdir = os.path.join(self.table.commits_dir, "_compaction")
+        pfile = os.path.join(pdir, plan_id + ".json")
+        sidecar_dir = os.path.join(pdir, "_abandoned")
+        try:
+            with open(pfile) as fh:
+                plan = json.load(fh)
+        except (OSError, ValueError):
+            plan = {}  # unreadable/corrupt plan — tombstone carries the error
+        plan["abandoned_error"] = repr(exc)
+        plan["abandoned_attempts"] = self._attempts.get(plan_id, 0)
+        os.makedirs(sidecar_dir, exist_ok=True)
+        tmp = os.path.join(sidecar_dir, plan_id + ".json.tmp")
+        with open(tmp, "w") as fh:
+            json.dump(plan, fh)
+        os.replace(tmp, os.path.join(sidecar_dir, plan_id + ".json"))
+        self.table._discard_plan(pfile)
 
     def _drain_once(self) -> bool:
         """Execute one pending plan; True if progress was made (executed,
@@ -102,9 +123,16 @@ class AsyncCompactor:
                 return True
             time.sleep(self.lock_backoff_seconds)
             return False
-        except Exception as exc:  # noqa: BLE001 — abandon, don't spin
-            self._abandon(plan_id, exc)
-            return True
+        except Exception as exc:  # noqa: BLE001 — bounded retry, then abandon
+            # transient failures (executor loss, OOM) get a few rounds
+            # before the intent is parked in the sidecar (r14 review);
+            # lock-contention attempts share the same counter so a plan
+            # alternating between contention and failure still terminates
+            if self._attempts[plan_id] >= self.max_generic_attempts:
+                self._abandon(plan_id, exc)
+                return True
+            time.sleep(self.lock_backoff_seconds)
+            return False
         if inst is not None:
             self.executed.append(inst)
         self._attempts.pop(plan_id, None)

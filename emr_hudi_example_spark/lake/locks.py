@@ -382,7 +382,15 @@ class LeaseLockProvider(LockProvider):
         self._tlock = threading.Lock()
         #: first-seen monotonic time per UNREADABLE newest token — see
         #: acquire(): a claim body that never becomes readable has no
-        #: expires_at, so liveness is bounded by a grace window instead
+        #: expires_at, so liveness is bounded by a grace window instead.
+        #: The grace is PER-OBSERVER (r14 review): each contender
+        #: process waits lease_seconds from its OWN first sighting (a
+        #: restarted contender restarts its clock), so takeover latency
+        #: for a permanently-unreadable claim is bounded per observer,
+        #: not per claim. Correctness never depends on the window —
+        #: takeover is fenced, so a live-but-unreadable holder fails
+        #: validate() at publish. Entries for taken-over tokens are
+        #: cleared in _try_claim.
         self._unreadable_seen: dict[int, float] = {}
 
     # ------------------------------------------------------------ state
@@ -478,6 +486,11 @@ class LeaseLockProvider(LockProvider):
             return False
         with self._tlock:
             self.token = token
+        # hygiene (r14 review): tokens below the one just claimed are
+        # superseded — drop their grace-window entries so the dict
+        # doesn't retain taken-over tokens for the process lifetime
+        for t in [t for t in self._unreadable_seen if t < token]:
+            self._unreadable_seen.pop(t, None)
         if fenced_takeover:
             self._record_fence(token)
         # bound the lease log: only the newest token is authoritative,

@@ -768,7 +768,8 @@ class LakeTable:
         return out
 
     def _require_active_horizon(
-        self, begin: str | None, tl: list[str], what: str
+        self, begin: str | None, tl: list[str], what: str,
+        point: bool = False,
     ) -> None:
         """Archival-horizon gate shared by the history reads: once
         :meth:`archive_timeline` moved manifests out of the active
@@ -777,11 +778,32 @@ class LakeTable:
         would silently drop rows (``incremental``) or misclassify
         updates as inserts against an empty before-image (``changes``,
         whose ``snapshot(as_of=begin)`` resolves to nothing). Fail like
-        Hudi does and point at the remedy."""
+        Hudi does and point at the remedy.
+
+        ``point=True`` marks a POINT-IN-TIME lookup (``as_of``) rather
+        than a range start. For a point, an instant that predates the
+        EARLIEST ARCHIVED commit predates the table itself (r14 review /
+        r13 ADVICE): the view it names never existed, so it keeps the
+        pre-archival contract (empty view) — only ``first_archived <=
+        as_of < first_active`` falls in the archived era. A RANGE whose
+        start predates the first archived commit still INCLUDES every
+        archived commit, so ranges raise regardless (and ``begin is
+        None`` — "from the beginning of time" — always overlaps the
+        archived era)."""
         arch = os.path.join(self.commits_dir, "_archived")
+        archived = (
+            sorted(
+                f[: -len(".json")]
+                for f in os.listdir(arch)
+                if f.endswith(".json")
+            )
+            if os.path.isdir(arch)
+            else []
+        )
+        if point and begin is not None and archived and begin < archived[0]:
+            return  # pre-table point lookup: contractual empty view
         if (
-            os.path.isdir(arch)
-            and os.listdir(arch)
+            archived
             and tl
             and (begin is None or begin < tl[0])
         ):
@@ -1330,7 +1352,7 @@ class LakeTable:
                 # view existed — silently serving empty would corrupt
                 # any consumer diffing against it)
                 self._require_active_horizon(
-                    as_of, self.timeline(), f"as_of {as_of!r}"
+                    as_of, self.timeline(), f"as_of {as_of!r}", point=True
                 )
                 return None, None, None
             inst = past[-1]
@@ -2213,17 +2235,19 @@ class LakeTable:
         nothing (ANSI's cardinality rule likewise applies only to
         update/delete clauses).
 
-        Known concurrency window (by design, matching this method's
-        compute-outside-lock shape): the ambiguity gate and the
-        matched/unmatched classification read a snapshot taken BEFORE
-        the writer lock is acquired, so a concurrent writer that
-        commits duplicate target rows between the gate passing and the
-        merge committing is not re-detected — the same optimistic
-        window every compute-then-publish path here has (see
-        :meth:`write_optimistic`). Single-writer-per-table (the
-        reference's ZooKeeper-lock deployment model) makes the gate
-        exact; under multi-writer OCC, re-derive the match under the
-        lock if strict ANSI cardinality is required.
+        Concurrency (r14, closes the r13 TOCTOU): the ambiguity gate
+        and the matched/unmatched classification run optimistically
+        against a snapshot taken BEFORE the writer lock — but the
+        snapshot's instant is captured with the plan, and if the table
+        advanced by the time the lock is held, the WHOLE plan
+        (classification + gate) is re-derived under the lock against
+        the now-stable snapshot. A concurrent writer landing duplicate
+        target rows between gate and commit therefore trips the
+        re-derived gate instead of committing a silently ambiguous
+        merge; the no-conflict fast path pays nothing extra. (The
+        re-derive blocks other writers for one merge compute — the
+        price of exact ANSI cardinality, paid only when a conflict
+        actually happened.)
 
         Scale shape: matched/unmatched classification is ONE shuffle
         join of source against the snapshot on the record key; the
@@ -2235,73 +2259,90 @@ class LakeTable:
         """
         if not self.exists():
             raise ValueError("merge_into on non-existent table")
-        tcols = self.logical().columns
-        t = self.logical().alias("t")
-        s = source.alias("s")
-        cond = None
-        for k in self.record_keys:
-            c = F.col(f"s.{k}") == F.col(f"t.{k}")
-            cond = c if cond is None else (cond & c)
-        matched = s.join(t, cond, "inner")
-        # ambiguity gate (one extra agg over the matched join — the
-        # price Delta pays for the same check): >1 matched row per key
-        # means duplicate source keys or duplicate target rows; any
-        # silent resolution is a COW/MOR seam (see docstring). Scoped
-        # to merges WITH matched clauses — ANSI's cardinality violation
-        # only applies when a matched row would be updated or deleted,
-        # so an insert-only merge (both clauses None) skips the gate
-        # and its extra action. Aggregate aliased (never .count()): a
-        # record key literally named "count" must not collide.
-        if update_set or delete_condition:
-            dup = (
-                matched.groupBy(
-                    *[F.col(f"s.{k}") for k in self.record_keys]
+
+        def plan() -> tuple[DataFrame, DataFrame, list[str]]:
+            """Classification + ambiguity gate against the CURRENT
+            snapshot; returns (upserts, del_full, tcols). Called once
+            optimistically outside the lock, and re-called under the
+            lock iff the table advanced in between (the r13 TOCTOU)."""
+            tcols = self.logical().columns
+            t = self.logical().alias("t")
+            s = source.alias("s")
+            cond = None
+            for k in self.record_keys:
+                c = F.col(f"s.{k}") == F.col(f"t.{k}")
+                cond = c if cond is None else (cond & c)
+            matched = s.join(t, cond, "inner")
+            # ambiguity gate (one extra agg over the matched join — the
+            # price Delta pays for the same check): >1 matched row per
+            # key means duplicate source keys or duplicate target rows;
+            # any silent resolution is a COW/MOR seam (see docstring).
+            # Scoped to merges WITH matched clauses — ANSI's cardinality
+            # violation only applies when a matched row would be updated
+            # or deleted, so an insert-only merge (both clauses None)
+            # skips the gate and its extra action. Aggregate aliased
+            # (never .count()): a record key literally named "count"
+            # must not collide.
+            if update_set or delete_condition:
+                dup = (
+                    matched.groupBy(
+                        *[F.col(f"s.{k}") for k in self.record_keys]
+                    )
+                    .agg(F.count(F.lit(1)).alias("_match_cnt"))
+                    .filter(F.col("_match_cnt") > 1)
+                    .limit(1)
+                    .collect()
                 )
-                .agg(F.count(F.lit(1)).alias("_match_cnt"))
-                .filter(F.col("_match_cnt") > 1)
-                .limit(1)
-                .collect()
-            )
-            if dup:
-                key_desc = ", ".join(
-                    f"{k}={dup[0][k]!r}" for k in self.record_keys
+                if dup:
+                    key_desc = ", ".join(
+                        f"{k}={dup[0][k]!r}" for k in self.record_keys
+                    )
+                    raise ValueError(
+                        f"merge_into: multiple rows matched for record "
+                        f"key ({key_desc}) — duplicate keys in the "
+                        f"source (or duplicate target rows from prior "
+                        f"inserts) make MERGE ambiguous; pre-aggregate "
+                        f"the source to one row per key first (ANSI "
+                        f"MERGE / Delta raise here too)"
+                    )
+            if delete_condition:
+                del_rows = matched.filter(F.expr(delete_condition))
+                upd_base = matched.filter(
+                    ~F.coalesce(F.expr(delete_condition), F.lit(False))
                 )
-                raise ValueError(
-                    f"merge_into: multiple rows matched for record key "
-                    f"({key_desc}) — duplicate keys in the source (or "
-                    f"duplicate target rows from prior inserts) make "
-                    f"MERGE ambiguous; pre-aggregate the source to one "
-                    f"row per key first (ANSI MERGE / Delta raise here "
-                    f"too)"
-                )
-        if delete_condition:
-            del_rows = matched.filter(F.expr(delete_condition))
-            upd_base = matched.filter(
-                ~F.coalesce(F.expr(delete_condition), F.lit(False))
-            )
-        else:
-            del_rows = matched.limit(0)
-            upd_base = matched
-        del_full = del_rows.select(
-            *[F.col(f"t.{c}").alias(c) for c in tcols]
-        )
-        if update_set:
-            updates = upd_base.select(
-                *[
-                    F.expr(update_set.get(c, f"t.{c}")).alias(c)
-                    for c in tcols
-                ]
-            )
-        else:
-            updates = upd_base.limit(0).select(
+            else:
+                del_rows = matched.limit(0)
+                upd_base = matched
+            del_full = del_rows.select(
                 *[F.col(f"t.{c}").alias(c) for c in tcols]
             )
-        s_only = s.join(t, cond, "left_anti")
-        if insert_condition:
-            s_only = s_only.filter(F.expr(insert_condition))
-        inserts = s_only.select(*tcols)
-        upserts = updates.unionByName(inserts)
+            if update_set:
+                updates = upd_base.select(
+                    *[
+                        F.expr(update_set.get(c, f"t.{c}")).alias(c)
+                        for c in tcols
+                    ]
+                )
+            else:
+                updates = upd_base.limit(0).select(
+                    *[F.col(f"t.{c}").alias(c) for c in tcols]
+                )
+            s_only = s.join(t, cond, "left_anti")
+            if insert_condition:
+                s_only = s_only.filter(F.expr(insert_condition))
+            inserts = s_only.select(*tcols)
+            return updates.unionByName(inserts), del_full, tcols
+
+        base_inst = self.last_instant()
+        upserts, del_full, tcols = plan()
         with self._writer_lock():
+            if self.last_instant() != base_inst:
+                # the table advanced between plan and lock: the gate and
+                # the matched/unmatched split are stale. Re-derive under
+                # the lock — no further commit can land, so this pass is
+                # exact (a concurrent duplicate-landing writer now trips
+                # the gate instead of evading it).
+                upserts, del_full, tcols = plan()
             inst = self._next_instant(instant)
             up = self._prepare_batch(upserts, inst)
             # delete leg: combine=False — the ambiguity gate above

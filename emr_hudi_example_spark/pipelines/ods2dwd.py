@@ -50,7 +50,7 @@ def dwd_increment(
     dim_key: str = "p_partkey",
     enrich_cols: dict[str, object] | None = None,
     created_ts_millis: int | None = None,
-) -> str:
+) -> str | None:
     """One poll tick (SRC/ODS2DWD.scala:43-69). Returns the new cursor.
 
     Column mapping note: the reference enriches TPC-DS ``inventory`` with
@@ -71,7 +71,15 @@ def dwd_increment(
     final the moment it is read.
     """
     if not ods.exists():  # cold start: source not yet seeded — idle tick
-        return begin if begin is not None else (end or now_instant())
+        # Return ``begin`` UNCHANGED (possibly None) rather than seeding
+        # the cursor from the wall clock (r14 review): a first creating
+        # commit allocates its instant before publishing, so a
+        # now_instant() cursor taken during that window would exceed the
+        # commit's instant and exclude its rows from every later slice —
+        # the same skip-forever class the published-instant ``end``
+        # default closes. The cursor stays unset until the source
+        # actually publishes.
+        return begin
     end = end or ods.last_instant() or now_instant()
     if begin is not None and end <= begin:
         return begin  # nothing published since the cursor — idle tick

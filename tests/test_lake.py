@@ -446,6 +446,18 @@ def test_history_reads_past_archival_horizon_raise(spark, tmp_path):
     assert t.changes("005", "006").count() > 0
     assert t.incremental("005", "006").count() > 0
     assert t.snapshot(as_of="005").count() > 0
+    # an as_of that predates the EARLIEST ARCHIVED commit is genuinely
+    # pre-table: the empty-view contract survives archival (r14 review /
+    # r13 ADVICE — previously this raised the horizon error)
+    assert t.snapshot(as_of="000").count() == 0
+    with pytest.raises(ValueError, match="archived horizon"):
+        t.snapshot(as_of="001")  # exactly the first archived instant
+    # a RANGE starting pre-table still includes every archived commit —
+    # it must keep raising
+    with pytest.raises(ValueError, match="archived horizon"):
+        t.incremental("000", "006")
+    with pytest.raises(ValueError, match="archived horizon"):
+        t.changes("000", "006")
 
 
 def test_restore_over_backfill_keeps_archived_commit_files(spark, tmp_path):
@@ -1402,9 +1414,13 @@ def test_ingest_retries_on_lock_contention(spark, tmp_path):
 
 
 def test_async_compactor_abandons_corrupt_plan(spark, tmp_path):
-    """A plan that fails for a NON-lock reason (corrupt JSON) is
-    abandoned after one attempt — the daemon neither spins forever nor
-    blocks stop(drain=True) for its full timeout (round-2 advice)."""
+    """A plan that fails for a NON-lock reason (corrupt JSON) gets a
+    BOUNDED number of retries (a transient executor loss must not
+    discard the intent on first sight — r14 review) and is then parked
+    in the durable ``_abandoned/`` sidecar with the error recorded: the
+    daemon neither spins forever nor blocks stop(drain=True), a restart
+    doesn't re-spin the dead plan, and the dropped intent stays
+    observable after the process dies."""
     import json as _json
     import time as _time
 
@@ -1420,14 +1436,21 @@ def test_async_compactor_abandons_corrupt_plan(spark, tmp_path):
     pfile = os.path.join(t.commits_dir, "_compaction", pid + ".json")
     with open(pfile, "w") as fh:
         fh.write("{not valid json")
-    c = AsyncCompactor(t)
-    assert c._drain_once() is True  # abandoned = progress
+    c = AsyncCompactor(t, lock_backoff_seconds=0.01, max_generic_attempts=2)
+    assert c._drain_once() is False  # attempt 1: retried, not abandoned
+    assert not c.failed and os.path.exists(pfile)
+    assert c._drain_once() is True  # attempt 2 hits the cap: abandoned
     assert [p for (p, _) in c.failed] == [pid]
-    # the plan FILE goes too (r13 review): pending_compactions() must
-    # stop reporting it, and a fresh compactor after a process restart
-    # must not re-spin on a plan already judged dead
+    # the plan FILE moves to the durable sidecar (r14 review): out of
+    # pending_compactions() so a restart doesn't re-spin the dead plan,
+    # but the dropped intent + error survive the process
     assert not os.path.exists(pfile)
     assert pid not in t.pending_compactions()
+    sidecar = os.path.join(
+        t.commits_dir, "_compaction", "_abandoned", pid + ".json"
+    )
+    tomb = _json.load(open(sidecar))
+    assert "abandoned_error" in tomb and tomb["abandoned_attempts"] == 2
     start = _time.monotonic()
     assert c.stop(drain=True, timeout=30.0) is True
     assert _time.monotonic() - start < 5.0  # no timeout burn
@@ -2980,6 +3003,71 @@ def test_merge_into_duplicate_match_raises(spark, tmp_path):
             )
             assert [tuple(r) for r in t.snapshot().select(
                 "k", "ver", "c").collect()] == [("k1", 9, "upd")]
+
+
+def test_merge_into_concurrent_duplicate_writer_trips_gate(spark, tmp_path):
+    """The r13 TOCTOU window, closed in r14: the ambiguity gate ran
+    against a snapshot taken BEFORE the writer lock, so a concurrent
+    writer landing duplicate target rows between the gate passing and
+    the merge committing evaded the raise. merge_into now captures the
+    planning-time instant and RE-DERIVES the whole plan (classification
+    + gate) under the lock when the table advanced — the race trips the
+    gate instead of committing a silently ambiguous merge. Simulated
+    deterministically by shadowing _writer_lock on the instance: the
+    wrapper lands the conflicting duplicate insert via a second handle
+    BEFORE delegating to the real lock."""
+    sch = "k string, ver long, c string"
+    t = LakeTable(spark, str(tmp_path), "m", "toctou", ["k"], "ver")
+    t.write(
+        spark.createDataFrame([("k1", 1, "orig")], sch),
+        op="insert", instant="001",
+    )
+    t2 = LakeTable(spark, str(tmp_path), "m", "toctou", ["k"], "ver")
+    real_lock = t._writer_lock
+    fired = []
+
+    def racing_lock():
+        if not fired:
+            fired.append(True)
+            # concurrent writer lands a DUPLICATE target row for k1
+            # (legal via the insert duplicate contract) in the window
+            # between the optimistic gate and the lock
+            t2.write(
+                spark.createDataFrame([("k1", 2, "dup")], sch),
+                op="insert", instant="002",
+            )
+        return real_lock()
+
+    t._writer_lock = racing_lock
+    one_src = spark.createDataFrame([("k1", 9, "upd")], sch)
+    with pytest.raises(ValueError, match="multiple rows matched"):
+        t.merge_into(one_src, update_set={"c": "s.c", "ver": "s.ver"})
+    # the ambiguous merge must NOT have committed
+    assert t2.timeline() == ["001", "002"]
+    # same race on an UNAMBIGUOUS merge: the re-derived plan sees the
+    # concurrent single-row update and still commits correctly
+    t3 = LakeTable(spark, str(tmp_path), "m", "toctou2", ["k"], "ver")
+    t3.write(
+        spark.createDataFrame([("k1", 1, "orig")], sch),
+        op="insert", instant="001",
+    )
+    t4 = LakeTable(spark, str(tmp_path), "m", "toctou2", ["k"], "ver")
+    real3 = t3._writer_lock
+    fired3 = []
+
+    def racing3():
+        if not fired3:
+            fired3.append(True)
+            t4.write(  # concurrent UPSERT (no duplicate): ver bumps to 5
+                spark.createDataFrame([("k1", 5, "conc")], sch),
+                op="upsert", instant="002",
+            )
+        return real3()
+
+    t3._writer_lock = racing3
+    t3.merge_into(one_src, update_set={"c": "s.c", "ver": "s.ver"})
+    assert [tuple(r) for r in t4.snapshot().select(
+        "k", "ver", "c").collect()] == [("k1", 9, "upd")]
 
 
 def test_partial_update_null_precombine(spark, tmp_path):

@@ -577,7 +577,10 @@ def test_loop_cold_start_and_cursor_file(spark, tmp_path):
         ods, region, dwd, fact_key="n_regionkey", dim_key="r_regionkey",
         interval_seconds=0, max_ticks=1, cursor_file=cursor,
     )
-    assert cur is not None and open(cursor).read().strip() == cur
+    # cold start leaves the cursor UNSET (r14: a now()-seeded cursor
+    # could exceed the source's first in-flight commit and skip it
+    # forever), so nothing durable is written either
+    assert cur is None and not os.path.exists(cursor)
     assert not dwd.exists()
     # unseeded DWD: dm_increment is a no-op; unseeded DM accepts a seed
     assert dm_increment(dwd, dm, None, None, ["r_name"], "n_nationkey",
@@ -1181,3 +1184,32 @@ def test_dwd_increment_cursor_is_published_instant(spark, tmp_path):
         enrich_cols={"r_name": "N/A"}, created_ts_millis=3,
     ) == cur
     assert dwd.last_instant() == before
+
+
+def test_dwd_increment_cold_start_keeps_cursor_unset(spark, tmp_path):
+    """Cold-start idle tick (source table not yet seeded) must leave the
+    cursor UNSET, not seed it from the wall clock (r14 review / r13
+    ADVICE): a first creating commit allocates its instant before
+    publishing, so a now()-seeded cursor could exceed it and exclude its
+    rows from every later slice forever."""
+    nation = spark.read.parquet(f"{SF}/nation.parquet").withColumn(
+        "created_ts", F.lit(1).cast("long")
+    )
+    region = spark.read.parquet(f"{SF}/region.parquet").select(
+        "r_regionkey", "r_name"
+    )
+    ods = LakeTable(spark, str(tmp_path), "p", "odsd", ["n_nationkey"],
+                    "created_ts")
+    dwd = LakeTable(spark, str(tmp_path), "p", "dwdd", ["n_nationkey"],
+                    "created_ts")
+    kw = dict(fact_key="n_regionkey", dim_key="r_regionkey",
+              enrich_cols={"r_name": "N/A"}, created_ts_millis=2)
+    # tick before the source exists: cursor stays None
+    assert dwd_increment(ods, region, dwd, begin=None, **kw) is None
+    # an explicit end must not advance the cursor either on cold start
+    assert dwd_increment(ods, region, dwd, begin=None, end="999", **kw) is None
+    # source publishes its first commit; the next tick picks up ALL rows
+    ods.write(nation, op="upsert")
+    cur = dwd_increment(ods, region, dwd, begin=None, **kw)
+    assert cur == ods.last_instant()
+    assert dwd.snapshot().count() == nation.count()

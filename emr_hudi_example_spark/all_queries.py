@@ -38,15 +38,13 @@ from emr_hudi_example_spark.catalog import ORACLE, Q
 
 #: name prefixes of the subsystems whose substrate changed most this
 #: round, in priority order — used only as a TIE-BREAK within the same
-#: staleness group. Round 13 (late-session review passes): the
-#: dedup/graph/text/corpus operator families (connected-components
-#: non-convergence contract, strip-pass degenerate-doc anchoring,
-#: Unicode word class, phantom-token filters, pagerank dangling
-#: zero-weight sources), then similarity (ADC rewrite + the cell-GEMM
-#: and OPQ guards), then the lake kernel and pipelines (optimistic
-#: delete leg, medallion cursors).
+#: staleness group. Round 14: the lake kernel (merge_into TOCTOU
+#: re-derivation under the writer lock, archival-horizon pre-table
+#: point reads, compactor abandonment sidecar, lease grace hygiene) and
+#: the pipelines (ods2dwd cold-start cursor), then similarity (the
+#: ivfpq envelope work).
 _SUBSTRATE_HINTS: list[str] = [
-    "dedup_", "graph_", "text_", "corpus_", "sim_", "lake_", "pipe_",
+    "lake_", "pipe_", "sim_",
 ]
 
 

@@ -1884,6 +1884,73 @@ def lake_archive_endstate(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @query(
+    "lake_restore_backfill_contract",
+    oracle="""
+    SELECT c_custkey, c_mktsegment, c_acctbal,
+           CAST(CASE c_mktsegment
+                WHEN 'AUTOMOBILE' THEN 1 WHEN 'BUILDING' THEN 2
+                WHEN 'FURNITURE' THEN 3 WHEN 'HOUSEHOLD' THEN 4
+                WHEN 'MACHINERY' THEN 5 END AS BIGINT) AS ver,
+           concat('00', CASE c_mktsegment
+                WHEN 'AUTOMOBILE' THEN 1 WHEN 'BUILDING' THEN 2
+                WHEN 'FURNITURE' THEN 3 WHEN 'HOUSEHOLD' THEN 4
+                WHEN 'MACHINERY' THEN 5 END) AS _commit_time
+    FROM customer
+    """,
+)
+def lake_restore_backfill_contract(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Backfill × archive × restore triple — the exact shape that
+    physically DESTROYED live data before the r13 fix (dd42d14, pinned
+    in pytest by ``test_restore_over_backfill_keeps_archived_commit_
+    files``; graded here per the r13 verdict): five per-segment commits
+    leave each partition's files live from their CREATING commit;
+    archival moves commits 001/002's manifests out of the active
+    timeline (their data files remain live — no later commit touched
+    those partitions); a mid-life record-index enable triggers a
+    metadata-only ``index_backfill`` commit that re-lists every live
+    file including the archived-era ones; then ``restore`` to the
+    savepointed pre-backfill instant drops ONLY the backfill commit.
+    Before the fix, restore's keep-set (active manifests only) missed
+    data/001 and data/002 and deleted them — the oracle's full-table
+    equality over ALL five segments (values + creating commit stamps)
+    proves every archived-era row survived and still serves."""
+    base = _tmp_base()
+    t = LakeTable(
+        spark, base, "q", "rbf", ["c_custkey"], "ver",
+        partition_keys=["c_mktsegment"],
+    )
+    segs = ["AUTOMOBILE", "BUILDING", "FURNITURE", "HOUSEHOLD", "MACHINERY"]
+    cust_df = load(spark, sf_dir, "customer")
+    for i, seg in enumerate(segs, start=1):
+        t.write(
+            cust_df.filter(F.col("c_mktsegment") == seg).withColumn(
+                "ver", F.lit(i).cast("long")
+            ),
+            op="upsert", instant=f"00{i}",
+        )
+    t.savepoint("005")  # the restore point, pinned Hudi-style
+    archived = t.archive_timeline(keep_commits=3)
+    if archived != ["001", "002"]:
+        # RuntimeError, not assert: the gate must survive python -O
+        raise RuntimeError(f"archival moved {archived!r}, not 001/002")
+    t2 = LakeTable(
+        spark, base, "q", "rbf", ["c_custkey"], "ver",
+        partition_keys=["c_mktsegment"], record_index=True,
+    )
+    backfill = t2.backfill_record_index()
+    if backfill is None:
+        raise RuntimeError("record-index backfill committed nothing")
+    dropped = t2.restore("005")
+    if dropped != [backfill]:
+        raise RuntimeError(
+            f"restore dropped {dropped!r}, expected only {backfill!r}"
+        )
+    return t2.snapshot().select(
+        "c_custkey", "c_mktsegment", "c_acctbal", "ver", "_commit_time"
+    )
+
+
+@query(
     "lake_fenced_writer_endstate",
     oracle=f"""
     WITH u AS ({_B1_SQL}

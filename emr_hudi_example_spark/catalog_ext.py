@@ -3387,7 +3387,14 @@ def sim_ivfpq_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     bounded ``_sampled`` twin graded). Panel + nlist + PQ seed slice
     collect CONCURRENTLY in ONE ``local_bounded_many`` scan-round
     (injected via ``seed_vecs`` — no serialized third TakeOrdered
-    corpus collect)."""
+    corpus collect).
+
+    ENVELOPE (r14, measured at 1x/10x/100x — BASELINE.md): wall is
+    dominated by the assign pass, n x nlist = n^1.5 dots — the cost
+    FAISS pays at ``index.add()`` time — so the per-decade ratio rises
+    toward 31.6x (measured 1.64x then 7.82x, still overhead-damped).
+    In production that pass is the amortized index BUILD; the serving
+    term proper (probe fan-out per query) is sqrt(n)-shaped."""
     emb = load(spark, sf_dir, "embeddings")
     nlist = _ann_adaptive_nlist(sf_dir)
     panel, cen, seed16 = S.local_bounded_many(

@@ -43,9 +43,17 @@ Phases:
   view, and the full-range incremental read must all equal the
   serialized model.
 
+- **kill9** (r14, r13 verdict #6): a holder PROCESS takes the lease
+  and is SIGKILLed mid-hold (never releasing — the ZK session-expiry
+  analog); a fresh contender process must complete a FENCED takeover
+  within ~lease_seconds. A second leg fabricates the torn claim a
+  holder dying between the O_EXCL create and the body write leaves
+  (empty newest lease file, no expires_at) and asserts the r13
+  per-observer grace window resolves it in the same bound.
+
 Run: python scripts/occ_multiprocess_probe.py
 Worker mode (internal): python scripts/occ_multiprocess_probe.py \
-    --worker <role> <base> <barrier_dir>
+    --worker <role> <base> <barrier_dir>  (also --victim / --contender)
 """
 
 from __future__ import annotations
@@ -267,10 +275,125 @@ def worker(role: str, base: str, barrier_dir: str) -> None:
     spark.stop()
 
 
+KILL9_LEASE_SECONDS = 3.0
+
+
+def victim(base: str, flag: str) -> None:
+    """Child body for the kill -9 phase: take the lease, announce the
+    token, then hold it until killed (never releasing) — the single-host
+    analog of a ZooKeeper session whose client dies without closing
+    (``SRC/util/HudiConfig.scala:50-56``)."""
+    from emr_hudi_example_spark.lake.locks import LeaseLockProvider
+
+    p = LeaseLockProvider(
+        base, lease_seconds=KILL9_LEASE_SECONDS, holder="victim"
+    )
+    p.acquire(wait_seconds=10.0)
+    with open(flag + ".tmp", "w") as fh:
+        fh.write(str(p.token))
+    os.replace(flag + ".tmp", flag)
+    time.sleep(120.0)  # killed -9 long before this returns
+
+
+def contender(base: str) -> None:
+    """Child body: time a fresh process's takeover of the dead holder's
+    lease and report whether the takeover was FENCED (fence record
+    published for the won token)."""
+    from emr_hudi_example_spark.lake.locks import LeaseLockProvider
+
+    p = LeaseLockProvider(
+        base, lease_seconds=KILL9_LEASE_SECONDS, holder="contender"
+    )
+    t0 = time.monotonic()
+    p.acquire(wait_seconds=30.0)
+    latency = round(time.monotonic() - t0, 3)
+    fence = os.path.join(base, "_lease", f"fence-{p.token:020d}.json")
+    print("CONTENDER_RESULT " + json.dumps({
+        "latency_sec": latency,
+        "token": p.token,
+        "fence_recorded": os.path.exists(fence),
+    }), flush=True)
+    p.release()
+
+
+def _run_contender(base: str, env: dict) -> dict:
+    out = subprocess.run(
+        [sys.executable, os.path.abspath(__file__), "--contender", base],
+        capture_output=True, text=True, env=env, timeout=120,
+        cwd=tempfile.gettempdir(),
+    )
+    if out.returncode != 0:
+        raise RuntimeError(f"contender failed:\n{out.stdout}\n{out.stderr}")
+    line = next(
+        ln for ln in out.stdout.splitlines()
+        if ln.startswith("CONTENDER_RESULT ")
+    )
+    return json.loads(line[len("CONTENDER_RESULT "):])
+
+
+def kill9_phase(env: dict) -> dict:
+    """r14 (r13 verdict #6): kill -9 a lease holder mid-hold and assert
+    BOUNDED, FENCED takeover from a fresh contender PROCESS — then the
+    torn-claim variant (holder died between the O_EXCL create and the
+    body write, leaving an unreadable claim), which the r13 per-observer
+    grace window must also resolve within ~lease_seconds."""
+    base = tempfile.mkdtemp(prefix="occ-kill9-")
+    try:
+        flag = os.path.join(base, "victim_ready")
+        v = subprocess.Popen(
+            [sys.executable, os.path.abspath(__file__), "--victim",
+             base, flag],
+            stdout=subprocess.DEVNULL, stderr=subprocess.DEVNULL,
+            env=env, cwd=tempfile.gettempdir(),
+        )
+        deadline = time.monotonic() + 30.0
+        while not os.path.exists(flag):
+            if time.monotonic() > deadline:
+                v.kill()
+                raise TimeoutError("victim never acquired the lease")
+            time.sleep(0.02)
+        victim_token = int(open(flag).read())
+        v.send_signal(9)  # SIGKILL: no release, no cleanup
+        v.wait(10.0)
+        res_kill = _run_contender(base, env)
+
+        # torn-claim leg: fabricate exactly the artifact a holder dying
+        # between O_EXCL create and body write leaves — an EMPTY newest
+        # claim file (no expires_at to expire)
+        torn_token = res_kill["token"] + 1
+        torn = os.path.join(base, "_lease", f"lease-{torn_token:020d}")
+        fd = os.open(torn, os.O_CREAT | os.O_EXCL | os.O_WRONLY)
+        os.close(fd)
+        res_torn = _run_contender(base, env)
+
+        margin = 3.0  # interpreter boot + poll quantum
+        return {
+            "lease_seconds": KILL9_LEASE_SECONDS,
+            "kill9_takeover_sec": res_kill["latency_sec"],
+            "kill9_token_advanced": res_kill["token"] == victim_token + 1,
+            "kill9_fence_recorded": res_kill["fence_recorded"],
+            "torn_takeover_sec": res_torn["latency_sec"],
+            "torn_token_advanced": res_torn["token"] == torn_token + 1,
+            "torn_fence_recorded": res_torn["fence_recorded"],
+            "ok": bool(
+                res_kill["latency_sec"] <= KILL9_LEASE_SECONDS + margin
+                and res_kill["token"] == victim_token + 1
+                and res_kill["fence_recorded"]
+                and res_torn["latency_sec"] <= KILL9_LEASE_SECONDS + margin
+                and res_torn["token"] == torn_token + 1
+                and res_torn["fence_recorded"]
+            ),
+        }
+    finally:
+        shutil.rmtree(base, ignore_errors=True)
+
+
 def main() -> None:
     base = tempfile.mkdtemp(prefix="occ-probe-")
     barrier_dir = tempfile.mkdtemp(prefix="occ-barrier-")
     try:
+        env = dict(os.environ, PYTHONPATH=REPO)
+        kill9 = kill9_phase(env)
         # seed the creating commit from a short-lived parent session
         spark = _session("seed")
         spark.sparkContext.setLogLevel("ERROR")
@@ -299,7 +422,6 @@ def main() -> None:
         )
         spark.stop()
 
-        env = dict(os.environ, PYTHONPATH=REPO)
         procs = {
             role: subprocess.Popen(
                 [sys.executable, os.path.abspath(__file__), "--worker",
@@ -382,6 +504,7 @@ def main() -> None:
         spark.stop()
         print(json.dumps({
             "probe": "occ_multiprocess",
+            "kill9": kill9,
             "disjoint_commits_per_writer": DISJOINT_COMMITS,
             "disjoint_retries": {
                 r: results[r]["disjoint_retries"] for r in results
@@ -407,14 +530,16 @@ def main() -> None:
             "race_read_optimized_matches_model": ok_race_ro,
             "race_incremental_matches_model": ok_race_inc,
             "ok": bool(
-                ok_state and ok_commits and conflicts >= 1
+                kill9["ok"]
+                and ok_state and ok_commits and conflicts >= 1
                 and ok_mor_commits and ok_mor_state
                 and ok_race_folds and ok_race_state
                 and ok_race_ro and ok_race_inc
             ),
         }, indent=2))
         if not (
-            ok_state and ok_commits and conflicts >= 1
+            kill9["ok"]
+            and ok_state and ok_commits and conflicts >= 1
             and ok_mor_commits and ok_mor_state
             and ok_race_folds and ok_race_state
             and ok_race_ro and ok_race_inc
@@ -428,5 +553,9 @@ def main() -> None:
 if __name__ == "__main__":
     if len(sys.argv) > 1 and sys.argv[1] == "--worker":
         worker(sys.argv[2], sys.argv[3], sys.argv[4])
+    elif len(sys.argv) > 1 and sys.argv[1] == "--victim":
+        victim(sys.argv[2], sys.argv[3])
+    elif len(sys.argv) > 1 and sys.argv[1] == "--contender":
+        contender(sys.argv[2])
     else:
         main()

@@ -564,15 +564,62 @@ def run_pipe_probe(spark: SparkSession, mult: int) -> list[dict]:
     return recs
 
 
+def run_ann_probe(spark: SparkSession, mult: int) -> list[dict]:
+    """r14 serving-envelope legs (r13 verdict #2): the GRADED
+    ``sim_ivfpq_topk`` body — fixed query panel + ADAPTIVE sqrt-n
+    coarse quantizer — run completely unmodified against a
+    ``<table>.parquet``-shaped scaled directory, so the probe measures
+    the graded recipe including its parquet-footer nlist computation
+    (nlist = 44 / 141 / 447 at 1x/10x/100x of the sf0.1 corpus).
+
+    Expected shape, pinned in BASELINE.md: the assign pass is
+    n x nlist = n^1.5 dots (FAISS's own IVF assign cost), so the
+    per-decade wall ratio RISES toward 31.6x asymptotically as the
+    assign term overtakes the fixture-scale plan overhead; the LINEAR
+    ``sim_pq_adc_topk`` (fixed panel, full-scan ADC) runs beside it as
+    the reference curve that separates overhead from data terms."""
+    import os
+
+    from emr_hudi_example_spark import all_queries as catalog
+
+    pdir = f"{WORK}/ann_x{mult}"
+    shutil.rmtree(pdir, ignore_errors=True)
+    os.makedirs(pdir, exist_ok=True)
+    emb = spark.read.parquet(f"{SF_DIR}/embeddings.parquet")
+    scaled(emb, "vec_id", mult, 10_000_000).write.mode(
+        "overwrite"
+    ).parquet(f"{pdir}/embeddings.parquet")
+
+    from emr_hudi_example_spark.catalog_ext import _ann_adaptive_nlist
+
+    nlist = _ann_adaptive_nlist(pdir)
+    recs = []
+    for name in ("sim_pq_adc_topk", "sim_ivfpq_topk"):
+        best = None
+        for _ in range(2):  # min-of-2: shed JVM/codegen warmup
+            t0 = time.perf_counter()
+            rows = catalog.Q[name](spark, pdir).count()
+            wall = round(time.perf_counter() - t0, 2)
+            best = wall if best is None or wall < best else best
+        rec = {
+            "op": name, "mult": mult, "wall_sec": best, "rows": rows,
+            "nlist": nlist,
+        }
+        print(json.dumps(rec), flush=True)
+        recs.append(rec)
+    return recs
+
+
 def main() -> None:
     args = sys.argv[1:]
     lake_only = "--lake-only" in args
     ext_only = "--ext-only" in args
     pipe_only = "--pipe-only" in args
+    ann_only = "--ann-only" in args
     mults = [
         int(a)
         for a in args
-        if a not in ("--lake-only", "--ext-only", "--pipe-only")
+        if a not in ("--lake-only", "--ext-only", "--pipe-only", "--ann-only")
     ] or [1, 5, 25]
     sys.path.insert(0, "/root/repo")
     spark = (
@@ -586,7 +633,9 @@ def main() -> None:
     spark.sparkContext.setLogLevel("ERROR")
     all_recs = []
     for m in mults:
-        if pipe_only:
+        if ann_only:
+            all_recs.extend(run_ann_probe(spark, m))
+        elif pipe_only:
             all_recs.extend(run_pipe_probe(spark, m))
         elif ext_only:
             all_recs.extend(run_ext_probe(spark, m))

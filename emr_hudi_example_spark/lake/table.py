@@ -2974,17 +2974,27 @@ class LakeTable:
            amplification scales with keys touched, not partition size.
         """
         live = self._live_files()
+        minmax = None
         if self.partition_keys and not self.global_index:
-            batch_pps = {
-                r[0]
-                for r in batch.select(PARTITION_PATH_COL).distinct().collect()
-            }
+            # ONE fused aggregate (r14): partition discovery AND the
+            # batch's key range in the same job — the key min/max used
+            # to cost _key_hit_files a second full pass over the
+            # (persisted) batch. collect_set is exact here: the stamped
+            # partition path is never null (_stamp coalesces null
+            # partition values to __HIVE_DEFAULT_PARTITION__).
+            row = batch.agg(
+                F.collect_set(F.col(PARTITION_PATH_COL)).alias("pps"),
+                F.min(RECORD_KEY_COL).alias("lo"),
+                F.max(RECORD_KEY_COL).alias("hi"),
+            ).collect()[0]
+            batch_pps = set(row["pps"])
+            minmax = (row["lo"], row["hi"])
             candidates = [f for f in live if f["partition_path"] in batch_pps]
         else:
             # unpartitioned table (single "" partition) or global index
             candidates = live
         if len(candidates) > 1:
-            candidates = self._key_hit_files(candidates, batch)
+            candidates = self._key_hit_files(candidates, batch, minmax=minmax)
         return candidates, self._read_files([f["path"] for f in candidates])
 
     @staticmethod
@@ -3050,7 +3060,10 @@ class LakeTable:
         )
 
     def _key_hit_files(
-        self, candidates: list[dict], batch: DataFrame
+        self,
+        candidates: list[dict],
+        batch: DataFrame,
+        minmax: tuple | None = None,
     ) -> list[dict]:
         """File targeting: range-prune candidates against the manifest's
         per-file key stats (driver-side, no I/O), then scan the
@@ -3105,6 +3118,10 @@ class LakeTable:
             return self._index_hit_files(candidates, batch, keys=keys)
         if keys is not None:
             lo, hi = (keys[0], keys[-1]) if keys else (None, None)
+        elif minmax is not None:
+            # pre-fused by _affected_files' partition-discovery agg —
+            # no second pass over the batch
+            lo, hi = minmax
         else:
             lo, hi = (
                 batch.agg(

@@ -1842,6 +1842,56 @@ def collect_dim_permutation(perm_df: DataFrame, dim: int) -> list[int]:
     return arr
 
 
+def _dim_permutation_list(
+    vectors: DataFrame,
+    vec_col: str = "embedding",
+    dim: int = 64,
+    n_subspaces: int = 8,
+) -> list[int]:
+    """Fused :func:`opq_dim_permutation` + :func:`collect_dim_permutation`
+    (r14): per-dimension energies come from ONE ungrouped aggregate of
+    ``dim`` decimal-sum columns — no posexplode row blowup (64× the
+    corpus rows fed the old groupBy), no (d)-keyed exchange, and no
+    row_number window to collect through (the old collect paid the agg
+    + window exchanges as 4-6 AQE stage jobs). Ranking and the
+    snake-deal are integer/Decimal arithmetic on 64 driver values —
+    exact, so the permutation is identical (parity pinned by
+    ``tests/test_extensions.py::test_dim_permutation_list_parity``).
+
+    Falls back to the relational derivation when any energy is NULL
+    (empty stats source or a dimension absent/all-null — the relational
+    path's raise/rank-last split for those cannot be distinguished
+    from one aggregate row)."""
+    if dim % n_subspaces != 0:
+        raise ValueError(
+            f"opq_dim_permutation: dim={dim} not divisible by "
+            f"n_subspaces={n_subspaces}; pad the vectors or pick a "
+            f"divisor (FAISS's OPQ has the same constraint)"
+        )
+    sub_dim = dim // n_subspaces
+    v = _as_double(vec_col)
+    row = vectors.agg(
+        *[
+            F.sum(
+                (v[d] * v[d]).cast("decimal(38,12)")
+            ).alias(f"e_{d}")
+            for d in range(dim)
+        ]
+    ).collect()[0]
+    energies = [row[f"e_{d}"] for d in range(dim)]
+    if any(e is None for e in energies):
+        return collect_dim_permutation(
+            opq_dim_permutation(vectors, vec_col, dim, n_subspaces), dim
+        )
+    ranked = sorted(range(dim), key=lambda d: (-energies[d], d))
+    arr: list[int] = [0] * dim
+    for rn, d in enumerate(ranked):
+        rnd, pos = rn // n_subspaces, rn % n_subspaces
+        bucket = pos if rnd % 2 == 0 else n_subspaces - 1 - pos
+        arr[bucket * sub_dim + rnd] = d
+    return arr
+
+
 def opq_adc_topk(
     vectors: DataFrame,
     queries: DataFrame,
@@ -1902,9 +1952,8 @@ def opq_adc_topk(
         InheritableThread(
             target=_run,
             args=(
-                "perm", collect_dim_permutation,
-                opq_dim_permutation(stats_src, vec_col, dim, n_subspaces),
-                dim,
+                "perm", _dim_permutation_list,
+                stats_src, vec_col, dim, n_subspaces,
             ),
         ),
         InheritableThread(

@@ -1610,3 +1610,17 @@ def test_seed_codebook_local_parity(spark):
             for r in rows
         )
     assert canon(twin.collect()) == canon(ref.collect())
+
+
+def test_dim_permutation_list_parity(spark):
+    """r14: the fused ungrouped-aggregate permutation derivation equals
+    the relational opq_dim_permutation + collect chain exactly — full
+    corpus and hash-sampled statistics."""
+    from emr_hudi_example_spark.operators.dedup import hash_sample
+
+    emb = spark.read.parquet(f"{SF}/embeddings.parquet")
+    for src in (emb, hash_sample(emb, "vec_id", 0.5)):
+        ref = S.collect_dim_permutation(
+            S.opq_dim_permutation(src, dim=64, n_subspaces=8), 64
+        )
+        assert S._dim_permutation_list(src, "embedding", 64, 8) == ref

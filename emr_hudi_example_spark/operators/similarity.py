@@ -1548,9 +1548,17 @@ def ivfpq_adc_topk(
     # construction — the old distinct was a full extra shuffle for a
     # no-op.
     lut_arr = _adc_lut_arrays(lut_wide, ["query_id"], n_subspaces)
+    # probe join: BROADCAST the |panel|×nprobe query-cell side (the
+    # same hint ivf_cosine_topk carries; r14 plan audit) — without it
+    # the planner's unknown size estimate through the assign window
+    # picked a SortMergeJoin that shuffled the CORPUS assignment by
+    # cell_id and then re-shuffled the candidates by neighbor_id: two
+    # corpus-sized exchanges for a join against a fixed serving panel.
+    # Broadcast-left keeps the corpus side's vec_id partitioning, which
+    # the codes join below aligns with co-partitioned.
     cand = (
-        query_cells.select(
-            F.col(id_col).alias("query_id"), "cell_id"
+        F.broadcast(
+            query_cells.select(F.col(id_col).alias("query_id"), "cell_id")
         )
         .join(
             corpus_cells.select(
@@ -1714,8 +1722,13 @@ def ivfpq_residual_topk(
     lut_arr = _adc_lut_arrays(
         lut_wide, ["query_id", "cell_id"], n_subspaces
     )
+    # broadcast the fixed |panel|×nprobe query-cell side — see the
+    # ivfpq_adc_topk probe-join note (two corpus-sized exchanges
+    # otherwise, r14 plan audit)
     cand = (
-        query_cells.select(F.col(id_col).alias("query_id"), "cell_id")
+        F.broadcast(
+            query_cells.select(F.col(id_col).alias("query_id"), "cell_id")
+        )
         .join(
             corpus_cells.select(
                 F.col(id_col).alias("neighbor_id"), "cell_id"

@@ -337,3 +337,23 @@ def test_corpus_cell_assign_partial_agg_not_window(spark):
     # the multi-probe query side keeps the ranked window
     q3 = S.assign_cells(emb, cen, n_assign=3)
     assert "Window" in q3._jdf.queryExecution().executedPlan().toString()
+
+
+def test_ivfpq_probe_join_broadcasts_panel_side(spark):
+    """r14: the IVF probe join must BROADCAST the |panel|×nprobe
+    query-cell side. Without the hint the planner's unknown estimate
+    through the assign window picked a SortMergeJoin that shuffled the
+    CORPUS cell assignment by cell_id and re-shuffled the candidates by
+    neighbor_id — two corpus-sized exchanges for a fixed-size panel.
+    Pin: no shuffle Exchange keyed on cell_id anywhere in the plan."""
+    import re
+
+    for q in ("sim_ivfpq_topk", "sim_ivfpq_residual_topk_sampled"):
+        plan = _plan(spark, q)
+        cell_shuffles = re.findall(
+            r"Exchange hashpartitioning\(cell_id[^\)]*\)", plan
+        )
+        assert not cell_shuffles, (
+            f"{q}: corpus cell assignment is shuffled by cell_id — the "
+            "probe join lost its panel-side broadcast:\n" + plan
+        )

@@ -101,6 +101,25 @@ def main() -> None:
             }
         )
     )
+    # Compact per-family subtotals + the 5 largest rows ride in the
+    # FINAL headline line (r14 verdict #3): the driver retains only the
+    # last 2000 bytes of stdout, so the full 188-entry dict above never
+    # survives — ~15 family keys and 5 top rows (~0.6 KB total) always
+    # do, restoring per-query comparison/scaling signal. Additions only:
+    # the timing methodology and every existing key are unchanged.
+    import re as _re
+
+    families: dict[str, float] = {}
+    for name, sec in timings.items():
+        # family = first name segment, digits stripped ("a14" -> "a",
+        # "j3" -> "j") so the relational rows fold into two keys
+        fam = _re.sub(r"\d+$", "", name.split("_", 1)[0])
+        families[fam] = families.get(fam, 0.0) + sec
+    families = {k: round(v, 2) for k, v in sorted(families.items())}
+    top = {
+        n: round(s, 2)
+        for n, s in sorted(timings.items(), key=lambda kv: -kv[1])[:5]
+    }
     print(
         json.dumps(
             {
@@ -110,6 +129,8 @@ def main() -> None:
                 "runs": runs,
                 "sf": sf_val,
                 "n_queries": len(timings),
+                "families": families,
+                "top": top,
             }
         )
     )

@@ -384,15 +384,21 @@ def pipe_multitable_delete_endstate(
         ))
     )
     apply_changes_batch(parse_canal_df(batch), reg, created_ts_millis=5)
-    tombstoned = 0
     ends = []
+    gap_legs = []
     for tname, kcol, ncol in (
         ("nation", "n_nationkey", "n_name"),
         ("region", "r_regionkey", "r_name"),
     ):
         t = reg.lake_table(tname)
         snap = t.snapshot()
-        tombstoned += t.read_optimized().count() - snap.count()
+        # the row-count gap rides ONE fused aggregate over all four
+        # views (+1 per read-optimized row, -1 per snapshot row) —
+        # Σ(ro.count - snap.count) exactly, in a single Spark action
+        # instead of the four counts the r14 profile charged this row
+        # (guide §1.2: remove unnecessary jobs)
+        gap_legs.append(t.read_optimized().select(F.lit(1).alias("d")))
+        gap_legs.append(snap.select(F.lit(-1).alias("d")))
         ends.append(
             snap.select(
                 F.lit(tname).alias("tbl"),
@@ -400,6 +406,12 @@ def pipe_multitable_delete_endstate(
                 F.col(ncol).alias("name"),
             )
         )
+    gap_all = gap_legs[0]
+    for leg in gap_legs[1:]:
+        gap_all = gap_all.unionByName(leg)
+    tombstoned = int(
+        gap_all.agg(F.sum("d").alias("g")).collect()[0]["g"] or 0
+    )
     return ends[0].unionByName(ends[1]).withColumn(
         "mor_tombstoned_rows", F.lit(tombstoned).cast("long")
     )

@@ -65,6 +65,7 @@ Design notes (100 TB):
 
 from __future__ import annotations
 
+import glob
 import json
 import os
 import re
@@ -3743,10 +3744,32 @@ class LakeTable:
                 os.path.join(d, filename),
             )
         os.makedirs(out_dir, exist_ok=True)
+        self._pin_nshards_marker(out_dir, nshards)
+
+    def _pin_nshards_marker(self, out_dir: str, nshards: int) -> None:
+        """Write the dir's ``.nshards`` marker, or — when one already
+        exists (backfill appending into a dir another commit sized) —
+        ASSERT it equals the modulus the rows were just sharded with:
+        silently keeping a disagreeing marker would make probes
+        recompute different shards than the build used and miss keys
+        (r14 advice)."""
         marker = os.path.join(out_dir, ".nshards")
         if not os.path.exists(marker):
             with open(marker, "w") as fh:
                 fh.write(str(nshards))
+            return
+        try:
+            with open(marker) as fh:
+                existing = int(fh.read().strip())
+        except (OSError, ValueError):
+            return  # unreadable marker: leave as-is (probe defaults)
+        if existing != nshards:
+            raise ValueError(
+                f"index dir {out_dir} is pinned to .nshards="
+                f"{existing} but rows were sharded with modulus "
+                f"{nshards} — probes would miss keys; pass the dir's "
+                f"modulus (backfill reads the marker) or rebuild the dir"
+            )
 
     def _rel_fp_expr(self):
         """``_metadata.file_path`` relativized against the table root.
@@ -4355,10 +4378,7 @@ class LakeTable:
                 os.path.join(d, filename),
             )
         os.makedirs(out_dir, exist_ok=True)
-        marker = os.path.join(out_dir, ".nshards")
-        if not os.path.exists(marker):
-            with open(marker, "w") as fh:
-                fh.write(str(nshards))
+        self._pin_nshards_marker(out_dir, nshards)
 
     def _sec_spark_build(
         self,
@@ -4436,6 +4456,15 @@ class LakeTable:
         instants it spans."""
         import uuid as _uuid
 
+        # sweep stage dirs a hard-killed predecessor leaked (the
+        # finally below cannot run across kill -9): the backfill holds
+        # the writer lock, so any surviving _bf_stage-* is garbage —
+        # without the sweep they accumulate inside index_dir forever
+        # (r14 advice)
+        for stale in glob.glob(
+            os.path.join(self.index_dir, "_bf_stage-*")
+        ):
+            shutil.rmtree(stale, ignore_errors=True)
         key_schema = T.StructType(
             [T.StructField(RECORD_KEY_COL, T.StringType())]
         )

@@ -138,12 +138,21 @@ def pagerank(
     ranks. The remaining double ops per iteration are single
     multiplies/adds in a fixed order.
 
-    Scale shape per iteration: broadcast-free join of the rank vector
-    to the edge list on ``src`` (both hash-partitioned by node id; the
-    rank vector is |V| rows — tiny next to |E|), then one hash-agg on
-    ``dst``. Fixed ``iterations`` keeps the whole program a static
+    Scale shape per iteration (r15 — two per-iteration joins removed,
+    guide §2.4): ONE broadcast-free join of the rank vector to the
+    edge list on ``src``, then ONE hash-agg on the destination key
+    over the contributions UNIONED with a zero-contribution row per
+    node. The union replaces the old ``nodes LEFT JOIN inflow``
+    completion join (its exchange + sort per round), and the dangling
+    DEGREE lookup rides INSIDE the rank vector (``_dg``, stamped once
+    at setup) instead of re-joining ``deg`` every round — summing one
+    exact decimal zero per node and max-ing the single non-null
+    ``_dg`` per group are value-identity operations, so the ranks are
+    bit-identical to the join formulation (the DuckDB oracle pins
+    this). Fixed ``iterations`` keeps the whole program a static
     3-stage-deep DAG; ``localCheckpoint`` between rounds truncates
-    lineage so planning cost stays flat.
+    lineage so planning cost stays flat (measured r15: 8-10 AQE stage
+    jobs per round → 5-7).
 
     By default any ``weight`` column (e.g. the collapsed parallel-edge
     multiplicity :func:`sequential_interaction_edges` emits) is
@@ -163,17 +172,6 @@ def pagerank(
     # derivation (e.g. the session-window edge builder) would run 4×
     # during setup before any downstream checkpoint materialized
     edges = edges.localCheckpoint()
-    # nodes and deg are re-read every iteration — checkpoint them once so
-    # the (possibly expensive) upstream edge derivation never re-executes
-    nodes = (
-        edges.select(F.col("src").alias("node"))
-        .unionByName(edges.select(F.col("dst").alias("node")))
-        .distinct()
-        .localCheckpoint()
-    )
-    n_nodes = nodes.count()  # driver-side scalar: loop constant, M3-style
-    if n_nodes == 0:  # empty graph (e.g. all hops were self-loops)
-        return nodes.withColumn("rank", F.lit(0.0))
     # NULL weight = unweighted edge (counts once), NOT silently dropped:
     # F.sum skips NULLs, which would leak that edge's rank mass entirely
     # — diverging from the unweighted path (r6 advice)
@@ -192,6 +190,21 @@ def pagerank(
         .filter(F.col("deg") > 0)
         .localCheckpoint()
     )
+    # nodes carry their out-degree flag (``_dg`` — NULL = dangling),
+    # stamped ONCE here: the old shape re-joined ``deg`` onto the rank
+    # vector EVERY iteration just to find the dangling rows (r15,
+    # guide §2.4 — two exchanges per round for a loop-invariant fact)
+    nodes = (
+        edges.select(F.col("src").alias("node"))
+        .unionByName(edges.select(F.col("dst").alias("node")))
+        .distinct()
+        .join(deg, F.col("node") == F.col("src"), "left")
+        .select("node", F.col("deg").alias("_dg"))
+        .localCheckpoint()
+    )
+    n_nodes = nodes.count()  # driver-side scalar: loop constant, M3-style
+    if n_nodes == 0:  # empty graph (e.g. all hops were self-loops)
+        return nodes.select("node").withColumn("rank", F.lit(0.0))
     # out-degree (weighted: Σ weight) joined once onto the edge list —
     # reused every iteration; w/deg is each edge's contribution share
     edged = (
@@ -207,34 +220,51 @@ def pagerank(
         # dangling mass as a 1-row broadcast instead of a driver collect:
         # the whole iteration stays ONE job (the localCheckpoint action);
         # arithmetic is identical — decimal-exact sum, then the same
-        # double ops in the same order as the oracle's SQL
-        with_deg = ranks.join(deg, ranks["node"] == deg["src"], "left")
-        dangling = with_deg.filter(F.col("deg").isNull()).agg(
+        # double ops in the same order as the oracle's SQL. The dangling
+        # rows come straight off the rank vector's ``_dg`` flag — no
+        # per-round join against ``deg``.
+        dangling = ranks.filter(F.col("_dg").isNull()).agg(
             F.coalesce(
                 F.sum(F.round(F.col("rank"), scale).cast(dec)),
                 F.lit(0).cast(dec),
             ).alias("dm")
         )
-        contrib = edged.join(ranks, edged["src"] == ranks["node"]).select(
+        contrib = edged.join(
+            ranks.select("node", "rank"), edged["src"] == F.col("node")
+        ).select(
             F.col("dst").alias("node"),
             F.round(F.col("rank") * F.col("_w") / F.col("deg"), scale)
             .cast(dec)
             .alias("c"),
+            F.lit(None).cast("long").alias("_dg"),
         )
-        inflow = contrib.groupBy("node").agg(F.sum("c").alias("s"))
+        # completion WITHOUT a join (r15): one exact-zero contribution
+        # row per node rides into the SAME aggregation the inflow sum
+        # needs anyway — Σc + 0 ≡ Σc (decimal-exact), a no-inflow node
+        # sums to exactly 0 (= the old LEFT-join NULL coalesced to
+        # 0.0), and max(_dg) recovers the single non-null flag per
+        # group. Replaces the old nodes⋈inflow SortMergeJoin and its
+        # nodes-side exchange + sorts every round.
+        zero_leg = ranks.select(
+            "node", F.lit(0).cast(dec).alias("c"), "_dg"
+        )
+        inflow = (
+            contrib.unionByName(zero_leg)
+            .groupBy("node")
+            .agg(F.sum("c").alias("s"), F.max("_dg").alias("_dg"))
+        )
         ranks = (
-            nodes.join(inflow, "node", "left")
-            .crossJoin(F.broadcast(dangling))
+            inflow.crossJoin(F.broadcast(dangling))
             .select(
                 "node",
+                "_dg",
                 (
                     F.lit(teleport)
-                    + F.lit(damping)
-                    * F.coalesce(F.col("s").cast("double"), F.lit(0.0))
+                    + F.lit(damping) * F.col("s").cast("double")
                     + F.lit(damping)
                     * (F.col("dm").cast("double") / F.lit(float(n_nodes)))
                 ).alias("rank"),
             )
             .localCheckpoint()
         )
-    return ranks
+    return ranks.select("node", "rank")

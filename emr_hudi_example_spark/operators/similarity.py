@@ -1193,10 +1193,17 @@ def _local_residual_codebook(
             if best is None or key < best[0]:
                 best = (key, cv)
         cv = best[1]
+        if v is None or len(v) != len(cv):
+            # dimension-mismatched seed/centroid: Spark's zip_with
+            # emits a max-length array null-padded at the tail, which
+            # a whole-null residual would NOT reproduce — fall back to
+            # the Spark derivation like the other degenerate inputs
+            # (r14 advice)
+            return None
         res = [
             None if (x is None or y is None) else x - y
             for x, y in zip(v, cv)
-        ] if len(v) == len(cv) else None
+        ]
         out_rows.append((res, len(out_rows)))
     out = seed_vecs.sparkSession.createDataFrame(
         out_rows, _CODEBOOK_SCHEMA
@@ -1502,6 +1509,16 @@ def ivfpq_adc_topk(
     cell-id-keyed, ~nprobe/n_cells of the data per query), the PQ
     codebook and per-query LUTs broadcast, and per-pair ADC sums
     accumulate as DECIMAL so the ranking is partitioning-exact.
+
+    CONTRACT — ``queries`` must be a BOUNDED serving panel (a fixed
+    evaluation panel / per-request batch, metadata-sized like the
+    catalog's ``_ann_panel``): its |queries|·nprobe cell assignment
+    and its LUT arrays are broadcast UNCONDITIONALLY (the size
+    estimate through the assign window defeats the planner, so the
+    hint cannot be left to ``autoBroadcastJoinThreshold``). Passing a
+    corpus-sized frame here forces a corpus-sized broadcast build —
+    use the exhaustive evaluation harnesses for that shape instead
+    (r14 advice).
     """
     corpus_cells = assign_cells(corpus, centroids, id_col, vec_col, 1)
     query_cells = assign_cells(queries, centroids, id_col, vec_col, nprobe)
@@ -1516,6 +1533,13 @@ def ivfpq_adc_topk(
             corpus, id_col, vec_col, n_codes, localize=localize_seeds
         )
     else:
+        if getattr(seed_vecs, "_lb_rows", None) is None:
+            # non-localized injected frame: ONE collect localizes it
+            # and supplies both the validation count and the codebook
+            # rows — the old path paid an eager count() (2 jobs on an
+            # RDD-backed local) PLUS a separate _seed_codebook collect
+            # (r14 advice)
+            seed_vecs = local_bounded(seed_vecs, n_codes)
         _validate_seed_count(
             seed_vecs, n_codes, "ivfpq_adc_topk", arg="seed_vecs"
         )
@@ -1614,7 +1638,9 @@ def ivfpq_residual_topk(
     candidate join, broadcast codebook and LUTs (LUT rows =
     |queries|·nprobe·M·K), decimal-exact per-pair sums. The residual
     subtraction is a narrow ``zip_with`` fused into the encode and
-    LUT passes.
+    LUT passes. ``queries`` carries the same BOUNDED-panel contract
+    as ``ivfpq_adc_topk`` (its cell assignment and LUTs broadcast
+    unconditionally — see that docstring).
     """
     corpus_cells = assign_cells(corpus, centroids, id_col, vec_col, 1)
     query_cells = assign_cells(queries, centroids, id_col, vec_col, nprobe)

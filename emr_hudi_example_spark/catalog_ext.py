@@ -3271,8 +3271,12 @@ def sim_pq_adc_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     harnesses that need exhaustive ground truth (README "ANN
     recipes")."""
     emb = load(spark, sf_dir, "embeddings")
-    panel = _ann_panel(emb)
-    return S.pq_adc_topk(emb, panel, k=5)
+    # lazy panel selector + bound: its localization rides pq_adc_topk's
+    # concurrent collect round with the codebook slice (r15, verdict #5
+    # — previously two serialized driver collects)
+    return S.pq_adc_topk(
+        emb, _ann_panel_frame(emb), k=5, queries_bound=_ANN_PANEL_NQ
+    )
 
 
 def _pq_rdist_sql() -> str:
@@ -3653,8 +3657,12 @@ def sim_opq_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     Production pairs ADC with IVF cells (``sim_ivfpq_topk``) so
     per-query work never scans the whole corpus."""
     emb = load(spark, sf_dir, "embeddings")
-    panel = _ann_panel(emb)
-    return S.opq_adc_topk(emb, panel, k=5, dim=_PQ_M * _PQ_SUB)
+    # lazy panel + bound: localization joins the perm/seed concurrent
+    # collect round inside opq_adc_topk (r15, verdict #5)
+    return S.opq_adc_topk(
+        emb, _ann_panel_frame(emb), k=5, dim=_PQ_M * _PQ_SUB,
+        queries_bound=_ANN_PANEL_NQ,
+    )
 
 
 def _adc_chain_sql(
@@ -3895,10 +3903,11 @@ def sim_opq_topk_sampled(spark: SparkSession, sf_dir: str) -> DataFrame:
     Recall of the sampled-stats permutation vs full-stats OPQ is
     pytest-pinned (``tests/test_extensions.py``)."""
     emb = load(spark, sf_dir, "embeddings")
-    q = _ann_panel(emb, _OPQ_SAMPLED_NQ)
     return S.opq_adc_topk(
-        emb, q, k=5, dim=_PQ_M * _PQ_SUB,
+        emb, _ann_panel_frame(emb, _OPQ_SAMPLED_NQ), k=5,
+        dim=_PQ_M * _PQ_SUB,
         stats_sample_frac=_OPQ_STATS_FRAC,
+        queries_bound=_OPQ_SAMPLED_NQ,
     )
 
 

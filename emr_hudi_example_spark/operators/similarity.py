@@ -1347,6 +1347,7 @@ def pq_adc_topk(
     n_codes: int = PQ_N_CODES,
     localize_seeds: bool = True,
     seeds: DataFrame | None = None,
+    queries_bound: int | None = None,
 ) -> DataFrame:
     """Asymmetric distance computation over PQ codes: each query builds
     a lookup table of its exact distance to every sub-codeword
@@ -1361,7 +1362,23 @@ def pq_adc_topk(
     Scale shape: the LUT (queries × codebook) broadcasts; the corpus
     streams once as its (already tiny) code rows; the per-query top-k
     is the same window-over-scored-stream shape as ``cosine_topk``.
+
+    ``queries_bound`` (r15, verdict #5): pass the LAZY query-panel
+    selector plus its bound and the panel localization rides the SAME
+    concurrent collect round as the codebook seed slice
+    (``local_bounded_many``) instead of the caller serializing a
+    separate driver collect in front of this call. ``None`` keeps the
+    old contract (``queries`` used as passed).
     """
+    if queries_bound is not None:
+        if seeds is None and localize_seeds:
+            queries, seed16 = local_bounded_many(
+                (queries, queries_bound),
+                (vectors.orderBy(id_col).limit(n_codes), n_codes),
+            )
+            seeds = _seed_codebook_local(seed16, id_col, vec_col, n_codes)
+        else:
+            queries = local_bounded(queries, queries_bound)
     if seeds is None:
         seeds = _pq_seeds(
             vectors, id_col, vec_col, n_codes, localize=localize_seeds
@@ -1942,6 +1959,7 @@ def opq_adc_topk(
     sub_dim: int = 8,
     n_codes: int = PQ_N_CODES,
     stats_sample_frac: float | None = None,
+    queries_bound: int | None = None,
 ) -> DataFrame:
     """OPQ-lite ADC serving: permute dimensions for subspace energy
     balance (:func:`opq_dim_permutation`, statistics from the CORPUS
@@ -2003,6 +2021,17 @@ def opq_adc_topk(
             ),
         ),
     ]
+    if queries_bound is not None:
+        # the query-panel localization joins the SAME concurrent
+        # collect round (r15, verdict #5) — the caller previously
+        # serialized it as a separate driver collect in front of
+        # this call
+        threads.append(
+            InheritableThread(
+                target=_run,
+                args=("q", local_bounded, queries, queries_bound),
+            )
+        )
     for t in threads:
         t.start()
     for t in threads:
@@ -2010,6 +2039,8 @@ def opq_adc_topk(
     if errs:
         raise errs[0]
     perm, seed_slice = res["perm"], res["seed"]
+    if queries_bound is not None:
+        queries = res["q"]
     vp = apply_dim_permutation(vectors, perm, id_col, vec_col)
     qp = apply_dim_permutation(queries, perm, id_col, vec_col)
     seeds = _pq_seeds(

@@ -4528,6 +4528,109 @@ class LakeTable:
                 with open(marker, "w") as fh:
                     fh.write(str(nsh))
 
+    def _spark_backfill_sec_build(
+        self,
+        present: list[str],
+        read_schema: T.StructType,
+        items: list[tuple[str, list[dict]]],
+        nshards: int,
+    ) -> None:
+        """ONE distributed pass building secondary-index rows for every
+        uncovered instant in a SCHEMA GROUP (identical indexed-column
+        read schema + shard modulus): all files scanned in a single
+        column-pruned job, each row's instant derived from its file
+        path, output staged ``partitionBy(inst, col, shard)`` and the
+        part files moved into the per-instant dirs driver-side (the
+        same append semantics as the old per-group
+        ``_sec_spark_build(mode="append")`` — probes read every part
+        file in a shard dir). The sec-index twin of
+        :meth:`_spark_backfill_index_build` (r15, verdict #7)."""
+        import uuid as _uuid
+
+        # sweep stage dirs a hard-killed predecessor leaked (we hold
+        # the writer lock, so any survivor is garbage)
+        for stale in glob.glob(
+            os.path.join(self.sec_index_dir, "_bf_stage-*")
+        ):
+            shutil.rmtree(stale, ignore_errors=True)
+        pairs = F.explode(
+            F.array(
+                *[
+                    F.struct(
+                        F.lit(c).alias("col"),
+                        F.col(c).cast("string").alias("val"),
+                    )
+                    for c in present
+                ]
+            )
+        )
+        all_paths = [f["path"] for _inst, fl in items for f in fl]
+        rows = (
+            self._read_files(all_paths, schema=read_schema)
+            .select(self._rel_fp_expr().alias("fp"), pairs.alias("p"))
+            .select(
+                "fp",
+                F.col("p.col").alias("col"),
+                F.col("p.val").alias("val"),
+            )
+            .filter(F.col("val").isNotNull())
+            .distinct()
+            .withColumn(
+                "inst", F.element_at(F.split(F.col("fp"), "/"), 2)
+            )
+            .withColumn(
+                "shard",
+                F.pmod(F.xxhash64(F.col("val")), F.lit(nshards)).cast(
+                    "int"
+                ),
+            )
+        )
+        stage = os.path.join(
+            self.sec_index_dir, f"_bf_stage-{_uuid.uuid4().hex[:8]}"
+        )
+        try:
+            (
+                # sorted runs + small row groups as in _sec_spark_build:
+                # probes read only the stats-matched row groups
+                rows.repartition(nshards, "inst", "col", "shard")
+                .sortWithinPartitions("inst", "col", "shard", "val")
+                .write.mode("overwrite")
+                .option("parquet.block.size", str(INDEX_ROW_GROUP_BYTES))
+                .partitionBy("inst", "col", "shard")
+                .parquet(stage)
+            )
+            for inst_dir in sorted(os.listdir(stage)):
+                if not inst_dir.startswith("inst="):
+                    continue
+                inst = inst_dir[len("inst="):]
+                for col_dir in sorted(
+                    os.listdir(os.path.join(stage, inst_dir))
+                ):
+                    if not col_dir.startswith("col="):
+                        continue
+                    for shard_dir in sorted(
+                        os.listdir(
+                            os.path.join(stage, inst_dir, col_dir)
+                        )
+                    ):
+                        if not shard_dir.startswith("shard="):
+                            continue
+                        dst = os.path.join(
+                            self.sec_index_dir, inst, col_dir, shard_dir
+                        )
+                        os.makedirs(dst, exist_ok=True)
+                        src = os.path.join(
+                            stage, inst_dir, col_dir, shard_dir
+                        )
+                        for part in os.listdir(src):
+                            if part.startswith(("part-", "part_")):
+                                shutil.move(
+                                    os.path.join(src, part),
+                                    os.path.join(dst, part),
+                                )
+        finally:
+            shutil.rmtree(stage, ignore_errors=True)
+
     def backfill_record_index(self) -> str | None:
         """Async metadata indexing for the RECORD index (Hudi's async
         indexer building the metadata-table ``record_index`` partition
@@ -4645,6 +4748,15 @@ class LakeTable:
                 )
                 groups.setdefault((inst, missing), []).append(f)
             stamped: list[dict] = []
+            # Spark-fallback groups batch by SCHEMA GROUP (r15, verdict
+            # #7): instants whose indexed columns resolve to the same
+            # (name, type) read schema under the same shard modulus
+            # share ONE staged job (the record-index backfill got the
+            # same treatment in r14) — over a long timeline the
+            # per-(instant, cols) job fixed cost serialized, while the
+            # work is one column-pruned scan + one shuffle per distinct
+            # schema group regardless of instant count.
+            spark_batches: dict[tuple, list[tuple[str, list[dict]]]] = {}
             for (inst, missing), fl in sorted(groups.items()):
                 try:
                     schema = T.StructType.fromJson(
@@ -4678,15 +4790,37 @@ class LakeTable:
                             ),
                         )
                     else:
-                        self._sec_spark_build(
-                            fl, present, schema, out_dir, nshards,
-                            mode="append",
+                        key = (
+                            tuple(present),
+                            tuple(
+                                f2.json()
+                                for f2 in schema.fields
+                                if f2.name in present
+                            ),
+                            nshards,
+                        )
+                        spark_batches.setdefault(key, []).append(
+                            (inst, fl)
                         )
                 os.makedirs(out_dir, exist_ok=True)
                 if not os.path.exists(marker):
                     with open(marker, "w") as fh:
                         fh.write(str(nshards))
                 stamped.extend(fl)
+            for (present, fields, nshards), items in sorted(
+                spark_batches.items()
+            ):
+                self._spark_backfill_sec_build(
+                    list(present),
+                    T.StructType(
+                        [
+                            T.StructField.fromJson(json.loads(j))
+                            for j in fields
+                        ]
+                    ),
+                    items,
+                    nshards,
+                )
             if not stamped:
                 return None
             inst = self._next_instant(None)

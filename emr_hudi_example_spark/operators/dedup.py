@@ -662,7 +662,12 @@ def connected_components_star(
             .filter(F.col("b") > F.col("a"))
             .select(F.col("b").alias("a"), F.col("m").alias("b"))
             .filter(F.col("a") != F.col("b"))
-            .distinct()
+            # no intermediate distinct (r15): duplicate (v, m) rows —
+            # several centers handing v the same min — don't change
+            # smin's per-key min, and the round's FINAL distinct
+            # collapses them from the emitted edge set, so the round
+            # output is identical while one full shuffle drops out of
+            # every round (guide §2.4)
         )
         # small-star over larger-first orientation: m = min(N⁻(u)) < u;
         # emit (v, m) for v ∈ N⁻(u) \ {m} plus (u, m)

@@ -580,3 +580,46 @@ def test_backfill_record_index_spark_path_batched(spark, tmp_path):
     out = t.snapshot(predicate=[("_record_key", "=", "9")])
     assert [r["ver"] for r in out.select("ver").collect()] == [2]
     assert t.snapshot().count() == base.count()
+
+def test_backfill_sec_index_spark_path_batched_by_schema_group(
+    spark, tmp_path
+):
+    """r15 (verdict #7): the Spark fallback of
+    ``backfill_secondary_index`` builds ALL uncovered instants of one
+    SCHEMA GROUP (same indexed-column read schema + shard modulus) in
+    ONE staged job — it was one job per (instant, missing-cols) group.
+    Three instants missing the same long column must backfill in a
+    single staged write (job count bounded well below 3 per-instant
+    builds), serve exact probes for both columns, stay idempotent, and
+    leak no stage dirs."""
+    t1 = sec_table(spark, tmp_path, name="bfsg")
+    base = tagged_cust(spark)
+    for i in range(3):
+        t1.write(
+            base.filter(F.col("c_custkey") % 3 == i).coalesce(1),
+            op="insert", instant=f"00{i + 1}",
+        )
+    t2 = sec_table(
+        spark, tmp_path, name="bfsg",
+        secondary_index_columns=["tag", "num"],
+    )
+    st = spark.sparkContext.statusTracker()
+    j0 = len(st.getJobIdsForGroup(None))
+    assert t2.backfill_secondary_index() is not None
+    jobs = len(st.getJobIdsForGroup(None)) - j0
+    # one staged scan+shuffle+write for the whole schema group: the
+    # per-instant path paid >= 3 write jobs (plus their scans); allow
+    # AQE stage-job slack but pin "does not scale with instant count"
+    assert jobs <= 6, jobs
+    assert t2.backfill_secondary_index() is None  # idempotent
+    sec = tmp_path / "testdb" / "bfsg" / "_index_sec"
+    assert not [
+        d for d in sec.iterdir() if d.name.startswith("_bf_stage")
+    ]
+    # exact probes on the backfilled long column AND the original tag
+    out = t2.snapshot(predicate=[("num", "=", 8 * 7)])
+    assert [r["c_custkey"] for r in out.select("c_custkey").collect()] == [8]
+    assert t2.last_sec_index_pruned == 2
+    out = t2.snapshot(predicate=[("tag", "=", tag_of(spark, 9))])
+    assert out.count() == 1
+    assert t2.snapshot().count() == base.count()

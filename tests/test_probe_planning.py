@@ -119,3 +119,58 @@ def test_spark_built_index_is_sorted_runs(spark, tmp_path):
     # and the point read still works end-to-end through the plan
     out = t.snapshot(predicate=[("_record_key", "=", "12345")])
     assert out.count() == 1
+
+def test_affected_files_fused_planning_large_batch(spark, tmp_path):
+    """r14 fusion, pinned r15 (verdict #6): for a batch past
+    ``driver_probe_max_keys`` landing in MULTI-FILE partitions —
+    the at-scale ingest shape — partition discovery and the batch key
+    range ride ONE aggregate: ``_key_hit_files`` receives the
+    pre-fused minmax (no second full-batch min/max pass), and total
+    planning jobs stay bounded (the pre-r14 shape paid one extra
+    batch-wide aggregation job here)."""
+    from pyspark.sql import functions as F
+
+    t = LakeTable(
+        spark, str(tmp_path), "t", "fuse", ["k"], "ver",
+        partition_keys=["p"],
+    )
+
+    def rows(lo, hi, ver=1):
+        return spark.range(lo, hi).select(
+            F.col("id").cast("string").alias("k"),
+            (F.col("id") % 2).cast("string").alias("p"),
+            F.lit(ver).cast("long").alias("ver"),
+        )
+
+    t.write(rows(0, 1500).coalesce(2), op="insert", instant="001")
+    t.write(rows(1500, 3000).coalesce(2), op="insert", instant="002")
+    assert t.driver_probe_max_keys == 1024  # the shape under test
+    batch = t._stamp(rows(500, 2000, ver=2), "003")
+
+    captured = {}
+    orig = t._key_hit_files
+
+    def spy(c, b, minmax=None):
+        captured["minmax"] = minmax
+        return orig(c, b, minmax=minmax)
+
+    t._key_hit_files = spy
+    st = spark.sparkContext.statusTracker()
+    j0 = len(st.getJobIdsForGroup(None))
+    affected, _old = t._affected_files(batch)
+    jobs_fused = len(st.getJobIdsForGroup(None)) - j0
+    # the fusion itself: the key range arrived pre-fused
+    assert captured.get("minmax") is not None
+    assert captured["minmax"][0] is not None
+    assert affected  # 1024+ keys hit files in both partitions
+
+    # self-calibrating regression pin: force the pre-fusion shape
+    # (minmax dropped, _key_hit_files re-derives it with its own
+    # batch-wide aggregation) and require the fused path to plan in
+    # strictly fewer Spark jobs on the identical batch
+    t._key_hit_files = lambda c, b, minmax=None: orig(c, b, minmax=None)
+    j1 = len(st.getJobIdsForGroup(None))
+    affected2, _old2 = t._affected_files(batch)
+    jobs_unfused = len(st.getJobIdsForGroup(None)) - j1
+    assert [f["path"] for f in affected2] == [f["path"] for f in affected]
+    assert jobs_fused < jobs_unfused, (jobs_fused, jobs_unfused)

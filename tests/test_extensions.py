@@ -1196,6 +1196,9 @@ def test_l2_topk_query_sampling_is_exact_slice(spark):
     } == full
 
 
+@pytest.mark.slow  # 87 s: the two-algorithm equivalence sweep is
+# extra coverage over the default run's oracle + convergence pins
+# (r15 verdict #2 — driver verify window); run with -m ""
 def test_star_contraction_matches_label_propagation(spark):
     """Star-contraction CC must produce the identical (vertex →
     component-min) labeling as min-label propagation on every graph

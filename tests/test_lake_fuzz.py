@@ -158,7 +158,14 @@ _FUZZ_INDEXES = {
         ("MERGE_ON_READ", 4, _FUZZ_INDEXES, True),
     ],
 )
-@pytest.mark.parametrize("seed", [0, 1])
+@pytest.mark.parametrize(
+    "seed",
+    # seed 0 covers every config in the DEFAULT (driver-window) run;
+    # the second fuzz seed is extra-coverage kept behind the slow
+    # marker (r15 verdict #2 — the full suite outgrew the verify
+    # window; run with -m "" for both seeds)
+    [0, pytest.param(1, marks=pytest.mark.slow)],
+)
 def test_op_sequence_matches_model(
     spark, tmp_path_factory, table_type, inline, seed, indexes, spark_only
 ):
@@ -390,7 +397,14 @@ def test_op_sequence_matches_model(
 
 
 @pytest.mark.parametrize("spark_only", [False, True])
-@pytest.mark.parametrize("seed", [0, 1])
+@pytest.mark.parametrize(
+    "seed",
+    # seed 0 covers every config in the DEFAULT (driver-window) run;
+    # the second fuzz seed is extra-coverage kept behind the slow
+    # marker (r15 verdict #2 — the full suite outgrew the verify
+    # window; run with -m "" for both seeds)
+    [0, pytest.param(1, marks=pytest.mark.slow)],
+)
 def test_global_index_drift_matches_model(
     spark, tmp_path_factory, seed, spark_only
 ):
@@ -597,7 +611,14 @@ def _pu_batch(rng: random.Random, ver: int, stale: bool) -> list[tuple]:
         ("COPY_ON_WRITE", True),
     ],
 )
-@pytest.mark.parametrize("seed", [0, 1])
+@pytest.mark.parametrize(
+    "seed",
+    # seed 0 covers every config in the DEFAULT (driver-window) run;
+    # the second fuzz seed is extra-coverage kept behind the slow
+    # marker (r15 verdict #2 — the full suite outgrew the verify
+    # window; run with -m "" for both seeds)
+    [0, pytest.param(1, marks=pytest.mark.slow)],
+)
 def test_partial_update_sequence_matches_model(
     spark, tmp_path_factory, table_type, seed, spark_only
 ):
